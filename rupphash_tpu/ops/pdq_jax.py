@@ -1,0 +1,222 @@
+"""TPU-native PDQ: the whole image-domain pipeline as MXU matmuls.
+
+Design (TPU-first, not a port): everything the reference does between the
+u8 luma plane and the DCT input is *linear and separable* —
+
+  two-pass Jarosz box blur      (pdqhash.rs:410-426)  = B_h^2 . X . (B_w^T)^2
+  decimation to 64x64           (pdqhash.rs:428-443)  = row/col selectors D_r, D_c
+
+so the 64x64 buffer is exactly `buffer64 = L @ X @ R.T` with
+
+  L = D_r @ B_h @ B_h    (64 x rows)
+  R = D_c @ B_w @ B_w    (64 x cols)
+
+precomputed per working shape in float64 on the host.  Add the 16x64 DCT
+(`coeffs = D16 @ buffer64 @ D16.T`, pdqhash.rs:306-336) and one image's PDQ
+is two skinny matmuls plus a 256-wide sort — all of which batch perfectly
+onto the MXU.  The quality metric, medians, thresholding, bit packing and
+the 8 dihedral variants are computed on-device as well, so a batch of luma
+planes goes in and packed 32-byte codes come out.
+
+Numerical contract: operators are composed in float64 and applied with
+float32 MXU accumulation.  Versus the golden's sequential float32 running
+sums this changes last-ulp rounding, so coefficients can differ by ~1e-6
+relative; hash bits only flip if a coefficient ties the median to within
+that noise.  Tests assert bit-identical hashes on the reference fixture
+and random natural images.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pdq_ref
+
+BUFFER_W_H = pdq_ref.BUFFER_W_H
+DCT_OUTPUT_W_H = pdq_ref.DCT_OUTPUT_W_H
+
+
+# --------------------------------------------------------------------------
+# Host-side operator construction (float64, cached per working shape)
+# --------------------------------------------------------------------------
+
+def box_filter_matrix(length: int, win: int) -> np.ndarray:
+    """(length, length) float64 matrix of the reference's 4-phase box filter.
+
+    Closed form of box_one_d_float (pdqhash.rs:340-396): with
+    half = (win + 2) // 2, output o averages input [lo, hi) where
+    lo = max(0, o + half - win), hi = min(length, o + half).
+    """
+    win = max(1, min(win, max(length, 1)))
+    half = (win + 2) // 2
+    m = np.zeros((length, length), dtype=np.float64)
+    for o in range(length):
+        lo = max(0, o + half - win)
+        hi = min(length, o + half)
+        m[o, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def decimation_indices(in_len: int, out_len: int = BUFFER_W_H) -> np.ndarray:
+    i = np.arange(out_len)
+    return ((2 * i + 1) * in_len) // (2 * out_len)
+
+
+@functools.lru_cache(maxsize=512)
+def linear_operators(rows: int, cols: int):
+    """(L, R): float32 (64, rows) and (64, cols) operators with
+    buffer64 = L @ X @ R.T for a (rows, cols) luma plane X."""
+    w_rows = -(-cols // pdq_ref.JAROSZ_WINDOW_DIVISOR)  # window along rows
+    w_cols = -(-rows // pdq_ref.JAROSZ_WINDOW_DIVISOR)  # window along cols
+    bh = box_filter_matrix(rows, w_cols)
+    bw = box_filter_matrix(cols, w_rows)
+    bh2 = bh @ bh
+    bw2 = bw @ bw
+    l_op = bh2[decimation_indices(rows)]          # D_r @ B_h^2
+    r_op = bw2[decimation_indices(cols)]          # D_c @ B_w^2
+    return (np.asarray(l_op, dtype=np.float32),
+            np.asarray(r_op, dtype=np.float32))
+
+
+@functools.lru_cache(maxsize=1)
+def dct16x64() -> np.ndarray:
+    return np.asarray(pdq_ref.dct_matrix())
+
+
+# --------------------------------------------------------------------------
+# On-device stages
+# --------------------------------------------------------------------------
+
+def _sign_patterns() -> np.ndarray:
+    """(4, 16, 16) float32 sign masks for (neg_rows, neg_cols) in
+    [(F,F), (F,T), (T,F), (T,T)].  A mirror negates odd DCT *frequencies*
+    (index + 1), i.e. even array indices (pdqhash.rs:127-137)."""
+    odd_freq = ((np.arange(DCT_OUTPUT_W_H) + pdq_ref.DCT_FREQ_OFFSET) % 2 == 1)
+    pats = np.empty((4, DCT_OUTPUT_W_H, DCT_OUTPUT_W_H), dtype=np.float32)
+    for v, (nr, nc) in enumerate([(False, False), (False, True),
+                                  (True, False), (True, True)]):
+        fr = odd_freq if nr else np.zeros_like(odd_freq)
+        fc = odd_freq if nc else np.zeros_like(odd_freq)
+        pats[v] = np.where(fr[:, None] ^ fc[None, :], -1.0, 1.0)
+    return pats
+
+
+_SIGNS = _sign_patterns()
+_BIT_WEIGHTS = np.asarray(1 << np.arange(8), dtype=np.int32)
+
+
+def quality_from_buffer(buf64: jnp.ndarray) -> jnp.ndarray:
+    """(B, 64, 64) -> (B,) quality in [0, 1]; every term is an exact small
+    integer in f32 so the reduction order is irrelevant (pdqhash.rs:445-460)."""
+    vert = buf64[:, :-1, :] - buf64[:, 1:, :]
+    horiz = buf64[:, :, :-1] - buf64[:, :, 1:]
+    tv = jnp.trunc(jnp.abs(vert * 100.0 / 255.0)).sum(axis=(1, 2))
+    th = jnp.trunc(jnp.abs(horiz * 100.0 / 255.0)).sum(axis=(1, 2))
+    return jnp.minimum((tv + th) / 90.0, 1.0)
+
+
+def pack_bit_matrices(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16, 16) bool -> (..., 32) uint8 in the reference byte layout:
+    coefficient idx = r*16+c lands in byte 31 - idx//8, bit idx%8."""
+    flat = bits.reshape(bits.shape[:-2] + (32, 8)).astype(jnp.int32)
+    bytes_fwd = (flat * _BIT_WEIGHTS).sum(axis=-1)
+    return bytes_fwd[..., ::-1].astype(jnp.uint8)
+
+
+def dihedral_from_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """(B, 16, 16) float32 coefficients -> (B, 8, 32) uint8 dihedral hashes
+    in the reference order (pdqhash.rs:71-87): identity, rot90, rot180,
+    rot270, mirror-x, mirror-y, transpose, anti-transpose."""
+    signed = coeffs[:, None, :, :] * _SIGNS[None, :, :, :]      # (B,4,16,16)
+    flat = signed.reshape(coeffs.shape[0], 4, 256)
+    med = jnp.sort(flat, axis=-1)[:, :, 127]                    # lower median
+    bits = flat > med[:, :, None]                               # (B,4,256)
+    bits = bits.reshape(-1, 4, 16, 16)
+    ident, neg_c, neg_r, neg_b = (bits[:, 0], bits[:, 1], bits[:, 2], bits[:, 3])
+    t = lambda b: jnp.swapaxes(b, -1, -2)
+    variants = jnp.stack([
+        ident, t(neg_r), neg_b, t(neg_c),
+        neg_c, neg_r, t(ident), t(neg_b),
+    ], axis=1)                                                   # (B,8,16,16)
+    return pack_bit_matrices(variants)
+
+
+def pdq_core(lumas: jnp.ndarray, l_op: jnp.ndarray, r_op: jnp.ndarray,
+             d16: jnp.ndarray,
+             precision: jax.lax.Precision = jax.lax.Precision.HIGHEST):
+    """(B, H, W) u8/f32 lumas + operators -> dict of device arrays:
+    hashes (B,32) u8, dihedral (B,8,32) u8, quality (B,) f32,
+    coeffs (B,256) f32.
+
+    Precision is HIGHEST by default: on TPU the default 1-pass bf16 MXU
+    matmul perturbs operator weights by ~0.2%, enough to flip hash bits
+    whose coefficient ties the median; HIGHEST keeps coefficients within
+    float32 rounding of the golden so hashes stay bit-identical.
+    """
+    x = lumas.astype(jnp.float32)
+    # buffer64 = L @ X @ R^T : two MXU matmuls
+    xr = jax.lax.dot_general(x, r_op.T, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)                 # (B,H,64)
+    buf64 = jax.lax.dot_general(xr, l_op.T, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+    buf64 = jnp.swapaxes(buf64, 1, 2)                             # (B,64,64)
+    quality = quality_from_buffer(buf64)
+    # coeffs = D16 @ buf64 @ D16^T
+    bd = jax.lax.dot_general(buf64, d16.T, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)                 # (B,64,16)
+    coeffs = jax.lax.dot_general(bd, d16.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+    coeffs = jnp.swapaxes(coeffs, 1, 2)                           # (B,16,16)
+    dihedral = dihedral_from_coeffs(coeffs)
+    return {
+        "hash": dihedral[:, 0, :],
+        "dihedral": dihedral,
+        "quality": quality,
+        "coeffs": coeffs.reshape(-1, 256),
+    }
+
+
+# --------------------------------------------------------------------------
+# Public API: per-shape jitted hasher
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _jitted_core(rows: int, cols: int):
+    l_np, r_np = linear_operators(rows, cols)
+    d_np = dct16x64()
+
+    @jax.jit
+    def run(lumas):
+        return pdq_core(lumas, jnp.asarray(l_np), jnp.asarray(r_np),
+                        jnp.asarray(d_np))
+
+    return run
+
+
+def pdq_hash_batch(lumas: np.ndarray | jnp.ndarray):
+    """Hash a batch of same-shape u8 luma planes (B, rows, cols).
+
+    The working shape must already respect the reference's pre-downsample
+    contract (<=512 px per side; use pipeline.decode.prepare for raw
+    images).  Returns a dict of device arrays (see pdq_core).
+    """
+    b, rows, cols = lumas.shape
+    return _jitted_core(rows, cols)(jnp.asarray(lumas))
+
+
+def pdq_hash_image(image: np.ndarray):
+    """Single-image convenience mirroring generate_pdq (pdqhash.rs:199):
+    returns (hash bytes, quality float) or None."""
+    luma = pdq_ref.prepare_luma(image)
+    if luma is None:
+        return None
+    out = pdq_hash_batch(luma[None])
+    return bytes(np.asarray(out["hash"][0])), float(out["quality"][0])

@@ -1,0 +1,83 @@
+"""JAX PDQ fast path vs the numpy golden: bit-identical hashes required."""
+import numpy as np
+import pytest
+
+from rupphash_tpu.ops import pdq_jax, pdq_ref
+from tests.conftest import lcg_buffer64
+
+
+def _golden_all(luma: np.ndarray):
+    coeffs, buf64, quality = pdq_ref.pdq_from_luma(luma)
+    return (pdq_ref.coeffs_to_hash(coeffs),
+            pdq_ref.dihedral_hashes(coeffs), quality, coeffs)
+
+
+def test_linear_operator_equals_sequential_jarosz():
+    """L @ X @ R.T must reproduce the golden Jarosz+decimate buffer to
+    float tolerance on a random plane (the operators are exact in f64)."""
+    rng = np.random.default_rng(3)
+    luma = rng.integers(0, 256, (300, 420), dtype=np.uint8)
+    _, buf64_gold, _ = pdq_ref.pdq_from_luma(luma)
+    l_op, r_op = pdq_jax.linear_operators(300, 420)
+    buf64_lin = (l_op.astype(np.float64)
+                 @ luma.astype(np.float64)
+                 @ r_op.astype(np.float64).T)
+    assert np.max(np.abs(buf64_lin - buf64_gold)) < 1e-2
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (128, 96), (512, 288), (33, 501)])
+def test_jax_hash_matches_golden_random(shape):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    # smooth "natural" field: random walk rows, keeps coefficients away from
+    # pathological median ties while still exercising every stage
+    base = rng.integers(0, 256, shape).astype(np.float32)
+    luma = np.clip(base, 0, 255).astype(np.uint8)
+    gold_hash, gold_dihedral, gold_q, gold_coeffs = _golden_all(luma)
+
+    out = pdq_jax.pdq_hash_batch(luma[None])
+    jax_hash = bytes(np.asarray(out["hash"][0]))
+    assert pdq_ref.hamming_distance(jax_hash, gold_hash) == 0
+    jd = np.asarray(out["dihedral"][0])
+    for v in range(8):
+        assert pdq_ref.hamming_distance(bytes(jd[v]), gold_dihedral[v]) == 0
+    assert abs(float(out["quality"][0]) - gold_q) < 1e-6
+    assert np.allclose(np.asarray(out["coeffs"][0]), gold_coeffs,
+                       rtol=1e-4, atol=0.5)
+
+
+def test_jax_hash_matches_golden_bench(bench_jpg):
+    luma = pdq_ref.prepare_luma(bench_jpg)
+    gold_hash, gold_dihedral, gold_q, _ = _golden_all(luma)
+    out = pdq_jax.pdq_hash_batch(luma[None])
+    assert pdq_ref.hamming_distance(bytes(np.asarray(out["hash"][0])), gold_hash) == 0
+    jd = np.asarray(out["dihedral"][0])
+    for v in range(8):
+        assert pdq_ref.hamming_distance(bytes(jd[v]), gold_dihedral[v]) == 0
+    assert abs(float(out["quality"][0]) - gold_q) < 1e-6
+
+
+def test_batching_is_consistent():
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, 256, (5, 200, 150), dtype=np.uint8)
+    out = pdq_jax.pdq_hash_batch(batch)
+    for i in range(5):
+        single = pdq_jax.pdq_hash_batch(batch[i][None])
+        assert bytes(np.asarray(out["hash"][i])) == bytes(np.asarray(single["hash"][0]))
+
+
+def test_pdq_hash_image_end_to_end(bench_jpg):
+    h, q = pdq_jax.pdq_hash_image(bench_jpg)
+    gold = pdq_ref.generate_pdq(bench_jpg)
+    assert pdq_ref.hamming_distance(h, gold[0]) == 0
+    assert abs(q - gold[1]) < 1e-6
+
+
+def test_dihedral_from_coeffs_matches_golden_on_lcg():
+    buf = lcg_buffer64(42)
+    coeffs = pdq_ref.dct64_to_16(buf)
+    gold = pdq_ref.dihedral_hashes(coeffs)
+    import jax.numpy as jnp
+    out = np.asarray(pdq_jax.dihedral_from_coeffs(
+        jnp.asarray(coeffs.reshape(1, 16, 16))))[0]
+    for v in range(8):
+        assert bytes(out[v]) == gold[v]
