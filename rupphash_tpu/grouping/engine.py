@@ -1,0 +1,296 @@
+"""Duplicate-group construction with the reference's production semantics.
+
+Host-side clustering layered on the MXU edge search (ops/hamming.py),
+mirroring src/scanner.rs:
+
+  union-find with path compression          scanner.rs:1780-1823
+  merge groups sharing dir + file stem      scanner.rs:1905-1983
+  per-group analysis & ordering             scanner.rs:1834-2022, 2183-2254
+  low-quality exact-match-only gating       scanner.rs:1588-1594
+  sort orders incl. natural sort            scanner.rs:2040-2110
+
+The pivot-vs-dihedral max-distance and the bit/pixel-identical partition
+reproduce analyze_group_with_features (scanner.rs:2183-2254).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import re
+from pathlib import Path
+
+import numpy as np
+
+from ..ops import hamming
+
+PDQ_MIN_QUALITY = 50  # scanner.rs:1589
+DEFAULT_SIMILARITY = 40  # phdupes.rs:351
+
+RAW_EXTS = {"nef", "dng", "cr2", "cr3", "arw", "orf", "rw2", "raf",
+            "kdc", "dcr", "pef", "x3f", "srf", "3fr"}  # scanner.rs:43-46
+
+
+@dataclasses.dataclass
+class FileRecord:
+    """The cross-layer value type, mirrors FileMetadata (phdupes.rs:52-65)."""
+    path: Path
+    size: int = 0
+    modified: float = 0.0
+    pdqhash: bytes | None = None            # 32 bytes
+    pdq_quality: int | None = None          # 0-100
+    resolution: tuple[int, int] | None = None
+    content_hash: bytes = b""               # keyed blake2b of file bytes
+    pixel_hash: bytes | None = None
+    orientation: int = 1
+    gps_pos: tuple[float, float] | None = None
+    unique_file_id: int = 0                 # (dev << 64) | inode
+    exif_timestamp: int | None = None
+    dihedral: np.ndarray | None = None      # (8, 32) uint8 variants
+    coeffs: np.ndarray | None = None        # (256,) float32
+
+    @property
+    def is_low_quality(self) -> bool:
+        """Unknown quality counts as good (scanner.rs:1591-1594)."""
+        return self.pdq_quality is not None and self.pdq_quality < PDQ_MIN_QUALITY
+
+
+@dataclasses.dataclass
+class GroupInfo:
+    max_dist: int = 0
+    status: str = "none"  # "all-identical" | "some-identical" | "none"
+
+
+class UnionFind:
+    """Path-compressing union-find (scanner.rs:1780-1807)."""
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while root != p[root]:
+            root = p[root]
+        while i != root:
+            i, p[i] = p[i], root
+        return root
+
+    def union(self, i: int, j: int):
+        ri, rj = self.find(i), self.find(j)
+        if ri != rj:
+            self.parent[ri] = rj
+
+    def union_edges(self, ei: np.ndarray, ej: np.ndarray):
+        for a, b in zip(ei.tolist(), ej.tolist()):
+            self.union(a, b)
+
+    def components(self, min_size: int = 2) -> list[list[int]]:
+        n = len(self.parent)
+        roots = np.fromiter((self.find(i) for i in range(n)), dtype=np.int64,
+                            count=n)
+        order = np.argsort(roots, kind="stable")
+        groups = []
+        start = 0
+        sorted_roots = roots[order]
+        for k in range(1, n + 1):
+            if k == n or sorted_roots[k] != sorted_roots[start]:
+                if k - start >= min_size:
+                    groups.append(order[start:k].tolist())
+                start = k
+        return groups
+
+
+# --------------------------------------------------------------------------
+# Natural sort (natord-compatible: digit runs compare numerically)
+# --------------------------------------------------------------------------
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natural_key(s: str):
+    return tuple(int(t) if t.isdigit() else t
+                 for t in _NAT_SPLIT.split(s) if t != "")
+
+
+def sort_files(files: list[FileRecord], sort_order: str):
+    """In-place sort mirroring sort_files (scanner.rs:2040-2110)."""
+    order = sort_order.lower()
+    name = lambda f: f.path.name
+    if order == "name":
+        files.sort(key=name)
+    elif order == "name-desc":
+        files.sort(key=name)
+        files.reverse()
+    elif order == "name-natural":
+        files.sort(key=lambda f: natural_key(f.path.name))
+    elif order == "name-natural-desc":
+        files.sort(key=lambda f: natural_key(f.path.name))
+        files.reverse()
+    elif order == "date":
+        files.sort(key=lambda f: f.modified)
+    elif order == "date-desc":
+        files.sort(key=lambda f: f.modified, reverse=True)
+    elif order == "size":
+        files.sort(key=lambda f: f.size)
+    elif order == "size-desc":
+        files.sort(key=lambda f: f.size, reverse=True)
+    elif order in ("exif-date", "exif-date-desc"):
+        desc = order.endswith("desc")
+
+        def key(f):
+            has = f.exif_timestamp is not None
+            ts = f.exif_timestamp if has else f.modified
+            primary = -ts if desc else ts
+            return (0 if has else 1, primary)
+        files.sort(key=key)
+    elif order == "random":
+        random.shuffle(files)
+    elif order == "location":
+        pass  # GUI-layer sort in the reference
+    else:
+        files.sort(key=lambda f: natural_key(f.path.name))
+
+
+def _sort_by_stem_then_ext(files: list[FileRecord]):
+    """scanner.rs:2256-2263: group stem-mates, RAW after processed."""
+    files.sort(key=lambda f: (f.path.stem,
+                              f.path.suffix.lower().lstrip(".") in RAW_EXTS))
+
+
+# --------------------------------------------------------------------------
+# Group construction
+# --------------------------------------------------------------------------
+
+def merge_groups_by_stem(groups: list[list[int]],
+                         files: list[FileRecord]) -> list[list[int]]:
+    """Merge groups that share a (parent dir, file stem) pair
+    (scanner.rs:1905-1983) so e.g. IMG_1.jpg + IMG_1.nef travel together."""
+    if len(groups) < 2:
+        return groups
+    key_to_group: dict[tuple, int] = {}
+    uf = UnionFind(len(groups))
+    for g_idx, group in enumerate(groups):
+        for f_idx in group:
+            p = files[f_idx].path
+            key = (str(p.parent), p.stem)
+            if key in key_to_group:
+                uf.union(key_to_group[key], g_idx)
+            else:
+                key_to_group[key] = g_idx
+    merged: dict[int, list[int]] = {}
+    for g_idx, group in enumerate(groups):
+        merged.setdefault(uf.find(g_idx), []).extend(group)
+    return [sorted(set(g)) for g in merged.values()]
+
+
+def _min_dihedral_distance(variants: np.ndarray, h: bytes) -> int:
+    hb = np.frombuffer(h, dtype=np.uint8)
+    x = np.bitwise_xor(variants, hb[None, :])
+    return int(np.unpackbits(x, axis=-1).sum(axis=-1).min())
+
+
+def analyze_group(group: list[FileRecord], sort_order: str) -> GroupInfo:
+    """Order a group in place and compute its info, mirroring
+    analyze_group_with_features (scanner.rs:2183-2254): bit-identical
+    duplicates first (sorted by pixel/content hash then name), the rest in
+    user order, then stem-mates adjacent; max_dist is pivot-vs-dihedral."""
+    if not group:
+        return GroupInfo()
+    counts: dict[bytes, int] = {}
+    for f in group:
+        counts[f.content_hash] = counts.get(f.content_hash, 0) + 1
+
+    dupes = [f for f in group if counts[f.content_hash] > 1]
+    unique = [f for f in group if counts[f.content_hash] <= 1]
+    dupes.sort(key=lambda f: (f.pixel_hash or b"", f.content_hash, f.path.name))
+    sort_files(unique, sort_order)
+    group[:] = dupes + unique
+    _sort_by_stem_then_ext(group)
+
+    pivot = next((f for f in group if f.dihedral is not None), None)
+    if pivot is not None:
+        max_d = max((_min_dihedral_distance(pivot.dihedral, f.pdqhash)
+                     for f in group if f.pdqhash is not None), default=0)
+    else:
+        ph = next((f.pdqhash for f in group if f.pdqhash is not None), None)
+        if ph is not None:
+            max_d = max((_hamming_bytes(ph, f.pdqhash)
+                         for f in group if f.pdqhash is not None), default=0)
+        else:
+            max_d = 0
+
+    has_dupes = any(c > 1 for c in counts.values())
+    all_identical = len(counts) == 1
+    status = ("all-identical" if all_identical
+              else "some-identical" if has_dupes else "none")
+    return GroupInfo(max_dist=int(max_d), status=status)
+
+
+def _hamming_bytes(a: bytes, b: bytes) -> int:
+    return bin(int.from_bytes(a, "big") ^ int.from_bytes(b, "big")).count("1")
+
+
+def content_subgroups(group: list[FileRecord]) -> dict[bytes, int]:
+    """Pixel-identical subgroup ids within a group (state.rs:109-133)."""
+    seen: dict[bytes, int] = {}
+    out: dict[bytes, int] = {}
+    for f in group:
+        if f.pixel_hash is None:
+            continue
+        if f.pixel_hash not in seen:
+            seen[f.pixel_hash] = len(seen) + 1
+        out[f.pixel_hash] = seen[f.pixel_hash]
+    return out
+
+
+def group_files(files: list[FileRecord],
+                similarity: int = DEFAULT_SIMILARITY,
+                sort_order: str = "name",
+                use_device: bool | None = None):
+    """Full grouping pipeline (scanner.rs:1640-1830 semantics).
+
+    Returns (groups: list[list[FileRecord]], infos: list[GroupInfo],
+    edge_count: int).  Groups are ordered identical-first, then by max
+    distance, then by descending size (scanner.rs:1561-1576).
+    """
+    assert similarity <= hamming.MAX_SIMILARITY_256
+    idx_with_hash = [i for i, f in enumerate(files) if f.pdqhash is not None]
+    if not idx_with_hash:
+        return [], [], 0
+
+    base = np.stack([np.frombuffer(files[i].pdqhash, dtype=np.uint8)
+                     for i in idx_with_hash])
+    variants = np.stack([
+        files[i].dihedral if files[i].dihedral is not None
+        else np.repeat(base[k][None], 8, axis=0)
+        for k, i in enumerate(idx_with_hash)])
+    low = np.array([files[i].is_low_quality for i in idx_with_hash])
+
+    n_all = len(files)
+    if use_device is None:
+        use_device = len(idx_with_hash) > 2048
+    if use_device:
+        ei, ej = hamming.find_edges(base, variants, low, similarity)
+    else:
+        ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
+
+    uf = UnionFind(n_all)
+    dense_to_sparse = np.asarray(idx_with_hash, dtype=np.int64)
+    uf.union_edges(dense_to_sparse[ei], dense_to_sparse[ej])
+    raw = uf.components(min_size=2)
+    raw = merge_groups_by_stem(raw, files)
+
+    groups: list[list[FileRecord]] = []
+    infos: list[GroupInfo] = []
+    for g in raw:
+        members = [files[i] for i in g]
+        infos.append(analyze_group(members, sort_order))
+        groups.append(members)
+
+    order = sorted(range(len(groups)),
+                   key=lambda k: (0 if infos[k].status == "all-identical" else 1,
+                                  infos[k].max_dist,
+                                  -len(groups[k])))
+    return ([groups[k] for k in order], [infos[k] for k in order],
+            int(len(ei)))
