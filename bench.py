@@ -66,7 +66,8 @@ def bench_pdq(batch=1024, rows=512, cols=288, iters=20):
 
 def bench_grouping(n=100_000, iters=3):
     """Secondary: all-pairs count-phase sweep over n random 256-bit hashes
-    with 8 dihedral variants each (the production configuration)."""
+    with 8 dihedral variants each (the production configuration).  One
+    device dispatch per sweep (see ops/hamming.py)."""
     import jax
 
     from rupphash_tpu.ops import hamming
@@ -74,35 +75,31 @@ def bench_grouping(n=100_000, iters=3):
     rng = np.random.default_rng(1)
     base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
     variants = np.repeat(base[:, None, :], 8, axis=1)
-    var_pm1 = hamming.pm1_encode(variants.reshape(n, -1)).reshape(n, 8, 256)
-    base_pm1 = hamming.pm1_encode(base)
     low = np.zeros(n, dtype=bool)
 
-    tb, ta = hamming.BASE_TILE, hamming.QUERY_TILE
-    npad = -(-n // tb) * tb
-    bp = np.zeros((npad, 256), dtype=np.int8)
-    bp[:n] = base_pm1
-    bl = np.ones(npad, dtype=bool)
-    bl[:n] = low
-    base_d = jax.device_put(bp)
-    blow_d = jax.device_put(bl)
-    qtiles = [jax.device_put(var_pm1[q0:q0 + ta])
-              for q0 in range(0, n - ta + 1, ta)]
-    qlow_d = jax.device_put(np.zeros(ta, dtype=bool))
+    ta, tb = hamming.QUERY_TILE, hamming.BASE_TILE
+    npad = -(-n // ta) * ta
+    npad = -(-npad // tb) * tb
+    var_p = np.zeros((npad, 8, 32), dtype=np.uint8)
+    var_p[:n] = variants
+    base_p = np.zeros((npad, 32), dtype=np.uint8)
+    base_p[:n] = base
+    low_p = np.ones(npad, dtype=bool)
+    low_p[:n] = low
+    var_d = jax.device_put(var_p)
+    base_d = jax.device_put(base_p)
+    low_d = jax.device_put(low_p)
 
     def sweep():
-        res = []
-        for k, qv in enumerate(qtiles):
-            res.append(hamming._tile_scan_counts(
-                qv, base_d, qlow_d, blow_d, k * ta, 31, n, tb, 256))
-        jax.block_until_ready(res)
+        return np.asarray(hamming._scan_counts_all(
+            var_d, base_d, low_d, 31, n, ta, tb, 256))
 
     sweep()
     t0 = time.perf_counter()
     for _ in range(iters):
         sweep()
     dt = (time.perf_counter() - t0) / iters
-    pairs = len(qtiles) * ta * npad * 8
+    pairs = n * (n - 1) // 2 * 8
     return pairs / dt, dt
 
 

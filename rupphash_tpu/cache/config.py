@@ -1,0 +1,136 @@
+"""TOML configuration with self-healing master key management.
+
+Mirrors the reference's phdupes.conf handling (src/db.rs:104-211,351-518):
+a TOML file in the user config dir holding the 32-byte master key (hex),
+cache sizing, grouping preferences, and UI sections.  Writes are atomic
+(tmp + rename, db.rs:355-378); a missing or corrupt key is regenerated
+and missing sections are backfilled without destroying user edits.
+
+Override the location with RUPPHASH_CONFIG_DIR (used by tests).
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import tomllib
+from pathlib import Path
+
+APP_NAME = "rupphash"
+DEFAULTS = {
+    "db_size_mb": 2048,              # db.rs:546 default map size
+    "grouping": {
+        "ignore_same_stem": False,
+        "extensions": ["jpg", "jpeg", "png", "webp", "avif", "heic",
+                       "tiff", "tif", "bmp", "gif"],
+    },
+    "gui": {
+        "preload_count": 8,
+        "decimal_coords": True,
+        "dominant_colors": 6,
+        "saturation_bias": 1.0,
+        "palette_sort": "hue",
+        "sdr_peak_nits": 203.0,
+        "exif_tags": ["Make", "Model", "DateTimeOriginal", "FNumber",
+                      "ExposureTime", "ISOSpeedRatings", "FocalLength"],
+    },
+    "locations": {},
+    "map_providers": {},
+}
+
+
+def config_dir() -> Path:
+    env = os.environ.get("RUPPHASH_CONFIG_DIR")
+    if env:
+        return Path(env)
+    xdg = os.environ.get("XDG_CONFIG_HOME", str(Path.home() / ".config"))
+    return Path(xdg) / APP_NAME
+
+
+def cache_dir() -> Path:
+    env = os.environ.get("RUPPHASH_CACHE_DIR")
+    if env:
+        return Path(env)
+    xdg = os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache"))
+    return Path(xdg) / f"{APP_NAME}_pdqhash"
+
+
+def _toml_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, list):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"unsupported TOML value {type(v)}")
+
+
+def _dump_toml(cfg: dict) -> str:
+    lines = []
+    tables = []
+    for k, v in cfg.items():
+        if isinstance(v, dict):
+            tables.append((k, v))
+        else:
+            lines.append(f"{k} = {_toml_value(v)}")
+    for name, tbl in tables:
+        lines.append("")
+        lines.append(f"[{name}]")
+        for k, v in tbl.items():
+            if isinstance(v, dict):
+                continue
+            lines.append(f"{k} = {_toml_value(v)}")
+    return "\n".join(lines) + "\n"
+
+
+def _atomic_write(path: Path, text: str):
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)  # atomic on POSIX (db.rs:355-378)
+
+
+def load_config() -> dict:
+    """Load (or create) the config, healing missing/corrupt entries."""
+    cdir = config_dir()
+    cdir.mkdir(parents=True, exist_ok=True)
+    path = cdir / f"{APP_NAME}.conf"
+    cfg: dict = {}
+    if path.exists():
+        try:
+            cfg = tomllib.loads(path.read_text())
+        except (tomllib.TOMLDecodeError, OSError):
+            cfg = {}
+
+    changed = False
+    key_hex = cfg.get("master_key", "")
+    try:
+        key = bytes.fromhex(key_hex)
+        if len(key) != 32:
+            raise ValueError
+    except (ValueError, TypeError):
+        key = secrets.token_bytes(32)  # regenerate (db.rs:500-518)
+        cfg["master_key"] = key.hex()
+        changed = True
+
+    for k, v in DEFAULTS.items():
+        if k not in cfg:
+            cfg[k] = v
+            changed = True
+        elif isinstance(v, dict):
+            for kk, vv in v.items():
+                if kk not in cfg[k]:
+                    cfg[k][kk] = vv
+                    changed = True
+
+    if changed:
+        _atomic_write(path, _dump_toml(cfg))
+    cfg["_master_key_bytes"] = key
+    cfg["_path"] = str(path)
+    return cfg
+
+
+def save_config(cfg: dict):
+    clean = {k: v for k, v in cfg.items() if not k.startswith("_")}
+    _atomic_write(Path(cfg["_path"]), _dump_toml(clean))

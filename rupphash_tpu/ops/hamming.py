@@ -14,10 +14,14 @@ over variants is a max over the V dot rows.  Thresholding, the j > i
 pair-dedup, and the reference's low-quality gating (quality < 50 matches
 at distance 0 only, scanner.rs:1588-1594) are fused masks on the tile.
 
-Edge extraction is two-phase to avoid materializing N^2: a counting sweep
-returns per-tile match counts (tiny), then only tiles with matches are
-re-materialized as packed bitmasks and expanded host-side.  Random-corpus
-sweeps therefore transfer almost nothing.
+Dispatch design: the counting sweep over the entire N x N upper triangle
+is ONE jitted call — packed uint8 hashes go to the device once, bit
+unpacking happens on-device, and a nested fori_loop walks (query tile x
+base tile) pairs, skipping tiles entirely below the diagonal.  This
+matters because per-call latency (hundreds of us locally, ~150 ms through
+a remote-TPU tunnel) would otherwise dwarf the compute.  Only tiles whose
+count is nonzero are re-materialized as packed bitmasks and expanded
+host-side, so random corpora transfer almost nothing.
 """
 
 from __future__ import annotations
@@ -31,8 +35,8 @@ import numpy as np
 MAX_SIMILARITY_64 = 15   # hamminghash.rs:5
 MAX_SIMILARITY_256 = 63  # hamminghash.rs:8
 
-# default device tile sizes (rows x cols of the distance tile)
-QUERY_TILE = 512
+# device tile sizes (rows x cols of a distance tile)
+QUERY_TILE = 4096
 BASE_TILE = 2048
 
 
@@ -47,6 +51,14 @@ def pm1_encode(hashes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.int8) << 1) - 1
 
 
+def unpack_bits_pm1(hashes_u8: jnp.ndarray) -> jnp.ndarray:
+    """On-device equivalent of pm1_encode (same bit->column layout)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (hashes_u8[..., :, None] >> shifts) & jnp.uint8(1)
+    flat = bits.reshape(hashes_u8.shape[:-1] + (hashes_u8.shape[-1] * 8,))
+    return (flat.astype(jnp.int8) << 1) - 1
+
+
 def unpack_edges_mask(mask_packed: np.ndarray, qoff: int, boff: int,
                       ta: int, tb: int):
     """(ta, tb/8) packed uint8 -> (i, j) global index arrays."""
@@ -55,46 +67,73 @@ def unpack_edges_mask(mask_packed: np.ndarray, qoff: int, boff: int,
     return qi + qoff, bj + boff
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "nbits"))
-def _tile_scan_counts(qvar, base, qlow, blow, qoff, sim, n_total, tb, nbits):
-    """Counting sweep: one query tile (ta, V, nbits) int8 vs the whole
-    base (Npad, nbits) int8.  Returns (num_base_tiles,) int32 counts."""
-    ta, v, _ = qvar.shape
-    npad = base.shape[0]
+@functools.partial(jax.jit, static_argnames=("ta", "tb", "nbits"))
+def _scan_counts_all(var_packed, base_packed, low, sim, n_total, ta, tb,
+                     nbits):
+    """Full upper-triangle counting sweep in a single dispatch.
+
+    var_packed: (Npad, V, nbytes) uint8; base_packed: (Npad, nbytes) uint8;
+    low: (Npad,) bool.  Returns (Npad/ta, Npad/tb) int32 match counts.
+    """
+    npad, v, nbytes = var_packed.shape
+    nq_tiles = npad // ta
     nb_tiles = npad // tb
-    flat_q = qvar.reshape(ta * v, nbits)
-    qidx = qoff + jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
+    base_pm1 = unpack_bits_pm1(base_packed)            # (Npad, nbits) int8
 
-    def body(j, counts):
-        btile = jax.lax.dynamic_slice(base, (j * tb, 0), (tb, nbits))
-        btl = jax.lax.dynamic_slice(blow, (j * tb,), (tb,))
-        dots = jax.lax.dot_general(
-            flat_q, btile.T, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        best = dots.reshape(ta, v, tb).max(axis=1)
-        dist = (nbits - best) // 2
-        thr = jnp.where(qlow[:, None] | btl[None, :], 0, sim)
-        jidx = j * tb + jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
-        mask = ((dist <= thr) & (jidx > qidx)
-                & (jidx < n_total) & (qidx < n_total))
-        return counts.at[j].set(mask.sum(dtype=jnp.int32))
+    def qbody(qi, counts):
+        qslice = jax.lax.dynamic_slice(var_packed, (qi * ta, 0, 0),
+                                       (ta, v, nbytes))
+        qv = unpack_bits_pm1(qslice).reshape(ta * v, nbits)
+        qlow = jax.lax.dynamic_slice(low, (qi * ta,), (ta,))
+        qidx = qi * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
 
-    counts = jnp.zeros((nb_tiles,), dtype=jnp.int32)
-    return jax.lax.fori_loop(0, nb_tiles, body, counts)
+        def bbody(bj, row):
+            def compute(_):
+                btile = jax.lax.dynamic_slice(base_pm1, (bj * tb, 0),
+                                              (tb, nbits))
+                btl = jax.lax.dynamic_slice(low, (bj * tb,), (tb,))
+                dots = jax.lax.dot_general(
+                    qv, btile.T, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                dist = (nbits - dots.reshape(ta, v, tb).max(axis=1)) // 2
+                thr = jnp.where(qlow[:, None] | btl[None, :], 0, sim)
+                jidx = bj * tb + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tb), 1)
+                mask = ((dist <= thr) & (jidx > qidx)
+                        & (jidx < n_total) & (qidx < n_total))
+                return mask.sum(dtype=jnp.int32)
+
+            # skip base tiles entirely below the diagonal (all j <= i)
+            cnt = jax.lax.cond((bj + 1) * tb > qi * ta + 1, compute,
+                               lambda _: jnp.int32(0), None)
+            return row.at[bj].set(cnt)
+
+        row = jax.lax.fori_loop(0, nb_tiles, bbody,
+                                jnp.zeros((nb_tiles,), jnp.int32))
+        return jax.lax.dynamic_update_slice(counts, row[None, :], (qi, 0))
+
+    counts0 = jnp.zeros((nq_tiles, nb_tiles), jnp.int32)
+    return jax.lax.fori_loop(0, nq_tiles, qbody, counts0)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "nbits"))
-def _tile_extract(qvar, btile, qlow, btl, qoff, boff, sim, n_total, tb, nbits):
+@functools.partial(jax.jit, static_argnames=("ta", "tb", "nbits"))
+def _tile_extract(var_packed, base_packed, low, qi, bj, sim, n_total,
+                  ta, tb, nbits):
     """Re-materialize one (ta, tb) match tile as packed uint8 bits."""
-    ta, v, _ = qvar.shape
-    flat_q = qvar.reshape(ta * v, nbits)
-    dots = jax.lax.dot_general(flat_q, btile.T, (((1,), (0,)), ((), ())),
+    npad, v, nbytes = var_packed.shape
+    qslice = jax.lax.dynamic_slice(var_packed, (qi * ta, 0, 0),
+                                   (ta, v, nbytes))
+    qv = unpack_bits_pm1(qslice).reshape(ta * v, nbits)
+    bslice = jax.lax.dynamic_slice(base_packed, (bj * tb, 0), (tb, nbytes))
+    btile = unpack_bits_pm1(bslice)
+    qlow = jax.lax.dynamic_slice(low, (qi * ta,), (ta,))
+    btl = jax.lax.dynamic_slice(low, (bj * tb,), (tb,))
+    dots = jax.lax.dot_general(qv, btile.T, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    best = dots.reshape(ta, v, tb).max(axis=1)
-    dist = (nbits - best) // 2
+    dist = (nbits - dots.reshape(ta, v, tb).max(axis=1)) // 2
     thr = jnp.where(qlow[:, None] | btl[None, :], 0, sim)
-    qidx = qoff + jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
-    jidx = boff + jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+    qidx = qi * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
+    jidx = bj * tb + jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
     mask = ((dist <= thr) & (jidx > qidx)
             & (jidx < n_total) & (qidx < n_total))
     weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
@@ -133,60 +172,47 @@ def find_edges(base_hashes: np.ndarray,
     if low_conf is None:
         low_conf = np.zeros(n, dtype=bool)
 
-    tb = base_tile
-    ta = query_tile
-    npad = -(-n // tb) * tb
-    base_pm1 = np.zeros((npad, nbits), dtype=np.int8)
-    base_pm1[:n] = pm1_encode(base_hashes)
-    # padding rows encode as -1s; they are excluded via blow=True
-    blow = np.ones(npad, dtype=bool)
-    blow[:n] = low_conf
-    # padding also must never match at distance 0: flip alternate bits so
-    # padding differs from everything by >= nbits/2 ... simpler: force the
-    # j-index mask by marking padded rows low AND making them distance-far.
-    if npad > n:
-        base_pm1[n:, ::2] = 1
-        base_pm1[n:, 1::2] = -1
+    ta, tb = query_tile, base_tile
+    npad = max(-(-n // ta) * ta, -(-n // tb) * tb)
+    npad = -(-npad // ta) * ta
+    npad = -(-npad // tb) * tb  # divisible by both tile sizes
 
-    base_d = jax.device_put(base_pm1)
-    blow_d = jax.device_put(blow)
+    var_p = np.zeros((npad, v, nbytes), dtype=np.uint8)
+    var_p[:n] = variants
+    base_p = np.zeros((npad, nbytes), dtype=np.uint8)
+    base_p[:n] = base_hashes
+    low_p = np.ones(npad, dtype=bool)
+    low_p[:n] = low_conf
 
-    qpad = -(-n // ta) * ta
-    var_pm1 = np.zeros((qpad, v, nbits), dtype=np.int8)
-    var_pm1[:n] = pm1_encode(variants.reshape(n, -1)).reshape(n, v, nbits)
-    if qpad > n:
-        var_pm1[n:, :, ::2] = -1
-        var_pm1[n:, :, 1::2] = 1
-    qlow = np.ones(qpad, dtype=bool)
-    qlow[:n] = low_conf
+    var_d = jax.device_put(var_p)
+    base_d = jax.device_put(base_p)
+    low_d = jax.device_put(low_p)
+
+    counts = np.asarray(_scan_counts_all(var_d, base_d, low_d, similarity,
+                                         n, ta, tb, nbits))
+
+    # extract only tiles with matches; dispatch all asynchronously first
+    hot = np.argwhere(counts > 0)
+    pending = []
+    for qi, bj in hot:
+        packed = _tile_extract(var_d, base_d, low_d, int(qi), int(bj),
+                               similarity, n, ta, tb, nbits)
+        pending.append((int(qi), int(bj), packed))
 
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
-    tiles_scanned = 0
-    tiles_extracted = 0
-    for q0 in range(0, qpad, ta):
-        qvar = jax.device_put(var_pm1[q0:q0 + ta])
-        ql = jax.device_put(qlow[q0:q0 + ta])
-        counts = np.asarray(_tile_scan_counts(
-            qvar, base_d, ql, blow_d, q0, similarity, n, tb, nbits))
-        tiles_scanned += counts.size
-        for bj in np.nonzero(counts)[0]:
-            b0 = int(bj) * tb
-            btile = jax.lax.dynamic_slice(base_d, (b0, 0), (tb, nbits))
-            btl = jax.lax.dynamic_slice(blow_d, (b0,), (tb,))
-            packed = np.asarray(_tile_extract(
-                qvar, btile, ql, btl, q0, b0, similarity, n, tb, nbits))
-            gi, gj = unpack_edges_mask(packed, q0, b0, ta, tb)
-            keep = (gi < n) & (gj < n)
-            edges_i.append(gi[keep].astype(np.int64))
-            edges_j.append(gj[keep].astype(np.int64))
-            tiles_extracted += 1
+    for qi, bj, packed in pending:
+        gi, gj = unpack_edges_mask(np.asarray(packed), qi * ta, bj * tb,
+                                   ta, tb)
+        keep = (gi < n) & (gj < n)
+        edges_i.append(gi[keep].astype(np.int64))
+        edges_j.append(gj[keep].astype(np.int64))
 
     ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
     ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)
     if return_stats:
-        return ei, ej, {"tiles_scanned": tiles_scanned,
-                        "tiles_extracted": tiles_extracted,
+        return ei, ej, {"tiles_scanned": counts.size,
+                        "tiles_extracted": len(pending),
                         "pairs_checked": n * (n - 1) // 2 * v}
     return ei, ej
 

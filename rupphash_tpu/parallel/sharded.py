@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import pdq_jax
+from ..ops.hamming import unpack_bits_pm1
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -41,15 +42,6 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     else:
         shape = (n, 1)
     return Mesh(np.asarray(devs[:n]).reshape(shape), ("q", "b"))
-
-
-def unpack_bits_pm1(hashes_u8: jnp.ndarray) -> jnp.ndarray:
-    """(..., nbytes) uint8 -> (..., nbytes*8) int8 in {-1, +1}, on device.
-    Bit b of byte k -> column k*8+b (same layout as ops.hamming.pm1_encode)."""
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (hashes_u8[..., :, None] >> shifts) & jnp.uint8(1)
-    flat = bits.reshape(hashes_u8.shape[:-1] + (hashes_u8.shape[-1] * 8,))
-    return (flat.astype(jnp.int8) << 1) - 1
 
 
 def sharded_pdq_hasher(mesh: Mesh, rows: int, cols: int):

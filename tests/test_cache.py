@@ -1,0 +1,146 @@
+"""Cache store: crypto envelope, schema semantics, prune, ignore API."""
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from rupphash_tpu.cache import config as cfgmod
+from rupphash_tpu.cache import crypto
+from rupphash_tpu.cache.store import CacheStore, IgnoredEntry
+
+
+@pytest.fixture
+def store(tmp_path):
+    s = CacheStore(tmp_path / "cache.db", master_key=b"\x07" * 32,
+                   start_writer=False)
+    yield s
+    s.close()
+
+
+def test_hchacha20_rfc_vector():
+    """Test vector from draft-irtf-cfrg-xchacha-03 section 2.2.1."""
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f")
+    nonce = bytes.fromhex("000000090000004a0000000031415927")
+    out = crypto.hchacha20(key, nonce)
+    assert out == bytes.fromhex(
+        "82413b4227b27bfed30e42508a877d73"
+        "a0f9e4d58a74a853c12ec41326d3ecdc")
+
+
+def test_encrypt_roundtrip_and_aad_binding():
+    key = b"\x01" * 32
+    ct = crypto.encrypt(key, b"hello", aad=b"slot-a")
+    assert crypto.decrypt(key, ct, aad=b"slot-a") == b"hello"
+    with pytest.raises(Exception):
+        crypto.decrypt(key, ct, aad=b"slot-b")  # swap attack blocked
+    ct2 = crypto.encrypt(key, b"hello", aad=b"slot-a")
+    assert ct != ct2  # random nonce
+
+
+def test_pdqhash_roundtrip_and_version_gate(store):
+    ch = b"\xaa" * 32
+    pdq = bytes(range(32))
+    store.put_pdqhash(ch, pdq, quality=87)
+    got = store.get_pdqhash(ch)
+    assert got == (pdq, 87)
+    # stale version byte -> miss
+    from rupphash_tpu.cache import store as st
+    v = bytes([99]) + pdq + struct.pack("<H", 87)
+    store._put_now(st.NS_HASH, ch, v)
+    assert store.get_pdqhash(ch) is None
+
+
+def test_meta_and_coefficients_roundtrip(store):
+    mk = store.compute_meta_key(123456789, 1000, 42)
+    mk2 = store.compute_meta_key(123456789, 1000, 42)
+    assert mk == mk2
+    assert mk != store.compute_meta_key(123456789, 1000, 43)
+    ch = b"\xbb" * 32
+    store.put_meta(mk, ch)
+    assert store.get_meta(mk) == ch
+    coeffs = np.arange(256, dtype=np.float32)
+    store.put_coefficients(ch, coeffs)
+    assert np.array_equal(store.get_coefficients(ch), coeffs)
+
+
+def test_features_and_pixel_hash(store):
+    ch = b"\xcc" * 32
+    feats = {"width": 640, "height": 480, "orientation": 6,
+             "gps": [61.5, 23.8], "pdq_quality": 100}
+    store.put_features(ch, feats)
+    assert store.get_features(ch) == feats
+    store.put_pixel_hash(ch, b"\xdd" * 32)
+    assert store.get_pixel_hash(ch) == b"\xdd" * 32
+
+
+def test_register_and_ignore_lifecycle(store):
+    g1 = [(b"\x01" * 32, b"\x11" * 32), (b"\x02" * 32, b"\x12" * 32)]
+    n = store.register_duplicate_groups([g1])
+    assert n == 2
+    u1 = store.get_group_uuid(b"\x01" * 32)
+    assert u1 == store.get_group_uuid(b"\x02" * 32)
+    assert not store.is_ignored(b"\x01" * 32)
+
+    # uuid stable across re-registration (pdqmap reuse)
+    store.register_duplicate_groups([g1])
+    assert store.get_group_uuid(b"\x01" * 32) == u1
+
+    assert store.set_files_ignored([b"\x01" * 32]) == 1
+    assert store.is_ignored(b"\x01" * 32)
+    # registration must not clobber the ignored flag (db.rs:1338-1341)
+    store.register_duplicate_groups([g1])
+    assert store.is_ignored(b"\x01" * 32)
+
+    ig = store.list_ignored()
+    assert len(ig) == 1 and ig[0][0] == b"\x01" * 32
+
+    assert store.unignore(group_uuid=u1) == 1
+    assert not store.is_ignored(b"\x01" * 32)
+
+    store.set_files_ignored([b"\x02" * 32])
+    assert store.unignore(pdqhash=b"\x12" * 32) == 1
+
+
+def test_prune(store):
+    ch_old, ch_new = b"\x03" * 32, b"\x04" * 32
+    mk_old = store.compute_meta_key(1, 1, 1)
+    mk_new = store.compute_meta_key(2, 2, 2)
+    old_ts = int(time.time()) - 10_000
+    store._put_now(2, mk_old, ch_old + struct.pack("<Q", old_ts))
+    store.put_meta(mk_new, ch_new)
+    store.put_pdqhash(ch_old, b"\x00" * 32, 1)
+    store.put_pdqhash(ch_new, b"\x01" * 32, 2)
+    res = store.prune(max_age_s=5000)
+    assert res["dropped_meta"] == 1
+    assert res["swept_orphans"] == 1
+    assert store.get_pdqhash(ch_new) is not None
+    assert store.get_pdqhash(ch_old) is None
+
+
+def test_async_writer(tmp_path):
+    s = CacheStore(tmp_path / "w.db", master_key=b"\x08" * 32)
+    ch = b"\x05" * 32
+    s.put_pdqhash(ch, b"\x09" * 32, 50)
+    s.flush()
+    assert s.get_pdqhash(ch) == (b"\x09" * 32, 50)
+    s.close()
+
+
+def test_config_create_and_heal(tmp_path, monkeypatch):
+    monkeypatch.setenv("RUPPHASH_CONFIG_DIR", str(tmp_path))
+    cfg = cfgmod.load_config()
+    assert len(cfg["_master_key_bytes"]) == 32
+    key1 = cfg["master_key"]
+    # reload: key stable
+    cfg2 = cfgmod.load_config()
+    assert cfg2["master_key"] == key1
+    # corrupt the key -> regenerated, other values preserved
+    p = tmp_path / "rupphash.conf"
+    text = p.read_text().replace(key1, "zznothex")
+    p.write_text(text)
+    cfg3 = cfgmod.load_config()
+    assert cfg3["master_key"] != key1
+    assert len(bytes.fromhex(cfg3["master_key"])) == 32
