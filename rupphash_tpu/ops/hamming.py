@@ -217,6 +217,92 @@ def find_edges(base_hashes: np.ndarray,
     return ei, ej
 
 
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def _extract_rows(q_packed, base_packed, qlow, low, qidx_global, sim,
+                  n_total, nbits):
+    """Compact hot-row extraction: (M, V, nbytes) query rows vs the whole
+    base.  Returns (M, Npad/8) uint8 packed match masks."""
+    m, v, nbytes = q_packed.shape
+    npad = base_packed.shape[0]
+    qv = unpack_bits_pm1(q_packed).reshape(m * v, nbits)
+    base_pm1 = unpack_bits_pm1(base_packed)
+    dots = jax.lax.dot_general(qv, base_pm1.T, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dist = (nbits - dots.reshape(m, v, npad).max(axis=1)) // 2
+    thr = jnp.where(qlow[:, None] | (low[None, :] > 0), 0, sim)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    mask = ((dist <= thr) & (jidx > qidx_global[:, None])
+            & (jidx < n_total) & (qidx_global[:, None] < n_total))
+    weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
+    grouped = mask.reshape(m, npad // 8, 8).astype(jnp.int32)
+    return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def find_edges_fast(base_hashes: np.ndarray,
+                    variants: np.ndarray | None = None,
+                    low_conf: np.ndarray | None = None,
+                    similarity: int = 40,
+                    row_chunk: int = 256,
+                    interpret: bool = False,
+                    return_stats: bool = False):
+    """Production edge search: fused Pallas row-count sweep, then exact
+    extraction of only the rows with matches (see hamming_pallas.py)."""
+    from . import hamming_pallas
+
+    n, nbytes = base_hashes.shape
+    nbits = nbytes * 8
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, empty, {}) if return_stats else (empty, empty)
+    if variants is None:
+        variants = base_hashes[:, None, :]
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+
+    var_pm1, low, _, npad = hamming_pallas.prepare_inputs(
+        base_hashes, variants, low_conf)
+    var_d = jax.device_put(var_pm1)
+    low_d = jax.device_put(low)
+    counts = np.asarray(hamming_pallas.scan_row_counts(
+        var_d, low_d, ta=hamming_pallas.QUERY_TILE,
+        tb=hamming_pallas.BASE_TILE, nbits=nbits, sim=similarity,
+        n_total=n, interpret=interpret))[:n, 0]
+
+    hot = np.nonzero(counts > 0)[0]
+    base_p = np.zeros((npad, nbytes), dtype=np.uint8)
+    base_p[:n] = base_hashes
+    base_d = jax.device_put(base_p)
+    lowflat_d = jax.device_put(low[:, 0])
+
+    edges_i: list[np.ndarray] = []
+    edges_j: list[np.ndarray] = []
+    for c0 in range(0, len(hot), row_chunk):
+        rows = hot[c0:c0 + row_chunk]
+        m = len(rows)
+        mpad = -(-m // 8) * 8
+        qp = np.zeros((mpad,) + variants.shape[1:], dtype=np.uint8)
+        qp[:m] = variants[rows]
+        qidx = np.full(mpad, n, dtype=np.int32)
+        qidx[:m] = rows
+        qlow = np.ones(mpad, dtype=bool)
+        qlow[:m] = low_conf[rows]
+        packed = np.asarray(_extract_rows(
+            jax.device_put(qp), base_d, jax.device_put(qlow), lowflat_d,
+            jax.device_put(qidx), similarity, n, nbits))
+        mbits = np.unpackbits(packed, axis=-1, bitorder="little")[:m, :n]
+        ri, rj = np.nonzero(mbits)
+        edges_i.append(rows[ri].astype(np.int64))
+        edges_j.append(rj.astype(np.int64))
+
+    ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
+    ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)
+    if return_stats:
+        return ei, ej, {"hot_rows": int(len(hot)),
+                        "pairs_checked": n * (n - 1) // 2
+                        * variants.shape[1]}
+    return ei, ej
+
+
 # --------------------------------------------------------------------------
 # Host oracle (for tests and tiny inputs): brute-force XOR+popcount
 # --------------------------------------------------------------------------

@@ -1,0 +1,144 @@
+"""Fused Pallas TPU kernel for the all-pairs Hamming counting sweep.
+
+The XLA path in ops/hamming.py materializes each (query x base) int32 dot
+tile in HBM before reducing it; at 1M hashes that HBM round-trip, not the
+MXU, bounds throughput.  This kernel keeps the whole epilogue in VMEM:
+
+  grid (qi, bj) over upper-triangle tiles, bj innermost
+    for v in 0..V-1:   (static unroll)
+      dots_v = qtile_v (ta x nbits int8) @ btile^T (nbits x tb)  # MXU int32
+      acc    = max(acc, dots_v)          # min distance == max dot
+    mask = (acc >= nbits - 2*thr) & (j > i) & in-range
+    rowcounts[qi*ta : (qi+1)*ta] += mask.sum(axis=1)
+
+Distance never exists as a tensor: the threshold comparison happens on
+the dot accumulator directly (d <= t  <=>  dot >= nbits - 2t).  The
+output is per-query-row match counts, accumulated across base tiles into
+the same (ta, 1) block — the canonical Pallas reduction pattern.  Row
+counts both drive edge extraction (only rows with counts > 0 are
+re-materialized, see ops/hamming.py:extract_rows) and give per-file
+duplicate degrees for free.
+
+Inputs are +/-1 int8 encodings laid out (V, Npad, nbits) so each
+variant's tile is contiguous; low-confidence flags ride as (Npad, 1)
+int32 columns (quality < 50 pairs only at distance 0,
+scanner.rs:1588-1594).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QUERY_TILE = 1024
+BASE_TILE = 1024
+
+
+def _rowcount_kernel(qv_ref, bv_ref, qlow_ref, blow_ref, out_ref,
+                     *, ta, tb, v, nbits, sim, n_total):
+    qi = pl.program_id(0)
+    bj = pl.program_id(1)
+
+    @pl.when(bj == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((ta, 1), jnp.int32)
+
+    # skip base tiles entirely below the diagonal (all j <= i there)
+    @pl.when((bj + 1) * tb > qi * ta + 1)
+    def _():
+        bt = bv_ref[:].T  # (nbits, tb) int8
+        acc = jnp.dot(qv_ref[0], bt, preferred_element_type=jnp.int32)
+        for vi in range(1, v):
+            acc = jnp.maximum(
+                acc, jnp.dot(qv_ref[vi], bt,
+                             preferred_element_type=jnp.int32))
+        either_low = (qlow_ref[:] + blow_ref[:].reshape(1, tb)) > 0
+        dotmin = jnp.where(either_low, nbits, nbits - 2 * sim)
+        qidx = qi * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 0)
+        jidx = bj * tb + jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1)
+        mask = ((acc >= dotmin) & (jidx > qidx)
+                & (jidx < n_total) & (qidx < n_total))
+        out_ref[:, :] += mask.sum(axis=1, dtype=jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ta", "tb", "nbits", "sim", "n_total",
+                                    "interpret"))
+def scan_row_counts(var_pm1, low_i32, *, ta=QUERY_TILE, tb=BASE_TILE,
+                    nbits=256, sim=40, n_total=0, interpret=False):
+    """var_pm1: (V, Npad, nbits) int8; low_i32: (Npad, 1) int32.
+    Returns (Npad, 1) int32 per-query-row match counts (j > i pairs)."""
+    v, npad, _ = var_pm1.shape
+    nq = npad // ta
+    nb = npad // tb
+    kernel = functools.partial(_rowcount_kernel, ta=ta, tb=tb, v=v,
+                               nbits=nbits, sim=sim, n_total=n_total)
+    flops = (npad * v) * npad * nbits  # ~2 flops/MAC over the upper triangle
+    return pl.pallas_call(
+        kernel,
+        grid=(nq, nb),
+        in_specs=[
+            pl.BlockSpec((v, ta, nbits), lambda qi, bj: (0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, nbits), lambda qi, bj: (bj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ta, 1), lambda qi, bj: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda qi, bj: (bj, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ta, 1), lambda qi, bj: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=0,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(var_pm1, var_pm1[0], low_i32, low_i32)
+
+
+def prepare_inputs(base_hashes: np.ndarray,
+                   variants: np.ndarray | None,
+                   low_conf: np.ndarray | None,
+                   ta: int = QUERY_TILE, tb: int = BASE_TILE):
+    """Host-side packing to the kernel layout.  Returns
+    (var_pm1 (V, Npad, nbits) int8, low (Npad,1) int32, n, npad)."""
+    from . import hamming
+
+    n, nbytes = base_hashes.shape
+    if variants is None:
+        variants = base_hashes[:, None, :]
+    v = variants.shape[1]
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+    npad = max(ta, tb)
+    npad = -(-n // npad) * npad
+    npad = -(-npad // ta) * ta
+    npad = -(-npad // tb) * tb
+    pm1 = hamming.pm1_encode(variants.reshape(n, -1)).reshape(n, v, nbytes * 8)
+    var_pm1 = np.zeros((v, npad, nbytes * 8), dtype=np.int8)
+    var_pm1[:, :n] = np.moveaxis(pm1, 1, 0)
+    low = np.ones((npad, 1), dtype=np.int32)
+    low[:n, 0] = low_conf.astype(np.int32)
+    return var_pm1, low, n, npad
+
+
+def row_match_counts(base_hashes: np.ndarray,
+                     variants: np.ndarray | None = None,
+                     low_conf: np.ndarray | None = None,
+                     similarity: int = 40,
+                     interpret: bool = False):
+    """Host convenience: (N,) int32 per-row match counts (j > i pairs)."""
+    nbits = base_hashes.shape[1] * 8
+    var_pm1, low, n, npad = prepare_inputs(base_hashes, variants, low_conf)
+    counts = scan_row_counts(
+        jax.device_put(var_pm1), jax.device_put(low),
+        ta=QUERY_TILE, tb=BASE_TILE, nbits=nbits, sim=similarity,
+        n_total=n, interpret=interpret)
+    return np.asarray(counts)[:n, 0], n

@@ -1,0 +1,135 @@
+"""Tiered image decoding for the hash pipeline.
+
+Mirrors the reference's decode strategy (scanner.rs:461-735) on the
+libraries available here (PIL with libjpeg/zlib/libwebp/AVIF):
+
+  * common raster formats through PIL with a per-open pixel budget
+    (the reference derives per-thread `image::Limits` from RAM,
+    scanner.rs:59-105 / 728-731)
+  * RAW containers: extract the largest embedded JPEG preview — the
+    reference uses LibRaw thumbnails for hashing (scanner.rs:1353-1380);
+    here a marker-scanning carver recovers the same previews without a
+    LibRaw dependency (same approach as the reference's last-ditch
+    JPEGInterchangeFormat carve, gui/image.rs:1541-1599)
+  * formats with no available codec are skipped per-file, never fatally
+    (failure containment, scanner.rs:1488-1492)
+
+Outputs are numpy arrays: RGB (H, W, 3), RGBA (H, W, 4) or L (H, W),
+always uint8, plus the original resolution.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from pathlib import Path
+
+import numpy as np
+
+RAW_EXTS = {"nef", "dng", "cr2", "cr3", "arw", "orf", "rw2", "raf",
+            "kdc", "dcr", "pef", "x3f", "srf", "3fr"}  # scanner.rs:43-46
+
+IMAGE_EXTS = {
+    "dds", "exr", "ff", "hdr", "ico", "pnm", "qoi", "gif", "jpg", "jpeg",
+    "png", "webp", "bmp", "tiff", "tif", "avif", "heic", "heif", "tga",
+    "pbm", "jp2", "j2k", "xbm", "xpm", "ora", "otb", "pcx", "sgi", "wbmp",
+    "jxl", "pdf",
+} | RAW_EXTS  # scanner.rs:2271-2289
+
+MAX_PIXELS = 512_000_000 // 4  # generous per-decode budget
+
+
+def is_image_ext(path: str | os.PathLike) -> bool:
+    ext = Path(path).suffix.lower().lstrip(".")
+    return ext in IMAGE_EXTS
+
+
+def is_raw_ext(path: str | os.PathLike) -> bool:
+    return Path(path).suffix.lower().lstrip(".") in RAW_EXTS
+
+
+def _pil_to_array(im) -> np.ndarray:
+    if im.mode in ("RGB", "L"):
+        return np.asarray(im)
+    if im.mode == "RGBA":
+        return np.asarray(im)
+    if im.mode in ("P", "PA", "CMYK", "YCbCr", "LAB", "HSV", "1"):
+        return np.asarray(im.convert("RGB"))
+    if im.mode in ("I;16", "I;16B", "I;16L", "I", "F"):
+        arr = np.asarray(im, dtype=np.float32)
+        hi = arr.max() if arr.size else 1.0
+        scale = 255.0 / hi if hi > 255 else 1.0
+        return np.clip(arr * scale, 0, 255).astype(np.uint8)
+    if im.mode == "LA":
+        return np.asarray(im.convert("RGBA"))
+    return np.asarray(im.convert("RGB"))
+
+
+def decode_bytes(data: bytes) -> np.ndarray | None:
+    """Decode an in-memory image with PIL; None on failure."""
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            if im.width * im.height > MAX_PIXELS:
+                return None
+            im.load()
+            return _pil_to_array(im)
+    except Exception:
+        return None
+
+
+def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
+    """Carve the largest embedded JPEG stream from a RAW container.
+
+    Scans for SOI (FFD8FF) markers and attempts a decode of each span to
+    the trailing EOI; RAW files typically embed a full-size preview JPEG
+    that the reference hashes instead of demosaicing (scanner.rs:1353-1380).
+    """
+    best = None
+    best_pixels = 0
+    start = 0
+    n = len(data)
+    candidates = []
+    while True:
+        i = data.find(b"\xff\xd8\xff", start)
+        if i < 0 or len(candidates) >= 16:
+            break
+        candidates.append(i)
+        start = i + 3
+    for i in candidates:
+        end = data.rfind(b"\xff\xd9", i)
+        if end < 0 or end - i < min_bytes:
+            continue
+        img = decode_bytes(data[i:end + 2])
+        if img is not None:
+            px = img.shape[0] * img.shape[1]
+            if px > best_pixels:
+                best, best_pixels = img, px
+    return best
+
+
+def load_image(path: str | os.PathLike, data: bytes | None = None):
+    """Decode a file into (array, (width, height)) or (None, None).
+
+    RAW containers go through the embedded-preview carver; everything
+    else through PIL.  Per-file failures return (None, None).
+    """
+    p = Path(path)
+    if data is None:
+        try:
+            data = p.read_bytes()
+        except OSError:
+            return None, None
+    if is_raw_ext(p):
+        img = extract_largest_jpeg(data)
+        if img is None:
+            img = decode_bytes(data)  # DNG sometimes decodes directly
+    else:
+        img = decode_bytes(data)
+        if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
+            img = extract_largest_jpeg(data)
+    if img is None:
+        return None, None
+    h, w = img.shape[:2]
+    return img, (w, h)

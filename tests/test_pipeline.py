@@ -1,0 +1,164 @@
+"""End-to-end host pipeline: walk, decode, cache tiers, scan_and_group."""
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rupphash_tpu.cache.store import CacheStore
+from rupphash_tpu.pipeline import decode, exif, scan, walker
+from rupphash_tpu.utils import hashes as H
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    """A small synthetic corpus: an original, a re-encode, a rotation,
+    an exact byte copy, and two unrelated images."""
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    # smooth it so JPEG survives re-encode with low distortion
+    base = np.asarray(Image.fromarray(base).resize((640, 480), Image.BILINEAR))
+
+    d = tmp_path / "photos"
+    (d / "sub").mkdir(parents=True)
+    Image.fromarray(base).save(d / "orig.png")
+    Image.fromarray(base).save(d / "reencode.jpg", quality=92)
+    Image.fromarray(np.rot90(base, k=3).copy()).save(d / "rot90.png")
+    shutil.copyfile(d / "orig.png", d / "sub" / "copy.png")
+    other = np.asarray(Image.fromarray(
+        rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)).resize(
+        (640, 480), Image.BILINEAR))
+    Image.fromarray(other).save(d / "other.png")
+    Image.fromarray(255 - other).save(d / "inverted.png")
+    (d / "notes.txt").write_text("not an image")
+    return d
+
+
+def test_collect_files(corpus):
+    files = walker.collect_files([corpus])
+    names = {f.name for f in files}
+    assert "notes.txt" not in names
+    assert {"orig.png", "reencode.jpg", "rot90.png", "copy.png",
+            "other.png", "inverted.png"} <= names
+    # duplicate path arguments dedup
+    files2 = walker.collect_files([corpus, corpus])
+    assert len(files2) == len(files)
+
+
+def test_decode_tiers(corpus):
+    img, res = decode.load_image(corpus / "orig.png")
+    assert img is not None and res == (640, 480)
+    img, res = decode.load_image(corpus / "notes.txt")
+    assert img is None
+
+
+def test_jpeg_carver():
+    from io import BytesIO
+    buf = BytesIO()
+    arr = np.random.default_rng(1).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    fake_raw = b"\x00" * 1000 + jpeg + b"\xff" * 100
+    out = decode.extract_largest_jpeg(fake_raw, min_bytes=100)
+    assert out is not None and out.shape[:2] == (32, 32)
+
+
+def test_scan_and_group_end_to_end(corpus):
+    cfg = scan.ScanConfig(similarity=40, batch_size=4)
+    groups, infos, records, stats = scan.scan_and_group([corpus], cfg)
+    assert stats.total >= 6
+    assert stats.failed == 0
+    # the original, re-encode, rot90 and byte-copy must land in one group
+    gnames = [sorted(f.path.name for f in g) for g in groups]
+    target = next((g for g in gnames if "orig.png" in g), None)
+    assert target is not None
+    assert {"orig.png", "reencode.jpg", "rot90.png", "copy.png"} <= set(target)
+    # unrelated images must not join it
+    assert "other.png" not in target and "inverted.png" not in target
+
+
+def test_scan_cache_roundtrip(corpus, tmp_path):
+    store = CacheStore(tmp_path / "cache.db", master_key=b"\x01" * 32)
+    cfg = scan.ScanConfig(batch_size=4)
+    _, stats1 = scan.scan([corpus], cfg, store)
+    assert stats1.decoded == 6 and stats1.cache_full == 0
+    store.flush()
+    records2, stats2 = scan.scan([corpus], cfg, store)
+    assert stats2.cache_full == 6 and stats2.decoded == 0
+    # cached records carry hashes + dihedral variants
+    for r in records2:
+        assert r.pdqhash is not None and r.dihedral is not None
+    # rehash forces recompute
+    _, stats3 = scan.scan([corpus], scan.ScanConfig(batch_size=4,
+                                                    rehash=True), store)
+    assert stats3.decoded == 6
+    store.close()
+
+
+def test_cached_and_fresh_hashes_agree(corpus, tmp_path):
+    store = CacheStore(tmp_path / "c2.db", master_key=b"\x02" * 32)
+    fresh, _ = scan.scan([corpus], scan.ScanConfig(batch_size=4), store)
+    store.flush()
+    cached, _ = scan.scan([corpus], scan.ScanConfig(batch_size=4), store)
+    fmap = {r.path: r for r in fresh}
+    for r in cached:
+        assert r.pdqhash == fmap[r.path].pdqhash
+        assert r.pdq_quality == fmap[r.path].pdq_quality
+        assert np.array_equal(r.dihedral, fmap[r.path].dihedral)
+    store.close()
+
+
+def test_pixel_hash_tier(corpus, tmp_path):
+    store = CacheStore(tmp_path / "c3.db", master_key=b"\x03" * 32)
+    cfg = scan.ScanConfig(batch_size=4, pixel_hash=True)
+    records, _ = scan.scan([corpus], cfg, store)
+    by_name = {r.path.name: r for r in records}
+    # png original and its byte copy share pixel hash
+    assert by_name["orig.png"].pixel_hash == by_name["copy.png"].pixel_hash
+    assert by_name["orig.png"].pixel_hash != by_name["other.png"].pixel_hash
+    store.close()
+
+
+def test_hardlink_identity(tmp_path):
+    d = tmp_path / "hl"
+    d.mkdir()
+    arr = np.zeros((64, 64, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(d / "a.png")
+    os.link(d / "a.png", d / "b.png")
+    records, _ = scan.scan([d], scan.ScanConfig(batch_size=2))
+    assert records[0].unique_file_id == records[1].unique_file_id
+    groups = walker.dedup_hardlinks(records)
+    assert len(groups) == 1
+
+
+def test_exif_gps_and_sun(bench_jpg):
+    """The Kaanapali fixture documents the GPS-UTC-vs-local regression
+    (tests/Kaanapali_*.txt): sun must compute from satellite time."""
+    fix = Path("/root/reference/tests/"
+               "Kaanapali_beach_sunrise_on_Maui_Hawaii.720p.jpg")
+    if not fix.exists():
+        pytest.skip("fixture unavailable")
+    feats = exif.extract(fix)
+    assert feats["gps"] is not None
+    lat, lon = feats["gps"]
+    assert abs(lat - 20.91297) < 0.001
+    assert abs(lon - (-156.69383)) < 0.001
+    sun = exif.derive_sun_position(feats, use_gps_time=True)
+    assert sun is not None
+    assert abs(sun["sun_altitude"] - (-2.9160)) < 0.3
+    assert abs(sun["sun_azimuth"] - 288.2067) < 0.3
+
+
+def test_gps_validity_rules():
+    assert not exif.gps_valid(0.0, 0.0)          # Null Island
+    assert not exif.gps_valid(float("nan"), 10)
+    assert not exif.gps_valid(91.0, 10.0)
+    assert not exif.gps_valid(10.0, 181.0)
+    assert exif.gps_valid(61.5, 23.8)
+
+
+def test_dms_conversion():
+    assert abs(exif.dms_to_decimal([20, 54, 46.7], "N") - 20.912972) < 1e-4
+    assert exif.dms_to_decimal([156, 41, 37.8], "W") < 0
