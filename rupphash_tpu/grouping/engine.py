@@ -271,7 +271,7 @@ def group_files(files: list[FileRecord],
     if use_device is None:
         use_device = len(idx_with_hash) > 2048
     if use_device:
-        ei, ej = hamming.find_edges(base, variants, low, similarity)
+        ei, ej = hamming.find_edges_fast(base, variants, low, similarity)
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 
