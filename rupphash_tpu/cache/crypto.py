@@ -59,7 +59,9 @@ def hchacha20(key: bytes, nonce16: bytes) -> bytes:
 
 
 def _subkey_nonce(key: bytes, nonce24: bytes):
-    subkey = hchacha20(key, nonce24[:16])
+    from .. import native
+    subkey = native.hchacha20(key, nonce24[:16]) \
+        or hchacha20(key, nonce24[:16])
     return subkey, b"\x00\x00\x00\x00" + nonce24[16:]
 
 

@@ -1,0 +1,111 @@
+"""Native host library: build-on-first-use C++ with ctypes bindings.
+
+Compiles ruppnative.cpp with g++ the first time it is needed (cached as
+ruppnative.so next to the source); every entry point has a pure-Python
+fallback so the package works without a toolchain.  See ruppnative.cpp
+for what lives here and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "ruppnative.cpp"
+_SO = _HERE / "ruppnative.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_SO)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """The loaded library or None (fallbacks used)."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.hchacha20.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_char_p]
+        lib.luma601.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_int, ctypes.c_void_p]
+        lib.box_resample_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_void_p,
+                                        ctypes.c_int, ctypes.c_int]
+        lib.union_find.argtypes = [ctypes.c_int64, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def hchacha20(key: bytes, nonce16: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(32)
+    lib.hchacha20(key, nonce16, out)
+    return out.raw
+
+
+def luma601(img: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    if img.ndim == 2:
+        return np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    src = np.ascontiguousarray(img, dtype=np.uint8)
+    out = np.empty((h, w), dtype=np.uint8)
+    lib.luma601(src.ctypes.data, h * w, c, out.ctypes.data)
+    return out
+
+
+def box_resample_u8(luma: np.ndarray, new_w: int, new_h: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = luma.shape
+    src = np.ascontiguousarray(luma, dtype=np.uint8)
+    out = np.empty((new_h, new_w), dtype=np.uint8)
+    lib.box_resample_u8(src.ctypes.data, h, w, out.ctypes.data,
+                        new_h, new_w)
+    return out
+
+
+def union_find_roots(n: int, ei: np.ndarray, ej: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    ei = np.ascontiguousarray(ei, dtype=np.int64)
+    ej = np.ascontiguousarray(ej, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    lib.union_find(n, ei.ctypes.data, ej.ctypes.data, len(ei),
+                   parent.ctypes.data)
+    return parent

@@ -1,0 +1,181 @@
+"""Fully-fused Pallas TPU kernel for batched PDQ hashing.
+
+One kernel does the entire per-image pipeline that pdq_jax.py expresses
+as separate XLA ops:
+
+  u8 luma -> f32 -> T1 = L @ X        (MXU)
+           buf64  = T1 @ R^T          (MXU)
+           quality (gradient metric, exact small-integer arithmetic)
+           C      = D16 @ buf64 @ D16^T
+           4 sign variants -> 4 medians -> 4 bit matrices
+           + 4 bit-transposes -> 8 dihedral variants -> packed bytes
+
+The median is the interesting part: sorting 256 floats per variant is
+what bounds the XLA path.  Here the lower median (128th smallest,
+pdqhash.rs:116-124) is computed by *rank counting* — a (256 x 256)
+comparison table per variant reduced along one axis:
+
+    rank_lt[i] = #{j : c_j <  c_i}
+    rank_le[i] = #{j : c_j <= c_i}
+    median     = the unique value v with rank_lt <= 127 < rank_le
+
+which is branch-free, fully vectorized VPU work with no data-dependent
+control flow.  Ties across +/-0.0 cannot change the resulting bits
+(x > 0.0 == x > -0.0 for the comparison against the median).
+
+Grid: one step per TILE_B images; operators L (64 x H), R (64 x W),
+D16 (16 x 64) ride along as whole-array VMEM blocks.  Outputs: packed
+dihedral hashes (B, 8, 32) u8, quality (B, 1) f32, coefficients
+(B, 256) f32 — identical to the XLA path, bit-for-bit (tests assert it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pdq_jax, pdq_ref
+
+TILE_B = 8
+
+_SIGNS = pdq_jax._sign_patterns()          # (4, 16, 16) float32
+_BIT_W = np.asarray(1 << np.arange(8), dtype=np.int32)
+
+
+def _median_lower(c: jnp.ndarray) -> jnp.ndarray:
+    """(M, 256) -> (M, 1) lower median via rank counting."""
+    lt = (c[:, None, :] < c[:, :, None]).astype(jnp.int32)   # j < i table
+    le = (c[:, None, :] <= c[:, :, None]).astype(jnp.int32)
+    rank_lt = lt.sum(axis=2)
+    rank_le = le.sum(axis=2)
+    is_med = (rank_lt <= 127) & (rank_le >= 128)
+    neg_inf = jnp.float32(-3.4e38)
+    return jnp.max(jnp.where(is_med, c, neg_inf), axis=1, keepdims=True)
+
+
+def _pack_matrix() -> np.ndarray:
+    """(256, 32) f32: packing as a matmul.  Coefficient idx r*16+c lands
+    in byte 31 - idx//8 with weight 1 << (idx%8), so
+    packed = bits @ P needs no reverse op (Mosaic has no `rev`)."""
+    p = np.zeros((256, 32), dtype=np.float32)
+    for idx in range(256):
+        p[idx, 31 - idx // 8] = float(1 << (idx % 8))
+    return p
+
+
+def _pdq_kernel(lumas_ref, l_ref, r_ref, d_ref, signs_ref, pack_ref,
+                dihedral_ref, quality_ref, coeffs_ref, *, tile_b, rows,
+                cols):
+    l_op = l_ref[:]          # (64, H)
+    r_op = r_ref[:]          # (64, W)
+    d16 = d_ref[:]           # (16, 64)
+    signs = signs_ref[:]     # (4, 256) f32
+    pack_w = pack_ref[:]     # (256, 32) f32
+
+    for b in range(tile_b):
+        # Mosaic has no direct u8->f32 cast; widen via int32 first
+        x = lumas_ref[b].astype(jnp.int32).astype(jnp.float32)  # (H, W)
+        t1 = jnp.dot(l_op, x, preferred_element_type=jnp.float32)
+        buf64 = jnp.dot(t1, r_op.T, preferred_element_type=jnp.float32)
+
+        # quality metric (pdqhash.rs:445-460): exact integer terms
+        vert = buf64[:-1, :] - buf64[1:, :]
+        horiz = buf64[:, :-1] - buf64[:, 1:]
+        tv = jnp.floor(jnp.abs(vert * 100.0 / 255.0)).sum()
+        th = jnp.floor(jnp.abs(horiz * 100.0 / 255.0)).sum()
+        q = jnp.minimum((tv + th) / 90.0, 1.0)
+        quality_ref[b:b + 1, 0:1] = q.reshape(1, 1)
+
+        bd = jnp.dot(d16, buf64, preferred_element_type=jnp.float32)
+        c16 = jnp.dot(bd, d16.T, preferred_element_type=jnp.float32)
+        flat = c16.reshape(1, 256)
+        coeffs_ref[b, :] = flat[0]
+
+        signed = flat * signs                                # (4, 256)
+        med = _median_lower(signed)                          # (4, 1)
+        bits = signed > med                                  # (4, 256)
+        bm = bits.reshape(4, 16, 16)
+        ident, neg_c, neg_r, neg_b = bm[0], bm[1], bm[2], bm[3]
+        variants = jnp.stack([
+            ident, neg_r.T, neg_b, neg_c.T,
+            neg_c, neg_r, ident.T, neg_b.T,
+        ], axis=0).reshape(8, 256)
+        packed = jnp.dot(variants.astype(jnp.float32), pack_w,
+                         preferred_element_type=jnp.float32)
+        dihedral_ref[b] = packed.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=128)
+def _build(rows: int, cols: int, tile_b: int = TILE_B,
+           interpret: bool = False):
+    l_np, r_np = pdq_jax.linear_operators(rows, cols)
+    d_np = pdq_jax.dct16x64()
+    signs_np = _SIGNS.reshape(4, 256)
+
+    kernel = functools.partial(_pdq_kernel, tile_b=tile_b, rows=rows,
+                               cols=cols)
+
+    @jax.jit
+    def run(lumas):
+        b = lumas.shape[0]
+        assert b % tile_b == 0
+        grid = (b // tile_b,)
+        dihedral, quality, coeffs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_b, rows, cols), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, rows), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, cols), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 64), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((256, 32), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_b, 8, 32), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, 256), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, 8, 32), jnp.uint8),
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, 256), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(lumas, jnp.asarray(l_np), jnp.asarray(r_np), jnp.asarray(d_np),
+          jnp.asarray(signs_np), jnp.asarray(_pack_matrix()))
+        return {"hash": dihedral[:, 0, :], "dihedral": dihedral,
+                "quality": quality[:, 0], "coeffs": coeffs}
+
+    return run
+
+
+def pdq_hash_batch_fused(lumas, interpret: bool = False):
+    """Fused-kernel batch hashing; pads the batch up to a TILE_B multiple.
+    Same output contract as pdq_jax.pdq_hash_batch."""
+    lumas = np.asarray(lumas)
+    b, rows, cols = lumas.shape
+    bpad = -(-b // TILE_B) * TILE_B
+    if bpad != b:
+        lumas = np.concatenate(
+            [lumas, np.zeros((bpad - b, rows, cols), dtype=lumas.dtype)])
+    out = _build(rows, cols, TILE_B, interpret)(jnp.asarray(lumas))
+    if bpad != b:
+        out = {k: v[:b] for k, v in out.items()}
+    return out

@@ -109,6 +109,26 @@ def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
     return best
 
 
+def prepare_luma_fast(img: np.ndarray):
+    """Luma + conditional 512px box downsample via the native library
+    when built (bit-exact vs the golden, see tests/test_native.py);
+    falls back to ops.pdq_ref.prepare_luma."""
+    from .. import native
+    from ..ops import pdq_ref
+
+    h, w = img.shape[:2]
+    if w < pdq_ref.MIN_HASHABLE_DIM or h < pdq_ref.MIN_HASHABLE_DIM:
+        return None
+    if native.get_lib() is None:
+        return pdq_ref.prepare_luma(img)
+    luma = native.luma601(img)
+    if w > pdq_ref.DOWNSAMPLE_DIMS or h > pdq_ref.DOWNSAMPLE_DIMS:
+        new_w, new_h = pdq_ref.calculate_target_dimensions(
+            w, h, pdq_ref.DOWNSAMPLE_DIMS)
+        luma = native.box_resample_u8(luma, new_w, new_h)
+    return luma
+
+
 def load_image(path: str | os.PathLike, data: bytes | None = None):
     """Decode a file into (array, (width, height)) or (None, None).
 

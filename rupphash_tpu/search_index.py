@@ -1,0 +1,362 @@
+"""In-memory inverted search index over EXIF/derived metadata.
+
+Re-creates src/search_index.rs (1109 LoC) on Python-int bitmaps (CPython
+big-int AND/OR are C-speed, the same role roaring bitmaps play in the
+reference):
+
+  * string tags: exact index (hash -> bitmap) + linear contains/regex
+    fallback over stored values (search_index.rs:132-161)
+  * numeric tags: sorted (value, slot) arrays, binary-search ranges with
+    epsilon (search_index.rs:357-563)
+  * slot reuse on remove via a free list (search_index.rs:157-249)
+  * unit-aware number extraction: "f/2.8", "1/250s", "ISO 100", "24mm"
+    (search_index.rs:19-69)
+  * query language (search_index.rs:713-910): whitespace/';'-separated
+    AND criteria of the form  tag:value | tag:op:value  with ops
+    = ~ re < <= > >=, ranges "24-70", open "1600-", negative "-3-3",
+    and the reference's alias table (iso, aperture, shutter, sun, ...)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+EPSILON = 1e-4
+
+# canonical tag -> numeric? (exif_types.rs:259-285)
+SEARCHABLE_TAGS = {
+    "Make": False, "Model": False, "LensMake": False, "LensModel": False,
+    "Software": False, "Artist": False, "Copyright": False,
+    "Country": False, "Subdivision": False, "Timezone": False,
+    "ISO": True, "FNumber": True, "FocalLength": True,
+    "FocalLength35mm": True, "ExposureTime": True, "ExposureBias": True,
+    "Orientation": True, "GPSAltitude": True, "SunAzimuth": True,
+    "SunAltitude": True, "Timestamp": True,
+    "ImageWidth": True, "ImageHeight": True, "Flash": False,
+    "DateTimeOriginal": False, "PdqQuality": True,
+}
+
+# alias -> canonical (search_index.rs:859-910)
+ALIASES = {
+    "sunazimuth": "SunAzimuth", "sun_azimuth": "SunAzimuth",
+    "sun_az": "SunAzimuth", "azimuth": "SunAzimuth", "az": "SunAzimuth",
+    "sunposition": "SunAzimuth", "sun_position": "SunAzimuth",
+    "sun": "SunAzimuth",
+    "sunaltitude": "SunAltitude", "sun_altitude": "SunAltitude",
+    "sun_alt": "SunAltitude", "altitude": "SunAltitude",
+    "alt": "SunAltitude", "elevation": "SunAltitude",
+    "country": "Country", "derivedcountry": "Country",
+    "subdivision": "Subdivision", "state": "Subdivision",
+    "province": "Subdivision", "region": "Subdivision",
+    "timezone": "Timezone", "tz": "Timezone",
+    "iso": "ISO", "isospeed": "ISO",
+    "aperture": "FNumber", "fnumber": "FNumber", "f": "FNumber",
+    "exposure": "ExposureTime", "exposuretime": "ExposureTime",
+    "shutter": "ExposureTime",
+    "focal": "FocalLength", "focallength": "FocalLength",
+    "fl": "FocalLength",
+    "focal35": "FocalLength35mm", "focallength35": "FocalLength35mm",
+    "focallength35mm": "FocalLength35mm", "fl35": "FocalLength35mm",
+    "make": "Make", "manufacturer": "Make", "brand": "Make",
+    "model": "Model", "camera": "Model",
+    "lens": "LensModel", "lensmodel": "LensModel", "lensmake": "LensMake",
+    "date": "DateTimeOriginal", "datetime": "DateTimeOriginal",
+    "datetimeoriginal": "DateTimeOriginal",
+    "software": "Software", "app": "Software",
+    "artist": "Artist", "photographer": "Artist",
+    "copyright": "Copyright", "orientation": "Orientation",
+    "width": "ImageWidth", "imagewidth": "ImageWidth",
+    "height": "ImageHeight", "imageheight": "ImageHeight",
+    "flash": "Flash", "timestamp": "Timestamp",
+    "quality": "PdqQuality", "pdqquality": "PdqQuality",
+    "gpsaltitude": "GPSAltitude",
+}
+
+
+def resolve_tag_name(name: str) -> str | None:
+    if name in SEARCHABLE_TAGS:
+        return name
+    return ALIASES.get(name.lower())
+
+
+def extract_number_from_string(s) -> float | None:
+    """Unit-aware extraction (search_index.rs:19-69)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    if not isinstance(s, str):
+        return None
+    s = s.strip()
+    if s.endswith("s") and not s.endswith("ss"):
+        s = s[:-1].strip()
+    low = s.lower()
+    if low.startswith("f/"):
+        try:
+            return float(s[2:].strip())
+        except ValueError:
+            pass
+    if "/" in s:
+        before, _, after = s.partition("/")
+        try:
+            num, den = float(before.strip()), float(after.strip())
+            if den != 0.0:
+                return num / den
+        except ValueError:
+            pass
+    m = re.search(r"-?[\d.]+", s)
+    if m:
+        try:
+            return float(m.group(0))
+        except ValueError:
+            pass
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def parse_range_value(value: str):
+    """'24-70' -> (24, 70); '1600-' -> (1600, inf); '-3-3' -> (-3, 3);
+    'f/2.8-f/11' -> (2.8, 11).  None if not a range."""
+    # find a splitting hyphen: not at index 0, not part of an exponent
+    # or fraction denominator sign
+    for i, c in enumerate(value):
+        if c == "-" and i > 0 and value[i - 1] not in "eE/-":
+            left, right = value[:i], value[i + 1:]
+            lo = extract_number_from_string(left)
+            if lo is None:
+                return None
+            if right.strip() == "":
+                return (lo, math.inf)
+            hi = extract_number_from_string(right)
+            if hi is None:
+                return None
+            return (min(lo, hi), max(lo, hi))
+    return None
+
+
+class Criterion:
+    __slots__ = ("tag", "op", "value", "lo", "hi")
+
+    def __init__(self, tag, op, value=None, lo=None, hi=None):
+        self.tag = tag
+        self.op = op
+        self.value = value
+        self.lo = lo
+        self.hi = hi
+
+
+def parse_search_query(query: str) -> list[Criterion]:
+    """Whitespace/';'-separated AND criteria (search_index.rs:713-733)."""
+    out = []
+    for part in re.split(r"[\s;]+", query.strip()):
+        if not part:
+            continue
+        out.append(_parse_single(part))
+    if not out:
+        raise ValueError("No valid search criteria provided")
+    return out
+
+
+def _parse_single(q: str) -> Criterion:
+    parts = q.split(":", 2)
+    if not parts or not parts[0]:
+        raise ValueError("Empty tag name")
+    tag = resolve_tag_name(parts[0])
+    if tag is None:
+        raise ValueError(f"Unknown tag: '{parts[0]}'")
+    if len(parts) == 1:
+        raise ValueError(f"Missing value for tag '{parts[0]}'")
+    if len(parts) == 2:
+        value = parts[1]
+        if SEARCHABLE_TAGS.get(tag, False):
+            rng = parse_range_value(value)
+            if rng is not None:
+                return Criterion(tag, "between", lo=rng[0], hi=rng[1])
+            num = extract_number_from_string(value)
+            if num is not None:
+                return Criterion(tag, "eq_num", value=num)
+        try:
+            float(value)
+            return Criterion(tag, "eq_num", value=float(value))
+        except ValueError:
+            return Criterion(tag, "contains", value=value)
+    op_str, value = parts[1], parts[2]
+    ops = {"=": "eq", "==": "eq", "eq": "eq",
+           "~": "contains", "contains": "contains", "like": "contains",
+           "re": "regex", "regex": "regex",
+           "<": "lt", "lt": "lt", "<=": "le", "le": "le", "lte": "le",
+           ">": "gt", "gt": "gt", ">=": "ge", "ge": "ge", "gte": "ge"}
+    if op_str not in ops:
+        raise ValueError(f"Unknown operator: '{op_str}'")
+    op = ops[op_str]
+    if op in ("lt", "le", "gt", "ge", "eq"):
+        num = extract_number_from_string(value)
+        if num is not None:
+            return Criterion(tag, op if op != "eq" else "eq_num", value=num)
+    if op == "eq":
+        op = "contains"
+    return Criterion(tag, op, value=value)
+
+
+class SearchIndex:
+    """Insert features per slot; search returns a set of slot ids."""
+
+    def __init__(self):
+        self._n = 0
+        self._free: list[int] = []
+        self._live = 0  # bitmap of live slots
+        self._exact: dict[tuple[str, str], int] = {}
+        self._strings: dict[str, dict[int, str]] = {}
+        self._numeric: dict[str, dict[int, float]] = {}
+        self._sorted: dict[str, list[tuple[float, int]]] = {}
+        self._dirty = False
+
+    def __len__(self):
+        return bin(self._live).count("1")
+
+    def alloc_slot(self) -> int:
+        if self._free:
+            return self._free.pop()
+        s = self._n
+        self._n += 1
+        return s
+
+    def insert(self, slot: int, tags: dict):
+        """tags: {tag_name: value}.  Unknown tags are ignored; every value
+        is dual-indexed (string exact + numeric when extractable,
+        search_index.rs:265-347)."""
+        self._live |= 1 << slot
+        for raw_name, value in tags.items():
+            tag = resolve_tag_name(raw_name) or (
+                raw_name if raw_name in SEARCHABLE_TAGS else None)
+            if tag is None:
+                continue
+            sval = str(value).strip()
+            if sval:
+                self._exact[(tag, sval.lower())] = \
+                    self._exact.get((tag, sval.lower()), 0) | (1 << slot)
+                self._strings.setdefault(tag, {})[slot] = sval
+            num = extract_number_from_string(value)
+            if num is not None:
+                self._numeric.setdefault(tag, {})[slot] = num
+                self._dirty = True
+
+    def remove(self, slot: int):
+        """Frees the slot for reuse (search_index.rs:157-249)."""
+        mask = ~(1 << slot)
+        self._live &= mask
+        for k in list(self._exact):
+            self._exact[k] &= mask
+        for d in self._strings.values():
+            d.pop(slot, None)
+        for d in self._numeric.values():
+            if slot in d:
+                del d[slot]
+                self._dirty = True
+        self._free.append(slot)
+
+    def finalize(self):
+        """Sort numeric posting lists (search_index.rs:357-380)."""
+        self._sorted = {tag: sorted((v, s) for s, v in d.items())
+                        for tag, d in self._numeric.items()}
+        self._dirty = False
+
+    # -- evaluation ---------------------------------------------------------
+    def _numeric_bitmap(self, tag, lo, hi) -> int:
+        """Slots with lo - eps <= value <= hi + eps."""
+        if self._dirty:
+            self.finalize()
+        import bisect
+        lst = self._sorted.get(tag, [])
+        i0 = bisect.bisect_left(lst, (lo - EPSILON, -1))
+        i1 = bisect.bisect_right(lst, (hi + EPSILON, 1 << 62))
+        bm = 0
+        for _, s in lst[i0:i1]:
+            bm |= 1 << s
+        return bm
+
+    def _eval(self, c: Criterion) -> int:
+        inf = math.inf
+        if c.op == "between":
+            return self._numeric_bitmap(c.tag, c.lo, c.hi)
+        if c.op == "eq_num":
+            return self._numeric_bitmap(c.tag, c.value, c.value)
+        if c.op == "lt":
+            return self._numeric_bitmap(c.tag, -inf, c.value - EPSILON * 2)
+        if c.op == "le":
+            return self._numeric_bitmap(c.tag, -inf, c.value)
+        if c.op == "gt":
+            return self._numeric_bitmap(c.tag, c.value + EPSILON * 2, inf)
+        if c.op == "ge":
+            return self._numeric_bitmap(c.tag, c.value, inf)
+        if c.op == "contains":
+            needle = str(c.value).lower()
+            exact = self._exact.get((c.tag, needle), 0)
+            bm = exact
+            for slot, sval in self._strings.get(c.tag, {}).items():
+                if needle in sval.lower():
+                    bm |= 1 << slot
+            return bm
+        if c.op == "regex":
+            rx = re.compile(str(c.value), re.IGNORECASE)
+            bm = 0
+            for slot, sval in self._strings.get(c.tag, {}).items():
+                if rx.search(sval):
+                    bm |= 1 << slot
+            return bm
+        raise ValueError(c.op)
+
+    def search(self, query: str) -> set[int]:
+        """AND of all criteria; returns live slot ids."""
+        criteria = parse_search_query(query)
+        bm = self._live
+        for c in criteria:
+            bm &= self._eval(c)
+            if bm == 0:
+                break
+        out = set()
+        s = bm
+        while s:
+            low = s & -s
+            out.add(low.bit_length() - 1)
+            s ^= low
+        return out
+
+    def stats(self) -> dict:
+        return {
+            "live": len(self),
+            "exact_keys": len(self._exact),
+            "numeric_tags": {t: len(d) for t, d in self._numeric.items()},
+        }
+
+
+def features_to_tags(features: dict, quality: int | None = None) -> dict:
+    """Map a pipeline features record (pipeline/exif.py) + derived values
+    into the searchable tag namespace."""
+    tags = dict(features.get("tags", {}))
+    out = {}
+    for k, v in tags.items():
+        if resolve_tag_name(k):
+            out[k] = v
+    if features.get("width"):
+        out["ImageWidth"] = features["width"]
+        out["ImageHeight"] = features["height"]
+    if features.get("orientation"):
+        out["Orientation"] = features["orientation"]
+    if features.get("exif_timestamp"):
+        out["Timestamp"] = features["exif_timestamp"]
+    if features.get("altitude") is not None:
+        out["GPSAltitude"] = features["altitude"]
+    if quality is not None:
+        out["PdqQuality"] = quality
+    sun = None
+    try:
+        from .pipeline import exif as exif_mod
+        sun = exif_mod.derive_sun_position(features)
+    except Exception:
+        pass
+    if sun:
+        out["SunAzimuth"] = round(sun["sun_azimuth"], 4)
+        out["SunAltitude"] = round(sun["sun_altitude"], 4)
+    return out

@@ -1,0 +1,63 @@
+"""Native C++ library vs Python fallbacks (skipped if g++ unavailable)."""
+import numpy as np
+import pytest
+
+from rupphash_tpu import native
+from rupphash_tpu.cache import crypto
+from rupphash_tpu.ops import pdq_ref
+
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native toolchain unavailable")
+
+
+def test_hchacha20_matches_python():
+    key = bytes(range(32))
+    nonce = bytes(range(16))
+    assert native.hchacha20(key, nonce) == crypto.hchacha20(key, nonce)
+
+
+def test_hchacha20_rfc_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    nonce = bytes.fromhex("000000090000004a0000000031415927")
+    assert native.hchacha20(key, nonce) == bytes.fromhex(
+        "82413b4227b27bfed30e42508a877d73"
+        "a0f9e4d58a74a853c12ec41326d3ecdc")
+
+
+def test_luma601_matches_golden():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(native.luma601(rgb), pdq_ref.to_luma601(rgb))
+    rgba = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    assert np.array_equal(native.luma601(rgba), pdq_ref.to_luma601(rgba))
+
+
+@pytest.mark.parametrize("shape,target", [((720, 1280), (512, 288)),
+                                          ((1024, 768), (384, 512)),
+                                          ((999, 333), (171, 512))])
+def test_box_resample_matches_golden(shape, target):
+    rng = np.random.default_rng(1)
+    luma = rng.integers(0, 256, shape, dtype=np.uint8)
+    new_w, new_h = target
+    nat = native.box_resample_u8(luma, new_w, new_h)
+    gold = pdq_ref.box_resample_u8(luma, new_w, new_h)
+    assert np.array_equal(nat, gold)
+
+
+def test_union_find_matches_python():
+    from rupphash_tpu.grouping.engine import UnionFind
+    rng = np.random.default_rng(2)
+    n = 1000
+    ei = rng.integers(0, n, 300).astype(np.int64)
+    ej = rng.integers(0, n, 300).astype(np.int64)
+    roots = native.union_find_roots(n, ei, ej)
+    uf = UnionFind(n)
+    uf.union_edges(ei, ej)
+    py_roots = np.array([uf.find(i) for i in range(n)])
+    # same partition (root labels may differ)
+    import itertools
+    remap = {}
+    for a, b in zip(roots.tolist(), py_roots.tolist()):
+        assert remap.setdefault(a, b) == b

@@ -1,0 +1,120 @@
+"""Search index: number extraction, query language, ops, slot reuse.
+
+Mirrors the reference's suite (search_index.rs:912-1109)."""
+import math
+
+import pytest
+
+from rupphash_tpu import search_index as si
+
+
+def test_extract_number_table():
+    cases = {
+        "f/2.8": 2.8, "F/2.8": 2.8, "1/250s": 1 / 250, "1/250": 1 / 250,
+        "ISO 100": 100.0, "24mm": 24.0, "100": 100.0, "2.8": 2.8,
+        "-3.5": -3.5, "1/37.738": 1 / 37.738,
+    }
+    for s, want in cases.items():
+        got = si.extract_number_from_string(s)
+        assert got == pytest.approx(want), s
+    assert si.extract_number_from_string("not a number") is None
+
+
+def test_parse_range_value():
+    assert si.parse_range_value("24-70") == (24.0, 70.0)
+    assert si.parse_range_value("1600-") == (1600.0, math.inf)
+    assert si.parse_range_value("-3-3") == (-3.0, 3.0)
+    assert si.parse_range_value("f/2.8-f/11") == (2.8, 11.0)
+    assert si.parse_range_value("100") is None
+
+
+def test_alias_resolution():
+    assert si.resolve_tag_name("iso") == "ISO"
+    assert si.resolve_tag_name("aperture") == "FNumber"
+    assert si.resolve_tag_name("shutter") == "ExposureTime"
+    assert si.resolve_tag_name("az") == "SunAzimuth"
+    assert si.resolve_tag_name("camera") == "Model"
+    assert si.resolve_tag_name("nosuchtag") is None
+
+
+@pytest.fixture
+def index():
+    ix = si.SearchIndex()
+    data = [
+        {"Make": "Canon", "Model": "EOS R5", "ISO": 100,
+         "FNumber": "f/2.8", "FocalLength": "24mm"},
+        {"Make": "Canon", "Model": "EOS R6", "ISO": 1600,
+         "FNumber": "f/4", "FocalLength": "70mm"},
+        {"Make": "Nikon", "Model": "Z9", "ISO": 6400,
+         "FNumber": "f/1.8", "FocalLength": "50 mm"},
+        {"Make": "SONY", "Model": "A7 IV", "ISO": 400,
+         "ExposureTime": "1/250s"},
+    ]
+    for k, tags in enumerate(data):
+        ix.insert(k, tags)
+    ix.finalize()
+    return ix
+
+
+def test_exact_and_contains(index):
+    assert index.search("make:Canon") == {0, 1}
+    assert index.search("make:~:cano") == {0, 1}
+    assert index.search("model:~:eos") == {0, 1}
+    assert index.search("make:nikon") == {2}
+
+
+def test_numeric_ops(index):
+    assert index.search("iso:100") == {0}
+    assert index.search("iso:>:400") == {1, 2}
+    assert index.search("iso:>=:400") == {1, 2, 3}
+    assert index.search("iso:<:400") == {0}
+    assert index.search("iso:100-1600") == {0, 1, 3}
+    assert index.search("iso:1600-") == {1, 2}
+    assert index.search("aperture:f/2.8") == {0}
+    assert index.search("f:<=:2.8") == {0, 2}
+
+
+def test_and_of_criteria(index):
+    assert index.search("make:Canon iso:>:200") == {1}
+    assert index.search("make:Canon; iso:<:200") == {0}
+
+
+def test_regex(index):
+    # NB: whitespace separates criteria (reference semantics), so the
+    # regex itself must not contain spaces
+    assert index.search("model:re:^EOS.R[56]$") == {0, 1}
+    assert index.search("model:re:Z\\d") == {2}
+
+
+def test_unit_extraction_on_insert(index):
+    # "1/250s" was numeric-indexed as 0.004
+    assert index.search("shutter:<:0.01") == {3}
+    assert index.search("focal:24-50") == {0, 2}
+
+
+def test_unknown_tag_raises():
+    with pytest.raises(ValueError):
+        si.parse_search_query("bogus:1")
+
+
+def test_remove_and_slot_reuse(index):
+    index.remove(1)
+    assert index.search("make:Canon") == {0}
+    slot = index.alloc_slot()
+    assert slot == 1
+    index.insert(slot, {"Make": "Fuji", "ISO": 200})
+    index.finalize()
+    assert index.search("make:fuji") == {1}
+    assert index.search("iso:200") == {1}
+
+
+def test_features_to_tags():
+    feats = {"width": 640, "height": 480, "orientation": 6,
+             "exif_timestamp": 1700000000, "altitude": 12.5,
+             "tags": {"Make": "Canon", "UnknownTag": "x"}}
+    tags = si.features_to_tags(feats, quality=95)
+    assert tags["ImageWidth"] == 640
+    assert tags["Orientation"] == 6
+    assert tags["GPSAltitude"] == 12.5
+    assert tags["PdqQuality"] == 95
+    assert "UnknownTag" not in tags
