@@ -316,7 +316,7 @@ def main(argv=None) -> int:
 
         if args.use_tui or args.view or args.view_flatten:
             from . import tui
-            return tui.run(groups, infos, args)
+            return tui.run(groups, infos, args, store=store)
         if args.delete:
             run_interactive_delete(groups, infos, args.relative_times,
                                    args.use_trash)

@@ -1,152 +1,33 @@
-"""Terminal UI: grouped duplicate browser with mark/delete/move.
+"""Terminal UI: grouped duplicate browser on the shared AppState.
 
 A curses re-creation of the reference TUI (src/ui.rs): grouped list with
-color coding (marked=magenta, bit-identical=green, hardlink=cyan),
-mark/unmark, delete/trash with confirm modal, move-marked, sort menu,
-filename search, and the same single-letter keymap where it translates
-(KEYS.txt / ui.rs:102-432).
+color coding (marked=magenta, bit-identical=green), mark/unmark,
+delete/trash with confirm modal, move-marked, rename, sort cycling,
+filename regex search, ignore management, and the reference keymap where
+it translates (KEYS.txt / ui.rs:102-432).  All mutations go through
+state.AppState.handle_input — the TUI only renders and maps keys to
+intents (L7 -> L6).
 
 Keys:
-  up/down/j/k   move cursor          g/G    first/last file
-  pgup/pgdn     page                 m/space mark current
-  a             mark all in group    u      unmark all
-  d             delete marked (confirm)     t  toggle trash mode
-  v             move marked to target dir   s  cycle sort order
-  /             filename search      n      next search hit
-  q             quit
+  up/down/j/k  item      left/right/h/l  group       pgup/pgdn  page
+  g/G   first/last       m/space  mark    a  mark group   u  unmark all
+  d  delete marked (y confirms)   x  delete current      t  trash mode
+  v  move marked                  r  rename              s  cycle sort
+  /  search    n/N  next/prev hit   [ ]  prev/next distance band
+  q  ignore current/marked  Q  ignore group (y confirms)  ESC/z quit
 """
 
 from __future__ import annotations
 
 import curses
-from pathlib import Path
 
-from .grouping import engine
-from .utils import fileops
+from .state import AppState, Intent
 
-
-class TuiState:
-    """Session state: the analogue of AppState (state.rs:137-244)."""
-
-    def __init__(self, groups, infos, use_trash=False, move_target=None,
-                 sort_order="name"):
-        self.groups = groups
-        self.infos = infos
-        self.cursor_group = 0
-        self.cursor_file = 0
-        self.marked: set[Path] = set()
-        self.use_trash = use_trash
-        self.move_target = move_target
-        self.sort_order = sort_order
-        self.status = ""
-        self.search = ""
-        self.rows: list[tuple[int, int]] = []
-        self._rebuild_rows()
-
-    def _rebuild_rows(self):
-        self.rows = [(gi, fi) for gi, g in enumerate(self.groups)
-                     for fi in range(len(g))]
-
-    @property
-    def flat_cursor(self) -> int:
-        for k, (gi, fi) in enumerate(self.rows):
-            if gi == self.cursor_group and fi == self.cursor_file:
-                return k
-        return 0
-
-    def move(self, delta: int):
-        if not self.rows:
-            return
-        k = max(0, min(len(self.rows) - 1, self.flat_cursor + delta))
-        self.cursor_group, self.cursor_file = self.rows[k]
-
-    def current(self):
-        if not self.groups:
-            return None
-        return self.groups[self.cursor_group][self.cursor_file]
-
-    def toggle_mark(self):
-        f = self.current()
-        if f:
-            if f.path in self.marked:
-                self.marked.discard(f.path)
-            else:
-                self.marked.add(f.path)
-            self.move(1)
-
-    def mark_group(self):
-        for f in self.groups[self.cursor_group]:
-            self.marked.add(f.path)
-
-    def unmark_all(self):
-        self.marked.clear()
-
-    def delete_marked(self) -> int:
-        """Delete/trash marked files; prune emptied groups
-        (state.rs:814-955)."""
-        count = 0
-        for path in sorted(self.marked):
-            try:
-                fileops.delete_file(path, self.use_trash)
-                count += 1
-            except OSError:
-                pass
-        self._drop_paths(self.marked)
-        self.marked.clear()
-        return count
-
-    def move_marked(self) -> int:
-        if not self.move_target:
-            return 0
-        count = 0
-        moved = set()
-        for path in sorted(self.marked):
-            try:
-                fileops.safe_move(path, self.move_target)
-                moved.add(path)
-                count += 1
-            except OSError:
-                pass
-        self._drop_paths(moved)
-        self.marked -= moved
-        return count
-
-    def _drop_paths(self, paths):
-        new_groups, new_infos = [], []
-        for g, inf in zip(self.groups, self.infos):
-            g2 = [f for f in g if f.path not in paths]
-            if len(g2) > 1:
-                new_groups.append(g2)
-                new_infos.append(inf)
-        self.groups, self.infos = new_groups, new_infos
-        self.cursor_group = min(self.cursor_group,
-                                max(0, len(self.groups) - 1))
-        self.cursor_file = 0
-        self._rebuild_rows()
-
-    def resort(self):
-        orders = ["name", "name-natural", "date", "date-desc",
-                  "size", "size-desc"]
-        i = (orders.index(self.sort_order) + 1 if self.sort_order in orders
-             else 0) % len(orders)
-        self.sort_order = orders[i]
-        for g in self.groups:
-            engine.sort_files(g, self.sort_order)
-        self._rebuild_rows()
-
-    def find_next(self):
-        """Filename substring search (state.rs:957-1031)."""
-        if not self.search or not self.rows:
-            return
-        start = self.flat_cursor + 1
-        order = self.rows[start:] + self.rows[:start]
-        for gi, fi in order:
-            if self.search.lower() in self.groups[gi][fi].path.name.lower():
-                self.cursor_group, self.cursor_file = gi, fi
-                return
+_SORT_CYCLE = ["name", "name-natural", "date", "date-desc",
+               "size", "size-desc"]
 
 
-def _draw(stdscr, st: TuiState, offset: int) -> int:
+def _draw(stdscr, st: AppState, offset: int) -> int:
     from .cli import format_size
 
     h, w = stdscr.getmaxyx()
@@ -166,7 +47,8 @@ def _draw(stdscr, st: TuiState, offset: int) -> int:
         g = st.groups[gi]
         if gi != last_group and fi == 0:
             info = st.infos[gi]
-            hdr = f"-- Group {gi + 1} (max dist {info.max_dist}, {info.status}) --"
+            hdr = (f"-- Group {gi + 1} (max dist {info.max_dist}, "
+                   f"{info.status}) --")
             stdscr.addnstr(row, 0, hdr, w - 1, curses.A_BOLD)
             row += 1
             last_group = gi
@@ -185,9 +67,15 @@ def _draw(stdscr, st: TuiState, offset: int) -> int:
         k += 1
 
     mode = "trash" if st.use_trash else "delete"
-    bar = (f" {len(st.groups)} groups | {len(st.marked)} marked | "
-           f"sort:{st.sort_order} | mode:{mode} | q quit  m mark  d {mode}  "
-           f"/ search")
+    if st.pending_confirm == "delete":
+        bar = (f" {mode.upper()} {len(st.marked)} marked files? "
+               f"y=yes  any other key=no")
+    elif st.pending_confirm == "ignore-group":
+        bar = " Ignore whole group? y=yes  any other key=no"
+    else:
+        bar = (f" {len(st.groups)} groups | {len(st.marked)} marked | "
+               f"sort:{st.sort_order} | mode:{mode} | "
+               f"m mark  d {mode}  q ignore  / search  z quit")
     stdscr.addnstr(h - 2, 0, bar[:w - 1], w - 1, curses.A_REVERSE)
     stdscr.addnstr(h - 1, 0, st.status[:w - 1], w - 1)
     stdscr.refresh()
@@ -196,7 +84,7 @@ def _draw(stdscr, st: TuiState, offset: int) -> int:
 
 def _prompt(stdscr, text: str) -> str:
     h, w = stdscr.getmaxyx()
-    stdscr.addnstr(h - 1, 0, text + " " * (w - len(text) - 1), w - 1,
+    stdscr.addnstr(h - 1, 0, text + " " * max(0, w - len(text) - 1), w - 1,
                    curses.A_REVERSE)
     curses.echo()
     try:
@@ -207,66 +95,65 @@ def _prompt(stdscr, text: str) -> str:
     return out
 
 
-def _loop(stdscr, st: TuiState):
+_KEYMAP = {
+    curses.KEY_DOWN: Intent.NEXT_ITEM, ord("j"): Intent.NEXT_ITEM,
+    curses.KEY_UP: Intent.PREV_ITEM, ord("k"): Intent.PREV_ITEM,
+    curses.KEY_RIGHT: Intent.NEXT_GROUP, ord("l"): Intent.NEXT_GROUP,
+    curses.KEY_LEFT: Intent.PREV_GROUP, ord("h"): Intent.PREV_GROUP,
+    curses.KEY_NPAGE: Intent.PAGE_DOWN, curses.KEY_PPAGE: Intent.PAGE_UP,
+    ord("g"): Intent.HOME, ord("G"): Intent.END,
+    ord("m"): Intent.TOGGLE_MARK, ord(" "): Intent.TOGGLE_MARK,
+    ord("a"): Intent.MARK_GROUP, ord("u"): Intent.UNMARK_ALL,
+    ord("t"): Intent.TOGGLE_USE_TRASH,
+    ord("x"): Intent.DELETE_IMMEDIATE,
+    ord("v"): Intent.MOVE_MARKED,
+    ord("n"): Intent.NEXT_SEARCH, ord("N"): Intent.PREV_SEARCH,
+    ord("]"): Intent.NEXT_GROUP_BY_DIST, ord("["): Intent.PREV_GROUP_BY_DIST,
+    ord("q"): Intent.IGNORE_CURRENT,
+}
+
+
+def _loop(stdscr, st: AppState):
     curses.curs_set(0)
     curses.start_color()
     curses.use_default_colors()
     curses.init_pair(1, curses.COLOR_MAGENTA, -1)
     offset = 0
-    while True:
+    while not st.quit and st.groups:
         offset = _draw(stdscr, st, offset)
         ch = stdscr.getch()
-        if ch in (ord("q"), 27):
+        if st.pending_confirm:
+            if ch in (ord("y"), ord("Y")):
+                st.handle_input(Intent.EXECUTE_DELETE
+                                if st.pending_confirm == "delete"
+                                else Intent.IGNORE_GROUP)
+            else:
+                st.handle_input(Intent.CANCEL)
+            continue
+        if ch in (27, ord("z")):
             return
-        elif ch in (curses.KEY_DOWN, ord("j")):
-            st.move(1)
-        elif ch in (curses.KEY_UP, ord("k")):
-            st.move(-1)
-        elif ch == curses.KEY_NPAGE:
-            st.move(20)
-        elif ch == curses.KEY_PPAGE:
-            st.move(-20)
-        elif ch == ord("g"):
-            st.move(-10**9)
-        elif ch == ord("G"):
-            st.move(10**9)
-        elif ch in (ord("m"), ord(" ")):
-            st.toggle_mark()
-        elif ch == ord("a"):
-            st.mark_group()
-        elif ch == ord("u"):
-            st.unmark_all()
-        elif ch == ord("t"):
-            st.use_trash = not st.use_trash
+        if ch == ord("d"):
+            st.handle_input(Intent.CONFIRM_DELETE)
+        elif ch == ord("Q"):
+            st.handle_input(Intent.IGNORE_GROUP)
         elif ch == ord("s"):
-            st.resort()
-        elif ch == ord("d"):
-            if st.marked:
-                verb = "trash" if st.use_trash else "DELETE"
-                ans = _prompt(stdscr, f"{verb} {len(st.marked)} files? (y/N) ")
-                if ans.lower() == "y":
-                    n = st.delete_marked()
-                    st.status = f"removed {n} files"
-        elif ch == ord("v"):
-            if st.marked and st.move_target:
-                n = st.move_marked()
-                st.status = f"moved {n} files to {st.move_target}"
-            elif not st.move_target:
-                st.status = "no --move-marked target set"
+            i = (_SORT_CYCLE.index(st.sort_order) + 1
+                 if st.sort_order in _SORT_CYCLE else 0) % len(_SORT_CYCLE)
+            st.handle_input(Intent.CHANGE_SORT, _SORT_CYCLE[i])
+        elif ch == ord("r"):
+            st.handle_input(Intent.SUBMIT_RENAME, _prompt(stdscr, "rename: "))
         elif ch == ord("/"):
-            st.search = _prompt(stdscr, "search: ")
-            st.find_next()
-        elif ch == ord("n"):
-            st.find_next()
-        if not st.groups:
-            return
+            st.handle_input(Intent.SUBMIT_SEARCH, _prompt(stdscr, "search: "))
+        elif ch in _KEYMAP:
+            st.handle_input(_KEYMAP[ch])
 
 
-def run(groups, infos, args) -> int:
+def run(groups, infos, args, store=None) -> int:
     if not groups:
         print("No duplicate groups to browse.")
         return 0
-    st = TuiState(groups, infos, use_trash=args.use_trash,
-                  move_target=args.move_marked, sort_order=args.sort)
+    st = AppState(groups, infos, use_trash=args.use_trash,
+                  move_target=args.move_marked, sort_order=args.sort,
+                  relative_times=args.relative_times, store=store)
     curses.wrapper(_loop, st)
     return 0

@@ -1,0 +1,128 @@
+"""Session-state layer: intents, navigation, marks, delete, search."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from rupphash_tpu.grouping import engine
+from rupphash_tpu.state import AppState, Intent
+
+
+def _groups(tmp_path, n_groups=3, per_group=3):
+    groups, infos = [], []
+    k = 0
+    for g in range(n_groups):
+        members = []
+        for f in range(per_group):
+            p = tmp_path / f"g{g}_f{f}.png"
+            p.write_bytes(b"data" + bytes([k]))
+            members.append(engine.FileRecord(
+                path=p, size=10 + k, modified=float(k),
+                content_hash=bytes([k]) * 32, unique_file_id=k))
+            k += 1
+        groups.append(members)
+        infos.append(engine.GroupInfo(max_dist=g * 5, status="none"))
+    return groups, infos
+
+
+@pytest.fixture
+def st(tmp_path):
+    groups, infos = _groups(tmp_path)
+    return AppState(groups, infos)
+
+
+def test_navigation(st):
+    assert (st.cursor_group, st.cursor_file) == (0, 0)
+    st.handle_input(Intent.NEXT_ITEM)
+    assert (st.cursor_group, st.cursor_file) == (0, 1)
+    st.handle_input(Intent.NEXT_GROUP)
+    assert (st.cursor_group, st.cursor_file) == (1, 0)
+    st.handle_input(Intent.END)
+    assert (st.cursor_group, st.cursor_file) == (2, 2)
+    st.handle_input(Intent.HOME)
+    assert (st.cursor_group, st.cursor_file) == (0, 0)
+    st.handle_input(Intent.PAGE_DOWN)
+    assert st.flat_cursor == len(st.rows) - 1  # clamped
+
+
+def test_mark_and_delete_with_confirm(st):
+    st.handle_input(Intent.TOGGLE_MARK)
+    assert len(st.marked) == 1
+    st.handle_input(Intent.CONFIRM_DELETE)
+    assert st.pending_confirm == "delete"
+    # cancel path
+    st.handle_input(Intent.CANCEL)
+    assert st.pending_confirm is None
+    # confirm path
+    victim = next(iter(st.marked))
+    st.handle_input(Intent.CONFIRM_DELETE)
+    st.handle_input(Intent.EXECUTE_DELETE)
+    assert not victim.exists()
+    assert "deleted 1" in st.status
+    # group with 2 remaining members survives
+    assert len(st.groups) == 3
+
+
+def test_delete_below_two_drops_group(st):
+    st.handle_input(Intent.MARK_GROUP)
+    st.handle_input(Intent.EXECUTE_DELETE)
+    assert len(st.groups) == 2
+
+
+def test_search_regex_and_wrap(st):
+    st.handle_input(Intent.SUBMIT_SEARCH, "g2_f1")
+    assert st.groups[st.cursor_group][st.cursor_file].path.name == "g2_f1.png"
+    st.handle_input(Intent.NEXT_SEARCH)  # wraps to the same single match
+    assert st.groups[st.cursor_group][st.cursor_file].path.name == "g2_f1.png"
+    st.handle_input(Intent.SUBMIT_SEARCH, "f[02]$|g0_f0")
+    assert st.status == ""
+
+
+def test_rename(st, tmp_path):
+    st.handle_input(Intent.SUBMIT_RENAME, "renamed.png")
+    assert (tmp_path / "renamed.png").exists()
+    assert st.current().path.name == "renamed.png"
+    # collision rejected
+    st.handle_input(Intent.NEXT_ITEM)
+    st.handle_input(Intent.SUBMIT_RENAME, "renamed.png")
+    assert "exists" in st.status
+
+
+def test_group_by_dist(st):
+    st.handle_input(Intent.NEXT_GROUP_BY_DIST)
+    assert st.cursor_group == 1  # max_dist differs per group
+    st.handle_input(Intent.PREV_GROUP_BY_DIST)
+    assert st.cursor_group == 0
+
+
+def test_transforms(st):
+    st.handle_input(Intent.ROTATE_CW)
+    st.handle_input(Intent.ROTATE_CW)
+    st.handle_input(Intent.FLIP_H)
+    t = st.transforms[st.current().unique_file_id]
+    assert t.quarter_turns == 2 and t.flip_h
+    st.handle_input(Intent.RESET_TRANSFORM)
+    assert st.current().unique_file_id not in st.transforms
+
+
+def test_ignore_persists_to_store(tmp_path):
+    from rupphash_tpu.cache.store import CacheStore
+    store = CacheStore(tmp_path / "c.db", master_key=b"\x09" * 32,
+                       start_writer=False)
+    (tmp_path / "p").mkdir(exist_ok=True)
+    groups, infos = _groups(tmp_path / "p")
+    store.register_duplicate_groups(
+        [[(f.content_hash, None) for f in g] for g in groups])
+    st = AppState(groups, infos, store=store)
+    st.handle_input(Intent.IGNORE_GROUP)
+    assert st.pending_confirm == "ignore-group"
+    st.handle_input(Intent.IGNORE_GROUP)  # confirm
+    assert "ignored 3" in st.status
+    assert len(st.groups) == 2
+    assert store.is_ignored(bytes([0]) * 32)
+    store.close()
+
+
+def test_quit(st):
+    st.handle_input(Intent.QUIT)
+    assert st.quit
