@@ -51,20 +51,27 @@ def bench_pdq(batch=1024, rows=512, cols=288, iters=20):
     # the wall time of all N batches.  (block_until_ready can ack early
     # through remote-TPU relays, so a forced readback is the only honest
     # fence; distinct input buffers defeat any result memoization.)
-    rng = np.random.default_rng(0)
+    # Inputs are generated ON DEVICE so a slow host<->TPU tunnel cannot
+    # pollute the kernel-throughput measurement.
+    import jax.numpy as jnp
+
     fn = pdq_jax._jitted_core(rows, cols)
-    bufs = [jax.device_put(rng.integers(0, 256, (batch, rows, cols),
-                                        dtype=np.uint8)) for _ in range(4)]
-    for b in bufs:
-        np.asarray(b[0, 0, 0])          # force uploads
-    np.asarray(fn(bufs[0])["hash"])     # warm/compile
+
+    @jax.jit
+    def make_batch(key):
+        return jax.random.randint(key, (batch, rows, cols), 0, 256,
+                                  dtype=jnp.int32).astype(jnp.uint8)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    bufs = [make_batch(k) for k in keys]
+    np.asarray(fn(bufs[0])["hash"][0, 0])   # warm/compile + fence
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for k in range(iters):
             out = fn(bufs[k % 4])
-        np.asarray(out["hash"])          # FIFO fence
+        np.asarray(out["hash"][0, 0])        # FIFO fence
         times.append((time.perf_counter() - t0) / iters)
     dt = float(np.median(times))
     return batch / dt
@@ -75,23 +82,29 @@ def bench_grouping(n=100_000, iters=3):
     hashes with 8 dihedral variants each (the production configuration).
     Each sweep ends in a host readback of the count vector (honest fence)."""
     import jax
+    import jax.numpy as jnp
 
     from rupphash_tpu.ops import hamming_pallas
 
-    rng = np.random.default_rng(1)
-    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
-    variants = np.repeat(base[:, None, :], 8, axis=1)
-    var_pm1, low, nn, npad = hamming_pallas.prepare_inputs(
-        base, variants, None)
-    # two variant sets differing in one bit, to defeat memoization
-    v2 = var_pm1.copy()
-    v2[0, 0, 0] = -v2[0, 0, 0]
-    bufs = [jax.device_put(var_pm1), jax.device_put(v2)]
-    low_d = jax.device_put(low)
+    ta, tb = hamming_pallas.QUERY_TILE, hamming_pallas.BASE_TILE
+    npad = max(ta, tb)
+    npad = -(-n // npad) * npad
+    npad = -(-npad // ta) * ta
+    npad = -(-npad // tb) * tb
+
+    @jax.jit
+    def make_vars(key):
+        bits = jax.random.bernoulli(key, 0.5, (8, npad, 256))
+        return (bits.astype(jnp.int8) << 1) - 1
+
+    bufs = [make_vars(k) for k in jax.random.split(jax.random.PRNGKey(1), 2)]
+    low_d = jax.device_put(np.zeros((npad, 1), dtype=np.int32))
 
     def sweep(k):
+        # tiny readback slice: fences the kernel without streaming the
+        # whole count vector through a (possibly slow) host tunnel
         return np.asarray(hamming_pallas.scan_row_counts(
-            bufs[k % 2], low_d, nbits=256, sim=31, n_total=nn))
+            bufs[k % 2], low_d, nbits=256, sim=31, n_total=n)[0, 0])
 
     sweep(0)
     sweep(1)
