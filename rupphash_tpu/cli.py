@@ -292,6 +292,22 @@ def main(argv=None) -> int:
                   file=sys.stderr, flush=True)
 
     try:
+        if args.view or args.view_flatten or args.shuffle:
+            # view mode: browse without similarity checking
+            # (scanner.rs:2291 scan_for_view analogue)
+            from .grouping.engine import GroupInfo
+            from .pipeline import view as viewmod
+
+            records, _ = viewmod.list_view(
+                args.paths, recursive=args.view_flatten or cfg.recursive,
+                sort="random" if args.shuffle else args.sort, store=store)
+            enr = viewmod.Enrichment(records, store=store)
+            enr.start()
+            groups = [records] if records else []
+            infos = [GroupInfo()] if records else []
+            from . import tui
+            return tui.run(groups, infos, args, store=store)
+
         if args.rehash_only:
             _, stats = scanmod.scan(args.paths, cfg, store, progress)
             print(f"\nRehashed {stats.hashed} files "
@@ -314,7 +330,7 @@ def main(argv=None) -> int:
                     kept_infos.append(inf)
             groups, infos = kept_groups, kept_infos
 
-        if args.use_tui or args.view or args.view_flatten:
+        if args.use_tui:
             from . import tui
             return tui.run(groups, infos, args, store=store)
         if args.delete:
