@@ -29,6 +29,7 @@ import numpy as np
 from ..grouping import engine
 from ..ops import pdq_jax, pdq_ref
 from ..utils import hashes as H
+from ..utils import trace
 from . import decode, exif, walker
 
 
@@ -90,6 +91,8 @@ def _prep_one(path: Path, cfg: ScanConfig, store):
         coeffs = store.get_coefficients(content)
         px = store.get_pixel_hash(content) if cfg.pixel_hash else None
         if got and feats is not None and (not cfg.pixel_hash or px):
+            trace.count("CACHE-FULL")
+            trace.debug("CACHE-FULL", str(path))
             pdq, quality = got
             rec.pdqhash = pdq
             rec.pdq_quality = quality
@@ -107,6 +110,9 @@ def _prep_one(path: Path, cfg: ScanConfig, store):
             return {"record": rec, "luma": None, "cached": True}
 
     # cache miss: full read + decode
+    trace.count("CACHE-PARTIAL" if content is not None else "CACHE-MISS")
+    trace.debug("CACHE-PARTIAL" if content is not None else "CACHE-MISS",
+                str(path))
     try:
         data = path.read_bytes()
     except OSError:
@@ -216,9 +222,15 @@ def scan_and_group(paths, cfg: ScanConfig | None = None, store=None,
                    progress=None):
     """Full pipeline: scan + hash + group.  Returns
     (groups, infos, records, stats) — the analogue of
-    scanner::scan_and_group (scanner.rs:1146)."""
+    scanner::scan_and_group (scanner.rs:1146).  Phase timings go to
+    stderr as [TIMING] lines (scanner.rs:1542-1559)."""
     cfg = cfg or ScanConfig()
-    records, stats = scan(paths, cfg, store, progress)
-    groups, infos, edges = engine.group_files(
-        records, similarity=cfg.similarity, sort_order=cfg.sort)
+    with trace.Phase("scan+hash") as ph:
+        records, stats = scan(paths, cfg, store, progress)
+        ph.add(stats.total)
+    with trace.Phase("group") as pg:
+        groups, infos, edges = engine.group_files(
+            records, similarity=cfg.similarity, sort_order=cfg.sort)
+        pg.add(len(records))
+    trace.debug("SCAN", f"cache counters: {trace.counters()}")
     return groups, infos, records, stats
