@@ -141,14 +141,23 @@ def load_image(path: str | os.PathLike, data: bytes | None = None):
             data = p.read_bytes()
         except OSError:
             return None, None
+    ext = p.suffix.lower().lstrip(".")
     if is_raw_ext(p):
         img = extract_largest_jpeg(data)
         if img is None:
             img = decode_bytes(data)  # DNG sometimes decodes directly
+    elif ext in ("heic", "heif"):
+        from ..native import heif
+        img = heif.decode_heif(data)
+        if img is None:
+            img = decode_bytes(data)  # PIL may have a plugin
     else:
         img = decode_bytes(data)
         if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
             img = extract_largest_jpeg(data)
+        if img is None and b"ftypheic" in data[:32]:
+            from ..native import heif
+            img = heif.decode_heif(data)
     if img is None:
         return None, None
     h, w = img.shape[:2]
