@@ -101,6 +101,21 @@ class UnionFind:
         return groups
 
 
+def _components_from_roots(roots: np.ndarray,
+                           min_size: int = 2) -> list[list[int]]:
+    order = np.argsort(roots, kind="stable")
+    sr = roots[order]
+    groups = []
+    start = 0
+    n = len(roots)
+    for k in range(1, n + 1):
+        if k == n or sr[k] != sr[start]:
+            if k - start >= min_size:
+                groups.append(order[start:k].tolist())
+            start = k
+    return groups
+
+
 # --------------------------------------------------------------------------
 # Natural sort (natord-compatible: digit runs compare numerically)
 # --------------------------------------------------------------------------
@@ -275,10 +290,19 @@ def group_files(files: list[FileRecord],
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 
-    uf = UnionFind(n_all)
     dense_to_sparse = np.asarray(idx_with_hash, dtype=np.int64)
-    uf.union_edges(dense_to_sparse[ei], dense_to_sparse[ej])
-    raw = uf.components(min_size=2)
+    gi, gj = dense_to_sparse[ei], dense_to_sparse[ej]
+    if len(gi) > 10_000:
+        from .. import native
+        roots = native.union_find_roots(n_all, gi, gj)
+    else:
+        roots = None
+    if roots is not None:
+        raw = _components_from_roots(roots)
+    else:
+        uf = UnionFind(n_all)
+        uf.union_edges(gi, gj)
+        raw = uf.components(min_size=2)
     raw = merge_groups_by_stem(raw, files)
 
     groups: list[list[FileRecord]] = []
