@@ -48,9 +48,18 @@ def _rowcount_kernel(qv_ref, bv_ref, qlow_ref, blow_ref, out_ref,
     def _():
         out_ref[:, :] = jnp.zeros((ta, 1), jnp.int32)
 
-    # skip base tiles entirely below the diagonal (all j <= i there)
-    @pl.when((bj + 1) * tb > qi * ta + 1)
-    def _():
+    # classify this tile: below-diagonal tiles are skipped entirely;
+    # interior tiles (strictly above the diagonal and fully inside the
+    # un-padded range) need only the threshold compare; diagonal/border
+    # tiles get the full index masks.  Interior dominates (~O(n^2) of
+    # them vs O(n) special ones), so its epilogue stays at 2 VPU ops
+    # per element.
+    above_diag = (bj + 1) * tb > qi * ta + 1
+    is_diag = above_diag & (bj * tb < (qi + 1) * ta)
+    in_range = ((bj + 1) * tb <= n_total) & ((qi + 1) * ta <= n_total)
+    interior = above_diag & (~is_diag) & in_range
+
+    def compute_acc():
         bt = bv_ref[:].T  # (nbits, tb) int8
         acc = jnp.dot(qv_ref[0], bt, preferred_element_type=jnp.int32)
         for vi in range(1, v):
@@ -59,6 +68,17 @@ def _rowcount_kernel(qv_ref, bv_ref, qlow_ref, blow_ref, out_ref,
                              preferred_element_type=jnp.int32))
         either_low = (qlow_ref[:] + blow_ref[:].reshape(1, tb)) > 0
         dotmin = jnp.where(either_low, nbits, nbits - 2 * sim)
+        return acc, dotmin
+
+    @pl.when(interior)
+    def _():
+        acc, dotmin = compute_acc()
+        out_ref[:, :] += (acc >= dotmin).sum(axis=1,
+                                             dtype=jnp.int32)[:, None]
+
+    @pl.when(above_diag & (is_diag | ~in_range))
+    def _():
+        acc, dotmin = compute_acc()
         qidx = qi * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 0)
         jidx = bj * tb + jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1)
         mask = ((acc >= dotmin) & (jidx > qidx)

@@ -154,6 +154,23 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     stats = ScanStats(total=len(files))
     workers = cfg.workers or _default_workers()
 
+    # hardlink dedup: decode/hash one path per (dev, inode); clones get
+    # their results copied afterwards (scanner.rs:1526-1540)
+    fid_first: dict[int, Path] = {}
+    hardlink_clones: dict[Path, Path] = {}  # clone path -> representative
+    scan_files = []
+    for p in files:
+        try:
+            fid, _, _ = H.file_identity(p)
+        except OSError:
+            continue
+        if fid in fid_first:
+            hardlink_clones[p] = fid_first[fid]
+        else:
+            fid_first[fid] = p
+            scan_files.append(p)
+    files = scan_files
+
     records: list[engine.FileRecord] = []
     buckets: dict[tuple, list] = {}   # (rows, cols) -> [(rec, luma, feats)]
     done = 0
@@ -213,6 +230,17 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
 
     for shape in list(buckets):
         flush_bucket(shape)
+
+    # materialize hardlink clones with the representative's results
+    if hardlink_clones:
+        by_path = {r.path: r for r in records}
+        for clone, rep_path in hardlink_clones.items():
+            rep = by_path.get(rep_path)
+            if rep is None:
+                continue
+            records.append(dataclasses.replace(rep, path=clone))
+            stats.total += 0  # already counted in the walk
+
     if store:
         store.flush()
     return records, stats
