@@ -245,6 +245,68 @@ def pdq_hash_batch(lumas: np.ndarray | jnp.ndarray):
     return _jitted_core(rows, cols)(jnp.asarray(lumas))
 
 
+def pdq_core_mixed(lumas, l_ops, r_ops, d16,
+                   precision=jax.lax.Precision.HIGHEST):
+    """Mixed-shape variant: per-image operators over zero-padded planes.
+
+    Zero-padding is exact, not approximate: buffer64 = L @ X @ R^T and
+    the padded columns of L/R multiply only zero pixels, so the result
+    is bit-for-bit the same as the tight-shape kernel.  This lets a
+    batch mix arbitrary working shapes (one compile per padded bucket)
+    at the cost of streaming per-image operator matrices.
+    lumas: (B, Hp, Wp) u8; l_ops: (B, 64, Hp); r_ops: (B, 64, Wp)."""
+    x = lumas.astype(jnp.float32)
+    t1 = jnp.einsum("bph,bhw->bpw", l_ops, x, precision=precision)
+    buf64 = jnp.einsum("bpw,bqw->bpq", t1, r_ops, precision=precision)
+    quality = quality_from_buffer(buf64)
+    bd = jax.lax.dot_general(buf64, d16.T, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+    coeffs = jax.lax.dot_general(bd, d16.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+    coeffs = jnp.swapaxes(coeffs, 1, 2)
+    dihedral = dihedral_from_coeffs(coeffs)
+    return {"hash": dihedral[:, 0, :], "dihedral": dihedral,
+            "quality": quality, "coeffs": coeffs.reshape(-1, 256)}
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_mixed(b: int, hp: int, wp: int):
+    d_np = dct16x64()
+
+    @jax.jit
+    def run(lumas, l_ops, r_ops):
+        return pdq_core_mixed(lumas, l_ops, r_ops, jnp.asarray(d_np))
+
+    return run
+
+
+def _bucket_dim(n: int, quantum: int = 64) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+def pdq_hash_batch_mixed(lumas: list):
+    """Hash a list of u8 luma planes of arbitrary working shapes as one
+    padded device batch.  Shapes are padded up to 64-pixel buckets to
+    bound compile count; results are bit-identical to the per-shape path.
+    """
+    b = len(lumas)
+    hp = _bucket_dim(max(l.shape[0] for l in lumas))
+    wp = _bucket_dim(max(l.shape[1] for l in lumas))
+    planes = np.zeros((b, hp, wp), dtype=np.uint8)
+    l_ops = np.zeros((b, BUFFER_W_H, hp), dtype=np.float32)
+    r_ops = np.zeros((b, BUFFER_W_H, wp), dtype=np.float32)
+    for k, luma in enumerate(lumas):
+        rows, cols = luma.shape
+        planes[k, :rows, :cols] = luma
+        lo, ro = linear_operators(rows, cols)
+        l_ops[k, :, :rows] = lo
+        r_ops[k, :, :cols] = ro
+    return _jitted_mixed(b, hp, wp)(jnp.asarray(planes),
+                                    jnp.asarray(l_ops), jnp.asarray(r_ops))
+
+
 def pdq_hash_image(image: np.ndarray):
     """Single-image convenience mirroring generate_pdq (pdqhash.rs:199):
     returns (hash bytes, quality float) or None."""

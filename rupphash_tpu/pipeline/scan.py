@@ -175,13 +175,7 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     buckets: dict[tuple, list] = {}   # (rows, cols) -> [(rec, luma, feats)]
     done = 0
 
-    def flush_bucket(shape):
-        nonlocal done
-        items = buckets.pop(shape, [])
-        if not items:
-            return
-        lumas = np.stack([l for _, l, _ in items])
-        out = pdq_jax.pdq_hash_batch(lumas)
+    def apply_outputs(items, out):
         hashes = np.asarray(out["hash"])
         dihedral = np.asarray(out["dihedral"])
         quality = np.asarray(out["quality"])
@@ -199,6 +193,13 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
                 if feats is not None:
                     feats["pdq_quality"] = rec.pdq_quality
                     store.put_features(rec.content_hash, feats)
+
+    def flush_bucket(shape):
+        items = buckets.pop(shape, [])
+        if not items:
+            return
+        lumas = np.stack([l for _, l, _ in items])
+        apply_outputs(items, pdq_jax.pdq_hash_batch(lumas))
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for result in pool.map(lambda p: _prep_one(p, cfg, store), files):
@@ -228,8 +229,21 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             if len(buckets[shape]) >= cfg.batch_size:
                 flush_bucket(shape)
 
-    for shape in list(buckets):
-        flush_bucket(shape)
+    # leftovers: full buckets already flushed inline; combine underfull
+    # shape buckets into mixed-shape padded batches (one compile per
+    # padded bucket instead of one per exact shape)
+    leftover = [item for shape in list(buckets)
+                for item in buckets.pop(shape)]
+    for i in range(0, len(leftover), cfg.batch_size):
+        chunk = leftover[i:i + cfg.batch_size]
+        if not chunk:
+            continue
+        if len({it[1].shape for it in chunk}) == 1:
+            lumas = np.stack([l for _, l, _ in chunk])
+            apply_outputs(chunk, pdq_jax.pdq_hash_batch(lumas))
+        else:
+            apply_outputs(chunk, pdq_jax.pdq_hash_batch_mixed(
+                [l for _, l, _ in chunk]))
 
     # materialize hardlink clones with the representative's results
     if hardlink_clones:

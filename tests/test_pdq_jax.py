@@ -25,7 +25,8 @@ def test_linear_operator_equals_sequential_jarosz():
     assert np.max(np.abs(buf64_lin - buf64_gold)) < 1e-2
 
 
-@pytest.mark.parametrize("shape", [(64, 64), (128, 96), (512, 288), (33, 501)])
+@pytest.mark.parametrize("shape", [(64, 64), (128, 96), (512, 288),
+                                   (33, 501), (5, 5), (7, 512)])
 def test_jax_hash_matches_golden_random(shape):
     rng = np.random.default_rng(hash(shape) % 2**32)
     # smooth "natural" field: random walk rows, keeps coefficients away from
