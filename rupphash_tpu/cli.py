@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="browse without similarity checking (TUI)")
     p.add_argument("--view-flatten", action="store_true")
     p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--slideshow", metavar="SECONDS", type=float,
+                   default=None,
+                   help="slideshow interval (implies --view; the "
+                        "reference's GUI renderer is out of scope, the "
+                        "TUI advances the cursor instead)")
+    p.add_argument("--3dlut", dest="luts3d", metavar="FILE", nargs="+",
+                   default=None,
+                   help="3D LUT .cube files (GUI rendering out of scope; "
+                        "accepted for CLI parity)")
     p.add_argument("--move-marked", metavar="DIR", type=Path, default=None)
     p.add_argument("--raw-thumbnails", action="store_true",
                    help="use embedded thumbnails from RAW files")
@@ -292,7 +301,11 @@ def main(argv=None) -> int:
                   file=sys.stderr, flush=True)
 
     try:
-        if args.view or args.view_flatten or args.shuffle:
+        if args.slideshow is not None and args.slideshow <= 0:
+            print("Slideshow interval must be positive.", file=sys.stderr)
+            return 2
+        if (args.view or args.view_flatten or args.shuffle
+                or args.slideshow is not None):
             # view mode: browse without similarity checking
             # (scanner.rs:2291 scan_for_view analogue)
             from .grouping.engine import GroupInfo

@@ -106,7 +106,6 @@ def _sign_patterns() -> np.ndarray:
 
 
 _SIGNS = _sign_patterns()
-_BIT_WEIGHTS = np.asarray(1 << np.arange(8), dtype=np.int32)
 
 
 def _pack_matrices():

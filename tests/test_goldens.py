@@ -1,0 +1,40 @@
+"""Stored golden hashes for the reference fixtures.
+
+These lock the exact outputs of the framework's current hash semantics
+so any future change that silently drifts the bits fails loudly.  The
+values were computed by this framework's golden path (ops/pdq_ref.py /
+ops/phash_ref.py) whose stage-by-stage semantics mirror the reference
+implementation; the TPU paths are asserted bit-identical to them
+elsewhere in the suite.
+"""
+import numpy as np
+import pytest
+
+from rupphash_tpu.ops import pdq_ref, phash_ref
+
+BENCH_PDQ_HEX = ("48e6871951e6e601dc755ec3319d467a"
+                 "a8f2973d784e23375e39e3860f1b1863")
+BENCH_PHASH_HEX = "98636cb04ef63956"
+BENCH_PHASH_ROT_INVARIANT_HEX = "94927668aad24dbd"
+
+
+def test_bench_pdq_golden(bench_jpg):
+    h, quality = pdq_ref.generate_pdq(bench_jpg)
+    assert h.hex() == BENCH_PDQ_HEX
+    assert quality == 1.0
+
+
+def test_bench_phash_golden(bench_jpg):
+    h = phash_ref.hash_image(bench_jpg)
+    assert f"{h:016x}" == BENCH_PHASH_HEX
+    inv = phash_ref.rotation_invariant_hash(h)
+    assert f"{inv:016x}" == BENCH_PHASH_ROT_INVARIANT_HEX
+
+
+def test_prophecy_pair_distance_locked(near_dupe_pair):
+    """The near-duplicate fixture pair's PDQ distance is a property of
+    the full pipeline; lock its band."""
+    a, _ = pdq_ref.generate_pdq(near_dupe_pair[0])
+    b, _ = pdq_ref.generate_pdq(near_dupe_pair[1])
+    d = pdq_ref.hamming_distance(a, b)
+    assert 0 < d <= 40, d
