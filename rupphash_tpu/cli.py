@@ -193,6 +193,11 @@ def show_build_info():
         info["devices"] = [str(d) for d in jax.devices()]
     except Exception:
         pass
+    # native codec versions, like the reference's FFI version report
+    # (phdupes.rs:92-120)
+    from .native import heif, jxl
+    info["libheif"] = heif.version()
+    info["libjxl"] = jxl.version()
     print(json.dumps(info, indent=2))
 
 

@@ -151,6 +151,14 @@ def load_image(path: str | os.PathLike, data: bytes | None = None):
         img = heif.decode_heif(data)
         if img is None:
             img = decode_bytes(data)  # PIL may have a plugin
+    elif ext == "jxl":
+        from ..native import jxl
+        img = jxl.decode_jxl(data)
+        if img is None:
+            img = decode_bytes(data)  # PIL may have a plugin
+    elif ext == "pdf":
+        from . import pdfimg
+        img = pdfimg.extract_largest_pdf_image(data)
     else:
         img = decode_bytes(data)
         if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
@@ -158,6 +166,9 @@ def load_image(path: str | os.PathLike, data: bytes | None = None):
         if img is None and b"ftypheic" in data[:32]:
             from ..native import heif
             img = heif.decode_heif(data)
+        if img is None and data[:2] == b"\xff\x0a":
+            from ..native import jxl
+            img = jxl.decode_jxl(data)
     if img is None:
         return None, None
     h, w = img.shape[:2]

@@ -12,9 +12,11 @@ src/exif_types.rs, src/raw_exif.rs) on PIL's EXIF reader:
   feature record (width/height/tags)            image_features.rs
 
 Derived tags use the reference's synthetic ID range 0xF001-0xF007
-(exif_types.rs:62-74).  Country/subdivision lookup (tag 0xF001/0xF002)
-needs an offline boundary database that is not in this image; those tags
-are gated off and documented.
+(exif_types.rs:62-74).  Country/Subdivision/Timezone (0xF001/2/5) come
+from the offline tzdata-anchor lookup in utils.geonames (the reference
+uses polygon DBs from the country-boundaries + tzf-rs crates, which
+have no offline equivalent in this image; see geonames docstring for
+the substitution).
 """
 
 from __future__ import annotations
@@ -230,3 +232,19 @@ def derive_sun_position(features: dict, use_gps_time: bool = True):
     dt = datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc)
     alt, az = sunpos.solar_position(lat, lon, dt)
     return {"sun_altitude": alt, "sun_azimuth": az}
+
+
+def derive_location(features: dict) -> dict:
+    """Country / Subdivision / Timezone derived tags from GPS
+    (exif_extract.rs:435-474), via the offline tzdata-anchor lookup in
+    utils.geonames.  Empty dict when there is no (valid) GPS fix or no
+    tzdata tables on this host."""
+    if not features.get("gps"):
+        return {}
+    from ..utils import geonames
+
+    lat, lon = features["gps"]
+    try:
+        return geonames.derive_location(lat, lon)
+    except Exception:
+        return {}

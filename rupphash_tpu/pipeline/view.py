@@ -125,6 +125,10 @@ class Enrichment:
             if sun:
                 feats["sun_azimuth"] = sun["sun_azimuth"]
                 feats["sun_altitude"] = sun["sun_altitude"]
+            loc = exif.derive_location(feats)
+            for k in ("country", "subdivision", "timezone"):
+                if loc.get(k):
+                    feats[k] = loc[k]
             if self.store is not None and rec.content_hash:
                 self.store.put_features(rec.content_hash, feats)
             self.results.put((rec.path, feats))

@@ -359,4 +359,15 @@ def features_to_tags(features: dict, quality: int | None = None) -> dict:
     if sun:
         out["SunAzimuth"] = round(sun["sun_azimuth"], 4)
         out["SunAltitude"] = round(sun["sun_altitude"], 4)
+    try:
+        from .pipeline import exif as exif_mod
+        loc = exif_mod.derive_location(features)
+    except Exception:
+        loc = {}
+    if loc.get("country"):
+        out["Country"] = loc["country"]
+    if loc.get("subdivision"):
+        out["Subdivision"] = loc["subdivision"]
+    if loc.get("timezone"):
+        out["Timezone"] = loc["timezone"]
     return out

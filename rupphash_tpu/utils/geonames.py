@@ -1,0 +1,318 @@
+"""Offline reverse geocoding: timezone / country / subdivision from GPS.
+
+The reference derives three tags from GPS coordinates
+(exif_extract.rs:435-474, position.rs:14-30):
+
+  Timezone (0xF005)    via tzf-rs polygon lookup, Etc/* fallback
+  Country (0xF001)     via the country-boundaries polygon DB + ISO-3166
+  Subdivision (0xF002) same DB (admin-1, e.g. "Florida")
+
+Those crates embed polygon databases that do not exist in this image
+(zero egress), so this module rebuilds the capability from data that
+*is* here — the IANA tzdata tables shipped with every Linux:
+
+  /usr/share/zoneinfo/zone1970.tab   ~340 zones with principal
+                                     coordinates + country code lists
+  /usr/share/zoneinfo/iso3166.tab    country code -> English name
+
+Method: nearest-anchor great-circle lookup over the zone1970 principal
+locations *plus* embedded admin-1 anchor tables (state/province/
+territory centroids and major cities with their dominant timezone) for
+the US / Canada / Australia, whose interiors are far from any tzdata
+city.  Points farther than `OCEAN_KM` from every anchor fall back to
+the nautical Etc/GMT± zone by longitude (the reference's own fallback,
+position.rs:21-29).  Nearest-anchor is approximate near land borders —
+a documented substitution with the same tag surface.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from pathlib import Path
+
+ZONEINFO = Path("/usr/share/zoneinfo")
+OCEAN_KM = 500.0      # farther than this from any anchor -> Etc/GMT±
+COUNTRY_KM = 500.0    # farther than this -> no country tag
+
+# ISO-3166 *official* English names where they differ from the tzdata
+# short names; the reference's iso3166 crate prints these forms
+# (the reference's own regression: derive_country(28.68, -81.31) ==
+# "Florida, United States of America (the)", scanner.rs:2854-2866).
+_OFFICIAL = {
+    "US": "United States of America (the)",
+    "GB": "United Kingdom of Great Britain and Northern Ireland (the)",
+    "NL": "Netherlands (Kingdom of the)",
+    "RU": "Russian Federation (the)",
+    "KR": "Korea (the Republic of)",
+    "KP": "Korea (the Democratic People's Republic of)",
+    "PH": "Philippines (the)",
+    "AE": "United Arab Emirates (the)",
+    "VN": "Viet Nam",
+    "LA": "Lao People's Democratic Republic (the)",
+    "SY": "Syrian Arab Republic (the)",
+    "IR": "Iran (Islamic Republic of)",
+    "BO": "Bolivia (Plurinational State of)",
+    "VE": "Venezuela (Bolivarian Republic of)",
+    "TZ": "Tanzania (the United Republic of)",
+    "MD": "Moldova (the Republic of)",
+    "CD": "Congo (the Democratic Republic of the)",
+    "CG": "Congo (the)",
+    "DO": "Dominican Republic (the)",
+    "NE": "Niger (the)",
+    "SD": "Sudan (the)",
+    "GM": "Gambia (the)",
+    "BS": "Bahamas (the)",
+    "CF": "Central African Republic (the)",
+}
+
+# Admin-1 anchors: name -> (dominant tz, [(lat, lon), ...]).  Each
+# subdivision carries its centroid plus major cities so coastal metros
+# resolve to the right state (a single centroid puts Sydney in the ACT).
+_E, _C, _M, _P = ("America/New_York", "America/Chicago",
+                  "America/Denver", "America/Los_Angeles")
+_US_STATES = {
+    "Alabama": (_C, [(32.8, -86.8)]),
+    "Alaska": ("America/Anchorage", [(64.0, -152.0), (61.2, -149.9)]),
+    "Arizona": ("America/Phoenix", [(34.3, -111.7), (33.45, -112.07)]),
+    "Arkansas": (_C, [(34.9, -92.4)]),
+    "California": (_P, [(37.2, -119.3), (34.05, -118.24),
+                        (37.77, -122.42), (32.72, -117.16)]),
+    "Colorado": (_M, [(39.0, -105.5), (39.74, -104.98)]),
+    "Connecticut": (_E, [(41.6, -72.7)]),
+    "Delaware": (_E, [(39.0, -75.5)]),
+    "Florida": (_E, [(28.6, -82.4), (25.77, -80.19), (28.54, -81.38),
+                     (30.33, -81.66)]),
+    "Georgia": (_E, [(32.6, -83.4), (33.75, -84.39)]),
+    "Hawaii": ("Pacific/Honolulu", [(20.3, -156.4), (21.31, -157.86)]),
+    "Idaho": (_M, [(44.4, -114.6), (43.62, -116.2)]),
+    "Illinois": (_C, [(40.0, -89.2), (41.85, -87.65)]),
+    "Indiana": (_E, [(39.9, -86.3)]),
+    "Iowa": (_C, [(42.1, -93.5)]),
+    "Kansas": (_C, [(38.5, -98.4)]),
+    "Kentucky": (_E, [(37.5, -85.3)]),
+    "Louisiana": (_C, [(31.0, -92.0), (29.95, -90.07)]),
+    "Maine": (_E, [(45.4, -69.2)]),
+    "Maryland": (_E, [(39.0, -76.8)]),
+    "Massachusetts": (_E, [(42.3, -71.8), (42.36, -71.06)]),
+    "Michigan": (_E, [(44.3, -85.4), (42.33, -83.05)]),
+    "Minnesota": (_C, [(46.3, -94.3), (44.98, -93.27)]),
+    "Mississippi": (_C, [(32.7, -89.7)]),
+    "Missouri": (_C, [(38.4, -92.5), (38.63, -90.2)]),
+    "Montana": (_M, [(47.0, -109.6)]),
+    "Nebraska": (_C, [(41.5, -99.8), (41.26, -95.93)]),
+    "Nevada": (_P, [(39.3, -116.6), (36.17, -115.14)]),
+    "New Hampshire": (_E, [(43.7, -71.6)]),
+    "New Jersey": (_E, [(40.2, -74.7)]),
+    "New Mexico": (_M, [(34.4, -106.1), (35.08, -106.65)]),
+    "New York": (_E, [(43.0, -75.5), (40.71, -74.01)]),
+    "North Carolina": (_E, [(35.5, -79.4), (35.23, -80.84)]),
+    "North Dakota": (_C, [(47.4, -100.5)]),
+    "Ohio": (_E, [(40.3, -82.8), (39.96, -83.0)]),
+    "Oklahoma": (_C, [(35.6, -97.5)]),
+    "Oregon": (_P, [(43.9, -120.6), (45.52, -122.68)]),
+    "Pennsylvania": (_E, [(40.9, -77.8), (39.95, -75.17),
+                          (40.44, -80.0)]),
+    "Rhode Island": (_E, [(41.7, -71.6)]),
+    "South Carolina": (_E, [(33.9, -80.9)]),
+    "South Dakota": (_C, [(44.4, -100.2)]),
+    "Tennessee": (_C, [(35.8, -86.4), (36.16, -86.78),
+                       (35.15, -90.05)]),
+    "Texas": (_C, [(31.5, -99.3), (29.76, -95.37), (32.78, -96.8),
+                   (30.27, -97.74), (29.42, -98.49), (31.8, -106.4)]),
+    "Utah": (_M, [(39.3, -111.7), (40.76, -111.89)]),
+    "Vermont": (_E, [(44.1, -72.7)]),
+    "Virginia": (_E, [(37.5, -78.9), (36.85, -75.98)]),
+    "Washington": (_P, [(47.4, -120.5), (47.6, -122.33)]),
+    "West Virginia": (_E, [(38.6, -80.6)]),
+    "Wisconsin": (_C, [(44.6, -90.0), (43.04, -87.91)]),
+    "Wyoming": (_M, [(43.0, -107.6)]),
+    "District of Columbia": (_E, [(38.9, -77.0)]),
+}
+_CA_PROVINCES = {
+    "Alberta": ("America/Edmonton", [(53.9, -114.7), (51.05, -114.07),
+                                     (53.55, -113.49)]),
+    "British Columbia": ("America/Vancouver",
+                         [(54.7, -125.6), (49.28, -123.12),
+                          (48.43, -123.37)]),
+    "Manitoba": ("America/Winnipeg", [(54.4, -97.5), (49.9, -97.14)]),
+    "New Brunswick": ("America/Halifax", [(46.6, -66.4)]),
+    "Newfoundland and Labrador": ("America/St_Johns",
+                                  [(53.2, -59.9), (47.56, -52.71)]),
+    "Northwest Territories": ("America/Yellowknife",
+                              [(64.5, -119.2), (62.45, -114.37)]),
+    "Nova Scotia": ("America/Halifax", [(45.1, -63.2), (44.65, -63.57)]),
+    "Nunavut": ("America/Iqaluit", [(66.0, -92.0), (63.75, -68.52)]),
+    "Ontario": ("America/Toronto", [(50.0, -86.0), (43.65, -79.38),
+                                    (45.42, -75.7)]),
+    "Prince Edward Island": ("America/Halifax", [(46.4, -63.3)]),
+    "Quebec": ("America/Toronto", [(53.0, -70.0), (45.51, -73.56),
+                                   (46.81, -71.21)]),
+    "Saskatchewan": ("America/Regina", [(54.4, -105.9), (50.45, -104.6),
+                                        (52.13, -106.67)]),
+    "Yukon": ("America/Whitehorse", [(63.6, -135.5), (60.72, -135.06)]),
+}
+_AU_STATES = {
+    "New South Wales": ("Australia/Sydney",
+                        [(-32.2, 147.0), (-33.87, 151.21)]),
+    "Victoria": ("Australia/Melbourne",
+                 [(-36.9, 144.3), (-37.81, 144.96)]),
+    "Queensland": ("Australia/Brisbane",
+                   [(-22.5, 144.4), (-27.47, 153.03), (-16.92, 145.77)]),
+    "South Australia": ("Australia/Adelaide",
+                        [(-30.0, 135.8), (-34.93, 138.6)]),
+    "Western Australia": ("Australia/Perth",
+                          [(-25.5, 122.3), (-31.95, 115.86)]),
+    "Tasmania": ("Australia/Hobart", [(-42.0, 146.6), (-42.88, 147.33)]),
+    "Northern Territory": ("Australia/Darwin",
+                           [(-19.4, 133.4), (-12.46, 130.84)]),
+    "Australian Capital Territory": ("Australia/Sydney",
+                                     [(-35.31, 149.13)]),
+}
+_SUBDIVISIONS = {"US": _US_STATES, "CA": _CA_PROVINCES, "AU": _AU_STATES}
+
+# Extra country anchors where zone1970's single principal city leaves a
+# big interior hole (northern Fennoscandia matters for the reference's
+# own Lapland fixture, tests/bench.jpg.txt).
+_EXTRA_ANCHORS = [
+    (66.50, 25.73, "Europe/Helsinki", "FI"),    # Rovaniemi
+    (68.42, 27.42, "Europe/Helsinki", "FI"),    # Saariselkä / Lapland
+    (67.86, 20.22, "Europe/Stockholm", "SE"),   # Kiruna
+    (69.65, 18.96, "Europe/Oslo", "NO"),        # Tromsø
+    (64.75, 177.48, "Asia/Anadyr", "RU"),       # Chukotka
+]
+
+_lock = threading.Lock()
+_anchors = None     # list of (lat, lon, tzname, code, subdivision|None)
+_countries = None   # code -> name
+
+
+def _parse_iso6709(s: str):
+    """±DDMM±DDDMM or ±DDMMSS±DDDMMSS -> (lat, lon) degrees."""
+    split = 5 if s[5] in "+-" else 7
+
+    def _deg(part, dd):
+        sign = -1.0 if part[0] == "-" else 1.0
+        d = int(part[1:1 + dd])
+        m = int(part[1 + dd:3 + dd])
+        sec = int(part[3 + dd:5 + dd]) if len(part) > 3 + dd else 0
+        return sign * (d + m / 60.0 + sec / 3600.0)
+
+    return _deg(s[:split], 2), _deg(s[split:], 3)
+
+
+def _load():
+    global _anchors, _countries
+    if _anchors is not None:
+        return _anchors, _countries
+    with _lock:
+        if _anchors is not None:
+            return _anchors, _countries
+        anchors, countries = [], {}
+        try:
+            for line in (ZONEINFO / "iso3166.tab").read_text(
+                    encoding="utf-8").splitlines():
+                if line.startswith("#") or "\t" not in line:
+                    continue
+                code, name = line.split("\t", 1)
+                countries[code.strip()] = name.strip()
+            for line in (ZONEINFO / "zone1970.tab").read_text(
+                    encoding="utf-8").splitlines():
+                if line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 3:
+                    continue
+                try:
+                    lat, lon = _parse_iso6709(parts[1])
+                except (ValueError, IndexError):
+                    continue
+                anchors.append((lat, lon, parts[2],
+                                parts[0].split(",")[0], None))
+        except OSError:
+            pass
+        if anchors:  # only add admin-1 anchors when tzdata is present
+            for code, table in _SUBDIVISIONS.items():
+                for name, (tz, points) in table.items():
+                    for lat, lon in points:
+                        anchors.append((lat, lon, tz, code, name))
+            for lat, lon, tz, code in _EXTRA_ANCHORS:
+                anchors.append((lat, lon, tz, code, None))
+        _anchors, _countries = anchors, countries
+        return _anchors, _countries
+
+
+def available() -> bool:
+    anchors, _ = _load()
+    return bool(anchors)
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> float:
+    r = 6371.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dl = math.radians(lon2 - lon1)
+    a = (math.sin((p2 - p1) / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    return 2 * r * math.asin(min(1.0, math.sqrt(a)))
+
+
+def nearest_anchor(lat: float, lon: float):
+    """(tzname, country_code, subdivision|None, distance_km) of the
+    nearest anchor, or None when tzdata tables are missing."""
+    anchors, _ = _load()
+    if not anchors:
+        return None
+    best, best_d = None, float("inf")
+    for a in anchors:
+        d = _haversine_km(lat, lon, a[0], a[1])
+        if d < best_d:
+            best, best_d = a, d
+    return best[2], best[3], best[4], best_d
+
+
+def timezone_name(lat: float, lon: float) -> str | None:
+    """IANA zone name; nautical Etc/GMT± fallback offshore
+    (reference fallback: position.rs:21-29)."""
+    hit = nearest_anchor(lat, lon)
+    if hit is not None and hit[3] <= OCEAN_KM:
+        return hit[0]
+    # nautical convention: Etc/GMT signs are inverted (POSIX)
+    offset = int(round(-lon / 15.0))
+    if offset == 0:
+        return "Etc/GMT"
+    return f"Etc/GMT{offset:+d}"
+
+
+def country_name(lat: float, lon: float) -> str | None:
+    hit = nearest_anchor(lat, lon)
+    if hit is None or hit[3] > COUNTRY_KM:
+        return None
+    _, countries = _load()
+    return _OFFICIAL.get(hit[1]) or countries.get(hit[1])
+
+
+def subdivision_name(lat: float, lon: float) -> str | None:
+    hit = nearest_anchor(lat, lon)
+    if hit is None or hit[3] > COUNTRY_KM:
+        return None
+    return hit[2]
+
+
+def derive_location(lat: float, lon: float) -> dict:
+    """All three derived tags at once; the reference formats country as
+    'Subdivision, Country' when a subdivision exists
+    (scanner.rs:2854-2866)."""
+    out: dict = {}
+    hit = nearest_anchor(lat, lon)
+    tz = timezone_name(lat, lon)
+    if tz:
+        out["timezone"] = tz
+    if hit is not None and hit[3] <= COUNTRY_KM:
+        _, countries = _load()
+        country = _OFFICIAL.get(hit[1]) or countries.get(hit[1])
+        sub = hit[2]
+        if country:
+            out["country"] = f"{sub}, {country}" if sub else country
+        if sub:
+            out["subdivision"] = sub
+    return out

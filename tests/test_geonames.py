@@ -1,0 +1,82 @@
+"""Offline tz/country/subdivision lookup (utils.geonames).
+
+Mirrors the reference's derive_country regression (scanner.rs:2854-2866)
+and the Etc/* timezone fallback (position.rs:21-29).
+"""
+import pytest
+
+from rupphash_tpu.utils import geonames as g
+
+pytestmark = pytest.mark.skipif(not g.available(),
+                                reason="tzdata tables unavailable")
+
+
+def test_reference_country_fixture():
+    # the reference's own unit test coordinate (scanner.rs:2854-2866)
+    assert g.country_name(28.68, -81.31) == \
+        "Florida, United States of America (the)" or \
+        g.derive_location(28.68, -81.31)["country"] == \
+        "Florida, United States of America (the)"
+
+
+def test_subdivisions():
+    assert g.subdivision_name(28.68, -81.31) == "Florida"
+    assert g.subdivision_name(-33.87, 151.21) == "New South Wales"
+    assert g.subdivision_name(43.65, -79.38) == "Ontario"
+    assert g.subdivision_name(47.0, -109.0) == "Montana"
+    # no admin-1 table for Finland
+    assert g.subdivision_name(60.17, 24.94) is None
+
+
+def test_timezones():
+    assert g.timezone_name(60.17, 24.94) == "Europe/Helsinki"
+    assert g.timezone_name(20.91297, -156.69383) == "Pacific/Honolulu"
+    assert g.timezone_name(35.68, 139.69) == "Asia/Tokyo"
+    assert g.timezone_name(33.45, -112.07) == "America/Phoenix"
+    # Lapland interior resolves through the extra Fennoscandia anchors
+    assert g.timezone_name(68.4, 27.4) == "Europe/Helsinki"
+
+
+def test_ocean_fallback_is_nautical_etc():
+    # Etc/GMT signs are POSIX-inverted: UTC-10 water -> Etc/GMT+10
+    assert g.timezone_name(0.0, -150.0) == "Etc/GMT+10"
+    assert g.timezone_name(0.0, 0.0) == "Etc/GMT"
+    assert g.country_name(0.0, -150.0) is None
+    assert g.subdivision_name(0.0, -150.0) is None
+
+
+def test_country_names():
+    assert g.country_name(60.17, 24.94) == "Finland"
+    assert g.country_name(35.68, 139.69) == "Japan"
+    assert "Australia" in g.country_name(-33.87, 151.21)
+
+
+def test_derive_location_shape():
+    loc = g.derive_location(28.68, -81.31)
+    assert loc["timezone"] == "America/New_York"
+    assert loc["subdivision"] == "Florida"
+    assert loc["country"].startswith("Florida, United States")
+
+
+def test_exif_derive_location_integration():
+    from rupphash_tpu.pipeline import exif
+
+    feats = {"gps": [20.91297, -156.69383]}
+    loc = exif.derive_location(feats)
+    assert loc["timezone"] == "Pacific/Honolulu"
+    assert feats.get("width") is None  # no mutation
+    assert exif.derive_location({}) == {}
+
+
+def test_search_index_derived_tags():
+    from rupphash_tpu.search_index import SearchIndex, features_to_tags
+
+    tags = features_to_tags({"gps": [28.68, -81.31], "width": 100,
+                             "height": 50})
+    assert tags["Subdivision"] == "Florida"
+    assert tags["Timezone"] == "America/New_York"
+    idx = SearchIndex()
+    idx.insert(0, tags)
+    idx.finalize()
+    assert idx.search("subdivision:Florida") == {0}
+    assert idx.search("tz:~:New_York") == {0}
