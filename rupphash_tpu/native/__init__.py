@@ -61,6 +61,11 @@ def get_lib():
         lib.union_find.argtypes = [ctypes.c_int64, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64,
                                    ctypes.c_void_p]
+        lib.lj92_decode.restype = ctypes.c_int
+        lib.lj92_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -97,6 +102,30 @@ def box_resample_u8(luma: np.ndarray, new_w: int, new_h: int):
     lib.box_resample_u8(src.ctypes.data, h, w, out.ctypes.data,
                         new_h, new_w)
     return out
+
+
+def lj92_decode(data: bytes, max_pixels: int = 512_000_000 // 4):
+    """Decode a lossless-JPEG (SOF3) stream to a (h, w*ncomp) uint16
+    array, or None on failure / when the library is unavailable.
+    This is the tile codec of DNG Compression=7 (see pipeline/dng.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # SOF3 geometry is unknown until parse; allocate from the stream
+    # size upper bound: lossless JPEG is >= ~0.5 bit/sample, so
+    # 16x the byte length always covers it (capped by max_pixels).
+    cap = min(max(len(data) * 16, 1 << 16), max_pixels)
+    out = np.empty(cap, dtype=np.uint16)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nc = ctypes.c_int()
+    rc = lib.lj92_decode(data, len(data), out.ctypes.data, cap,
+                         ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(nc))
+    if rc != 0:
+        return None
+    stride = w.value * nc.value
+    return out[:h.value * stride].reshape(h.value, stride).copy()
 
 
 def union_find_roots(n: int, ei: np.ndarray, ej: np.ndarray):

@@ -169,4 +169,236 @@ void union_find(int64_t n, const int64_t* ei, const int64_t* ej,
     for (int64_t i = 0; i < n; i++) parent[i] = find(i);
 }
 
+// ---------------------------------------------------------------------
+// Lossless JPEG (ITU-T T.81 process 14, "LJ92") decoder — the
+// compression DNG uses for raw CFA tiles (Compression=7).  The
+// reference gets this from LibRaw (SURVEY.md §2.7); here it is a
+// from-scratch implementation of the spec: SOF3 frame, DHT Huffman
+// tables, SOS with predictor selection 1-7, point transform, restart
+// markers, FF00 byte unstuffing.  Interleaved components are emitted
+// row-major as (h, w*ncomp) uint16, which maps linearly onto the CFA
+// mosaic row (python side reshapes).
+// ---------------------------------------------------------------------
+namespace lj92 {
+
+struct BitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint32_t bits = 0;
+    int nbits = 0;
+    bool bad = false;
+
+    BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
+
+    void refill() {
+        while (nbits <= 24) {
+            if (p >= end) { bits |= 0; nbits += 8; continue; }
+            uint8_t b = *p++;
+            if (b == 0xFF) {
+                if (p < end && *p == 0x00) {
+                    p++;  // stuffed byte
+                } else {
+                    // marker (EOI / RSTn handled by caller via reset)
+                    p--;
+                    b = 0;  // feed zeros past the marker
+                    bits |= (uint32_t)b << (24 - nbits);
+                    nbits += 8;
+                    continue;
+                }
+            }
+            bits |= (uint32_t)b << (24 - nbits);
+            nbits += 8;
+        }
+    }
+    int get(int n) {
+        if (n == 0) return 0;
+        if (nbits < n) refill();
+        int v = (int)(bits >> (32 - n));
+        bits <<= n;
+        nbits -= n;
+        return v;
+    }
+    int peek16() {
+        if (nbits < 16) refill();
+        return (int)(bits >> 16);
+    }
+    void drop(int n) { bits <<= n; nbits -= n; }
+    void align_to_marker() {  // skip padding + stuffing to RSTn
+        bits = 0; nbits = 0;
+        while (p + 1 < end) {
+            if (*p != 0xFF) { p++; continue; }
+            if (p[1] >= 0xD0 && p[1] <= 0xD7) { p += 2; return; }
+            if (p[1] == 0x00) { p += 2; continue; }  // stuffed pad byte
+            return;  // some other marker; let decode fail naturally
+        }
+    }
+};
+
+struct Huff {
+    // canonical per-length first-code table for fast decode
+    int mincode[17], maxcode[17], valptr[17];
+    uint8_t vals[256];
+    bool ok = false;
+
+    void build(const uint8_t counts[16], const uint8_t* values, int nv) {
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += counts[l - 1];
+            maxcode[l] = code - 1;
+            code <<= 1;
+            k += counts[l - 1];
+        }
+        for (int i = 0; i < nv && i < 256; i++) vals[i] = values[i];
+        ok = true;
+    }
+    int decode(BitReader& br) const {
+        int code = 0;
+        for (int l = 1; l <= 16; l++) {
+            code = (code << 1) | br.get(1);
+            if (maxcode[l] >= mincode[l] && code <= maxcode[l] &&
+                code >= mincode[l])
+                return vals[valptr[l] + code - mincode[l]];
+        }
+        return -1;
+    }
+};
+
+static inline int extend(int v, int ssss) {
+    // T.81 F.2.2.1 sign extension of a magnitude category
+    if (ssss == 0) return 0;
+    if (ssss == 16) return 32768;  // special: diff = 32768, no bits
+    return (v < (1 << (ssss - 1))) ? v - (1 << ssss) + 1 : v;
+}
+
+}  // namespace lj92
+
+// Returns 0 on success.  out must hold out_cap uint16 samples; w/h/comps
+// receive the SOF3 geometry (per-component width; row stride = w*comps).
+int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
+                int64_t out_cap, int* out_w, int* out_h, int* out_comps) {
+    using namespace lj92;
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) return -1;
+    p += 2;
+    Huff tables[4];
+    int precision = 0, W = 0, H = 0, NC = 0;
+    int comp_table[4] = {0, 0, 0, 0};
+    int predictor = 1, pt = 0;
+    int restart_interval = 0;
+
+    while (p + 4 <= end) {
+        if (p[0] != 0xFF) return -2;
+        int marker = p[1];
+        p += 2;
+        if (marker == 0xD9) return -3;  // EOI before SOS
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7))
+            continue;  // segmentless (TEM / RSTn)
+        int seglen = (p[0] << 8) | p[1];
+        const uint8_t* seg = p + 2;
+        const uint8_t* segend = p + seglen;
+        if (segend > end) return -4;
+        if (marker == 0xC3) {  // SOF3
+            precision = seg[0];
+            H = (seg[1] << 8) | seg[2];
+            W = (seg[3] << 8) | seg[4];
+            NC = seg[5];
+            if (NC < 1 || NC > 4 || precision < 2 || precision > 16)
+                return -5;
+            p = segend;
+        } else if (marker == 0xC4) {  // DHT (possibly several)
+            const uint8_t* q = seg;
+            while (q + 17 <= segend) {
+                int tc_th = *q++;
+                int th = tc_th & 0x0F;
+                uint8_t counts[16];
+                int nv = 0;
+                for (int i = 0; i < 16; i++) { counts[i] = q[i]; nv += q[i]; }
+                q += 16;
+                if (q + nv > segend || th > 3 || nv > 256) return -6;
+                tables[th].build(counts, q, nv);
+                q += nv;
+            }
+            p = segend;
+        } else if (marker == 0xDD) {  // DRI
+            restart_interval = (seg[0] << 8) | seg[1];
+            p = segend;
+        } else if (marker == 0xDA) {  // SOS
+            int ns = seg[0];
+            if (ns != NC || NC == 0) return -7;
+            for (int i = 0; i < ns; i++)
+                comp_table[i] = (seg[1 + 2 * i + 1] >> 4) & 0x0F;
+            predictor = seg[1 + 2 * ns];
+            pt = seg[3 + 2 * ns] & 0x0F;
+            p = segend;
+
+            // ---- entropy-coded scan ----
+            if ((int64_t)W * H * NC > out_cap) return -8;
+            for (int i = 0; i < NC; i++)
+                if (!tables[comp_table[i]].ok) return -9;
+            BitReader br(p, end);
+            int64_t stride = (int64_t)W * NC;
+            int default_pred = 1 << (precision - 1 - pt);
+            int64_t mcu = 0;
+            bool just_restarted = false;
+            for (int y = 0; y < H; y++) {
+                for (int x = 0; x < W; x++) {
+                    for (int c = 0; c < NC; c++) {
+                        const Huff& hu = tables[comp_table[c]];
+                        int ssss = hu.decode(br);
+                        if (ssss < 0 || ssss > 16) return -10;
+                        int diff = (ssss == 16) ? 32768
+                                 : extend(br.get(ssss), ssss);
+                        int pred;
+                        if ((y == 0 && x == 0) || just_restarted)
+                            pred = default_pred;  // T.81 H.2.1
+                        else if (y == 0)
+                            pred = out[(int64_t)x * NC - NC + c];
+                        else if (x == 0)
+                            pred = out[(int64_t)(y - 1) * stride + c];
+                        else {
+                            int a = out[(int64_t)y * stride
+                                        + (int64_t)(x - 1) * NC + c];
+                            int b = out[(int64_t)(y - 1) * stride
+                                        + (int64_t)x * NC + c];
+                            int cc = out[(int64_t)(y - 1) * stride
+                                         + (int64_t)(x - 1) * NC + c];
+                            switch (predictor) {
+                                case 1: pred = a; break;
+                                case 2: pred = b; break;
+                                case 3: pred = cc; break;
+                                case 4: pred = a + b - cc; break;
+                                case 5: pred = a + ((b - cc) >> 1); break;
+                                case 6: pred = b + ((a - cc) >> 1); break;
+                                case 7: pred = (a + b) >> 1; break;
+                                default: return -11;
+                            }
+                        }
+                        int v = (pred + diff) & 0xFFFF;
+                        out[(int64_t)y * stride + (int64_t)x * NC + c] =
+                            (uint16_t)v;
+                    }
+                    just_restarted = false;
+                    mcu++;
+                    if (restart_interval && mcu % restart_interval == 0 &&
+                        !(y == H - 1 && x == W - 1)) {
+                        br.align_to_marker();
+                        just_restarted = true;
+                    }
+                }
+            }
+            *out_w = W; *out_h = H; *out_comps = NC;
+            return 0;
+        } else if (marker >= 0xD0 && marker <= 0xD7) {
+            // unexpected bare restart marker
+            p += 0;
+        } else {
+            p = segend;  // skip APPn/COM/etc.
+        }
+    }
+    return -12;
+}
+
 }  // extern "C"

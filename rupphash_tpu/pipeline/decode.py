@@ -145,6 +145,14 @@ def load_image(path: str | os.PathLike, data: bytes | None = None):
     if is_raw_ext(p):
         img = extract_largest_jpeg(data)
         if img is None:
+            # preview-less DNG: native raw decode (LJ92 + TPU demosaic)
+            from . import dng
+            if dng.is_dng(data):
+                try:
+                    img = dng.decode_dng(data)
+                except Exception:
+                    img = None
+        if img is None:
             img = decode_bytes(data)  # DNG sometimes decodes directly
     elif ext in ("heic", "heif"):
         from ..native import heif
