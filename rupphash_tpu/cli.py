@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "files (e.g. PNG vs JPG)")
     p.add_argument("--sort", default="name", choices=SORT_ORDERS)
     p.add_argument("--use-tui", action="store_true")
+    p.add_argument("--use-gui", action="store_true",
+                   help="web GUI viewer (serves a local single-page app "
+                        "on 127.0.0.1; the reference's egui/wgpu desktop "
+                        "shell redesigned for headless TPU hosts)")
     p.add_argument("--delete", action="store_true",
                    help="interactive delete prompt per group")
     p.add_argument("--relative-times", action="store_true")
@@ -56,8 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "TUI advances the cursor instead)")
     p.add_argument("--3dlut", dest="luts3d", metavar="FILE", nargs="+",
                    default=None,
-                   help="3D LUT .cube files (GUI rendering out of scope; "
-                        "accepted for CLI parity)")
+                   help="3D LUT .cube files, cycled with L in the GUI "
+                        "(tetrahedral interpolation)")
     p.add_argument("--move-marked", metavar="DIR", type=Path, default=None)
     p.add_argument("--raw-thumbnails", action="store_true",
                    help="use embedded thumbnails from RAW files")
@@ -323,6 +327,10 @@ def main(argv=None) -> int:
             enr.start()
             groups = [records] if records else []
             infos = [GroupInfo()] if records else []
+            if args.use_gui:
+                from .gui import server as guiserver
+                return guiserver.run_gui(groups, infos, args,
+                                         store=store, luts=args.luts3d)
             from . import tui
             return tui.run(groups, infos, args, store=store)
 
@@ -348,6 +356,10 @@ def main(argv=None) -> int:
                     kept_infos.append(inf)
             groups, infos = kept_groups, kept_infos
 
+        if args.use_gui:
+            from .gui import server as guiserver
+            return guiserver.run_gui(groups, infos, args, store=store,
+                                     luts=args.luts3d)
         if args.use_tui:
             from . import tui
             return tui.run(groups, infos, args, store=store)

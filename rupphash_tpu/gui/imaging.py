@@ -1,0 +1,194 @@
+"""Viewer image engine: decode -> HDR finish -> orient -> LUT -> encode.
+
+The web analogue of the reference's load_and_process_image_from_bytes
+(gui/image.rs:1829-1962) and render_image_texture orientation handling
+(gui/image.rs:2325-2428):
+
+  * tiered decode (pipeline/decode.py — JPEG/PNG/WebP/AVIF/HEIC/JXL/
+    RAW preview/DNG demosaic/PDF raster)
+  * HDR->SDR finishing when cICP marks a PQ/HLG/BT.2020 source
+    (pipeline/hdr.py: BT.2390 MaxRGB tone map, gamut matrices,
+    dithered 8-bit encode — gui/image.rs:1429 finish_dynamic analogue)
+  * EXIF orientation decomposed into quarter-turns + mirror, composed
+    with the per-file manual FileTransform (gui/image.rs:2325-2428)
+  * optional 3D LUT (tetrahedral, gui/lut.py)
+  * downscale to the requested max side (MAX_TEXTURE_SIDE guard,
+    gui/image.rs:1357) and JPEG/PNG encode for the browser
+
+A small LRU keyed on (file id, mtime, transform, lut, size) mirrors the
+reference's preload-window texture caches (gui/app.rs:1686-1845).
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+
+MAX_TEXTURE_SIDE = 8192  # gui/image.rs:1357
+
+
+def exif_orient(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply EXIF orientation 1-8 (decomposition per gui/image.rs:2325)."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.rot90(img, k=3)
+    if orientation == 7:
+        return np.swapaxes(img[::-1, ::-1], 0, 1)
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    return img
+
+
+def apply_transform(img: np.ndarray, quarter_turns: int = 0,
+                    flip_h: bool = False, flip_v: bool = False):
+    """Per-file manual transform (state.rs FileTransform semantics)."""
+    if flip_h:
+        img = img[:, ::-1]
+    if flip_v:
+        img = img[::-1]
+    if quarter_turns % 4:
+        img = np.rot90(img, k=(-quarter_turns) % 4)
+    return img
+
+
+def hdr_finish(data: bytes, img: np.ndarray,
+               peak_nits: float = 203.0) -> np.ndarray:
+    """If the container carries cICP marking an HDR/wide-gamut encode,
+    tone-map to SDR (finish_dynamic analogue).  8-bit passthrough
+    otherwise."""
+    from ..pipeline import hdr
+
+    try:
+        cicp = hdr.detect_cicp(data)
+    except Exception:
+        cicp = None
+    if cicp is None or img.ndim != 3:
+        return img
+    try:
+        if not cicp.needs_conversion:
+            return img
+        lin = hdr.hdr_to_sdr(img[..., :3].astype(np.float32) / 255.0,
+                             cicp, peak_nits=peak_nits)
+        return hdr.encode_srgb_u8_dithered(lin)
+    except Exception:
+        return img
+
+
+def _downscale(img: np.ndarray, max_side: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    side = max(h, w)
+    if side <= max_side:
+        return img
+    from PIL import Image
+    scale = max_side / side
+    im = Image.fromarray(img)
+    return np.asarray(im.resize((max(1, int(w * scale)),
+                                 max(1, int(h * scale))),
+                                Image.BILINEAR))
+
+
+class ImageEngine:
+    def __init__(self, luts=None, cache_items: int = 48):
+        self.luts = luts or []          # list[Lut3D]
+        self.active_lut = -1            # -1 = off; cycles like the ref
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_items = cache_items
+        self._lock = threading.Lock()
+
+    def cycle_lut(self) -> str:
+        if not self.luts:
+            return "no LUTs loaded"
+        self.active_lut += 1
+        if self.active_lut >= len(self.luts):
+            self.active_lut = -1
+            return "LUT off"
+        lut = self.luts[self.active_lut]
+        return f"LUT: {lut.title or Path(lut.path).name}"
+
+    def render(self, path: Path, orientation: int = 1, transform=None,
+               max_side: int = 2048, fmt: str = "jpeg",
+               peak_nits: float = 203.0) -> bytes | None:
+        """Processed image bytes for the browser, or None."""
+        try:
+            st = path.stat()
+        except OSError:
+            return None
+        tkey = (transform.quarter_turns, transform.flip_h,
+                transform.flip_v) if transform else (0, False, False)
+        key = (str(path), st.st_mtime_ns, st.st_size, orientation, tkey,
+               self.active_lut, max_side, fmt)
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+
+        from ..pipeline import decode
+
+        try:
+            data = path.read_bytes()
+        except OSError:
+            return None
+        img, _ = decode.load_image(path, data=data)
+        if img is None:
+            return None
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = hdr_finish(data, img, peak_nits)
+        img = exif_orient(img, orientation)
+        if transform is not None:
+            img = apply_transform(img, transform.quarter_turns,
+                                  transform.flip_h, transform.flip_v)
+        img = _downscale(img, min(max_side, MAX_TEXTURE_SIDE))
+        if 0 <= self.active_lut < len(self.luts):
+            from . import lut as lutmod
+            img = lutmod.apply_lut_u8(np.ascontiguousarray(img[..., :3]),
+                                      self.luts[self.active_lut])
+        from PIL import Image
+        buf = io.BytesIO()
+        arr = np.ascontiguousarray(img)
+        if fmt == "png":
+            Image.fromarray(arr).save(buf, format="PNG")
+        else:
+            if arr.ndim == 3 and arr.shape[2] == 4:
+                arr = arr[..., :3]
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        out = buf.getvalue()
+        with self._lock:
+            self._cache[key] = out
+            while len(self._cache) > self._cache_items:
+                self._cache.popitem(last=False)
+        return out
+
+    def analyze(self, path: Path) -> dict | None:
+        """Histograms + palette for the overlay (gui/image.rs:2561-3255
+        analysis path, downsampled)."""
+        from ..pipeline import decode, palette
+
+        img, _ = decode.load_image(path)
+        if img is None:
+            return None
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = img[..., :3]
+        small = palette.analysis_downsample(img)
+        hl, ha, hb = palette.oklab_histograms(small)
+        luma = palette.luma_histogram(small)
+        pal = palette.kmeans_palette(small)
+        return {
+            "luma": [int(v) for v in luma],
+            "okl": [int(v) for v in hl],
+            "oka": [int(v) for v in ha],
+            "okb": [int(v) for v in hb],
+            "palette": [[int(c) for c in row] for row in pal],
+        }

@@ -1,0 +1,479 @@
+"""The single-page GUI frontend (vanilla HTML/JS/CSS, no build step).
+
+Renders the reference GUI's panels (gui/app.rs:2067-4151): bottom
+status bar, left virtualized group list with the reference's row
+encoding (M/L/C<n>/! markers; magenta=marked, light-blue=hardlink,
+green=bit-identical, gold=pixel-identical, gui/app.rs:3316-3410),
+central image with the reference's zoom cycles (W fit cycle, Z 1:1
+cycle, gui/dialogs.rs:649-669) and drag pan, right GPS panel (offline
+canvas map: markers, ordered path lines, fit-to-bounds —
+gps_map.rs:44-243,332-393), histogram overlay cycle (I,
+gui/dialogs.rs:447-452), EXIF overlay (gui/image.rs:3928), slideshow
+timer (gui/dialogs.rs:1566-1595), 3D LUT cycle (L), per-file transforms
+(state.rs FileTransform), confirm-gated delete and ignore.
+"""
+
+PAGE = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>rupphash_tpu</title>
+<style>
+:root { --bg:#101318; --fg:#cdd3dd; --dim:#7a8494; --sel:#2a3550;
+        --mark:#c678dd; --link:#61afef; --ident:#98c379; --pix:#e5c07b; }
+* { box-sizing:border-box; margin:0; }
+body { background:var(--bg); color:var(--fg);
+       font:13px/1.45 system-ui,sans-serif; height:100vh; display:flex;
+       flex-direction:column; overflow:hidden; }
+#main { flex:1; display:flex; min-height:0; }
+#list { width:30%; overflow-y:auto; border-right:1px solid #222a36;
+        padding:4px 0; user-select:none; }
+#center { flex:1; position:relative; background:#090b0e; min-width:0;
+          overflow:hidden; }
+#img { position:absolute; transform-origin:0 0; image-rendering:auto;
+       cursor:grab; }
+#side { width:24%; border-left:1px solid #222a36; display:flex;
+        flex-direction:column; min-width:0; }
+#map { width:100%; height:55%; background:#0c1016; }
+#exif { flex:1; overflow-y:auto; padding:6px 8px; font-size:12px;
+        white-space:pre-wrap; color:var(--dim); display:none; }
+#status { height:24px; background:#161b24; border-top:1px solid #222a36;
+          display:flex; align-items:center; padding:0 10px; gap:16px;
+          font-size:12px; color:var(--dim); }
+.ghdr { padding:2px 8px; color:var(--dim); background:#151a22;
+        font-weight:600; }
+.ghdr .lq { color:#e06c75; }
+.row { padding:1px 8px; cursor:pointer; display:flex; gap:6px;
+       white-space:nowrap; overflow:hidden; text-overflow:ellipsis; }
+.row.sel { background:var(--sel); }
+.row .mk { width:3em; color:var(--dim); flex:none; font-family:monospace; }
+.row.marked { color:var(--mark); }
+.row.hardlink { color:var(--link); }
+.row.identical { color:var(--ident); }
+.row.pixid { color:var(--pix); }
+.row .meta { margin-left:auto; color:var(--dim); flex:none; }
+#hist { position:absolute; right:10px; top:10px; background:#0009;
+        display:none; }
+#palette { position:absolute; left:10px; bottom:10px; display:none;
+           gap:0; height:18px; }
+#palette div { width:34px; height:18px; }
+#prompt { position:absolute; left:50%; top:40%;
+          transform:translateX(-50%); background:#1c2330; padding:12px;
+          border:1px solid #39445a; display:none; z-index:5; }
+#prompt input { width:320px; background:#0d1117; color:var(--fg);
+                border:1px solid #39445a; padding:4px; }
+#confirm { position:absolute; left:50%; top:40%;
+           transform:translateX(-50%); background:#30222a; padding:14px;
+           border:1px solid #7a3a4a; display:none; z-index:5; }
+#help { position:absolute; inset:10% 20%; background:#141a24ee;
+        border:1px solid #39445a; padding:16px; overflow-y:auto;
+        display:none; z-index:6; font-size:12px; column-count:2; }
+#spin { position:absolute; left:50%; top:50%; color:var(--dim);
+        transform:translate(-50%,-50%); display:none; }
+</style></head><body>
+<div id="main">
+  <div id="list"></div>
+  <div id="center">
+    <img id="img"><div id="spin">loading…</div>
+    <canvas id="hist" width="256" height="110"></canvas>
+    <div id="palette"></div>
+    <div id="prompt"><div id="plabel"></div><input id="pinput"></div>
+    <div id="confirm"></div>
+    <div id="help"></div>
+  </div>
+  <div id="side"><canvas id="map"></canvas><div id="exif"></div></div>
+</div>
+<div id="status"><span id="st-pos"></span><span id="st-file"></span>
+  <span id="st-marked"></span><span id="st-zoom"></span>
+  <span id="st-msg" style="margin-left:auto"></span></div>
+<script>
+'use strict';
+let S = null;            // server snapshot
+let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
+let pan = {x:0, y:0}, drag = null;
+let histMode = 0, exifOn = false, slideTimer = null;
+let imgNatural = [0, 0];
+
+const $ = id => document.getElementById(id);
+
+async function intent(name, arg) {
+  const r = await fetch('/api/intent', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({intent:name, arg:arg===undefined?null:arg})});
+  S = await r.json();
+  render();
+  if (S.quit) { $('st-msg').textContent = 'session ended'; }
+}
+
+async function refresh() {
+  S = await (await fetch('/api/state')).json();
+  render();
+}
+
+function fmtSize(n) {
+  const u = ['B','KiB','MiB','GiB']; let i = 0;
+  while (n >= 1024 && i < 3) { n /= 1024; i++; }
+  return n.toFixed(i ? 1 : 0) + ' ' + u[i];
+}
+
+function render() {
+  if (!S) return;
+  const list = $('list');
+  list.textContent = '';
+  S.groups.forEach((g, gi) => {
+    const h = document.createElement('div');
+    h.className = 'ghdr';
+    h.innerHTML = `Group ${gi+1} (max dist ${g.max_dist})` +
+      (g.status !== 'none' ? ` [${g.status}]` : '') +
+      (g.low_quality ?
+       ' <span class="lq">[low quality: exact match only]</span>' : '');
+    list.appendChild(h);
+    g.files.forEach((f, fi) => {
+      const d = document.createElement('div');
+      let cls = 'row';
+      if (gi === S.cursor[0] && fi === S.cursor[1]) cls += ' sel';
+      if (f.marked) cls += ' marked';
+      else if (f.hardlink) cls += ' hardlink';
+      else if (f.subgroup) cls += ' pixid';
+      else if (f.identical) cls += ' identical';
+      d.className = cls;
+      let mk = (f.marked ? 'M' : ' ') + (f.hardlink ? 'L' : ' ') +
+               (f.subgroup ? 'C' + f.subgroup : '  ');
+      if (f.low_quality) mk = mk.slice(0, 3) + '!';
+      const res = f.res ? f.res[0] + 'x' + f.res[1] : '?';
+      d.innerHTML = `<span class="mk">${mk}</span>` +
+        `<span>${f.name}</span>` +
+        `<span class="meta">${res} · ${fmtSize(f.size)}</span>`;
+      d.title = f.path;
+      d.onclick = () => selectRow(gi, fi);
+      list.appendChild(d);
+      if (gi === S.cursor[0] && fi === S.cursor[1])
+        queueMicrotask(() => d.scrollIntoView({block:'nearest'}));
+    });
+  });
+  const cur = current();
+  $('st-pos').textContent = S.groups.length ?
+    `group ${S.cursor[0]+1}/${S.groups.length}` : 'no groups';
+  $('st-file').textContent = cur ? cur.path : '';
+  $('st-marked').textContent = S.marked ? `${S.marked} marked` : '';
+  $('st-msg').textContent = S.status || '';
+  $('st-zoom').textContent = zoomMode;
+  if (S.pending_confirm) {
+    const c = $('confirm');
+    c.style.display = 'block';
+    c.textContent = S.pending_confirm === 'delete'
+      ? `Delete ${S.marked} marked file(s)` +
+        (S.use_trash ? ' to trash' : '') + '?  y = yes, any other = no'
+      : 'Ignore whole group?  y = yes, any other = no';
+  } else $('confirm').style.display = 'none';
+  loadImage();
+  drawMap();
+  if (histMode) loadAnalysis();
+  if (exifOn) loadExif();
+}
+
+function current() {
+  if (!S || !S.groups.length) return null;
+  const g = S.groups[S.cursor[0]];
+  return g ? g.files[S.cursor[1]] : null;
+}
+
+async function selectRow(gi, fi) {
+  // navigate by diff of flat indices
+  let flat = 0, target = 0, at = 0;
+  S.groups.forEach((g, i) => g.files.forEach((f, j) => {
+    if (i === S.cursor[0] && j === S.cursor[1]) at = flat;
+    if (i === gi && j === fi) target = flat;
+    flat++;
+  }));
+  const d = target - at;
+  for (let i = 0; i < Math.abs(d); i++)
+    await intent(d > 0 ? 'next_item' : 'prev_item');
+}
+
+let imgSeq = 0;
+function loadImage() {
+  const cur = current();
+  const img = $('img');
+  if (!cur) { img.src = ''; return; }
+  const seq = ++imgSeq;
+  $('spin').style.display = 'block';
+  const pre = new Image();
+  pre.onload = () => {
+    if (seq !== imgSeq) return;
+    imgNatural = [pre.naturalWidth, pre.naturalHeight];
+    img.src = pre.src;
+    pan = {x:0, y:0};
+    layoutImage();
+    $('spin').style.display = 'none';
+  };
+  pre.onerror = () => { if (seq === imgSeq) {
+    $('spin').textContent = 'decode failed';
+  }};
+  pre.src = `/api/image?g=${S.cursor[0]}&f=${S.cursor[1]}&s=2048` +
+            `&v=${encodeURIComponent(cur.path + cur.mtime)}`;
+}
+
+function layoutImage() {
+  const c = $('center'), img = $('img');
+  const cw = c.clientWidth, ch = c.clientHeight;
+  const [iw, ih] = imgNatural;
+  if (!iw) return;
+  let scale;
+  if (zoomMode === 'fit') scale = Math.min(cw/iw, ch/ih, 2); // cap 2x
+  else if (zoomMode === 'fitw') scale = cw/iw;
+  else if (zoomMode === 'fith') scale = ch/ih;
+  else scale = {x1:1, x2:2, x4:4, x8:8}[zoomMode] || 1;
+  const w = iw*scale, h = ih*scale;
+  let x = (cw-w)/2 + pan.x, y = (ch-h)/2 + pan.y;
+  if (w <= cw) { x = (cw-w)/2; pan.x = 0; }
+  else x = Math.min(0, Math.max(cw-w, x));
+  if (h <= ch) { y = (ch-h)/2; pan.y = 0; }
+  else y = Math.min(0, Math.max(ch-h, y));
+  img.style.width = w+'px'; img.style.height = h+'px';
+  img.style.left = x+'px'; img.style.top = y+'px';
+  img.style.imageRendering = scale >= 2 ? 'pixelated' : 'auto';
+  $('st-zoom').textContent = zoomMode + ' ' +
+    Math.round(scale*100) + '%';
+}
+
+function drawMap() {
+  const cv = $('map');
+  cv.width = cv.clientWidth; cv.height = cv.clientHeight;
+  const ctx = cv.getContext('2d');
+  ctx.fillStyle = '#0c1016'; ctx.fillRect(0, 0, cv.width, cv.height);
+  const md = S.map || {markers: [], order: []};
+  if (!md.markers.length) {
+    ctx.fillStyle = '#39445a';
+    ctx.fillText('no GPS markers in group', 10, 20);
+    return;
+  }
+  const lats = md.markers.map(m => m.lat);
+  const lons = md.markers.map(m => m.lon);
+  const pad = 0.15;
+  let la0 = Math.min(...lats), la1 = Math.max(...lats);
+  let lo0 = Math.min(...lons), lo1 = Math.max(...lons);
+  const dla = Math.max(la1-la0, 0.002), dlo = Math.max(lo1-lo0, 0.002);
+  la0 -= dla*pad; la1 += dla*pad; lo0 -= dlo*pad; lo1 += dlo*pad;
+  const px = m => [(m.lon-lo0)/(lo1-lo0)*cv.width,
+                   (la1-m.lat)/(la1-la0)*cv.height];
+  // graticule
+  ctx.strokeStyle = '#1b2230';
+  for (let i = 1; i < 6; i++) {
+    ctx.beginPath(); ctx.moveTo(cv.width*i/6, 0);
+    ctx.lineTo(cv.width*i/6, cv.height); ctx.stroke();
+    ctx.beginPath(); ctx.moveTo(0, cv.height*i/6);
+    ctx.lineTo(cv.width, cv.height*i/6); ctx.stroke();
+  }
+  // ordered path lines (gps_map.rs marker plugin)
+  if (md.order.length > 1) {
+    ctx.strokeStyle = '#61afef88'; ctx.lineWidth = 1.5;
+    ctx.beginPath();
+    md.order.forEach((oi, k) => {
+      const [x, y] = px(md.markers[oi]);
+      k ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    });
+    ctx.stroke();
+  }
+  md.markers.forEach((m, i) => {
+    const [x, y] = px(m);
+    const sel = m.file === S.cursor[1];
+    ctx.fillStyle = sel ? '#e5c07b' : '#c678dd';
+    ctx.beginPath(); ctx.arc(x, y, sel ? 6 : 4, 0, 7); ctx.fill();
+  });
+  ctx.fillStyle = '#7a8494';
+  ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
+}
+
+async function loadAnalysis() {
+  const r = await fetch(`/api/analysis?g=${S.cursor[0]}&f=${S.cursor[1]}`);
+  if (!r.ok) return;
+  const a = await r.json();
+  const cv = $('hist'); cv.style.display = 'block';
+  const ctx = cv.getContext('2d');
+  ctx.clearRect(0, 0, 256, 110);
+  ctx.fillStyle = '#0009'; ctx.fillRect(0, 0, 256, 110);
+  const series = histMode === 1
+    ? [['#cdd3dd', a.luma]]
+    : [['#cdd3dd', a.okl], ['#98c379', a.oka], ['#61afef', a.okb]];
+  for (const [color, h] of series) {
+    const mx = Math.max(...h, 1);
+    ctx.strokeStyle = color; ctx.beginPath();
+    h.forEach((v, i) => {
+      const y = 105 - v/mx*95;
+      i ? ctx.lineTo(i, y) : ctx.moveTo(i, y);
+    });
+    ctx.stroke();
+  }
+  const pal = $('palette');
+  pal.style.display = 'flex'; pal.textContent = '';
+  (a.palette || []).forEach(rgb => {
+    const d = document.createElement('div');
+    d.style.background = `rgb(${rgb[0]},${rgb[1]},${rgb[2]})`;
+    pal.appendChild(d);
+  });
+}
+
+async function loadExif() {
+  const r = await fetch(`/api/exif?g=${S.cursor[0]}&f=${S.cursor[1]}`);
+  const e = $('exif');
+  e.style.display = 'block';
+  if (!r.ok) { e.textContent = 'EXIF unavailable'; return; }
+  const x = await r.json();
+  let t = '';
+  if (x.width) t += `Dimensions  ${x.width} x ${x.height}\n`;
+  if (x.gps) t += `GPS         ${x.gps[0].toFixed(5)}, ` +
+                  `${x.gps[1].toFixed(5)}\n`;
+  if (x.altitude != null) t += `Altitude    ${x.altitude.toFixed(1)} m\n`;
+  if (x.timestamp) t += `Taken       ` +
+    new Date(x.timestamp*1000).toISOString() + `\n`;
+  if (x.sun && x.sun.sun_altitude !== undefined)
+    t += `Sun         alt ${x.sun.sun_altitude}°  ` +
+         `az ${x.sun.sun_azimuth}°\n`;
+  if (x.location && x.location.country)
+    t += `Location    ${x.location.country}\n`;
+  if (x.location && x.location.timezone)
+    t += `Timezone    ${x.location.timezone}\n`;
+  t += '\n';
+  for (const [k, v] of Object.entries(x.tags || {}))
+    t += `${k}  ${v}\n`;
+  e.textContent = t;
+}
+
+// ---------------- prompts --------------------------------------------
+let promptCb = null;
+function prompt2(label, cb, preset) {
+  $('plabel').textContent = label;
+  const inp = $('pinput');
+  inp.value = preset || '';
+  $('prompt').style.display = 'block';
+  inp.focus();
+  promptCb = cb;
+}
+$('pinput').addEventListener('keydown', ev => {
+  ev.stopPropagation();
+  if (ev.key === 'Enter') {
+    const v = $('pinput').value;
+    $('prompt').style.display = 'none';
+    if (promptCb) promptCb(v);
+  } else if (ev.key === 'Escape') {
+    $('prompt').style.display = 'none';
+  }
+});
+
+const SORTS = ['name','path','size','size-asc','modified','modified-asc',
+               'resolution','resolution-asc','random'];
+
+const HELP = `rupphash_tpu viewer keys
+↑/↓ or j/k   next / previous file
+←/→          previous / next group
+PgUp/PgDn    page      Home/End  first / last
+Space        mark      g  mark group    u  unmark all
+d            delete marked (confirm y/n)
+x / X        ignore file / group
+m            move marked to target dir
+r            rename current file
+/            filename regex search   n/p next/prev match
+s            cycle sort order        t  relative times
+W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
+I            histogram off/luma/Oklab   E  EXIF overlay
+L            cycle 3D LUT
+R / H / V    rotate 90° cw / flip horizontal / vertical
+0            reset transform
+T            slideshow    F  fullscreen    ?  this help    Q  quit`;
+
+document.addEventListener('keydown', async ev => {
+  if (ev.target.tagName === 'INPUT') return;
+  if (S && S.pending_confirm) {
+    if (ev.key === 'y')
+      await intent(S.pending_confirm === 'delete'
+                   ? 'execute_delete' : 'ignore_group');
+    else await intent('cancel');
+    return;
+  }
+  const k = ev.key;
+  const plain = {
+    ArrowDown:'next_item', j:'next_item', ArrowUp:'prev_item',
+    k:'prev_item', ArrowRight:'next_group', ArrowLeft:'prev_group',
+    PageDown:'page_down', PageUp:'page_up', Home:'home', End:'end',
+    ' ':'toggle_mark', g:'mark_group', u:'unmark_all',
+    d:'confirm_delete', x:'ignore_current', X:'ignore_group',
+    m:'move_marked', t:'toggle_relative_time', L:'cycle_lut',
+    R:'rotate_cw', H:'flip_h', V:'flip_v', '0':'reset_transform',
+  };
+  if (plain[k]) { ev.preventDefault(); await intent(plain[k]); return; }
+  switch (k) {
+    case 'q': case 'Q': await intent('quit'); break;
+    case 'r': {
+      const cur = current();
+      if (cur) prompt2('Rename to:', v => intent('submit_rename', v),
+                       cur.name);
+      break; }
+    case '/':
+      ev.preventDefault();
+      prompt2('Search filename regex:',
+              v => intent('submit_search', v));
+      break;
+    case 'n': await intent('next_search'); break;
+    case 'p': await intent('prev_search'); break;
+    case 's': {
+      const i = SORTS.indexOf(S.sort_order);
+      await intent('change_sort', SORTS[(i+1) % SORTS.length]);
+      break; }
+    case 'W':
+      zoomMode = {fit:'fitw', fitw:'fith', fith:'fit'}[zoomMode]
+                 || 'fit';
+      layoutImage(); break;
+    case 'Z':
+      zoomMode = {x1:'x2', x2:'x4', x4:'x8', x8:'fit'}[zoomMode]
+                 || 'x1';
+      layoutImage(); break;
+    case 'I':
+      histMode = (histMode+1) % 3;
+      if (histMode) loadAnalysis();
+      else { $('hist').style.display = 'none';
+             $('palette').style.display = 'none'; }
+      break;
+    case 'E':
+      exifOn = !exifOn;
+      if (exifOn) loadExif();
+      else $('exif').style.display = 'none';
+      break;
+    case 'T':
+      if (slideTimer) { clearInterval(slideTimer); slideTimer = null;
+                        $('st-msg').textContent = 'slideshow off'; }
+      else {
+        const iv = (S.slideshow || 3) * 1000;
+        slideTimer = setInterval(() => {
+          if (!document.getElementById('prompt').style.display ||
+              $('prompt').style.display !== 'block')
+            intent('next_item');
+        }, iv);
+        $('st-msg').textContent = 'slideshow on';
+      }
+      break;
+    case 'F':
+      document.fullscreenElement ? document.exitFullscreen()
+        : document.documentElement.requestFullscreen();
+      break;
+    case '?':
+      $('help').textContent = HELP;
+      $('help').style.display =
+        $('help').style.display === 'block' ? 'none' : 'block';
+      break;
+  }
+});
+
+// drag pan (gui/image.rs:2430-2557 whole-area drag sense)
+$('center').addEventListener('mousedown', ev => {
+  drag = {x: ev.clientX, y: ev.clientY, px: pan.x, py: pan.y};
+});
+window.addEventListener('mousemove', ev => {
+  if (!drag) return;
+  pan.x = drag.px + (ev.clientX - drag.x);
+  pan.y = drag.py + (ev.clientY - drag.y);
+  layoutImage();
+});
+window.addEventListener('mouseup', () => drag = null);
+window.addEventListener('resize', () => { layoutImage(); drawMap(); });
+
+refresh();
+</script></body></html>
+"""

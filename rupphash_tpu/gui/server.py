@@ -1,0 +1,303 @@
+"""Zero-dependency HTTP server exposing AppState to the web frontend.
+
+Web-native redesign of the reference's GUI shell (gui/app.rs): the
+browser renders; this server owns state.  One lock serializes intents
+against snapshots — the reference gets the same serialization from
+egui's single-threaded frame loop (gui/app.rs:2067).
+
+Endpoints
+  GET  /                     the single-page app (gui/page.py)
+  GET  /api/state            full session snapshot (groups, cursor,
+                             marks, markers column, status, map data)
+  GET  /api/image?g=&f=&s=   processed image (imaging.ImageEngine)
+  GET  /api/analysis?g=&f=   histograms + dominant-color palette
+  GET  /api/exif?g=&f=       EXIF tag sweep + derived tags
+  POST /api/intent           {"intent": "...", "arg": ...} -> snapshot
+
+Row annotations mirror the reference's left list encoding
+(gui/app.rs:3316-3410): M marked, L hardlink, C<n> pixel-identical
+subgroup, ! low PDQ quality; group headers carry max distance and the
+low-quality warning (gui/app.rs:3227-3240).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..state import AppState, Intent
+from . import imaging
+
+
+def _subgroups(group) -> dict:
+    """path -> pixel-identical subgroup id (state.rs:109-133)."""
+    by_hash: dict[bytes, list] = {}
+    for f in group:
+        if f.pixel_hash:
+            by_hash.setdefault(f.pixel_hash, []).append(f.path)
+    out = {}
+    n = 0
+    for paths in by_hash.values():
+        if len(paths) > 1:
+            n += 1
+            for p in paths:
+                out[p] = n
+    return out
+
+
+class GuiServer:
+    def __init__(self, state: AppState, engine: imaging.ImageEngine
+                 | None = None, slideshow: float | None = None,
+                 use_gps_time: bool = True):
+        self.state = state
+        self.engine = engine or imaging.ImageEngine()
+        self.slideshow = slideshow
+        self.use_gps_time = use_gps_time
+        self.lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------------ state
+    def snapshot(self) -> dict:
+        st = self.state
+        groups = []
+        for gi, g in enumerate(st.groups):
+            info = st.infos[gi] if gi < len(st.infos) else None
+            subs = _subgroups(g)
+            id_counts: dict[bytes, int] = {}
+            link_counts: dict[int, int] = {}
+            for f in g:
+                if f.content_hash:
+                    id_counts[f.content_hash] = \
+                        id_counts.get(f.content_hash, 0) + 1
+                link_counts[f.unique_file_id] = \
+                    link_counts.get(f.unique_file_id, 0) + 1
+            files = []
+            for fi, f in enumerate(g):
+                files.append({
+                    "name": f.path.name,
+                    "path": str(f.path),
+                    "size": f.size,
+                    "mtime": f.modified,
+                    "res": list(f.resolution) if f.resolution else None,
+                    "marked": f.path in st.marked,
+                    "hardlink": link_counts.get(f.unique_file_id, 0) > 1,
+                    "identical": bool(
+                        f.content_hash
+                        and id_counts.get(f.content_hash, 0) > 1),
+                    "subgroup": subs.get(f.path, 0),
+                    "low_quality": f.is_low_quality,
+                    "quality": f.pdq_quality,
+                    "gps": list(f.gps_pos) if f.gps_pos else None,
+                    "ts": f.exif_timestamp,
+                })
+            groups.append({
+                "max_dist": info.max_dist if info else 0,
+                "status": info.status if info else "none",
+                "low_quality": any(f.is_low_quality for f in g),
+                "files": files,
+            })
+        return {
+            "groups": groups,
+            "cursor": [st.cursor_group, st.cursor_file],
+            "marked": len(st.marked),
+            "status": st.status,
+            "pending_confirm": st.pending_confirm,
+            "sort_order": st.sort_order,
+            "use_trash": st.use_trash,
+            "relative_times": st.relative_times,
+            "slideshow": self.slideshow,
+            "quit": st.quit,
+            "map": self._map_data(),
+        }
+
+    def _map_data(self) -> dict:
+        """Markers for the cursor group with ordered path lines
+        (gps_map.rs:44-243 ordering modes; auto mode here)."""
+        from ..utils import geo
+
+        st = self.state
+        if not st.groups:
+            return {"markers": [], "order": []}
+        g = st.groups[min(st.cursor_group, len(st.groups) - 1)]
+        markers, ts = [], []
+        for fi, f in enumerate(g):
+            if f.gps_pos:
+                markers.append({"lat": f.gps_pos[0], "lon": f.gps_pos[1],
+                                "file": fi, "name": f.path.name})
+                ts.append(f.exif_timestamp)
+        order = []
+        if len(markers) >= 2:
+            pts = [(m["lat"], m["lon"]) for m in markers]
+            try:
+                order = [int(i) for i in geo.order_markers(
+                    pts, timestamps=ts)]
+            except Exception:
+                order = list(range(len(markers)))
+        return {"markers": markers, "order": order}
+
+    # ------------------------------------------------------------ intents
+    INTENTS = {i.value: i for i in Intent}
+    EXTRA = ("cycle_lut", "noop")
+
+    def apply_intent(self, name: str, arg=None) -> dict:
+        with self.lock:
+            if name == "cycle_lut":
+                self.state.status = self.engine.cycle_lut()
+            elif name == "noop":
+                pass
+            elif name in self.INTENTS:
+                self.state.handle_input(self.INTENTS[name], arg)
+            else:
+                self.state.status = f"unknown intent: {name}"
+            return self.snapshot()
+
+    # ------------------------------------------------------------ http
+    def _record(self, gi: int, fi: int):
+        st = self.state
+        if 0 <= gi < len(st.groups) and 0 <= fi < len(st.groups[gi]):
+            return st.groups[gi][fi]
+        return None
+
+    def make_handler(server):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code=200):
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+
+                def qi(name, default=0):
+                    try:
+                        return int(q.get(name, [default])[0])
+                    except ValueError:
+                        return default
+
+                if u.path == "/":
+                    from . import page
+                    self._send(200, page.PAGE.encode(),
+                               "text/html; charset=utf-8")
+                elif u.path == "/api/state":
+                    with server.lock:
+                        self._json(server.snapshot())
+                elif u.path == "/api/image":
+                    rec = server._record(qi("g"), qi("f"))
+                    if rec is None:
+                        self._json({"error": "no such file"}, 404)
+                        return
+                    tr = server.state.transforms.get(rec.unique_file_id)
+                    data = server.engine.render(
+                        rec.path, rec.orientation, tr,
+                        max_side=qi("s", 2048) or 2048)
+                    if data is None:
+                        self._json({"error": "decode failed"}, 415)
+                    else:
+                        self._send(200, data, "image/jpeg")
+                elif u.path == "/api/analysis":
+                    rec = server._record(qi("g"), qi("f"))
+                    out = server.engine.analyze(rec.path) if rec else None
+                    if out is None:
+                        self._json({"error": "unavailable"}, 404)
+                    else:
+                        self._json(out)
+                elif u.path == "/api/exif":
+                    rec = server._record(qi("g"), qi("f"))
+                    if rec is None:
+                        self._json({"error": "no such file"}, 404)
+                        return
+                    from ..pipeline import exif
+                    try:
+                        feats = exif.extract(rec.path)
+                    except Exception:
+                        feats = {}
+                    sun = exif.derive_sun_position(
+                        feats, use_gps_time=server.use_gps_time) or {}
+                    loc = exif.derive_location(feats)
+                    self._json({
+                        "width": feats.get("width"),
+                        "height": feats.get("height"),
+                        "orientation": feats.get("orientation"),
+                        "gps": feats.get("gps"),
+                        "altitude": feats.get("altitude"),
+                        "timestamp": feats.get("exif_timestamp"),
+                        "gps_timestamp": feats.get("gps_timestamp"),
+                        "tags": {k: str(v) for k, v in
+                                 (feats.get("tags") or {}).items()},
+                        "sun": {k: round(v, 4) for k, v in sun.items()},
+                        "location": loc,
+                    })
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/api/intent":
+                    self._json({"error": "not found"}, 404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._json({"error": "bad request"}, 400)
+                    return
+                name = str(body.get("intent", ""))
+                snap = server.apply_intent(name, body.get("arg"))
+                self._json(snap)
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 0):
+        """Start serving; returns (httpd, actual_port).  Caller decides
+        whether to block (serve_forever) or run in a thread."""
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        self._httpd = httpd
+        return httpd, httpd.server_address[1]
+
+
+def run_gui(groups, infos, args, store=None, luts=None) -> int:
+    """CLI entry: serve the session and block until quit (Q in the UI)."""
+    import sys
+
+    from . import lut as lutmod
+
+    lut_objs = []
+    for p in (luts or []):
+        lt = lutmod.load_cube(p)
+        if lt is not None:
+            lut_objs.append(lt)
+        else:
+            print(f"warning: could not parse LUT {p}", file=sys.stderr)
+    st = AppState(groups, infos, use_trash=args.use_trash,
+                  move_target=args.move_marked,
+                  sort_order=args.sort,
+                  relative_times=args.relative_times, store=store)
+    srv = GuiServer(st, imaging.ImageEngine(lut_objs),
+                    slideshow=args.slideshow)
+    httpd, port = srv.serve()
+    print(f"GUI at http://127.0.0.1:{port}/  (Q in the page quits)",
+          file=sys.stderr)
+    import contextlib
+
+    try:
+        while not st.quit:
+            httpd.timeout = 0.25
+            httpd.handle_request()
+    except KeyboardInterrupt:
+        pass
+    with contextlib.suppress(Exception):
+        httpd.server_close()
+    return 0

@@ -1,0 +1,221 @@
+"""Web GUI: LUT math, image engine transforms, HTTP server API."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rupphash_tpu.grouping.engine import FileRecord, GroupInfo
+from rupphash_tpu.gui import imaging, lut, server
+from rupphash_tpu.state import AppState
+
+
+# ---------------------------------------------------------------- LUT
+
+def _identity_cube(n=9):
+    lines = [f"LUT_3D_SIZE {n}"]
+    for b in range(n):
+        for g in range(n):
+            for r in range(n):
+                lines.append(f"{r/(n-1):.6f} {g/(n-1):.6f} {b/(n-1):.6f}")
+    return "\n".join(lines)
+
+
+def test_lut_identity_exact():
+    lt = lut.parse_cube(_identity_cube())
+    assert lt is not None and lt.size == 9
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (31, 17, 3), dtype=np.uint8)
+    out = lut.apply_lut_u8(img, lt)
+    assert np.array_equal(out, img)
+
+
+def test_lut_invert():
+    n = 5
+    lines = [f'TITLE "invert"', f"LUT_3D_SIZE {n}"]
+    for b in range(n):
+        for g in range(n):
+            for r in range(n):
+                lines.append(f"{1-r/(n-1):.6f} {1-g/(n-1):.6f} "
+                             f"{1-b/(n-1):.6f}")
+    lt = lut.parse_cube("\n".join(lines))
+    assert lt.title == "invert"
+    img = np.arange(0, 256, 5, dtype=np.uint8).reshape(-1, 1, 1)
+    img = np.repeat(img, 3, axis=2)
+    out = lut.apply_lut_u8(img, lt)
+    assert np.abs(out.astype(int) - (255 - img.astype(int))).max() <= 1
+
+
+def test_lut_rejects_malformed():
+    assert lut.parse_cube("LUT_3D_SIZE 2\n0 0 0") is None     # short
+    assert lut.parse_cube("LUT_1D_SIZE 4\n0\n1\n2\n3") is None
+    assert lut.parse_cube("garbage everywhere") is None
+
+
+# ------------------------------------------------------------ imaging
+
+def test_exif_orient_matches_pil():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        im = Image.fromarray(img)
+        exif = im.getexif()
+        exif[0x0112] = o
+        ours = imaging.exif_orient(img, o)
+        # oracle: PIL's documented transpose table for orientation 1-8
+        table = {1: img, 2: img[:, ::-1], 3: img[::-1, ::-1],
+                 4: img[::-1], 5: np.swapaxes(img, 0, 1),
+                 6: np.rot90(img, 3), 7: np.swapaxes(img[::-1, ::-1],
+                                                     0, 1),
+                 8: np.rot90(img, 1)}
+        assert np.array_equal(ours, table[o]), o
+
+
+def test_transform_roundtrips():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    out = imaging.apply_transform(img, quarter_turns=4)
+    assert np.array_equal(out, img)
+    out = imaging.apply_transform(
+        imaging.apply_transform(img, flip_h=True), flip_h=True)
+    assert np.array_equal(out, img)
+    # one cw turn = rot90(k=-1)
+    assert np.array_equal(imaging.apply_transform(img, 1),
+                          np.rot90(img, -1))
+
+
+# ------------------------------------------------------------- server
+
+@pytest.fixture()
+def gui(tmp_path):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((96, 64),
+                                                  Image.BILINEAR))
+    paths = []
+    for i, name in enumerate(["a.png", "b.png", "c.png"]):
+        p = tmp_path / name
+        arr = img.copy()
+        arr[0, 0, 0] = i  # distinct bytes
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    groups = [[FileRecord(path=p, size=p.stat().st_size,
+                          resolution=(96, 64), unique_file_id=100 + i)
+               for i, p in enumerate(paths)]]
+    st = AppState(groups, [GroupInfo(max_dist=2)])
+    srv = server.GuiServer(st)
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv, port, paths
+    httpd.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=10) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _intent(port, name, arg=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/intent",
+        data=json.dumps({"intent": name, "arg": arg}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_state(gui):
+    srv, port, paths = gui
+    code, ctype, body = _get(port, "/")
+    assert code == 200 and "text/html" in ctype
+    assert b"rupphash_tpu" in body
+    code, ctype, body = _get(port, "/api/state")
+    snap = json.loads(body)
+    assert len(snap["groups"]) == 1
+    assert len(snap["groups"][0]["files"]) == 3
+    assert snap["groups"][0]["max_dist"] == 2
+    assert snap["cursor"] == [0, 0]
+
+
+def test_image_endpoint(gui):
+    srv, port, paths = gui
+    code, ctype, body = _get(port, "/api/image?g=0&f=1&s=512")
+    assert code == 200 and ctype == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"
+    import io
+    w, h = Image.open(io.BytesIO(body)).size
+    assert (w, h) == (96, 64)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/api/image?g=9&f=0")
+    assert ei.value.code == 404
+
+
+def test_analysis_endpoint(gui):
+    srv, port, paths = gui
+    code, _, body = _get(port, "/api/analysis?g=0&f=0")
+    assert code == 200
+    a = json.loads(body)
+    assert len(a["luma"]) == 256 and len(a["okl"]) == 256
+    assert a["palette"] and all(len(c) == 3 for c in a["palette"])
+
+
+def test_intent_flow_mark_and_delete(gui):
+    srv, port, paths = gui
+    snap = _intent(port, "toggle_mark")
+    assert snap["groups"][0]["files"][0]["marked"]
+    assert snap["marked"] == 1
+    # marking auto-advances (reference TUI space semantics)
+    assert snap["cursor"] == [0, 1]
+    snap = _intent(port, "next_item")
+    assert snap["cursor"] == [0, 2]
+    # confirm-gated delete (state.rs confirm semantics)
+    snap = _intent(port, "confirm_delete")
+    assert snap["pending_confirm"] == "delete"
+    snap = _intent(port, "execute_delete")
+    assert snap["pending_confirm"] is None
+    assert not paths[0].exists()
+    assert paths[1].exists() and paths[2].exists()
+    assert len(snap["groups"][0]["files"]) == 2
+
+
+def test_intent_rename_and_quit(gui, tmp_path):
+    srv, port, paths = gui
+    snap = _intent(port, "submit_rename", "renamed.png")
+    names = [f["name"] for f in snap["groups"][0]["files"]]
+    assert "renamed.png" in names
+    assert (tmp_path / "renamed.png").exists()
+    snap = _intent(port, "unknown_thing")
+    assert "unknown intent" in snap["status"]
+    snap = _intent(port, "quit")
+    assert snap["quit"]
+
+
+def test_transform_intent_changes_image(gui):
+    srv, port, paths = gui
+    _, _, before = _get(port, "/api/image?g=0&f=0&s=512")
+    _intent(port, "rotate_cw")
+    _, _, after = _get(port, "/api/image?g=0&f=0&s=512")
+    import io
+    assert Image.open(io.BytesIO(after)).size == (64, 96)  # rotated
+    assert Image.open(io.BytesIO(before)).size == (96, 64)
+
+
+def test_lut_cycle_intent(tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(img).save(p)
+    lt = lut.parse_cube(_identity_cube(4))
+    groups = [[FileRecord(path=p, size=1, unique_file_id=1)]]
+    st = AppState(groups, [GroupInfo()])
+    srv = server.GuiServer(st, imaging.ImageEngine([lt]))
+    snap = srv.apply_intent("cycle_lut")
+    assert "LUT" in snap["status"]
+    assert srv.engine.active_lut == 0
+    snap = srv.apply_intent("cycle_lut")
+    assert srv.engine.active_lut == -1
