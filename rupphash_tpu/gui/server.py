@@ -200,6 +200,20 @@ class GuiServer:
                         self._json({"error": "no such file"}, 404)
                         return
                     tr = server.state.transforms.get(rec.unique_file_id)
+                    # animated originals play natively in the browser
+                    # (the AnimationState playback analogue,
+                    # gui/image.rs:589-594) unless a transform or LUT
+                    # forces a processed still
+                    if tr is None and server.engine.active_lut < 0:
+                        from ..pipeline import animated
+                        try:
+                            raw = rec.path.read_bytes()
+                        except OSError:
+                            raw = b""
+                        kind = animated.probe(raw) if raw else None
+                        if kind is not None:
+                            self._send(200, raw, animated.MIME[kind])
+                            return
                     data = server.engine.render(
                         rec.path, rec.orientation, tr,
                         max_side=qi("s", 2048) or 2048)
