@@ -340,12 +340,11 @@ def main(argv=None) -> int:
                   f"({stats.failed} failures).", file=sys.stderr)
             return 0
 
-        groups, infos, records, stats = scanmod.scan_and_group(
-            args.paths, cfg, store, progress)
-        print(file=sys.stderr)
-        print(f"Found {len(groups)} duplicate groups using PDQ hash.")
-
-        if store is not None and groups:
+        def _register_and_filter(groups, infos):
+            """Assign stable group UUIDs and drop ignored members
+            (gui/app.rs:829 filter_ignored_groups + db.rs:1342)."""
+            if store is None or not groups:
+                return groups, infos
             store.register_duplicate_groups(
                 [[(f.content_hash, f.pdqhash) for f in g] for g in groups])
             kept_groups, kept_infos = [], []
@@ -354,12 +353,27 @@ def main(argv=None) -> int:
                 if len(g2) > 1:
                     kept_groups.append(g2)
                     kept_infos.append(inf)
-            groups, infos = kept_groups, kept_infos
+            return kept_groups, kept_infos
 
         if args.use_gui:
+            # serve immediately; the scan streams in (gui/app.rs:1446)
             from .gui import server as guiserver
-            return guiserver.run_gui(groups, infos, args, store=store,
-                                     luts=args.luts3d)
+
+            def scan_fn(progress_cb):
+                groups, infos, records, stats = scanmod.scan_and_group(
+                    args.paths, cfg, store, progress_cb)
+                return _register_and_filter(groups, infos)
+
+            return guiserver.run_gui_scanning(args, store, scan_fn,
+                                              luts=args.luts3d)
+
+        groups, infos, records, stats = scanmod.scan_and_group(
+            args.paths, cfg, store, progress)
+        print(file=sys.stderr)
+        print(f"Found {len(groups)} duplicate groups using PDQ hash.")
+
+        groups, infos = _register_and_filter(groups, infos)
+
         if args.use_tui:
             from . import tui
             return tui.run(groups, infos, args, store=store)

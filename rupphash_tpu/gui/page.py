@@ -27,8 +27,11 @@ body { background:var(--bg); color:var(--fg);
         padding:4px 0; user-select:none; }
 #center { flex:1; position:relative; background:#090b0e; min-width:0;
           overflow:hidden; }
+#bg { position:absolute; inset:-4%; width:108%; height:108%;
+      object-fit:cover; filter:blur(28px) brightness(0.35)
+      saturate(1.15); display:none; }
 #img { position:absolute; transform-origin:0 0; image-rendering:auto;
-       cursor:grab; }
+       cursor:grab; z-index:1; }
 #side { width:24%; border-left:1px solid #222a36; display:flex;
         flex-direction:column; min-width:0; }
 #map { width:100%; height:55%; background:#0c1016; }
@@ -71,7 +74,7 @@ body { background:var(--bg); color:var(--fg);
 <div id="main">
   <div id="list"></div>
   <div id="center">
-    <img id="img"><div id="spin">loading…</div>
+    <img id="bg"><img id="img"><div id="spin">loading…</div>
     <canvas id="hist" width="256" height="110"></canvas>
     <div id="palette"></div>
     <div id="prompt"><div id="plabel"></div><input id="pinput"></div>
@@ -149,8 +152,16 @@ function render() {
     });
   });
   const cur = current();
-  $('st-pos').textContent = S.groups.length ?
-    `group ${S.cursor[0]+1}/${S.groups.length}` : 'no groups';
+  if (S.scanning) {
+    const [d, t] = S.scanning;
+    document.title = `Scanning… ${d}/${t} - rupphash_tpu`;
+    $('st-pos').textContent = `Scanning… ${d}/${t}`;
+    setTimeout(refresh, 500);
+  } else {
+    document.title = 'rupphash_tpu';
+    $('st-pos').textContent = S.groups.length ?
+      `group ${S.cursor[0]+1}/${S.groups.length}` : 'no groups';
+  }
   $('st-file').textContent = cur ? cur.path : '';
   $('st-marked').textContent = S.marked ? `${S.marked} marked` : '';
   $('st-msg').textContent = S.status || '';
@@ -200,9 +211,13 @@ function loadImage() {
     if (seq !== imgSeq) return;
     imgNatural = [pre.naturalWidth, pre.naturalHeight];
     img.src = pre.src;
+    const bg = $('bg');
+    bg.src = pre.src;                 // frosted blur backdrop
+    bg.style.display = 'block';
     pan = {x:0, y:0};
     layoutImage();
     $('spin').style.display = 'none';
+    preloadNeighbors();               // perform_preload analogue
   };
   pre.onerror = () => { if (seq === imgSeq) {
     $('spin').textContent = 'decode failed';
@@ -337,6 +352,42 @@ async function loadExif() {
   e.textContent = t;
 }
 
+const PRELOAD = 3;   // files around the cursor (gui/app.rs:1686)
+function preloadNeighbors() {
+  if (!S || !S.groups.length) return;
+  const flat = [];
+  S.groups.forEach((g, gi) => g.files.forEach((f, fi) =>
+    flat.push([gi, fi, f])));
+  const at = flat.findIndex(([gi, fi]) =>
+    gi === S.cursor[0] && fi === S.cursor[1]);
+  for (let d = -PRELOAD; d <= PRELOAD; d++) {
+    const i = at + d;
+    if (d === 0 || i < 0 || i >= flat.length) continue;
+    const [gi, fi, f] = flat[i];
+    new Image().src =
+      `/api/image?g=${gi}&f=${fi}&s=2048&v=` +
+      encodeURIComponent(f.path + f.mtime);
+  }
+}
+
+let advMatches = [], advAt = -1;
+async function advSearch(q) {
+  const r = await fetch('/api/search?q=' + encodeURIComponent(q));
+  if (!r.ok) return;
+  advMatches = (await r.json()).matches || [];
+  advAt = -1;
+  $('st-msg').textContent = `${advMatches.length} match(es)`;
+  if (advMatches.length) advStep(1);
+}
+async function advStep(dir) {
+  if (!advMatches.length) return;
+  advAt = (advAt + dir + advMatches.length) % advMatches.length;
+  const [gi, fi] = advMatches[advAt];
+  await selectRow(gi, fi);
+  $('st-msg').textContent =
+    `match ${advAt+1}/${advMatches.length}`;
+}
+
 // ---------------- prompts --------------------------------------------
 let promptCb = null;
 function prompt2(label, cb, preset) {
@@ -371,6 +422,7 @@ x / X        ignore file / group
 m            move marked to target dir
 r            rename current file
 /            filename regex search   n/p next/prev match
+f            advanced search (EXIF query, geo distance, regex)
 s            cycle sort order        t  relative times
 W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
 I            histogram off/luma/Oklab   E  EXIF overlay
@@ -408,11 +460,22 @@ document.addEventListener('keydown', async ev => {
       break; }
     case '/':
       ev.preventDefault();
+      advMatches = [];
       prompt2('Search filename regex:',
               v => intent('submit_search', v));
       break;
-    case 'n': await intent('next_search'); break;
-    case 'p': await intent('prev_search'); break;
+    case 'n':
+      advMatches.length ? await advStep(1)
+                        : await intent('next_search');
+      break;
+    case 'p':
+      advMatches.length ? await advStep(-1)
+                        : await intent('prev_search');
+      break;
+    case 'f': case 'F':
+      prompt2('Advanced search (EXIF query / DistanceFrom:NAME:KM / ' +
+              'regex):', v => advSearch(v));
+      break;
     case 's': {
       const i = SORTS.indexOf(S.sort_order);
       await intent('change_sort', SORTS[(i+1) % SORTS.length]);

@@ -50,12 +50,16 @@ def _subgroups(group) -> dict:
 class GuiServer:
     def __init__(self, state: AppState, engine: imaging.ImageEngine
                  | None = None, slideshow: float | None = None,
-                 use_gps_time: bool = True):
+                 use_gps_time: bool = True, locations: dict | None = None,
+                 store=None):
         self.state = state
         self.engine = engine or imaging.ImageEngine()
         self.slideshow = slideshow
         self.use_gps_time = use_gps_time
+        self.locations = locations or {}
+        self.store = store
         self.lock = threading.Lock()
+        self.progress: tuple[int, int] | None = None  # scanning x/y
         self._httpd: ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------------ state
@@ -109,8 +113,29 @@ class GuiServer:
             "relative_times": st.relative_times,
             "slideshow": self.slideshow,
             "quit": st.quit,
+            "scanning": list(self.progress) if self.progress else None,
             "map": self._map_data(),
         }
+
+    def search(self, query: str) -> list[list[int]]:
+        """Advanced search (filename regex + EXIF index + geo filters,
+        AND semantics — the dialog at gui/dialogs.rs:1680-1921) over the
+        flattened session; returns [group, file] matches in list order."""
+        from .. import search as searchmod
+
+        st = self.state
+        flat, where = [], []
+        for gi, g in enumerate(st.groups):
+            for fi, f in enumerate(g):
+                flat.append(f)
+                where.append([gi, fi])
+        try:
+            hits = searchmod.search_records(
+                flat, query, locations=self.locations, store=self.store)
+        except Exception:
+            return []
+        hit_ids = {id(r) for r in hits}
+        return [w for r, w in zip(flat, where) if id(r) in hit_ids]
 
     def _map_data(self) -> dict:
         """Markers for the cursor group with ordered path lines
@@ -228,6 +253,10 @@ class GuiServer:
                         self._json({"error": "unavailable"}, 404)
                     else:
                         self._json(out)
+                elif u.path == "/api/search":
+                    query = q.get("q", [""])[0]
+                    with server.lock:
+                        self._json({"matches": server.search(query)})
                 elif u.path == "/api/exif":
                     rec = server._record(qi("g"), qi("f"))
                     if rec is None:
@@ -282,8 +311,15 @@ class GuiServer:
         return httpd, httpd.server_address[1]
 
 
-def run_gui(groups, infos, args, store=None, luts=None) -> int:
-    """CLI entry: serve the session and block until quit (Q in the UI)."""
+def _locations_from_config() -> dict:
+    try:
+        from ..cache import config as cfgmod
+        return dict(cfgmod.load_config().get("locations", {}))
+    except Exception:
+        return {}
+
+
+def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
     import sys
 
     from . import lut as lutmod
@@ -299,15 +335,20 @@ def run_gui(groups, infos, args, store=None, luts=None) -> int:
                   move_target=args.move_marked,
                   sort_order=args.sort,
                   relative_times=args.relative_times, store=store)
-    srv = GuiServer(st, imaging.ImageEngine(lut_objs),
-                    slideshow=args.slideshow)
+    return GuiServer(st, imaging.ImageEngine(lut_objs),
+                     slideshow=args.slideshow,
+                     locations=_locations_from_config(), store=store)
+
+
+def _serve_until_quit(srv: GuiServer) -> int:
+    import contextlib
+    import sys
+
     httpd, port = srv.serve()
     print(f"GUI at http://127.0.0.1:{port}/  (Q in the page quits)",
           file=sys.stderr)
-    import contextlib
-
     try:
-        while not st.quit:
+        while not srv.state.quit:
             httpd.timeout = 0.25
             httpd.handle_request()
     except KeyboardInterrupt:
@@ -315,3 +356,35 @@ def run_gui(groups, infos, args, store=None, luts=None) -> int:
     with contextlib.suppress(Exception):
         httpd.server_close()
     return 0
+
+
+def run_gui(groups, infos, args, store=None, luts=None) -> int:
+    """CLI entry: serve the session and block until quit (Q in the UI)."""
+    return _serve_until_quit(_make_server(groups, infos, args,
+                                          store=store, luts=luts))
+
+
+def run_gui_scanning(args, store, scan_fn, luts=None) -> int:
+    """Serve immediately and stream scan progress, like the reference's
+    check_reload (gui/app.rs:1446-1508: scan thread spawned on the
+    first frame, window title shows 'Scanning… x/y', results land when
+    ready).  scan_fn(progress_cb) -> (groups, infos)."""
+    srv = _make_server([], [], args, store=store, luts=luts)
+    srv.progress = (0, 0)
+
+    def worker():
+        try:
+            groups, infos = scan_fn(
+                lambda done, total: setattr(srv, "progress",
+                                            (done, total)))
+        except Exception as e:
+            groups, infos = [], []
+            srv.state.status = f"scan failed: {e}"
+        with srv.lock:
+            srv.state.groups = groups
+            srv.state.infos = infos
+            srv.state._rebuild()
+            srv.progress = None
+
+    threading.Thread(target=worker, daemon=True).start()
+    return _serve_until_quit(srv)

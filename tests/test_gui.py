@@ -219,3 +219,54 @@ def test_lut_cycle_intent(tmp_path):
     assert srv.engine.active_lut == 0
     snap = srv.apply_intent("cycle_lut")
     assert srv.engine.active_lut == -1
+
+
+def test_search_endpoint(gui):
+    srv, port, paths = gui
+    code, _, body = _get(port, "/api/search?q=a.png")
+    assert code == 200
+    assert json.loads(body)["matches"] == [[0, 0]]
+    # EXIF-index term from record fields (resolution -> ImageWidth)
+    code, _, body = _get(port, "/api/search?q=imagewidth:96")
+    assert json.loads(body)["matches"] == [[0, 0], [0, 1], [0, 2]]
+    code, _, body = _get(port, "/api/search?q=imagewidth:>:1000")
+    assert json.loads(body)["matches"] == []
+
+
+def test_run_gui_scanning_streams(tmp_path):
+    import time
+
+    from rupphash_tpu.gui.server import GuiServer, _make_server
+
+    class A:
+        use_trash = False
+        move_marked = None
+        sort = "name"
+        relative_times = False
+        slideshow = None
+
+    srv = _make_server([], [], A())
+    srv.progress = (0, 0)
+    assert srv.snapshot()["scanning"] == [0, 0]
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    p = tmp_path / "z.png"
+    Image.fromarray(img).save(p)
+
+    def fill():
+        time.sleep(0.05)
+        srv.progress = (1, 1)
+        with srv.lock:
+            srv.state.groups = [[FileRecord(path=p, size=1,
+                                            unique_file_id=1)]]
+            srv.state.infos = [GroupInfo()]
+            srv.state._rebuild()
+            srv.progress = None
+
+    t = threading.Thread(target=fill)
+    t.start()
+    t.join()
+    snap = srv.snapshot()
+    assert snap["scanning"] is None
+    assert len(snap["groups"]) == 1
