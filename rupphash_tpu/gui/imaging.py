@@ -170,9 +170,11 @@ class ImageEngine:
                 self._cache.popitem(last=False)
         return out
 
-    def analyze(self, path: Path) -> dict | None:
+    def analyze(self, path: Path, palette_config=None) -> dict | None:
         """Histograms + palette for the overlay (gui/image.rs:2561-3255
-        analysis path, downsampled)."""
+        analysis path, downsampled).  palette_config: PaletteConfig from
+        the [gui] section (dominant_colors/saturation_bias/palette_sort,
+        db.rs:75-90)."""
         from ..pipeline import decode, palette
 
         img, _ = decode.load_image(path)
@@ -184,7 +186,7 @@ class ImageEngine:
         small = palette.analysis_downsample(img)
         hl, ha, hb = palette.oklab_histograms(small)
         luma = palette.luma_histogram(small)
-        pal = palette.kmeans_palette(small)
+        pal = palette.kmeans_palette(small, config=palette_config)
         return {
             "luma": [int(v) for v in luma],
             "okl": [int(v) for v in hl],

@@ -334,8 +334,21 @@ async function loadExif() {
   const x = await r.json();
   let t = '';
   if (x.width) t += `Dimensions  ${x.width} x ${x.height}\n`;
-  if (x.gps) t += `GPS         ${x.gps[0].toFixed(5)}, ` +
-                  `${x.gps[1].toFixed(5)}\n`;
+  if (x.gps) {
+    if (S.decimal_coords === false) {
+      const dms = (v, pos, neg) => {
+        const h = v >= 0 ? pos : neg, a = Math.abs(v);
+        const d = Math.floor(a), m = Math.floor((a-d)*60);
+        const sec = ((a-d)*3600 - m*60).toFixed(1);
+        return `${d}°${m}'${sec}\"${h}`;
+      };
+      t += `GPS         ${dms(x.gps[0],'N','S')} ` +
+           `${dms(x.gps[1],'E','W')}\n`;
+    } else {
+      t += `GPS         ${x.gps[0].toFixed(5)}, ` +
+           `${x.gps[1].toFixed(5)}\n`;
+    }
+  }
   if (x.altitude != null) t += `Altitude    ${x.altitude.toFixed(1)} m\n`;
   if (x.timestamp) t += `Taken       ` +
     new Date(x.timestamp*1000).toISOString() + `\n`;
@@ -347,14 +360,20 @@ async function loadExif() {
   if (x.location && x.location.timezone)
     t += `Timezone    ${x.location.timezone}\n`;
   t += '\n';
-  for (const [k, v] of Object.entries(x.tags || {}))
-    t += `${k}  ${v}\n`;
+  const pref = x.preferred || [];
+  const entries = Object.entries(x.tags || {});
+  entries.sort((a, b) => {
+    const ia = pref.indexOf(a[0]), ib = pref.indexOf(b[0]);
+    const ra = ia < 0 ? pref.length : ia, rb = ib < 0 ? pref.length : ib;
+    return ra - rb || a[0].localeCompare(b[0]);
+  });
+  for (const [k, v] of entries) t += `${k}  ${v}\n`;
   e.textContent = t;
 }
 
-const PRELOAD = 3;   // files around the cursor (gui/app.rs:1686)
-function preloadNeighbors() {
+function preloadNeighbors() {   // gui/app.rs:1686 perform_preload
   if (!S || !S.groups.length) return;
+  const PRELOAD = Math.max(1, Math.min(S.preload_count || 8, 16));
   const flat = [];
   S.groups.forEach((g, gi) => g.files.forEach((f, fi) =>
     flat.push([gi, fi, f])));

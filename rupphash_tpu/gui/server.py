@@ -51,13 +51,15 @@ class GuiServer:
     def __init__(self, state: AppState, engine: imaging.ImageEngine
                  | None = None, slideshow: float | None = None,
                  use_gps_time: bool = True, locations: dict | None = None,
-                 store=None):
+                 store=None, gui_config: dict | None = None):
         self.state = state
         self.engine = engine or imaging.ImageEngine()
         self.slideshow = slideshow
         self.use_gps_time = use_gps_time
         self.locations = locations or {}
         self.store = store
+        # [gui] config section (db.rs:104-211): viewer knobs
+        self.gui_config = gui_config or {}
         self.lock = threading.Lock()
         self.progress: tuple[int, int] | None = None  # scanning x/y
         self._httpd: ThreadingHTTPServer | None = None
@@ -114,6 +116,9 @@ class GuiServer:
             "slideshow": self.slideshow,
             "quit": st.quit,
             "scanning": list(self.progress) if self.progress else None,
+            "preload_count": int(self.gui_config.get("preload_count", 8)),
+            "decimal_coords": bool(
+                self.gui_config.get("decimal_coords", True)),
             "map": self._map_data(),
         }
 
@@ -241,14 +246,25 @@ class GuiServer:
                             return
                     data = server.engine.render(
                         rec.path, rec.orientation, tr,
-                        max_side=qi("s", 2048) or 2048)
+                        max_side=qi("s", 2048) or 2048,
+                        peak_nits=float(server.gui_config.get(
+                            "sdr_peak_nits", 203.0)))
                     if data is None:
                         self._json({"error": "decode failed"}, 415)
                     else:
                         self._send(200, data, "image/jpeg")
                 elif u.path == "/api/analysis":
                     rec = server._record(qi("g"), qi("f"))
-                    out = server.engine.analyze(rec.path) if rec else None
+                    from ..pipeline.palette import PaletteConfig
+                    gc = server.gui_config
+                    pc = PaletteConfig(
+                        dominant_colors=int(gc.get("dominant_colors", 6)),
+                        saturation_bias=float(
+                            gc.get("saturation_bias", 1.0)),
+                        palette_sort=str(gc.get("palette_sort", "hue")))
+                    out = (server.engine.analyze(rec.path,
+                                                 palette_config=pc)
+                           if rec else None)
                     if out is None:
                         self._json({"error": "unavailable"}, 404)
                     else:
@@ -282,6 +298,8 @@ class GuiServer:
                                  (feats.get("tags") or {}).items()},
                         "sun": {k: round(v, 4) for k, v in sun.items()},
                         "location": loc,
+                        "preferred": list(server.gui_config.get(
+                            "exif_tags", [])),
                     })
                 else:
                     self._json({"error": "not found"}, 404)
@@ -311,12 +329,15 @@ class GuiServer:
         return httpd, httpd.server_address[1]
 
 
-def _locations_from_config() -> dict:
+def _viewer_config() -> tuple[dict, dict]:
+    """(locations, [gui] section) from phdupes-style TOML config."""
     try:
         from ..cache import config as cfgmod
-        return dict(cfgmod.load_config().get("locations", {}))
+        cfg = cfgmod.load_config()
+        return (dict(cfg.get("locations", {})),
+                dict(cfg.get("gui", {})))
     except Exception:
-        return {}
+        return {}, {}
 
 
 def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
@@ -335,9 +356,11 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
                   move_target=args.move_marked,
                   sort_order=args.sort,
                   relative_times=args.relative_times, store=store)
+    locations, gui_cfg = _viewer_config()
     return GuiServer(st, imaging.ImageEngine(lut_objs),
                      slideshow=args.slideshow,
-                     locations=_locations_from_config(), store=store)
+                     locations=locations, store=store,
+                     gui_config=gui_cfg)
 
 
 def _serve_until_quit(srv: GuiServer) -> int:
