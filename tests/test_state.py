@@ -126,3 +126,14 @@ def test_ignore_persists_to_store(tmp_path):
 def test_quit(st):
     st.handle_input(Intent.QUIT)
     assert st.quit
+
+
+def test_set_move_target_intent(tmp_path):
+    from rupphash_tpu.state import AppState, Intent
+
+    st = AppState([], [])
+    st.handle_input(Intent.SET_MOVE_TARGET, str(tmp_path))
+    assert st.move_target == tmp_path
+    st.handle_input(Intent.SET_MOVE_TARGET, "/definitely/not/a/dir")
+    assert st.move_target == tmp_path  # unchanged
+    assert "not a directory" in st.status
