@@ -202,6 +202,16 @@ def show_build_info():
     from .native import heif, jxl
     info["libheif"] = heif.version()
     info["libjxl"] = jxl.version()
+    # git HEAD, like the reference's build.rs-embedded hash
+    try:
+        from pathlib import Path
+        root = Path(__file__).resolve().parent.parent / ".git"
+        head = (root / "HEAD").read_text().strip()
+        if head.startswith("ref: "):
+            head = (root / head[5:]).read_text().strip()
+        info["git"] = head[:12]
+    except OSError:
+        pass
     print(json.dumps(info, indent=2))
 
 

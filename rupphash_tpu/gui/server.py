@@ -381,10 +381,24 @@ def _serve_until_quit(srv: GuiServer) -> int:
     return 0
 
 
+def _watch_roots(args):
+    try:
+        return [p for p in args.paths]
+    except AttributeError:
+        return []
+
+
 def run_gui(groups, infos, args, store=None, luts=None) -> int:
     """CLI entry: serve the session and block until quit (Q in the UI)."""
-    return _serve_until_quit(_make_server(groups, infos, args,
-                                          store=store, luts=luts))
+    srv = _make_server(groups, infos, args, store=store, luts=luts)
+    from .watcher import Watcher
+    roots = _watch_roots(args)
+    w = Watcher(srv, roots).start() if roots else None
+    try:
+        return _serve_until_quit(srv)
+    finally:
+        if w:
+            w.stop()
 
 
 def run_gui_scanning(args, store, scan_fn, luts=None) -> int:
@@ -410,4 +424,11 @@ def run_gui_scanning(args, store, scan_fn, luts=None) -> int:
             srv.progress = None
 
     threading.Thread(target=worker, daemon=True).start()
-    return _serve_until_quit(srv)
+    from .watcher import Watcher
+    roots = _watch_roots(args)
+    w = Watcher(srv, roots).start() if roots else None
+    try:
+        return _serve_until_quit(srv)
+    finally:
+        if w:
+            w.stop()

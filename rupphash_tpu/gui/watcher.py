@@ -1,0 +1,101 @@
+"""Filesystem watcher for the viewer session.
+
+The reference watches scanned directories with the `notify` crate and
+debounces events into state refreshes (gui/app.rs:994-1443): externally
+deleted files drop out of the list, other changes surface to the user.
+No inotify binding ships in this image, so this is a polling watcher —
+a snapshot diff of (path -> mtime_ns, size) taken every `interval`
+seconds, which is the same debounced-batch shape the reference ends up
+with after coalescing events.
+
+On each tick:
+  * files in the session that vanished -> dropped from AppState (the
+    reference's remove handling), status message
+  * new/modified files under the watched roots -> status nudge to
+    rescan (the reference re-triggers check_reload; a web session
+    refreshes on the next scan)
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from pathlib import Path
+
+
+def _snapshot(roots):
+    snap = {}
+    for root in roots:
+        try:
+            it = os.scandir(root)
+        except OSError:
+            continue
+        with it:
+            for e in it:
+                try:
+                    if e.is_file(follow_symlinks=False):
+                        st = e.stat(follow_symlinks=False)
+                        snap[e.path] = (st.st_mtime_ns, st.st_size)
+                except OSError:
+                    continue
+    return snap
+
+
+class Watcher:
+    def __init__(self, server, roots, interval: float = 2.0):
+        self.server = server
+        self.roots = [str(Path(r)) for r in roots]
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._snap = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def tick(self):
+        """One diff pass (exposed for tests)."""
+        snap = _snapshot(self.roots)
+        if self._snap is None:
+            self._snap = snap
+            return
+        old, self._snap = self._snap, snap
+        gone = old.keys() - snap.keys()
+        changed = {p for p in (snap.keys() & old.keys())
+                   if snap[p] != old[p]}
+        new = snap.keys() - old.keys()
+        if gone:
+            self._drop(gone)
+        if new or changed:
+            with self.server.lock:
+                self.server.state.status = (
+                    f"directory changed ({len(new)} new, "
+                    f"{len(changed)} modified) — rescan to refresh")
+
+    def _drop(self, gone: set[str]):
+        srv = self.server
+        with srv.lock:
+            st = srv.state
+            gone_paths = {Path(p) for p in gone}
+            # external deletion: same cleanup as AppState._drop_paths
+            st.groups = [[f for f in g if f.path not in gone_paths]
+                         for g in st.groups]
+            keep = [(g, i) for g, i in zip(st.groups, st.infos)
+                    if len(g) > 0]
+            st.groups = [g for g, _ in keep]
+            st.infos = [i for _, i in keep]
+            st.marked -= gone_paths
+            st._rebuild()
+            st.status = f"{len(gone_paths)} file(s) removed externally"
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            try:
+                self.tick()
+            except Exception:
+                pass

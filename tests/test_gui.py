@@ -270,3 +270,29 @@ def test_run_gui_scanning_streams(tmp_path):
     snap = srv.snapshot()
     assert snap["scanning"] is None
     assert len(snap["groups"]) == 1
+
+
+def test_watcher_drops_external_deletes(gui):
+    import time
+
+    from rupphash_tpu.gui.watcher import Watcher
+
+    srv, port, paths = gui
+    w = Watcher(srv, [paths[0].parent], interval=999)
+    w.tick()  # baseline snapshot
+    paths[1].unlink()  # external deletion
+    w.tick()
+    snap = srv.snapshot()
+    names = [f["name"] for f in snap["groups"][0]["files"]]
+    assert "b.png" not in names and len(names) == 2
+    assert "removed externally" in snap["status"]
+    # new file -> rescan nudge
+    paths[0].with_name("new.png").write_bytes(paths[0].read_bytes())
+    w.tick()
+    assert "rescan to refresh" in srv.snapshot()["status"]
+    # whole group vanishing removes the group
+    paths[0].unlink()
+    (paths[0].parent / "new.png").unlink()
+    paths[2].unlink()
+    w.tick()
+    assert srv.snapshot()["groups"] == []
