@@ -301,13 +301,92 @@ def hdr_to_sdr(rgb: np.ndarray, cicp: Cicp,
     return np.clip(lin, 0.0, 1.0)
 
 
+_BLUE_NOISE_SIDE = 64
+_blue_noise_cache = None
+
+
+def blue_noise_tile(side: int = _BLUE_NOISE_SIDE) -> np.ndarray:
+    """Tileable blue-noise rank matrix in [0, 1) via Ulichney's
+    void-and-cluster method.  The reference ships a pre-baked 256x256
+    tile (assets/blue-noise-256.bin, hdr.rs:712-742); generating a
+    64x64 tile once per process gives the same high-frequency spectrum
+    (energy kernel sigma 1.5, toroidal wrap)."""
+    global _blue_noise_cache
+    if _blue_noise_cache is not None and \
+            _blue_noise_cache.shape[0] == side:
+        return _blue_noise_cache
+    n = side * side
+    yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    # toroidal gaussian energy splat
+    d = np.minimum(yy, side - yy) ** 2 + np.minimum(xx, side - xx) ** 2
+    kernel = np.exp(-d / (2.0 * 1.5 ** 2))
+
+    rng = np.random.default_rng(0x9E3779B9)
+    binary = np.zeros((side, side), dtype=bool)
+    energy = np.zeros((side, side), dtype=np.float64)
+
+    def splat(y, x, sign):
+        energy[:] += sign * np.roll(np.roll(kernel, y, 0), x, 1)
+
+    # seed ~10% random points, then swap tightest-cluster -> largest-void
+    # until stable (classic initialization)
+    seeds = rng.choice(n, size=n // 10, replace=False)
+    for s in seeds:
+        binary[s // side, s % side] = True
+        splat(s // side, s % side, +1)
+    for _ in range(n):
+        masked = np.where(binary, energy, -np.inf)
+        cy, cx = np.unravel_index(np.argmax(masked), energy.shape)
+        binary[cy, cx] = False
+        splat(cy, cx, -1)
+        masked = np.where(binary, np.inf, energy)
+        vy, vx = np.unravel_index(np.argmin(masked), energy.shape)
+        if (vy, vx) == (cy, cx):  # stable: removing it re-creates it
+            binary[cy, cx] = True
+            splat(cy, cx, +1)
+            break
+        binary[vy, vx] = True
+        splat(vy, vx, +1)
+
+    rank = np.zeros((side, side), dtype=np.int64)
+    # phase 1: peel the seed points off tightest-cluster-first
+    work = binary.copy()
+    e1 = energy.copy()
+    k = int(work.sum())
+    for r in range(k - 1, -1, -1):
+        masked = np.where(work, e1, -np.inf)
+        cy, cx = np.unravel_index(np.argmax(masked), e1.shape)
+        work[cy, cx] = False
+        e1 -= np.roll(np.roll(kernel, cy, 0), cx, 1)
+        rank[cy, cx] = r
+    # phase 2: fill the remaining voids largest-void-first
+    work = binary.copy()
+    e2 = energy.copy()
+    for r in range(k, n):
+        masked = np.where(work, np.inf, e2)
+        vy, vx = np.unravel_index(np.argmin(masked), e2.shape)
+        work[vy, vx] = True
+        e2 += np.roll(np.roll(kernel, vy, 0), vx, 1)
+        rank[vy, vx] = r
+    _blue_noise_cache = (rank.astype(np.float64) + 0.5) / n
+    return _blue_noise_cache
+
+
 def encode_srgb_u8_dithered(lin: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Linear BT.709 -> sRGB u8 with triangular-PDF dither shared across
-    channels (the reference uses a blue-noise tile, hdr.rs:712-742; a
-    seeded triangular dither has the same no-banding property)."""
+    """Linear BT.709 -> sRGB u8 with a triangular-PDF remap of a tiled
+    blue-noise threshold shared across RGB (hdr.rs:712-742: the
+    reference remaps its blue-noise tile u in [0,1) to a triangular
+    distribution in (-1, 1) and adds it before rounding)."""
     e = srgb_oetf(lin) * 255.0
-    rng = np.random.default_rng(seed)
-    noise = (rng.random(lin.shape[:-1]) + rng.random(lin.shape[:-1]) - 1.0)
+    h, w = lin.shape[:2]
+    bn = blue_noise_tile()
+    side = bn.shape[0]
+    ty = (np.arange(h) + seed * 17) % side
+    tx = (np.arange(w) + seed * 29) % side
+    u = bn[np.ix_(ty, tx)]
+    # triangular-PDF remap (same formula family as hdr.rs:724-736)
+    noise = np.where(u < 0.5, np.sqrt(2.0 * u) - 1.0,
+                     1.0 - np.sqrt(2.0 * (1.0 - u)))
     e = e + noise[..., None]
     return np.clip(np.rint(e), 0, 255).astype(np.uint8)
 

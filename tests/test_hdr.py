@@ -121,3 +121,41 @@ def test_full_hdr_pipeline_smoke():
     vals = out[0, :, 0].astype(int)
     assert vals[0] <= 2 and vals[-1] >= 200
     assert np.all(np.diff(vals) >= -2)  # monotone up to dither
+
+
+def test_blue_noise_tile_properties():
+    """Void-and-cluster tile: exact rank uniformity + blue spectrum."""
+    import numpy as np
+
+    from rupphash_tpu.pipeline import hdr
+
+    bn = hdr.blue_noise_tile()
+    n = bn.size
+    assert len(np.unique(bn)) == n  # every rank exactly once
+    assert np.allclose(np.sort(bn.flatten()), (np.arange(n) + 0.5) / n)
+    f = np.fft.fftshift(np.abs(np.fft.fft2(bn - bn.mean())) ** 2)
+    side = bn.shape[0]
+    yy, xx = np.meshgrid(*[np.arange(side) - side // 2] * 2,
+                         indexing="ij")
+    r = np.hypot(yy, xx)
+    low = f[(r > 0) & (r < side / 8)].mean()
+    high = f[(r >= side / 4) & (r < side / 2.2)].mean()
+    assert high > 3 * low  # energy concentrated at high frequency
+
+
+def test_dither_preserves_mean_and_kills_banding():
+    import numpy as np
+
+    from rupphash_tpu.pipeline import hdr
+
+    lin = np.full((64, 64, 3), 0.2)
+    out = hdr.encode_srgb_u8_dithered(lin)
+    expect = float(hdr.srgb_oetf(np.array(0.2))) * 255
+    assert abs(out.mean() - expect) < 0.5
+    # a slow ramp quantizes to >2 distinct levels per output step
+    ramp = np.linspace(0.195, 0.205, 4096)[:, None, None] * np.ones(
+        (1, 8, 3))
+    q = hdr.encode_srgb_u8_dithered(ramp)
+    assert len(np.unique(q)) >= 2
+    # noise is shared across channels: gray stays gray
+    assert np.array_equal(q[..., 0], q[..., 1])
