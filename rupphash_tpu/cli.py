@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unignore", metavar="VALUE", nargs="+", default=None)
     p.add_argument("--no-cache", action="store_true",
                    help="skip the encrypted cache entirely")
+    p.add_argument("--serve", action="store_true",
+                   help="near-duplicate lookup service: index the given "
+                        "paths, answer POST /v1/query with image bytes")
+    p.add_argument("--port", type=int, default=0,
+                   help="port for --serve / --use-gui (0 = ephemeral)")
+    p.add_argument("--index-file", metavar="FILE", default=None,
+                   help="load/save the --serve hash index (.npz)")
     return p
 
 
@@ -320,6 +327,9 @@ def main(argv=None) -> int:
                   file=sys.stderr, flush=True)
 
     try:
+        if args.serve:
+            from . import serve as servemod
+            return servemod.run_serve(args)
         if args.slideshow is not None and args.slideshow <= 0:
             print("Slideshow interval must be positive.", file=sys.stderr)
             return 2

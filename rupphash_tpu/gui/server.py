@@ -357,17 +357,19 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
                   sort_order=args.sort,
                   relative_times=args.relative_times, store=store)
     locations, gui_cfg = _viewer_config()
-    return GuiServer(st, imaging.ImageEngine(lut_objs),
-                     slideshow=args.slideshow,
-                     locations=locations, store=store,
-                     gui_config=gui_cfg)
+    srv = GuiServer(st, imaging.ImageEngine(lut_objs),
+                    slideshow=args.slideshow,
+                    locations=locations, store=store,
+                    gui_config=gui_cfg)
+    srv.port = int(getattr(args, "port", 0) or 0)
+    return srv
 
 
 def _serve_until_quit(srv: GuiServer) -> int:
     import contextlib
     import sys
 
-    httpd, port = srv.serve()
+    httpd, port = srv.serve(port=getattr(srv, "port", 0))
     print(f"GUI at http://127.0.0.1:{port}/  (Q in the page quits)",
           file=sys.stderr)
     try:

@@ -1,0 +1,333 @@
+"""Near-duplicate lookup service: persistent hash index + TPU query path.
+
+New serving capability on top of the reference's batch-dedup engine
+(nothing equivalent exists in the reference, which is a desktop app;
+this is the production-deployment shape of the same kernels): keep a
+corpus's PDQ hashes device-resident as a ±1 int8 matrix, hash incoming
+images on the TPU (ops/pdq_jax.py, the same bit-exact path the scanner
+uses), and answer "what in the corpus is within distance d" with one
+MXU matmul per query batch — (Q·8, 256) @ (256, N) int8, min over the
+8 dihedral variants, exactly the tile math of ops/hamming.py.
+
+Surfaces:
+  * library  — HashIndex (build/save/load/add) + NearDupService.query
+  * HTTP     — POST /v1/query (raw image bytes) -> JSON matches,
+               POST /v1/add?path=... -> index insert,
+               GET  /v1/stats
+  * CLI      — `rupphash --serve DIR [--port N]`
+
+Low-quality corpus entries only match at distance 0, the scanner's
+gating rule (scanner.rs:1588-1594).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ops import hamming
+
+PDQ_MIN_QUALITY = 50
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def _query_min_dists(q_packed, base_packed, base_low, nbits):
+    """(Q, V, nbytes) u8 query variants vs (N, nbytes) u8 base ->
+    (Q, N) int32 min-over-variant Hamming distance, with low-quality
+    base rows reported as nbits+1 unless the distance is exactly 0."""
+    q, v, nbytes = q_packed.shape
+    qv = hamming.unpack_bits_pm1(q_packed).reshape(q * v, nbits)
+    base = hamming.unpack_bits_pm1(base_packed)
+    dots = jax.lax.dot_general(qv, base.T, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dist = (nbits - dots.reshape(q, v, -1).max(axis=1)) // 2
+    gated = jnp.where(base_low[None, :] & (dist > 0), nbits + 1, dist)
+    return gated
+
+
+class HashIndex:
+    """Persistent (hashes, quality, paths) corpus index.
+
+    Device residency: packed hashes are pushed to the default device on
+    first query and re-pushed after mutation; adds are O(1) amortized
+    via array doubling.
+    """
+
+    def __init__(self, nbytes: int = 32):
+        self.nbytes = nbytes
+        self._hashes = np.zeros((0, nbytes), dtype=np.uint8)
+        self._quality = np.zeros(0, dtype=np.int32)
+        self.paths: list[str] = []
+        self._n = 0
+        self._device = None  # (hashes_dev, low_dev) or None
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ size
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def hashes(self) -> np.ndarray:
+        return self._hashes[:self._n]
+
+    @property
+    def quality(self) -> np.ndarray:
+        return self._quality[:self._n]
+
+    # ----------------------------------------------------------- build
+    def add(self, path: str, pdqhash: bytes | np.ndarray,
+            quality: int | None = None):
+        h = np.frombuffer(bytes(pdqhash), dtype=np.uint8)
+        if h.size != self.nbytes:
+            raise ValueError(f"hash must be {self.nbytes} bytes")
+        with self._lock:
+            if self._n == len(self._hashes):
+                grow = max(1024, len(self._hashes))
+                self._hashes = np.concatenate(
+                    [self._hashes,
+                     np.zeros((grow, self.nbytes), np.uint8)])
+                self._quality = np.concatenate(
+                    [self._quality, np.zeros(grow, np.int32)])
+            self._hashes[self._n] = h
+            self._quality[self._n] = 100 if quality is None else quality
+            self.paths.append(str(path))
+            self._n += 1
+            self._device = None  # re-push lazily
+
+    @classmethod
+    def from_records(cls, records) -> "HashIndex":
+        """Index from scan FileRecords (pipeline/scan.py output)."""
+        ix = cls()
+        for r in records:
+            if r.pdqhash:
+                ix.add(str(r.path), r.pdqhash, r.pdq_quality)
+        return ix
+
+    # --------------------------------------------------------- persist
+    def save(self, path: str | Path):
+        np.savez_compressed(
+            path, hashes=self.hashes, quality=self.quality,
+            paths=np.asarray(self.paths, dtype=object))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "HashIndex":
+        with np.load(path, allow_pickle=True) as z:
+            ix = cls(nbytes=z["hashes"].shape[1] if z["hashes"].size
+                     else 32)
+            n = len(z["hashes"])
+            ix._hashes = np.ascontiguousarray(z["hashes"],
+                                              dtype=np.uint8)
+            ix._quality = np.ascontiguousarray(z["quality"],
+                                               dtype=np.int32)
+            ix.paths = [str(p) for p in z["paths"]]
+            ix._n = n
+        return ix
+
+    # ----------------------------------------------------------- query
+    def _device_arrays(self):
+        with self._lock:
+            if self._device is None:
+                n = max(self._n, 8)
+                pad = -(-n // 8) * 8
+                hp = np.zeros((pad, self.nbytes), np.uint8)
+                hp[:self._n] = self.hashes
+                lowp = np.ones(pad, dtype=bool)
+                lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
+                self._device = (jax.device_put(hp),
+                                jax.device_put(lowp), pad)
+            return self._device
+
+    def query(self, variants: np.ndarray, similarity: int = 40,
+              max_results: int = 100):
+        """(Q, V, nbytes) query dihedral variants -> per-query matches
+        [(index, path, distance), ...] sorted by distance."""
+        if self._n == 0:
+            return [[] for _ in range(len(variants))]
+        base_dev, low_dev, pad = self._device_arrays()
+        q = np.ascontiguousarray(variants, dtype=np.uint8)
+        dists = np.asarray(_query_min_dists(
+            jax.device_put(q), base_dev, low_dev, self.nbytes * 8))
+        out = []
+        for row in dists:
+            row = row[:self._n]
+            hit = np.flatnonzero(row <= similarity)
+            hit = hit[np.argsort(row[hit], kind="stable")][:max_results]
+            out.append([(int(i), self.paths[int(i)], int(row[i]))
+                        for i in hit])
+        return out
+
+
+class NearDupService:
+    """Decode -> hash (TPU) -> index query, plus the HTTP surface."""
+
+    def __init__(self, index: HashIndex, similarity: int | None = 40):
+        self.index = index
+        # CLI leaves --similarity None until grouping resolves it; the
+        # service uses the reference default 40 (phdupes.rs:195-282)
+        self.similarity = 40 if similarity is None else int(similarity)
+        self.queries = 0
+        self._lock = threading.Lock()
+
+    def hash_bytes(self, data: bytes):
+        """Image bytes -> (variants (8, 32) u8, quality) or None."""
+        from .ops import pdq_jax
+        from .pipeline import decode
+
+        img = decode.decode_bytes(data)
+        if img is None:
+            img = decode.extract_largest_jpeg(data) \
+                if data[:2] == b"\xff\xd8" else None
+        if img is None:
+            from .pipeline import pdfimg
+            img = pdfimg.extract_largest_pdf_image(data)
+        if img is None:
+            from .native import heif, jxl
+            img = heif.decode_heif(data)
+            if img is None:
+                img = jxl.decode_jxl(data)
+        if img is None:
+            return None
+        from .pipeline.decode import prepare_luma_fast
+        luma = prepare_luma_fast(img)
+        if luma is None:
+            return None
+        out = pdq_jax.pdq_hash_batch(np.asarray(luma)[None])
+        return (np.asarray(out["dihedral"][0]),
+                float(np.asarray(out["quality"][0])))
+
+    def query_bytes(self, data: bytes, similarity: int | None = None,
+                    max_results: int = 100):
+        hashed = self.hash_bytes(data)
+        if hashed is None:
+            return None
+        variants, quality = hashed
+        sim = self.similarity if similarity is None else similarity
+        if quality < PDQ_MIN_QUALITY:
+            sim = 0  # low-quality query: exact only (scanner gate)
+        matches = self.index.query(variants[None], sim, max_results)[0]
+        with self._lock:
+            self.queries += 1
+        return {"quality": quality,
+                "hash": bytes(variants[0]).hex(),
+                "matches": [{"path": p, "distance": d, "index": i}
+                            for i, p, d in matches]}
+
+    def add_path(self, path: str):
+        from .pipeline import decode
+
+        img, _ = decode.load_image(path)
+        if img is None:
+            return None
+        from .ops import pdq_jax
+        from .pipeline.decode import prepare_luma_fast
+        luma = prepare_luma_fast(img)
+        if luma is None:
+            return None
+        out = pdq_jax.pdq_hash_batch(np.asarray(luma)[None])
+        h = bytes(np.asarray(out["dihedral"][0][0]))
+        q = float(np.asarray(out["quality"][0]))
+        self.index.add(path, h, int(q))
+        return {"path": path, "hash": h.hex(), "quality": q,
+                "size": len(self.index)}
+
+    # ------------------------------------------------------------ http
+    def make_handler(service):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/v1/stats":
+                    self._json({"indexed": len(service.index),
+                                "queries": service.queries,
+                                "similarity": service.similarity})
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                if u.path == "/v1/query":
+                    n = int(self.headers.get("Content-Length", "0"))
+                    if n <= 0 or n > 512_000_000:
+                        self._json({"error": "bad length"}, 400)
+                        return
+                    data = self.rfile.read(n)
+                    try:
+                        sim = int(q.get("similarity",
+                                        [service.similarity])[0])
+                    except (ValueError, TypeError):
+                        sim = service.similarity
+                    out = service.query_bytes(data, sim)
+                    if out is None:
+                        self._json({"error": "undecodable image"}, 415)
+                    else:
+                        self._json(out)
+                elif u.path == "/v1/add":
+                    path = q.get("path", [""])[0]
+                    if not path or not Path(path).is_file():
+                        self._json({"error": "no such file"}, 404)
+                        return
+                    out = service.add_path(path)
+                    if out is None:
+                        self._json({"error": "undecodable image"}, 415)
+                    else:
+                        self._json(out)
+                else:
+                    self._json({"error": "not found"}, 404)
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 0):
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        return httpd, httpd.server_address[1]
+
+
+def run_serve(args) -> int:
+    """CLI entry for `rupphash --serve`: scan the given paths into an
+    index (or load --index-file) and answer queries until interrupted."""
+    import sys
+
+    from .pipeline import scan as scanmod
+
+    if getattr(args, "index_file", None) and \
+            Path(args.index_file).exists():
+        index = HashIndex.load(args.index_file)
+        print(f"loaded index: {len(index)} hashes from "
+              f"{args.index_file}", file=sys.stderr)
+    else:
+        cfg = scanmod.ScanConfig()
+        records, stats = scanmod.scan(args.paths, cfg, None)
+        index = HashIndex.from_records(records)
+        print(f"indexed {len(index)} images "
+              f"({stats.failed} failures)", file=sys.stderr)
+        if getattr(args, "index_file", None):
+            index.save(args.index_file)
+            print(f"saved index to {args.index_file}", file=sys.stderr)
+    svc = NearDupService(index, similarity=args.similarity)
+    httpd, port = svc.serve(port=getattr(args, "port", 0) or 0)
+    print(f"near-duplicate service at http://127.0.0.1:{port}/v1/  "
+          f"(POST /v1/query with image bytes)", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0

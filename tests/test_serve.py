@@ -1,0 +1,144 @@
+"""Near-duplicate lookup service: index, TPU query path, HTTP surface."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rupphash_tpu import serve
+
+
+def _photo(seed, size=(320, 240)):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    return np.asarray(Image.fromarray(base).resize(size, Image.BILINEAR))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    paths = []
+    for i in range(4):
+        p = d / f"img{i}.png"
+        Image.fromarray(_photo(i)).save(p)
+        paths.append(p)
+    from rupphash_tpu.pipeline import scan
+    records, stats = scan.scan(paths, scan.ScanConfig())
+    assert stats.failed == 0
+    return d, paths, records
+
+
+def test_index_build_save_load(corpus, tmp_path):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    assert len(ix) == 4
+    f = tmp_path / "index.npz"
+    ix.save(f)
+    ix2 = serve.HashIndex.load(f)
+    assert len(ix2) == 4
+    assert np.array_equal(ix.hashes, ix2.hashes)
+    assert ix.paths == ix2.paths
+
+
+def test_query_finds_reencoded_and_rotated(corpus):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    svc = serve.NearDupService(ix)
+
+    # re-encode img2 as JPEG, query bytes -> img2 is the best match
+    buf = io.BytesIO()
+    Image.fromarray(_photo(2)).save(buf, format="JPEG", quality=90)
+    out = svc.query_bytes(buf.getvalue())
+    assert out is not None and out["matches"]
+    assert out["matches"][0]["path"].endswith("img2.png")
+    assert out["matches"][0]["distance"] <= 16
+
+    # physically rotate img1 90 degrees: dihedral variants still match
+    buf = io.BytesIO()
+    Image.fromarray(np.rot90(_photo(1))).save(buf, format="PNG")
+    out = svc.query_bytes(buf.getvalue())
+    assert out["matches"]
+    assert out["matches"][0]["path"].endswith("img1.png")
+
+    # unrelated photo: no match at tight threshold
+    buf = io.BytesIO()
+    Image.fromarray(_photo(99)).save(buf, format="PNG")
+    out = svc.query_bytes(buf.getvalue(), similarity=10)
+    assert out["matches"] == []
+
+    # garbage bytes are rejected, not fatal
+    assert svc.query_bytes(b"not an image") is None
+
+
+def test_low_quality_index_entries_gate_to_exact(corpus):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    h = bytes(ix.hashes[0])
+    ix2 = serve.HashIndex()
+    ix2.add("lowq.png", h, quality=10)  # below PDQ_MIN_QUALITY
+    # distance-0 query still matches
+    var = np.asarray(records[0].dihedral, dtype=np.uint8)
+    res = ix2.query(var[None], similarity=40)[0]
+    assert res and res[0][2] == 0
+    # a 1-bit-different query does not (exact-only gating)
+    h2 = bytearray(h)
+    h2[0] ^= 1
+    var2 = var.copy()
+    var2[:] = np.frombuffer(bytes(h2), dtype=np.uint8)
+    res = ix2.query(var2[None], similarity=40)[0]
+    assert res == []
+
+
+def test_incremental_add(corpus):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records[:2])
+    svc = serve.NearDupService(ix)
+    out = svc.add_path(str(paths[3]))
+    assert out is not None and out["size"] == 3
+    buf = io.BytesIO()
+    Image.fromarray(_photo(3)).save(buf, format="JPEG", quality=92)
+    res = svc.query_bytes(buf.getvalue())
+    assert res["matches"][0]["path"].endswith("img3.png")
+
+
+def test_http_surface(corpus):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    svc = serve.NearDupService(ix)
+    httpd, port = svc.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert st["indexed"] == 4 and st["queries"] == 0
+
+        buf = io.BytesIO()
+        Image.fromarray(_photo(0)).save(buf, format="JPEG", quality=95)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/query?similarity=31",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["matches"][0]["path"].endswith("img0.png")
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/add?path={paths[1]}",
+            data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["size"] == 5
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/query", data=b"junk",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 415
+    finally:
+        httpd.shutdown()
