@@ -24,7 +24,9 @@ body { background:var(--bg); color:var(--fg);
        flex-direction:column; overflow:hidden; }
 #main { flex:1; display:flex; min-height:0; }
 #list { width:30%; overflow-y:auto; border-right:1px solid #222a36;
-        padding:4px 0; user-select:none; }
+        user-select:none; position:relative; }
+#listpad { position:relative; width:100%; }
+#listwin { position:absolute; left:0; right:0; }
 #center { flex:1; position:relative; background:#090b0e; min-width:0;
           overflow:hidden; }
 #bg { position:absolute; inset:-4%; width:108%; height:108%;
@@ -40,11 +42,13 @@ body { background:var(--bg); color:var(--fg);
 #status { height:24px; background:#161b24; border-top:1px solid #222a36;
           display:flex; align-items:center; padding:0 10px; gap:16px;
           font-size:12px; color:var(--dim); }
-.ghdr { padding:2px 8px; color:var(--dim); background:#151a22;
-        font-weight:600; }
+.ghdr { padding:0 8px; color:var(--dim); background:#151a22;
+        font-weight:600; height:21px; line-height:21px;
+        white-space:nowrap; overflow:hidden; }
 .ghdr .lq { color:#e06c75; }
-.row { padding:1px 8px; cursor:pointer; display:flex; gap:6px;
-       white-space:nowrap; overflow:hidden; text-overflow:ellipsis; }
+.row { padding:0 8px; cursor:pointer; display:flex; gap:6px;
+       height:21px; line-height:21px; white-space:nowrap;
+       overflow:hidden; text-overflow:ellipsis; }
 .row.sel { background:var(--sel); }
 .row .mk { width:3em; color:var(--dim); flex:none; font-family:monospace; }
 .row.marked { color:var(--mark); }
@@ -72,7 +76,7 @@ body { background:var(--bg); color:var(--fg);
         transform:translate(-50%,-50%); display:none; }
 </style></head><body>
 <div id="main">
-  <div id="list"></div>
+  <div id="list"><div id="listpad"><div id="listwin"></div></div></div>
   <div id="center">
     <img id="bg"><img id="img"><div id="spin">loading…</div>
     <canvas id="hist" width="256" height="110"></canvas>
@@ -106,7 +110,13 @@ async function intent(name, arg) {
 }
 
 async function refresh() {
-  S = await (await fetch('/api/state')).json();
+  const rev = S ? S.rev : -1;
+  const r = await (await fetch('/api/state?rev=' + rev)).json();
+  if (r.unchanged) {
+    if (S && S.scanning) setTimeout(refresh, 500);
+    return;
+  }
+  S = r;
   render();
 }
 
@@ -116,20 +126,45 @@ function fmtSize(n) {
   return n.toFixed(i ? 1 : 0) + ' ' + u[i];
 }
 
-function render() {
-  if (!S) return;
-  const list = $('list');
-  list.textContent = '';
+const RH = 21;           // fixed row height (virtualized list)
+let dispRows = [];       // [{hdr, gi} | {gi, fi, f}]
+let cursorRow = 0;
+
+function buildRows() {
+  dispRows = [];
+  cursorRow = 0;
   S.groups.forEach((g, gi) => {
-    const h = document.createElement('div');
-    h.className = 'ghdr';
-    h.innerHTML = `Group ${gi+1} (max dist ${g.max_dist})` +
-      (g.status !== 'none' ? ` [${g.status}]` : '') +
-      (g.low_quality ?
-       ' <span class="lq">[low quality: exact match only]</span>' : '');
-    list.appendChild(h);
+    dispRows.push({hdr: true, gi, g});
     g.files.forEach((f, fi) => {
-      const d = document.createElement('div');
+      if (gi === S.cursor[0] && fi === S.cursor[1])
+        cursorRow = dispRows.length;
+      dispRows.push({gi, fi, f});
+    });
+  });
+}
+
+function renderList() {
+  // windowed rendering over fixed-height rows (the reference's
+  // virtualized list with cached y offsets, gui/app.rs:3080-3260)
+  const list = $('list'), pad = $('listpad'), win = $('listwin');
+  pad.style.height = (dispRows.length * RH) + 'px';
+  const first = Math.max(0, Math.floor(list.scrollTop / RH) - 10);
+  const last = Math.min(dispRows.length,
+                        first + Math.ceil(list.clientHeight / RH) + 20);
+  win.style.top = (first * RH) + 'px';
+  win.textContent = '';
+  for (let i = first; i < last; i++) {
+    const r = dispRows[i];
+    const d = document.createElement('div');
+    if (r.hdr) {
+      d.className = 'ghdr';
+      d.innerHTML = `Group ${r.gi+1} (max dist ${r.g.max_dist})` +
+        (r.g.status !== 'none' ? ` [${r.g.status}]` : '') +
+        (r.g.low_quality ?
+         ' <span class="lq">[low quality: exact match only]</span>'
+         : '');
+    } else {
+      const {gi, fi, f} = r;
       let cls = 'row';
       if (gi === S.cursor[0] && fi === S.cursor[1]) cls += ' sel';
       if (f.marked) cls += ' marked';
@@ -146,11 +181,23 @@ function render() {
         `<span class="meta">${res} · ${fmtSize(f.size)}</span>`;
       d.title = f.path;
       d.onclick = () => selectRow(gi, fi);
-      list.appendChild(d);
-      if (gi === S.cursor[0] && fi === S.cursor[1])
-        queueMicrotask(() => d.scrollIntoView({block:'nearest'}));
-    });
-  });
+    }
+    win.appendChild(d);
+  }
+}
+
+function scrollCursorIntoView() {
+  const list = $('list');
+  const y = cursorRow * RH;
+  if (y < list.scrollTop || y + RH > list.scrollTop + list.clientHeight)
+    list.scrollTop = Math.max(0, y - list.clientHeight / 2);
+}
+
+function render() {
+  if (!S) return;
+  buildRows();
+  scrollCursorIntoView();
+  renderList();
   const cur = current();
   if (S.scanning) {
     const [d, t] = S.scanning;
@@ -561,8 +608,14 @@ window.addEventListener('mousemove', ev => {
   layoutImage();
 });
 window.addEventListener('mouseup', () => drag = null);
-window.addEventListener('resize', () => { layoutImage(); drawMap(); });
+window.addEventListener('resize', () => {
+  layoutImage(); drawMap(); renderList();
+});
+$('list').addEventListener('scroll', () => renderList());
 
 refresh();
+// steady background poll; the rev short-circuit makes misses ~60 bytes
+// (picks up watcher events and cross-client mutations)
+setInterval(refresh, 2000);
 </script></body></html>
 """

@@ -105,6 +105,7 @@ class GuiServer:
                 "files": files,
             })
         return {
+            "rev": getattr(self, "rev", 0),
             "groups": groups,
             "cursor": [st.cursor_group, st.cursor_file],
             "marked": len(st.marked),
@@ -181,6 +182,7 @@ class GuiServer:
                 self.state.handle_input(self.INTENTS[name], arg)
             else:
                 self.state.status = f"unknown intent: {name}"
+            self.rev = getattr(self, "rev", 0) + 1
             return self.snapshot()
 
     # ------------------------------------------------------------ http
@@ -223,7 +225,15 @@ class GuiServer:
                                "text/html; charset=utf-8")
                 elif u.path == "/api/state":
                     with server.lock:
-                        self._json(server.snapshot())
+                        # cheap poll: unchanged revision -> tiny reply
+                        known = q.get("rev", [None])[0]
+                        rev = getattr(server, "rev", 0)
+                        if (known is not None and known.isdigit()
+                                and int(known) == rev
+                                and server.progress is None):
+                            self._json({"rev": rev, "unchanged": True})
+                        else:
+                            self._json(server.snapshot())
                 elif u.path == "/api/image":
                     rec = server._record(qi("g"), qi("f"))
                     if rec is None:
@@ -424,6 +434,7 @@ def run_gui_scanning(args, store, scan_fn, luts=None) -> int:
             srv.state.infos = infos
             srv.state._rebuild()
             srv.progress = None
+            srv.rev = getattr(srv, "rev", 0) + 1
 
     threading.Thread(target=worker, daemon=True).start()
     from .watcher import Watcher

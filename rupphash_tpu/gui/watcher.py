@@ -76,6 +76,7 @@ class Watcher:
                 self.server.state.status = (
                     f"directory changed ({len(new)} new, "
                     f"{len(changed)} modified) — rescan to refresh")
+                self.server.rev = getattr(self.server, "rev", 0) + 1
 
     def _drop(self, gone: set[str]):
         srv = self.server
@@ -92,6 +93,7 @@ class Watcher:
             st.marked -= gone_paths
             st._rebuild()
             st.status = f"{len(gone_paths)} file(s) removed externally"
+            srv.rev = getattr(srv, "rev", 0) + 1
 
     def _run(self):
         while not self._stop.wait(self.interval):
