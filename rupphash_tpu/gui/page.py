@@ -455,16 +455,17 @@ async function advStep(dir) {
 }
 
 // ---------------- prompts --------------------------------------------
-let promptCb = null;
-function prompt2(label, cb, preset) {
+let promptCb = null, promptPaths = false;
+function prompt2(label, cb, preset, paths) {
   $('plabel').textContent = label;
   const inp = $('pinput');
   inp.value = preset || '';
   $('prompt').style.display = 'block';
   inp.focus();
   promptCb = cb;
+  promptPaths = !!paths;
 }
-$('pinput').addEventListener('keydown', ev => {
+$('pinput').addEventListener('keydown', async ev => {
   ev.stopPropagation();
   if (ev.key === 'Enter') {
     const v = $('pinput').value;
@@ -472,6 +473,22 @@ $('pinput').addEventListener('keydown', ev => {
     if (promptCb) promptCb(v);
   } else if (ev.key === 'Escape') {
     $('prompt').style.display = 'none';
+  } else if (ev.key === 'Tab' && promptPaths) {
+    ev.preventDefault();  // Tab path completion (ui.rs:102-432)
+    const inp = $('pinput');
+    const r = await fetch('/api/complete?prefix=' +
+                          encodeURIComponent(inp.value));
+    const c = (await r.json()).completions || [];
+    if (c.length === 1) inp.value = c[0];
+    else if (c.length > 1) {
+      let common = c[0];
+      for (const x of c)
+        while (!x.startsWith(common))
+          common = common.slice(0, -1);
+      if (common.length > inp.value.length) inp.value = common;
+      $('st-msg').textContent = c.slice(0, 8).map(
+        x => x.split('/').filter(Boolean).pop()).join('  ');
+    }
   }
 });
 
@@ -480,7 +497,7 @@ const SORTS = ['name','path','size','size-asc','modified','modified-asc',
 
 const HELP = `rupphash_tpu viewer keys
 ↑/↓ or j/k   next / previous file
-←/→          previous / next group
+←/→          previous / next group   ]/[  next/prev distance band
 PgUp/PgDn    page      Home/End  first / last
 Space        mark      g  mark group    u  unmark all
 d            delete marked (confirm y/n)
@@ -513,6 +530,7 @@ document.addEventListener('keydown', async ev => {
     PageDown:'page_down', PageUp:'page_up', Home:'home', End:'end',
     ' ':'toggle_mark', g:'mark_group', u:'unmark_all',
     d:'confirm_delete', x:'ignore_current', X:'ignore_group',
+    ']':'next_group_by_dist', '[':'prev_group_by_dist',
     t:'toggle_relative_time', L:'cycle_lut',
     R:'rotate_cw', H:'flip_h', V:'flip_v', '0':'reset_transform',
   };
@@ -524,7 +542,7 @@ document.addEventListener('keydown', async ev => {
       break;
     case 'c': case 'C':
       prompt2('Move-target directory:',
-              v => intent('set_move_target', v));
+              v => intent('set_move_target', v), '', true);
       break;
     case 'r': {
       const cur = current();

@@ -279,6 +279,26 @@ class GuiServer:
                         self._json({"error": "unavailable"}, 404)
                     else:
                         self._json(out)
+                elif u.path == "/api/complete":
+                    # Tab path completion for rename/move/dir prompts
+                    # (the reference's dialogs complete paths with Tab,
+                    # gui/dialogs.rs / ui.rs:102-432)
+                    from pathlib import Path as _P
+                    prefix = q.get("prefix", [""])[0]
+                    base = _P(prefix).expanduser()
+                    d, stem = ((base, "") if prefix.endswith("/")
+                               else (base.parent, base.name))
+                    out = []
+                    try:
+                        for e in sorted(d.iterdir()):
+                            if e.name.startswith(stem):
+                                out.append(str(e) + ("/" if e.is_dir()
+                                                     else ""))
+                            if len(out) >= 50:
+                                break
+                    except OSError:
+                        pass
+                    self._json({"completions": out})
                 elif u.path == "/api/search":
                     query = q.get("q", [""])[0]
                     with server.lock:

@@ -296,3 +296,19 @@ def test_watcher_drops_external_deletes(gui):
     paths[2].unlink()
     w.tick()
     assert srv.snapshot()["groups"] == []
+
+
+def test_complete_endpoint(gui, tmp_path):
+    srv, port, paths = gui
+    d = tmp_path / "sub"
+    d.mkdir()
+    (tmp_path / "somefile.txt").write_text("x")
+    import urllib.parse
+    pre = urllib.parse.quote(str(tmp_path) + "/s")
+    code, _, body = _get(port, f"/api/complete?prefix={pre}")
+    comps = json.loads(body)["completions"]
+    assert str(d) + "/" in comps
+    assert str(tmp_path / "somefile.txt") in comps
+    # nonexistent dir -> empty, not error
+    code, _, body = _get(port, "/api/complete?prefix=/no/such/dir/x")
+    assert json.loads(body)["completions"] == []
