@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pdq_jax, pdq_ref
+from . import pdq_jax
 
 TILE_B = 8
 

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 

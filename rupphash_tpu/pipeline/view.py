@@ -22,7 +22,7 @@ from pathlib import Path
 
 from ..grouping import engine
 from ..utils import hashes as H
-from . import decode, exif, walker
+from . import exif, walker
 
 BATCH = 100  # streaming batch size (scanner.rs:2349)
 
