@@ -312,3 +312,37 @@ def test_complete_endpoint(gui, tmp_path):
     # nonexistent dir -> empty, not error
     code, _, body = _get(port, "/api/complete?prefix=/no/such/dir/x")
     assert json.loads(body)["completions"] == []
+
+
+def test_concurrent_intents_and_reads_are_serialized(gui):
+    """Hammer the server from many threads: every response must be a
+    coherent snapshot (no torn state), and the final state must reflect
+    exactly the surviving mutations.  The reference gets serialization
+    from egui's frame loop; ours is the server lock."""
+    import concurrent.futures
+
+    srv, port, paths = gui
+    errors = []
+
+    def worker(k):
+        try:
+            for _ in range(10):
+                if k % 3 == 0:
+                    snap = _intent(port, "next_item")
+                elif k % 3 == 1:
+                    snap = _intent(port, "prev_item")
+                else:
+                    _, _, body = _get(port, "/api/state")
+                    snap = json.loads(body)
+                c = snap.get("cursor")
+                assert c is not None and 0 <= c[1] < 3
+                assert len(snap["groups"][0]["files"]) == 3
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        list(ex.map(worker, range(8)))
+    assert not errors, errors
+    # server still healthy
+    _, _, body = _get(port, "/api/state")
+    assert json.loads(body)["groups"]
