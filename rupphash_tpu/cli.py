@@ -249,6 +249,9 @@ def _open_store(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .utils import jaxcache
+    jaxcache.enable()  # hot-start compiled TPU programs across runs
+
     if args.show_build_info:
         show_build_info()
         return 0

@@ -170,7 +170,6 @@ class GuiServer:
 
     # ------------------------------------------------------------ intents
     INTENTS = {i.value: i for i in Intent}
-    EXTRA = ("cycle_lut", "noop")
 
     def apply_intent(self, name: str, arg=None) -> dict:
         with self.lock:

@@ -1,0 +1,48 @@
+"""Heavy per-file scan work, isolated for worker processes.
+
+This module deliberately imports no jax: scan worker *processes*
+(spawned, see pipeline/scan.py) import it fresh, paying only
+PIL/numpy/ctypes startup.  PIL decode releases the GIL but the
+numpy/EXIF glue does not, so thread pools scale negatively on this
+workload — process workers recover the reference's rayon-pool scaling
+(scanner.rs:1191-1521).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..utils import hashes as H
+from . import decode, exif
+
+
+def heavy_prepare(path, content_key: bytes | None, want_pixel_hash: bool):
+    """Heavy per-file half: read + keyed hash + EXIF + decode + luma.
+    Store-free and picklable, so it runs in worker *processes* — PIL
+    decode releases the GIL but the numpy/EXIF glue does not, and
+    thread pools scale negatively on this workload (the reference's
+    rayon pool has no GIL to fight, scanner.rs:1191-1521)."""
+    path = Path(path)
+    try:
+        data = path.read_bytes()
+    except OSError:
+        return None
+    out: dict = {}
+    out["content_hash"] = H.content_hash(
+        content_key if content_key is not None else b"\x00" * 32, data)
+
+    feats = exif.extract(path, data=data)
+    out["features"] = feats
+
+    img, res = decode.load_image(path, data=data)
+    if img is None:
+        out["decode_failed"] = True
+        return out
+    out["res"] = res
+    feats["width"], feats["height"] = res
+    if want_pixel_hash and content_key is not None:
+        out["pixel_hash"] = H.pixel_hash_rgba16(content_key, img)
+    # bit-exact native luma601 + <=512 box resample (tests/test_native.py)
+    out["luma"] = decode.prepare_luma_fast(img)
+    return out
+

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -66,9 +66,10 @@ def _default_workers() -> int:
     return max(1, min(cores, budget))
 
 
-def _prep_one(path: Path, cfg: ScanConfig, store):
-    """Per-file host work (one pool task).  Returns a dict:
-    {record, luma|None, cached: bool} or None on failure."""
+def _probe_one(path: Path, cfg: ScanConfig, store):
+    """Cheap parent-side half: stat + cache probe (no decode).  Returns
+    {record, cached: True, ...} on a full cache hit, or
+    {record, miss: True, mkey, content} to hand to _heavy_one, or None."""
     try:
         fid, size, mtime_ns = H.file_identity(path)
     except OSError:
@@ -81,7 +82,6 @@ def _prep_one(path: Path, cfg: ScanConfig, store):
     content = None
     if store and not cfg.rehash:
         content = store.get_meta(mkey)
-    cached = False
     if content is not None:
         rec.content_hash = content
         got = store.get_pdqhash(content)
@@ -107,39 +107,30 @@ def _prep_one(path: Path, cfg: ScanConfig, store):
             store.put_meta(mkey, content)  # refresh timestamp
             return {"record": rec, "luma": None, "cached": True}
 
-    # cache miss: full read + decode
     trace.count("CACHE-PARTIAL" if content is not None else "CACHE-MISS")
     trace.debug("CACHE-PARTIAL" if content is not None else "CACHE-MISS",
                 str(path))
-    try:
-        data = path.read_bytes()
-    except OSError:
-        return None
-    if store:
-        rec.content_hash = H.content_hash(store.content_key, data)
-        if content is None:
-            store.put_meta(mkey, rec.content_hash)
-    else:
-        rec.content_hash = H.keyed_hash(b"\x00" * 32, data)
+    return {"record": rec, "miss": True, "mkey": mkey, "content": content}
 
-    feats = exif.extract(path, data=data)
+
+def _merge_heavy(rec, heavy, mkey, content, cfg, store):
+    """Fold a _heavy_one result into the record + cache (parent side)."""
+    rec.content_hash = heavy["content_hash"]
+    if store and content is None:
+        store.put_meta(mkey, rec.content_hash)
+    feats = heavy.get("features") or {}
     rec.orientation = feats.get("orientation", 1)
     rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
     rec.exif_timestamp = feats.get("exif_timestamp")
-
-    img, res = decode.load_image(path, data=data)
-    if img is None:
+    if heavy.get("decode_failed"):
         return {"record": rec, "luma": None, "cached": False,
                 "features": feats, "decode_failed": True}
-    rec.resolution = res
-    feats["width"], feats["height"] = res
-
-    if cfg.pixel_hash and store:
-        rec.pixel_hash = H.pixel_hash_rgba16(store.content_key, img)
-        store.put_pixel_hash(rec.content_hash, rec.pixel_hash)
-
-    luma = pdq_ref.prepare_luma(img)
-    return {"record": rec, "luma": luma, "cached": False,
+    rec.resolution = heavy["res"]
+    if "pixel_hash" in heavy:
+        rec.pixel_hash = heavy["pixel_hash"]
+        if store:
+            store.put_pixel_hash(rec.content_hash, rec.pixel_hash)
+    return {"record": rec, "luma": heavy["luma"], "cached": False,
             "features": feats}
 
 
@@ -192,40 +183,103 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
                     feats["pdq_quality"] = rec.pdq_quality
                     store.put_features(rec.content_hash, feats)
 
+    # Batches are dispatched asynchronously and read back with a bounded
+    # in-flight window: JAX enqueues the device work immediately, so
+    # decode (host) overlaps transfer+hash (device) and only every
+    # MAX_IN_FLIGHT-th batch pays a synchronization — essential when the
+    # device is behind a high-RTT tunnel (a blocking np.asarray per
+    # batch serializes host and device).
+    MAX_IN_FLIGHT = 4
+    pending: list = []  # (items, device outputs)
+
+    def drain(max_pending: int = 0):
+        while len(pending) > max_pending:
+            items, out = pending.pop(0)
+            apply_outputs(items, out)
+
     def flush_bucket(shape):
         items = buckets.pop(shape, [])
         if not items:
             return
         lumas = np.stack([l for _, l, _ in items])
-        apply_outputs(items, pdq_jax.pdq_hash_batch(lumas))
+        pending.append((items, pdq_jax.pdq_hash_batch(lumas)))
+        drain(MAX_IN_FLIGHT)
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        for result in pool.map(lambda p: _prep_one(p, cfg, store), files):
-            done += 1
-            if progress:
-                progress(done, len(files))
-            if result is None:
-                stats.failed += 1
-                continue
-            rec = result["record"]
-            if result.get("decode_failed"):
-                stats.failed += 1
-                if store and result.get("features") is not None:
-                    store.put_features(rec.content_hash, result["features"])
-                continue
-            records.append(rec)
-            if result["cached"]:
-                stats.cache_full += 1
-                continue
-            stats.decoded += 1
-            luma = result["luma"]
-            if luma is None:
-                continue
-            shape = luma.shape
-            buckets.setdefault(shape, []).append(
-                (rec, luma, result.get("features")))
-            if len(buckets[shape]) >= cfg.batch_size:
-                flush_bucket(shape)
+    def consume(result):
+        nonlocal done
+        done += 1
+        if progress:
+            progress(done, len(files))
+        if result is None:
+            stats.failed += 1
+            return
+        rec = result["record"]
+        if result.get("decode_failed"):
+            stats.failed += 1
+            if store and result.get("features") is not None:
+                store.put_features(rec.content_hash, result["features"])
+            return
+        records.append(rec)
+        if result["cached"]:
+            stats.cache_full += 1
+            return
+        stats.decoded += 1
+        luma = result["luma"]
+        if luma is None:
+            return
+        shape = luma.shape
+        buckets.setdefault(shape, []).append(
+            (rec, luma, result.get("features")))
+        if len(buckets[shape]) >= cfg.batch_size:
+            flush_bucket(shape)
+
+    # Phase 1 (parent): cheap stat + cache probes; full hits finalize
+    # immediately.  Phase 2: misses fan out to worker *processes*
+    # (spawned, jax-free — see pipeline/heavy.py) whose results stream
+    # back through consume() so device batching overlaps decode.
+    content_key = store.content_key if store else None
+    want_px = bool(cfg.pixel_hash and store)
+    misses: list[tuple] = []
+    for p in files:
+        probe = _probe_one(p, cfg, store)
+        if probe is None:
+            consume(None)
+        elif probe.get("cached"):
+            consume(probe)
+        else:
+            misses.append((p, probe))
+
+    if misses:
+        from concurrent.futures import as_completed
+
+        from . import heavy as heavymod
+
+        use_procs = workers > 1 and len(misses) >= 64
+        if use_procs:
+            import multiprocessing
+            pool = ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=multiprocessing.get_context("spawn"))
+        else:
+            pool = ThreadPoolExecutor(max_workers=workers)
+        try:
+            futs = {pool.submit(heavymod.heavy_prepare, str(p),
+                                content_key, want_px): probe
+                    for p, probe in misses}
+            for fut in as_completed(futs):
+                probe = futs[fut]
+                try:
+                    heavy = fut.result()
+                except Exception:
+                    heavy = None
+                if heavy is None:
+                    consume(None)
+                else:
+                    consume(_merge_heavy(probe["record"], heavy,
+                                         probe["mkey"], probe["content"],
+                                         cfg, store))
+        finally:
+            pool.shutdown()
 
     # leftovers: full buckets already flushed inline; combine underfull
     # shape buckets into mixed-shape padded batches (one compile per
@@ -238,10 +292,12 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             continue
         if len({it[1].shape for it in chunk}) == 1:
             lumas = np.stack([l for _, l, _ in chunk])
-            apply_outputs(chunk, pdq_jax.pdq_hash_batch(lumas))
+            pending.append((chunk, pdq_jax.pdq_hash_batch(lumas)))
         else:
-            apply_outputs(chunk, pdq_jax.pdq_hash_batch_mixed(
-                [l for _, l, _ in chunk]))
+            pending.append((chunk, pdq_jax.pdq_hash_batch_mixed(
+                [l for _, l, _ in chunk])))
+        drain(MAX_IN_FLIGHT)
+    drain(0)
 
     # materialize hardlink clones with the representative's results
     if hardlink_clones:

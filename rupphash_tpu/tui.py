@@ -142,6 +142,9 @@ def _loop(stdscr, st: AppState):
             st.handle_input(Intent.CHANGE_SORT, _SORT_CYCLE[i])
         elif ch == ord("r"):
             st.handle_input(Intent.SUBMIT_RENAME, _prompt(stdscr, "rename: "))
+        elif ch == ord("c"):
+            st.handle_input(Intent.SET_MOVE_TARGET,
+                            _prompt(stdscr, "move target dir: "))
         elif ch == ord("/"):
             st.handle_input(Intent.SUBMIT_SEARCH, _prompt(stdscr, "search: "))
         elif ch in _KEYMAP:
