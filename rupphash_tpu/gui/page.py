@@ -95,7 +95,7 @@ body { background:var(--bg); color:var(--fg);
 let S = null;            // server snapshot
 let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
 let pan = {x:0, y:0}, drag = null;
-let histMode = 0, exifOn = false, slideTimer = null;
+let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
 let imgNatural = [0, 0];
 
 const $ = id => document.getElementById(id);
@@ -301,6 +301,7 @@ function drawMap() {
   cv.width = cv.clientWidth; cv.height = cv.clientHeight;
   const ctx = cv.getContext('2d');
   ctx.fillStyle = '#0c1016'; ctx.fillRect(0, 0, cv.width, cv.height);
+  if (mapMode === 0) return;  // N: off -> markers -> markers+paths
   const md = S.map || {markers: [], order: []};
   if (!md.markers.length) {
     ctx.fillStyle = '#39445a';
@@ -325,7 +326,7 @@ function drawMap() {
     ctx.lineTo(cv.width, cv.height*i/6); ctx.stroke();
   }
   // ordered path lines (gps_map.rs marker plugin)
-  if (md.order.length > 1) {
+  if (mapMode >= 2 && md.order.length > 1) {
     ctx.strokeStyle = '#61afef88'; ctx.lineWidth = 1.5;
     ctx.beginPath();
     md.order.forEach((oi, k) => {
@@ -509,6 +510,7 @@ f            advanced search (EXIF query, geo distance, regex)
 s            cycle sort order        t  relative times
 W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
 I            histogram off/luma/Oklab   E  EXIF overlay
+N            map off/markers/paths      G  sun via GPS-UTC/camera clock
 L            cycle 3D LUT
 R / H / V    rotate 90° cw / flip horizontal / vertical
 0            reset transform
@@ -584,6 +586,14 @@ document.addEventListener('keydown', async ev => {
       if (histMode) loadAnalysis();
       else { $('hist').style.display = 'none';
              $('palette').style.display = 'none'; }
+      break;
+    case 'N':
+      mapMode = (mapMode + 1) % 3;  // gui/dialogs.rs:459-524
+      drawMap();
+      break;
+    case 'G':
+      await intent('toggle_gps_time');
+      if (exifOn) loadExif();
       break;
     case 'E':
       exifOn = !exifOn;

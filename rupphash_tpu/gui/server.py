@@ -175,6 +175,13 @@ class GuiServer:
         with self.lock:
             if name == "cycle_lut":
                 self.state.status = self.engine.cycle_lut()
+            elif name == "toggle_gps_time":
+                # G: sun position from GPS-UTC vs camera clock
+                # (gui/dialogs.rs:526-547)
+                self.use_gps_time = not self.use_gps_time
+                self.state.status = ("sun position: GPS-UTC time"
+                                     if self.use_gps_time
+                                     else "sun position: camera clock")
             elif name == "noop":
                 pass
             elif name in self.INTENTS:
