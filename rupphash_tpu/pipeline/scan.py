@@ -100,7 +100,8 @@ def _probe_one(path: Path, cfg: ScanConfig, store):
             rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
             rec.exif_timestamp = feats.get("exif_timestamp")
             if coeffs is not None:
-                rec.coeffs = coeffs
+                # dihedral set regenerated from cached coefficients;
+                # the coefficients themselves stay cache-resident
                 rec.dihedral = np.stack(
                     [np.frombuffer(h, dtype=np.uint8)
                      for h in pdq_ref.dihedral_hashes(coeffs)])
@@ -173,15 +174,19 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             rec.pdqhash = bytes(hashes[k])
             rec.pdq_quality = int(round(float(quality[k]) * 100))
             rec.dihedral = dihedral[k]
-            rec.coeffs = coeffs[k]
             stats.hashed += 1
             if store:
+                # coefficients live in the cache, not resident memory:
+                # 1 KB/file is the difference between ~1.5 GiB and the
+                # reference's ~2.5 GiB budget at 1M files (README.md:12)
                 store.put_pdqhash(rec.content_hash, rec.pdqhash,
                                   rec.pdq_quality)
                 store.put_coefficients(rec.content_hash, coeffs[k])
                 if feats is not None:
                     feats["pdq_quality"] = rec.pdq_quality
                     store.put_features(rec.content_hash, feats)
+            else:
+                rec.coeffs = coeffs[k]
 
     # Batches are dispatched asynchronously and read back with a bounded
     # in-flight window: JAX enqueues the device work immediately, so
