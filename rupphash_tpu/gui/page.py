@@ -96,6 +96,7 @@ let S = null;            // server snapshot
 let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
 let pan = {x:0, y:0}, drag = null;
 let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
+let scanPoll = null;
 let imgNatural = [0, 0];
 
 const $ = id => document.getElementById(id);
@@ -113,7 +114,10 @@ async function refresh() {
   const rev = S ? S.rev : -1;
   const r = await (await fetch('/api/state?rev=' + rev)).json();
   if (r.unchanged) {
-    if (S && S.scanning) setTimeout(refresh, 500);
+    if (S && S.scanning) {
+      clearTimeout(scanPoll);
+      scanPoll = setTimeout(refresh, 500);
+    }
     return;
   }
   S = r;
@@ -203,7 +207,8 @@ function render() {
     const [d, t] = S.scanning;
     document.title = `Scanning… ${d}/${t} - rupphash_tpu`;
     $('st-pos').textContent = `Scanning… ${d}/${t}`;
-    setTimeout(refresh, 500);
+    clearTimeout(scanPoll);           // one chained poll, not N chains
+    scanPoll = setTimeout(refresh, 500);
   } else {
     document.title = 'rupphash_tpu';
     $('st-pos').textContent = S.groups.length ?
@@ -234,16 +239,7 @@ function current() {
 }
 
 async function selectRow(gi, fi) {
-  // navigate by diff of flat indices
-  let flat = 0, target = 0, at = 0;
-  S.groups.forEach((g, i) => g.files.forEach((f, j) => {
-    if (i === S.cursor[0] && j === S.cursor[1]) at = flat;
-    if (i === gi && j === fi) target = flat;
-    flat++;
-  }));
-  const d = target - at;
-  for (let i = 0; i < Math.abs(d); i++)
-    await intent(d > 0 ? 'next_item' : 'prev_item');
+  await intent('select', [gi, fi]);
 }
 
 let imgSeq = 0;
@@ -506,7 +502,7 @@ x / X        ignore file / group
 m            move marked to target dir   c  set move target
 r            rename current file
 /            filename regex search   n/p next/prev match
-f            advanced search (EXIF query, geo distance, regex)
+f            advanced search (EXIF/geo/regex)   F  fullscreen
 s            cycle sort order        t  relative times
 W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
 I            histogram off/luma/Oklab   E  EXIF overlay
@@ -514,7 +510,7 @@ N            map off/markers/paths      G  sun via GPS-UTC/camera clock
 L            cycle 3D LUT
 R / H / V    rotate 90° cw / flip horizontal / vertical
 0            reset transform
-T            slideshow    F  fullscreen    ?  this help    Q  quit`;
+T            slideshow    ?  this help    Q  quit`;
 
 document.addEventListener('keydown', async ev => {
   if (ev.target.tagName === 'INPUT') return;
@@ -565,7 +561,7 @@ document.addEventListener('keydown', async ev => {
       advMatches.length ? await advStep(-1)
                         : await intent('prev_search');
       break;
-    case 'f': case 'F':
+    case 'f':
       prompt2('Advanced search (EXIF query / DistanceFrom:NAME:KM / ' +
               'regex):', v => advSearch(v));
       break;

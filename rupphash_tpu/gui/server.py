@@ -126,18 +126,34 @@ class GuiServer:
     def search(self, query: str) -> list[list[int]]:
         """Advanced search (filename regex + EXIF index + geo filters,
         AND semantics — the dialog at gui/dialogs.rs:1680-1921) over the
-        flattened session; returns [group, file] matches in list order."""
+        flattened session; returns [group, file] matches in list order.
+
+        The EXIF index is cached per state revision and built *outside*
+        the server lock, so a search over a large session never freezes
+        the UI (only the cheap record-snapshot holds the lock)."""
         from .. import search as searchmod
 
-        st = self.state
-        flat, where = [], []
-        for gi, g in enumerate(st.groups):
-            for fi, f in enumerate(g):
-                flat.append(f)
-                where.append([gi, fi])
+        with self.lock:
+            rev = getattr(self, "rev", 0)
+            flat, where = [], []
+            for gi, g in enumerate(self.state.groups):
+                for fi, f in enumerate(g):
+                    flat.append(f)
+                    where.append([gi, fi])
+            cached = getattr(self, "_search_cache", None)
+        if cached is not None and cached[0] == rev:
+            index = cached[1]
+        else:
+            try:
+                index = searchmod.build_index(flat, store=self.store)
+            except Exception:
+                return []
+            with self.lock:
+                self._search_cache = (rev, index)
         try:
             hits = searchmod.search_records(
-                flat, query, locations=self.locations, store=self.store)
+                flat, query, index=index, locations=self.locations,
+                store=self.store)
         except Exception:
             return []
         hit_ids = {id(r) for r in hits}
@@ -307,8 +323,7 @@ class GuiServer:
                     self._json({"completions": out})
                 elif u.path == "/api/search":
                     query = q.get("q", [""])[0]
-                    with server.lock:
-                        self._json({"matches": server.search(query)})
+                    self._json({"matches": server.search(query)})
                 elif u.path == "/api/exif":
                     rec = server._record(qi("g"), qi("f"))
                     if rec is None:
@@ -388,10 +403,15 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
             lut_objs.append(lt)
         else:
             print(f"warning: could not parse LUT {p}", file=sys.stderr)
+    view_mode = bool(getattr(args, "view", False)
+                     or getattr(args, "view_flatten", False)
+                     or getattr(args, "shuffle", False)
+                     or getattr(args, "slideshow", None) is not None)
     st = AppState(groups, infos, use_trash=args.use_trash,
                   move_target=args.move_marked,
                   sort_order=args.sort,
-                  relative_times=args.relative_times, store=store)
+                  relative_times=args.relative_times, store=store,
+                  keep_singletons=view_mode)
     locations, gui_cfg = _viewer_config()
     srv = GuiServer(st, imaging.ImageEngine(lut_objs),
                     slideshow=args.slideshow,

@@ -23,29 +23,37 @@ import threading
 from pathlib import Path
 
 
-def _snapshot(roots):
+def _snapshot(roots, recursive=True):
     snap = {}
-    for root in roots:
+
+    def _scan_dir(d):
         try:
-            it = os.scandir(root)
+            it = os.scandir(d)
         except OSError:
-            continue
+            return
         with it:
             for e in it:
                 try:
                     if e.is_file(follow_symlinks=False):
                         st = e.stat(follow_symlinks=False)
                         snap[e.path] = (st.st_mtime_ns, st.st_size)
+                    elif recursive and e.is_dir(follow_symlinks=False):
+                        _scan_dir(e.path)
                 except OSError:
                     continue
+
+    for root in roots:
+        _scan_dir(root)
     return snap
 
 
 class Watcher:
-    def __init__(self, server, roots, interval: float = 2.0):
+    def __init__(self, server, roots, interval: float = 2.0,
+                 recursive: bool = True):
         self.server = server
         self.roots = [str(Path(r)) for r in roots]
         self.interval = interval
+        self.recursive = recursive
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._snap = None
@@ -60,7 +68,7 @@ class Watcher:
 
     def tick(self):
         """One diff pass (exposed for tests)."""
-        snap = _snapshot(self.roots)
+        snap = _snapshot(self.roots, self.recursive)
         if self._snap is None:
             self._snap = snap
             return
@@ -83,15 +91,9 @@ class Watcher:
         with srv.lock:
             st = srv.state
             gone_paths = {Path(p) for p in gone}
-            # external deletion: same cleanup as AppState._drop_paths
-            st.groups = [[f for f in g if f.path not in gone_paths]
-                         for g in st.groups]
-            keep = [(g, i) for g, i in zip(st.groups, st.infos)
-                    if len(g) > 0]
-            st.groups = [g for g, _ in keep]
-            st.infos = [i for _, i in keep]
-            st.marked -= gone_paths
-            st._rebuild()
+            # external deletion: the session-state cleanup path
+            # (cursor preservation, singleton-group removal)
+            st._drop_paths(gone_paths)
             st.status = f"{len(gone_paths)} file(s) removed externally"
             srv.rev = getattr(srv, "rev", 0) + 1
 

@@ -201,8 +201,10 @@ class NearDupService:
         if luma is None:
             return None
         out = pdq_jax.pdq_hash_batch(np.asarray(luma)[None])
+        # device quality is [0,1]; records/index use the reference's
+        # 0-100 scale (scanner.rs quality<50 gate)
         return (np.asarray(out["dihedral"][0]),
-                float(np.asarray(out["quality"][0])))
+                float(np.asarray(out["quality"][0])) * 100.0)
 
     def query_bytes(self, data: bytes, similarity: int | None = None,
                     max_results: int = 100):
@@ -234,8 +236,8 @@ class NearDupService:
             return None
         out = pdq_jax.pdq_hash_batch(np.asarray(luma)[None])
         h = bytes(np.asarray(out["dihedral"][0][0]))
-        q = float(np.asarray(out["quality"][0]))
-        self.index.add(path, h, int(q))
+        q = float(np.asarray(out["quality"][0])) * 100.0  # 0-100 scale
+        self.index.add(path, h, int(round(q)))
         return {"path": path, "hash": h.hex(), "quality": q,
                 "size": len(self.index)}
 

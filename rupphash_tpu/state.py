@@ -50,6 +50,7 @@ class Intent(enum.Enum):
     IGNORE_CURRENT = "ignore_current"
     IGNORE_GROUP = "ignore_group"
     SET_MOVE_TARGET = "set_move_target"
+    SELECT = "select"
     ROTATE_CW = "rotate_cw"
     FLIP_H = "flip_h"
     FLIP_V = "flip_v"
@@ -73,7 +74,8 @@ class AppState:
     PAGE = 20
 
     def __init__(self, groups, infos, use_trash=False, move_target=None,
-                 sort_order="name", relative_times=False, store=None):
+                 sort_order="name", relative_times=False, store=None,
+                 keep_singletons=False):
         self.groups: list[list[engine.FileRecord]] = groups
         self.infos: list[engine.GroupInfo] = infos
         self.cursor_group = 0
@@ -84,6 +86,9 @@ class AppState:
         self.sort_order = sort_order
         self.relative_times = relative_times
         self.store = store
+        # view mode keeps one flat listing alive down to its last file;
+        # dupe mode prunes groups that fall to a single member
+        self.keep_singletons = keep_singletons
         self.status = ""
         self.quit = False
         self.pending_confirm: str | None = None  # "delete" | "ignore-group"
@@ -178,9 +183,10 @@ class AppState:
     def _drop_paths(self, paths: set[Path]):
         cur = self.current()
         new_groups, new_infos = [], []
+        min_keep = 0 if self.keep_singletons else 1
         for g, inf in zip(self.groups, self.infos):
             g2 = [f for f in g if f.path not in paths]
-            if len(g2) > 1:
+            if len(g2) > min_keep:
                 new_groups.append(g2)
                 new_infos.append(inf)
         self.groups, self.infos = new_groups, new_infos
@@ -347,6 +353,15 @@ class AppState:
                         self.status = f"delete failed: {e}"
             case Intent.MOVE_MARKED:
                 self._move_marked()
+            case Intent.SELECT:
+                # direct cursor placement (GUI row click)
+                try:
+                    gi, fi = int(arg[0]), int(arg[1])
+                except (TypeError, ValueError, IndexError):
+                    return
+                if 0 <= gi < len(self.groups) and \
+                        0 <= fi < len(self.groups[gi]):
+                    self.cursor_group, self.cursor_file = gi, fi
             case Intent.SET_MOVE_TARGET:
                 # the GUI/TUI move-dir dialog (gui/dialogs.rs dir picker)
                 p = Path(arg).expanduser() if arg else None

@@ -155,8 +155,13 @@ def run(groups, infos, args, store=None) -> int:
     if not groups:
         print("No duplicate groups to browse.")
         return 0
+    view_mode = bool(getattr(args, "view", False)
+                     or getattr(args, "view_flatten", False)
+                     or getattr(args, "shuffle", False)
+                     or getattr(args, "slideshow", None) is not None)
     st = AppState(groups, infos, use_trash=args.use_trash,
                   move_target=args.move_marked, sort_order=args.sort,
-                  relative_times=args.relative_times, store=store)
+                  relative_times=args.relative_times, store=store,
+                  keep_singletons=view_mode)
     curses.wrapper(_loop, st)
     return 0

@@ -142,3 +142,42 @@ def test_http_surface(corpus):
         assert ei.value.code == 415
     finally:
         httpd.shutdown()
+
+
+def test_quality_scale_is_0_to_100(corpus):
+    """Regression: service quality must use the record scale (0-100),
+    not the device's [0,1] — a [0,1] value gates every query to
+    exact-only (quality<50 rule)."""
+    d, paths, records = corpus
+    svc = serve.NearDupService(serve.HashIndex.from_records(records))
+    buf = io.BytesIO()
+    Image.fromarray(_photo(0)).save(buf, format="PNG")
+    variants, quality = svc.hash_bytes(buf.getvalue())
+    assert quality > 1.5  # 0-100 scale, textured fixture is high
+    assert quality == records[0].pdq_quality or \
+        abs(quality - records[0].pdq_quality) <= 1
+
+
+def test_nonzero_distance_match_not_gated(corpus):
+    """A good-quality query must match at distance > 0."""
+    d, paths, records = corpus
+    ix = serve.HashIndex()
+    # index a 2-bit-corrupted copy of img0's hash at good quality
+    h = bytearray(records[0].pdqhash)
+    h[0] ^= 0x03
+    ix.add("near.png", bytes(h), quality=records[0].pdq_quality)
+    svc = serve.NearDupService(ix)
+    buf = io.BytesIO()
+    Image.fromarray(_photo(0)).save(buf, format="PNG")
+    out = svc.query_bytes(buf.getvalue())
+    assert out["matches"], "distance-2 match must not be gated away"
+    assert 0 < out["matches"][0]["distance"] <= 4
+
+
+def test_add_path_quality_scale(corpus, tmp_path):
+    d, paths, records = corpus
+    ix = serve.HashIndex()
+    svc = serve.NearDupService(ix)
+    out = svc.add_path(str(paths[0]))
+    assert out["quality"] > 1.5            # 0-100
+    assert ix.quality[0] > 1               # persisted on record scale
