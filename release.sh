@@ -28,7 +28,7 @@ print("entry + dryrun_multichip ok")
 EOF
 
 echo "== package =="
-python -m build --sdist --wheel 2>/dev/null || \
+python -m build --sdist --wheel --no-isolation 2>/dev/null || \
     echo "python-build unavailable; skipping package step"
 
 echo "release checks passed"
