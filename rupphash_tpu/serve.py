@@ -114,13 +114,16 @@ class HashIndex:
 
     # --------------------------------------------------------- persist
     def save(self, path: str | Path):
-        np.savez_compressed(
-            path, hashes=self.hashes, quality=self.quality,
-            paths=np.asarray(self.paths, dtype=object))
+        # paths as JSON bytes, not a pickled object array: loading an
+        # untrusted pickle executes code, and index files may be shared
+        pb = np.frombuffer(json.dumps(self.paths).encode(),
+                           dtype=np.uint8)
+        np.savez_compressed(path, hashes=self.hashes,
+                            quality=self.quality, paths_json=pb)
 
     @classmethod
     def load(cls, path: str | Path) -> "HashIndex":
-        with np.load(path, allow_pickle=True) as z:
+        with np.load(path, allow_pickle=False) as z:
             ix = cls(nbytes=z["hashes"].shape[1] if z["hashes"].size
                      else 32)
             n = len(z["hashes"])
@@ -128,7 +131,8 @@ class HashIndex:
                                               dtype=np.uint8)
             ix._quality = np.ascontiguousarray(z["quality"],
                                                dtype=np.int32)
-            ix.paths = [str(p) for p in z["paths"]]
+            ix.paths = [str(p) for p in
+                        json.loads(bytes(z["paths_json"]).decode())]
             ix._n = n
         return ix
 
