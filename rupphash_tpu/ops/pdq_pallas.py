@@ -1,4 +1,25 @@
-"""Fully-fused Pallas TPU kernel for batched PDQ hashing.
+"""Pallas TPU kernels for batched PDQ hashing.
+
+Two variants live here:
+
+* `pdq_hash_batch_hybrid` — **compiles and runs on real TPU hardware,
+  dihedral bit-exact vs the golden** (validated on the reference
+  fixture and randomized sweeps): a Pallas front half computes the
+  FLOPs-heavy stage (u8 luma -> L@X@R^T -> quality -> 16x16 DCT) at
+  HIGHEST-precision f32 entirely in VMEM; pdq_jax's exact matmul
+  epilogue (median/dihedral/packing) fuses into the same jit program.
+  Measured on v5e: ~3.5x lower per-dispatch latency than the XLA path
+  (useful for single-query serving), ~0.7x its steady-state
+  throughput — so the XLA path (ops/pdq_jax.py) remains the scan
+  pipeline's production path.
+
+* `pdq_hash_batch_fused` — the fully-fused single kernel described
+  below, exact in interpret mode.  Its dihedral tail does not compile
+  on real hardware today: the (16,16)->(1,256) flatten is a sub-tile
+  reshape Mosaic rejects, and flatten-free reformulations (bisection
+  median on (4,16,16) tiles, per-variant 2D loops) abort this
+  environment's remote Mosaic compiler even though every individual
+  construct compiles in isolation (see tests and the PARITY note).
 
 One kernel does the entire per-image pipeline that pdq_jax.py expresses
 as separate XLA ops:
@@ -164,6 +185,101 @@ def _build(rows: int, cols: int, tile_b: int = TILE_B,
                 "quality": quality[:, 0], "coeffs": coeffs}
 
     return run
+
+
+def _coeffs_kernel(lumas_ref, l_ref, r_ref, d_ref, c_ref, q_ref, *,
+                   tile_b):
+    """Front half only: u8 luma -> buf64 -> quality + 16x16 DCT block.
+    This is the FLOPs-heavy part and it compiles on real hardware; the
+    full kernel's median/dihedral tail trips the Mosaic compiler (the
+    sub-tile flatten, and at larger scope a compiler abort), so the
+    production fused path pairs this kernel with pdq_jax's exact matmul
+    epilogue (dihedral_from_coeffs) in the same jit program."""
+    l_op = l_ref[:]
+    r_op = r_ref[:]
+    d16 = d_ref[:]
+    hi = jax.lax.Precision.HIGHEST  # bit-exact f32 (see pdq_core note)
+    for b in range(tile_b):
+        x = lumas_ref[b].astype(jnp.int32).astype(jnp.float32)
+        t1 = jnp.dot(l_op, x, preferred_element_type=jnp.float32,
+                     precision=hi)
+        buf64 = jnp.dot(t1, r_op.T, preferred_element_type=jnp.float32,
+                        precision=hi)
+        vert = buf64[:-1, :] - buf64[1:, :]
+        horiz = buf64[:, :-1] - buf64[:, 1:]
+        tv = jnp.floor(jnp.abs(vert * 100.0 / 255.0)).sum()
+        th = jnp.floor(jnp.abs(horiz * 100.0 / 255.0)).sum()
+        q_ref[b] = jnp.broadcast_to(
+            jnp.minimum((tv + th) / 90.0, 1.0), (1, 128))
+        bd = jnp.dot(d16, buf64, preferred_element_type=jnp.float32,
+                     precision=hi)
+        c_ref[b] = jnp.dot(bd, d16.T,
+                           preferred_element_type=jnp.float32,
+                           precision=hi)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_hybrid(rows: int, cols: int, tile_b: int = TILE_B,
+                  interpret: bool = False):
+    l_np, r_np = pdq_jax.linear_operators(rows, cols)
+    d_np = pdq_jax.dct16x64()
+    kernel = functools.partial(_coeffs_kernel, tile_b=tile_b)
+
+    @jax.jit
+    def run(lumas):
+        b = lumas.shape[0]
+        assert b % tile_b == 0
+        coeffs, quality = pl.pallas_call(
+            kernel,
+            grid=(b // tile_b,),
+            in_specs=[
+                pl.BlockSpec((tile_b, rows, cols), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, rows), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, cols), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 64), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_b, 16, 16), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, 16, 16), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(lumas, jnp.asarray(l_np), jnp.asarray(r_np),
+          jnp.asarray(d_np))
+        dihedral = pdq_jax.dihedral_from_coeffs(coeffs)
+        return {"hash": dihedral[:, 0, :], "dihedral": dihedral,
+                "quality": quality[:, 0, 0],
+                "coeffs": coeffs.reshape(-1, 256)}
+
+    return run
+
+
+def pdq_hash_batch_hybrid(lumas, interpret: bool = False):
+    """Pallas front half (luma -> quality + DCT coefficients) + XLA
+    matmul epilogue (median/dihedral/packing), fused into one jit
+    program.  Compiles and runs on real TPU hardware; same output
+    contract as pdq_jax.pdq_hash_batch."""
+    lumas = np.asarray(lumas)
+    b, rows, cols = lumas.shape
+    bpad = -(-b // TILE_B) * TILE_B
+    if bpad != b:
+        lumas = np.concatenate(
+            [lumas, np.zeros((bpad - b, rows, cols), dtype=lumas.dtype)])
+    out = _build_hybrid(rows, cols, TILE_B, interpret)(jnp.asarray(lumas))
+    if bpad != b:
+        out = {k: v[:b] for k, v in out.items()}
+    return out
 
 
 def pdq_hash_batch_fused(lumas, interpret: bool = False):

@@ -43,3 +43,26 @@ def test_rank_median_equals_sort_median():
     for m in range(5):
         expect = np.sort(vals[m], kind="stable")[127]
         assert med[m] == expect, m
+
+
+def test_hybrid_matches_xla_path():
+    """Pallas front half + XLA epilogue (the real-TPU-validated fused
+    path) must equal the XLA path bit-for-bit."""
+    rng = np.random.default_rng(3)
+    lumas = rng.integers(0, 256, (8, 128, 96), dtype=np.uint8)
+    hyb = pdq_pallas.pdq_hash_batch_hybrid(lumas, interpret=True)
+    xla = pdq_jax.pdq_hash_batch(lumas)
+    assert np.array_equal(np.asarray(hyb["dihedral"]),
+                          np.asarray(xla["dihedral"]))
+    assert np.allclose(np.asarray(hyb["quality"]),
+                       np.asarray(xla["quality"]), atol=1e-6)
+
+
+def test_hybrid_batch_padding():
+    rng = np.random.default_rng(4)
+    lumas = rng.integers(0, 256, (5, 64, 64), dtype=np.uint8)
+    out = pdq_pallas.pdq_hash_batch_hybrid(lumas, interpret=True)
+    assert out["hash"].shape == (5, 32)
+    xla = pdq_jax.pdq_hash_batch(lumas)
+    assert np.array_equal(np.asarray(out["hash"]),
+                          np.asarray(xla["hash"]))
