@@ -108,3 +108,39 @@ def test_jax_phash_batch_consistency():
     for i in range(4):
         single = phash_jax.phash_batch(batch[i][None])
         assert bytes(np.asarray(out["hash"][i])) == bytes(np.asarray(single["hash"][0]))
+
+
+def test_dct_matches_scipy_independent_oracle():
+    """Cross-implementation check (the reference validates its pHash
+    against py-imagehash's scipy DCT, NOTES.txt:61-91; imagehash is not
+    in this image, so scipy.fft — the same engine it uses — serves as
+    the independent oracle).  rustdct semantics = unnormalized DCT-II,
+    which is scipy's type-2 with norm=None halved on the DC-free
+    definition: scipy dct type 2: y[k] = 2 * sum x[j] cos(pi k (2j+1) /
+    (2n)); ours omits the factor 2."""
+    import numpy as np
+    import scipy.fft
+
+    from rupphash_tpu.ops import phash_ref
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32,)).astype(np.float64)
+    ours = phash_ref.dct2_matrix(32).astype(np.float64) @ x
+    theirs = scipy.fft.dct(x, type=2, norm=None) / 2.0
+    assert np.allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+    # full 2-D pipeline: hash from a scipy-DCT implementation must
+    # equal ours bit-for-bit
+    luma = rng.integers(0, 256, (32, 32)).astype(np.float32)
+    ours_hash = phash_ref.phash_from_luma32(luma)
+
+    d = scipy.fft.dct(scipy.fft.dct(
+        luma.astype(np.float64), axis=0, type=2),
+        axis=1, type=2) / 4.0
+    low = d[:8, :8].flatten()
+    med = np.median(np.sort(low[1:]))  # DC excluded (phash.rs:67-71)
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << (63 - i)
+    assert bits == ours_hash
