@@ -99,8 +99,13 @@ def _downscale(img: np.ndarray, max_side: int) -> np.ndarray:
 
 
 class ImageEngine:
-    def __init__(self, luts=None, cache_items: int = 48):
+    def __init__(self, luts=None, cache_items: int = 48,
+                 raw_thumbnails: bool = False):
         self.luts = luts or []          # list[Lut3D]
+        # --raw-thumbnails: view RAW files from their embedded preview
+        # instead of the full demosaic (gui/image.rs:1839-1962 thumbnail
+        # mode vs unpack()+process())
+        self.raw_thumbnails = raw_thumbnails
         self.active_lut = -1            # -1 = off; cycles like the ref
         self._cache: OrderedDict = OrderedDict()
         self._cache_items = cache_items
@@ -139,7 +144,17 @@ class ImageEngine:
             data = path.read_bytes()
         except OSError:
             return None
-        img, _ = decode.load_image(path, data=data)
+        img = None
+        if not self.raw_thumbnails and decode.is_raw_ext(path):
+            # full-quality raw decode for the viewer when available
+            from ..pipeline import dng
+            if dng.is_dng(data):
+                try:
+                    img = dng.decode_dng(data)
+                except Exception:
+                    img = None
+        if img is None:
+            img, _ = decode.load_image(path, data=data)
         if img is None:
             return None
         if img.ndim == 2:

@@ -413,7 +413,9 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
                   relative_times=args.relative_times, store=store,
                   keep_singletons=view_mode)
     locations, gui_cfg = _viewer_config()
-    srv = GuiServer(st, imaging.ImageEngine(lut_objs),
+    engine = imaging.ImageEngine(
+        lut_objs, raw_thumbnails=getattr(args, "raw_thumbnails", False))
+    srv = GuiServer(st, engine,
                     slideshow=args.slideshow,
                     locations=locations, store=store,
                     gui_config=gui_cfg)

@@ -346,3 +346,26 @@ def test_concurrent_intents_and_reads_are_serialized(gui):
     # server still healthy
     _, _, body = _get(port, "/api/state")
     assert json.loads(body)["groups"]
+
+
+def test_raw_thumbnails_mode(tmp_path):
+    """--raw-thumbnails views the embedded preview; default views the
+    full demosaic for preview-less DNGs (thumbnail-vs-process parity,
+    gui/image.rs:1839-1962)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dng import _scene, write_dng
+
+    rgb, mosaic = _scene(64, 96)
+    p = tmp_path / "x.dng"
+    p.write_bytes(write_dng(mosaic))
+    full = imaging.ImageEngine(raw_thumbnails=False)
+    out = full.render(p, max_side=512)
+    assert out is not None and out[:2] == b"\xff\xd8"
+    import io
+    im = Image.open(io.BytesIO(out))
+    assert im.size == (96, 64)  # full raster demosaiced
+    # thumbnail mode: no embedded preview in this DNG -> falls through
+    # to the normal tiered decode (which also demosaics), still renders
+    thumb = imaging.ImageEngine(raw_thumbnails=True)
+    assert thumb.render(p, max_side=512) is not None
