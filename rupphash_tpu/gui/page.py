@@ -124,6 +124,20 @@ async function refresh() {
   render();
 }
 
+function fmtTime(mtime) {
+  if (!mtime) return '';
+  if (S && S.relative_times) {       // t toggle (phdupes.rs
+    let d = Date.now()/1000 - mtime; // --relative-times)
+    const u = [[31536000,'y'],[2592000,'mo'],[86400,'d'],
+               [3600,'h'],[60,'m']];
+    for (const [s2, n2] of u)
+      if (d >= s2) return Math.floor(d/s2) + n2 + ' ago';
+    return 'now';
+  }
+  const dt = new Date(mtime*1000);
+  return dt.toISOString().slice(0, 16).replace('T', ' ');
+}
+
 function fmtSize(n) {
   const u = ['B','KiB','MiB','GiB']; let i = 0;
   while (n >= 1024 && i < 3) { n /= 1024; i++; }
@@ -182,7 +196,8 @@ function renderList() {
       const res = f.res ? f.res[0] + 'x' + f.res[1] : '?';
       d.innerHTML = `<span class="mk">${mk}</span>` +
         `<span>${f.name}</span>` +
-        `<span class="meta">${res} · ${fmtSize(f.size)}</span>`;
+        `<span class="meta">${fmtTime(f.mtime)} · ${res} · ` +
+        `${fmtSize(f.size)}</span>`;
       d.title = f.path;
       d.onclick = () => selectRow(gi, fi);
     }
