@@ -109,6 +109,9 @@ class ImageEngine:
         self.active_lut = -1            # -1 = off; cycles like the ref
         self._cache: OrderedDict = OrderedDict()
         self._cache_items = cache_items
+        # decoded-raster LRU: transform/LUT/size changes re-encode but
+        # never re-decode (the expensive step, esp. full DNG demosaic)
+        self._raster_cache: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
 
     def cycle_lut(self) -> str:
@@ -140,26 +143,31 @@ class ImageEngine:
 
         from ..pipeline import decode
 
-        try:
-            data = path.read_bytes()
-        except OSError:
-            return None
-        img = None
-        if not self.raw_thumbnails and decode.is_raw_ext(path):
-            # full-quality raw decode for the viewer when available
-            from ..pipeline import dng
-            if dng.is_dng(data):
-                try:
-                    img = dng.decode_dng(data)
-                except Exception:
-                    img = None
-        if img is None:
-            img, _ = decode.load_image(path, data=data)
-        if img is None:
-            return None
-        if img.ndim == 2:
-            img = np.stack([img] * 3, axis=-1)
-        img = hdr_finish(data, img, peak_nits)
+        rkey = (str(path), st.st_mtime_ns, st.st_size,
+                self.raw_thumbnails, peak_nits)
+        with self._lock:
+            cached = self._raster_cache.get(rkey)
+            if cached is not None:
+                self._raster_cache.move_to_end(rkey)
+        if cached is not None:
+            img = cached
+        else:
+            try:
+                data = path.read_bytes()
+            except OSError:
+                return None
+            img, _ = decode.load_image(
+                path, data=data,
+                prefer_full_raw=not self.raw_thumbnails)
+            if img is None:
+                return None
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            img = hdr_finish(data, img, peak_nits)
+            with self._lock:
+                self._raster_cache[rkey] = img
+                while len(self._raster_cache) > 8:
+                    self._raster_cache.popitem(last=False)
         img = exif_orient(img, orientation)
         if transform is not None:
             img = apply_transform(img, transform.quarter_turns,

@@ -100,6 +100,9 @@ let scanPoll = null;
 let imgNatural = [0, 0];
 
 const $ = id => document.getElementById(id);
+const esc = t => String(t).replace(/[&<>"']/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',
+         "'":'&#39;'}[c]));
 
 async function intent(name, arg) {
   const r = await fetch('/api/intent', {method:'POST',
@@ -135,7 +138,10 @@ function fmtTime(mtime) {
     return 'now';
   }
   const dt = new Date(mtime*1000);
-  return dt.toISOString().slice(0, 16).replace('T', ' ');
+  const p2 = v => String(v).padStart(2, '0');
+  return `${dt.getFullYear()}-${p2(dt.getMonth()+1)}-` +
+         `${p2(dt.getDate())} ${p2(dt.getHours())}:` +
+         `${p2(dt.getMinutes())}`;
 }
 
 function fmtSize(n) {
@@ -194,9 +200,9 @@ function renderList() {
                (f.subgroup ? 'C' + f.subgroup : '  ');
       if (f.low_quality) mk = mk.slice(0, 3) + '!';
       const res = f.res ? f.res[0] + 'x' + f.res[1] : '?';
-      d.innerHTML = `<span class="mk">${mk}</span>` +
-        `<span>${f.name}</span>` +
-        `<span class="meta">${fmtTime(f.mtime)} · ${res} · ` +
+      d.innerHTML = `<span class="mk">${esc(mk)}</span>` +
+        `<span>${esc(f.name)}</span>` +
+        `<span class="meta">${esc(fmtTime(f.mtime))} · ${res} · ` +
         `${fmtSize(f.size)}</span>`;
       d.title = f.path;
       d.onclick = () => selectRow(gi, fi);

@@ -265,33 +265,29 @@ def _build_hybrid(rows: int, cols: int, tile_b: int = TILE_B,
     return run
 
 
+def _pad_run(build, lumas, interpret: bool):
+    """Pad the batch to a TILE_B multiple, dispatch, slice back."""
+    lumas = np.asarray(lumas)
+    b, rows, cols = lumas.shape
+    bpad = -(-b // TILE_B) * TILE_B
+    if bpad != b:
+        lumas = np.concatenate(
+            [lumas, np.zeros((bpad - b, rows, cols), dtype=lumas.dtype)])
+    out = build(rows, cols, TILE_B, interpret)(jnp.asarray(lumas))
+    if bpad != b:
+        out = {k: v[:b] for k, v in out.items()}
+    return out
+
+
 def pdq_hash_batch_hybrid(lumas, interpret: bool = False):
     """Pallas front half (luma -> quality + DCT coefficients) + XLA
     matmul epilogue (median/dihedral/packing), fused into one jit
     program.  Compiles and runs on real TPU hardware; same output
     contract as pdq_jax.pdq_hash_batch."""
-    lumas = np.asarray(lumas)
-    b, rows, cols = lumas.shape
-    bpad = -(-b // TILE_B) * TILE_B
-    if bpad != b:
-        lumas = np.concatenate(
-            [lumas, np.zeros((bpad - b, rows, cols), dtype=lumas.dtype)])
-    out = _build_hybrid(rows, cols, TILE_B, interpret)(jnp.asarray(lumas))
-    if bpad != b:
-        out = {k: v[:b] for k, v in out.items()}
-    return out
+    return _pad_run(_build_hybrid, lumas, interpret)
 
 
 def pdq_hash_batch_fused(lumas, interpret: bool = False):
     """Fused-kernel batch hashing; pads the batch up to a TILE_B multiple.
     Same output contract as pdq_jax.pdq_hash_batch."""
-    lumas = np.asarray(lumas)
-    b, rows, cols = lumas.shape
-    bpad = -(-b // TILE_B) * TILE_B
-    if bpad != b:
-        lumas = np.concatenate(
-            [lumas, np.zeros((bpad - b, rows, cols), dtype=lumas.dtype)])
-    out = _build(rows, cols, TILE_B, interpret)(jnp.asarray(lumas))
-    if bpad != b:
-        out = {k: v[:b] for k, v in out.items()}
-    return out
+    return _pad_run(_build, lumas, interpret)

@@ -129,11 +129,15 @@ def prepare_luma_fast(img: np.ndarray):
     return luma
 
 
-def load_image(path: str | os.PathLike, data: bytes | None = None):
+def load_image(path: str | os.PathLike, data: bytes | None = None,
+               prefer_full_raw: bool = False):
     """Decode a file into (array, (width, height)) or (None, None).
 
-    RAW containers go through the embedded-preview carver; everything
-    else through PIL.  Per-file failures return (None, None).
+    RAW containers use their embedded preview (the reference's hashing
+    source); `prefer_full_raw=True` tries the native full DNG demosaic
+    *first* — the viewer's quality mode (gui/image.rs unpack+process vs
+    thumbnail, selected by --raw-thumbnails).  Per-file failures return
+    (None, None).
     """
     p = Path(path)
     if data is None:
@@ -143,15 +147,22 @@ def load_image(path: str | os.PathLike, data: bytes | None = None):
             return None, None
     ext = p.suffix.lower().lstrip(".")
     if is_raw_ext(p):
-        img = extract_largest_jpeg(data)
-        if img is None:
-            # preview-less DNG: native raw decode (LJ92 + TPU demosaic)
-            from . import dng
+        from . import dng
+
+        def _full_raw():
             if dng.is_dng(data):
                 try:
-                    img = dng.decode_dng(data)
+                    return dng.decode_dng(data)
                 except Exception:
-                    img = None
+                    return None
+            return None
+
+        img = _full_raw() if prefer_full_raw else None
+        if img is None:
+            img = extract_largest_jpeg(data)
+        if img is None and not prefer_full_raw:
+            # preview-less DNG: native raw decode (LJ92 + TPU demosaic)
+            img = _full_raw()
         if img is None:
             img = decode_bytes(data)  # DNG sometimes decodes directly
     elif ext in ("heic", "heif"):

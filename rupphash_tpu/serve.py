@@ -124,6 +124,11 @@ class HashIndex:
     @classmethod
     def load(cls, path: str | Path) -> "HashIndex":
         with np.load(path, allow_pickle=False) as z:
+            if "paths_json" not in z.files:
+                raise ValueError(
+                    f"{path} was saved by an older version (pickled "
+                    "paths); rebuild it: rupphash --serve DIR "
+                    "--index-file NEW.npz")
             ix = cls(nbytes=z["hashes"].shape[1] if z["hashes"].size
                      else 32)
             n = len(z["hashes"])
