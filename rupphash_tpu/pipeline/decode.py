@@ -109,6 +109,35 @@ def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
     return best
 
 
+def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
+    """Decode bytes of unknown/unreliable extension by content sniffing:
+    PIL first, then JPEG carve, HEIC, JXL, DNG raw, PDF raster.  Used by
+    the generic load_image branch and by the serving query path (which
+    receives raw bytes with no filename at all)."""
+    img = decode_bytes(data)
+    if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
+        img = extract_largest_jpeg(data)
+    if img is None and b"ftypheic" in data[:32]:
+        from ..native import heif
+        img = heif.decode_heif(data)
+    if img is None and data[:2] == b"\xff\x0a":
+        from ..native import jxl
+        img = jxl.decode_jxl(data)
+    if img is None and data[:2] in (b"II", b"MM"):
+        from . import dng
+        if dng.is_dng(data):
+            try:
+                img = dng.decode_dng(data)
+            except Exception:
+                img = None
+        if img is None:
+            img = extract_largest_jpeg(data)  # embedded raw preview
+    if img is None and data[:4] == b"%PDF":
+        from . import pdfimg
+        img = pdfimg.extract_largest_pdf_image(data)
+    return img
+
+
 def prepare_luma_fast(img: np.ndarray):
     """Luma + conditional 512px box downsample via the native library
     when built (bit-exact vs the golden, see tests/test_native.py);
@@ -179,15 +208,7 @@ def load_image(path: str | os.PathLike, data: bytes | None = None,
         from . import pdfimg
         img = pdfimg.extract_largest_pdf_image(data)
     else:
-        img = decode_bytes(data)
-        if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
-            img = extract_largest_jpeg(data)
-        if img is None and b"ftypheic" in data[:32]:
-            from ..native import heif
-            img = heif.decode_heif(data)
-        if img is None and data[:2] == b"\xff\x0a":
-            from ..native import jxl
-            img = jxl.decode_jxl(data)
+        img = sniff_decode_bytes(data)
     if img is None:
         return None, None
     h, w = img.shape[:2]

@@ -191,18 +191,9 @@ class NearDupService:
         from .ops import pdq_jax
         from .pipeline import decode
 
-        img = decode.decode_bytes(data)
-        if img is None:
-            img = decode.extract_largest_jpeg(data) \
-                if data[:2] == b"\xff\xd8" else None
-        if img is None:
-            from .pipeline import pdfimg
-            img = pdfimg.extract_largest_pdf_image(data)
-        if img is None:
-            from .native import heif, jxl
-            img = heif.decode_heif(data)
-            if img is None:
-                img = jxl.decode_jxl(data)
+        # same sniff tiering as the scanner's generic branch (incl.
+        # HEIC/JXL/DNG/PDF by magic — queries arrive with no filename)
+        img = decode.sniff_decode_bytes(data)
         if img is None:
             return None
         from .pipeline.decode import prepare_luma_fast

@@ -181,3 +181,29 @@ def test_add_path_quality_scale(corpus, tmp_path):
     out = svc.add_path(str(paths[0]))
     assert out["quality"] > 1.5            # 0-100
     assert ix.quality[0] > 1               # persisted on record scale
+
+
+def test_query_accepts_dng_and_pdf_bytes(corpus, tmp_path):
+    """Queries arrive with no filename; the sniff tiering must handle
+    DNG and PDF bodies, not just JPEG/PNG."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dng import _scene, write_dng
+    from test_jxl_pdf import _image_obj, _jpeg_bytes, _make_pdf
+
+    rgb, mosaic = _scene(240, 320, seed=11)
+    ix = serve.HashIndex()
+    svc = serve.NearDupService(ix)
+    p = tmp_path / "base.png"
+    Image.fromarray(rgb).save(p)
+    svc.add_path(str(p))
+
+    out = svc.query_bytes(write_dng(mosaic))
+    assert out is not None and out["matches"]
+    assert out["matches"][0]["path"].endswith("base.png")
+
+    pdf = _make_pdf([_image_obj(320, 240, b"/DCTDecode", b"/DeviceRGB",
+                                _jpeg_bytes(rgb))])
+    out = svc.query_bytes(pdf)
+    assert out is not None and out["matches"]
+    assert out["matches"][0]["path"].endswith("base.png")
