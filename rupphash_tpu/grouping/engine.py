@@ -286,7 +286,14 @@ def group_files(files: list[FileRecord],
     if use_device is None:
         use_device = len(idx_with_hash) > 2048
     if use_device:
-        ei, ej = hamming.find_edges_fast(base, variants, low, similarity)
+        import jax
+        if jax.default_backend() == "cpu":
+            # the fused Pallas sweep needs real hardware (interpret
+            # mode is grid-serial); the XLA tile path scales fine here
+            ei, ej = hamming.find_edges(base, variants, low, similarity)
+        else:
+            ei, ej = hamming.find_edges_fast(base, variants, low,
+                                             similarity)
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 

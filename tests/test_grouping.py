@@ -166,3 +166,27 @@ def test_real_near_duplicate_pair_groups(near_dupe_pair):
             dihedral=np.asarray(out["dihedral"][0])))
     groups, infos, _ = engine.group_files(recs, similarity=63)
     assert len(groups) == 1 and len(groups[0]) == 2
+
+
+def test_group_files_above_device_threshold_on_cpu():
+    """Regression: sessions with >2048 files route to the device edge
+    search; on a CPU backend that must take the XLA tile path, not the
+    hardware-only Pallas kernel (crashed with 'Only interpret mode is
+    supported on CPU backend')."""
+    import numpy as np
+
+    from rupphash_tpu.grouping import engine
+
+    rng = np.random.default_rng(0)
+    n = 2600
+    files = []
+    for i in range(n):
+        h = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+        files.append(engine.FileRecord(
+            path=__import__("pathlib").Path(f"/x/{i:05d}.jpg"),
+            size=1, pdqhash=h, pdq_quality=90, unique_file_id=i))
+    # plant a duplicate pair
+    files[777].pdqhash = files[111].pdqhash
+    groups, infos, edges = engine.group_files(files, similarity=8)
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"00111.jpg", "00777.jpg"}
