@@ -50,6 +50,7 @@ body { background:var(--bg); color:var(--fg);
        height:21px; line-height:21px; white-space:nowrap;
        overflow:hidden; text-overflow:ellipsis; }
 .row.sel { background:var(--sel); }
+.row.peer { background:#2a2a1e; }
 .row .mk { width:3em; color:var(--dim); flex:none; font-family:monospace; }
 .row.marked { color:var(--mark); }
 .row.hardlink { color:var(--link); }
@@ -190,7 +191,12 @@ function renderList() {
     } else {
       const {gi, fi, f} = r;
       let cls = 'row';
+      const curf = current();
       if (gi === S.cursor[0] && fi === S.cursor[1]) cls += ' sel';
+      else if (curf && curf.subgroup && gi === S.cursor[0] &&
+               f.subgroup === curf.subgroup)
+        cls += ' peer';   // pixel-identical peers of the selection
+                          // (gui/app.rs:3400-3410)
       if (f.marked) cls += ' marked';
       else if (f.hardlink) cls += ' hardlink';
       else if (f.subgroup) cls += ' pixid';
