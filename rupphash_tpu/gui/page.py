@@ -97,7 +97,7 @@ let S = null;            // server snapshot
 let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
 let pan = {x:0, y:0}, drag = null;
 let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
-let scanPoll = null;
+let scanPoll = null, statusTimer = null, lastStatus = '';
 let imgNatural = [0, 0];
 
 const $ = id => document.getElementById(id);
@@ -243,7 +243,14 @@ function render() {
   }
   $('st-file').textContent = cur ? cur.path : '';
   $('st-marked').textContent = S.marked ? `${S.marked} marked` : '';
-  $('st-msg').textContent = S.status || '';
+  if ((S.status || '') !== lastStatus) {
+    lastStatus = S.status || '';
+    $('st-msg').textContent = lastStatus;
+    clearTimeout(statusTimer);           // 2 s status timeout
+    if (lastStatus)                      // (gui/app.rs:2152-2157)
+      statusTimer = setTimeout(
+        () => { $('st-msg').textContent = ''; }, 2000);
+  }
   $('st-zoom').textContent = zoomMode;
   if (S.pending_confirm) {
     const c = $('confirm');
