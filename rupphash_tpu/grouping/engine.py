@@ -286,14 +286,8 @@ def group_files(files: list[FileRecord],
     if use_device is None:
         use_device = len(idx_with_hash) > 2048
     if use_device:
-        import jax
-        if jax.default_backend() == "cpu":
-            # the fused Pallas sweep needs real hardware (interpret
-            # mode is grid-serial); the XLA tile path scales fine here
-            ei, ej = hamming.find_edges(base, variants, low, similarity)
-        else:
-            ei, ej = hamming.find_edges_fast(base, variants, low,
-                                             similarity)
+        # find_edges_fast reroutes CPU backends to the XLA tile path
+        ei, ej = hamming.find_edges_fast(base, variants, low, similarity)
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 

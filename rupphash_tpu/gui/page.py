@@ -111,7 +111,10 @@ async function intent(name, arg) {
     body:JSON.stringify({intent:name, arg:arg===undefined?null:arg})});
   S = await r.json();
   render();
-  if (S.quit) { $('st-msg').textContent = 'session ended'; }
+  if (S.quit) {
+    clearTimeout(statusTimer);
+    $('st-msg').textContent = 'session ended';
+  }
 }
 
 async function refresh() {
@@ -169,6 +172,7 @@ function buildRows() {
 }
 
 function renderList() {
+  const curf = current();
   // windowed rendering over fixed-height rows (the reference's
   // virtualized list with cached y offsets, gui/app.rs:3080-3260)
   const list = $('list'), pad = $('listpad'), win = $('listwin');
@@ -191,7 +195,6 @@ function renderList() {
     } else {
       const {gi, fi, f} = r;
       let cls = 'row';
-      const curf = current();
       if (gi === S.cursor[0] && fi === S.cursor[1]) cls += ' sel';
       else if (curf && curf.subgroup && gi === S.cursor[0] &&
                f.subgroup === curf.subgroup)
@@ -243,11 +246,12 @@ function render() {
   }
   $('st-file').textContent = cur ? cur.path : '';
   $('st-marked').textContent = S.marked ? `${S.marked} marked` : '';
-  if ((S.status || '') !== lastStatus) {
-    lastStatus = S.status || '';
-    $('st-msg').textContent = lastStatus;
+  const statusKey = S.rev + '|' + (S.status || '');
+  if (statusKey !== lastStatus) {        // rev-keyed: repeated
+    lastStatus = statusKey;              // identical texts re-display
+    $('st-msg').textContent = S.status || '';
     clearTimeout(statusTimer);           // 2 s status timeout
-    if (lastStatus)                      // (gui/app.rs:2152-2157)
+    if (S.status)                        // (gui/app.rs:2152-2157)
       statusTimer = setTimeout(
         () => { $('st-msg').textContent = ''; }, 2000);
   }

@@ -246,7 +246,13 @@ def find_edges_fast(base_hashes: np.ndarray,
                     interpret: bool = False,
                     return_stats: bool = False):
     """Production edge search: fused Pallas row-count sweep, then exact
-    extraction of only the rows with matches (see hamming_pallas.py)."""
+    extraction of only the rows with matches (see hamming_pallas.py).
+    The Pallas kernel needs real hardware; CPU backends transparently
+    take the XLA tile path (same results, interpret mode would be
+    grid-serial)."""
+    if jax.default_backend() == "cpu":
+        return find_edges(base_hashes, variants, low_conf, similarity,
+                          return_stats=return_stats)
     from . import hamming_pallas
 
     n, nbytes = base_hashes.shape

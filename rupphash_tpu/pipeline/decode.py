@@ -117,24 +117,33 @@ def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
     img = decode_bytes(data)
     if img is None and len(data) > 8 and data[:2] == b"\xff\xd8":
         img = extract_largest_jpeg(data)
-    if img is None and b"ftypheic" in data[:32]:
-        from ..native import heif
+    if img is None and b"ftyp" in data[:32]:
+        # any ISO-BMFF brand: HEIC/HEIF/AVIF via libheif, then
+        # container-format JXL (00 00 00 0C 'JXL ')
+        from ..native import heif, jxl
         img = heif.decode_heif(data)
+        if img is None:
+            img = jxl.decode_jxl(data)
     if img is None and data[:2] == b"\xff\x0a":
         from ..native import jxl
         img = jxl.decode_jxl(data)
     if img is None and data[:2] in (b"II", b"MM"):
-        from . import dng
-        if dng.is_dng(data):
-            try:
-                img = dng.decode_dng(data)
-            except Exception:
-                img = None
+        # TIFF container: same rendition order as the RAW file path —
+        # embedded preview first (what the scanner indexes), full
+        # demosaic only for preview-less DNGs
+        img = extract_largest_jpeg(data)
         if img is None:
-            img = extract_largest_jpeg(data)  # embedded raw preview
-    if img is None and data[:4] == b"%PDF":
+            from . import dng
+            if dng.is_dng(data):
+                try:
+                    img = dng.decode_dng(data)
+                except Exception:
+                    img = None
+    if img is None and b"%PDF" in data[:1024]:
+        # readers tolerate preamble bytes before the header
         from . import pdfimg
-        img = pdfimg.extract_largest_pdf_image(data)
+        img = pdfimg.extract_largest_pdf_image(
+            data[data.index(b"%PDF"):])
     return img
 
 

@@ -185,3 +185,29 @@ def test_pdf_through_pipeline(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"doc.pdf", "twin.png"}
+
+
+jxl_container_gated = pytest.mark.skipif(jxl._load() is None,
+                                         reason="libjxl unavailable")
+
+
+@jxl_container_gated
+def test_sniff_decodes_container_jxl_and_preamble_pdf():
+    """Serve queries carry no filename: the sniff tier must handle
+    ISO-BMFF JXL (via the ftyp branch) and PDFs with preamble bytes."""
+    img = _gradient(40, 56)
+    code = jxl.encode_jxl(img)
+    assert code is not None
+    # wrap the codestream in the ISO-BMFF container (JXL spec boxes)
+    def box(tag, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + tag + payload
+    container = (box(b"JXL ", b"\x0d\x0a\x87\x0a")
+                 + box(b"ftyp", b"jxl \x00\x00\x00\x00jxl ")
+                 + box(b"jxlc", code))
+    out = decode.sniff_decode_bytes(container)
+    assert out is not None and np.array_equal(out[..., :3], img)
+
+    pdf = _make_pdf([_image_obj(56, 40, b"/DCTDecode", b"/DeviceRGB",
+                                _jpeg_bytes(img))])
+    out = decode.sniff_decode_bytes(b"\xef\xbb\xbfjunkheader" + pdf)
+    assert out is not None and out.shape[:2] == (40, 56)
