@@ -352,8 +352,20 @@ def main(argv=None) -> int:
             infos = [GroupInfo()] if records else []
             if args.use_gui:
                 from .gui import server as guiserver
+
+                def relist(path):
+                    recs, _ = viewmod.list_view(
+                        [path],
+                        recursive=args.view_flatten or cfg.recursive,
+                        sort="random" if args.shuffle else args.sort,
+                        store=store)
+                    viewmod.Enrichment(recs, store=store).start()
+                    return (([recs] if recs else []),
+                            ([GroupInfo()] if recs else []))
+
                 return guiserver.run_gui(groups, infos, args,
-                                         store=store, luts=args.luts3d)
+                                         store=store, luts=args.luts3d,
+                                         relist_fn=relist)
             from . import tui
             return tui.run(groups, infos, args, store=store)
 

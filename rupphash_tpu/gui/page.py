@@ -538,6 +538,7 @@ Space        mark      g  mark group    u  unmark all
 d            delete marked (confirm y/n)
 x / X        ignore file / group
 m            move marked to target dir   c  set move target
+C            change viewed directory (view mode)
 r            rename current file
 /            filename regex search   n/p next/prev match
 f            advanced search (EXIF/geo/regex)   F  fullscreen
@@ -576,9 +577,13 @@ document.addEventListener('keydown', async ev => {
     case 'm':
       await intent('move_marked');
       break;
-    case 'c': case 'C':
+    case 'c':
       prompt2('Move-target directory:',
               v => intent('set_move_target', v), '', true);
+      break;
+    case 'C':
+      prompt2('View directory:',
+              v => intent('change_dir', v), '', true);
       break;
     case 'r': {
       const cur = current();

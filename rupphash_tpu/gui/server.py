@@ -189,7 +189,30 @@ class GuiServer:
 
     def apply_intent(self, name: str, arg=None) -> dict:
         with self.lock:
-            if name == "cycle_lut":
+            if name == "change_dir":
+                # view-mode directory picker (gui/dialogs.rs:555-572)
+                from pathlib import Path as _P
+                relist = getattr(self, "relist_fn", None)
+                p = _P(arg).expanduser() if arg else None
+                if relist is None:
+                    self.state.status = "directory change not available"
+                elif p is None or not p.is_dir():
+                    self.state.status = f"not a directory: {arg}"
+                else:
+                    try:
+                        groups, infos = relist(p)
+                        self.state.groups = groups
+                        self.state.infos = infos
+                        self.state.marked.clear()
+                        self.state.cursor_group = 0
+                        self.state.cursor_file = 0
+                        self.state._rebuild()
+                        self.state.status = (
+                            f"viewing {p} "
+                            f"({sum(len(g) for g in groups)} files)")
+                    except Exception as e:
+                        self.state.status = f"listing failed: {e}"
+            elif name == "cycle_lut":
                 self.state.status = self.engine.cycle_lut()
             elif name == "toggle_gps_time":
                 # G: sun position from GPS-UTC vs camera clock
@@ -448,9 +471,13 @@ def _watch_roots(args):
         return []
 
 
-def run_gui(groups, infos, args, store=None, luts=None) -> int:
-    """CLI entry: serve the session and block until quit (Q in the UI)."""
+def run_gui(groups, infos, args, store=None, luts=None,
+            relist_fn=None) -> int:
+    """CLI entry: serve the session and block until quit (Q in the UI).
+    relist_fn(path) -> (groups, infos) enables the view-mode directory
+    picker (the reference's C dialog, gui/dialogs.rs:555-572)."""
     srv = _make_server(groups, infos, args, store=store, luts=luts)
+    srv.relist_fn = relist_fn
     from .watcher import Watcher
     roots = _watch_roots(args)
     w = Watcher(srv, roots).start() if roots else None
