@@ -1,0 +1,118 @@
+"""Real-hardware validation suite (not pytest: the test suite pins the
+CPU backend, and first TPU compiles take minutes over a tunnel).
+
+Run on a machine with a TPU attached:
+
+    python -m rupphash_tpu.tools.tpu_selftest
+
+Checks, each against the numpy goldens:
+  1. PDQ XLA path: bench.jpg fixture hash + quality (bit parity)
+  2. PDQ XLA path: randomized batch vs golden
+  3. Mixed-shape batch path vs golden
+  4. Pallas hybrid kernel vs XLA path (dihedral bit-exact)
+  5. pHash vs golden (64-bit exact)
+  6. Pallas grouping kernel: planted-duplicate count sweep
+  7. Serve query op: min-over-variant distances vs numpy
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    import jax
+
+    from ..ops import (hamming, hamming_pallas, pdq_jax, pdq_pallas,
+                       pdq_ref, phash_jax, phash_ref)
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}  devices: {jax.devices()}")
+    if backend == "cpu":
+        print("warning: no accelerator — validating the CPU lowering")
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(f"  [{'OK' if ok else 'FAIL'}] {name}")
+        failures += 0 if ok else 1
+
+    # 1. fixture parity
+    try:
+        from PIL import Image
+        img = np.asarray(Image.open(
+            "/root/reference/tests/bench.jpg").convert("RGB"))
+        luma = pdq_ref.prepare_luma(img)
+        gold, gq = pdq_ref.generate_pdq(img)
+        out = pdq_jax.pdq_hash_batch(np.asarray(luma)[None])
+        check("bench.jpg XLA hash parity",
+              bytes(np.asarray(out["hash"][0])) == gold)
+        check("bench.jpg quality parity",
+              abs(float(out["quality"][0]) - gq) < 1e-6)
+    except FileNotFoundError:
+        print("  [SKIP] bench.jpg fixture unavailable")
+
+    # 2. randomized batch
+    rng = np.random.default_rng(0)
+    lumas = rng.integers(0, 256, (32, 512, 288), dtype=np.uint8)
+    out = pdq_jax.pdq_hash_batch(lumas)
+    ok = all(bytes(np.asarray(out["hash"][i]))
+             == pdq_ref.coeffs_to_hash(pdq_ref.pdq_from_luma(lumas[i])[0])
+             for i in range(8))
+    check("randomized XLA batch vs golden", ok)
+
+    # 3. mixed shapes
+    mixed = [rng.integers(0, 256, (h, w), dtype=np.uint8)
+             for h, w in [(512, 288), (384, 512), (96, 128)]]
+    mo = pdq_jax.pdq_hash_batch_mixed(mixed)
+    ok = all(bytes(np.asarray(mo["hash"][i]))
+             == pdq_ref.coeffs_to_hash(pdq_ref.pdq_from_luma(mixed[i])[0])
+             for i in range(len(mixed)))
+    check("mixed-shape batch vs golden", ok)
+
+    # 4. hybrid Pallas kernel
+    try:
+        hyb = pdq_pallas.pdq_hash_batch_hybrid(lumas[:16])
+        check("hybrid Pallas kernel dihedral vs XLA",
+              np.array_equal(np.asarray(hyb["dihedral"]),
+                             np.asarray(out["dihedral"][:16])))
+    except Exception as e:
+        check(f"hybrid Pallas kernel ({type(e).__name__})", False)
+
+    # 5. pHash
+    small = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    res = phash_jax.phash_batch(small[None])
+    dev = phash_jax.u64_from_bytes(np.asarray(res["hash"][0]))
+    check("pHash vs golden",
+          dev == phash_ref.phash_from_luma32(small.astype(np.float32)))
+
+    # 6. Pallas grouping sweep
+    try:
+        hashes = rng.integers(0, 256, (2048, 32), dtype=np.uint8)
+        hashes[1500] = hashes[300]
+        counts, n = hamming_pallas.row_match_counts(hashes, similarity=4)
+        check("Pallas grouping planted pair",
+              int(counts.sum()) == 1 and counts[300] == 1)
+    except Exception as e:
+        check(f"Pallas grouping ({type(e).__name__})", False)
+
+    # 7. serve query op
+    from .. import serve
+    base = rng.integers(0, 256, (512, 32), dtype=np.uint8)
+    qv = np.repeat(base[7][None, None], 8, axis=1)
+    ix = serve.HashIndex()
+    for i, h in enumerate(base):
+        ix.add(f"/x/{i}", bytes(h), 90)
+    hits = ix.query(qv, similarity=0)[0]
+    check("serve exact query", len(hits) >= 1 and hits[0][0] == 7
+          and hits[0][2] == 0)
+
+    print(f"{'PASS' if failures == 0 else 'FAIL'} "
+          f"({failures} failing checks)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
