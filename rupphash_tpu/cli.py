@@ -50,14 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--relative-times", action="store_true")
     p.add_argument("--use-trash", action="store_true")
     p.add_argument("--view", action="store_true",
-                   help="browse without similarity checking (TUI)")
+                   help="browse without similarity checking "
+                        "(TUI, or web viewer with --use-gui)")
     p.add_argument("--view-flatten", action="store_true")
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--slideshow", metavar="SECONDS", type=float,
                    default=None,
-                   help="slideshow interval (implies --view; the "
-                        "reference's GUI renderer is out of scope, the "
-                        "TUI advances the cursor instead)")
+                   help="slideshow interval (implies --view; with "
+                        "--use-gui the web viewer advances, T toggles)")
     p.add_argument("--3dlut", dest="luts3d", metavar="FILE", nargs="+",
                    default=None,
                    help="3D LUT .cube files, cycled with L in the GUI "
