@@ -277,8 +277,19 @@ class GuiServer:
                                 and int(known) == rev
                                 and server.progress is None):
                             self._json({"rev": rev, "unchanged": True})
+                            return
+                        # serialize once per revision (large sessions
+                        # rebuild ~1 MB of JSON per poll otherwise)
+                        cached = getattr(server, "_snap_cache", None)
+                        if (cached is not None and cached[0] == rev
+                                and server.progress is None):
+                            body = cached[1]
                         else:
-                            self._json(server.snapshot())
+                            body = json.dumps(
+                                server.snapshot()).encode()
+                            if server.progress is None:
+                                server._snap_cache = (rev, body)
+                    self._send(200, body, "application/json")
                 elif u.path == "/api/image":
                     rec = server._record(qi("g"), qi("f"))
                     if rec is None:
