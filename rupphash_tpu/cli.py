@@ -417,7 +417,7 @@ def main(argv=None) -> int:
                                    args.use_trash)
         elif args.move_marked:
             print("--move-marked applies to files marked in the TUI; "
-                  "use --use-tui.", file=sys.stderr)
+                  "use --use-tui or --use-gui.", file=sys.stderr)
         else:
             print_groups(groups, infos, args.relative_times)
         return 0
