@@ -96,11 +96,29 @@ class CacheStore:
         self.meta_key = H.derive_key(master_key, "phdupes meta v1")
         self.enc_key = H.derive_key(master_key, "phdupes encrypt v1")
         self._local = threading.local()
-        con = self._conn()
-        con.execute("CREATE TABLE IF NOT EXISTS kv ("
-                    "ns INTEGER NOT NULL, k BLOB NOT NULL, v BLOB NOT NULL, "
-                    "PRIMARY KEY (ns, k)) WITHOUT ROWID")
-        con.commit()
+        try:
+            con = self._conn()
+            con.execute("CREATE TABLE IF NOT EXISTS kv ("
+                        "ns INTEGER NOT NULL, k BLOB NOT NULL, "
+                        "v BLOB NOT NULL, "
+                        "PRIMARY KEY (ns, k)) WITHOUT ROWID")
+            con.commit()
+        except sqlite3.DatabaseError:
+            # corrupted container: the cache is recomputable, so
+            # recreate it (the reference treats lmdb corruption as a
+            # miss and heals its config, db.rs:685-693 / 500-518)
+            self._local = threading.local()
+            for suffix in ("", "-wal", "-shm"):
+                try:
+                    os.unlink(f"{self.path}{suffix}")
+                except OSError:
+                    pass
+            con = self._conn()
+            con.execute("CREATE TABLE IF NOT EXISTS kv ("
+                        "ns INTEGER NOT NULL, k BLOB NOT NULL, "
+                        "v BLOB NOT NULL, "
+                        "PRIMARY KEY (ns, k)) WITHOUT ROWID")
+            con.commit()
         self._q: queue.Queue | None = None
         self._writer: threading.Thread | None = None
         self._stop = threading.Event()

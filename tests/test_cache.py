@@ -144,3 +144,17 @@ def test_config_create_and_heal(tmp_path, monkeypatch):
     cfg3 = cfgmod.load_config()
     assert cfg3["master_key"] != key1
     assert len(bytes.fromhex(cfg3["master_key"])) == 32
+
+
+def test_corrupt_db_file_recreated(tmp_path):
+    """A garbage cache file is recreated instead of crashing (the
+    reference treats lmdb corruption as recomputable, db.rs:685-693)."""
+    from rupphash_tpu.cache.store import CacheStore
+
+    p = tmp_path / "cache.db"
+    p.write_bytes(b"definitely not a sqlite database" * 64)
+    st = CacheStore(p, b"\x07" * 32, start_writer=False)
+    mk = st.compute_meta_key(1, 2, 3)
+    st.put_meta(mk, b"c" * 32)
+    assert st.get_meta(mk) == b"c" * 32
+    st.close()
