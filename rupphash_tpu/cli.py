@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "paths, answer POST /v1/query with image bytes")
     p.add_argument("--port", type=int, default=0,
                    help="port for --serve / --use-gui (0 = ephemeral)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --serve / --use-gui "
+                        "(default loopback; 0.0.0.0 exposes the "
+                        "delete/move API to the network — be sure)")
     p.add_argument("--index-file", metavar="FILE", default=None,
                    help="load/save the --serve hash index (.npz)")
     return p

@@ -454,6 +454,7 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
                     locations=locations, store=store,
                     gui_config=gui_cfg)
     srv.port = int(getattr(args, "port", 0) or 0)
+    srv.host = str(getattr(args, "host", "127.0.0.1"))
     return srv
 
 
@@ -461,8 +462,9 @@ def _serve_until_quit(srv: GuiServer) -> int:
     import contextlib
     import sys
 
-    httpd, port = srv.serve(port=getattr(srv, "port", 0))
-    print(f"GUI at http://127.0.0.1:{port}/  (Q in the page quits)",
+    host = getattr(srv, "host", "127.0.0.1")
+    httpd, port = srv.serve(host=host, port=getattr(srv, "port", 0))
+    print(f"GUI at http://{host}:{port}/  (Q in the page quits)",
           file=sys.stderr)
     try:
         while not srv.state.quit:

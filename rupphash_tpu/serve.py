@@ -325,8 +325,10 @@ def run_serve(args) -> int:
             index.save(args.index_file)
             print(f"saved index to {args.index_file}", file=sys.stderr)
     svc = NearDupService(index, similarity=args.similarity)
-    httpd, port = svc.serve(port=getattr(args, "port", 0) or 0)
-    print(f"near-duplicate service at http://127.0.0.1:{port}/v1/  "
+    host = getattr(args, "host", "127.0.0.1")
+    httpd, port = svc.serve(host=host,
+                            port=getattr(args, "port", 0) or 0)
+    print(f"near-duplicate service at http://{host}:{port}/v1/  "
           f"(POST /v1/query with image bytes)", file=sys.stderr)
     try:
         httpd.serve_forever()
