@@ -13,6 +13,7 @@ Surfaces:
   * library  — HashIndex (build/save/load/add) + NearDupService.query
   * HTTP     — POST /v1/query (raw image bytes) -> JSON matches,
                POST /v1/add?path=... -> index insert,
+               POST /v1/remove?path=... -> index delete,
                GET  /v1/stats
   * CLI      — `rupphash --serve DIR [--port N]`
 
@@ -102,6 +103,21 @@ class HashIndex:
             self.paths.append(str(path))
             self._n += 1
             self._device = None  # re-push lazily
+
+    def remove(self, path: str) -> int:
+        """Drop every entry whose path matches; returns count removed."""
+        with self._lock:
+            keep = [i for i in range(self._n)
+                    if self.paths[i] != str(path)]
+            removed = self._n - len(keep)
+            if removed:
+                idx = np.asarray(keep, dtype=np.int64)
+                self._hashes = self._hashes[:self._n][idx].copy()
+                self._quality = self._quality[:self._n][idx].copy()
+                self.paths = [self.paths[i] for i in keep]
+                self._n = len(keep)
+                self._device = None
+            return removed
 
     @classmethod
     def from_records(cls, records) -> "HashIndex":
@@ -283,6 +299,11 @@ class NearDupService:
                         self._json({"error": "undecodable image"}, 415)
                     else:
                         self._json(out)
+                elif u.path == "/v1/remove":
+                    path = q.get("path", [""])[0]
+                    n = service.index.remove(path) if path else 0
+                    self._json({"removed": n,
+                                "size": len(service.index)})
                 elif u.path == "/v1/add":
                     path = q.get("path", [""])[0]
                     if not path or not Path(path).is_file():

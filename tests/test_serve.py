@@ -207,3 +207,17 @@ def test_query_accepts_dng_and_pdf_bytes(corpus, tmp_path):
     out = svc.query_bytes(pdf)
     assert out is not None and out["matches"]
     assert out["matches"][0]["path"].endswith("base.png")
+
+
+def test_index_remove(corpus):
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    n0 = len(ix)
+    assert ix.remove(str(paths[1])) == 1
+    assert len(ix) == n0 - 1
+    assert str(paths[1]) not in ix.paths
+    # removed entry no longer matches
+    var = np.asarray(records[1].dihedral, dtype=np.uint8)
+    res = ix.query(var[None], similarity=0)[0]
+    assert all(p != str(paths[1]) for _, p, _ in res)
+    assert ix.remove("/no/such") == 0
