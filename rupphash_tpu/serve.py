@@ -355,4 +355,10 @@ def run_serve(args) -> int:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        if getattr(args, "index_file", None):
+            # persist /v1/add mutations across restarts
+            index.save(args.index_file)
+            print(f"saved index ({len(index)} hashes) to "
+                  f"{args.index_file}", file=sys.stderr)
     return 0
