@@ -333,5 +333,9 @@ def scan_and_group(paths, cfg: ScanConfig | None = None, store=None,
         groups, infos, edges = engine.group_files(
             records, similarity=cfg.similarity, sort_order=cfg.sort)
         pg.add(len(records))
+    if stats.cache_full or stats.decoded:
+        trace.tag("CACHE", f"full={stats.cache_full} "
+                           f"decoded={stats.decoded} "
+                           f"failed={stats.failed}")
     trace.debug("SCAN", f"cache counters: {trace.counters()}")
     return groups, infos, records, stats
