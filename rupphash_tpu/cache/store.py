@@ -96,29 +96,38 @@ class CacheStore:
         self.meta_key = H.derive_key(master_key, "phdupes meta v1")
         self.enc_key = H.derive_key(master_key, "phdupes encrypt v1")
         self._local = threading.local()
-        try:
-            con = self._conn()
-            con.execute("CREATE TABLE IF NOT EXISTS kv ("
-                        "ns INTEGER NOT NULL, k BLOB NOT NULL, "
-                        "v BLOB NOT NULL, "
-                        "PRIMARY KEY (ns, k)) WITHOUT ROWID")
-            con.commit()
-        except sqlite3.DatabaseError:
-            # corrupted container: the cache is recomputable, so
-            # recreate it (the reference treats lmdb corruption as a
-            # miss and heals its config, db.rs:685-693 / 500-518)
-            self._local = threading.local()
-            for suffix in ("", "-wal", "-shm"):
+        for attempt in (0, 1):
+            try:
+                con = self._conn()
+                con.execute("CREATE TABLE IF NOT EXISTS kv ("
+                            "ns INTEGER NOT NULL, k BLOB NOT NULL, "
+                            "v BLOB NOT NULL, "
+                            "PRIMARY KEY (ns, k)) WITHOUT ROWID")
+                con.commit()
+                break
+            except sqlite3.DatabaseError as e:
+                # Only *corruption* is recoverable by recreating (the
+                # cache is recomputable; reference policy db.rs:685-693).
+                # Transient OperationalError (locked/disk-full/readonly)
+                # must surface, not destroy a healthy shared cache.
+                msg = str(e).lower()
+                corrupt = ("not a database" in msg
+                           or "malformed" in msg
+                           or "file is encrypted" in msg)
+                if attempt == 1 or not corrupt:
+                    raise
                 try:
-                    os.unlink(f"{self.path}{suffix}")
-                except OSError:
+                    con = getattr(self._local, "con", None)
+                    if con is not None:
+                        con.close()
+                except sqlite3.Error:
                     pass
-            con = self._conn()
-            con.execute("CREATE TABLE IF NOT EXISTS kv ("
-                        "ns INTEGER NOT NULL, k BLOB NOT NULL, "
-                        "v BLOB NOT NULL, "
-                        "PRIMARY KEY (ns, k)) WITHOUT ROWID")
-            con.commit()
+                self._local = threading.local()
+                for suffix in ("", "-wal", "-shm"):
+                    try:
+                        os.unlink(f"{self.path}{suffix}")
+                    except OSError:
+                        pass
         self._q: queue.Queue | None = None
         self._writer: threading.Thread | None = None
         self._stop = threading.Event()

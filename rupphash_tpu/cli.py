@@ -347,29 +347,29 @@ def main(argv=None) -> int:
             from .grouping.engine import GroupInfo
             from .pipeline import view as viewmod
 
-            records, _ = viewmod.list_view(
-                args.paths, recursive=args.view_flatten or cfg.recursive,
-                sort="random" if args.shuffle else args.sort, store=store)
-            enr = viewmod.Enrichment(records, store=store)
-            enr.start()
-            groups = [records] if records else []
-            infos = [GroupInfo()] if records else []
+            enrichment = [None]  # previous pool, stopped on relist
+
+            def relist(paths):
+                """List + enrich; one definition serves the initial
+                listing and the GUI directory picker."""
+                if enrichment[0] is not None:
+                    enrichment[0].stop()
+                recs, _ = viewmod.list_view(
+                    paths, recursive=args.view_flatten or cfg.recursive,
+                    sort="random" if args.shuffle else args.sort,
+                    store=store)
+                enr = viewmod.Enrichment(recs, store=store)
+                enr.start()
+                enrichment[0] = enr
+                return (([recs] if recs else []),
+                        ([GroupInfo()] if recs else []))
+
+            groups, infos = relist(args.paths)
             if args.use_gui:
                 from .gui import server as guiserver
-
-                def relist(path):
-                    recs, _ = viewmod.list_view(
-                        [path],
-                        recursive=args.view_flatten or cfg.recursive,
-                        sort="random" if args.shuffle else args.sort,
-                        store=store)
-                    viewmod.Enrichment(recs, store=store).start()
-                    return (([recs] if recs else []),
-                            ([GroupInfo()] if recs else []))
-
-                return guiserver.run_gui(groups, infos, args,
-                                         store=store, luts=args.luts3d,
-                                         relist_fn=relist)
+                return guiserver.run_gui(
+                    groups, infos, args, store=store, luts=args.luts3d,
+                    relist_fn=lambda p: relist([p]))
             from . import tui
             return tui.run(groups, infos, args, store=store)
 

@@ -187,32 +187,49 @@ class GuiServer:
     # ------------------------------------------------------------ intents
     INTENTS = {i.value: i for i in Intent}
 
-    def apply_intent(self, name: str, arg=None) -> dict:
+    def _change_dir(self, arg) -> dict:
+        """View-mode directory picker (gui/dialogs.rs:555-572).  The
+        heavy listing runs *outside* the lock (same policy as search)
+        so a slow directory never freezes polls and intents."""
+        from pathlib import Path as _P
+        relist = getattr(self, "relist_fn", None)
+        p = _P(arg).expanduser() if arg else None
+        groups = infos = None
+        err = None
+        if relist is not None and p is not None and p.is_dir():
+            try:
+                groups, infos = relist(p)
+            except Exception as e:
+                err = f"listing failed: {e}"
         with self.lock:
-            if name == "change_dir":
-                # view-mode directory picker (gui/dialogs.rs:555-572)
-                from pathlib import Path as _P
-                relist = getattr(self, "relist_fn", None)
-                p = _P(arg).expanduser() if arg else None
-                if relist is None:
-                    self.state.status = "directory change not available"
-                elif p is None or not p.is_dir():
-                    self.state.status = f"not a directory: {arg}"
-                else:
-                    try:
-                        groups, infos = relist(p)
-                        self.state.groups = groups
-                        self.state.infos = infos
-                        self.state.marked.clear()
-                        self.state.cursor_group = 0
-                        self.state.cursor_file = 0
-                        self.state._rebuild()
-                        self.state.status = (
-                            f"viewing {p} "
-                            f"({sum(len(g) for g in groups)} files)")
-                    except Exception as e:
-                        self.state.status = f"listing failed: {e}"
-            elif name == "cycle_lut":
+            if relist is None:
+                self.state.status = "directory change not available"
+            elif p is None or not p.is_dir():
+                self.state.status = f"not a directory: {arg}"
+            elif err is not None:
+                self.state.status = err
+            else:
+                self.state.groups = groups
+                self.state.infos = infos
+                self.state.marked.clear()
+                self.state.cursor_group = 0
+                self.state.cursor_file = 0
+                self.state._rebuild()
+                self.state.status = (
+                    f"viewing {p} "
+                    f"({sum(len(g) for g in groups)} files)")
+                w = getattr(self, "watcher", None)
+                if w is not None:  # retarget external-change polling
+                    w.roots = [str(p)]
+                    w._snap = None
+            self.rev = getattr(self, "rev", 0) + 1
+            return self.snapshot()
+
+    def apply_intent(self, name: str, arg=None) -> dict:
+        if name == "change_dir":
+            return self._change_dir(arg)
+        with self.lock:
+            if name == "cycle_lut":
                 self.state.status = self.engine.cycle_lut()
             elif name == "toggle_gps_time":
                 # G: sun position from GPS-UTC vs camera clock
@@ -278,17 +295,23 @@ class GuiServer:
                                 and server.progress is None):
                             self._json({"rev": rev, "unchanged": True})
                             return
-                        # serialize once per revision (large sessions
-                        # rebuild ~1 MB of JSON per poll otherwise)
+                        # serialize at most once per second per
+                        # revision (bounds rebuild cost for many
+                        # clients while staying fresh for view-mode
+                        # enrichment, which mutates records in place
+                        # without bumping rev)
+                        import time as _time
+                        now = _time.monotonic()
                         cached = getattr(server, "_snap_cache", None)
                         if (cached is not None and cached[0] == rev
+                                and now - cached[2] < 1.0
                                 and server.progress is None):
                             body = cached[1]
                         else:
                             body = json.dumps(
                                 server.snapshot()).encode()
                             if server.progress is None:
-                                server._snap_cache = (rev, body)
+                                server._snap_cache = (rev, body, now)
                     self._send(200, body, "application/json")
                 elif u.path == "/api/image":
                     rec = server._record(qi("g"), qi("f"))
@@ -494,6 +517,7 @@ def run_gui(groups, infos, args, store=None, luts=None,
     from .watcher import Watcher
     roots = _watch_roots(args)
     w = Watcher(srv, roots).start() if roots else None
+    srv.watcher = w
     try:
         return _serve_until_quit(srv)
     finally:

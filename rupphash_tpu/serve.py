@@ -131,11 +131,22 @@ class HashIndex:
     # --------------------------------------------------------- persist
     def save(self, path: str | Path):
         # paths as JSON bytes, not a pickled object array: loading an
-        # untrusted pickle executes code, and index files may be shared
-        pb = np.frombuffer(json.dumps(self.paths).encode(),
-                           dtype=np.uint8)
-        np.savez_compressed(path, hashes=self.hashes,
-                            quality=self.quality, paths_json=pb)
+        # untrusted pickle executes code, and index files may be shared.
+        # Snapshot under the lock (an in-flight add must not tear the
+        # hashes<->paths alignment) and write tmp+rename (a mid-write
+        # interrupt must not truncate the live file).
+        import os as _os
+        with self._lock:
+            hashes = self.hashes.copy()
+            quality = self.quality.copy()
+            pb = np.frombuffer(json.dumps(self.paths).encode(),
+                               dtype=np.uint8)
+        path = Path(path)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(fh, hashes=hashes, quality=quality,
+                                paths_json=pb)
+        _os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str | Path) -> "HashIndex":
@@ -159,6 +170,9 @@ class HashIndex:
 
     # ----------------------------------------------------------- query
     def _device_arrays(self):
+        """(hashes_dev, low_dev, paths_snapshot, n) — captured together
+        under the lock so concurrent add/remove cannot shift the
+        index<->path mapping mid-query."""
         with self._lock:
             if self._device is None:
                 n = max(self._n, 8)
@@ -168,7 +182,8 @@ class HashIndex:
                 lowp = np.ones(pad, dtype=bool)
                 lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
                 self._device = (jax.device_put(hp),
-                                jax.device_put(lowp), pad)
+                                jax.device_put(lowp),
+                                tuple(self.paths), self._n)
             return self._device
 
     def query(self, variants: np.ndarray, similarity: int = 40,
@@ -177,16 +192,16 @@ class HashIndex:
         [(index, path, distance), ...] sorted by distance."""
         if self._n == 0:
             return [[] for _ in range(len(variants))]
-        base_dev, low_dev, pad = self._device_arrays()
+        base_dev, low_dev, paths, n = self._device_arrays()
         q = np.ascontiguousarray(variants, dtype=np.uint8)
         dists = np.asarray(_query_min_dists(
             jax.device_put(q), base_dev, low_dev, self.nbytes * 8))
         out = []
         for row in dists:
-            row = row[:self._n]
+            row = row[:n]
             hit = np.flatnonzero(row <= similarity)
             hit = hit[np.argsort(row[hit], kind="stable")][:max_results]
-            out.append([(int(i), self.paths[int(i)], int(row[i]))
+            out.append([(int(i), paths[int(i)], int(row[i]))
                         for i in hit])
         return out
 
