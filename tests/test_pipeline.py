@@ -162,3 +162,33 @@ def test_gps_validity_rules():
 def test_dms_conversion():
     assert abs(exif.dms_to_decimal([20, 54, 46.7], "N") - 20.912972) < 1e-4
     assert exif.dms_to_decimal([156, 41, 37.8], "W") < 0
+
+
+def test_scan_process_pool_path(tmp_path):
+    """Force the spawn-based process pool (>=64 misses, workers>1): the
+    1-core CI box otherwise never exercises heavy_prepare pickling or
+    the as_completed merge path."""
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "many"
+    d.mkdir()
+    base = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((96, 96),
+                                                  Image.BILINEAR))
+    for i in range(66):
+        arr = img.copy()
+        arr[0, 0, 0] = i
+        Image.fromarray(arr).save(d / f"f{i:03d}.png")
+    records, stats = scan.scan([d], scan.ScanConfig(workers=2,
+                                                    batch_size=32))
+    assert stats.failed == 0 and stats.hashed == 66
+    assert all(r.pdqhash is not None and r.resolution == (96, 96)
+               for r in records)
+    # all near-identical: one big group
+    from rupphash_tpu.grouping import engine
+    groups, infos, _ = engine.group_files(records, similarity=40)
+    assert len(groups) == 1 and len(groups[0]) == 66
