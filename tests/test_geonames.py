@@ -80,3 +80,10 @@ def test_search_index_derived_tags():
     idx.finalize()
     assert idx.search("subdivision:Florida") == {0}
     assert idx.search("tz:~:New_York") == {0}
+
+
+def test_antimeridian_lookups():
+    """Haversine must wrap longitude correctly near ±180°."""
+    assert g.timezone_name(64.75, 179.9) == "Asia/Anadyr"
+    assert g.timezone_name(52.0, -175.0) == "America/Adak"
+    assert g.timezone_name(-18.1, 178.4) == "Pacific/Fiji"
