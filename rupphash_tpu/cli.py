@@ -26,9 +26,12 @@ SORT_ORDERS = ["name", "name-desc", "name-natural", "name-natural-desc",
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
     p = argparse.ArgumentParser(
         prog="rupphash",
         description="Finds visually similar images (TPU-accelerated).")
+    p.add_argument("--version", action="version",
+                   version=f"rupphash_tpu {__version__}")
     p.add_argument("paths", nargs="*", help="files or directories to scan")
     p.add_argument("--rehash", action="store_true",
                    help="recompute hashes even when cached")

@@ -286,7 +286,10 @@ function loadImage() {
   const img = $('img');
   if (!cur) { img.src = ''; return; }
   const seq = ++imgSeq;
-  $('spin').style.display = 'block';
+  const sp = $('spin');
+  sp.style.display = 'block';
+  sp.style.color = '';
+  sp.textContent = 'loading…';
   const pre = new Image();
   pre.onload = () => {
     if (seq !== imgSeq) return;
@@ -301,7 +304,13 @@ function loadImage() {
     preloadNeighbors();               // perform_preload analogue
   };
   pre.onerror = () => { if (seq === imgSeq) {
-    $('spin').textContent = 'decode failed';
+    // failed-image card (gui/app.rs failed_images analogue)
+    $('bg').style.display = 'none';
+    $('img').src = '';
+    const sp = $('spin');
+    sp.style.display = 'block';
+    sp.style.color = '#e06c75';
+    sp.textContent = 'decode failed: ' + (current() || {}).name;
   }};
   pre.src = `/api/image?g=${S.cursor[0]}&f=${S.cursor[1]}&s=2048` +
             `&v=${encodeURIComponent(cur.path + cur.mtime)}`;
