@@ -83,3 +83,88 @@ def test_format_size():
     assert cli.format_size(512) == "512 B"
     assert cli.format_size(2048) == "2.0 KiB"
     assert "MiB" in cli.format_size(5 * 1024 * 1024)
+
+
+def test_ignore_unignore_cli_roundtrip(tmp_path, monkeypatch):
+    """End-to-end ignore flow at the CLI surface: ignore a group via
+    AppState, see it filtered on rescan, then --unignore by path and by
+    UUID hex brings it back (phdupes.rs --show-ignored/--unignore)."""
+    import io
+    import contextlib
+
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu import cli
+
+    monkeypatch.setenv("RUPPHASH_CONFIG_DIR", str(tmp_path / "cfg"))
+    monkeypatch.setenv("RUPPHASH_CACHE_DIR", str(tmp_path / "cache"))
+
+    d = tmp_path / "pics"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((96, 64),
+                                                  Image.BILINEAR))
+    Image.fromarray(img).save(d / "a.png")
+    arr = img.copy(); arr[0, 0, 0] ^= 1
+    Image.fromarray(arr).save(d / "b.png")
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(argv)
+        return rc, buf.getvalue()
+
+    rc, out = run([str(d)])
+    assert rc == 0 and "Found 1 duplicate groups" in out
+
+    # ignore the group through the session-state API (what x/X do)
+    from rupphash_tpu.cache import config as cfgmod
+    from rupphash_tpu.cache.store import CacheStore
+    from rupphash_tpu.grouping.engine import GroupInfo
+    from rupphash_tpu.pipeline import scan as scanmod
+    from rupphash_tpu.state import AppState, Intent
+
+    cfg = cfgmod.load_config()
+    store = CacheStore(cfgmod.cache_dir() / "cache.db",
+                       cfg["_master_key_bytes"], start_writer=False)
+    groups, infos, records, stats = scanmod.scan_and_group([d], None,
+                                                           store)
+    store.register_duplicate_groups(
+        [[(f.content_hash, f.pdqhash) for f in g] for g in groups])
+    st = AppState(groups, infos, store=store)
+    st.handle_input(Intent.IGNORE_GROUP)   # arms confirm
+    st.handle_input(Intent.IGNORE_GROUP)   # confirms
+    store.flush()
+
+    rc, out = run(["--show-ignored"])
+    assert rc == 0 and "a.png" not in out  # listing shows hashes/uuids
+    ignored = store.list_ignored()
+    assert len(ignored) == 2
+    store.close()
+
+    # reference parity: the plain CLI listing does NOT filter ignored
+    # groups (filter_ignored_groups lives only in the GUI's
+    # check_reload, gui/app.rs:829; phdupes.rs:879 prints unfiltered)
+    rc, out = run([str(d)])
+    assert "Found 1 duplicate groups" in out
+
+    # ...but the GUI scan path filters them (register_and_filter)
+    from rupphash_tpu.cache.store import CacheStore as _CS
+    st2 = _CS(cfgmod.cache_dir() / "cache.db",
+              cfg["_master_key_bytes"], start_writer=False)
+    g2, i2, r2, _ = scanmod.scan_and_group([d], None, st2)
+    kept = [[f for f in g if not st2.is_ignored(f.content_hash)]
+            for g in g2]
+    assert all(len(g) <= 1 for g in kept)  # group fully ignored
+    st2.close()
+
+    # unignore by file path restores matching
+    rc, out = run(["--unignore", str(d / "a.png"), str(d / "b.png")])
+    assert "Cleared ignore flag on 2 entries." in out
+    st3 = _CS(cfgmod.cache_dir() / "cache.db",
+              cfg["_master_key_bytes"], start_writer=False)
+    assert not any(st3.is_ignored(f.content_hash)
+                   for g in g2 for f in g)
+    st3.close()
