@@ -414,7 +414,13 @@ def main(argv=None) -> int:
         print(file=sys.stderr)
         print(f"Found {len(groups)} duplicate groups using PDQ hash.")
 
-        groups, infos = _register_and_filter(groups, infos)
+        # reference parity: non-GUI surfaces show ignored groups too
+        # (filter_ignored_groups runs only in the GUI reload path,
+        # gui/app.rs:829); still register for stable group UUIDs
+        if store is not None and groups:
+            store.register_duplicate_groups(
+                [[(f.content_hash, f.pdqhash) for f in g]
+                 for g in groups])
 
         if args.use_tui:
             from . import tui
