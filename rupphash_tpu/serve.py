@@ -288,7 +288,29 @@ class NearDupService:
 
             def do_GET(self):
                 u = urlparse(self.path)
-                if u.path == "/v1/stats":
+                if u.path == "/":
+                    body = (
+                        "<!DOCTYPE html><title>rupphash near-duplicate "
+                        "service</title><pre>rupphash near-duplicate "
+                        "lookup service\n\n"
+                        "POST /v1/query[?similarity=D]  raw image bytes "
+                        "-> JSON matches\n"
+                        "POST /v1/add?path=P            hash + index a "
+                        "local file\n"
+                        "POST /v1/remove?path=P         drop a path "
+                        "from the index\n"
+                        "GET  /v1/stats                 index size / "
+                        "query count\n\n"
+                        "curl -s --data-binary @photo.jpg "
+                        "http://HOST:PORT/v1/query | jq .</pre>"
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif u.path == "/v1/stats":
                     self._json({"indexed": len(service.index),
                                 "queries": service.queries,
                                 "similarity": service.similarity})
