@@ -286,6 +286,7 @@ function loadImage() {
   const img = $('img');
   if (!cur) { img.src = ''; return; }
   const seq = ++imgSeq;
+  const curName = cur.name;
   const sp = $('spin');
   sp.style.display = 'block';
   sp.style.color = '';
@@ -310,7 +311,7 @@ function loadImage() {
     const sp = $('spin');
     sp.style.display = 'block';
     sp.style.color = '#e06c75';
-    sp.textContent = 'decode failed: ' + (current() || {}).name;
+    sp.textContent = 'decode failed: ' + curName;
   }};
   pre.src = `/api/image?g=${S.cursor[0]}&f=${S.cursor[1]}&s=2048` +
             `&v=${encodeURIComponent(cur.path + cur.mtime)}`;

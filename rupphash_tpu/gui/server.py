@@ -189,16 +189,22 @@ class GuiServer:
 
     def _change_dir(self, arg) -> dict:
         """View-mode directory picker (gui/dialogs.rs:555-572).  The
-        heavy listing runs *outside* the lock (same policy as search)
-        so a slow directory never freezes polls and intents."""
+        heavy listing runs *outside* the main lock (same policy as
+        search) so a slow directory never freezes polls; a dedicated
+        relist lock serializes concurrent pickers (the relist closure
+        stops the previous enrichment pool — unserialized, two racing
+        pickers could stop the pool of the directory that wins)."""
         from pathlib import Path as _P
+        if not hasattr(self, "_relist_lock"):
+            self._relist_lock = threading.Lock()
         relist = getattr(self, "relist_fn", None)
         p = _P(arg).expanduser() if arg else None
         groups = infos = None
         err = None
         if relist is not None and p is not None and p.is_dir():
             try:
-                groups, infos = relist(p)
+                with self._relist_lock:
+                    groups, infos = relist(p)
             except Exception as e:
                 err = f"listing failed: {e}"
         with self.lock:
@@ -220,8 +226,7 @@ class GuiServer:
                     f"({sum(len(g) for g in groups)} files)")
                 w = getattr(self, "watcher", None)
                 if w is not None:  # retarget external-change polling
-                    w.roots = [str(p)]
-                    w._snap = None
+                    w.retarget([p])
             self.rev = getattr(self, "rev", 0) + 1
             return self.snapshot()
 
@@ -286,32 +291,36 @@ class GuiServer:
                     self._send(200, page.PAGE.encode(),
                                "text/html; charset=utf-8")
                 elif u.path == "/api/state":
+                    import time as _time
                     with server.lock:
-                        # cheap poll: unchanged revision -> tiny reply
                         known = q.get("rev", [None])[0]
                         rev = getattr(server, "rev", 0)
+                        now = _time.monotonic()
+                        cached = getattr(server, "_snap_cache", None)
+                        fresh = (cached is not None and cached[0] == rev
+                                 and now - cached[2] < 1.0
+                                 and server.progress is None)
+                        if not fresh:
+                            # re-serialize at most 1/s; view-mode
+                            # enrichment mutates records *without*
+                            # bumping rev, so detect data drift here
+                            # and bump rev for polling clients
+                            body = json.dumps(
+                                server.snapshot()).encode()
+                            if (cached is not None and cached[0] == rev
+                                    and cached[1] != body):
+                                server.rev = rev = rev + 1
+                                body = json.dumps(
+                                    server.snapshot()).encode()
+                            if server.progress is None:
+                                server._snap_cache = (rev, body, now)
+                        else:
+                            body = cached[1]
                         if (known is not None and known.isdigit()
                                 and int(known) == rev
                                 and server.progress is None):
                             self._json({"rev": rev, "unchanged": True})
                             return
-                        # serialize at most once per second per
-                        # revision (bounds rebuild cost for many
-                        # clients while staying fresh for view-mode
-                        # enrichment, which mutates records in place
-                        # without bumping rev)
-                        import time as _time
-                        now = _time.monotonic()
-                        cached = getattr(server, "_snap_cache", None)
-                        if (cached is not None and cached[0] == rev
-                                and now - cached[2] < 1.0
-                                and server.progress is None):
-                            body = cached[1]
-                        else:
-                            body = json.dumps(
-                                server.snapshot()).encode()
-                            if server.progress is None:
-                                server._snap_cache = (rev, body, now)
                     self._send(200, body, "application/json")
                 elif u.path == "/api/image":
                     rec = server._record(qi("g"), qi("f"))

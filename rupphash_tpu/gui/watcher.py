@@ -54,6 +54,7 @@ class Watcher:
         self.roots = [str(Path(r)) for r in roots]
         self.interval = interval
         self.recursive = recursive
+        self._mutex = threading.Lock()   # tick vs retarget
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._snap = None
@@ -66,13 +67,24 @@ class Watcher:
     def stop(self):
         self._stop.set()
 
+    def retarget(self, roots):
+        """Atomically watch a different set of roots."""
+        with self._mutex:
+            self.roots = [str(r) for r in roots]
+            self._snap = None
+
     def tick(self):
         """One diff pass (exposed for tests)."""
-        snap = _snapshot(self.roots, self.recursive)
-        if self._snap is None:
-            self._snap = snap
-            return
-        old, self._snap = self._snap, snap
+        with self._mutex:
+            roots = list(self.roots)
+        snap = _snapshot(roots, self.recursive)
+        with self._mutex:
+            if roots != self.roots:
+                return  # retargeted mid-scan: discard stale snapshot
+            if self._snap is None:
+                self._snap = snap
+                return
+            old, self._snap = self._snap, snap
         gone = old.keys() - snap.keys()
         changed = {p for p in (snap.keys() & old.keys())
                    if snap[p] != old[p]}

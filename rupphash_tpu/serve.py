@@ -69,7 +69,10 @@ class HashIndex:
         self._quality = np.zeros(0, dtype=np.int32)
         self.paths: list[str] = []
         self._n = 0
-        self._device = None  # (hashes_dev, low_dev) or None
+        # (hashes_dev, low_dev, paths_snapshot, n) or None — the path
+        # snapshot is captured with the arrays so concurrent add/remove
+        # cannot shift the index<->path mapping mid-query
+        self._device = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------ size
@@ -278,13 +281,16 @@ class NearDupService:
             def log_message(self, *a):
                 pass
 
-            def _json(self, obj, code=200):
-                body = json.dumps(obj).encode()
+            def _send(self, code, body: bytes, ctype: str):
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _json(self, obj, code=200):
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
 
             def do_GET(self):
                 u = urlparse(self.path)
@@ -304,12 +310,7 @@ class NearDupService:
                         "curl -s --data-binary @photo.jpg "
                         "http://HOST:PORT/v1/query | jq .</pre>"
                     ).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/html; charset=utf-8")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send(200, body, "text/html; charset=utf-8")
                 elif u.path == "/v1/stats":
                     self._json({"indexed": len(service.index),
                                 "queries": service.queries,

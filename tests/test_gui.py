@@ -369,3 +369,25 @@ def test_raw_thumbnails_mode(tmp_path):
     # to the normal tiered decode (which also demosaics), still renders
     thumb = imaging.ImageEngine(raw_thumbnails=True)
     assert thumb.render(p, max_side=512) is not None
+
+
+def test_revless_mutation_reaches_pollers(gui):
+    """View-mode enrichment mutates records without bumping rev; the
+    state endpoint must detect the drift (at most 1s later), bump rev,
+    and give polling clients the new data instead of 'unchanged'."""
+    import time
+
+    srv, port, paths = gui
+    _, _, body = _get(port, "/api/state")
+    rev0 = json.loads(body)["rev"]
+    # poll with the current rev: unchanged
+    _, _, body = _get(port, f"/api/state?rev={rev0}")
+    assert json.loads(body).get("unchanged")
+    # simulate enrichment: in-place record mutation, no rev bump
+    srv.state.groups[0][0].gps_pos = (12.34, 56.78)
+    time.sleep(1.1)  # past the serialization TTL
+    _, _, body = _get(port, f"/api/state?rev={rev0}")
+    snap = json.loads(body)
+    assert not snap.get("unchanged")
+    assert snap["rev"] > rev0
+    assert snap["groups"][0]["files"][0]["gps"] == [12.34, 56.78]
