@@ -451,6 +451,8 @@ async function loadExif() {
     t += `Location    ${x.location.country}\n`;
   if (x.location && x.location.timezone)
     t += `Timezone    ${x.location.timezone}\n`;
+  if (x.pdq_quality != null)
+    t += `PDQ quality ${x.pdq_quality}/100\n`;
   t += '\n';
   const pref = x.preferred || [];
   const entries = Object.entries(x.tags || {});

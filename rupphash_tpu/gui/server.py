@@ -404,6 +404,7 @@ class GuiServer:
                         feats, use_gps_time=server.use_gps_time) or {}
                     loc = exif.derive_location(feats)
                     self._json({
+                        "pdq_quality": rec.pdq_quality,
                         "width": feats.get("width"),
                         "height": feats.get("height"),
                         "orientation": feats.get("orientation"),
