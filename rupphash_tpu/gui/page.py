@@ -98,6 +98,7 @@ let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
 let pan = {x:0, y:0}, drag = null;
 let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
 let scanPoll = null, statusTimer = null, lastStatus = '';
+let lastSun = null;   // {gi, fi, az} for the map sun indicator
 let imgNatural = [0, 0];
 
 const $ = id => document.getElementById(id);
@@ -384,6 +385,16 @@ function drawMap() {
     const sel = m.file === S.cursor[1];
     ctx.fillStyle = sel ? '#e5c07b' : '#c678dd';
     ctx.beginPath(); ctx.arc(x, y, sel ? 6 : 4, 0, 7); ctx.fill();
+    // sun-direction ray at the selected marker
+    // (gps_map.rs:656-1069 indicator)
+    if (sel && lastSun && lastSun.gi === S.cursor[0] &&
+        lastSun.fi === m.file) {
+      const a = (lastSun.az - 90) * Math.PI / 180;  // az 0 = north/up
+      ctx.strokeStyle = '#e5c07b'; ctx.lineWidth = 2;
+      ctx.beginPath(); ctx.moveTo(x, y);
+      ctx.lineTo(x + 18 * Math.cos(a), y + 18 * Math.sin(a));
+      ctx.stroke();
+    }
   });
   ctx.fillStyle = '#7a8494';
   ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
@@ -444,9 +455,13 @@ async function loadExif() {
   if (x.altitude != null) t += `Altitude    ${x.altitude.toFixed(1)} m\n`;
   if (x.timestamp) t += `Taken       ` +
     new Date(x.timestamp*1000).toISOString() + `\n`;
-  if (x.sun && x.sun.sun_altitude !== undefined)
+  if (x.sun && x.sun.sun_altitude !== undefined) {
     t += `Sun         alt ${x.sun.sun_altitude}°  ` +
          `az ${x.sun.sun_azimuth}°\n`;
+    lastSun = {gi: S.cursor[0], fi: S.cursor[1],
+               az: x.sun.sun_azimuth};
+    drawMap();
+  }
   if (x.location && x.location.country)
     t += `Location    ${x.location.country}\n`;
   if (x.location && x.location.timezone)
