@@ -379,6 +379,26 @@ function drawMap() {
       k ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
     });
     ctx.stroke();
+    // distance labels at segment midpoints (gps_map.rs:1070-1102)
+    if (md.order.length <= 9) {
+      const hav = (a, b) => {
+        const r = 6371, d = Math.PI / 180;
+        const dp = (b.lat - a.lat) * d, dl = (b.lon - a.lon) * d;
+        const h = Math.sin(dp/2)**2 + Math.cos(a.lat*d) *
+                  Math.cos(b.lat*d) * Math.sin(dl/2)**2;
+        return 2 * r * Math.asin(Math.sqrt(h));
+      };
+      ctx.fillStyle = '#7a8494'; ctx.font = '10px system-ui';
+      for (let k = 1; k < md.order.length; k++) {
+        const a = md.markers[md.order[k-1]],
+              b = md.markers[md.order[k]];
+        const km = hav(a, b);
+        const [x1, y1] = px(a), [x2, y2] = px(b);
+        const label = km >= 1 ? km.toFixed(1) + ' km'
+                              : (km * 1000).toFixed(0) + ' m';
+        ctx.fillText(label, (x1+x2)/2 + 4, (y1+y2)/2 - 4);
+      }
+    }
   }
   md.markers.forEach((m, i) => {
     const [x, y] = px(m);
