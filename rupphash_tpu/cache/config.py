@@ -86,9 +86,22 @@ def _dump_toml(cfg: dict) -> str:
 
 
 def _atomic_write(path: Path, text: str):
+    # 0600: the file holds the cache master key (db.rs stores it in the
+    # user config too, but must never be world-readable)
     tmp = path.with_suffix(".tmp")
-    tmp.write_text(text)
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as f:
+        f.write(text)
     os.replace(tmp, path)  # atomic on POSIX (db.rs:355-378)
+
+
+def _salvage_master_key(text: str) -> str | None:
+    """Best-effort key recovery from an unparseable config: losing the
+    key silently invalidates the whole encrypted cache (db.rs:500-513
+    regenerates only the invalid key, preserving the rest)."""
+    import re
+    m = re.search(r'master_key\s*=\s*"([0-9a-fA-F]{64})"', text)
+    return m.group(1) if m else None
 
 
 def load_config() -> dict:
@@ -99,9 +112,26 @@ def load_config() -> dict:
     cfg: dict = {}
     if path.exists():
         try:
-            cfg = tomllib.loads(path.read_text())
-        except (tomllib.TOMLDecodeError, OSError):
+            os.chmod(path, 0o600)  # heal pre-existing loose permissions
+        except OSError:
+            pass
+        try:
+            text = path.read_text()
+        except OSError:
+            text = ""
+        try:
+            cfg = tomllib.loads(text)
+        except tomllib.TOMLDecodeError:
+            # keep the evidence and salvage what we can instead of
+            # silently wiping every user setting
+            try:
+                path.with_suffix(".conf.bak").write_text(text)
+            except OSError:
+                pass
             cfg = {}
+            salvaged = _salvage_master_key(text)
+            if salvaged:
+                cfg["master_key"] = salvaged
 
     changed = False
     key_hex = cfg.get("master_key", "")

@@ -106,9 +106,12 @@ const esc = t => String(t).replace(/[&<>"']/g,
   c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',
          "'":'&#39;'}[c]));
 
+const TOKEN = '__SESSION_TOKEN__';  // injected per session (CSRF gate)
+
 async function intent(name, arg) {
   const r = await fetch('/api/intent', {method:'POST',
-    headers:{'Content-Type':'application/json'},
+    headers:{'Content-Type':'application/json',
+             'X-Session-Token': TOKEN},
     body:JSON.stringify({intent:name, arg:arg===undefined?null:arg})});
   S = await r.json();
   render();
@@ -260,10 +263,14 @@ function render() {
   if (S.pending_confirm) {
     const c = $('confirm');
     c.style.display = 'block';
-    c.textContent = S.pending_confirm === 'delete'
-      ? `Delete ${S.marked} marked file(s)` +
-        (S.use_trash ? ' to trash' : '') + '?  y = yes, any other = no'
-      : 'Ignore whole group?  y = yes, any other = no';
+    const tail = '?  y = yes, any other = no';
+    c.textContent = {
+      'delete': `Delete ${S.marked} marked file(s)` +
+                (S.use_trash ? ' to trash' : '') + tail,
+      'delete-one': 'Delete current file' +
+                    (S.use_trash ? ' to trash' : '') + tail,
+      'move': `Move ${S.marked} marked file(s)` + tail,
+    }[S.pending_confirm] || ('Ignore whole group' + tail);
   } else $('confirm').style.display = 'none';
   loadImage();
   drawMap();
@@ -602,8 +609,10 @@ document.addEventListener('keydown', async ev => {
   if (ev.target.tagName === 'INPUT') return;
   if (S && S.pending_confirm) {
     if (ev.key === 'y')
-      await intent(S.pending_confirm === 'delete'
-                   ? 'execute_delete' : 'ignore_group');
+      await intent({'delete': 'execute_delete',
+                    'delete-one': 'execute_delete',
+                    'move': 'move_marked'}[S.pending_confirm]
+                   || 'ignore_group');
     else await intent('cancel');
     return;
   }

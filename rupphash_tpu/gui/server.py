@@ -23,6 +23,7 @@ low-quality warning (gui/app.rs:3227-3240).
 from __future__ import annotations
 
 import json
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -63,6 +64,11 @@ class GuiServer:
         self.lock = threading.Lock()
         self.progress: tuple[int, int] | None = None  # scanning x/y
         self._httpd: ThreadingHTTPServer | None = None
+        # Per-session CSRF token: intents mutate (and can delete) files,
+        # and any webpage can fire "simple" cross-origin POSTs at a
+        # loopback server.  The token is embedded only in the page we
+        # serve, which cross-origin scripts cannot read.
+        self.token = secrets.token_hex(16)
 
     # ------------------------------------------------------------ state
     def snapshot(self) -> dict:
@@ -288,7 +294,9 @@ class GuiServer:
 
                 if u.path == "/":
                     from . import page
-                    self._send(200, page.PAGE.encode(),
+                    html = page.PAGE.replace("__SESSION_TOKEN__",
+                                             server.token)
+                    self._send(200, html.encode(),
                                "text/html; charset=utf-8")
                 elif u.path == "/api/state":
                     import time as _time
@@ -426,6 +434,20 @@ class GuiServer:
                 u = urlparse(self.path)
                 if u.path != "/api/intent":
                     self._json({"error": "not found"}, 404)
+                    return
+                # CSRF gate: reject cross-origin posts (Origin mismatch)
+                # and anything lacking the per-session token the served
+                # page embeds.
+                origin = self.headers.get("Origin")
+                host = self.headers.get("Host", "")
+                if origin and origin not in (f"http://{host}",
+                                             f"https://{host}"):
+                    self._json({"error": "forbidden"}, 403)
+                    return
+                if not secrets.compare_digest(
+                        self.headers.get("X-Session-Token", ""),
+                        server.token):
+                    self._json({"error": "forbidden"}, 403)
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))

@@ -212,13 +212,32 @@ class HashIndex:
 class NearDupService:
     """Decode -> hash (TPU) -> index query, plus the HTTP surface."""
 
-    def __init__(self, index: HashIndex, similarity: int | None = 40):
+    # /v1/query accepts raw image bytes; cap at a realistic image size
+    # (the previous 512 MB allowed a trivial memory DoS through
+    # ThreadingHTTPServer)
+    MAX_BODY = 64_000_000
+
+    def __init__(self, index: HashIndex, similarity: int | None = 40,
+                 roots=None):
         self.index = index
         # CLI leaves --similarity None until grouping resolves it; the
         # service uses the reference default 40 (phdupes.rs:195-282)
         self.similarity = 40 if similarity is None else int(similarity)
         self.queries = 0
         self._lock = threading.Lock()
+        # /v1/add and /v1/remove only touch files under these roots:
+        # unauthenticated callers must not be able to probe or index
+        # arbitrary server-readable paths (--host 0.0.0.0 is supported)
+        self.roots = [Path(r).resolve() for r in (roots or [])]
+
+    def path_allowed(self, path: str) -> bool:
+        if not self.roots:
+            return False
+        try:
+            p = Path(path).resolve()
+        except OSError:
+            return False
+        return any(p == r or r in p.parents for r in self.roots)
 
     def hash_bytes(self, data: bytes):
         """Image bytes -> (variants (8, 32) u8, quality) or None."""
@@ -323,7 +342,7 @@ class NearDupService:
                 q = parse_qs(u.query)
                 if u.path == "/v1/query":
                     n = int(self.headers.get("Content-Length", "0"))
-                    if n <= 0 or n > 512_000_000:
+                    if n <= 0 or n > service.MAX_BODY:
                         self._json({"error": "bad length"}, 400)
                         return
                     data = self.rfile.read(n)
@@ -339,11 +358,19 @@ class NearDupService:
                         self._json(out)
                 elif u.path == "/v1/remove":
                     path = q.get("path", [""])[0]
+                    if path and not service.path_allowed(path):
+                        self._json({"error": "path outside indexed "
+                                    "roots"}, 403)
+                        return
                     n = service.index.remove(path) if path else 0
                     self._json({"removed": n,
                                 "size": len(service.index)})
                 elif u.path == "/v1/add":
                     path = q.get("path", [""])[0]
+                    if not service.path_allowed(path):
+                        self._json({"error": "path outside indexed "
+                                    "roots"}, 403)
+                        return
                     if not path or not Path(path).is_file():
                         self._json({"error": "no such file"}, 404)
                         return
@@ -383,7 +410,8 @@ def run_serve(args) -> int:
         if getattr(args, "index_file", None):
             index.save(args.index_file)
             print(f"saved index to {args.index_file}", file=sys.stderr)
-    svc = NearDupService(index, similarity=args.similarity)
+    svc = NearDupService(index, similarity=args.similarity,
+                         roots=list(getattr(args, "paths", []) or []))
     host = getattr(args, "host", "127.0.0.1")
     httpd, port = svc.serve(host=host,
                             port=getattr(args, "port", 0) or 0)

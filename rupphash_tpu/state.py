@@ -91,16 +91,24 @@ class AppState:
         self.keep_singletons = keep_singletons
         self.status = ""
         self.quit = False
-        self.pending_confirm: str | None = None  # "delete" | "ignore-group"
+        # "delete" | "delete-one" | "move" | "ignore-group"
+        self.pending_confirm: str | None = None
         self.search_pattern: str | None = None
         self.transforms: dict[int, FileTransform] = {}  # by unique_file_id
         self._rows: list[tuple[int, int]] = []
+        self._offsets: list[int] = [0]
         self._rebuild()
 
     # -- internal ------------------------------------------------------------
     def _rebuild(self):
         self._rows = [(gi, fi) for gi, g in enumerate(self.groups)
                       for fi in range(len(g))]
+        # prefix sums of group sizes so flat_cursor is O(1) per keystroke
+        # (the reference virtualizes with the same cached per-group
+        # offsets, gui/app.rs:3080-3260)
+        self._offsets = [0] * (len(self.groups) + 1)
+        for gi, g in enumerate(self.groups):
+            self._offsets[gi + 1] = self._offsets[gi] + len(g)
         if not self._rows:
             self.cursor_group = self.cursor_file = 0
             return
@@ -116,10 +124,9 @@ class AppState:
 
     @property
     def flat_cursor(self) -> int:
-        for k, (gi, fi) in enumerate(self._rows):
-            if gi == self.cursor_group and fi == self.cursor_file:
-                return k
-        return 0
+        if not self._rows:
+            return 0
+        return self._offsets[self.cursor_group] + self.cursor_file
 
     def current(self):
         if not self.groups:
@@ -164,6 +171,17 @@ class AppState:
         verb = "trashed" if self.use_trash else "deleted"
         self.status = f"{verb} {count} files" + (
             f" ({failed} failed)" if failed else "")
+
+    def _delete_current(self):
+        f = self.current()
+        if f is None:
+            return
+        try:
+            fileops.delete_file(f.path, self.use_trash)
+            self._drop_paths({f.path})
+            self.status = "removed 1 file"
+        except OSError as e:
+            self.status = f"delete failed: {e}"
 
     def _move_marked(self):
         if not self.move_target:
@@ -218,8 +236,8 @@ class AppState:
         """Re-sort groups preserving selection (state.rs:683-707)."""
         cur = self.current()
         self.sort_order = order
-        for g, inf in zip(self.groups, self.infos):
-            self.infos[self.infos.index(inf)] = engine.analyze_group(g, order)
+        for i, g in enumerate(self.groups):
+            self.infos[i] = engine.analyze_group(g, order)
         self._rebuild()
         if cur is not None:
             self._select_path(cur.path)
@@ -299,16 +317,17 @@ class AppState:
     def handle_input(self, intent: Intent, arg=None):
         """Apply one intent (state.rs:246 handle_input)."""
         if self.pending_confirm:
-            if intent == Intent.EXECUTE_DELETE and \
-                    self.pending_confirm == "delete":
-                self.pending_confirm = None
+            pc, self.pending_confirm = self.pending_confirm, None
+            if intent == Intent.EXECUTE_DELETE and pc == "delete":
                 self._delete_marked()
-            elif intent == Intent.IGNORE_GROUP and \
-                    self.pending_confirm == "ignore-group":
-                self.pending_confirm = None
+            elif intent in (Intent.EXECUTE_DELETE, Intent.DELETE_IMMEDIATE) \
+                    and pc == "delete-one":
+                self._delete_current()
+            elif intent == Intent.MOVE_MARKED and pc == "move":
+                self._move_marked()
+            elif intent == Intent.IGNORE_GROUP and pc == "ignore-group":
                 self._ignore(whole_group=True)
             else:
-                self.pending_confirm = None
                 self.status = "cancelled"
             return
 
@@ -339,20 +358,22 @@ class AppState:
             case Intent.CONFIRM_DELETE:
                 if self.marked:
                     self.pending_confirm = "delete"
+            # Destructive intents only ARM the confirm gate here; the
+            # action runs solely from inside it (state.rs:374-389 opens a
+            # confirm modal, deletion happens only within).  This also
+            # stops a blind unconfirmed intent sequence over the GUI's
+            # HTTP API from deleting files.
             case Intent.EXECUTE_DELETE:
                 if self.marked:
-                    self._delete_marked()
+                    self.pending_confirm = "delete"
             case Intent.DELETE_IMMEDIATE:
-                f = self.current()
-                if f is not None:
-                    try:
-                        fileops.delete_file(f.path, self.use_trash)
-                        self._drop_paths({f.path})
-                        self.status = "removed 1 file"
-                    except OSError as e:
-                        self.status = f"delete failed: {e}"
+                if self.current() is not None:
+                    self.pending_confirm = "delete-one"
             case Intent.MOVE_MARKED:
-                self._move_marked()
+                if not self.move_target:
+                    self.status = "no move target configured"
+                elif self.marked:
+                    self.pending_confirm = "move"
             case Intent.SELECT:
                 # direct cursor placement (GUI row click)
                 try:

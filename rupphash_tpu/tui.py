@@ -124,9 +124,11 @@ def _loop(stdscr, st: AppState):
         ch = stdscr.getch()
         if st.pending_confirm:
             if ch in (ord("y"), ord("Y")):
-                st.handle_input(Intent.EXECUTE_DELETE
-                                if st.pending_confirm == "delete"
-                                else Intent.IGNORE_GROUP)
+                yes = {"delete": Intent.EXECUTE_DELETE,
+                       "delete-one": Intent.EXECUTE_DELETE,
+                       "move": Intent.MOVE_MARKED,
+                       "ignore-group": Intent.IGNORE_GROUP}
+                st.handle_input(yes.get(st.pending_confirm, Intent.CANCEL))
             else:
                 st.handle_input(Intent.CANCEL)
             continue

@@ -13,24 +13,71 @@ import ctypes
 import ctypes.util
 import errno
 import os
+import platform
 import shutil
 import time
 import urllib.parse
 from pathlib import Path
 
 RENAME_NOREPLACE = 1
-_SYS_RENAMEAT2 = 316  # x86-64
+# renameat2 syscall numbers are per-architecture; a wrong number would
+# invoke an unrelated syscall.  Unknown machines take the portable
+# link+unlink emulation below.
+_SYS_RENAMEAT2 = {
+    "x86_64": 316,
+    "aarch64": 276,
+    "arm64": 276,
+    "riscv64": 276,
+    "ppc64le": 357,
+    "ppc64": 357,
+    "s390x": 347,
+    "i686": 353,
+    "i386": 353,
+    "armv7l": 382,
+    "armv6l": 382,
+}.get(platform.machine())
 _AT_FDCWD = -100
 
 _libc = ctypes.CDLL(None, use_errno=True)
 
 
 def _renameat2(src: str, dst: str, flags: int) -> int:
-    """renameat2 via syscall; returns 0 or -errno."""
-    res = _libc.syscall(_SYS_RENAMEAT2, _AT_FDCWD, src.encode(),
-                        _AT_FDCWD, dst.encode(), flags)
-    if res != 0:
-        return -ctypes.get_errno()
+    """renameat2(RENAME_NOREPLACE) via syscall; returns 0 or -errno.
+
+    Falls back to an atomic link+unlink emulation (same no-replace
+    guarantee: link(2) fails with EEXIST) when the syscall number is
+    unknown for this architecture or the kernel rejects it.
+    """
+    if _SYS_RENAMEAT2 is not None:
+        res = _libc.syscall(_SYS_RENAMEAT2, _AT_FDCWD, src.encode(),
+                            _AT_FDCWD, dst.encode(), flags)
+        if res == 0:
+            return 0
+        err = ctypes.get_errno()
+        if err != errno.ENOSYS:
+            return -err
+    try:
+        os.link(src, dst, follow_symlinks=False)
+    except OSError as e:
+        if e.errno in (errno.EPERM, errno.EOPNOTSUPP, errno.EMLINK):
+            # filesystem without hardlinks: exists-check + rename is the
+            # best remaining approximation of no-replace
+            if os.path.lexists(dst):
+                return -errno.EEXIST
+            try:
+                os.rename(src, dst)
+            except OSError as e2:
+                return -(e2.errno or errno.EIO)
+            return 0
+        return -(e.errno or errno.EIO)
+    try:
+        os.unlink(src)
+    except OSError as e:
+        try:
+            os.unlink(dst)
+        except OSError:
+            pass
+        return -(e.errno or errno.EIO)
     return 0
 
 
@@ -82,7 +129,13 @@ def safe_move(src: str | os.PathLike, dst_dir: str | os.PathLike) -> Path:
                 raise FileExistsError(dst)
             continue
         if rc == -errno.ENAMETOOLONG:
-            name = _truncate_name_utf8(name, 128)
+            shorter = _truncate_name_utf8(name, 128)
+            if shorter == name:
+                # truncation is a no-op (a directory component is what's
+                # too long) -- retrying would loop forever
+                raise OSError(errno.ENAMETOOLONG,
+                              os.strerror(errno.ENAMETOOLONG), str(dst))
+            name = shorter
             continue
         if rc == -errno.EXDEV:
             return _copy_move(src, dst_dir, name, st)
@@ -105,6 +158,8 @@ def _copy_move(src: Path, dst_dir: Path, name: str, st) -> Path:
             fd = os.open(dst, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
         except FileExistsError:
             attempt += 1
+            if attempt > 10000:  # same cap as the rename path
+                raise FileExistsError(dst)
             continue
         try:
             with os.fdopen(fd, "wb") as out, open(src, "rb") as inp:

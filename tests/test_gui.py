@@ -1,5 +1,6 @@
 """Web GUI: LUT math, image engine transforms, HTTP server API."""
 import json
+import re
 import threading
 import urllib.error
 import urllib.request
@@ -120,13 +121,36 @@ def _get(port, path):
         return r.status, r.headers.get("Content-Type"), r.read()
 
 
-def _intent(port, name, arg=None):
+_TOKENS: dict[int, str] = {}
+
+
+def _token(port):
+    """The per-session CSRF token embedded in the served page."""
+    if port not in _TOKENS:
+        _, _, body = _get(port, "/")
+        m = re.search(rb"const TOKEN = '([0-9a-f]+)'", body)
+        _TOKENS[port] = m.group(1).decode()
+    return _TOKENS[port]
+
+
+def _intent(port, name, arg=None, token=None, origin=None):
+    headers = {"Content-Type": "application/json",
+               "X-Session-Token": token if token is not None
+               else _token(port)}
+    if origin:
+        headers["Origin"] = origin
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/api/intent",
         data=json.dumps({"intent": name, "arg": arg}).encode(),
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=10) as r:
-        return json.loads(r.read())
+        headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        if e.code == 403 and token is None and origin is None:
+            _TOKENS.pop(port, None)  # OS reused a port; refresh token
+            return _intent(port, name, arg)
+        raise
 
 
 def test_page_and_state(gui):
@@ -181,6 +205,47 @@ def test_intent_flow_mark_and_delete(gui):
     assert not paths[0].exists()
     assert paths[1].exists() and paths[2].exists()
     assert len(snap["groups"][0]["files"]) == 2
+
+
+def test_csrf_token_and_origin_required(gui):
+    """Cross-origin 'simple' POSTs must not reach the intent dispatcher
+    (ADVICE r1: blind CSRF could delete files)."""
+    srv, port, paths = gui
+    _intent(port, "toggle_mark")
+    # no/wrong token -> 403
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _intent(port, "execute_delete", token="")
+    assert ei.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _intent(port, "execute_delete", token="deadbeef" * 4)
+    assert ei.value.code == 403
+    # mismatched Origin -> 403 even with the right token
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _intent(port, "execute_delete", origin="http://evil.example")
+    assert ei.value.code == 403
+    assert all(p.exists() for p in paths)
+    _intent(port, "unmark_all")
+
+
+def test_destructive_intents_are_confirm_gated(gui):
+    """EXECUTE_DELETE / DELETE_IMMEDIATE / MOVE_MARKED without a pending
+    confirm only arm the gate (state.rs:374-389 two-step flow)."""
+    srv, port, paths = gui
+    snap = _intent(port, "toggle_mark")
+    assert snap["marked"] == 1
+    snap = _intent(port, "execute_delete")  # arms, does not delete
+    assert snap["pending_confirm"] == "delete"
+    assert all(p.exists() for p in paths)
+    snap = _intent(port, "cancel")
+    assert snap["pending_confirm"] is None
+    snap = _intent(port, "delete_immediate")
+    assert snap["pending_confirm"] == "delete-one"
+    assert all(p.exists() for p in paths)
+    _intent(port, "cancel")
+    snap = _intent(port, "move_marked")  # no target configured
+    assert snap["pending_confirm"] is None
+    assert "no move target" in snap["status"]
+    _intent(port, "unmark_all")
 
 
 def test_intent_rename_and_quit(gui, tmp_path):

@@ -108,7 +108,7 @@ def test_incremental_add(corpus):
 def test_http_surface(corpus):
     d, paths, records = corpus
     ix = serve.HashIndex.from_records(records)
-    svc = serve.NearDupService(ix)
+    svc = serve.NearDupService(ix, roots=[d])
     httpd, port = svc.serve()
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -140,6 +140,25 @@ def test_http_surface(corpus):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=10)
         assert ei.value.code == 415
+
+        # add/remove outside the indexed roots is refused (ADVICE r1:
+        # remote callers must not probe arbitrary server-readable files)
+        for ep in ("add", "remove"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/{ep}?path=/etc/passwd",
+                data=b"", method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 403
+
+        # oversized query body is rejected up front
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/query", data=b"x",
+            headers={"Content-Length": str(serve.NearDupService.MAX_BODY
+                                           + 1)}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
     finally:
         httpd.shutdown()
 
