@@ -116,6 +116,44 @@ def bench_grouping(n=100_000, iters=3):
     return pairs / dt, dt
 
 
+def bench_grouping_1m(iters=2):
+    """The BASELINE grouping scenario, driver-visible: 1M x 256-bit
+    hashes, 8 dihedral variants, full upper-triangle count sweep on ONE
+    chip.  The multi-chip row-count sweep (parallel/sharded.py) is the
+    same tile math partitioned disjointly over the ('q','b') mesh with
+    one hash all-gather (8 MB over ICI), so v5e-8 wall clock is
+    single-chip-compute/8 + gather; we report measured single-chip time
+    and that projection."""
+    import jax
+    import jax.numpy as jnp
+
+    from rupphash_tpu.ops import hamming_pallas
+
+    n = 1_000_000
+    ta, tb = hamming_pallas.QUERY_TILE, hamming_pallas.BASE_TILE
+    npad = -(-n // ta) * ta
+    npad = -(-npad // tb) * tb
+
+    @jax.jit
+    def make_vars(key):
+        bits = jax.random.bernoulli(key, 0.5, (8, npad, 256))
+        return (bits.astype(jnp.int8) << 1) - 1
+
+    buf = make_vars(jax.random.PRNGKey(2))
+    low_d = jax.device_put(np.zeros((npad, 1), dtype=np.int32))
+
+    def sweep():
+        return np.asarray(hamming_pallas.scan_row_counts(
+            buf, low_d, nbits=256, sim=31, n_total=n)[0, 0])
+
+    sweep()  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sweep()
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
 def main():
     import jax
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
@@ -123,18 +161,32 @@ def main():
     ips = bench_pdq()
     log(f"pdq_hash: {ips:,.0f} images/s/chip")
 
+    extra = {}
     try:
         pps, gdt = bench_grouping()
         log(f"grouping count-sweep: {pps/1e9:.1f} Gpairs/s "
             f"(100k x 100k x 8 variants in {gdt:.2f}s)")
+        extra["grouping_100k_gpairs_per_s"] = round(pps / 1e9, 1)
     except Exception as e:  # secondary metric must not break the headline
         log(f"grouping bench failed: {e}")
+
+    try:
+        g1m = bench_grouping_1m()
+        proj = g1m / 8.0
+        log(f"grouping 1M x 1M x 8 variants, single chip: {g1m:.2f}s; "
+            f"projected v5e-8 (disjoint tiles / 8 chips): {proj:.2f}s "
+            f"vs BASELINE target <2s")
+        extra["grouping_1m_single_chip_s"] = round(g1m, 2)
+        extra["grouping_1m_v5e8_projected_s"] = round(proj, 2)
+    except Exception as e:
+        log(f"1M grouping bench failed: {e}")
 
     print(json.dumps({
         "metric": "pdq_images_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "images/s/chip",
         "vs_baseline": round(ips / 100_000.0, 3),
+        "extra": extra,
     }))
 
 

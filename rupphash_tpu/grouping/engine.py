@@ -212,12 +212,15 @@ def analyze_group(group: list[FileRecord], sort_order: str) -> GroupInfo:
     user order, then stem-mates adjacent; max_dist is pivot-vs-dihedral."""
     if not group:
         return GroupInfo()
+    # empty content_hash means "not hashed", never "identical" — the
+    # reference always has a blake3, so its counts can't alias this way
     counts: dict[bytes, int] = {}
     for f in group:
-        counts[f.content_hash] = counts.get(f.content_hash, 0) + 1
+        if f.content_hash:
+            counts[f.content_hash] = counts.get(f.content_hash, 0) + 1
 
-    dupes = [f for f in group if counts[f.content_hash] > 1]
-    unique = [f for f in group if counts[f.content_hash] <= 1]
+    dupes = [f for f in group if counts.get(f.content_hash, 0) > 1]
+    unique = [f for f in group if counts.get(f.content_hash, 0) <= 1]
     dupes.sort(key=lambda f: (f.pixel_hash or b"", f.content_hash, f.path.name))
     sort_files(unique, sort_order)
     group[:] = dupes + unique
@@ -236,7 +239,8 @@ def analyze_group(group: list[FileRecord], sort_order: str) -> GroupInfo:
             max_d = 0
 
     has_dupes = any(c > 1 for c in counts.values())
-    all_identical = len(counts) == 1
+    all_identical = (len(counts) == 1
+                     and next(iter(counts.values())) == len(group))
     status = ("all-identical" if all_identical
               else "some-identical" if has_dupes else "none")
     return GroupInfo(max_dist=int(max_d), status=status)
@@ -286,8 +290,18 @@ def group_files(files: list[FileRecord],
     if use_device is None:
         use_device = len(idx_with_hash) > 2048
     if use_device:
-        # find_edges_fast reroutes CPU backends to the XLA tile path
-        ei, ej = hamming.find_edges_fast(base, variants, low, similarity)
+        import jax
+        if len(jax.devices()) > 1:
+            # multi-chip: ('q','b')-mesh sharded count-then-extract
+            # (parallel/sharded.py) — same semantics, N x N tiled over
+            # every chip with one hash all-gather on ICI
+            from ..parallel import sharded
+            ei, ej = sharded.sharded_find_edges(
+                sharded.make_mesh(), base, variants, low, similarity)
+        else:
+            # find_edges_fast reroutes CPU backends to the XLA tile path
+            ei, ej = hamming.find_edges_fast(base, variants, low,
+                                             similarity)
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 

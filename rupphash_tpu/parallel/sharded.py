@@ -13,6 +13,14 @@ Two parallel axes, matching the two compute phases (BASELINE.json):
   locally.  Count reduction is a psum over the mesh; ICI carries only hash
   tiles (N * 256 int8), never distance tiles.
 
+* **Edge extraction** never materializes the N x N matrix: a sharded
+  per-row count sweep (psum over 'b') finds the *hot* query rows — for a
+  dedup corpus, a small fraction of N — then only those rows are
+  re-matched against the sharded base and returned as packed bitmasks
+  ((M, N/8) bytes).  Host-side union-find + the grouping engine
+  (grouping/engine.py) turn edges into groups, completing the
+  scanner.rs:1640-1830 semantics at mesh scale.
+
 The reference has no distributed backend at all (SURVEY.md section 5) —
 this layer is the TPU-native answer to "scan 10^8 images": shard the
 decode fleet over hosts (DCN), hash shards per chip, group over ICI.
@@ -21,6 +29,7 @@ decode fleet over hosts (DCN), hash shards per chip, group over ICI.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +71,31 @@ def sharded_pdq_hasher(mesh: Mesh, rows: int, cols: int):
     return run
 
 
+def _pad_multiple(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def _tile_dist_mask(var_shard, base_shard, qlow, blow, qidx, jidx,
+                    n_total, similarity):
+    """Shared tile math: min-over-variant distances + threshold mask.
+
+    var_shard (nloc, V, nbits) int8 pm1; base_shard (mloc, nbits) int8;
+    qidx (nloc, 1) / jidx (1, mloc) global indices.  Pad rows are masked
+    out via n_total, so callers can pad freely with zeros (two zero pad
+    rows are at distance 0 of each other and would otherwise match).
+    """
+    nloc, v, nbits = var_shard.shape
+    mloc = base_shard.shape[0]
+    flat_q = var_shard.reshape(nloc * v, nbits)
+    dots = jax.lax.dot_general(flat_q, base_shard.T,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dist = (nbits - dots.reshape(nloc, v, mloc).max(axis=1)) // 2
+    thr = jnp.where(qlow[:, None] | blow[None, :], 0, similarity)
+    return ((dist <= thr) & (jidx > qidx)
+            & (jidx < n_total) & (qidx < n_total))
+
+
 def sharded_group_counts(mesh: Mesh, similarity: int = 40):
     """2-D sharded all-pairs duplicate counting.
 
@@ -69,42 +103,240 @@ def sharded_group_counts(mesh: Mesh, similarity: int = 40):
     (nq, nb) int32 per-device-tile match counts, where nq/nb are the mesh
     axis sizes.  Each (q, b) device computes its tile of the N x N
     distance matrix; ICI traffic is one all-gather of hash shards.
+    N is padded internally to the mesh axes (pad rows are index-masked).
     """
     nq = mesh.shape["q"]
     nb = mesh.shape["b"]
 
     def tile_counts(var_shard, base_shard, qlow_shard, blow_shard,
-                    qoff, boff):
-        # var_shard: (Nq_loc, V, nbits) int8; base_shard: (Nb_loc, nbits)
-        nloc, v, nbits = var_shard.shape
+                    qoff, boff, n_total):
+        nloc = var_shard.shape[0]
         mloc = base_shard.shape[0]
-        flat_q = var_shard.reshape(nloc * v, nbits)
-        dots = jax.lax.dot_general(flat_q, base_shard.T,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        dist = (nbits - dots.reshape(nloc, v, mloc).max(axis=1)) // 2
-        thr = jnp.where(qlow_shard[:, None] | blow_shard[None, :], 0,
-                        similarity)
         qidx = qoff[0] + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0)
         jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, mloc), 1)
-        mask = (dist <= thr) & (jidx > qidx)
+        mask = _tile_dist_mask(var_shard, base_shard, qlow_shard,
+                               blow_shard, qidx, jidx, n_total[0],
+                               similarity)
         return mask.sum(dtype=jnp.int32).reshape(1, 1)
 
     smapped = shard_map(
         tile_counts, mesh=mesh,
-        in_specs=(P("q"), P("b"), P("q"), P("b"), P("q"), P("b")),
+        in_specs=(P("q"), P("b"), P("q"), P("b"), P("q"), P("b"), P()),
         out_specs=P("q", "b"))
 
     @jax.jit
     def run(variants_u8, low_conf):
         n = variants_u8.shape[0]
+        npad = _pad_multiple(n, math.lcm(nq, nb))
+        if npad != n:
+            variants_u8 = jnp.pad(variants_u8,
+                                  ((0, npad - n), (0, 0), (0, 0)))
+            low_conf = jnp.pad(low_conf, (0, npad - n),
+                               constant_values=True)
         var_pm1 = unpack_bits_pm1(variants_u8)
         base_pm1 = var_pm1[:, 0, :]
-        qoff = (jnp.arange(nq, dtype=jnp.int32) * (n // nq))
-        boff = (jnp.arange(nb, dtype=jnp.int32) * (n // nb))
-        return smapped(var_pm1, base_pm1, low_conf, low_conf, qoff, boff)
+        qoff = (jnp.arange(nq, dtype=jnp.int32) * (npad // nq))
+        boff = (jnp.arange(nb, dtype=jnp.int32) * (npad // nb))
+        return smapped(var_pm1, base_pm1, low_conf, low_conf, qoff, boff,
+                       jnp.full((1,), n, dtype=jnp.int32))
 
     return run
+
+
+def sharded_row_counts(mesh: Mesh, similarity: int = 40):
+    """Per-query-row match counts over the full upper triangle.
+
+    Returns a jitted fn(variants_u8 (N, V, 32), low_conf (N,) bool) ->
+    (Npad,) int32 where entry i counts matches (i, j>i).  Each (q, b)
+    device computes its distance tile and psums row counts over 'b' —
+    this is phase 1 of count-then-extract: only rows with a nonzero
+    count are re-materialized as edges (hamminghash.rs find_groups
+    probes per query row the same way, at CPU scale).
+    """
+    nq = mesh.shape["q"]
+    nb = mesh.shape["b"]
+
+    def tile_rows(var_shard, base_shard, qlow_shard, blow_shard,
+                  qoff, boff, n_total):
+        nloc = var_shard.shape[0]
+        mloc = base_shard.shape[0]
+        qidx = qoff[0] + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0)
+        jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, mloc), 1)
+        mask = _tile_dist_mask(var_shard, base_shard, qlow_shard,
+                               blow_shard, qidx, jidx, n_total[0],
+                               similarity)
+        return jax.lax.psum(mask.sum(axis=1, dtype=jnp.int32), "b")
+
+    smapped = shard_map(
+        tile_rows, mesh=mesh,
+        in_specs=(P("q"), P("b"), P("q"), P("b"), P("q"), P("b"), P()),
+        out_specs=P("q"))
+
+    @jax.jit
+    def run(variants_u8, low_conf):
+        n = variants_u8.shape[0]
+        npad = _pad_multiple(n, math.lcm(nq, nb))
+        if npad != n:
+            variants_u8 = jnp.pad(variants_u8,
+                                  ((0, npad - n), (0, 0), (0, 0)))
+            low_conf = jnp.pad(low_conf, (0, npad - n),
+                               constant_values=True)
+        var_pm1 = unpack_bits_pm1(variants_u8)
+        base_pm1 = var_pm1[:, 0, :]
+        qoff = (jnp.arange(nq, dtype=jnp.int32) * (npad // nq))
+        boff = (jnp.arange(nb, dtype=jnp.int32) * (npad // nb))
+        return smapped(var_pm1, base_pm1, low_conf, low_conf, qoff, boff,
+                       jnp.full((1,), n, dtype=jnp.int32))
+
+    return run
+
+
+def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
+    """Phase 2 of count-then-extract: hot query rows vs the full base.
+
+    Returns a jitted fn(q_var_u8 (M, V, 32), qlow (M,), qidx (M,) global
+    row indices, base_u8 (N, 32), blow (N,)) -> (M, Npad//8) uint8 packed
+    match bitmasks.  M must divide mesh 'q'; the base is sharded over
+    'b', outputs concatenate along the byte axis (local column blocks
+    are byte-aligned because Nb_loc is padded to a multiple of 8).
+    """
+    nq = mesh.shape["q"]
+    nb = mesh.shape["b"]
+
+    def extract(q_shard, qlow_shard, qidx_shard, base_shard, blow_shard,
+                boff, n_total):
+        mloc_q = q_shard.shape[0]
+        mloc_b = base_shard.shape[0]
+        qidx = qidx_shard[:, None]
+        jidx = boff[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, mloc_b), 1)
+        mask = _tile_dist_mask(q_shard, base_shard, qlow_shard,
+                               blow_shard, qidx, jidx, n_total[0],
+                               similarity)
+        weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
+        grouped = mask.reshape(mloc_q, mloc_b // 8, 8).astype(jnp.int32)
+        return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+
+    smapped = shard_map(
+        extract, mesh=mesh,
+        in_specs=(P("q"), P("q"), P("q"), P("b"), P("b"), P("b"), P()),
+        out_specs=P("q", "b"))
+
+    @jax.jit
+    def run(q_var_u8, qlow, qidx, base_u8, blow):
+        n = base_u8.shape[0]
+        npad = _pad_multiple(n, 8 * nb)
+        if npad != n:
+            base_u8 = jnp.pad(base_u8, ((0, npad - n), (0, 0)))
+            blow = jnp.pad(blow, (0, npad - n), constant_values=True)
+        m = q_var_u8.shape[0]
+        mpad = _pad_multiple(m, nq)
+        if mpad != m:
+            q_var_u8 = jnp.pad(q_var_u8, ((0, mpad - m), (0, 0), (0, 0)))
+            qlow = jnp.pad(qlow, (0, mpad - m), constant_values=True)
+            qidx = jnp.pad(qidx, (0, mpad - m), constant_values=n)
+        return smapped(unpack_bits_pm1(q_var_u8), qlow,
+                       qidx.astype(jnp.int32), unpack_bits_pm1(base_u8),
+                       blow, (jnp.arange(nb, dtype=jnp.int32)
+                              * (npad // nb)),
+                       jnp.full((1,), n, dtype=jnp.int32))
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _edge_fns(mesh: Mesh, similarity: int):
+    """Compiled (row-counts, extract) closures per (mesh, similarity) —
+    jit caches by function identity, so fresh closures would recompile
+    on every grouping call."""
+    return (sharded_row_counts(mesh, similarity),
+            sharded_extract_rows(mesh, similarity))
+
+
+def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
+                       variants: np.ndarray | None = None,
+                       low_conf: np.ndarray | None = None,
+                       similarity: int = 40,
+                       row_chunk: int = 1024,
+                       counts_fn=None, extract_fn=None):
+    """Mesh-sharded all-pairs duplicate edges: the multi-chip equivalent
+    of ops/hamming.find_edges_fast.  Returns (i, j) int64 with i < j.
+
+    counts_fn/extract_fn allow callers to override the compiled
+    closures; by default they are memoized per (mesh, similarity).
+    """
+    n = base_hashes.shape[0]
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return empty, empty
+    if variants is None:
+        variants = base_hashes[:, None, :]
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+    if counts_fn is None or extract_fn is None:
+        default_counts, default_extract = _edge_fns(mesh, int(similarity))
+        counts_fn = counts_fn or default_counts
+        extract_fn = extract_fn or default_extract
+
+    counts = np.asarray(counts_fn(variants.astype(np.uint8),
+                                  low_conf.astype(bool)))[:n]
+    hot = np.nonzero(counts > 0)[0]
+    if hot.size == 0:
+        return empty, empty
+
+    edges_i: list[np.ndarray] = []
+    edges_j: list[np.ndarray] = []
+    for c0 in range(0, len(hot), row_chunk):
+        rows = hot[c0:c0 + row_chunk]
+        packed = np.asarray(extract_fn(
+            variants[rows].astype(np.uint8), low_conf[rows].astype(bool),
+            rows.astype(np.int32), base_hashes.astype(np.uint8),
+            low_conf.astype(bool)))
+        m = len(rows)
+        mbits = np.unpackbits(packed, axis=-1, bitorder="little")[:m, :n]
+        ri, rj = np.nonzero(mbits)
+        edges_i.append(rows[ri].astype(np.int64))
+        edges_j.append(rj.astype(np.int64))
+
+    return (np.concatenate(edges_i) if edges_i else empty,
+            np.concatenate(edges_j) if edges_j else empty)
+
+
+def sharded_group_files(mesh: Mesh, files, similarity: int = 40,
+                        sort_order: str = "name"):
+    """Mesh-sharded end of the grouping pipeline: scanner.rs:1640-1830
+    semantics (dihedral variants, low-quality exact-only gate, union-
+    find, stem merge, analyze, sort) with the all-pairs edge search
+    running on the ('q','b') device mesh instead of one chip."""
+    from ..grouping import engine
+
+    idx = [i for i, f in enumerate(files) if f.pdqhash is not None]
+    if not idx:
+        return [], [], 0
+    base = np.stack([np.frombuffer(files[i].pdqhash, dtype=np.uint8)
+                     for i in idx])
+    variants = np.stack([
+        files[i].dihedral if files[i].dihedral is not None
+        else np.repeat(base[k][None], 8, axis=0)
+        for k, i in enumerate(idx)])
+    low = np.array([files[i].is_low_quality for i in idx])
+
+    ei, ej = sharded_find_edges(mesh, base, variants, low, similarity)
+    dense = np.asarray(idx, dtype=np.int64)
+    uf = engine.UnionFind(len(files))
+    uf.union_edges(dense[ei], dense[ej])
+    raw = engine.merge_groups_by_stem(uf.components(min_size=2), files)
+    groups, infos = [], []
+    for g in raw:
+        members = [files[i] for i in g]
+        infos.append(engine.analyze_group(members, sort_order))
+        groups.append(members)
+    order = sorted(range(len(groups)),
+                   key=lambda k: (0 if infos[k].status == "all-identical"
+                                  else 1, infos[k].max_dist,
+                                  -len(groups[k])))
+    return ([groups[k] for k in order], [infos[k] for k in order],
+            int(len(ei)))
 
 
 def full_dedup_step(mesh: Mesh, rows: int, cols: int, similarity: int = 40):

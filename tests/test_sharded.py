@@ -51,6 +51,85 @@ def test_sharded_group_counts_match_oracle(mesh8):
     assert counts.sum() >= 1
 
 
+def test_sharded_group_counts_pads_odd_n(mesh8):
+    """Regression (VERDICT r1 weak #1): N not divisible by the mesh axes
+    must be padded, and pad rows must never match each other."""
+    rng = np.random.default_rng(5)
+    n = 61  # not divisible by 4 or 2
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    base[7] = base[33]
+    variants = np.repeat(base[:, None, :], 8, axis=1)
+    low = np.zeros(n, dtype=bool)
+    run = sharded.sharded_group_counts(mesh8, similarity=8)
+    counts = np.asarray(run(variants, low))
+    oi, oj = hamming.brute_force_edges(base, variants, low, similarity=8)
+    assert counts.sum() == len(oi) >= 1
+
+
+def test_sharded_row_counts_match_oracle(mesh8):
+    rng = np.random.default_rng(6)
+    n = 96
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    base[3] = base[40]
+    base[3 + 1] = base[77]
+    variants = np.repeat(base[:, None, :], 8, axis=1)
+    low = np.zeros(n, dtype=bool)
+    run = sharded.sharded_row_counts(mesh8, similarity=8)
+    counts = np.asarray(run(variants, low))[:n]
+    oi, oj = hamming.brute_force_edges(base, variants, low, similarity=8)
+    expect = np.zeros(n, dtype=np.int64)
+    for i in oi:
+        expect[i] += 1
+    assert np.array_equal(counts, expect)
+
+
+def test_sharded_find_edges_exact_vs_oracle(mesh8):
+    """Mesh edge extraction must be bit-for-bit the brute-force edge set,
+    including dihedral variants, the low-quality gate, and odd N."""
+    rng = np.random.default_rng(7)
+    n = 203  # deliberately not divisible by anything relevant
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    # cluster at small distances
+    for i in (17, 59, 131, 202):
+        base[i] = base[4]
+    noise = base[59].copy()
+    noise[0] ^= 0b111  # 3-bit flip stays within similarity
+    base[59] = noise
+    variants = np.repeat(base[:, None, :], 8, axis=1)
+    # one variant-only match: row 90's variant 3 equals row 100's base
+    variants[90, 3] = base[100]
+    low = np.zeros(n, dtype=bool)
+    low[131] = True  # gated to exact-only
+    ei, ej = sharded.sharded_find_edges(mesh8, base, variants, low,
+                                        similarity=8)
+    oi, oj = hamming.brute_force_edges(base, variants, low, similarity=8)
+    assert sorted(zip(ei.tolist(), ej.tolist())) == \
+        sorted(zip(oi.tolist(), oj.tolist()))
+    assert len(ei) > 0
+
+
+def test_sharded_group_files_end_to_end(mesh8, tmp_path):
+    """scanner.rs:1640-1830 semantics at mesh scale: records in, groups
+    out, duplicate cluster recovered exactly."""
+    from rupphash_tpu.grouping.engine import FileRecord
+
+    rng = np.random.default_rng(8)
+    n = 24
+    hashes = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    hashes[5] = hashes[2]
+    hashes[19] = hashes[2]
+    files = [FileRecord(path=tmp_path / f"f{i:02d}.png", size=i + 1,
+                        pdqhash=bytes(hashes[i]), pdq_quality=90,
+                        unique_file_id=i) for i in range(n)]
+    groups, infos, edges = sharded.sharded_group_files(
+        mesh8, files, similarity=8)
+    assert edges == 3
+    assert len(groups) == 1
+    assert sorted(f.path.name for f in groups[0]) == \
+        ["f02.png", "f05.png", "f19.png"]
+    assert infos[0].max_dist == 0 and infos[0].status == "none"
+
+
 def test_full_dedup_step(mesh8):
     step = sharded.full_dedup_step(mesh8, 64, 64, similarity=40)
     rng = np.random.default_rng(4)
