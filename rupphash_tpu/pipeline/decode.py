@@ -130,15 +130,17 @@ def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
     if img is None and data[:2] in (b"II", b"MM"):
         # TIFF container: same rendition order as the RAW file path —
         # embedded preview first (what the scanner indexes), full
-        # demosaic only for preview-less DNGs
+        # demosaic only for preview-less raws (DNG, then CR2/NEF/TIFF-EP)
         img = extract_largest_jpeg(data)
         if img is None:
-            from . import dng
-            if dng.is_dng(data):
-                try:
+            from . import dng, rawcontainers
+            try:
+                if dng.is_dng(data):
                     img = dng.decode_dng(data)
-                except Exception:
-                    img = None
+                else:
+                    img = rawcontainers.decode_raw_container(data)
+            except Exception:
+                img = None
     if img is None and b"%PDF" in data[:1024]:
         # readers tolerate preamble bytes before the header
         from . import pdfimg
@@ -185,21 +187,22 @@ def load_image(path: str | os.PathLike, data: bytes | None = None,
             return None, None
     ext = p.suffix.lower().lstrip(".")
     if is_raw_ext(p):
-        from . import dng
+        from . import dng, rawcontainers
 
         def _full_raw():
-            if dng.is_dng(data):
-                try:
+            try:
+                if dng.is_dng(data):
                     return dng.decode_dng(data)
-                except Exception:
-                    return None
-            return None
+                # CR2 / NEF / generic TIFF-EP native decode
+                return rawcontainers.decode_raw_container(data)
+            except Exception:
+                return None
 
         img = _full_raw() if prefer_full_raw else None
         if img is None:
             img = extract_largest_jpeg(data)
         if img is None and not prefer_full_raw:
-            # preview-less DNG: native raw decode (LJ92 + TPU demosaic)
+            # preview-less raw: native decode (LJ92 + TPU demosaic)
             img = _full_raw()
         if img is None:
             img = decode_bytes(data)  # DNG sometimes decodes directly

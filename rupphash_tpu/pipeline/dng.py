@@ -174,15 +174,18 @@ def _raster(data: bytes, ifd: dict, endian: str) -> np.ndarray | None:
             return np.frombuffer(raw, dtype=np.uint8,
                                  count=rows * width).reshape(
                 rows, width).astype(np.uint16)
-        if bits == 12:  # big-endian 12-bit packed (TIFF fill order 1)
-            need = (rows * width * 3 + 1) // 2
+        if bits in (10, 12, 14):
+            # MSB-first packed (TIFF fill order 1) — the uncompressed
+            # NEF/CR2-class sensor packing as well as DNG's
+            n = rows * width
+            need = (n * bits + 7) // 8
+            if len(raw) < need:
+                return None
             b = np.frombuffer(raw, dtype=np.uint8, count=need)
-            b = b.astype(np.uint16)
-            n_pairs = rows * width // 2
-            trip = b[:n_pairs * 3].reshape(n_pairs, 3)
-            first = (trip[:, 0] << 4) | (trip[:, 1] >> 4)
-            second = ((trip[:, 1] & 0x0F) << 8) | trip[:, 2]
-            return np.stack([first, second], 1).reshape(rows, width)
+            allbits = np.unpackbits(b)[:n * bits]
+            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+            vals = allbits.reshape(n, bits).astype(np.int64) @ weights
+            return vals.astype(np.uint16).reshape(rows, width)
         return None
 
     if _T_TILE_OFFSETS in ifd:
