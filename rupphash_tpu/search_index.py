@@ -211,22 +211,48 @@ class SearchIndex:
         self._numeric: dict[str, dict[int, float]] = {}
         self._sorted: dict[str, list[tuple[float, int]]] = {}
         self._dirty = False
+        # per-slot reverse index: (exact keys, tags touched) — removal is
+        # then O(slot's own tags) instead of O(every exact key in the
+        # index) (search_index.rs:157-249 touches per-key only, too)
+        self._slot_keys: dict[int, tuple[list, list]] = {}
+        # slots whose exact bits are stale (cleared lazily on reuse;
+        # queries mask with _live so stale bits are invisible)
+        self._pending_scrub: dict[int, list] = {}
 
     def __len__(self):
         return bin(self._live).count("1")
 
     def alloc_slot(self) -> int:
         if self._free:
-            return self._free.pop()
+            s = self._free.pop()
+            self._scrub(s)
+            return s
         s = self._n
         self._n += 1
         return s
+
+    def _scrub(self, slot: int):
+        """Clear a removed slot's stale exact bits before reuse."""
+        keys = self._pending_scrub.pop(slot, None)
+        if not keys:
+            return
+        mask = ~(1 << slot)
+        for k in keys:
+            bm = self._exact.get(k)
+            if bm is not None:
+                bm &= mask
+                if bm:
+                    self._exact[k] = bm
+                else:
+                    del self._exact[k]
 
     def insert(self, slot: int, tags: dict):
         """tags: {tag_name: value}.  Unknown tags are ignored; every value
         is dual-indexed (string exact + numeric when extractable,
         search_index.rs:265-347)."""
+        self._scrub(slot)  # defensive: callers may reuse without alloc
         self._live |= 1 << slot
+        ekeys, etags = self._slot_keys.setdefault(slot, ([], []))
         for raw_name, value in tags.items():
             tag = resolve_tag_name(raw_name) or (
                 raw_name if raw_name in SEARCHABLE_TAGS else None)
@@ -234,27 +260,60 @@ class SearchIndex:
                 continue
             sval = str(value).strip()
             if sval:
-                self._exact[(tag, sval.lower())] = \
-                    self._exact.get((tag, sval.lower()), 0) | (1 << slot)
+                key = (tag, sval.lower())
+                self._exact[key] = self._exact.get(key, 0) | (1 << slot)
                 self._strings.setdefault(tag, {})[slot] = sval
+                ekeys.append(key)
+                etags.append(tag)
             num = extract_number_from_string(value)
             if num is not None:
                 self._numeric.setdefault(tag, {})[slot] = num
+                if tag not in etags:
+                    etags.append(tag)
                 self._dirty = True
 
     def remove(self, slot: int):
-        """Frees the slot for reuse (search_index.rs:157-249)."""
-        mask = ~(1 << slot)
-        self._live &= mask
-        for k in list(self._exact):
-            self._exact[k] &= mask
-        for d in self._strings.values():
-            d.pop(slot, None)
-        for d in self._numeric.values():
-            if slot in d:
+        """Frees the slot for reuse (search_index.rs:157-249).
+        O(the slot's own tags): exact bits are masked out by _live at
+        query time and scrubbed lazily when the slot is reused."""
+        self._live &= ~(1 << slot)
+        ekeys, etags = self._slot_keys.pop(slot, ((), ()))
+        for tag in etags:
+            d = self._strings.get(tag)
+            if d is not None:
+                d.pop(slot, None)
+            d = self._numeric.get(tag)
+            if d is not None and slot in d:
                 del d[slot]
                 self._dirty = True
+        if ekeys:
+            self._pending_scrub[slot] = list(ekeys)
         self._free.append(slot)
+
+    def remove_many(self, slots) -> int:
+        """Bulk removal (directory deletion under the watcher): one
+        _live mask update for the whole batch."""
+        slots = [s for s in slots if (self._live >> s) & 1]
+        if not slots:
+            return 0
+        mask = 0
+        for s in slots:
+            mask |= 1 << s
+        self._live &= ~mask
+        for s in slots:
+            ekeys, etags = self._slot_keys.pop(s, ((), ()))
+            for tag in etags:
+                d = self._strings.get(tag)
+                if d is not None:
+                    d.pop(s, None)
+                d = self._numeric.get(tag)
+                if d is not None and s in d:
+                    del d[s]
+                    self._dirty = True
+            if ekeys:
+                self._pending_scrub[s] = list(ekeys)
+            self._free.append(s)
+        return len(slots)
 
     def finalize(self):
         """Sort numeric posting lists (search_index.rs:357-380)."""

@@ -108,6 +108,44 @@ def test_remove_and_slot_reuse(index):
     assert index.search("iso:200") == {1}
 
 
+def test_reused_slot_does_not_match_old_tags(index):
+    """Lazy scrub correctness: a freed slot reused with different tags
+    must not answer for its previous occupant's keys."""
+    index.remove(1)
+    slot = index.alloc_slot()
+    assert slot == 1
+    index.insert(slot, {"Make": "Fuji"})
+    assert index.search("make:Fuji") == {1}
+    # the previous occupant's exact key must not resolve to slot 1
+    assert 1 not in index.search("make:Nikon")
+
+
+def test_bulk_remove_is_fast():
+    """VERDICT r1 weak #8: removing 10k slots from a 100k index must be
+    per-slot-touch, not O(total keys) per removal."""
+    import time
+
+    from rupphash_tpu.search_index import SearchIndex
+
+    ix = SearchIndex()
+    for i in range(100_000):
+        ix.insert(ix.alloc_slot(),
+                  {"Make": f"Maker{i % 50}", "ISO": 100 + (i % 32) * 100,
+                   "FNumber": f"f/{1 + (i % 8)}.0"})
+    ix.finalize()
+    victims = list(range(20_000, 30_000))
+    t0 = time.perf_counter()
+    n = ix.remove_many(victims)
+    dt = time.perf_counter() - t0
+    assert n == 10_000
+    assert dt < 0.1, f"bulk removal took {dt:.3f}s"
+    assert len(ix) == 90_000
+    # removed slots are gone from query results
+    hits = ix.search("iso:100")
+    assert not (set(victims) & hits)
+    assert hits  # others still match
+
+
 def test_features_to_tags():
     feats = {"width": 640, "height": 480, "orientation": 6,
              "exif_timestamp": 1700000000, "altitude": 12.5,
