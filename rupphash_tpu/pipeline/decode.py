@@ -142,10 +142,14 @@ def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
             except Exception:
                 img = None
     if img is None and b"%PDF" in data[:1024]:
-        # readers tolerate preamble bytes before the header
-        from . import pdfimg
-        img = pdfimg.extract_largest_pdf_image(
-            data[data.index(b"%PDF"):])
+        # readers tolerate preamble bytes before the header; embedded
+        # photo first (the dedup-relevant content), else rasterize the
+        # vector page (scanner.rs:583-626 renders page 1 at 2x)
+        from . import pdfimg, pdfraster
+        pdf = data[data.index(b"%PDF"):]
+        img = pdfimg.extract_largest_pdf_image(pdf)
+        if img is None:
+            img = pdfraster.rasterize_first_page(pdf)
     return img
 
 
@@ -217,8 +221,11 @@ def load_image(path: str | os.PathLike, data: bytes | None = None,
         if img is None:
             img = decode_bytes(data)  # PIL may have a plugin
     elif ext == "pdf":
-        from . import pdfimg
+        from . import pdfimg, pdfraster
         img = pdfimg.extract_largest_pdf_image(data)
+        if img is None:
+            # vector-only PDF: render page 1 (scanner.rs:583-626)
+            img = pdfraster.rasterize_first_page(data)
     else:
         img = sniff_decode_bytes(data)
     if img is None:

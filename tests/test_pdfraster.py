@@ -1,0 +1,203 @@
+"""Vector-PDF first-page rasterization (scanner.rs:583-626 parity).
+
+The oracle is PIL ImageDraw — an independent polygon rasterizer fed the
+same geometry — so agreement is cross-implementation, not self-echo.
+"""
+import zlib
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from rupphash_tpu.pipeline import decode, pdfraster
+
+
+def make_pdf(content: bytes, w=200, h=150, compress=False,
+             extra_objs=()) -> bytes:
+    """Minimal well-formed single-page PDF around a content stream."""
+    if compress:
+        stream = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        stream, filt = content, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R %s>>" % (w, h, b"".join(extra_objs)),
+        b"<< /Length %d %s>>\nstream\n%s\nendstream"
+        % (len(stream), filt, stream),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+VECTOR_CONTENT = (
+    b"0.9 0.2 0.1 rg 20 20 60 40 re f\n"          # red rect
+    b"0.1 0.4 0.8 rg 120 30 m 180 30 l 150 90 l h f\n"  # blue triangle
+    b"0.2 0.7 0.2 rg 40 80 m 40 120 70 140 100 140 c "
+    b"130 140 160 120 160 80 c h f\n"             # green blob (beziers)
+    b"0 g 3 w 0 G 10 10 m 190 140 l S\n"          # black diagonal stroke
+)
+
+
+def _oracle_png(scale=2.0, w=200, h=150) -> np.ndarray:
+    """The same shapes drawn by PIL (y flipped: PDF y-up)."""
+    W, H = int(w * scale), int(h * scale)
+    img = Image.new("RGB", (W, H), (255, 255, 255))
+    dr = ImageDraw.Draw(img)
+
+    def pt(x, y):
+        return (x * scale, H - y * scale)
+
+    dr.polygon([pt(20, 20), pt(80, 20), pt(80, 60), pt(20, 60)],
+               fill=(230, 51, 26))
+    dr.polygon([pt(120, 30), pt(180, 30), pt(150, 90)],
+               fill=(26, 102, 204))
+    # bezier blob flattened the same way
+    def bez(p0, p1, p2, p3, n=16):
+        t = np.linspace(0, 1, n + 1)[:, None]
+        u = 1 - t
+        return (u ** 3 * np.array(p0) + 3 * u ** 2 * t * np.array(p1)
+                + 3 * u * t ** 2 * np.array(p2) + t ** 3 * np.array(p3))
+    pts = [(40, 80)]
+    pts += [tuple(p) for p in bez((40, 80), (40, 120), (70, 140),
+                                  (100, 140))[1:]]
+    pts += [tuple(p) for p in bez((100, 140), (130, 140), (160, 120),
+                                  (160, 80))[1:]]
+    dr.polygon([pt(*p) for p in pts], fill=(51, 179, 51))
+    dr.line([pt(10, 10), pt(190, 140)], fill=(0, 0, 0),
+            width=int(3 * scale))
+    return np.asarray(img)
+
+
+def test_rasterize_vector_page():
+    pdf = make_pdf(VECTOR_CONTENT)
+    out = pdfraster.rasterize_first_page(pdf)
+    assert out is not None and out.shape == (300, 400, 3)
+    oracle = _oracle_png()
+    # cross-implementation agreement: identical geometry, different
+    # rasterizers -> only antialias/edge pixels differ
+    diff = np.abs(out.astype(int) - oracle.astype(int)).mean()
+    assert diff < 8.0, diff
+    # sanity: the page is not blank and colors landed where expected
+    assert tuple(out[200, 60]) == (230, 51, 26)      # inside red rect
+    assert tuple(out[180, 300]) == (26, 102, 204)    # inside triangle
+
+
+def test_rasterize_compressed_content_and_preamble():
+    pdf = make_pdf(VECTOR_CONTENT, compress=True)
+    out = pdfraster.rasterize_first_page(b"JUNKPREFIX" + pdf)
+    assert out is not None
+    assert tuple(out[200, 60]) == (230, 51, 26)
+
+
+def test_graphics_state_stack_and_cm():
+    content = (b"q 2 0 0 2 0 0 cm 0 0 1 rg 10 10 20 20 re f Q\n"
+               b"1 0 0 rg 100 100 20 20 re f\n")
+    out = pdfraster.rasterize_first_page(make_pdf(content))
+    # scaled blue square covers user-space 20..60 (x2 cm then x2 scale)
+    assert tuple(out[300 - 60, 60]) == (0, 0, 255)
+    # after Q the CTM is restored: red square at 100..120 user space
+    assert tuple(out[300 - 220, 220]) == (255, 0, 0)
+
+
+def test_even_odd_fill_hole():
+    content = (b"0 0 0 rg 20 20 100 100 re 50 50 40 40 re f*\n")
+    out = pdfraster.rasterize_first_page(make_pdf(content))
+    assert tuple(out[300 - 60, 60]) == (0, 0, 0)       # ring filled
+    assert tuple(out[300 - 140, 140]) == (255, 255, 255)  # hole stays
+
+
+def test_text_is_skipped_not_fatal():
+    content = (b"BT /F1 12 Tf 50 50 Td (Hello) Tj ET\n"
+               b"1 0 0 rg 10 10 30 30 re f\n")
+    out = pdfraster.rasterize_first_page(make_pdf(content))
+    assert out is not None
+    assert tuple(out[300 - 40, 40]) == (255, 0, 0)
+
+
+def test_vector_pdf_groups_with_png_export(tmp_path):
+    """VERDICT r1 missing #4 'done' condition: a vector-only PDF groups
+    with its rasterized PNG export."""
+    from rupphash_tpu.pipeline import scan
+
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "chart.pdf").write_bytes(make_pdf(VECTOR_CONTENT))
+    Image.fromarray(_oracle_png()).save(d / "chart.png")
+    arr, res = decode.load_image(d / "chart.pdf")
+    assert arr is not None and res == (400, 300)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"chart.pdf", "chart.png"}
+
+
+def test_image_wrapped_pdf_still_prefers_embedded(tmp_path):
+    """Photo PDFs keep the embedded-raster tier (bit-identical hash
+    source); the rasterizer is the vector fallback only."""
+    import io
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    photo = np.asarray(Image.fromarray(base).resize((160, 120),
+                                                    Image.BILINEAR))
+    buf = io.BytesIO()
+    Image.fromarray(photo).save(buf, format="JPEG", quality=95)
+    jpg = buf.getvalue()
+    xobj = (b"<< /Type /XObject /Subtype /Image /Width 160 /Height 120 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n" % len(jpg)
+            ) + jpg + b"\nendstream"
+    content = b"q 160 0 0 120 0 0 cm /Im1 Do Q"
+    pdf = make_pdf(content, w=160, h=120,
+                   extra_objs=(b"/Resources << /XObject "
+                               b"<< /Im1 5 0 R >> >> ",))
+    pdf = pdf.replace(b"\nstartxref",
+                      b"") if False else pdf  # keep layout simple
+    # append the image object (object 5) before the trailer
+    head, trailer = pdf.split(b"xref\n", 1)
+    pdf2 = head + b"5 0 obj\n" + xobj + b"\nendobj\n" + b"xref\n" \
+        + trailer
+    img = decode.sniff_decode_bytes(pdf2)
+    assert img is not None
+    # embedded tier: decoded JPEG exactly, not a page render
+    assert img.shape == (120, 160, 3)
+    buf2 = np.asarray(Image.open(io.BytesIO(jpg)))
+    assert np.array_equal(img, buf2)
+
+
+def test_do_image_compositing():
+    """When no embedded raster is recoverable by the photo tier, the
+    rasterizer composites image XObjects via Do (gray ramp, Flate)."""
+    ramp = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    raw = zlib.compress(ramp.tobytes())
+    xobj = (b"<< /Type /XObject /Subtype /Image /Width 64 /Height 32 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(raw)
+            ) + raw + b"\nendstream"
+    content = b"q 100 0 0 50 50 50 cm /Im1 Do Q"
+    pdf = make_pdf(content, w=200, h=150,
+                   extra_objs=(b"/Resources << /XObject "
+                               b"<< /Im1 5 0 R >> >> ",))
+    head, trailer = pdf.split(b"xref\n", 1)
+    pdf = head + b"5 0 obj\n" + xobj + b"\nendobj\nxref\n" + trailer
+    out = pdfraster.rasterize_first_page(pdf)
+    assert out is not None
+    # image occupies user space x 50..150, y 50..100 -> device
+    # x 100..300, y 100..200 (scale 2, y flip from 300)
+    inside = out[300 - 150, 200]   # center of the ramp
+    assert inside[0] == inside[1] == inside[2]  # gray
+    assert 90 < int(inside[0]) < 160
+    assert tuple(out[290, 20]) == (255, 255, 255)  # outside untouched
