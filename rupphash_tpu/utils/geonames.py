@@ -16,11 +16,11 @@ Those crates embed polygon databases that do not exist in this image
   /usr/share/zoneinfo/iso3166.tab    country code -> English name
 
 Method: nearest-anchor great-circle lookup over the zone1970 principal
-locations *plus* embedded admin-1 anchor tables (state/province/
-territory centroids and major cities with their dominant timezone) for
-the US / Canada / Australia, whose interiors are far from any tzdata
-city.  Points farther than `OCEAN_KM` from every anchor fall back to
-the nautical Etc/GMT± zone by longitude (the reference's own fallback,
+locations *plus* embedded worldwide admin-1 anchor tables
+(state/province/region centroids and major cities with their dominant
+timezone): US/CA/AU below, ~60 more countries in utils/admin1_data.py.
+Points farther than `OCEAN_KM` from every anchor fall back to the
+nautical Etc/GMT± zone by longitude (the reference's own fallback,
 position.rs:21-29).  Nearest-anchor is approximate near land borders —
 a documented substitution with the same tag surface.
 """
@@ -171,20 +171,11 @@ _AU_STATES = {
 }
 _SUBDIVISIONS = {"US": _US_STATES, "CA": _CA_PROVINCES, "AU": _AU_STATES}
 
-# Extra country anchors where zone1970's single principal city leaves a
-# big interior hole (northern Fennoscandia matters for the reference's
-# own Lapland fixture, tests/bench.jpg.txt).
-_EXTRA_ANCHORS = [
-    (66.50, 25.73, "Europe/Helsinki", "FI"),    # Rovaniemi
-    (68.42, 27.42, "Europe/Helsinki", "FI"),    # Saariselkä / Lapland
-    (67.86, 20.22, "Europe/Stockholm", "SE"),   # Kiruna
-    (69.65, 18.96, "Europe/Oslo", "NO"),        # Tromsø
-    (64.75, 177.48, "Asia/Anadyr", "RU"),       # Chukotka
-]
-
 _lock = threading.Lock()
 _anchors = None     # list of (lat, lon, tzname, code, subdivision|None)
 _countries = None   # code -> name
+_anchor_xyz = None  # (N, 3) unit vectors for vectorized nearest lookup
+_sub_idx = None     # indices of subdivision-bearing anchors
 
 
 def _parse_iso6709(s: str):
@@ -236,8 +227,15 @@ def _load():
                 for name, (tz, points) in table.items():
                     for lat, lon in points:
                         anchors.append((lat, lon, tz, code, name))
-            for lat, lon, tz, code in _EXTRA_ANCHORS:
-                anchors.append((lat, lon, tz, code, None))
+            # worldwide admin-1 anchor tables (admin1_data.py): the
+            # offline substitution for the reference's polygon DB
+            # (exif_extract.rs:435-474)
+            from .admin1_data import ADMIN1
+            for code, (default_tz, subs) in ADMIN1.items():
+                for entry in subs:
+                    name, lat, lon = entry[0], entry[1], entry[2]
+                    tz = entry[3] if len(entry) > 3 else default_tz
+                    anchors.append((lat, lon, tz, code, name))
         _anchors, _countries = anchors, countries
         return _anchors, _countries
 
@@ -256,18 +254,59 @@ def _haversine_km(lat1, lon1, lat2, lon2) -> float:
     return 2 * r * math.asin(min(1.0, math.sqrt(a)))
 
 
+def _xyz_table():
+    """(N, 3) unit vectors of every anchor, built once — the anchor set
+    is ~1.3k points now, so per-photo lookups are one numpy matvec."""
+    global _anchor_xyz
+    if _anchor_xyz is None:
+        import numpy as np
+        anchors, _ = _load()
+        lats = np.radians([a[0] for a in anchors])
+        lons = np.radians([a[1] for a in anchors])
+        _anchor_xyz = np.stack([np.cos(lats) * np.cos(lons),
+                                np.cos(lats) * np.sin(lons),
+                                np.sin(lats)], axis=1)
+    return _anchor_xyz
+
+
+def _point_xyz(lat: float, lon: float):
+    import numpy as np
+    la, lo = math.radians(lat), math.radians(lon)
+    return np.array([math.cos(la) * math.cos(lo),
+                     math.cos(la) * math.sin(lo), math.sin(la)])
+
+
 def nearest_anchor(lat: float, lon: float):
     """(tzname, country_code, subdivision|None, distance_km) of the
     nearest anchor, or None when tzdata tables are missing."""
+    import numpy as np
     anchors, _ = _load()
     if not anchors:
         return None
-    best, best_d = None, float("inf")
-    for a in anchors:
-        d = _haversine_km(lat, lon, a[0], a[1])
-        if d < best_d:
-            best, best_d = a, d
-    return best[2], best[3], best[4], best_d
+    dots = _xyz_table() @ _point_xyz(lat, lon)
+    i = int(np.argmax(dots))  # max cos(angle) == min great circle
+    best = anchors[i]
+    return best[2], best[3], best[4], _haversine_km(lat, lon,
+                                                    best[0], best[1])
+
+
+def nearest_subdivision(lat: float, lon: float):
+    """(subdivision, country_code, distance_km) of the nearest anchor
+    that *carries* an admin-1 name — a plain zone1970 city anchor can
+    sit closer without shadowing the subdivision table."""
+    import numpy as np
+    global _sub_idx
+    anchors, _ = _load()
+    if not anchors:
+        return None
+    if _sub_idx is None:
+        _sub_idx = np.array([i for i, a in enumerate(anchors)
+                             if a[4] is not None], dtype=np.int64)
+    if _sub_idx.size == 0:
+        return None
+    dots = _xyz_table()[_sub_idx] @ _point_xyz(lat, lon)
+    best = anchors[int(_sub_idx[int(np.argmax(dots))])]
+    return best[4], best[3], _haversine_km(lat, lon, best[0], best[1])
 
 
 def timezone_name(lat: float, lon: float) -> str | None:
@@ -291,11 +330,23 @@ def country_name(lat: float, lon: float) -> str | None:
     return _OFFICIAL.get(hit[1]) or countries.get(hit[1])
 
 
+def _subdivision_for(hit, lat: float, lon: float) -> str | None:
+    """The admin-1 name for a point whose nearest anchor is `hit`: the
+    nearest subdivision anchor, accepted only when it agrees with the
+    nearest anchor's country (no cross-border grabs) and is in range."""
+    if hit[2] is not None:
+        return hit[2]
+    sub = nearest_subdivision(lat, lon)
+    if sub is not None and sub[1] == hit[1] and sub[2] <= COUNTRY_KM:
+        return sub[0]
+    return None
+
+
 def subdivision_name(lat: float, lon: float) -> str | None:
     hit = nearest_anchor(lat, lon)
     if hit is None or hit[3] > COUNTRY_KM:
         return None
-    return hit[2]
+    return _subdivision_for(hit, lat, lon)
 
 
 def derive_location(lat: float, lon: float) -> dict:
@@ -310,7 +361,7 @@ def derive_location(lat: float, lon: float) -> dict:
     if hit is not None and hit[3] <= COUNTRY_KM:
         _, countries = _load()
         country = _OFFICIAL.get(hit[1]) or countries.get(hit[1])
-        sub = hit[2]
+        sub = _subdivision_for(hit, lat, lon)
         if country:
             out["country"] = f"{sub}, {country}" if sub else country
         if sub:

@@ -24,8 +24,43 @@ def test_subdivisions():
     assert g.subdivision_name(-33.87, 151.21) == "New South Wales"
     assert g.subdivision_name(43.65, -79.38) == "Ontario"
     assert g.subdivision_name(47.0, -109.0) == "Montana"
-    # no admin-1 table for Finland
-    assert g.subdivision_name(60.17, 24.94) is None
+
+
+def test_worldwide_subdivisions():
+    """VERDICT r1 #7 'done' condition: the reference regression plus 10+
+    non-US/CA/AU coordinates resolve to correct subdivisions offline."""
+    cases = [
+        ((48.14, 11.58), "Bavaria"),            # Munich, DE
+        ((43.30, 5.37), "Provence-Alpes-Côte d'Azur"),  # Marseille, FR
+        ((55.95, -3.19), "Scotland"),            # Edinburgh, GB
+        ((45.46, 9.19), "Lombardy"),             # Milan, IT
+        ((41.39, 2.17), "Catalonia"),            # Barcelona, ES
+        ((35.68, 139.69), "Tokyo"),              # JP
+        ((43.06, 141.35), "Hokkaido"),           # Sapporo, JP
+        ((31.23, 121.47), "Shanghai"),           # CN
+        ((12.97, 77.59), "Karnataka"),           # Bengaluru, IN
+        ((-23.55, -46.63), "São Paulo"),         # BR
+        ((-3.12, -60.02), "Amazonas"),           # Manaus, BR
+        ((19.43, -99.13), "Mexico City"),        # MX
+        ((-33.92, 18.42), "Western Cape"),       # Cape Town, ZA
+        ((-36.85, 174.76), "Auckland"),          # NZ
+        ((60.17, 24.94), "Uusimaa"),             # Helsinki, FI
+        ((66.50, 25.73), "Lapland"),             # Rovaniemi, FI
+        ((59.33, 18.07), "Stockholm County"),    # SE
+        ((37.57, 126.98), "Seoul"),              # KR
+        ((52.37, 4.90), "North Holland"),        # Amsterdam, NL
+        ((50.08, 14.43), "Prague"),              # CZ
+    ]
+    for (lat, lon), expected in cases:
+        assert g.subdivision_name(lat, lon) == expected, (lat, lon)
+
+
+def test_worldwide_timezones_via_admin1():
+    # subdivision anchors carry the dominant tz, incl. sub-country zones
+    assert g.timezone_name(56.84, 60.60) == "Asia/Yekaterinburg"
+    assert g.timezone_name(28.30, -16.50) == "Atlantic/Canary"
+    assert g.timezone_name(-8.40, 115.19) == "Asia/Makassar"  # Bali
+    assert g.timezone_name(32.52, -117.02) == "America/Tijuana"
 
 
 def test_timezones():
