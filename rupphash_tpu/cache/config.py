@@ -35,7 +35,14 @@ DEFAULTS = {
                       "ExposureTime", "ISOSpeedRatings", "FocalLength"],
     },
     "locations": {},
-    "map_providers": {},
+    # slippy-tile URL templates (gps_map.rs:14-42); the web GUI fetches
+    # tiles client-side and falls back to the offline canvas when they
+    # fail to load
+    "selected_provider": "openstreetmap",
+    "map_providers": {
+        "openstreetmap": "https://tile.openstreetmap.org/{z}/{x}/{y}.png",
+        "opentopomap": "https://tile.opentopomap.org/{z}/{x}/{y}.png",
+    },
 }
 
 

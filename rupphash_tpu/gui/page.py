@@ -348,6 +348,29 @@ function layoutImage() {
     Math.round(scale*100) + '%';
 }
 
+// slippy-tile cache: url -> {img, ok, failed}; loads trigger one
+// coalesced redraw; failures leave the offline canvas visible
+// (gps_map.rs:14-42 providers via [map_providers]/selected_provider)
+const tileCache = new Map();
+let tileRedraw = null;
+function tileFor(url) {
+  let t = tileCache.get(url);
+  if (!t) {
+    if (tileCache.size > 256) {
+      tileCache.delete(tileCache.keys().next().value);
+    }
+    t = {img: new Image(), ok: false};
+    t.img.onload = () => {
+      t.ok = true;
+      clearTimeout(tileRedraw);
+      tileRedraw = setTimeout(drawMap, 60);
+    };
+    t.img.src = url;
+    tileCache.set(url, t);
+  }
+  return t;
+}
+
 function drawMap() {
   const cv = $('map');
   cv.width = cv.clientWidth; cv.height = cv.clientHeight;
@@ -367,15 +390,49 @@ function drawMap() {
   let lo0 = Math.min(...lons), lo1 = Math.max(...lons);
   const dla = Math.max(la1-la0, 0.002), dlo = Math.max(lo1-lo0, 0.002);
   la0 -= dla*pad; la1 += dla*pad; lo0 -= dlo*pad; lo1 += dlo*pad;
-  const px = m => [(m.lon-lo0)/(lo1-lo0)*cv.width,
-                   (la1-m.lat)/(la1-la0)*cv.height];
-  // graticule
-  ctx.strokeStyle = '#1b2230';
-  for (let i = 1; i < 6; i++) {
-    ctx.beginPath(); ctx.moveTo(cv.width*i/6, 0);
-    ctx.lineTo(cv.width*i/6, cv.height); ctx.stroke();
-    ctx.beginPath(); ctx.moveTo(0, cv.height*i/6);
-    ctx.lineTo(cv.width, cv.height*i/6); ctx.stroke();
+  let px = m => [(m.lon-lo0)/(lo1-lo0)*cv.width,
+                 (la1-m.lat)/(la1-la0)*cv.height];
+  if (md.tile_url) {
+    // web-mercator fit + tile layer under the markers
+    const d = Math.PI / 180;
+    const merc = m => [(m.lon + 180) / 360,
+      (1 - Math.log(Math.tan(m.lat*d) + 1/Math.cos(m.lat*d))
+           / Math.PI) / 2];
+    const ws = md.markers.map(merc);
+    const mx0 = Math.min(...ws.map(w => w[0])),
+          mx1 = Math.max(...ws.map(w => w[0]));
+    const my0 = Math.min(...ws.map(w => w[1])),
+          my1 = Math.max(...ws.map(w => w[1]));
+    const dx = Math.max(mx1-mx0, 1e-7), dy = Math.max(my1-my0, 1e-7);
+    let z = Math.floor(Math.log2(Math.min(
+      cv.width / (dx * 256 * 1.4), cv.height / (dy * 256 * 1.4))));
+    z = Math.max(1, Math.min(17, z));
+    const sc = 256 * Math.pow(2, z), n = Math.pow(2, z);
+    const ox = (mx0+mx1)/2 * sc - cv.width/2;
+    const oy = (my0+my1)/2 * sc - cv.height/2;
+    px = m => { const w = merc(m);
+                return [w[0]*sc - ox, w[1]*sc - oy]; };
+    for (let ty = Math.floor(oy/256);
+         ty <= Math.floor((oy+cv.height)/256); ty++) {
+      if (ty < 0 || ty >= n) continue;
+      for (let tx = Math.floor(ox/256);
+           tx <= Math.floor((ox+cv.width)/256); tx++) {
+        const wx = ((tx % n) + n) % n;  // antimeridian wrap
+        const url = md.tile_url.replace('{z}', z)
+          .replace('{x}', wx).replace('{y}', ty);
+        const t = tileFor(url);
+        if (t.ok) ctx.drawImage(t.img, tx*256 - ox, ty*256 - oy);
+      }
+    }
+  } else {
+    // offline fallback: graticule on the dark canvas
+    ctx.strokeStyle = '#1b2230';
+    for (let i = 1; i < 6; i++) {
+      ctx.beginPath(); ctx.moveTo(cv.width*i/6, 0);
+      ctx.lineTo(cv.width*i/6, cv.height); ctx.stroke();
+      ctx.beginPath(); ctx.moveTo(0, cv.height*i/6);
+      ctx.lineTo(cv.width, cv.height*i/6); ctx.stroke();
+    }
   }
   // ordered path lines (gps_map.rs marker plugin)
   if (mapMode >= 2 && md.order.length > 1) {

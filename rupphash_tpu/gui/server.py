@@ -172,7 +172,8 @@ class GuiServer:
 
         st = self.state
         if not st.groups:
-            return {"markers": [], "order": []}
+            return {"markers": [], "order": [],
+                    "tile_url": getattr(self, "tile_url", None)}
         g = st.groups[min(st.cursor_group, len(st.groups) - 1)]
         markers, ts = [], []
         for fi, f in enumerate(g):
@@ -188,7 +189,8 @@ class GuiServer:
                     pts, timestamps=ts)]
             except Exception:
                 order = list(range(len(markers)))
-        return {"markers": markers, "order": order}
+        return {"markers": markers, "order": order,
+                "tile_url": getattr(self, "tile_url", None)}
 
     # ------------------------------------------------------------ intents
     INTENTS = {i.value: i for i in Intent}
@@ -469,15 +471,23 @@ class GuiServer:
         return httpd, httpd.server_address[1]
 
 
-def _viewer_config() -> tuple[dict, dict]:
-    """(locations, [gui] section) from phdupes-style TOML config."""
+def _viewer_config() -> tuple[dict, dict, str | None]:
+    """(locations, [gui] section, tile URL template) from the
+    phdupes-style TOML config.  The tile template comes from
+    [map_providers] + selected_provider (gps_map.rs:14-42)."""
     try:
         from ..cache import config as cfgmod
         cfg = cfgmod.load_config()
+        providers = dict(cfg.get("map_providers", {}))
+        sel = str(cfg.get("selected_provider", "") or "")
+        tile = providers.get(sel) or None
+        if tile is not None and not str(tile).startswith(
+                ("http://", "https://")):
+            tile = None
         return (dict(cfg.get("locations", {})),
-                dict(cfg.get("gui", {})))
+                dict(cfg.get("gui", {})), tile)
     except Exception:
-        return {}, {}
+        return {}, {}, None
 
 
 def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
@@ -501,13 +511,14 @@ def _make_server(groups, infos, args, store=None, luts=None) -> GuiServer:
                   sort_order=args.sort,
                   relative_times=args.relative_times, store=store,
                   keep_singletons=view_mode)
-    locations, gui_cfg = _viewer_config()
+    locations, gui_cfg, tile_url = _viewer_config()
     engine = imaging.ImageEngine(
         lut_objs, raw_thumbnails=getattr(args, "raw_thumbnails", False))
     srv = GuiServer(st, engine,
                     slideshow=args.slideshow,
                     locations=locations, store=store,
                     gui_config=gui_cfg)
+    srv.tile_url = tile_url
     srv.port = int(getattr(args, "port", 0) or 0)
     srv.host = str(getattr(args, "host", "127.0.0.1"))
     return srv

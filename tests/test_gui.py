@@ -248,6 +248,34 @@ def test_destructive_intents_are_confirm_gated(gui):
     _intent(port, "unmark_all")
 
 
+def test_map_tile_provider_from_config(gui, tmp_path, monkeypatch):
+    """[map_providers] + selected_provider resolve to the tile URL
+    template the map layer consumes (gps_map.rs:14-42)."""
+    monkeypatch.setenv("RUPPHASH_CONFIG_DIR", str(tmp_path / "cfg"))
+    from rupphash_tpu.cache import config as cfgmod
+    cfg = cfgmod.load_config()
+    assert cfg["selected_provider"] == "openstreetmap"
+    _, _, tile = server._viewer_config()
+    assert tile == "https://tile.openstreetmap.org/{z}/{x}/{y}.png"
+    cfg["selected_provider"] = "custom"
+    cfg["map_providers"]["custom"] = "https://t.example/{z}/{x}/{y}.png"
+    cfgmod.save_config(cfg)
+    _, _, tile = server._viewer_config()
+    assert tile == "https://t.example/{z}/{x}/{y}.png"
+    # an empty/unknown selection degrades to the offline canvas
+    cfg["selected_provider"] = ""
+    cfgmod.save_config(cfg)
+    assert server._viewer_config()[2] is None
+
+    # the snapshot's map block carries the template to the client
+    srv, port, paths = gui
+    srv.tile_url = tile
+    _, _, body = _get(port, "/api/state")
+    snap = json.loads(body)
+    assert snap["map"]["tile_url"] == tile
+    srv.tile_url = None
+
+
 def test_intent_rename_and_quit(gui, tmp_path):
     srv, port, paths = gui
     snap = _intent(port, "submit_rename", "renamed.png")
