@@ -2,29 +2,39 @@
 
 A curses re-creation of the reference TUI (src/ui.rs): grouped list with
 color coding (marked=magenta, bit-identical=green), mark/unmark,
-delete/trash with confirm modal, move-marked, rename, sort cycling,
-filename regex search, ignore management, and the reference keymap where
-it translates (KEYS.txt / ui.rs:102-432).  All mutations go through
-state.AppState.handle_input — the TUI only renders and maps keys to
-intents (L7 -> L6).
-
-Keys:
-  up/down/j/k  item      left/right/h/l  group       pgup/pgdn  page
-  g/G   first/last       m/space  mark    a  mark group   u  unmark all
-  d  delete marked (y confirms)   x  delete current      t  trash mode
-  v  move marked                  r  rename              s  cycle sort
-  /  search    n/N  next/prev hit   [ ]  prev/next distance band
-  q  ignore current/marked  Q  ignore group (y confirms)  ESC/z quit
+delete/trash with confirm modal, move-marked with a directory dialog,
+rename — both with Tab path completion cycling candidates exactly like
+ui.rs:102-432 — a numbered sort-selection menu, filename regex search,
+relative/absolute time toggle, and ignore management.  All mutations go
+through state.AppState.handle_input — the TUI only renders and maps
+keys to intents (L7 -> L6).  Keymap documented in docs/KEYS.md.
 """
 
 from __future__ import annotations
 
 import curses
+import os
+import time
+from pathlib import Path
 
 from .state import AppState, Intent
 
-_SORT_CYCLE = ["name", "name-natural", "date", "date-desc",
-               "size", "size-desc"]
+# ui.rs:305-335 sort-selection menu entries, same digits
+SORT_MENU = ["name", "name-desc", "name-natural", "name-natural-desc",
+             "date", "date-desc", "size", "size-desc", "random"]
+
+
+def _fmt_time(mtime: float, relative: bool) -> str:
+    if not mtime:
+        return "?"
+    if not relative:
+        return time.strftime("%Y-%m-%d %H:%M", time.localtime(mtime))
+    dt = max(0.0, time.time() - mtime)
+    for unit, secs in (("y", 31557600), ("mo", 2629800), ("d", 86400),
+                       ("h", 3600), ("m", 60)):
+        if dt >= secs:
+            return f"{dt / secs:.0f}{unit} ago"
+    return "just now"
 
 
 def _draw(stdscr, st: AppState, offset: int) -> int:
@@ -61,7 +71,9 @@ def _draw(stdscr, st: AppState, offset: int) -> int:
             attrs |= curses.color_pair(1)
         marker = "M" if f.path in st.marked else " "
         res = f"{f.resolution[0]}x{f.resolution[1]}" if f.resolution else "?"
-        line = f" [{marker}] {format_size(f.size):>10} {res:>10}  {f.path}"
+        when = _fmt_time(f.modified, st.relative_times)
+        line = (f" [{marker}] {when:>16} {format_size(f.size):>10} "
+                f"{res:>10}  {f.path}")
         stdscr.addnstr(row, 0, line, w - 1, attrs)
         row += 1
         k += 1
@@ -70,29 +82,127 @@ def _draw(stdscr, st: AppState, offset: int) -> int:
     if st.pending_confirm == "delete":
         bar = (f" {mode.upper()} {len(st.marked)} marked files? "
                f"y=yes  any other key=no")
+    elif st.pending_confirm == "delete-one":
+        bar = f" {mode.upper()} current file? y=yes  any other key=no"
+    elif st.pending_confirm == "move":
+        bar = (f" Move {len(st.marked)} marked to {st.move_target}? "
+               f"y=yes  any other key=no")
     elif st.pending_confirm == "ignore-group":
         bar = " Ignore whole group? y=yes  any other key=no"
     else:
         bar = (f" {len(st.groups)} groups | {len(st.marked)} marked | "
                f"sort:{st.sort_order} | mode:{mode} | "
-               f"m mark  d {mode}  q ignore  / search  z quit")
+               f"m mark  d {mode}  q ignore  / search  ? keys  z quit")
     stdscr.addnstr(h - 2, 0, bar[:w - 1], w - 1, curses.A_REVERSE)
     stdscr.addnstr(h - 1, 0, st.status[:w - 1], w - 1)
     stdscr.refresh()
     return offset
 
 
-def _prompt(stdscr, text: str) -> str:
+class _Completer:
+    """Tab completion cycling sorted candidates, re-scanning only when
+    the buffer no longer equals the candidate just applied — the exact
+    ui.rs:110-255 behavior for both the rename and move dialogs."""
+
+    def __init__(self, scan):
+        self.scan = scan          # buffer -> sorted candidate list
+        self.candidates: list[str] = []
+        self.index = 0
+
+    def next(self, buffer: str) -> str:
+        prev = ((self.index + len(self.candidates) - 1)
+                % len(self.candidates)) if self.candidates else 0
+        fresh = not self.candidates or self.candidates[prev] != buffer
+        if fresh:
+            self.candidates = self.scan(buffer)
+            self.index = 0
+        if not self.candidates:
+            return buffer
+        out = self.candidates[self.index]
+        self.index = (self.index + 1) % len(self.candidates)
+        return out
+
+
+def complete_rename(parent: Path):
+    """Candidates = names in the file's directory with the buffer as
+    prefix (ui.rs:210-255)."""
+    def scan(buffer: str) -> list[str]:
+        try:
+            return sorted(e.name for e in os.scandir(parent)
+                          if e.name.startswith(buffer))
+        except OSError:
+            return []
+    return scan
+
+
+def complete_move(buffer_ignored=None):
+    """Directory-only completion over full paths (ui.rs:131-186)."""
+    def scan(buffer: str) -> list[str]:
+        p = Path(buffer) if buffer else Path(".")
+        if buffer.endswith(os.sep):
+            parent, prefix = p, ""
+        else:
+            parent, prefix = (p.parent if str(p.parent) else Path(".")),\
+                p.name
+        try:
+            return sorted(str(e.path) for e in os.scandir(parent)
+                          if e.is_dir(follow_symlinks=False)
+                          and (e.name.startswith(prefix)
+                               or str(e.path).startswith(buffer)))
+        except OSError:
+            return []
+    return scan
+
+
+def _prompt(stdscr, text: str, initial: str = "",
+            completer: _Completer | None = None) -> str | None:
+    """Modal line editor: chars/backspace/Enter; Esc cancels (None);
+    Tab cycles completions when a completer is given."""
     h, w = stdscr.getmaxyx()
-    stdscr.addnstr(h - 1, 0, text + " " * max(0, w - len(text) - 1), w - 1,
-                   curses.A_REVERSE)
-    curses.echo()
+    buf = initial
+    curses.curs_set(1)
     try:
-        out = stdscr.getstr(h - 1, len(text)).decode()
-    except Exception:
-        out = ""
-    curses.noecho()
-    return out
+        while True:
+            line = (text + buf)[: w - 1]
+            stdscr.addnstr(h - 1, 0, line + " " * (w - 1 - len(line)),
+                           w - 1, curses.A_REVERSE)
+            stdscr.move(h - 1, min(len(text) + len(buf), w - 2))
+            stdscr.refresh()
+            ch = stdscr.getch()
+            if ch in (27,):                      # Esc
+                return None
+            if ch in (curses.KEY_ENTER, 10, 13):
+                return buf
+            if ch in (curses.KEY_BACKSPACE, 127, 8):
+                buf = buf[:-1]
+            elif ch == 9 and completer is not None:   # Tab
+                buf = completer.next(buf)
+            elif 32 <= ch < 0x110000 and ch != 9:
+                try:
+                    buf += chr(ch)
+                except ValueError:
+                    pass
+    finally:
+        curses.curs_set(0)
+
+
+def _sort_menu(stdscr) -> str | None:
+    """Numbered sort-selection modal (ui.rs:303-336)."""
+    h, w = stdscr.getmaxyx()
+    lines = [f"  {i + 1}  {name}" for i, name in enumerate(SORT_MENU)]
+    top = max(0, h - len(lines) - 3)
+    stdscr.addnstr(top, 0, " Sort order:".ljust(w - 1), w - 1,
+                   curses.A_REVERSE)
+    for i, ln in enumerate(lines):
+        if top + 1 + i < h - 1:
+            stdscr.addnstr(top + 1 + i, 0, ln, w - 1)
+    stdscr.refresh()
+    while True:
+        ch = stdscr.getch()
+        if ch in (27, ord("n")):
+            return None
+        if ord("1") <= ch <= ord("9"):
+            return SORT_MENU[ch - ord("1")]
 
 
 _KEYMAP = {
@@ -101,16 +211,42 @@ _KEYMAP = {
     curses.KEY_RIGHT: Intent.NEXT_GROUP, ord("l"): Intent.NEXT_GROUP,
     curses.KEY_LEFT: Intent.PREV_GROUP, ord("h"): Intent.PREV_GROUP,
     curses.KEY_NPAGE: Intent.PAGE_DOWN, curses.KEY_PPAGE: Intent.PAGE_UP,
+    ord("\t"): Intent.NEXT_GROUP, curses.KEY_BTAB: Intent.PREV_GROUP,
+    curses.KEY_HOME: Intent.HOME, curses.KEY_END: Intent.END,
     ord("g"): Intent.HOME, ord("G"): Intent.END,
     ord("m"): Intent.TOGGLE_MARK, ord(" "): Intent.TOGGLE_MARK,
     ord("a"): Intent.MARK_GROUP, ord("u"): Intent.UNMARK_ALL,
     ord("t"): Intent.TOGGLE_USE_TRASH,
     ord("x"): Intent.DELETE_IMMEDIATE,
-    ord("v"): Intent.MOVE_MARKED,
+    ord("R"): Intent.TOGGLE_RELATIVE_TIME,
     ord("n"): Intent.NEXT_SEARCH, ord("N"): Intent.PREV_SEARCH,
     ord("]"): Intent.NEXT_GROUP_BY_DIST, ord("["): Intent.PREV_GROUP_BY_DIST,
     ord("q"): Intent.IGNORE_CURRENT,
 }
+
+_HELP = """rupphash_tpu TUI keys (docs/KEYS.md)
+j/k or arrows  next/prev file     h/l or Tab/S-Tab  prev/next group
+PgUp/PgDn      page               g/G Home/End      first/last
+m or Space     mark               a  mark group     u  unmark all
+d  delete marked (y/n confirm)    x  delete current (confirm)
+v  move marked (dir dialog, Tab completes; y/n confirm)
+c  set move target (Tab)          r  rename (Tab completes)
+s  sort menu (1-9)                R  relative/absolute times
+/  regex search                   n/N next/prev match
+[ ]  prev/next distance band      t  trash mode
+q  ignore file   Q  ignore group (confirm)   ?  this help   z/Esc quit
+press any key..."""
+
+
+def _show_help(stdscr):
+    stdscr.erase()
+    for i, ln in enumerate(_HELP.splitlines()):
+        try:
+            stdscr.addnstr(i, 0, ln, curses.COLS - 1)
+        except curses.error:
+            break
+    stdscr.refresh()
+    stdscr.getch()
 
 
 def _loop(stdscr, st: AppState):
@@ -134,21 +270,43 @@ def _loop(stdscr, st: AppState):
             continue
         if ch in (27, ord("z")):
             return
-        if ch == ord("d"):
+        if ch == ord("?"):
+            _show_help(stdscr)
+        elif ch == ord("d"):
             st.handle_input(Intent.CONFIRM_DELETE)
         elif ch == ord("Q"):
             st.handle_input(Intent.IGNORE_GROUP)
         elif ch == ord("s"):
-            i = (_SORT_CYCLE.index(st.sort_order) + 1
-                 if st.sort_order in _SORT_CYCLE else 0) % len(_SORT_CYCLE)
-            st.handle_input(Intent.CHANGE_SORT, _SORT_CYCLE[i])
+            order = _sort_menu(stdscr)
+            if order is not None:
+                st.handle_input(Intent.CHANGE_SORT, order)
         elif ch == ord("r"):
-            st.handle_input(Intent.SUBMIT_RENAME, _prompt(stdscr, "rename: "))
+            f = st.current()
+            if f is not None:
+                # pre-filled with the current name (ui.rs:396-405)
+                out = _prompt(stdscr, "rename: ", initial=f.path.name,
+                              completer=_Completer(
+                                  complete_rename(f.path.parent)))
+                if out is not None:
+                    st.handle_input(Intent.SUBMIT_RENAME, out)
+        elif ch == ord("v"):
+            # move marked: dialog when no target is set (ui.rs:386-393)
+            if st.move_target is None:
+                out = _prompt(stdscr, "move to dir: ",
+                              completer=_Completer(complete_move()))
+                if out:
+                    st.handle_input(Intent.SET_MOVE_TARGET, out)
+            if st.move_target is not None:
+                st.handle_input(Intent.MOVE_MARKED)
         elif ch == ord("c"):
-            st.handle_input(Intent.SET_MOVE_TARGET,
-                            _prompt(stdscr, "move target dir: "))
+            out = _prompt(stdscr, "move target dir: ",
+                          completer=_Completer(complete_move()))
+            if out is not None:
+                st.handle_input(Intent.SET_MOVE_TARGET, out)
         elif ch == ord("/"):
-            st.handle_input(Intent.SUBMIT_SEARCH, _prompt(stdscr, "search: "))
+            out = _prompt(stdscr, "search: ")
+            if out is not None:
+                st.handle_input(Intent.SUBMIT_SEARCH, out)
         elif ch in _KEYMAP:
             st.handle_input(_KEYMAP[ch])
 
