@@ -85,6 +85,69 @@ def hdr_finish(data: bytes, img: np.ndarray,
         return img
 
 
+def hdr_finish_deep(data: bytes, img: np.ndarray,
+                    peak_nits: float = 203.0) -> np.ndarray:
+    """Deep-color finish: the same HDR->SDR pipeline kept at 16 bits
+    (no dither/quantize to u8) — the web analogue of the reference's
+    Rgba16/Rgb10a2 output stage (hdr.rs:789-811, 998-1019); browsers
+    are 8-bit, so this feeds the /api/image?deep=1 PNG endpoint for
+    deep-display clients."""
+    from ..pipeline import hdr
+
+    try:
+        cicp = hdr.detect_cicp(data)
+    except Exception:
+        cicp = None
+    if cicp is not None and img.ndim == 3 and cicp.needs_conversion:
+        try:
+            lin = hdr.hdr_to_sdr(img[..., :3].astype(np.float32) / 255.0,
+                                 cicp, peak_nits=peak_nits)
+            return hdr.encode_u16(lin)
+        except Exception:
+            pass
+    if img.dtype == np.uint16:
+        return img[..., :3] if img.ndim == 3 else \
+            np.stack([img] * 3, axis=-1)
+    arr = img[..., :3] if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+    return arr.astype(np.uint16) * 257  # 0xFF -> 0xFFFF exactly
+
+
+def encode_png16(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint16 -> 48-bit RGB PNG (PIL cannot write these)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = np.ascontiguousarray(arr[..., :3]).astype(">u2").tobytes()
+    stride = w * 6
+    rows = b"".join(b"\x00" + raw[y * stride:(y + 1) * stride]
+                    for y in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows, 6))
+            + chunk(b"IEND", b""))
+
+
+def _downscale_u16(img: np.ndarray, max_side: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    side = max(h, w)
+    if side <= max_side:
+        return img
+    from PIL import Image
+    scale = max_side / side
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    chans = [np.asarray(Image.fromarray(
+        img[..., c].astype(np.float32), mode="F").resize(
+            (nw, nh), Image.BILINEAR)) for c in range(img.shape[2])]
+    return np.clip(np.round(np.stack(chans, axis=-1)), 0,
+                   65535).astype(np.uint16)
+
+
 def _downscale(img: np.ndarray, max_side: int) -> np.ndarray:
     h, w = img.shape[:2]
     side = max(h, w)
@@ -143,8 +206,9 @@ class ImageEngine:
 
         from ..pipeline import decode
 
+        deep = fmt == "png16"
         rkey = (str(path), st.st_mtime_ns, st.st_size,
-                self.raw_thumbnails, peak_nits)
+                self.raw_thumbnails, peak_nits, deep)
         with self._lock:
             cached = self._raster_cache.get(rkey)
             if cached is not None:
@@ -163,7 +227,8 @@ class ImageEngine:
                 return None
             if img.ndim == 2:
                 img = np.stack([img] * 3, axis=-1)
-            img = hdr_finish(data, img, peak_nits)
+            img = (hdr_finish_deep(data, img, peak_nits) if deep
+                   else hdr_finish(data, img, peak_nits))
             with self._lock:
                 self._raster_cache[rkey] = img
                 while len(self._raster_cache) > 8:
@@ -172,21 +237,32 @@ class ImageEngine:
         if transform is not None:
             img = apply_transform(img, transform.quarter_turns,
                                   transform.flip_h, transform.flip_v)
-        img = _downscale(img, min(max_side, MAX_TEXTURE_SIDE))
+        img = (_downscale_u16 if deep else _downscale)(
+            img, min(max_side, MAX_TEXTURE_SIDE))
         if 0 <= self.active_lut < len(self.luts):
             from . import lut as lutmod
-            img = lutmod.apply_lut_u8(np.ascontiguousarray(img[..., :3]),
-                                      self.luts[self.active_lut])
-        from PIL import Image
+            active = self.luts[self.active_lut]
+            if deep:
+                out01 = lutmod.apply_lut_f32(
+                    img[..., :3].astype(np.float32) / 65535.0, active)
+                img = np.clip(np.round(out01 * 65535.0), 0,
+                              65535).astype(np.uint16)
+            else:
+                img = lutmod.apply_lut_u8(
+                    np.ascontiguousarray(img[..., :3]), active)
         buf = io.BytesIO()
         arr = np.ascontiguousarray(img)
-        if fmt == "png":
-            Image.fromarray(arr).save(buf, format="PNG")
+        if deep:
+            out = encode_png16(arr)
         else:
-            if arr.ndim == 3 and arr.shape[2] == 4:
-                arr = arr[..., :3]
-            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
-        out = buf.getvalue()
+            from PIL import Image
+            if fmt == "png":
+                Image.fromarray(arr).save(buf, format="PNG")
+            else:
+                if arr.ndim == 3 and arr.shape[2] == 4:
+                    arr = arr[..., :3]
+                Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            out = buf.getvalue()
         with self._lock:
             self._cache[key] = out
             while len(self._cache) > self._cache_items:

@@ -89,9 +89,15 @@ def load_cube(path: str | Path) -> Lut3D | None:
 def apply_lut_u8(rgb: np.ndarray, lut: Lut3D) -> np.ndarray:
     """Tetrahedral interpolation of an (H, W, 3) uint8 image through the
     LUT (the shader's algorithm, gui/image.rs:382-426, vectorized)."""
+    out = apply_lut_f32(rgb.astype(np.float32) / 255.0, lut)
+    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+
+
+def apply_lut_f32(x01: np.ndarray, lut: Lut3D) -> np.ndarray:
+    """Float core shared by the 8-bit and deep (16-bit) render paths:
+    (H, W, 3) in [0,1] -> LUT output in [0,1] (unclamped)."""
     n = lut.size
-    x = rgb.astype(np.float32) / 255.0
-    x = (x - lut.domain_min) / (lut.domain_max - lut.domain_min)
+    x = (x01 - lut.domain_min) / (lut.domain_max - lut.domain_min)
     x = np.clip(x, 0.0, 1.0) * (n - 1)
     i0 = np.minimum(x.astype(np.int32), n - 2)
     f = x - i0
@@ -126,4 +132,4 @@ def apply_lut_u8(rgb: np.ndarray, lut: Lut3D) -> np.ndarray:
              + at(*e2) * (h2 - h3)[..., None]
              + c111 * h3[..., None])
         out = np.where(mask[..., None], v, out)
-    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+    return out

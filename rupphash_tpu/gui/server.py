@@ -352,15 +352,21 @@ class GuiServer:
                         if kind is not None:
                             self._send(200, raw, animated.MIME[kind])
                             return
+                    # deep=1: 48-bit PNG for deep-display clients (the
+                    # web analogue of the reference's Rgba16 swapchain
+                    # path, hdr.rs:998-1019)
+                    deep = qi("deep", 0) == 1
                     data = server.engine.render(
                         rec.path, rec.orientation, tr,
                         max_side=qi("s", 2048) or 2048,
+                        fmt="png16" if deep else "jpeg",
                         peak_nits=float(server.gui_config.get(
                             "sdr_peak_nits", 203.0)))
                     if data is None:
                         self._json({"error": "decode failed"}, 415)
                     else:
-                        self._send(200, data, "image/jpeg")
+                        self._send(200, data,
+                                   "image/png" if deep else "image/jpeg")
                 elif u.path == "/api/analysis":
                     rec = server._record(qi("g"), qi("f"))
                     from ..pipeline.palette import PaletteConfig

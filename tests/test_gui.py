@@ -248,6 +248,56 @@ def test_destructive_intents_are_confirm_gated(gui):
     _intent(port, "unmark_all")
 
 
+def _parse_png16(data: bytes):
+    """Minimal independent PNG reader for the 48-bit endpoint."""
+    import struct
+    import zlib
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat = 8, b""
+    w = h = depth = ctype = None
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 6
+    rows = []
+    for y in range(h):
+        line = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        assert line[0] == 0  # filter 0
+        rows.append(np.frombuffer(line[1:], dtype=">u2"))
+    return depth, ctype, np.stack(rows).reshape(h, w, 3)
+
+
+def test_deep_color_png16_roundtrip():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 65536, (12, 17, 3), dtype=np.uint16)
+    depth, ctype, back = _parse_png16(imaging.encode_png16(arr))
+    assert depth == 16 and ctype == 2
+    assert np.array_equal(back, arr)
+
+
+def test_deep_image_endpoint(gui):
+    """/api/image?deep=1 serves a 48-bit PNG; an 8-bit source maps
+    0xFF -> 0xFFFF exactly (the reference's Rgba16 requantize rule)."""
+    srv, port, paths = gui
+    code, ctype, body = _get(port, "/api/image?g=0&f=0&deep=1")
+    assert code == 200 and ctype == "image/png"
+    depth, pngtype, arr = _parse_png16(body)
+    assert depth == 16
+    from PIL import Image
+    ref = np.asarray(Image.open(paths[0]))[..., :3].astype(np.uint16)
+    assert np.array_equal(arr, ref * 257)
+    # 8-bit render of the same file is unaffected
+    code, ctype, _ = _get(port, "/api/image?g=0&f=0")
+    assert ctype == "image/jpeg"
+
+
 def test_map_tile_provider_from_config(gui, tmp_path, monkeypatch):
     """[map_providers] + selected_provider resolve to the tile URL
     template the map layer consumes (gps_map.rs:14-42)."""
