@@ -156,6 +156,34 @@ def pack_bit_matrices(bits: jnp.ndarray) -> jnp.ndarray:
     return bytes_fwd[..., ::-1].astype(jnp.uint8)
 
 
+def _median_lower_bisect(flat: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4, 256) -> (B, 4) lower median (128th smallest,
+    pdqhash.rs:116-124) by a 32-step binary search over the standard
+    order-preserving float->uint32 key map.  Exactly the element a sort
+    would select (ties at +/-0.0 compare identically downstream), and
+    ~2x faster than jnp.sort on the TPU VPU, which made the median the
+    single hottest op of the whole hash pipeline."""
+    i = flat.view(jnp.int32)
+    key = jnp.where(i >= 0, i.astype(jnp.uint32) + jnp.uint32(1 << 31),
+                    (~i).astype(jnp.uint32))
+
+    def body(_, state):
+        lo, hi = state  # invariant: count(<= lo-1) < 128 <= count(<= hi)
+        mid = lo + (hi - lo) // 2
+        cnt = (key <= mid[:, :, None]).sum(axis=2)
+        take_hi = cnt >= 128
+        return (jnp.where(take_hi, lo, mid + 1),
+                jnp.where(take_hi, mid, hi))
+
+    lo = jnp.zeros(flat.shape[:2], jnp.uint32)
+    hi = jnp.full(flat.shape[:2], jnp.uint32(0xFFFFFFFF))
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    as_int = jnp.where(lo >= jnp.uint32(1 << 31),
+                       (lo - jnp.uint32(1 << 31)).astype(jnp.int32),
+                       ~(lo.astype(jnp.int32)))
+    return as_int.view(jnp.float32)
+
+
 def dihedral_from_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
     """(B, 16, 16) float32 coefficients -> (B, 8, 32) uint8 dihedral hashes
     in the reference order (pdqhash.rs:71-87): identity, rot90, rot180,
@@ -163,16 +191,18 @@ def dihedral_from_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
 
     Bit packing and the bit-transposes run as exact 256x32 matmuls
     (see _pack_matrices) so the whole dihedral stage stays on the MXU.
+    The pack matmuls are exact at DEFAULT (1-pass bf16) precision:
+    bits are 0/1 and the weights are powers of two <= 128, all exactly
+    representable in bf16, with f32 accumulation (verified bit-equal to
+    HIGHEST on hardware).
     """
     b = coeffs.shape[0]
     flat = (coeffs.reshape(b, 1, 256)
             * _SIGNS.reshape(1, 4, 256))                        # (B,4,256)
-    med = jnp.sort(flat, axis=-1)[:, :, 127]                    # lower median
+    med = _median_lower_bisect(flat)                            # lower median
     bits = (flat > med[:, :, None]).astype(jnp.float32)         # (B,4,256)
-    pp = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_PLAIN),
-                    precision=jax.lax.Precision.HIGHEST)
-    pt = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_TRANS),
-                    precision=jax.lax.Precision.HIGHEST)
+    pp = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_PLAIN))
+    pt = jnp.einsum("bvc,ck->bvk", bits, jnp.asarray(_PACK_TRANS))
     outs = [(pt if tr else pp)[:, v, :] for v, tr in _VARIANT_ORDER]
     return jnp.stack(outs, axis=1).astype(jnp.int32).astype(jnp.uint8)
 
