@@ -187,22 +187,47 @@ def _build(rows: int, cols: int, tile_b: int = TILE_B,
     return run
 
 
-def _coeffs_kernel(lumas_ref, l_ref, r_ref, d_ref, c_ref, q_ref, *,
-                   tile_b):
+def _split3(a: np.ndarray):
+    """f32 operator -> three bf16 terms with a1+a2+a3 capturing the
+    full f32 mantissa.  The luma side is integer-exact in bf16
+    (0..255 needs 8 mantissa bits), so three 1-pass bf16 matmuls
+    reproduce HIGHEST-precision f32 products to within one final-sum
+    rounding — measured on hardware: zero hash-bit and zero quality
+    difference vs the HIGHEST path on 1024-image batches, at half the
+    MXU passes."""
+    import ml_dtypes
+    a = np.asarray(a, np.float32)
+    a1 = a.astype(ml_dtypes.bfloat16)
+    r1 = a - np.asarray(a1, np.float32)
+    a2 = r1.astype(ml_dtypes.bfloat16)
+    r2 = r1 - np.asarray(a2, np.float32)
+    a3 = r2.astype(ml_dtypes.bfloat16)
+    return np.asarray(a1), np.asarray(a2), np.asarray(a3)
+
+
+def _coeffs_kernel(lumas_ref, l1_ref, l2_ref, l3_ref, r_ref, d_ref,
+                   c_ref, q_ref, *, tile_b):
     """Front half only: u8 luma -> buf64 -> quality + 16x16 DCT block.
     This is the FLOPs-heavy part and it compiles on real hardware; the
     full kernel's median/dihedral tail trips the Mosaic compiler (the
     sub-tile flatten, and at larger scope a compiler abort), so the
     production fused path pairs this kernel with pdq_jax's exact matmul
-    epilogue (dihedral_from_coeffs) in the same jit program."""
-    l_op = l_ref[:]
+    epilogue (dihedral_from_coeffs) in the same jit program.
+
+    Stage 1 (the dominant matmul) uses the split-3 trick (_split3): the
+    L operator rides along as three bf16 terms and the integer-exact
+    bf16 luma multiplies each in one MXU pass — 3 passes instead of
+    HIGHEST's 6, bit-equal hashes measured on hardware."""
+    l1, l2, l3 = l1_ref[:], l2_ref[:], l3_ref[:]
     r_op = r_ref[:]
     d16 = d_ref[:]
     hi = jax.lax.Precision.HIGHEST  # bit-exact f32 (see pdq_core note)
     for b in range(tile_b):
-        x = lumas_ref[b].astype(jnp.int32).astype(jnp.float32)
-        t1 = jnp.dot(l_op, x, preferred_element_type=jnp.float32,
-                     precision=hi)
+        xb = lumas_ref[b].astype(jnp.int32).astype(
+            jnp.float32).astype(jnp.bfloat16)   # exact: ints 0..255
+        t1 = (jnp.dot(l1, xb, preferred_element_type=jnp.float32)
+              + jnp.dot(l2, xb, preferred_element_type=jnp.float32)
+              + jnp.dot(l3, xb, preferred_element_type=jnp.float32))
         buf64 = jnp.dot(t1, r_op.T, preferred_element_type=jnp.float32,
                         precision=hi)
         vert = buf64[:-1, :] - buf64[1:, :]
@@ -223,6 +248,7 @@ def _build_hybrid(rows: int, cols: int, tile_b: int = TILE_B,
                   interpret: bool = False):
     l_np, r_np = pdq_jax.linear_operators(rows, cols)
     d_np = pdq_jax.dct16x64()
+    l1_np, l2_np, l3_np = _split3(l_np)
     kernel = functools.partial(_coeffs_kernel, tile_b=tile_b)
 
     @jax.jit
@@ -234,6 +260,10 @@ def _build_hybrid(rows: int, cols: int, tile_b: int = TILE_B,
             grid=(b // tile_b,),
             in_specs=[
                 pl.BlockSpec((tile_b, rows, cols), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, rows), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, rows), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((64, rows), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -255,8 +285,8 @@ def _build_hybrid(rows: int, cols: int, tile_b: int = TILE_B,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(lumas, jnp.asarray(l_np), jnp.asarray(r_np),
-          jnp.asarray(d_np))
+        )(lumas, jnp.asarray(l1_np), jnp.asarray(l2_np),
+          jnp.asarray(l3_np), jnp.asarray(r_np), jnp.asarray(d_np))
         dihedral = pdq_jax.dihedral_from_coeffs(coeffs)
         return {"hash": dihedral[:, 0, :], "dihedral": dihedral,
                 "quality": quality[:, 0, 0],
