@@ -73,6 +73,8 @@ class HashIndex:
         # snapshot is captured with the arrays so concurrent add/remove
         # cannot shift the index<->path mapping mid-query
         self._device = None
+        # mesh-sharded residency: (mesh, hashes_dev, low_dev, paths, n)
+        self._device_mesh = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------ size
@@ -106,6 +108,7 @@ class HashIndex:
             self.paths.append(str(path))
             self._n += 1
             self._device = None  # re-push lazily
+            self._device_mesh = None
 
     def remove(self, path: str) -> int:
         """Drop every entry whose path matches; returns count removed."""
@@ -120,6 +123,7 @@ class HashIndex:
                 self.paths = [self.paths[i] for i in keep]
                 self._n = len(keep)
                 self._device = None
+                self._device_mesh = None
             return removed
 
     @classmethod
@@ -189,10 +193,69 @@ class HashIndex:
                                 tuple(self.paths), self._n)
             return self._device
 
+    def _device_arrays_mesh(self, mesh):
+        """Mesh-sharded corpus residency: the ±1 base matrix split over
+        every device so the corpus can exceed one chip's HBM."""
+        import math as _math
+
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        with self._lock:
+            cur = self._device_mesh
+            if cur is None or cur[0] is not mesh:
+                ndev = _math.prod(mesh.shape.values())
+                pad = max(-(-max(self._n, 1) // (8 * ndev)) * (8 * ndev),
+                          8 * ndev)
+                hp = np.zeros((pad, self.nbytes), np.uint8)
+                hp[:self._n] = self.hashes
+                lowp = np.ones(pad, dtype=bool)
+                lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
+                sh = NamedSharding(mesh, _P(("q", "b")))
+                self._device_mesh = (mesh, jax.device_put(hp, sh),
+                                     jax.device_put(lowp, sh),
+                                     tuple(self.paths), self._n)
+            return self._device_mesh
+
+    def _host_min_dists(self, variants: np.ndarray,
+                        idx: np.ndarray) -> np.ndarray:
+        """Exact min-over-variant distances for a few matched rows."""
+        vb = np.unpackbits(variants, axis=-1)          # (V, bits)
+        bb = np.unpackbits(self.hashes[idx], axis=-1)  # (M, bits)
+        return (vb[:, None, :] != bb[None, :, :]).sum(-1).min(0)
+
+    def query_mesh(self, mesh, variants: np.ndarray,
+                   similarity: int = 40, max_results: int = 100):
+        """Mesh-sharded query: packed match bitmasks from every device
+        (parallel/sharded.sharded_query_masks), exact distances
+        recomputed host-side for the (few) matched rows only."""
+        if self._n == 0:
+            return [[] for _ in range(len(variants))]
+        _, base_dev, low_dev, paths, n = self._device_arrays_mesh(mesh)
+        fn = _mesh_query_fn(mesh, int(similarity))
+        masks = np.asarray(fn(jax.device_put(
+            np.ascontiguousarray(variants, dtype=np.uint8)),
+            base_dev, low_dev))
+        out = []
+        for qi in range(len(variants)):
+            bits = np.unpackbits(masks[qi], bitorder="little")[:n]
+            hit = np.flatnonzero(bits)
+            if hit.size == 0:
+                out.append([])
+                continue
+            d = self._host_min_dists(variants[qi], hit)
+            order = np.argsort(d, kind="stable")[:max_results]
+            out.append([(int(hit[k]), paths[int(hit[k])], int(d[k]))
+                        for k in order])
+        return out
+
     def query(self, variants: np.ndarray, similarity: int = 40,
-              max_results: int = 100):
+              max_results: int = 100, mesh=None):
         """(Q, V, nbytes) query dihedral variants -> per-query matches
-        [(index, path, distance), ...] sorted by distance."""
+        [(index, path, distance), ...] sorted by distance.  Pass a
+        jax.sharding.Mesh to run the corpus matmul sharded over it."""
+        if mesh is not None:
+            return self.query_mesh(mesh, variants, similarity,
+                                   max_results)
         if self._n == 0:
             return [[] for _ in range(len(variants))]
         base_dev, low_dev, paths, n = self._device_arrays()
@@ -209,6 +272,12 @@ class HashIndex:
         return out
 
 
+@functools.lru_cache(maxsize=8)
+def _mesh_query_fn(mesh, similarity: int):
+    from .parallel import sharded as shardedmod
+    return shardedmod.sharded_query_masks(mesh, similarity)
+
+
 class NearDupService:
     """Decode -> hash (TPU) -> index query, plus the HTTP surface."""
 
@@ -218,8 +287,11 @@ class NearDupService:
     MAX_BODY = 64_000_000
 
     def __init__(self, index: HashIndex, similarity: int | None = 40,
-                 roots=None):
+                 roots=None, mesh=None):
         self.index = index
+        # mesh-sharded corpus residency (multi-chip serving); None =
+        # single default device
+        self.mesh = mesh
         # CLI leaves --similarity None until grouping resolves it; the
         # service uses the reference default 40 (phdupes.rs:195-282)
         self.similarity = 40 if similarity is None else int(similarity)
@@ -268,7 +340,8 @@ class NearDupService:
         sim = self.similarity if similarity is None else similarity
         if quality < PDQ_MIN_QUALITY:
             sim = 0  # low-quality query: exact only (scanner gate)
-        matches = self.index.query(variants[None], sim, max_results)[0]
+        matches = self.index.query(variants[None], sim, max_results,
+                                   mesh=self.mesh)[0]
         with self._lock:
             self.queries += 1
         return {"quality": quality,
@@ -410,8 +483,19 @@ def run_serve(args) -> int:
         if getattr(args, "index_file", None):
             index.save(args.index_file)
             print(f"saved index to {args.index_file}", file=sys.stderr)
+    mesh = None
+    try:
+        import jax as _jax
+        if len(_jax.devices()) > 1:
+            from .parallel import sharded as _sharded
+            mesh = _sharded.make_mesh()
+            print(f"corpus sharded over {len(_jax.devices())} devices "
+                  f"(mesh {dict(mesh.shape)})", file=sys.stderr)
+    except Exception:
+        mesh = None
     svc = NearDupService(index, similarity=args.similarity,
-                         roots=list(getattr(args, "paths", []) or []))
+                         roots=list(getattr(args, "paths", []) or []),
+                         mesh=mesh)
     host = getattr(args, "host", "127.0.0.1")
     httpd, port = svc.serve(host=host,
                             port=getattr(args, "port", 0) or 0)

@@ -32,6 +32,47 @@ def corpus(tmp_path_factory):
     return d, paths, records
 
 
+def test_mesh_query_matches_single_device():
+    """The mesh-sharded query path (corpus split over every device)
+    must return exactly the single-device results, including the
+    low-quality exact-only gate."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rupphash_tpu.parallel import sharded
+
+    rng = np.random.default_rng(9)
+    n = 203  # odd: exercises the 8*ndev padding
+    hashes = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    ix = serve.HashIndex()
+    for i in range(n):
+        ix.add(f"/x/{i}.png", bytes(hashes[i]),
+               quality=30 if i == 50 else 90)
+    # queries: exact hit, 3-bit-flip hit, exact hit on the gated row
+    q = np.zeros((3, 8, 32), dtype=np.uint8)
+    q[0, :] = hashes[7]
+    flip = hashes[120].copy()
+    flip[0] ^= 0b111
+    q[1, :] = flip
+    q[2, :] = hashes[50]
+
+    mesh = sharded.make_mesh(8)
+    single = ix.query(q, similarity=8)
+    meshed = ix.query(q, similarity=8, mesh=mesh)
+    assert single == meshed
+    assert meshed[0][0][:1] == (7,) and meshed[0][0][2] == 0
+    assert any(i == 120 and d == 3 for i, _, d in meshed[1])
+    assert meshed[2][0][0] == 50  # gated row still matches at dist 0
+    # gated row must NOT match at nonzero distance
+    q2 = np.zeros((1, 8, 32), dtype=np.uint8)
+    g = hashes[50].copy()
+    g[0] ^= 0b1
+    q2[0, :] = g
+    assert all(i != 50 for i, _, d in
+               ix.query(q2, similarity=8, mesh=mesh)[0])
+
+
 def test_index_build_save_load(corpus, tmp_path):
     d, paths, records = corpus
     ix = serve.HashIndex.from_records(records)
