@@ -52,6 +52,21 @@ def _draw(stdscr, st: AppState, offset: int) -> int:
     row = 0
     last_group = -1
     k = offset
+    # per-viewport duplicate/hardlink detection (ui.rs:463-556 colors:
+    # marked=magenta, hardlink=cyan, bit-identical=green)
+    group_stats: dict[int, tuple[dict, dict]] = {}
+
+    def stats_for(gi: int):
+        if gi not in group_stats:
+            idc: dict[bytes, int] = {}
+            lnk: dict[int, int] = {}
+            for m in st.groups[gi]:
+                if m.content_hash:
+                    idc[m.content_hash] = idc.get(m.content_hash, 0) + 1
+                lnk[m.unique_file_id] = lnk.get(m.unique_file_id, 0) + 1
+            group_stats[gi] = (idc, lnk)
+        return group_stats[gi]
+
     while row < visible and k < len(st.rows):
         gi, fi = st.rows[k]
         g = st.groups[gi]
@@ -67,9 +82,15 @@ def _draw(stdscr, st: AppState, offset: int) -> int:
         f = g[fi]
         sel = (gi, fi) == (st.cursor_group, st.cursor_file)
         attrs = curses.A_REVERSE if sel else curses.A_NORMAL
+        idc, lnk = stats_for(gi)
         if f.path in st.marked:
             attrs |= curses.color_pair(1)
-        marker = "M" if f.path in st.marked else " "
+        elif lnk.get(f.unique_file_id, 0) > 1:
+            attrs |= curses.color_pair(3)        # hardlink
+        elif f.content_hash and idc.get(f.content_hash, 0) > 1:
+            attrs |= curses.color_pair(2)        # bit-identical
+        marker = ("M" if f.path in st.marked
+                  else "L" if lnk.get(f.unique_file_id, 0) > 1 else " ")
         res = f"{f.resolution[0]}x{f.resolution[1]}" if f.resolution else "?"
         when = _fmt_time(f.modified, st.relative_times)
         line = (f" [{marker}] {when:>16} {format_size(f.size):>10} "
@@ -253,7 +274,9 @@ def _loop(stdscr, st: AppState):
     curses.curs_set(0)
     curses.start_color()
     curses.use_default_colors()
-    curses.init_pair(1, curses.COLOR_MAGENTA, -1)
+    curses.init_pair(1, curses.COLOR_MAGENTA, -1)   # marked
+    curses.init_pair(2, curses.COLOR_GREEN, -1)     # bit-identical
+    curses.init_pair(3, curses.COLOR_CYAN, -1)      # hardlink
     offset = 0
     while not st.quit and st.groups:
         offset = _draw(stdscr, st, offset)
