@@ -301,11 +301,16 @@ def pdq_core_mixed(lumas, l_ops, r_ops, d16,
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_mixed(b: int, hp: int, wp: int):
+def _jitted_mixed(b: int, hp: int, wp: int, s: int):
     d_np = dct16x64()
 
     @jax.jit
-    def run(lumas, l_ops, r_ops):
+    def run(lumas, l_unique, r_unique, shape_idx):
+        # expand per-shape operators to per-image on DEVICE: the host
+        # link (possibly a slow remote-TPU tunnel) carries only the S
+        # unique operator pairs instead of 2 x (B, 64, dim) f32
+        l_ops = jnp.take(l_unique, shape_idx, axis=0)
+        r_ops = jnp.take(r_unique, shape_idx, axis=0)
         return pdq_core_mixed(lumas, l_ops, r_ops, jnp.asarray(d_np))
 
     return run
@@ -318,22 +323,41 @@ def _bucket_dim(n: int, quantum: int = 64) -> int:
 def pdq_hash_batch_mixed(lumas: list):
     """Hash a list of u8 luma planes of arbitrary working shapes as one
     padded device batch.  Shapes are padded up to 64-pixel buckets to
-    bound compile count; results are bit-identical to the per-shape path.
+    bound compile count; results are bit-identical to the per-shape
+    path.  Operators are deduplicated per unique (rows, cols) and
+    expanded on device, so host->device traffic stays proportional to
+    the number of distinct shapes, not the batch size.
     """
     b = len(lumas)
     hp = _bucket_dim(max(l.shape[0] for l in lumas))
     wp = _bucket_dim(max(l.shape[1] for l in lumas))
     planes = np.zeros((b, hp, wp), dtype=np.uint8)
-    l_ops = np.zeros((b, BUFFER_W_H, hp), dtype=np.float32)
-    r_ops = np.zeros((b, BUFFER_W_H, wp), dtype=np.float32)
+    shape_id: dict[tuple[int, int], int] = {}
+    idx = np.zeros(b, dtype=np.int32)
     for k, luma in enumerate(lumas):
         rows, cols = luma.shape
         planes[k, :rows, :cols] = luma
+        key = (rows, cols)
+        if key not in shape_id:
+            shape_id[key] = len(shape_id)
+        idx[k] = shape_id[key]
+    s = len(shape_id)
+    l_unique = np.zeros((s, BUFFER_W_H, hp), dtype=np.float32)
+    r_unique = np.zeros((s, BUFFER_W_H, wp), dtype=np.float32)
+    for (rows, cols), sid in shape_id.items():
         lo, ro = linear_operators(rows, cols)
-        l_ops[k, :, :rows] = lo
-        r_ops[k, :, :cols] = ro
-    return _jitted_mixed(b, hp, wp)(jnp.asarray(planes),
-                                    jnp.asarray(l_ops), jnp.asarray(r_ops))
+        l_unique[sid, :, :rows] = lo
+        r_unique[sid, :, :cols] = ro
+    # bucket S so the jit cache doesn't grow per exact shape count
+    spad = max(1, 1 << (s - 1).bit_length()) if s else 1
+    if spad != s:
+        l_unique = np.concatenate(
+            [l_unique, np.zeros((spad - s, BUFFER_W_H, hp), np.float32)])
+        r_unique = np.concatenate(
+            [r_unique, np.zeros((spad - s, BUFFER_W_H, wp), np.float32)])
+    return _jitted_mixed(b, hp, wp, spad)(
+        jnp.asarray(planes), jnp.asarray(l_unique),
+        jnp.asarray(r_unique), jnp.asarray(idx))
 
 
 def pdq_hash_image(image: np.ndarray):
