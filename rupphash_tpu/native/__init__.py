@@ -66,6 +66,15 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.nef_decode.restype = ctypes.c_int
+        lib.nef_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
+        lib.arw2_decode.restype = ctypes.c_int
+        lib.arw2_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -126,6 +135,44 @@ def lj92_decode(data: bytes, max_pixels: int = 512_000_000 // 4):
         return None
     stride = w.value * nc.value
     return out[:h.value * stride].reshape(h.value, stride).copy()
+
+
+def nef_huff_decode(data: bytes, vpred: np.ndarray, curve: np.ndarray,
+                    width: int, height: int, tree: int, split: int = 0):
+    """Decode a Nikon 34713 compressed strip to a (height, width) uint16
+    mosaic, or None on failure / when the library is unavailable.  vpred
+    is 4 uint16 seeds, curve a 0x4000-entry uint16 LUT, tree the base
+    Huffman tree index (0..5), split the row where lossy streams switch
+    to tree+1 (0 = never).  See ruppnative.cpp nef_decode."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vp = np.ascontiguousarray(vpred, dtype=np.uint16)
+    cv = np.ascontiguousarray(curve, dtype=np.uint16)
+    if vp.size != 4 or cv.size < 0x4000:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.nef_decode(data, len(data), vp.ctypes.data, cv.ctypes.data,
+                        width, height, tree, split, out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def arw2_decode(data: bytes, curve: np.ndarray, width: int, height: int,
+                row_stride: int | None = None):
+    """Decode a Sony ARW2 (compression 32767, 1 byte/px) stream to a
+    (height, width) uint16 mosaic, or None.  curve is the 0x1000-entry
+    tone-curve LUT built from SR2 tag 0x7010 knees."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cv = np.ascontiguousarray(curve, dtype=np.uint16)
+    if cv.size < 0x1000:
+        return None
+    stride = row_stride if row_stride is not None else width
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.arw2_decode(data, len(data), cv.ctypes.data, width, height,
+                         stride, out.ctypes.data)
+    return out if rc == 0 else None
 
 
 def union_find_roots(n: int, ei: np.ndarray, ej: np.ndarray):

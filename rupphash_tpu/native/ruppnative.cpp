@@ -274,6 +274,206 @@ static inline int extend(int v, int ssss) {
 
 }  // namespace lj92
 
+// ---------------------------------------------------------------------
+// Nikon NEF compressed CFA raster (TIFF Compression 34713).
+//
+// The reference decodes these through LibRaw (SURVEY.md §2.7,
+// gui/image.rs:1886-1945); this is a from-scratch implementation of the
+// published bitstream format (documented for two decades by dcraw /
+// LibRaw / exiftool): a per-file Huffman table chosen from six fixed
+// canonical trees, MSB-first bitstream of (category, magnitude-bits)
+// diffs with an optional "shift" in the leaf value (lossy variants
+// quantize diffs to odd multiples of 2^(shl-1)), two vertical
+// predictors seeding columns 0/1 of each row pair, horizontal
+// prediction with column parity thereafter, and a final lookup through
+// the camera curve from MakerNote tag 0x0096 clamped to [0, 0x3fff].
+// Tree tables are format constants (counts for code lengths 1..16,
+// then leaf values; rows zero-padded — tree 0's 14th leaf is the pad).
+// The caller (pipeline/rawcontainers.py) parses the 0x0096 block into
+// (vpred, curve LUT, base tree index, split row) and hands them here.
+// ---------------------------------------------------------------------
+namespace nef {
+
+static const uint8_t kTree[6][32] = {
+    // 12-bit lossy
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12, 0, 0, 0},
+    // 12-bit lossy, after the split row
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     0x39, 0x5a, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12, 0, 0},
+    // 12-bit lossless
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12, 0, 0, 0},
+    // 14-bit lossy
+    {0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14, 0},
+    // 14-bit lossy, after the split row
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,
+     8, 0x5c, 0x4b, 0x3a, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14, 0},
+    // 14-bit lossless
+    {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14, 0}};
+
+struct Bits {
+    // plain MSB-first reader; feeds zero bits past end-of-stream (the
+    // raster geometry bounds the loop, so truncation cannot spin)
+    const uint8_t* p;
+    const uint8_t* end;
+    uint32_t acc = 0;
+    int n = 0;
+    Bits(const uint8_t* d, const uint8_t* e) : p(d), end(e) {}
+    void refill() {
+        while (n <= 24) {
+            uint32_t b = (p < end) ? *p++ : 0;
+            acc |= b << (24 - n);
+            n += 8;
+        }
+    }
+    int get(int k) {
+        if (k <= 0) return 0;
+        if (n < k) refill();
+        int v = (int)(acc >> (32 - k));
+        acc <<= k;
+        n -= k;
+        return v;
+    }
+};
+
+struct Huff {
+    int mincode[17], maxcode[17], valptr[17];
+    uint8_t vals[16];
+    void build(const uint8_t* row) {
+        const uint8_t* counts = row;       // code counts, lengths 1..16
+        const uint8_t* values = row + 16;  // canonical-order leaf values
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += counts[l - 1];
+            maxcode[l] = code - 1;
+            code <<= 1;
+            k += counts[l - 1];
+        }
+        for (int i = 0; i < k && i < 16; i++) vals[i] = values[i];
+    }
+    int decode(Bits& br) const {
+        int code = 0;
+        for (int l = 1; l <= 16; l++) {
+            code = (code << 1) | br.get(1);
+            if (maxcode[l] >= mincode[l] && code >= mincode[l] &&
+                code <= maxcode[l])
+                return vals[valptr[l] + code - mincode[l]];
+        }
+        return -1;
+    }
+};
+
+}  // namespace nef
+
+// Decode a Nikon 34713 strip.  vpred_in = 4 u16 seeds ([row&1][col]),
+// curve = 0x4000-entry LUT, tree = base tree index (0..5), split = row
+// at which lossy streams switch to tree+1 (0 = never).  Returns 0 ok.
+int nef_decode(const uint8_t* data, int64_t len, const uint16_t* vpred_in,
+               const uint16_t* curve, int width, int height, int tree,
+               int split, uint16_t* out) {
+    using namespace nef;
+    if (tree < 0 || tree > 5 || width <= 0 || height <= 0) return -1;
+    if (split != 0 && tree != 0 && tree != 3) return -2;
+    Huff hu;
+    hu.build(kTree[tree]);
+    Bits br(data, data + len);
+    uint16_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
+                            {vpred_in[2], vpred_in[3]}};
+    uint16_t hpred[2] = {0, 0};
+    for (int row = 0; row < height; row++) {
+        if (split != 0 && row == split) hu.build(kTree[tree + 1]);
+        for (int col = 0; col < width; col++) {
+            int leaf = hu.decode(br);
+            if (leaf < 0) return -3;
+            int lenb = leaf & 15, shl = leaf >> 4;
+            int b = br.get(lenb - shl);
+            int diff = (((b << 1) + 1) << shl) >> 1;
+            if (lenb > 0 && (diff & (1 << (lenb - 1))) == 0)
+                diff -= (1 << lenb) - (shl ? 0 : 1);
+            uint16_t v;
+            if (col < 2) {
+                vpred[row & 1][col] =
+                    (uint16_t)(vpred[row & 1][col] + diff);
+                v = hpred[col] = vpred[row & 1][col];
+            } else {
+                hpred[col & 1] = (uint16_t)(hpred[col & 1] + diff);
+                v = hpred[col & 1];
+            }
+            int16_t sv = (int16_t)v;
+            int idx = sv < 0 ? 0 : (sv > 0x3fff ? 0x3fff : sv);
+            out[(int64_t)row * width + col] = curve[idx];
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// Sony ARW2 compressed CFA raster (TIFF Compression 32767, 1 byte/px).
+//
+// Published block format (dcraw/LibRaw "sony_arw2"): each 16-byte block
+// encodes 16 same-parity pixels of a row as an 11-bit max, 11-bit min,
+// two 4-bit indices saying which of the 16 pixels are the max/min, and
+// fourteen 7-bit deltas above min scaled by a shift derived from
+// (max - min); blocks alternate even/odd column phases so 32 bytes
+// cover 32 consecutive columns.  Decoded 11-bit values are mapped
+// through the camera tone curve (SR2 tag 0x7010 knees, built by the
+// caller) as curve[pix << 1] >> 2.  The reference reaches this via
+// LibRaw (SURVEY.md §2.7); this is a from-scratch implementation.
+// row_stride = bytes per row in the stream (== width for real files).
+// ---------------------------------------------------------------------
+int arw2_decode(const uint8_t* data, int64_t len, const uint16_t* curve,
+                int width, int height, int row_stride, uint16_t* out) {
+    if (width < 32 || height <= 0 || row_stride < width) return -1;
+    if ((int64_t)row_stride * height > len) return -2;
+    for (int row = 0; row < height; row++) {
+        const uint8_t* rp = data + (int64_t)row * row_stride;
+        const uint8_t* rend = data + len;
+        int col = 0;
+        for (const uint8_t* dp = rp; col < width - 30; dp += 16) {
+            uint32_t val = (uint32_t)dp[0] | (uint32_t)dp[1] << 8 |
+                           (uint32_t)dp[2] << 16 | (uint32_t)dp[3] << 24;
+            int mx = (int)(val & 0x7ff);
+            int mn = (int)((val >> 11) & 0x7ff);
+            int imax = (int)((val >> 22) & 0x0f);
+            int imin = (int)((val >> 26) & 0x0f);
+            int sh;
+            for (sh = 0; sh < 4 && (0x80 << sh) <= mx - mn; sh++) {}
+            uint16_t pix[16];
+            int bit = 30;
+            for (int i = 0; i < 16; i++) {
+                if (i == imax) {
+                    pix[i] = (uint16_t)mx;
+                } else if (i == imin) {
+                    pix[i] = (uint16_t)mn;
+                } else {
+                    // 7-bit field may touch the byte after the block;
+                    // that byte is only safe to read inside the buffer
+                    int lo = dp[bit >> 3];
+                    int hi = (dp + (bit >> 3) + 1 < rend)
+                                 ? dp[(bit >> 3) + 1] : 0;
+                    int word = lo | hi << 8;
+                    int p = (((word >> (bit & 7)) & 0x7f) << sh) + mn;
+                    pix[i] = (uint16_t)(p > 0x7ff ? 0x7ff : p);
+                    bit += 7;
+                }
+            }
+            for (int i = 0; i < 16; i++, col += 2)
+                out[(int64_t)row * width + col] =
+                    (uint16_t)(curve[pix[i] << 1] >> 2);
+            col -= (col & 1) ? 1 : 31;
+        }
+        // trailing < 32-column partial block (sensor padding): zero
+        for (; col < width; col++)
+            out[(int64_t)row * width + col] = 0;
+    }
+    return 0;
+}
+
 // Returns 0 on success.  out must hold out_cap uint16 samples; w/h/comps
 // receive the SOF3 geometry (per-component width; row stride = w*comps).
 int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,

@@ -15,11 +15,16 @@ ops/demosaic.py):
 * **NEF** (Nikon): TIFF whose raw SubIFD is photometric CFA.
   Uncompressed 12/14-bit packed and 16-bit rasters (and lossless-JPEG
   ones) decode natively; Nikon's proprietary Huffman compression
-  (34713) is not implemented, so those files keep using their embedded
-  preview like the reference's *hashing* path does
-  (scanner.rs:1353-1380).  WB from MakerNote WB_RBLevels (tag 0x000C).
+  (34713 — all six published tree variants, lossless and lossy with
+  split-row tree switch, MakerNote 0x0096 linearization curve) decodes
+  through the native nef_decode core (ruppnative.cpp) with a
+  pure-Python fallback.  WB from MakerNote WB_RBLevels (tag 0x000C).
+* **ARW** (Sony): compression 32767 — ARW2 packed 16-pixel blocks
+  (1 byte/px) and plain u16 strips both decode natively; the SR2
+  private block (tags 0x7200/0x7201/0x7221) is stream-decrypted for
+  the tone curve (0x7010), black level (0x7310) and WB (0x7313).
 * **generic TIFF-EP**: any other maker whose raw IFD uses a supported
-  compression takes the same path (covers uncompressed ARW/PEF-class
+  compression takes the same path (covers uncompressed PEF-class
   files).
 
 Black/white levels: CR2/NEF carry no TIFF-level black/white tags (LibRaw
@@ -45,8 +50,60 @@ _T_MAKERNOTE = 37500
 _T_CR2_SLICES = 0xC640
 _T_CANON_COLORDATA = 0x4001
 _T_NIKON_WB_RB = 0x000C
+_T_NIKON_LINEARIZATION = 0x0096
+_T_SONY_SR2_OFFSET = 0x7200
+_T_SONY_SR2_LENGTH = 0x7201
+_T_SONY_SR2_KEY = 0x7221
+_T_SONY_CURVE = 0x7010
+_T_SONY_BLACK = 0x7310
+_T_SONY_WB_RGGB = 0x7313
+
+_COMP_NIKON = 34713
+_COMP_SONY = 32767
 
 _RGGB = np.array([[0, 1], [1, 2]], dtype=np.int32)
+
+# Nikon 34713 Huffman trees (format constants; counts for code lengths
+# 1..16 then canonical-order leaf values, rows zero-padded — tree 0's
+# 14th leaf is the pad byte).  Shared by the pure-Python fallback
+# decoder and the synthetic encoder in tests; the C++ decoder
+# (native/ruppnative.cpp nef_decode) carries its own copy.
+NIKON_TREES = (
+    # 12-bit lossy
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12, 0, 0, 0),
+    # 12-bit lossy, after the split row
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     0x39, 0x5A, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12, 0, 0),
+    # 12-bit lossless
+    (0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12, 0, 0, 0),
+    # 14-bit lossy
+    (0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14, 0),
+    # 14-bit lossy, after the split row
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,
+     8, 0x5C, 0x4B, 0x3A, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14, 0),
+    # 14-bit lossless
+    (0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14, 0),
+)
+
+
+def nikon_huff_codes(tree: int) -> dict:
+    """Canonical (bitlength, code) -> leaf value map for NIKON_TREES[tree]."""
+    row = NIKON_TREES[tree]
+    counts, values = row[:16], row[16:]
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
 
 
 def _tiff_endian(data: bytes) -> str | None:
@@ -148,10 +205,10 @@ def _canon_wb(data: bytes, endian: str, exif_off: int):
     return None
 
 
-def _nikon_wb(data: bytes, endian: str, exif_off: int):
-    """AsShotNeutral from the Nikon MakerNote WB_RBLevels (tag 0x000C,
-    four RATIONALs R, B, G, G as G-relative multipliers).  The Nikon
-    MakerNote is a 'Nikon\\x00' header followed by an embedded TIFF."""
+def _nikon_makernote(data: bytes, endian: str, exif_off: int):
+    """The Nikon MakerNote is a 'Nikon\\x00' header followed by an
+    embedded TIFF; returns (embedded bytes, embedded endian, first IFD
+    offset) or None."""
     exif_entries = _ifd_entry_offsets(data, exif_off, endian)
     mn = exif_entries.get(_T_MAKERNOTE)
     if mn is None:
@@ -165,6 +222,16 @@ def _nikon_wb(data: bytes, endian: str, exif_off: int):
     if e2 is None:
         return None
     (first,) = struct.unpack_from(e2 + "I", emb, 4)
+    return emb, e2, first
+
+
+def _nikon_wb(data: bytes, endian: str, exif_off: int):
+    """AsShotNeutral from the Nikon MakerNote WB_RBLevels (tag 0x000C,
+    four RATIONALs R, B, G, G as G-relative multipliers)."""
+    mn = _nikon_makernote(data, endian, exif_off)
+    if mn is None:
+        return None
+    emb, e2, first = mn
     ifd, _ = _read_ifd(emb, first, e2)
     wb = ifd.get(_T_NIKON_WB_RB)
     if wb is None:
@@ -174,6 +241,335 @@ def _nikon_wb(data: bytes, endian: str, exif_off: int):
         return None
     r, b = wb[0], wb[1]
     return np.array([1.0 / r, 1.0, 1.0 / b])
+
+
+def parse_nikon_linearization(meta: bytes, endian: str, bps: int):
+    """Parse a Nikon MakerNote 0x0096 linearization block.
+
+    Published layout (dcraw/LibRaw/exiftool): version bytes ver0/ver1
+    (0x49/0x58 prepend a 2110-byte section skipped here), 4 u16
+    vertical-predictor seeds, a u16 curve size, then either sparse
+    curve anchors every `step = (1 << bps) / (csize - 1)` values that
+    are integer-interpolated (lossy streams, which also carry a u16
+    tree-split row at block offset 562) or a dense curve (non-lossless
+    variants with csize <= 0x4001); lossless streams (ver0 0x46) keep
+    the identity curve.  Returns (vpred[4] u16, curve LUT 0x4000 u16,
+    base tree index, split row) or None.
+    """
+    if len(meta) < 12:  # ver(2) + vpred(8) + csize(2)
+        return None
+    ver0, ver1 = meta[0], meta[1]
+    pos = 2
+    if ver0 == 0x49 or ver1 == 0x58:
+        pos += 2110
+    tree = 0
+    if ver0 == 0x46:
+        tree = 2
+    if bps == 14:
+        tree += 3
+    if pos + 10 > len(meta):
+        return None
+    vpred = np.frombuffer(meta, dtype=endian + "u2", count=4,
+                          offset=pos).copy()
+    pos += 8
+    max_ = 1 << bps
+    (csize,) = struct.unpack_from(endian + "H", meta, pos)
+    pos += 2
+    step = max_ // (csize - 1) if csize > 1 else 0
+
+    # identity with headroom for the interpolation's right anchor
+    curve = np.arange(max_ + step + 1, dtype=np.int64)
+    split = 0
+    lossy = (ver0 == 0x44 and (ver1 == 0x20 or (ver1 == 0x40 and step > 3))
+             and step > 0)
+    if lossy:
+        if pos + 2 * csize > len(meta) or len(meta) < 564:
+            return None
+        anchors = curve.copy()
+        pts = np.frombuffer(meta, dtype=endian + "u2", count=csize,
+                            offset=pos).astype(np.int64)
+        anchors[np.arange(csize) * step] = pts
+        i = np.arange(max_, dtype=np.int64)
+        r = i % step
+        base = i - r
+        curve[:max_] = (anchors[base] * (step - r)
+                        + anchors[base + step] * r) // step
+        (split,) = struct.unpack_from(endian + "H", meta, 562)
+    elif ver0 != 0x46 and csize <= 0x4001:
+        if pos + 2 * csize > len(meta):
+            return None
+        curve[:csize] = np.frombuffer(meta, dtype=endian + "u2",
+                                      count=csize, offset=pos)
+    lut = np.clip(curve[:0x4000], 0, 65535).astype(np.uint16)
+    if lut.size < 0x4000:  # bps 12: pad the clamp range with identity top
+        lut = np.concatenate([
+            lut, np.arange(lut.size, 0x4000, dtype=np.uint16)])
+    return vpred, lut, tree, int(split)
+
+
+class _BitReader:
+    """MSB-first bit reader, zero-fed past end (test/fallback use)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def get(self, k: int) -> int:
+        if k <= 0:
+            return 0
+        while self.n < k:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _nef_decode_py(data: bytes, vpred, curve, width: int, height: int,
+                   tree: int, split: int = 0):
+    """Pure-Python mirror of ruppnative nef_decode (fallback + oracle)."""
+    codes = nikon_huff_codes(tree)
+    br = _BitReader(data)
+
+    def gethuff():
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | br.get(1)
+            length += 1
+            v = codes.get((length, code))
+            if v is not None:
+                return v
+        return None
+
+    vp = [[int(vpred[0]), int(vpred[1])], [int(vpred[2]), int(vpred[3])]]
+    hp = [0, 0]
+    out = np.zeros((height, width), dtype=np.uint16)
+    for row in range(height):
+        if split and row == split:
+            codes = nikon_huff_codes(tree + 1)
+        for col in range(width):
+            leaf = gethuff()
+            if leaf is None:
+                return None
+            lenb, shl = leaf & 15, leaf >> 4
+            b = br.get(lenb - shl)
+            diff = (((b << 1) + 1) << shl) >> 1
+            if lenb > 0 and (diff & (1 << (lenb - 1))) == 0:
+                diff -= (1 << lenb) - (0 if shl else 1)
+            if col < 2:
+                vp[row & 1][col] = (vp[row & 1][col] + diff) & 0xFFFF
+                hp[col] = vp[row & 1][col]
+                v = hp[col]
+            else:
+                hp[col & 1] = (hp[col & 1] + diff) & 0xFFFF
+                v = hp[col & 1]
+            sv = v - 0x10000 if v >= 0x8000 else v
+            out[row, col] = curve[min(max(sv, 0), 0x3FFF)]
+    return out
+
+
+def _nikon_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
+    """Decode a Nikon 34713 compressed CFA strip via the MakerNote
+    0x0096 linearization block.  Reference semantics: LibRaw's NEF
+    path as used by gui/image.rs:1886-1945."""
+    from .. import native
+
+    exif_ptr = ifd0.get(_T_EXIF_IFD)
+    if exif_ptr is None:
+        return None
+    mn = _nikon_makernote(data, endian, int(np.atleast_1d(exif_ptr)[0]))
+    if mn is None:
+        return None
+    emb, e2, first = mn
+    entries = _ifd_entry_offsets(emb, first, e2)
+    lin = entries.get(_T_NIKON_LINEARIZATION)
+    if lin is None:
+        return None
+    _, cnt, voff = lin
+    meta = emb[voff:voff + cnt]
+    bps = int(_scalar(raw_ifd, _T_BITS, 12))
+    parsed = parse_nikon_linearization(meta, e2, bps)
+    if parsed is None:
+        return None
+    vpred, curve, tree, split = parsed
+    w = int(_scalar(raw_ifd, _T_WIDTH, 0))
+    h = int(_scalar(raw_ifd, _T_LENGTH, 0))
+    if w <= 0 or h <= 0 or w * h > 512_000_000 // 2:
+        return None
+    offs = np.atleast_1d(raw_ifd.get(_T_STRIP_OFFSETS, [])).astype(np.int64)
+    if offs.size == 0:
+        return None
+    cnts = np.atleast_1d(raw_ifd.get(
+        _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(np.int64)
+    stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
+    out = native.nef_huff_decode(stream, vpred, curve, w, h, tree, split)
+    if out is None:
+        out = _nef_decode_py(stream, vpred, curve, w, h, tree, split)
+    return out
+
+
+def sony_decrypt(buf: bytes, key: int) -> bytes:
+    """Sony SR2-private-block stream cipher (published by dcraw/LibRaw:
+    a 128-word LFSR seeded by key * 5^11 + 1 iterates, byte-swapped
+    against the file's little-endian words).  XOR symmetric, so this
+    both decrypts camera files and encrypts synthetic fixtures."""
+    pad = [0] * 128
+    k = key & 0xFFFFFFFF
+    for p in range(4):
+        k = (k * 48828125 + 1) & 0xFFFFFFFF
+        pad[p] = k
+    pad[3] = (pad[3] << 1 | (pad[0] ^ pad[2]) >> 31) & 0xFFFFFFFF
+    for p in range(4, 127):
+        pad[p] = ((pad[p - 4] ^ pad[p - 2]) << 1
+                  | (pad[p - 3] ^ pad[p - 1]) >> 31) & 0xFFFFFFFF
+    swap = np.array(pad, dtype=">u4").view(np.uint8)
+    pad = list(np.frombuffer(swap.tobytes(), dtype="<u4").astype(np.int64))
+    nwords = len(buf) // 4
+    words = struct.unpack(f"<{nwords}I", buf[:nwords * 4])
+    out = []
+    p = 127
+    for w in words:
+        p += 1
+        pad[(p - 1) & 127] = pad[p & 127] ^ pad[(p + 64) & 127]
+        out.append(w ^ pad[(p - 1) & 127])
+    return struct.pack(f"<{nwords}I", *out) + buf[nwords * 4:]
+
+
+def sony_curve_lut(knees=None) -> np.ndarray:
+    """Sony ARW2 tone-curve LUT: five segments with slopes 1,2,4,8,16
+    between knee points from the decrypted SR2 tag 0x7010 (defaults to
+    a single slope-16 ramp when the tag is absent).  The decoder maps
+    an 11-bit value v to curve[v << 1] >> 2, so the LUT spans 0x1000."""
+    kn = [0, 0, 0, 0, 0, 4095]
+    if knees is not None:
+        kv = [int(x) for x in np.atleast_1d(knees)[:4]]
+        kn = [0] + [(v >> 2) & 0xFFF for v in kv] + [4095]
+    curve = np.arange(0x1000, dtype=np.int64)
+    for i in range(5):
+        lo, hi = kn[i], kn[i + 1]
+        if hi <= lo:
+            continue
+        j = np.arange(lo + 1, hi + 1, dtype=np.int64)
+        curve[lo + 1:hi + 1] = curve[lo] + (j - lo) * (1 << i)
+    return np.clip(curve, 0, 65535).astype(np.uint16)
+
+
+def _sony_sr2(data: bytes, endian: str, ifd0: dict):
+    """Decrypt and parse the SR2 private block (IFD0 tags 0x7200 offset /
+    0x7201 length / 0x7221 key); returns the private IFD's tag dict with
+    value offsets resolved against a spliced decrypted copy, or None."""
+    try:
+        off = int(_scalar(ifd0, _T_SONY_SR2_OFFSET, 0))
+        length = int(_scalar(ifd0, _T_SONY_SR2_LENGTH, 0))
+        key = int(_scalar(ifd0, _T_SONY_SR2_KEY, 0))
+    except (TypeError, ValueError):
+        return None
+    if off <= 0 or length <= 0 or off + length > len(data):
+        return None
+    plain = sony_decrypt(bytes(data[off:off + length]), key)
+    # the private block is a bare IFD whose value offsets are absolute
+    # file offsets into the (decrypted) region
+    patched = bytes(data[:off]) + plain + bytes(data[off + length:])
+    ifd, _ = _read_ifd(patched, off, endian)
+    return ifd or None
+
+
+def _arw2_decode_py(data: bytes, curve, width: int, height: int,
+                    row_stride: int | None = None):
+    """Pure-Python mirror of ruppnative arw2_decode (fallback + oracle)."""
+    stride = row_stride if row_stride is not None else width
+    if width < 32 or height <= 0 or stride * height > len(data):
+        return None
+    out = np.zeros((height, width), dtype=np.uint16)
+    for row in range(height):
+        rp = row * stride
+        col = 0
+        dp = rp
+        while col < width - 30:
+            (val,) = struct.unpack_from("<I", data, dp)
+            mx = val & 0x7FF
+            mn = (val >> 11) & 0x7FF
+            imax = (val >> 22) & 0x0F
+            imin = (val >> 26) & 0x0F
+            sh = 0
+            while sh < 4 and (0x80 << sh) <= mx - mn:
+                sh += 1
+            bit = 30
+            pix = [0] * 16
+            for i in range(16):
+                if i == imax:
+                    pix[i] = mx
+                elif i == imin:
+                    pix[i] = mn
+                else:
+                    lo = data[dp + (bit >> 3)]
+                    hi = data[dp + (bit >> 3) + 1] \
+                        if dp + (bit >> 3) + 1 < len(data) else 0
+                    word = lo | hi << 8
+                    p = (((word >> (bit & 7)) & 0x7F) << sh) + mn
+                    pix[i] = min(p, 0x7FF)
+                    bit += 7
+            for i in range(16):
+                out[row, col] = curve[pix[i] << 1] >> 2
+                col += 2
+            col -= 1 if col & 1 else 31
+            dp += 16
+    return out
+
+
+def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
+    """Decode a Sony compression-32767 CFA raster: ARW2 packed blocks
+    when the strip is 1 byte/pixel, plain little-endian u16 when it is
+    2 bytes/pixel.  Returns (mosaic, black, wb_neutral, white|None)
+    or None (white is None when the IFD's BitsPerSample governs)."""
+    from .. import native
+
+    w = int(_scalar(raw_ifd, _T_WIDTH, 0))
+    h = int(_scalar(raw_ifd, _T_LENGTH, 0))
+    if w <= 0 or h <= 0 or w * h > 512_000_000 // 2:
+        return None
+    offs = np.atleast_1d(raw_ifd.get(_T_STRIP_OFFSETS, [])).astype(np.int64)
+    if offs.size == 0:
+        return None
+    cnts = np.atleast_1d(raw_ifd.get(
+        _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(np.int64)
+    stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
+
+    sr2 = _sony_sr2(data, endian, ifd0) or {}
+    black = 0.0
+    blk = sr2.get(_T_SONY_BLACK)
+    if blk is not None:
+        bv = np.atleast_1d(blk).astype(np.float64)
+        if bv.size >= 1 and np.all((bv >= 0) & (bv < 65536)):
+            black = float(bv.mean())
+    wb = None
+    wbv = sr2.get(_T_SONY_WB_RGGB)
+    if wbv is not None and _plausible_wb4(np.atleast_1d(wbv)[:4]):
+        r, g1, g2, b = (float(x) for x in np.atleast_1d(wbv)[:4])
+        g = (g1 + g2) / 2.0
+        wb = np.array([g / r, 1.0, g / b])
+
+    if len(stream) >= 2 * w * h:
+        mosaic = np.frombuffer(stream, dtype="<u2",
+                               count=w * h).reshape(h, w).copy()
+        return mosaic, black, wb, None
+    if len(stream) >= w * h:
+        curve = sony_curve_lut(sr2.get(_T_SONY_CURVE))
+        mosaic = native.arw2_decode(stream, curve, w, h)
+        if mosaic is None:
+            mosaic = _arw2_decode_py(stream, curve, w, h)
+        if mosaic is None:
+            return None
+        # black (SR2 0x7310) is quoted in the post-curve domain already;
+        # white is the largest value the curve can emit
+        white = float(curve[0x7FF << 1] >> 2)
+        return mosaic, black, wb, white
+    return None
 
 
 def _white_for_bits(bits: int | None, mosaic: np.ndarray) -> float:
@@ -276,7 +672,28 @@ def parse_tiff_cfa(data: bytes) -> RawImage | None:
             break
     if raw_ifd is None:
         return None
+
+    make = ifd0.get(_T_MAKE, b"")
+    make = make.decode("ascii", "replace") if isinstance(make, bytes) \
+        else str(make)
+    comp = int(_scalar(raw_ifd, _T_COMPRESSION, 1))
+    black = 0.0
+    white = None
+    wb = None
+
     mosaic = _raster(data, raw_ifd, endian)
+    if mosaic is None and comp == _COMP_NIKON:
+        try:
+            mosaic = _nikon_raster(data, raw_ifd, ifd0, endian)
+        except Exception:
+            mosaic = None
+    if mosaic is None and comp == _COMP_SONY:
+        try:
+            sony = _sony_raster(data, raw_ifd, ifd0, endian)
+        except Exception:
+            sony = None
+        if sony is not None:
+            mosaic, black, wb, white = sony
     if mosaic is None:
         return None
 
@@ -287,20 +704,18 @@ def parse_tiff_cfa(data: bytes) -> RawImage | None:
         if p.size >= 4:
             cfa = p[:4].reshape(2, 2)
 
-    make = ifd0.get(_T_MAKE, b"")
-    make = make.decode("ascii", "replace") if isinstance(make, bytes) \
-        else str(make)
-    wb = None
     exif_ptr = ifd0.get(_T_EXIF_IFD)
-    if exif_ptr is not None and make.upper().startswith("NIKON"):
+    if wb is None and exif_ptr is not None \
+            and make.upper().startswith("NIKON"):
         try:
             wb = _nikon_wb(data, endian, int(np.atleast_1d(exif_ptr)[0]))
         except Exception:
             wb = None
     bits = int(_scalar(raw_ifd, _T_BITS, 16))
+    if white is None:
+        white = _white_for_bits(bits, mosaic)
     return RawImage(
-        mosaic=mosaic, cfa=cfa, black=0.0,
-        white=_white_for_bits(bits, mosaic),
+        mosaic=mosaic, cfa=cfa, black=black, white=white,
         as_shot_neutral=wb, color_matrix=None,
         orientation=int(_scalar(ifd0, _T_ORIENTATION, 1)))
 

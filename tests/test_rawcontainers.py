@@ -93,20 +93,30 @@ def write_cr2(mosaic: np.ndarray, wb=(2000, 1024, 1024, 1500),
 
 
 def write_nef(mosaic: np.ndarray, bits=14, wb=(2.0, 1.4),
-              cfa=(0, 1, 1, 2)) -> bytes:
-    """Minimal NEF: TIFF-EP with a CFA SubIFD (uncompressed MSB-packed
-    samples) and a Nikon MakerNote (embedded TIFF, WB_RBLevels 0x000C)."""
+              cfa=(0, 1, 1, 2), compression=1, lin_table=None,
+              stream=None) -> bytes:
+    """Minimal NEF: TIFF-EP with a CFA SubIFD and a Nikon MakerNote
+    (embedded TIFF, WB_RBLevels 0x000C).  compression=1 stores the
+    mosaic as uncompressed MSB-packed samples; compression=34713 stores
+    `stream` (a nef_huff_encode bitstream) and embeds `lin_table` as
+    MakerNote tag 0x0096."""
     h, w = mosaic.shape
-    packed = pack_bits(mosaic.reshape(-1), bits)
+    if compression == 34713:
+        assert stream is not None and lin_table is not None
+        packed = stream
+    else:
+        packed = pack_bits(mosaic.reshape(-1), bits)
 
     # embedded MakerNote TIFF
+    n_mn = 1 if lin_table is None else 2
     mn_extra = bytearray()
-    mn_base = 8 + _size(1)
+    mn_base = 8 + _size(n_mn)
     wb_vals = [(int(wb[0] * 1000), 1000), (int(wb[1] * 1000), 1000),
                (1, 1), (1, 1)]
-    mn_ifd = (struct.pack("<H", 1)
-              + _entry(0x000C, 5, wb_vals, mn_extra, mn_base)
-              + struct.pack("<I", 0))
+    entries = _entry(0x000C, 5, wb_vals, mn_extra, mn_base)
+    if lin_table is not None:
+        entries += _entry(0x0096, 1, list(lin_table), mn_extra, mn_base)
+    mn_ifd = (struct.pack("<H", n_mn) + entries + struct.pack("<I", 0))
     mn_tiff = (struct.pack("<2sHI", b"II", 42, 8) + mn_ifd
                + bytes(mn_extra))
     makernote = b"Nikon\x00\x02\x10\x00\x00" + mn_tiff
@@ -132,7 +142,7 @@ def write_nef(mosaic: np.ndarray, bits=14, wb=(2.0, 1.4),
                + _entry(256, 4, [w], extra, extra_off)
                + _entry(257, 4, [h], extra, extra_off)
                + _entry(258, 3, [bits], extra, extra_off)
-               + _entry(259, 3, [1], extra, extra_off)
+               + _entry(259, 3, [compression], extra, extra_off)
                + _entry(262, 3, [32803], extra, extra_off)
                + _entry(273, 4, [data_off], extra, extra_off)
                + _entry(278, 4, [h], extra, extra_off)
@@ -331,3 +341,408 @@ def test_sniff_decode_bytes_nef():
     rgb, mosaic = _scene14(48, 64)
     img = decode.sniff_decode_bytes(write_nef(mosaic, wb=(1.0, 1.0)))
     assert img is not None and img.shape == rgb.shape
+
+
+# --------------------------------------------- NEF compression 34713
+
+def _huff_inverse(tree: int) -> dict:
+    inv = {}
+    for (length, code), v in rawcontainers.nikon_huff_codes(tree).items():
+        inv.setdefault(v, (length, code))
+    return inv
+
+
+def nef_huff_encode(vals: np.ndarray, tree: int, vpred, split=0) -> bytes:
+    """Synthetic Nikon-34713 encoder (plain ssss leaves only): the
+    inverse of ruppnative nef_decode for diffs whose magnitude category
+    exists as an unshifted leaf in the tree."""
+    cur = _huff_inverse(tree)
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(nbits: int, value: int):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+
+    vp = [[int(vpred[0]), int(vpred[1])], [int(vpred[2]), int(vpred[3])]]
+    hp = [0, 0]
+    h, w = vals.shape
+    for row in range(h):
+        if split and row == split:
+            cur = _huff_inverse(tree + 1)
+        for col in range(w):
+            target = int(vals[row, col]) & 0xFFFF
+            pred = vp[row & 1][col] if col < 2 else hp[col & 1]
+            diff = ((target - pred + 0x8000) & 0xFFFF) - 0x8000
+            ssss = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            assert ssss in cur, f"ssss={ssss} has no plain leaf here"
+            length, code = cur[ssss]
+            emit(length, code)
+            if ssss:
+                b = diff if diff > 0 else diff + (1 << ssss) - 1
+                emit(ssss, b)
+            if col < 2:
+                vp[row & 1][col] = target
+                hp[col] = target
+            else:
+                hp[col & 1] = target
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def nikon_lin_block(ver=(0x46, 0x30), vpred=(600, 600, 600, 600),
+                    csize=1, curve_pts=None, split=None) -> bytes:
+    """A MakerNote 0x0096 linearization block (little-endian fields)."""
+    out = bytearray(bytes(ver))
+    for v in vpred:
+        out += struct.pack("<H", v)
+    out += struct.pack("<H", csize)
+    if curve_pts is not None:
+        for v in curve_pts:
+            out += struct.pack("<H", v)
+    if split is not None:
+        while len(out) < 562:
+            out.append(0)
+        out += struct.pack("<H", split)
+        out += b"\x00\x00"
+    return bytes(out)
+
+
+@native_gated
+def test_nef34713_cpp_matches_python_random_streams():
+    """Differential oracle: the C++ and Python decoders agree bit-for-
+    bit on arbitrary streams for every tree (incl. shifted lossy
+    leaves), arbitrary curve LUTs and vpred seeds."""
+    rng = np.random.default_rng(7)
+    for tree in range(6):
+        stream = rng.integers(0, 256, 220, dtype=np.uint8).tobytes()
+        curve = rng.integers(0, 65536, 0x4000).astype(np.uint16)
+        vpred = rng.integers(200, 2000, 4).astype(np.uint16)
+        a = native.nef_huff_decode(stream, vpred, curve, 16, 8, tree)
+        b = rawcontainers._nef_decode_py(stream, vpred, curve, 16, 8,
+                                         tree)
+        assert a is not None and b is not None
+        assert np.array_equal(a, b), f"tree {tree} diverged"
+
+
+@native_gated
+def test_nef34713_split_tree_switch_matches_python():
+    rng = np.random.default_rng(8)
+    for tree in (0, 3):
+        stream = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+        curve = np.arange(0x4000, dtype=np.uint16)
+        vpred = np.array([700, 700, 700, 700], dtype=np.uint16)
+        a = native.nef_huff_decode(stream, vpred, curve, 16, 10, tree,
+                                   split=5)
+        b = rawcontainers._nef_decode_py(stream, vpred, curve, 16, 10,
+                                         tree, split=5)
+        assert a is not None and np.array_equal(a, b)
+        # and the split genuinely changes the decode
+        c = native.nef_huff_decode(stream, vpred, curve, 16, 10, tree)
+        assert not np.array_equal(a, c)
+
+
+def test_nef34713_lossless_roundtrip_12_and_14():
+    """Encode -> decode is exact for the lossless trees (identity
+    curve, full 12/14-bit range)."""
+    rng = np.random.default_rng(9)
+    for bits, tree in ((12, 2), (14, 5)):
+        vals = rng.integers(0, 1 << bits, (12, 20)).astype(np.uint16)
+        vpred = (512, 512, 512, 512)
+        stream = nef_huff_encode(vals, tree, vpred)
+        curve = np.arange(0x4000, dtype=np.uint16)
+        vp = np.asarray(vpred, dtype=np.uint16)
+        got = native.nef_huff_decode(stream, vp, curve, 20, 12, tree)
+        if got is None:
+            got = rawcontainers._nef_decode_py(stream, vp, curve, 20,
+                                               12, tree)
+        assert np.array_equal(got, vals)
+
+
+def test_parse_nikon_linearization_lossy_curve_and_split():
+    """ver 0x44/0x20: sparse anchors integer-interpolate; the split row
+    is read at block offset 562 (dcraw/LibRaw layout)."""
+    bps = 12
+    csize = 17
+    step = (1 << bps) // (csize - 1)  # 256
+    pts = [min(i * i * 16, 65535) for i in range(csize)]
+    meta = nikon_lin_block(ver=(0x44, 0x20), vpred=(100, 200, 300, 400),
+                           csize=csize, curve_pts=pts, split=37)
+    parsed = rawcontainers.parse_nikon_linearization(meta, "<", bps)
+    assert parsed is not None
+    vpred, lut, tree, split = parsed
+    assert list(vpred) == [100, 200, 300, 400]
+    assert tree == 0 and split == 37
+    # anchors hit exactly; midpoints follow the integer lerp
+    for i in range(csize - 1):
+        assert lut[i * step] == pts[i]
+    i = 3 * step + 100
+    expect = (pts[3] * (step - 100) + pts[4] * 100) // step
+    assert lut[i] == expect
+    # beyond the curve the LUT continues as identity
+    assert lut[0x3FFF] == 0x3FFF
+
+
+def test_parse_nikon_linearization_lossless_identity():
+    meta = nikon_lin_block(ver=(0x46, 0x30), vpred=(1, 2, 3, 4))
+    vpred, lut, tree, split = rawcontainers.parse_nikon_linearization(
+        meta, "<", 14)
+    assert tree == 5 and split == 0
+    assert np.array_equal(lut, np.arange(0x4000, dtype=np.uint16))
+
+
+def test_nef34713_full_container_roundtrip_and_wb():
+    """A compressed NEF parses end-to-end: Huffman strip + MakerNote
+    0x0096 + WB, mosaic exact (lossless tree, identity curve)."""
+    rng = np.random.default_rng(10)
+    vals = rng.integers(0, 4096, (24, 32)).astype(np.uint16)
+    vpred = (800, 800, 800, 800)
+    stream = nef_huff_encode(vals, 2, vpred)
+    lin = nikon_lin_block(ver=(0x46, 0x30), vpred=vpred)
+    data = write_nef(vals, bits=12, wb=(2.0, 1.25), compression=34713,
+                     lin_table=lin, stream=stream)
+    raw = rawcontainers.parse_raw_container(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, vals)
+    assert raw.white == 4095.0
+    np.testing.assert_allclose(raw.as_shot_neutral,
+                               [1 / 2.0, 1.0, 1 / 1.25], rtol=1e-3)
+
+
+def test_nef34713_lossy_split_container():
+    """Lossy container: identity anchors + split row exercise the
+    tree-switch inside a full parse (diffs kept plain-encodable)."""
+    bps = 12
+    csize = 17
+    step = (1 << bps) // (csize - 1)
+    pts = [i * step for i in range(csize)]  # identity anchors
+    rng = np.random.default_rng(11)
+    # smooth image: horizontal diffs bounded by the per-column base
+    # spread, vertical by two rows of shared drift — ssss<=5 stays
+    # plain-encodable in both tree 0 and split tree 1
+    base = rng.integers(900, 931, (1, 24)).astype(np.int64)
+    drift = rng.integers(-15, 16, (16, 1)).astype(np.int64)
+    vals = np.clip(base + np.cumsum(drift, axis=0), 0, 4095)
+    vals = vals.astype(np.uint16)
+    vpred = (900, 900, 900, 900)
+    split = 6
+    stream = nef_huff_encode(vals, 0, vpred, split=split)
+    lin = nikon_lin_block(ver=(0x44, 0x20), vpred=vpred, csize=csize,
+                          curve_pts=pts, split=split)
+    data = write_nef(vals, bits=12, compression=34713, lin_table=lin,
+                     stream=stream)
+    raw = rawcontainers.parse_raw_container(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, vals)
+
+
+def test_nef34713_groups_with_png_sibling(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(96, 128, seed=13)
+    vals = (mosaic14 >> 2).astype(np.uint16)  # 12-bit sensor
+    vpred = (512, 512, 512, 512)
+    stream = nef_huff_encode(vals, 2, vpred)
+    lin = nikon_lin_block(ver=(0x46, 0x30), vpred=vpred)
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot.nef").write_bytes(write_nef(
+        vals, bits=12, wb=(1.0, 1.0), compression=34713, lin_table=lin,
+        stream=stream))
+    Image.fromarray(rgb).save(d / "twin.png")
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot.nef", "twin.png"}
+
+
+# ------------------------------------------------------------ Sony ARW
+
+def arw2_encode_block(p: list) -> bytes:
+    """Inverse of ruppnative arw2_decode for one 16-pixel block (11-bit
+    inputs; deltas quantize by the derived shift, exact when
+    max-min < 0x80)."""
+    mx, mn = max(p), min(p)
+    imax = p.index(mx)
+    imin = p.index(mn)
+    if imin == imax:
+        imin = (imax + 1) % 16
+    sh = 0
+    while sh < 4 and (0x80 << sh) <= mx - mn:
+        sh += 1
+    blob = mx | (mn << 11) | (imax << 22) | (imin << 26)
+    bit = 30
+    for i in range(16):
+        if i == imax or i == imin:
+            continue
+        blob |= min((p[i] - mn) >> sh, 0x7F) << bit
+        bit += 7
+    return blob.to_bytes(16, "little")
+
+
+def arw2_encode(vals: np.ndarray) -> bytes:
+    h, w = vals.shape
+    assert w % 32 == 0
+    out = bytearray()
+    for row in range(h):
+        for base in range(0, w, 32):
+            for par in (0, 1):
+                out += arw2_encode_block(
+                    [int(x) for x in vals[row, base + par:base + 32:2]])
+    return bytes(out)
+
+
+def write_arw(vals11: np.ndarray, knees=(0, 0, 0, 0),
+              black=(512, 512, 512, 512),
+              wb=(2200, 1024, 1024, 1700), key=0x12345678,
+              cfa=(0, 1, 1, 2)) -> bytes:
+    """Minimal ARW: TIFF with a CFA SubIFD (compression 32767, ARW2
+    1-byte/px blocks) and an encrypted SR2 private block carrying the
+    tone-curve knees (0x7010), black level (0x7310) and WB (0x7313)."""
+    h, w = vals11.shape
+    stream = arw2_encode(vals11)
+
+    ifd0_off = 8
+    sub_off = ifd0_off + _size(6)
+    sr2_off = sub_off + _size(10)
+
+    # SR2 private IFD: value offsets are absolute file offsets
+    sr2_base = sr2_off + _size(3)
+    sr2_extra = bytearray()
+    sr2_ifd = (struct.pack("<H", 3)
+               + _entry(0x7010, 3, [k << 2 for k in knees], sr2_extra,
+                        sr2_base)
+               + _entry(0x7310, 3, list(black), sr2_extra, sr2_base)
+               + _entry(0x7313, 3, list(wb), sr2_extra, sr2_base)
+               + struct.pack("<I", 0))
+    sr2_plain = sr2_ifd + bytes(sr2_extra)
+    if len(sr2_plain) % 4:
+        sr2_plain += b"\x00" * (4 - len(sr2_plain) % 4)
+    sr2_enc = rawcontainers.sony_decrypt(sr2_plain, key)  # XOR symmetric
+    data_off = sr2_off + len(sr2_enc)
+
+    extra_off = data_off + len(stream)
+
+    def build() -> bytes:
+        extra = bytearray()
+        ifd0 = (struct.pack("<H", 6)
+                + _entry2(271, "SONY", extra, extra_off)
+                + _entry(274, 3, [1], extra, extra_off)
+                + _entry(330, 4, [sub_off], extra, extra_off)
+                + _entry(0x7200, 4, [sr2_off], extra, extra_off)
+                + _entry(0x7201, 4, [len(sr2_enc)], extra, extra_off)
+                + _entry(0x7221, 4, [key], extra, extra_off)
+                + struct.pack("<I", 0))
+        sub = (struct.pack("<H", 10)
+               + _entry(256, 4, [w], extra, extra_off)
+               + _entry(257, 4, [h], extra, extra_off)
+               + _entry(258, 3, [8], extra, extra_off)
+               + _entry(259, 3, [32767], extra, extra_off)
+               + _entry(262, 3, [32803], extra, extra_off)
+               + _entry(273, 4, [data_off], extra, extra_off)
+               + _entry(278, 4, [h], extra, extra_off)
+               + _entry(279, 4, [len(stream)], extra, extra_off)
+               + _entry(33421, 3, [2, 2], extra, extra_off)
+               + _entry(33422, 1, list(cfa), extra, extra_off)
+               + struct.pack("<I", 0))
+        header = struct.pack("<2sHI", b"II", 42, ifd0_off)
+        return header + ifd0 + sub + sr2_enc + stream + bytes(extra)
+
+    return build()
+
+
+def test_sony_decrypt_is_involution():
+    rng = np.random.default_rng(14)
+    buf = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    enc = rawcontainers.sony_decrypt(buf, 0xDEADBEEF)
+    assert enc != buf
+    assert rawcontainers.sony_decrypt(enc, 0xDEADBEEF) == buf
+    # trailing non-word bytes pass through untouched
+    buf2 = buf + b"\x07\x08\x09"
+    enc2 = rawcontainers.sony_decrypt(buf2, 1)
+    assert enc2[-3:] == b"\x07\x08\x09"
+
+
+def test_sony_curve_lut_segments():
+    """Knees (a,b,c,d) give slopes 1,2,4,8,16 across the segments."""
+    lut = rawcontainers.sony_curve_lut(
+        np.array([100 << 2, 200 << 2, 400 << 2, 800 << 2]))
+    assert lut[0] == 0
+    assert lut[100] == 100                      # slope 1
+    assert lut[200] == 100 + 100 * 2            # slope 2
+    assert lut[400] == 300 + 200 * 4            # slope 4
+    assert lut[800] == 1100 + 400 * 8           # slope 8
+    assert lut[4095] == 4300 + (4095 - 800) * 16  # slope 16
+    # default: single slope-16 ramp
+    d = rawcontainers.sony_curve_lut(None)
+    assert d[1] == 16 and d[4095] == 4095 * 16
+
+
+@native_gated
+def test_arw2_cpp_matches_python_random_streams():
+    rng = np.random.default_rng(15)
+    curve = rng.integers(0, 65536, 0x1000).astype(np.uint16)
+    stream = rng.integers(0, 256, 64 * 6, dtype=np.uint8).tobytes()
+    a = native.arw2_decode(stream, curve, 64, 6)
+    b = rawcontainers._arw2_decode_py(stream, curve, 64, 6)
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
+
+
+def test_arw2_exact_roundtrip_small_range():
+    """Blocks whose max-min < 0x80 carry unshifted deltas: encode ->
+    decode is exact through a known curve."""
+    rng = np.random.default_rng(16)
+    vals = rng.integers(900, 1023, (6, 64)).astype(np.int64)
+    stream = arw2_encode(vals)
+    curve = rawcontainers.sony_curve_lut(None)  # slope 16 -> out = 8*pix
+    got = native.arw2_decode(stream, curve, 64, 6)
+    if got is None:
+        got = rawcontainers._arw2_decode_py(stream, curve, 64, 6)
+    assert np.array_equal(got, (vals * 8).astype(np.uint16))
+
+
+def test_arw_full_container_parse():
+    rng = np.random.default_rng(17)
+    vals = rng.integers(600, 727, (8, 64)).astype(np.int64)
+    data = write_arw(vals)
+    raw = rawcontainers.parse_raw_container(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, (vals * 8).astype(np.uint16))
+    assert raw.black == 512.0
+    assert raw.white == float((0x7FF << 1) * 16 >> 2)
+    np.testing.assert_allclose(raw.as_shot_neutral,
+                               [1024 / 2200, 1.0, 1024 / 1700], rtol=1e-6)
+
+
+def test_arw_demosaic_and_group_with_png(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(96, 128, seed=18)
+    vals = (mosaic14 >> 3).astype(np.int64)  # 11-bit sensor
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot.arw").write_bytes(write_arw(
+        vals, black=(0, 0, 0, 0), wb=(1024, 1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "twin.png")
+
+    arr, res = decode.load_image(d / "shot.arw")
+    assert arr is not None and res == (128, 96)
+
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot.arw", "twin.png"}
