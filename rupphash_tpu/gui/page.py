@@ -95,8 +95,12 @@ body { background:var(--bg); color:var(--fg);
 'use strict';
 let S = null;            // server snapshot
 let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
+let zoomRel = false;     // X: x-levels relative to fit vs absolute px
 let pan = {x:0, y:0}, drag = null;
 let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
+let mapFocus = false;    // A: zoom the map on the selected marker
+let pathDepth = 0;       // P: 0 name, 1 parent/name, 2 full path
+let sideW = 1;           // </>: sidebar width step (0..3)
 let scanPoll = null, statusTimer = null, lastStatus = '';
 let lastSun = null;   // {gi, fi, az} for the map sun indicator
 let imgNatural = [0, 0];
@@ -213,12 +217,21 @@ function renderList() {
                (f.subgroup ? 'C' + f.subgroup : '  ');
       if (f.low_quality) mk = mk.slice(0, 3) + '!';
       const res = f.res ? f.res[0] + 'x' + f.res[1] : '?';
+      // P cycles shown path depth (reference sidebar depth toggle)
+      let shown = f.name;
+      if (pathDepth === 2) shown = f.path;
+      else if (pathDepth === 1) {
+        const parts = f.path.split('/');
+        shown = parts.slice(-2).join('/');
+      }
       d.innerHTML = `<span class="mk">${esc(mk)}</span>` +
-        `<span>${esc(f.name)}</span>` +
+        `<span>${esc(shown)}</span>` +
         `<span class="meta">${esc(fmtTime(f.mtime))} · ${res} · ` +
         `${fmtSize(f.size)}</span>`;
       d.title = f.path;
       d.onclick = () => selectRow(gi, fi);
+      d.oncontextmenu = ev2 => { ev2.preventDefault();
+                                 ctxMenu(ev2, gi, fi, f); };
     }
     win.appendChild(d);
   }
@@ -334,7 +347,12 @@ function layoutImage() {
   if (zoomMode === 'fit') scale = Math.min(cw/iw, ch/ih, 2); // cap 2x
   else if (zoomMode === 'fitw') scale = cw/iw;
   else if (zoomMode === 'fith') scale = ch/ih;
-  else scale = {x1:1, x2:2, x4:4, x8:8}[zoomMode] || 1;
+  else {
+    scale = {x1:1, x2:2, x4:4, x8:8}[zoomMode] || 1;
+    // X: relative zoom scales from the fitted size instead of 1:1
+    // pixels (gui/image.rs zoom-type toggle)
+    if (zoomRel) scale *= Math.min(cw/iw, ch/ih);
+  }
   const w = iw*scale, h = ih*scale;
   let x = (cw-w)/2 + pan.x, y = (ch-h)/2 + pan.y;
   if (w <= cw) { x = (cw-w)/2; pan.x = 0; }
@@ -344,7 +362,7 @@ function layoutImage() {
   img.style.width = w+'px'; img.style.height = h+'px';
   img.style.left = x+'px'; img.style.top = y+'px';
   img.style.imageRendering = scale >= 2 ? 'pixelated' : 'auto';
-  $('st-zoom').textContent = zoomMode + ' ' +
+  $('st-zoom').textContent = zoomMode + (zoomRel ? ' rel ' : ' ') +
     Math.round(scale*100) + '%';
 }
 
@@ -398,7 +416,10 @@ function drawMap() {
     const merc = m => [(m.lon + 180) / 360,
       (1 - Math.log(Math.tan(m.lat*d) + 1/Math.cos(m.lat*d))
            / Math.PI) / 2];
-    const ws = md.markers.map(merc);
+    // A: zoom on the selected file's marker instead of fitting all
+    const sel = mapFocus && S ?
+      md.markers.find(m => m.file === S.cursor[1]) : null;
+    const ws = (sel ? [sel] : md.markers).map(merc);
     const mx0 = Math.min(...ws.map(w => w[0])),
           mx1 = Math.max(...ws.map(w => w[0]));
     const my0 = Math.min(...ws.map(w => w[1])),
@@ -406,7 +427,7 @@ function drawMap() {
     const dx = Math.max(mx1-mx0, 1e-7), dy = Math.max(my1-my0, 1e-7);
     let z = Math.floor(Math.log2(Math.min(
       cv.width / (dx * 256 * 1.4), cv.height / (dy * 256 * 1.4))));
-    z = Math.max(1, Math.min(17, z));
+    z = Math.max(1, Math.min(17, sel ? 16 : z));
     const sc = 256 * Math.pow(2, z), n = Math.pow(2, z);
     const ox = (mx0+mx1)/2 * sc - cv.width/2;
     const oy = (my0+my1)/2 * sc - cv.height/2;
@@ -655,12 +676,51 @@ r            rename current file
 f            advanced search (EXIF/geo/regex)   F  fullscreen
 s            cycle sort order        t  relative times
 W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
+X            zoom levels absolute (1:1 px) vs relative to fit
 I            histogram off/luma/Oklab   E  EXIF overlay
 N            map off/markers/paths      G  sun via GPS-UTC/camera clock
+A            map: fit all markers vs zoom on selected
+P            sidebar path depth   < / >  sidebar width
+.            go up one directory (view mode)
 L            cycle 3D LUT
 R / H / V    rotate 90° cw / flip horizontal / vertical
-0            reset transform
+0            reset transform   Delete  delete current file (confirm)
+right-click  row menu: rename / copy path / delete
 T            slideshow    ?  this help    Q  quit`;
+
+// right-click context menu on list rows (gui/app.rs context menu:
+// Rename / Copy full path / Delete)
+let ctxEl = null;
+function closeCtx() { if (ctxEl) { ctxEl.remove(); ctxEl = null; } }
+function ctxMenu(ev, gi, fi, f) {
+  closeCtx();
+  selectRow(gi, fi);
+  const m = document.createElement('div');
+  m.style.cssText = 'position:fixed;z-index:40;background:#141a24;' +
+    'border:1px solid #2a3344;border-radius:4px;padding:4px 0;' +
+    `left:${ev.clientX}px;top:${ev.clientY}px;min-width:150px`;
+  const items = [
+    ['Rename', () => prompt2('Rename to:',
+                             v => intent('submit_rename', v), f.name)],
+    ['Copy full path', () => {
+      if (navigator.clipboard)
+        navigator.clipboard.writeText(f.path).catch(() => {});
+    }],
+    ['Delete', () => intent('delete_immediate')],
+  ];
+  for (const [label, act] of items) {
+    const it = document.createElement('div');
+    it.textContent = label;
+    it.style.cssText = 'padding:4px 14px;cursor:pointer';
+    it.onmouseenter = () => it.style.background = '#1d2636';
+    it.onmouseleave = () => it.style.background = '';
+    it.onclick = () => { closeCtx(); act(); };
+    m.appendChild(it);
+  }
+  document.body.appendChild(m);
+  ctxEl = m;
+}
+document.addEventListener('click', closeCtx);
 
 document.addEventListener('keydown', async ev => {
   if (ev.target.tagName === 'INPUT') return;
@@ -768,6 +828,34 @@ document.addEventListener('keydown', async ev => {
     case 'F':
       document.fullscreenElement ? document.exitFullscreen()
         : document.documentElement.requestFullscreen();
+      break;
+    case 'A':                       // KEYS.txt: autozoom map
+      mapFocus = !mapFocus;
+      drawMap();
+      break;
+    case 'P':                       // KEYS.txt: path depth in sidebar
+      pathDepth = (pathDepth + 1) % 3;
+      renderList();
+      break;
+    case 'X':                       // KEYS.txt: zoom absolute/relative
+      zoomRel = !zoomRel;
+      layoutImage();
+      break;
+    case '<': case '>': {           // KEYS.txt V/B: sidebar width
+      sideW = Math.max(0, Math.min(3, sideW + (k === '>' ? 1 : -1)));
+      $('list').style.width = [20, 30, 40, 50][sideW] + '%';
+      renderList();
+      break; }
+    case '.': {                     // KEYS.txt: up one directory
+      const cur = current();
+      if (cur) {
+        const parts = cur.path.split('/');
+        const up = parts.slice(0, -2).join('/') || '/';
+        await intent('change_dir', up);
+      }
+      break; }
+    case 'Delete':                  // KEYS.txt: delete selected file
+      await intent('delete_immediate');
       break;
     case '?':
       $('help').textContent = HELP;
