@@ -31,9 +31,13 @@ RAW_EXTS = {"nef", "dng", "cr2", "cr3", "arw", "orf", "rw2", "raf",
             "kdc", "dcr", "pef", "x3f", "srf", "3fr"}  # scanner.rs:43-46
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class FileRecord:
-    """The cross-layer value type, mirrors FileMetadata (phdupes.rs:52-65)."""
+    """The cross-layer value type, mirrors FileMetadata (phdupes.rs:52-65).
+
+    slots=True drops the per-instance __dict__ (~230 B each): at the
+    reference's advertised 1M-file scale that is ~220 MiB of resident
+    memory (README.md:12 budget is 2.5 GiB total)."""
     path: Path
     size: int = 0
     modified: float = 0.0
@@ -55,7 +59,7 @@ class FileRecord:
         return self.pdq_quality is not None and self.pdq_quality < PDQ_MIN_QUALITY
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class GroupInfo:
     max_dist: int = 0
     status: str = "none"  # "all-identical" | "some-identical" | "none"

@@ -221,7 +221,12 @@ def find_edges(base_hashes: np.ndarray,
 def _extract_rows(q_packed, base_packed, qlow, low, qidx_global, sim,
                   n_total, nbits):
     """Compact hot-row extraction: (M, V, nbytes) query rows vs the whole
-    base.  Returns (M, Npad/8) uint8 packed match masks."""
+    base.  Returns (M, Npad/8) uint8 packed match masks.
+
+    XLA formulation kept as the oracle for extract_rows_packed — the
+    production Pallas kernel in hamming_pallas.py, which keeps its dot
+    tiles in VMEM instead of materializing the (M, Npad) int32 array
+    in HBM (tests/test_hamming_pallas.py compares them bit-for-bit)."""
     m, v, nbytes = q_packed.shape
     npad = base_packed.shape[0]
     qv = unpack_bits_pm1(q_packed).reshape(m * v, nbits)
@@ -238,6 +243,21 @@ def _extract_rows(q_packed, base_packed, qlow, low, qidx_global, sim,
     return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("kpad",))
+def _nonzero_bytes(packed, kpad):
+    """(M, Npad/8) uint8 -> (positions, values) of the first kpad
+    nonzero bytes (position -1 pads).  Match masks are ~all zeros, so
+    reading back kpad (index, byte) pairs instead of the full bitmask
+    turns an O(M x N / 8) device->host transfer into O(edges) — the
+    difference between seconds and minutes behind a tunneled TPU."""
+    flat = packed.reshape(-1)
+    # int32 flat indexing caps chunks at row_chunk * Npad/8 < 2^31
+    # bytes (row_chunk=256 covers Npad up to ~67M hashes)
+    (idx,) = jnp.nonzero(flat != 0, size=kpad, fill_value=-1)
+    vals = jnp.where(idx >= 0, flat[jnp.maximum(idx, 0)], 0)
+    return idx, vals
+
+
 def find_edges_fast(base_hashes: np.ndarray,
                     variants: np.ndarray | None = None,
                     low_conf: np.ndarray | None = None,
@@ -248,9 +268,10 @@ def find_edges_fast(base_hashes: np.ndarray,
     """Production edge search: fused Pallas row-count sweep, then exact
     extraction of only the rows with matches (see hamming_pallas.py).
     The Pallas kernel needs real hardware; CPU backends transparently
-    take the XLA tile path (same results, interpret mode would be
-    grid-serial)."""
-    if jax.default_backend() == "cpu":
+    take the XLA tile path (same results) unless interpret=True, which
+    runs this whole path with the kernel in grid-serial interpret mode
+    (how the tests cover the production code on CPU)."""
+    if jax.default_backend() == "cpu" and not interpret:
         return find_edges(base_hashes, variants, low_conf, similarity,
                           return_stats=return_stats)
     from . import hamming_pallas
@@ -265,40 +286,52 @@ def find_edges_fast(base_hashes: np.ndarray,
     if low_conf is None:
         low_conf = np.zeros(n, dtype=bool)
 
-    var_pm1, low, _, npad = hamming_pallas.prepare_inputs(
+    # packed u8 hashes ship to the device and unpack to +/-1 there
+    # (8x less host->device traffic than shipping the int8 encoding)
+    var_d, low_d, _, npad = hamming_pallas.prepare_inputs_device(
         base_hashes, variants, low_conf)
-    var_d = jax.device_put(var_pm1)
-    low_d = jax.device_put(low)
     counts = np.asarray(hamming_pallas.scan_row_counts(
         var_d, low_d, ta=hamming_pallas.QUERY_TILE,
         tb=hamming_pallas.BASE_TILE, nbits=nbits, sim=similarity,
         n_total=n, interpret=interpret))[:n, 0]
 
     hot = np.nonzero(counts > 0)[0]
-    base_p = np.zeros((npad, nbytes), dtype=np.uint8)
-    base_p[:n] = base_hashes
-    base_d = jax.device_put(base_p)
-    lowflat_d = jax.device_put(low[:, 0])
 
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
+    stride = npad // 8
     for c0 in range(0, len(hot), row_chunk):
         rows = hot[c0:c0 + row_chunk]
         m = len(rows)
-        mpad = -(-m // 8) * 8
-        qp = np.zeros((mpad,) + variants.shape[1:], dtype=np.uint8)
-        qp[:m] = variants[rows]
-        qidx = np.full(mpad, n, dtype=np.int32)
-        qidx[:m] = rows
-        qlow = np.ones(mpad, dtype=bool)
-        qlow[:m] = low_conf[rows]
-        packed = np.asarray(_extract_rows(
-            jax.device_put(qp), base_d, jax.device_put(qlow), lowflat_d,
-            jax.device_put(qidx), similarity, n, nbits))
-        mbits = np.unpackbits(packed, axis=-1, bitorder="little")[:m, :n]
-        ri, rj = np.nonzero(mbits)
-        edges_i.append(rows[ri].astype(np.int64))
-        edges_j.append(rj.astype(np.int64))
+        mpad = -(-m // 32) * 32
+        # gather the hot rows' +/-1 variants on DEVICE (var_d already
+        # holds them); padded slots point at row n-1 with qidx=n so the
+        # kernel's index guard keeps them inert
+        ridx = np.full(mpad, n - 1, dtype=np.int32)
+        ridx[:m] = rows
+        qidx = np.full((mpad, 1), n, dtype=np.int32)
+        qidx[:m, 0] = rows
+        q_d = jnp.take(var_d, jnp.asarray(ridx), axis=1)
+        qlow = np.ones((mpad, 1), dtype=np.int32)
+        qlow[:m, 0] = low_conf[rows].astype(np.int32)
+        packed = hamming_pallas.extract_rows_packed(
+            q_d, var_d[0], jax.device_put(qlow), low_d,
+            jax.device_put(qidx), tb=hamming_pallas.BASE_TILE,
+            nbits=nbits, sim=similarity, n_total=n, interpret=interpret)
+        # the chunk's exact edge count bounds its nonzero mask bytes;
+        # a floor collapses kpad buckets so the jit compiles once
+        k = int(counts[rows].sum())
+        kpad = max(4096, 1 << max(0, (k - 1).bit_length()))
+        idx, vals = (np.asarray(a) for a in _nonzero_bytes(packed, kpad))
+        sel = idx >= 0
+        idx, vals = idx[sel], vals[sel]
+        r = idx // stride
+        bytecol = (idx % stride).astype(np.int64)
+        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
+                             bitorder="little")
+        rr, bb = np.nonzero(bits)
+        edges_i.append(ridx[r[rr]].astype(np.int64))
+        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
 
     ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
     ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)

@@ -149,6 +149,114 @@ def prepare_inputs(base_hashes: np.ndarray,
     return var_pm1, low, n, npad
 
 
+def _extract_kernel(qv_ref, bv_ref, qlow_ref, blow_ref, qidx_ref,
+                    pack_ref, out_ref, *, mq, tb, v, nbits, sim,
+                    n_total):
+    """Packed-bitmask extraction for a block of hot query rows: one
+    (mq, tb/8) uint8 tile of match bits per base tile.  The bit packing
+    is a (mq, tb) x (tb, tb/8) int8 matmul against a block-diagonal
+    power-of-two matrix — a reshape-free formulation Mosaic accepts
+    (lane-dim sub-splits crash this environment's compiler, see
+    tools/mosaic_repro.py)."""
+    bj = pl.program_id(0)
+    bt = bv_ref[:].T  # (nbits, tb) int8
+    acc = jnp.dot(qv_ref[0], bt, preferred_element_type=jnp.int32)
+    for vi in range(1, v):
+        acc = jnp.maximum(
+            acc, jnp.dot(qv_ref[vi], bt, preferred_element_type=jnp.int32))
+    either_low = (qlow_ref[:] + blow_ref[:].reshape(1, tb)) > 0
+    dotmin = jnp.where(either_low, nbits, nbits - 2 * sim)
+    jidx = bj * tb + jax.lax.broadcasted_iota(jnp.int32, (mq, tb), 1)
+    mask = ((acc >= dotmin) & (jidx > qidx_ref[:])
+            & (jidx < n_total) & (qidx_ref[:] < n_total))
+    out_ref[:, :] = jnp.dot(mask.astype(jnp.int8), pack_ref[:],
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tb", "nbits", "sim", "n_total",
+                                    "interpret"))
+def extract_rows_packed(q_pm1, base_pm1, qlow, blow, qidx, *,
+                        tb=BASE_TILE, nbits=256, sim=40, n_total=0,
+                        interpret=False):
+    """q_pm1 (V, MQ, nbits) int8 hot-row variants; base_pm1
+    (Npad, nbits) int8; qlow (MQ, 1) / blow (Npad, 1) int32;
+    qidx (MQ, 1) int32 global row indices (>= n_total rows inert).
+    Returns (MQ, Npad/8) uint8 packed match bitmasks, all tiles
+    VMEM-resident (the XLA formulation materializes the (MQ, Npad)
+    int32 dot in HBM — tens of GB at the 1M scale)."""
+    v, mq, _ = q_pm1.shape
+    npad = base_pm1.shape[0]
+    pack = np.zeros((tb, tb // 8), dtype=np.int8)
+    j = np.arange(tb)
+    pack[j, j // 8] = (1 << (j % 8)) - 256 * (j % 8 == 7)  # int8 -128
+    kernel = functools.partial(_extract_kernel, mq=mq, tb=tb, v=v,
+                               nbits=nbits, sim=sim, n_total=n_total)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(npad // tb,),
+        in_specs=[
+            pl.BlockSpec((v, mq, nbits), lambda bj: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, nbits), lambda bj: (bj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mq, 1), lambda bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda bj: (bj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mq, 1), lambda bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tb // 8), lambda bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mq, tb // 8), lambda bj: (0, bj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mq, npad // 8), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(q_pm1, base_pm1, qlow, blow, qidx, jnp.asarray(pack))
+    # int8 packing stores bit 7 as -128; uint8 view is the true mask
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("npad",))
+def _unpack_padded(var_packed_u8, low_i32, npad):
+    from . import hamming
+
+    return hamming.unpack_bits_pm1(var_packed_u8), low_i32
+
+
+def prepare_inputs_device(base_hashes: np.ndarray,
+                          variants: np.ndarray | None,
+                          low_conf: np.ndarray | None,
+                          ta: int = QUERY_TILE, tb: int = BASE_TILE):
+    """Like prepare_inputs, but ships *packed* hashes to the device and
+    unpacks to the +/-1 layout there: host->device traffic drops 8x
+    (1 bit/bit instead of 1 int8/bit) — decisive when the TPU sits
+    behind a slow PCIe link or network tunnel.  Returns
+    (var_pm1 device (V, Npad, nbits) int8, low device (Npad, 1) int32,
+    n, npad)."""
+    n, nbytes = base_hashes.shape
+    if variants is None:
+        variants = base_hashes[:, None, :]
+    v = variants.shape[1]
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+    npad = max(ta, tb)
+    npad = -(-n // npad) * npad
+    npad = -(-npad // ta) * ta
+    npad = -(-npad // tb) * tb
+    packed = np.zeros((v, npad, nbytes), dtype=np.uint8)
+    packed[:, :n] = np.moveaxis(variants, 1, 0)
+    low = np.ones((npad, 1), dtype=np.int32)
+    low[:n, 0] = low_conf.astype(np.int32)
+    var_d, low_d = _unpack_padded(jax.device_put(packed),
+                                  jax.device_put(low), npad)
+    return var_d, low_d, n, npad
+
+
 def row_match_counts(base_hashes: np.ndarray,
                      variants: np.ndarray | None = None,
                      low_conf: np.ndarray | None = None,

@@ -13,6 +13,8 @@ Checks, each against the numpy goldens:
   5. pHash vs golden (64-bit exact)
   6. Pallas grouping kernel: planted-duplicate count sweep
   7. Serve query op: min-over-variant distances vs numpy
+  8. find_edges_fast (packed ship + on-device unpack) planted edges
+  9. Native raw codecs vs their Python oracles (NEF 34713, ARW2)
 """
 
 from __future__ import annotations
@@ -108,6 +110,39 @@ def main(argv=None) -> int:
     hits = ix.query(qv, similarity=0)[0]
     check("serve exact query", len(hits) >= 1 and hits[0][0] == 7
           and hits[0][2] == 0)
+
+    # 8. end-to-end edge extraction on the production (packed) path
+    try:
+        hashes = rng.integers(0, 256, (4096, 32), dtype=np.uint8)
+        hashes[4000] = hashes[123]
+        hashes[2048] = hashes[123]
+        ei, ej = hamming.find_edges_fast(hashes, similarity=0)
+        got = set(zip(ei.tolist(), ej.tolist()))
+        check("find_edges_fast planted cluster",
+              got == {(123, 2048), (123, 4000), (2048, 4000)})
+    except Exception as e:
+        check(f"find_edges_fast ({type(e).__name__})", False)
+
+    # 9. native raw codecs vs Python oracles (host-side, but release
+    # builds run this suite on the deploy image, so keep it here)
+    try:
+        from .. import native
+        from ..pipeline import rawcontainers as rc
+        stream = rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+        curve = np.arange(0x4000, dtype=np.uint16)
+        vp = np.array([600, 600, 600, 600], dtype=np.uint16)
+        a = native.nef_huff_decode(stream, vp, curve, 16, 8, 2)
+        b = rc._nef_decode_py(stream, vp, curve, 16, 8, 2)
+        check("NEF 34713 C++ vs Python oracle",
+              a is not None and np.array_equal(a, b))
+        curve2 = rc.sony_curve_lut(None)
+        s2 = rng.integers(0, 256, 64 * 4, dtype=np.uint8).tobytes()
+        c = native.arw2_decode(s2, curve2, 64, 4)
+        d = rc._arw2_decode_py(s2, curve2, 64, 4)
+        check("ARW2 C++ vs Python oracle",
+              c is not None and np.array_equal(c, d))
+    except Exception as e:
+        check(f"native raw codecs ({type(e).__name__})", False)
 
     print(f"{'PASS' if failures == 0 else 'FAIL'} "
           f"({failures} failing checks)")

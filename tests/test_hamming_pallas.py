@@ -65,3 +65,82 @@ def test_find_edges_fast_empty():
     fi, fj = hamming.find_edges_fast(
         np.empty((0, 32), dtype=np.uint8), interpret=True)
     assert len(fi) == 0 and len(fj) == 0
+
+
+def test_prepare_inputs_device_matches_host(planted):
+    """The packed-ship/on-device-unpack path (8x less host->device
+    traffic) produces the same kernel inputs for real rows and the same
+    row counts through the kernel."""
+    base, variants, low = planted
+    var_h, low_h, n, npad = hamming_pallas.prepare_inputs(
+        base, variants, low)
+    var_d, low_d, n2, npad2 = hamming_pallas.prepare_inputs_device(
+        base, variants, low)
+    assert (n, npad) == (n2, npad2)
+    assert np.array_equal(np.asarray(var_d)[:, :n], var_h[:, :n])
+    assert np.array_equal(np.asarray(low_d), low_h)
+    counts = np.asarray(hamming_pallas.scan_row_counts(
+        var_d, low_d, nbits=256, sim=31, n_total=n,
+        interpret=True))[:n, 0]
+    counts_h, _ = hamming_pallas.row_match_counts(
+        base, variants, low, similarity=31, interpret=True)
+    assert np.array_equal(counts, counts_h)
+
+
+def test_extract_rows_packed_matches_xla_oracle(planted):
+    """The VMEM extraction kernel produces the exact packed bitmasks of
+    the XLA oracle (_extract_rows) for hot rows with real matches,
+    low-confidence rows, and inert padded slots."""
+    import jax
+    import jax.numpy as jnp
+
+    base, variants, low = planted
+    n = len(base)
+    low = low.copy()
+    low[100] = True  # low-conf member of the exact pair
+    var_d, low_d, _, npad = hamming_pallas.prepare_inputs_device(
+        base, variants, low)
+    rows = np.array([7, 55, 100, 1800, 2500], dtype=np.int32)
+    mpad = 32
+    ridx = np.full(mpad, n - 1, dtype=np.int32)
+    ridx[:len(rows)] = rows
+    qidx = np.full((mpad, 1), n, dtype=np.int32)
+    qidx[:len(rows), 0] = rows
+    qlow = np.ones((mpad, 1), dtype=np.int32)
+    qlow[:len(rows), 0] = low[rows].astype(np.int32)
+    q_d = jnp.take(var_d, jnp.asarray(ridx), axis=1)
+
+    got = np.asarray(hamming_pallas.extract_rows_packed(
+        q_d, var_d[0], jax.device_put(qlow), low_d,
+        jax.device_put(qidx), tb=hamming_pallas.BASE_TILE, nbits=256,
+        sim=31, n_total=n, interpret=True))
+
+    qp = np.zeros((mpad, 8, 32), dtype=np.uint8)
+    qp[:len(rows)] = variants[rows]
+    base_p = np.zeros((npad, 32), dtype=np.uint8)
+    base_p[:n] = base
+    want = np.asarray(hamming._extract_rows(
+        jax.device_put(qp), jax.device_put(base_p),
+        jax.device_put(qlow[:, 0].astype(bool)), low_d[:, 0],
+        jax.device_put(qidx[:, 0]), 31, n, 256))
+    assert np.array_equal(got, want)
+    assert got.any()  # the planted pairs produce real bits
+
+
+def test_device_prepare_padding_is_masked():
+    """Device unpack pads with all -1 rows (an all-zero-bits hash),
+    unlike the host path's neutral 0 rows; the kernel's index guards
+    must keep padded rows out even when real all-zero hashes exist."""
+    n = 1030  # forces padding to 2048 with QUERY_TILE/BASE_TILE 1024
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    base[n - 1] = 0   # identical to every padded row bit-pattern
+    base[n - 2] = 0   # ... and to each other: exactly one real edge
+    low = np.zeros(n, dtype=bool)
+    var_d, low_d, _, _ = hamming_pallas.prepare_inputs_device(
+        base, None, low)
+    counts = np.asarray(hamming_pallas.scan_row_counts(
+        var_d, low_d, nbits=256, sim=0, n_total=n,
+        interpret=True))[:n, 0]
+    assert counts.sum() == 1
+    assert counts[n - 2] == 1  # the j>i edge lands on the lower row
