@@ -55,6 +55,21 @@ def _query_min_dists(q_packed, base_packed, base_low, nbits):
     return gated
 
 
+@functools.partial(jax.jit, static_argnames=("nbits", "k"))
+def _query_topk(q_packed, base_packed, base_low, n_total, nbits, k):
+    """Device-side selection: the k best (distance, corpus index) pairs
+    per query instead of the full (Q, N) distance matrix — the
+    readback is O(k) per query rather than O(N) (4 MB/query at a 1M
+    corpus).  Rows past n_total (padding) report nbits+1; distance
+    ties resolve to the lower corpus index (lax.top_k keeps first
+    occurrences), matching the host-side stable sort it replaces."""
+    gated = _query_min_dists(q_packed, base_packed, base_low, nbits)
+    col = jnp.arange(gated.shape[1], dtype=jnp.int32)[None, :]
+    gated = jnp.where(col >= n_total, nbits + 1, gated)
+    neg, idx = jax.lax.top_k(-gated, k)
+    return -neg, idx
+
+
 class HashIndex:
     """Persistent (hashes, quality, paths) corpus index.
 
@@ -260,15 +275,19 @@ class HashIndex:
             return [[] for _ in range(len(variants))]
         base_dev, low_dev, paths, n = self._device_arrays()
         q = np.ascontiguousarray(variants, dtype=np.uint8)
-        dists = np.asarray(_query_min_dists(
-            jax.device_put(q), base_dev, low_dev, self.nbytes * 8))
+        # k buckets to a power of two so the jit caches a handful of
+        # executables across max_results values
+        k = min(int(base_dev.shape[0]),
+                max(16, 1 << (max(1, max_results) - 1).bit_length()))
+        dists, idx = (np.asarray(a) for a in _query_topk(
+            jax.device_put(q), base_dev, low_dev, n,
+            self.nbytes * 8, k))
         out = []
-        for row in dists:
-            row = row[:n]
-            hit = np.flatnonzero(row <= similarity)
-            hit = hit[np.argsort(row[hit], kind="stable")][:max_results]
-            out.append([(int(i), paths[int(i)], int(row[i]))
-                        for i in hit])
+        for drow, irow in zip(dists, idx):
+            sel = drow <= similarity
+            out.append([(int(i), paths[int(i)], int(d))
+                        for d, i in zip(drow[sel][:max_results],
+                                        irow[sel][:max_results])])
         return out
 
 

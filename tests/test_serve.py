@@ -281,3 +281,34 @@ def test_index_remove(corpus):
     res = ix.query(var[None], similarity=0)[0]
     assert all(p != str(paths[1]) for _, p, _ in res)
     assert ix.remove("/no/such") == 0
+
+
+def test_topk_truncation_and_tie_order():
+    """Device-side top-k selection: with more hits than max_results the
+    best max_results come back sorted, distance ties resolving to the
+    lower corpus index (the host stable-sort semantics it replaced);
+    padded device rows never surface even for an all-zero query hash."""
+    import numpy as np
+
+    ix = serve.HashIndex()
+    h0 = bytes(range(32))
+    for i in range(40):
+        ix.add(f"/dup/{i}.png", h0, quality=90)
+    far = bytearray(h0)
+    far[0] ^= 0xFF
+    ix.add("/far.png", bytes(far), quality=90)
+    qv = np.frombuffer(h0, dtype=np.uint8)[None, None, :].repeat(8, 1)
+    hits = ix.query(qv, similarity=40, max_results=5)[0]
+    assert len(hits) == 5
+    assert [i for i, _, _ in hits] == [0, 1, 2, 3, 4]
+    assert all(d == 0 for _, _, d in hits)
+
+    # all-zero hashes match each other, and the device padding rows
+    # (also all-zero bit patterns) must stay invisible
+    ix2 = serve.HashIndex()
+    for i in range(3):
+        ix2.add(f"/z/{i}.png", b"\x00" * 32, quality=90)
+    qz = np.zeros((1, 8, 32), dtype=np.uint8)
+    hits = ix2.query(qz, similarity=0, max_results=100)[0]
+    assert len(hits) == 3
+    assert {i for i, _, _ in hits} == {0, 1, 2}
