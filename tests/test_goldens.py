@@ -38,3 +38,23 @@ def test_prophecy_pair_distance_locked(near_dupe_pair):
     b, _ = pdq_ref.generate_pdq(near_dupe_pair[1])
     d = pdq_ref.hamming_distance(a, b)
     assert 0 < d <= 40, d
+
+
+def test_bench_dihedral_vs_physical_transforms(bench_jpg):
+    """Dihedral robustness on the real photo (hamminghash.rs:415-481):
+    physically rotate/flip the bench fixture, hash the transformed
+    pixels, and assert the best coefficient-domain dihedral variant of
+    the upright hash is within the reference's resampling tolerance
+    (<= 22 bits; NOTES.txt:30-38 observed 0-20)."""
+    coeffs, _ = pdq_ref.generate_pdq_features(bench_jpg)
+    variants = pdq_ref.dihedral_hashes(coeffs)
+
+    transforms = [
+        np.rot90(bench_jpg, 1), np.rot90(bench_jpg, 2),
+        np.rot90(bench_jpg, 3), bench_jpg[:, ::-1], bench_jpg[::-1],
+        np.swapaxes(bench_jpg, 0, 1),
+    ]
+    for t in transforms:
+        h, _ = pdq_ref.generate_pdq(np.ascontiguousarray(t))
+        best = min(pdq_ref.hamming_distance(h, v) for v in variants)
+        assert best <= 22, f"dihedral match {best} bits"
