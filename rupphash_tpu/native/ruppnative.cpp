@@ -499,8 +499,11 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
         int seglen = (p[0] << 8) | p[1];
         const uint8_t* seg = p + 2;
         const uint8_t* segend = p + seglen;
-        if (segend > end) return -4;
+        // malformed lengths: shorter than the length field itself would
+        // rewind the cursor (hang); beyond the buffer would over-read
+        if (seglen < 2 || segend > end) return -4;
         if (marker == 0xC3) {  // SOF3
+            if (segend - seg < 6) return -5;
             precision = seg[0];
             H = (seg[1] << 8) | seg[2];
             W = (seg[3] << 8) | seg[4];
@@ -523,13 +526,20 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
             }
             p = segend;
         } else if (marker == 0xDD) {  // DRI
+            if (segend - seg < 2) return -4;
             restart_interval = (seg[0] << 8) | seg[1];
             p = segend;
         } else if (marker == 0xDA) {  // SOS
+            if (segend - seg < 1) return -7;
             int ns = seg[0];
             if (ns != NC || NC == 0) return -7;
-            for (int i = 0; i < ns; i++)
+            if (segend - seg < 1 + 2 * ns + 3) return -7;
+            for (int i = 0; i < ns; i++) {
+                // 4-bit selector, but only tables[0..3] exist — an
+                // unchecked 4..15 indexes garbage past the array
                 comp_table[i] = (seg[1 + 2 * i + 1] >> 4) & 0x0F;
+                if (comp_table[i] > 3) return -7;
+            }
             predictor = seg[1 + 2 * ns];
             pt = seg[3 + 2 * ns] & 0x0F;
             p = segend;

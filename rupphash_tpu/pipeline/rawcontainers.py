@@ -393,6 +393,8 @@ def _nikon_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
     _, cnt, voff = lin
     meta = emb[voff:voff + cnt]
     bps = int(_scalar(raw_ifd, _T_BITS, 12))
+    if bps not in (12, 14):  # the only 34713 precisions; also bounds
+        return None          # the 1 << bps curve allocation
     parsed = parse_nikon_linearization(meta, e2, bps)
     if parsed is None:
         return None
@@ -607,6 +609,8 @@ def parse_cr2(data: bytes) -> RawImage | None:
 
     h = int(_scalar(raw_ifd, _T_LENGTH, decoded.shape[0]))
     w = int(_scalar(raw_ifd, _T_WIDTH, decoded.shape[1]))
+    if h <= 0 or w <= 0 or h * w > 512_000_000 // 2:
+        return None
     if decoded.size != h * w:
         # fall back to the stream's own geometry
         h, w = decoded.shape

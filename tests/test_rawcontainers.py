@@ -746,3 +746,39 @@ def test_arw_demosaic_and_group_with_png(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"shot.arw", "twin.png"}
+
+
+def test_raw_container_parsers_survive_mutations():
+    """Scan input is untrusted: byte-mutated NEF/ARW/CR2 containers must
+    decode, fail cleanly (None), or raise a contained Python error —
+    never crash the native decoders (whose bounds are asserted here by
+    running them on hundreds of corrupted streams)."""
+    rng = np.random.default_rng(20)
+    _, mosaic = _scene14(16, 32)
+    vals12 = (mosaic >> 2).astype(np.uint16)
+    vpred = (512, 512, 512, 512)
+    stream = nef_huff_encode(vals12, 2, vpred)
+    lin = nikon_lin_block(ver=(0x46, 0x30), vpred=vpred)
+    seeds = [
+        write_nef(vals12, bits=12, compression=34713, lin_table=lin,
+                  stream=stream),
+        write_arw((vals12 >> 1).astype(np.int64), black=(0, 0, 0, 0)),
+        write_cr2(vals12),
+    ]
+    survived = 0
+    for seed_data in seeds:
+        buf = bytearray(seed_data)
+        for _ in range(120):
+            n_mut = int(rng.integers(1, 8))
+            positions = rng.integers(0, len(buf), n_mut)
+            saved = [(int(p), buf[int(p)]) for p in positions]
+            for p in positions:
+                buf[int(p)] = int(rng.integers(0, 256))
+            try:
+                rawcontainers.parse_raw_container(bytes(buf))
+                survived += 1
+            except Exception:
+                survived += 1  # contained Python error is acceptable
+            for p, v in saved:
+                buf[p] = v
+    assert survived == 3 * 120  # process alive through every mutation
