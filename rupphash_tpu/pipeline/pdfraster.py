@@ -114,6 +114,12 @@ class _Lexer:
         q = p
         while q < len(d) and d[q:q + 1] not in _WS + _DELIM:
             q += 1
+        if q == p:
+            # stray delimiter byte (unbalanced ')' or a lone '>'):
+            # consume it so the token stream always makes progress —
+            # corrupt files otherwise yield empty tokens forever
+            self.p = p + 1
+            return d[p:p + 1].decode("latin-1")
         word = d[p:q]
         self.p = q
         try:
