@@ -84,3 +84,55 @@ def test_decoders_survive_mutations(seeds):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
     assert hangs == 0
+
+
+def test_metadata_parsers_survive_mutations(seeds):
+    """cICP detection, .cube LUT parsing, and the search query parser
+    take user/file input too: random mutations and garbage strings must
+    terminate (contained exceptions allowed, hangs not)."""
+    from rupphash_tpu import search_index
+    from rupphash_tpu.gui import lut
+    from rupphash_tpu.pipeline import hdr
+
+    rng = np.random.default_rng(7)
+    old = signal.signal(signal.SIGALRM, _alarm)
+    hangs = 0
+    cube = ("TITLE \"t\"\nLUT_3D_SIZE 2\n"
+            + "\n".join("0 0 0 1 1 1 0 1 0 1 0 1".split()) + "\n") * 2
+    try:
+        for seed in seeds[:2]:
+            buf = bytearray(seed)
+            for _ in range(15):
+                pos = rng.integers(0, len(buf), 4)
+                saved = [(int(p), buf[int(p)]) for p in pos]
+                for p in pos:
+                    buf[int(p)] = int(rng.integers(0, 256))
+                signal.alarm(10)
+                try:
+                    hdr.detect_cicp(bytes(buf))
+                except _Timeout:
+                    hangs += 1
+                except Exception:
+                    pass
+                finally:
+                    signal.alarm(0)
+                for p, v in saved:
+                    buf[p] = v
+        for _ in range(40):
+            n = int(rng.integers(1, 60))
+            junk = bytes(rng.integers(32, 127, n)).decode()
+            signal.alarm(10)
+            try:
+                search_index.parse_search_query(junk)
+                lut.parse_cube(junk)
+                lut.parse_cube(cube[:int(rng.integers(0, len(cube)))])
+            except _Timeout:
+                hangs += 1
+            except Exception:
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert hangs == 0
