@@ -318,10 +318,13 @@ def find_edges_fast(base_hashes: np.ndarray,
             q_d, var_d[0], jax.device_put(qlow), low_d,
             jax.device_put(qidx), tb=hamming_pallas.BASE_TILE,
             nbits=nbits, sim=similarity, n_total=n, interpret=interpret)
-        # the chunk's exact edge count bounds its nonzero mask bytes;
-        # a floor collapses kpad buckets so the jit compiles once
+        # the chunk's exact edge count bounds its nonzero mask bytes; a
+        # floor collapses kpad buckets so the jit compiles once, and the
+        # mask's own byte count caps it (dense-duplicate corpora would
+        # otherwise pad the nonzero output past the mask itself)
         k = int(counts[rows].sum())
         kpad = max(4096, 1 << max(0, (k - 1).bit_length()))
+        kpad = min(kpad, mpad * stride)
         idx, vals = (np.asarray(a) for a in _nonzero_bytes(packed, kpad))
         sel = idx >= 0
         idx, vals = idx[sel], vals[sel]

@@ -176,16 +176,32 @@ def _raster(data: bytes, ifd: dict, endian: str) -> np.ndarray | None:
                 rows, width).astype(np.uint16)
         if bits in (10, 12, 14):
             # MSB-first packed (TIFF fill order 1) — the uncompressed
-            # NEF/CR2-class sensor packing as well as DNG's
+            # NEF/CR2-class sensor packing as well as DNG's.  Work in
+            # bounded chunks with uint16 shift-accumulate: a whole-strip
+            # (n, bits) int64 matrix costs ~15x the payload (gigabytes
+            # for a 24MP raw) and would blow the scan's memory budget.
             n = rows * width
             need = (n * bits + 7) // 8
             if len(raw) < need:
                 return None
             b = np.frombuffer(raw, dtype=np.uint8, count=need)
-            allbits = np.unpackbits(b)[:n * bits]
-            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
-            vals = allbits.reshape(n, bits).astype(np.int64) @ weights
-            return vals.astype(np.uint16).reshape(rows, width)
+            out_flat = np.empty(n, dtype=np.uint16)
+            # chunk on a byte boundary: lcm(bits, 8)/bits samples per
+            # aligned unit (4 for 10/14-bit, 2 for 12-bit)
+            import math as _math
+            unit = 8 // _math.gcd(bits, 8)
+            smp_chunk = max(unit, (1 << 20) // unit * unit)
+            for s0 in range(0, n, smp_chunk):
+                s1 = min(n, s0 + smp_chunk)
+                b0 = s0 * bits // 8
+                b1 = (s1 * bits + 7) // 8
+                allbits = np.unpackbits(b[b0:b1])[:(s1 - s0) * bits]
+                cols = allbits.reshape(s1 - s0, bits)
+                acc = np.zeros(s1 - s0, dtype=np.uint16)
+                for k in range(bits):
+                    acc = (acc << 1) | cols[:, k]
+                out_flat[s0:s1] = acc
+            return out_flat.reshape(rows, width)
         return None
 
     if _T_TILE_OFFSETS in ifd:

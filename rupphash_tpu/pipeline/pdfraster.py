@@ -44,6 +44,16 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 
+def _hex_bytes(raw: bytes) -> bytes:
+    """PDF hex-string payload -> bytes: non-hex bytes dropped, an odd
+    digit count gets the spec's implied trailing 0 (7.3.4.3) — plain
+    bytes.fromhex raises on both, which real files exercise."""
+    digits = re.sub(rb"[^0-9a-fA-F]", b"", raw)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
 class _Lexer:
     def __init__(self, data: bytes, pos: int = 0):
         self.d = data
@@ -104,9 +114,7 @@ class _Lexer:
         if c == b"<":  # hex string
             q = d.find(b">", p)
             self.p = len(d) if q < 0 else q + 1
-            return bytes.fromhex(re.sub(rb"\s", b"",
-                                        d[p + 1:q]).decode("latin-1")
-                                 if q > p else "")
+            return _hex_bytes(d[p + 1:q] if q > p else b"")
         if c in b"[]{}":
             self.p = p + 1
             return c.decode()
@@ -265,8 +273,7 @@ class PdfDoc:
                 except zlib.error:
                     return None
             elif str(f) in ("ASCIIHexDecode",):
-                out = bytes.fromhex(
-                    re.sub(rb"[^0-9a-fA-F]", b"", out).decode())
+                out = _hex_bytes(out)
             else:
                 return None  # unsupported for content streams
         return out

@@ -226,16 +226,22 @@ class HashIndex:
                 lowp = np.ones(pad, dtype=bool)
                 lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
                 sh = NamedSharding(mesh, _P(("q", "b")))
+                # hp rides along as the HOST snapshot for exact-distance
+                # recompute: indices from these device arrays must never
+                # be applied to live self.hashes (concurrent add/remove
+                # compaction shifts rows)
                 self._device_mesh = (mesh, jax.device_put(hp, sh),
                                      jax.device_put(lowp, sh),
-                                     tuple(self.paths), self._n)
+                                     tuple(self.paths), self._n, hp)
             return self._device_mesh
 
-    def _host_min_dists(self, variants: np.ndarray,
+    @staticmethod
+    def _host_min_dists(variants: np.ndarray, hashes_snap: np.ndarray,
                         idx: np.ndarray) -> np.ndarray:
-        """Exact min-over-variant distances for a few matched rows."""
-        vb = np.unpackbits(variants, axis=-1)          # (V, bits)
-        bb = np.unpackbits(self.hashes[idx], axis=-1)  # (M, bits)
+        """Exact min-over-variant distances for a few matched rows of
+        the given corpus *snapshot* (same capture as the indices)."""
+        vb = np.unpackbits(variants, axis=-1)            # (V, bits)
+        bb = np.unpackbits(hashes_snap[idx], axis=-1)    # (M, bits)
         return (vb[:, None, :] != bb[None, :, :]).sum(-1).min(0)
 
     def query_mesh(self, mesh, variants: np.ndarray,
@@ -245,7 +251,8 @@ class HashIndex:
         recomputed host-side for the (few) matched rows only."""
         if self._n == 0:
             return [[] for _ in range(len(variants))]
-        _, base_dev, low_dev, paths, n = self._device_arrays_mesh(mesh)
+        _, base_dev, low_dev, paths, n, hsnap = \
+            self._device_arrays_mesh(mesh)
         fn = _mesh_query_fn(mesh, int(similarity))
         masks = np.asarray(fn(jax.device_put(
             np.ascontiguousarray(variants, dtype=np.uint8)),
@@ -257,7 +264,7 @@ class HashIndex:
             if hit.size == 0:
                 out.append([])
                 continue
-            d = self._host_min_dists(variants[qi], hit)
+            d = self._host_min_dists(variants[qi], hsnap, hit)
             order = np.argsort(d, kind="stable")[:max_results]
             out.append([(int(hit[k]), paths[int(hit[k])], int(d[k]))
                         for k in order])

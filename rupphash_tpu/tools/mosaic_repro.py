@@ -67,7 +67,10 @@ def main() -> int:
             got = f"ABORT ({type(e).__name__})"
         print(f"column restack width={width}: {got}  (expected {expect})")
         if (got == "OK") != (expect == "OK"):
-            ok = ("ABORT" in got) or ok  # a fixed compiler makes 288 OK
+            # width=288 turning OK is good news (compiler fixed), but a
+            # 128-aligned width aborting is a regression -> exit nonzero
+            if "ABORT" in got:
+                ok = False
     print("note: width=288 turning OK means the compiler bug is fixed "
           "and ops/pdq_pallas.py's batched-GEMM variant can be revived")
     return 0 if ok else 1

@@ -198,11 +198,11 @@ def _prompt(stdscr, text: str, initial: str = "",
                 buf = buf[:-1]
             elif ch == 9 and completer is not None:   # Tab
                 buf = completer.next(buf)
-            elif 32 <= ch < 0x110000 and ch != 9:
-                try:
-                    buf += chr(ch)
-                except ValueError:
-                    pass
+            elif 32 <= ch < 256 and ch != 9:
+                # getch() returns curses keycodes >= 256 for arrows /
+                # Home / Delete / F-keys — appending chr(259)='ă' etc.
+                # would silently corrupt the edit buffer
+                buf += chr(ch)
     finally:
         curses.curs_set(0)
 

@@ -201,3 +201,17 @@ def test_do_image_compositing():
     assert inside[0] == inside[1] == inside[2]  # gray
     assert 90 < int(inside[0]) < 160
     assert tuple(out[290, 20]) == (255, 255, 255)  # outside untouched
+
+
+def test_hex_strings_spec_legal_odd_digits():
+    """PDF 7.3.4.3: an odd digit count implies a trailing 0; stray
+    non-hex bytes must not raise out of the rasterizer (previously
+    bytes.fromhex ValueError escaped through every decode caller)."""
+    from rupphash_tpu.pipeline import pdfraster
+
+    assert pdfraster._hex_bytes(b"ABC") == b"\xab\xc0"
+    assert pdfraster._hex_bytes(b"4 1Fz") == b"\x41\xf0"
+    # a content stream containing a hex string token parses cleanly
+    pdf = make_pdf(b"<ABC> 0.9 0.2 0.2 rg 20 20 120 80 re f")
+    out = pdfraster.rasterize_first_page(pdf)
+    assert out is not None
