@@ -243,6 +243,17 @@ def _extract_rows(q_packed, base_packed, qlow, low, qidx_global, sim,
     return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "hpad"))
+def _nonzero_rows(counts_col, n, hpad):
+    """(Npad,) int32 row counts -> (indices, counts) of the first hpad
+    nonzero rows within [0, n) (index -1 pads)."""
+    masked = jnp.where(jnp.arange(counts_col.shape[0]) < n,
+                       counts_col, 0)
+    (idx,) = jnp.nonzero(masked != 0, size=hpad, fill_value=-1)
+    cnt = jnp.where(idx >= 0, masked[jnp.maximum(idx, 0)], 0)
+    return idx, cnt
+
+
 @functools.partial(jax.jit, static_argnames=("kpad",))
 def _nonzero_bytes(packed, kpad):
     """(M, Npad/8) uint8 -> (positions, values) of the first kpad
@@ -290,12 +301,29 @@ def find_edges_fast(base_hashes: np.ndarray,
     # (8x less host->device traffic than shipping the int8 encoding)
     var_d, low_d, _, npad = hamming_pallas.prepare_inputs_device(
         base_hashes, variants, low_conf)
-    counts = np.asarray(hamming_pallas.scan_row_counts(
+    counts_d = hamming_pallas.scan_row_counts(
         var_d, low_d, ta=hamming_pallas.QUERY_TILE,
         tb=hamming_pallas.BASE_TILE, nbits=nbits, sim=similarity,
-        n_total=n, interpret=interpret))[:n, 0]
+        n_total=n, interpret=interpret)
 
-    hot = np.nonzero(counts > 0)[0]
+    # hot-row selection on device: read back only the nonzero rows'
+    # (index, count) pairs instead of the full N-length count vector
+    # (device->host readback is the scarce resource behind a tunnel)
+    n_hot = int(jnp.count_nonzero(counts_d[:n, 0]))
+    if n_hot == 0:
+        empty = np.empty(0, dtype=np.int64)
+        if return_stats:
+            return empty, empty, {"hot_rows": 0,
+                                  "pairs_checked": n * (n - 1) // 2
+                                  * variants.shape[1]}
+        return empty, empty
+    hpad = max(1024, 1 << (n_hot - 1).bit_length())
+    hot_idx, hot_cnt = (np.asarray(a) for a in _nonzero_rows(
+        counts_d[:, 0], n, hpad))
+    sel = hot_idx >= 0
+    hot = hot_idx[sel].astype(np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    counts[hot] = hot_cnt[sel]
 
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []

@@ -144,3 +144,14 @@ def test_device_prepare_padding_is_masked():
         interpret=True))[:n, 0]
     assert counts.sum() == 1
     assert counts[n - 2] == 1  # the j>i edge lands on the lower row
+
+
+def test_find_edges_fast_no_matches_interpret():
+    """On-device hot-row selection: zero hot rows returns empty without
+    dispatching the extraction kernel (and stats still report)."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (1100, 32), dtype=np.uint8)
+    fi, fj, stats = hamming.find_edges_fast(
+        base, similarity=0, interpret=True, return_stats=True)
+    assert len(fi) == 0 and len(fj) == 0
+    assert stats["hot_rows"] == 0
