@@ -132,6 +132,7 @@ class CacheStore:
         self._writer: threading.Thread | None = None
         self._stop = threading.Event()
         self.dropped_updates = 0
+        self.writer_failed = False
         if start_writer:
             self.start_writer()
 
@@ -217,7 +218,12 @@ class CacheStore:
                         [(ns, k, crypto.encrypt(self.enc_key, v, k))
                          for ns, k, v in buf])
                 buf.clear()
+                self.writer_failed = False
             except sqlite3.Error:
+                # transaction failed (disk full, locked, ...): keep the
+                # buffer for retry but make the failure OBSERVABLE —
+                # flush() waiters must not believe data is durable
+                self.writer_failed = True
                 if len(buf) > MAX_BACKLOG:
                     self.dropped_updates += len(buf)
                     buf.clear()
@@ -246,13 +252,17 @@ class CacheStore:
                 con.close()
                 return
 
-    def flush(self):
-        """Block until all previously queued writes are durable."""
+    def flush(self) -> bool:
+        """Block until all previously queued writes have been attempted;
+        returns False when the flush cycle left data undurable (failed
+        transaction or dropped backlog) so callers can warn the user
+        instead of silently losing a scan's worth of cache entries."""
         if self._q is None:
-            return
+            return True
         ev = threading.Event()
         self._q.put(("FLUSH", ev))
         ev.wait(timeout=30)
+        return not (self.writer_failed or self.dropped_updates)
 
     def close(self):
         if self._writer is not None:

@@ -62,6 +62,8 @@ class GuiServer:
         # [gui] config section (db.rs:104-211): viewer knobs
         self.gui_config = gui_config or {}
         self.lock = threading.Lock()
+        self._relist_lock = threading.Lock()
+        self.rev = 0
         self.progress: tuple[int, int] | None = None  # scanning x/y
         self._httpd: ThreadingHTTPServer | None = None
         # Per-session CSRF token: intents mutate (and can delete) files,
@@ -69,6 +71,27 @@ class GuiServer:
         # loopback server.  The token is embedded only in the page we
         # serve, which cross-origin scripts cannot read.
         self.token = secrets.token_hex(16)
+
+    @staticmethod
+    def host_allowed(host: str) -> bool:
+        """Reject DNS-rebinding: a hostile page can point its own DNS
+        name at 127.0.0.1 and become same-origin with this server
+        (reading the session token straight out of the page).  Browsers
+        always send the name they connected by in Host, so requiring an
+        IP literal or localhost closes the vector for every endpoint."""
+        import ipaddress
+
+        name = host.rsplit(":", 1)[0] if host.count(":") <= 1 \
+            else host  # [v6]:port handled below
+        if name.startswith("[") and "]" in name:
+            name = name[1:name.index("]")]
+        if name.lower() in ("localhost", ""):
+            return True
+        try:
+            ipaddress.ip_address(name)
+            return True
+        except ValueError:
+            return False
 
     # ------------------------------------------------------------ state
     def snapshot(self) -> dict:
@@ -111,7 +134,7 @@ class GuiServer:
                 "files": files,
             })
         return {
-            "rev": getattr(self, "rev", 0),
+            "rev": self.rev,
             "groups": groups,
             "cursor": [st.cursor_group, st.cursor_file],
             "marked": len(st.marked),
@@ -140,7 +163,7 @@ class GuiServer:
         from .. import search as searchmod
 
         with self.lock:
-            rev = getattr(self, "rev", 0)
+            rev = self.rev
             flat, where = [], []
             for gi, g in enumerate(self.state.groups):
                 for fi, f in enumerate(g):
@@ -203,8 +226,6 @@ class GuiServer:
         stops the previous enrichment pool — unserialized, two racing
         pickers could stop the pool of the directory that wins)."""
         from pathlib import Path as _P
-        if not hasattr(self, "_relist_lock"):
-            self._relist_lock = threading.Lock()
         relist = getattr(self, "relist_fn", None)
         p = _P(arg).expanduser() if arg else None
         groups = infos = None
@@ -235,7 +256,7 @@ class GuiServer:
                 w = getattr(self, "watcher", None)
                 if w is not None:  # retarget external-change polling
                     w.retarget([p])
-            self.rev = getattr(self, "rev", 0) + 1
+            self.rev += 1
             return self.snapshot()
 
     def apply_intent(self, name: str, arg=None) -> dict:
@@ -257,7 +278,7 @@ class GuiServer:
                 self.state.handle_input(self.INTENTS[name], arg)
             else:
                 self.state.status = f"unknown intent: {name}"
-            self.rev = getattr(self, "rev", 0) + 1
+            self.rev += 1
             return self.snapshot()
 
     # ------------------------------------------------------------ http
@@ -285,6 +306,10 @@ class GuiServer:
                            "application/json")
 
             def do_GET(self):
+                if not server.host_allowed(
+                        self.headers.get("Host", "")):
+                    self._json({"error": "forbidden"}, 403)
+                    return
                 u = urlparse(self.path)
                 q = parse_qs(u.query)
 
@@ -304,7 +329,7 @@ class GuiServer:
                     import time as _time
                     with server.lock:
                         known = q.get("rev", [None])[0]
-                        rev = getattr(server, "rev", 0)
+                        rev = server.rev
                         now = _time.monotonic()
                         cached = getattr(server, "_snap_cache", None)
                         fresh = (cached is not None and cached[0] == rev
@@ -443,11 +468,15 @@ class GuiServer:
                 if u.path != "/api/intent":
                     self._json({"error": "not found"}, 404)
                     return
-                # CSRF gate: reject cross-origin posts (Origin mismatch)
-                # and anything lacking the per-session token the served
-                # page embeds.
-                origin = self.headers.get("Origin")
+                # CSRF gate: reject DNS-rebound hosts (which would make
+                # Origin==Host trivially true and the token readable),
+                # cross-origin posts, and anything lacking the
+                # per-session token the served page embeds.
                 host = self.headers.get("Host", "")
+                if not server.host_allowed(host):
+                    self._json({"error": "forbidden"}, 403)
+                    return
+                origin = self.headers.get("Origin")
                 if origin and origin not in (f"http://{host}",
                                              f"https://{host}"):
                     self._json({"error": "forbidden"}, 403)

@@ -40,8 +40,12 @@ def heavy_prepare(path, content_key: bytes | None, want_pixel_hash: bool):
         return out
     out["res"] = res
     feats["width"], feats["height"] = res
-    if want_pixel_hash and content_key is not None:
-        out["pixel_hash"] = H.pixel_hash_rgba16(content_key, img)
+    if want_pixel_hash:
+        # zero-key fallback mirrors content_hash above: --pixel-hash
+        # must work without a cache store (--no-cache), just unkeyed
+        out["pixel_hash"] = H.pixel_hash_rgba16(
+            content_key if content_key is not None else b"\x00" * 32,
+            img)
     # bit-exact native luma601 + <=512 box resample (tests/test_native.py)
     out["luma"] = decode.prepare_luma_fast(img)
     return out

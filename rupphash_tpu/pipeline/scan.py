@@ -66,12 +66,15 @@ def _default_workers() -> int:
     return max(1, min(cores, budget))
 
 
-def _probe_one(path: Path, cfg: ScanConfig, store):
+def _probe_one(path: Path, cfg: ScanConfig, store, identity=None):
     """Cheap parent-side half: stat + cache probe (no decode).  Returns
     {record, cached: True, ...} on a full cache hit, or
-    {record, miss: True, mkey, content} to hand to _heavy_one, or None."""
+    {record, miss: True, mkey, content} to hand to _heavy_one, or None.
+    `identity` is the (fid, size, mtime_ns) triple if the caller
+    already stat()ed the file (the hardlink prepass does — re-statting
+    1M files doubles syscall load and opens a TOCTOU window)."""
     try:
-        fid, size, mtime_ns = H.file_identity(path)
+        fid, size, mtime_ns = identity or H.file_identity(path)
     except OSError:
         return None
 
@@ -148,16 +151,18 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     # their results copied afterwards (scanner.rs:1526-1540)
     fid_first: dict[int, Path] = {}
     hardlink_clones: dict[Path, Path] = {}  # clone path -> representative
+    identities: dict[Path, tuple] = {}      # reused by _probe_one
     scan_files = []
     for p in files:
         try:
-            fid, _, _ = H.file_identity(p)
+            ident = H.file_identity(p)
         except OSError:
             continue
-        if fid in fid_first:
-            hardlink_clones[p] = fid_first[fid]
+        if ident[0] in fid_first:
+            hardlink_clones[p] = fid_first[ident[0]]
         else:
-            fid_first[fid] = p
+            fid_first[ident[0]] = p
+            identities[p] = ident
             scan_files.append(p)
     files = scan_files
 
@@ -243,10 +248,10 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     # (spawned, jax-free — see pipeline/heavy.py) whose results stream
     # back through consume() so device batching overlaps decode.
     content_key = store.content_key if store else None
-    want_px = bool(cfg.pixel_hash and store)
+    want_px = bool(cfg.pixel_hash)  # works store-less via zero key
     misses: list[tuple] = []
     for p in files:
-        probe = _probe_one(p, cfg, store)
+        probe = _probe_one(p, cfg, store, identity=identities.get(p))
         if probe is None:
             consume(None)
         elif probe.get("cached"):
@@ -307,15 +312,18 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     # materialize hardlink clones with the representative's results
     if hardlink_clones:
         by_path = {r.path: r for r in records}
+        # clones were already counted by the walk; only the record list
+        # needs the per-path copies
         for clone, rep_path in hardlink_clones.items():
             rep = by_path.get(rep_path)
             if rep is None:
                 continue
             records.append(dataclasses.replace(rep, path=clone))
-            stats.total += 0  # already counted in the walk
 
-    if store:
-        store.flush()
+    if store and not store.flush():
+        trace.tag("CACHE-WRITE-FAILED",
+                  f"cache writes not durable ({store.dropped_updates} "
+                  "dropped); next scan will re-hash affected files")
     return records, stats
 
 

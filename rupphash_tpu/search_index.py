@@ -276,6 +276,8 @@ class SearchIndex:
         """Frees the slot for reuse (search_index.rs:157-249).
         O(the slot's own tags): exact bits are masked out by _live at
         query time and scrubbed lazily when the slot is reused."""
+        if not (self._live >> slot) & 1:
+            return  # double remove would double-free the slot id
         self._live &= ~(1 << slot)
         ekeys, etags = self._slot_keys.pop(slot, ((), ()))
         for tag in etags:

@@ -158,18 +158,20 @@ class AppState:
         self._move_flat(1)
 
     def _delete_marked(self):
-        count = 0
+        deleted = set()
         failed = 0
         for path in sorted(self.marked):
             try:
                 fileops.delete_file(path, self.use_trash)
-                count += 1
+                deleted.add(path)
             except OSError:
                 failed += 1
-        self._drop_paths(set(self.marked))
-        self.marked.clear()
+        # only successful deletions leave the view: a file that failed
+        # to delete still exists on disk and must stay visible (and
+        # marked) so the user can see it and retry (state.rs parity)
+        self._drop_paths(deleted)
         verb = "trashed" if self.use_trash else "deleted"
-        self.status = f"{verb} {count} files" + (
+        self.status = f"{verb} {len(deleted)} files" + (
             f" ({failed} failed)" if failed else "")
 
     def _delete_current(self):
@@ -199,6 +201,10 @@ class AppState:
         self.status = f"moved {len(moved)} files to {self.move_target}"
 
     def _drop_paths(self, paths: set[Path]):
+        # whatever leaves the view must leave the mark set too — a
+        # stale marked path would be invisibly deleted by a later
+        # delete-marked (ignore/delete/rename all route through here)
+        self.marked -= paths
         cur = self.current()
         new_groups, new_infos = [], []
         min_keep = 0 if self.keep_singletons else 1
@@ -226,8 +232,12 @@ class AppState:
             self.status = "target exists"
             return
         try:
-            f.path.rename(dst)
+            old = f.path
+            old.rename(dst)
             f.path = dst
+            if old in self.marked:  # the mark follows the file
+                self.marked.discard(old)
+                self.marked.add(dst)
             self.status = f"renamed to {new_name}"
         except OSError as e:
             self.status = f"rename failed: {e}"
@@ -295,7 +305,10 @@ class AppState:
             self.status = "no cache store; cannot ignore"
             return
         if whole_group:
-            targets = list(self.groups[self.cursor_group])
+            if not self.groups:
+                return
+            targets = list(self.groups[min(self.cursor_group,
+                                           len(self.groups) - 1)])
         elif self.marked:
             targets = [f for g in self.groups for f in g
                        if f.path in self.marked]
@@ -351,8 +364,10 @@ class AppState:
             case Intent.TOGGLE_MARK:
                 self._toggle_mark()
             case Intent.MARK_GROUP:
-                for f in self.groups[self.cursor_group]:
-                    self.marked.add(f.path)
+                if self.groups:  # scan may still be streaming in
+                    gi = min(self.cursor_group, len(self.groups) - 1)
+                    for f in self.groups[gi]:
+                        self.marked.add(f.path)
             case Intent.UNMARK_ALL:
                 self.marked.clear()
             case Intent.CONFIRM_DELETE:

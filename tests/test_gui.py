@@ -534,3 +534,18 @@ def test_revless_mutation_reaches_pollers(gui):
     assert not snap.get("unchanged")
     assert snap["rev"] > rev0
     assert snap["groups"][0]["files"][0]["gps"] == [12.34, 56.78]
+
+
+def test_host_header_gate_blocks_dns_rebinding():
+    """host_allowed: IP literals and localhost pass, DNS names are
+    rejected — a rebound attacker origin sends its own name in Host."""
+    from rupphash_tpu.gui.server import GuiServer
+
+    ok = ["127.0.0.1:8123", "localhost:8123", "localhost",
+          "[::1]:8123", "10.1.2.3:80", "127.0.0.1"]
+    bad = ["evil.com:8123", "evil.com", "my-box.local:8123",
+           "sub.domain.tld"]
+    for h in ok:
+        assert GuiServer.host_allowed(h), h
+    for h in bad:
+        assert not GuiServer.host_allowed(h), h

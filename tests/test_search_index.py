@@ -156,3 +156,14 @@ def test_features_to_tags():
     assert tags["GPSAltitude"] == 12.5
     assert tags["PdqQuality"] == 95
     assert "UnknownTag" not in tags
+
+
+def test_double_remove_does_not_double_free():
+    ix = si.SearchIndex()
+    a = ix.alloc_slot()
+    ix.insert(a, {"Make": "x"})
+    ix.remove(a)
+    ix.remove(a)          # duplicate watcher event
+    b = ix.alloc_slot()
+    c = ix.alloc_slot()
+    assert b != c         # a double-free would hand out one slot twice

@@ -203,3 +203,65 @@ def test_set_move_target_intent(tmp_path):
     st.handle_input(Intent.SET_MOVE_TARGET, "/definitely/not/a/dir")
     assert st.move_target == tmp_path  # unchanged
     assert "not a directory" in st.status
+
+
+def test_ignored_marked_file_is_not_later_deleted(tmp_path):
+    """Review regression: ignoring (or deleting/renaming) a marked file
+    must clear its mark — a stale marked path was invisibly deleted by
+    a later delete-marked."""
+    groups, infos = _groups(tmp_path)
+    st = AppState(groups, infos)
+    first = groups[0][0].path
+    st.handle_input(Intent.TOGGLE_MARK)          # mark first file
+    assert first in st.marked
+    st._drop_paths({first})                      # e.g. via ignore
+    assert first not in st.marked
+    st.cursor_group, st.cursor_file = 0, 0
+    st.handle_input(Intent.TOGGLE_MARK)          # mark another file
+    st.handle_input(Intent.CONFIRM_DELETE)
+    st.handle_input(Intent.EXECUTE_DELETE)
+    assert first.exists()                        # never touched
+
+
+def test_delete_marked_keeps_failed_files_visible(tmp_path, monkeypatch):
+    groups, infos = _groups(tmp_path)
+    st = AppState(groups, infos)
+    a = groups[0][0].path
+    b = groups[0][1].path
+    st.handle_input(Intent.TOGGLE_MARK)
+    st.handle_input(Intent.TOGGLE_MARK)          # marks a and b
+    assert {a, b} <= st.marked
+
+    from rupphash_tpu.utils import fileops as fo
+    real = fo.delete_file
+
+    def flaky(path, use_trash):
+        if path == a:
+            raise OSError("simulated EACCES")
+        return real(path, use_trash)
+
+    monkeypatch.setattr("rupphash_tpu.state.fileops.delete_file", flaky)
+    st.handle_input(Intent.CONFIRM_DELETE)
+    st.handle_input(Intent.EXECUTE_DELETE)
+    remaining = {f.path for g in st.groups for f in g}
+    assert a in remaining                        # failed -> still listed
+    assert b not in remaining                    # deleted -> gone
+    assert a in st.marked                        # still marked for retry
+    assert "1 failed" in st.status
+
+
+def test_mark_group_empty_session_no_crash():
+    st = AppState([], [])
+    st.handle_input(Intent.MARK_GROUP)           # must not raise
+    assert not st.marked
+
+
+def test_rename_transfers_mark(tmp_path):
+    groups, infos = _groups(tmp_path)
+    st = AppState(groups, infos)
+    st.handle_input(Intent.TOGGLE_MARK)
+    old = groups[0][0].path
+    st.cursor_group, st.cursor_file = 0, 0
+    st._rename_current("renamed.png")
+    assert old not in st.marked
+    assert (old.parent / "renamed.png") in st.marked
