@@ -74,6 +74,24 @@ def _toml_value(v) -> str:
     raise TypeError(f"unsupported TOML value {type(v)}")
 
 
+_BARE_KEY = None  # compiled lazily (module imports stay cheap)
+
+
+def _toml_key(k: str) -> str:
+    """Quote keys that aren't bare (user entries like
+    '[locations] \"New York\"' must round-trip: emitting them unquoted
+    writes invalid TOML, and the next load's parse failure would wipe
+    every user setting)."""
+    global _BARE_KEY
+    if _BARE_KEY is None:
+        import re
+        _BARE_KEY = re.compile(r"^[A-Za-z0-9_-]+$")
+    if _BARE_KEY.match(k):
+        return k
+    esc = k.replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{esc}"'
+
+
 def _dump_toml(cfg: dict) -> str:
     lines = []
     tables = []
@@ -81,14 +99,19 @@ def _dump_toml(cfg: dict) -> str:
         if isinstance(v, dict):
             tables.append((k, v))
         else:
-            lines.append(f"{k} = {_toml_value(v)}")
+            lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
     for name, tbl in tables:
         lines.append("")
-        lines.append(f"[{name}]")
+        lines.append(f"[{_toml_key(name)}]")
         for k, v in tbl.items():
             if isinstance(v, dict):
+                # one nesting level deeper (sub-tables) via dotted keys
+                for k2, v2 in v.items():
+                    if not isinstance(v2, dict):
+                        lines.append(f"{_toml_key(k)}.{_toml_key(k2)}"
+                                     f" = {_toml_value(v2)}")
                 continue
-            lines.append(f"{k} = {_toml_value(v)}")
+            lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
     return "\n".join(lines) + "\n"
 
 

@@ -357,8 +357,11 @@ def main(argv=None) -> int:
                 listing and the GUI directory picker."""
                 if enrichment[0] is not None:
                     enrichment[0].stop()
+                # plain --view lists one directory level; only
+                # --view-flatten descends (cfg.recursive defaults True
+                # for the dedup scan and must not leak in here)
                 recs, _ = viewmod.list_view(
-                    paths, recursive=args.view_flatten or cfg.recursive,
+                    paths, recursive=bool(args.view_flatten),
                     sort="random" if args.shuffle else args.sort,
                     store=store)
                 enr = viewmod.Enrichment(recs, store=store)

@@ -24,7 +24,18 @@ from pathlib import Path
 
 
 def _snapshot(roots, recursive=True):
+    from ..pipeline import decode
+
     snap = {}
+
+    def _add(path, st):
+        # session records hold realpath'd absolute paths (walker),
+        # so the snapshot must canonicalize too or external deletions
+        # of files under relative/symlinked roots never match; only
+        # image types count — churning logs/downloads in a watched
+        # tree would otherwise nudge "rescan" forever
+        if decode.is_image_ext(path):
+            snap[os.path.realpath(path)] = (st.st_mtime_ns, st.st_size)
 
     def _scan_dir(d):
         try:
@@ -35,14 +46,19 @@ def _snapshot(roots, recursive=True):
             for e in it:
                 try:
                     if e.is_file(follow_symlinks=False):
-                        st = e.stat(follow_symlinks=False)
-                        snap[e.path] = (st.st_mtime_ns, st.st_size)
+                        _add(e.path, e.stat(follow_symlinks=False))
                     elif recursive and e.is_dir(follow_symlinks=False):
                         _scan_dir(e.path)
                 except OSError:
                     continue
 
     for root in roots:
+        try:
+            if os.path.isfile(root):  # a root may be a plain file
+                _add(root, os.stat(root))
+                continue
+        except OSError:
+            continue
         _scan_dir(root)
     return snap
 
@@ -51,7 +67,7 @@ class Watcher:
     def __init__(self, server, roots, interval: float = 2.0,
                  recursive: bool = True):
         self.server = server
-        self.roots = [str(Path(r)) for r in roots]
+        self.roots = [os.path.realpath(str(Path(r))) for r in roots]
         self.interval = interval
         self.recursive = recursive
         self._mutex = threading.Lock()   # tick vs retarget
@@ -70,7 +86,7 @@ class Watcher:
     def retarget(self, roots):
         """Atomically watch a different set of roots."""
         with self._mutex:
-            self.roots = [str(r) for r in roots]
+            self.roots = [os.path.realpath(str(r)) for r in roots]
             self._snap = None
 
     def tick(self):
@@ -96,7 +112,7 @@ class Watcher:
                 self.server.state.status = (
                     f"directory changed ({len(new)} new, "
                     f"{len(changed)} modified) — rescan to refresh")
-                self.server.rev = getattr(self.server, "rev", 0) + 1
+                self.server.rev += 1
 
     def _drop(self, gone: set[str]):
         srv = self.server
@@ -107,7 +123,7 @@ class Watcher:
             # (cursor preservation, singleton-group removal)
             st._drop_paths(gone_paths)
             st.status = f"{len(gone_paths)} file(s) removed externally"
-            srv.rev = getattr(srv, "rev", 0) + 1
+            srv.rev += 1
 
     def _run(self):
         while not self._stop.wait(self.interval):

@@ -94,14 +94,24 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        try:
-            lib = ctypes.CDLL("libjxl.so.0.7")
-        except OSError:
+        lib = None
+        # sonames across distro generations, then the linker's own
+        # resolution (covers 0.8-0.11 without a -dev symlink)
+        import ctypes.util as _cu
+        candidates = ["libjxl.so.0.7", "libjxl.so.0.8", "libjxl.so.0.9",
+                      "libjxl.so.0.10", "libjxl.so.0.11", "libjxl.so"]
+        found = _cu.find_library("jxl")
+        if found:
+            candidates.insert(0, found)
+        for name in candidates:
             try:
-                lib = ctypes.CDLL("libjxl.so")
+                lib = ctypes.CDLL(name)
+                break
             except OSError:
-                _failed = True
-                return None
+                continue
+        if lib is None:
+            _failed = True
+            return None
         lib.JxlDecoderCreate.restype = ctypes.c_void_p
         lib.JxlDecoderCreate.argtypes = [ctypes.c_void_p]
         lib.JxlDecoderDestroy.argtypes = [ctypes.c_void_p]

@@ -76,14 +76,19 @@ def stream_batches(records, batch: int = BATCH):
 class Enrichment:
     """Phase 2: background thread filling in missing features.
 
-    Results arrive on .results (a queue of (path, features) tuples);
-    cache writes stream through the store's writer thread.
+    Consumers observe the in-place FileRecord mutations (the GUI/TUI
+    snapshot path); .results additionally carries (path, features)
+    tuples for tests and tooling, BOUNDED so an unconsumed queue never
+    holds a large session's worth of feature dicts in memory (entries
+    beyond the bound are silently dropped — the records themselves are
+    already updated).  Cache writes stream through the store's writer
+    thread.
     """
 
     def __init__(self, records, store=None, workers: int = 4):
         self.records = [r for r in records if r.resolution is None]
         self.store = store
-        self.results: queue.Queue = queue.Queue()
+        self.results: queue.Queue = queue.Queue(maxsize=4096)
         self._threads: list[threading.Thread] = []
         self._work: queue.Queue = queue.Queue()
         self._stop = threading.Event()
@@ -107,12 +112,19 @@ class Enrichment:
             try:
                 data = rec.path.read_bytes()
             except OSError:
-                self.results.put((rec.path, None))
+                self._emit(rec.path, None)
                 continue
             if self.store is not None and not rec.content_hash:
                 rec.content_hash = H.content_hash(self.store.content_key,
                                                   data)
-                _, size, mtime_ns = H.file_identity(rec.path)
+                try:
+                    # the file can vanish between read and stat (the
+                    # watcher's external-deletion scenario) — an
+                    # uncaught OSError here killed the worker thread
+                    _, size, mtime_ns = H.file_identity(rec.path)
+                except OSError:
+                    self._emit(rec.path, None)
+                    continue
                 mkey = self.store.compute_meta_key(
                     mtime_ns, size, rec.unique_file_id)
                 self.store.put_meta(mkey, rec.content_hash)
@@ -131,7 +143,13 @@ class Enrichment:
                     feats[k] = loc[k]
             if self.store is not None and rec.content_hash:
                 self.store.put_features(rec.content_hash, feats)
-            self.results.put((rec.path, feats))
+            self._emit(rec.path, feats)
+
+    def _emit(self, path, feats):
+        try:
+            self.results.put_nowait((path, feats))
+        except queue.Full:
+            pass  # bounded: record mutations are the primary channel
 
     def join(self, timeout: float | None = None):
         for t in self._threads:

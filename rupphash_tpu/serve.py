@@ -251,9 +251,10 @@ class HashIndex:
         recomputed host-side for the (few) matched rows only."""
         if self._n == 0:
             return [[] for _ in range(len(variants))]
+        similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
         _, base_dev, low_dev, paths, n, hsnap = \
             self._device_arrays_mesh(mesh)
-        fn = _mesh_query_fn(mesh, int(similarity))
+        fn = _mesh_query_fn(mesh, similarity)
         masks = np.asarray(fn(jax.device_put(
             np.ascontiguousarray(variants, dtype=np.uint8)),
             base_dev, low_dev))
@@ -274,7 +275,12 @@ class HashIndex:
               max_results: int = 100, mesh=None):
         """(Q, V, nbytes) query dihedral variants -> per-query matches
         [(index, path, distance), ...] sorted by distance.  Pass a
-        jax.sharding.Mesh to run the corpus matmul sharded over it."""
+        jax.sharding.Mesh to run the corpus matmul sharded over it.
+
+        similarity is clamped to [0, nbits-1]: the sentinels nbits+1
+        (device padding rows) and the low-quality gate must never be
+        selectable by a client-supplied radius."""
+        similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
         if mesh is not None:
             return self.query_mesh(mesh, variants, similarity,
                                    max_results)
@@ -440,7 +446,10 @@ class NearDupService:
                 u = urlparse(self.path)
                 q = parse_qs(u.query)
                 if u.path == "/v1/query":
-                    n = int(self.headers.get("Content-Length", "0"))
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                    except ValueError:
+                        n = -1
                     if n <= 0 or n > service.MAX_BODY:
                         self._json({"error": "bad length"}, 400)
                         return

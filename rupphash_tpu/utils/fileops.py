@@ -54,7 +54,11 @@ def _renameat2(src: str, dst: str, flags: int) -> int:
         if res == 0:
             return 0
         err = ctypes.get_errno()
-        if err != errno.ENOSYS:
+        # older NFS / FUSE / overlay return EINVAL or EOPNOTSUPP for
+        # RENAME_NOREPLACE instead of ENOSYS — same meaning here: the
+        # flag isn't supported, take the emulation path
+        if err not in (errno.ENOSYS, errno.EINVAL, errno.EOPNOTSUPP,
+                       getattr(errno, "ENOTSUP", errno.EOPNOTSUPP)):
             return -err
     try:
         os.link(src, dst, follow_symlinks=False)

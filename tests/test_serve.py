@@ -312,3 +312,20 @@ def test_topk_truncation_and_tie_order():
     hits = ix2.query(qz, similarity=0, max_results=100)[0]
     assert len(hits) == 3
     assert {i for i, _, _ in hits} == {0, 1, 2}
+
+
+def test_similarity_clamped_to_hash_width():
+    """A client-supplied radius >= nbits+1 must neither surface device
+    padding rows (IndexError on the paths tuple) nor bypass the
+    low-quality exact-only gate."""
+    import numpy as np
+
+    ix = serve.HashIndex()
+    for i in range(5):  # n=5: device pads to 8 rows
+        ix.add(f"/f/{i}.png", bytes([i]) * 32, quality=90)
+    ix.add("/lowq.png", bytes([250]) * 32, quality=10)
+    qv = np.zeros((1, 8, 32), dtype=np.uint8)
+    hits = ix.query(qv, similarity=10_000, max_results=100)[0]
+    idxs = {i for i, _, _ in hits}
+    assert all(i < 6 for i in idxs)            # no padding rows
+    assert not any(p == "/lowq.png" for _, p, _ in hits)  # gate holds
