@@ -77,7 +77,10 @@ class UnionFind:
         while root != p[root]:
             root = p[root]
         while i != root:
-            i, p[i] = p[i], root
+            # order matters: p[i] must be written before i advances
+            # (the swapped form re-parented the *next* node and left
+            # the visited one uncompressed, degrading toward O(n))
+            p[i], i = root, p[i]
         return root
 
     def union(self, i: int, j: int):
@@ -91,18 +94,9 @@ class UnionFind:
 
     def components(self, min_size: int = 2) -> list[list[int]]:
         n = len(self.parent)
-        roots = np.fromiter((self.find(i) for i in range(n)), dtype=np.int64,
-                            count=n)
-        order = np.argsort(roots, kind="stable")
-        groups = []
-        start = 0
-        sorted_roots = roots[order]
-        for k in range(1, n + 1):
-            if k == n or sorted_roots[k] != sorted_roots[start]:
-                if k - start >= min_size:
-                    groups.append(order[start:k].tolist())
-                start = k
-        return groups
+        roots = np.fromiter((self.find(i) for i in range(n)),
+                            dtype=np.int64, count=n)
+        return _components_from_roots(roots, min_size)
 
 
 def _components_from_roots(roots: np.ndarray,
@@ -310,7 +304,17 @@ def group_files(files: list[FileRecord],
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 
     dense_to_sparse = np.asarray(idx_with_hash, dtype=np.int64)
-    gi, gj = dense_to_sparse[ei], dense_to_sparse[ej]
+    return finalize_edges(files, dense_to_sparse[ei],
+                          dense_to_sparse[ej], sort_order)
+
+
+def finalize_edges(files, gi: np.ndarray, gj: np.ndarray,
+                   sort_order: str = "name"):
+    """Global-index edges -> (groups, infos, edge_count): the
+    union-find / stem-merge / analyze / ordering tail
+    (scanner.rs:1780-1830 + :1561-1576), shared by the single-chip and
+    mesh-sharded edge searches so the production semantics exist once."""
+    n_all = len(files)
     if len(gi) > 10_000:
         from .. import native
         roots = native.union_find_roots(n_all, gi, gj)
@@ -336,4 +340,4 @@ def group_files(files: list[FileRecord],
                                   infos[k].max_dist,
                                   -len(groups[k])))
     return ([groups[k] for k in order], [infos[k] for k in order],
-            int(len(ei)))
+            int(len(gi)))

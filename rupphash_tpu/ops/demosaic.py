@@ -63,9 +63,13 @@ def _demosaic_jax(x, cfa):
     b, h, w = x.shape
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2)), mode="reflect")
     kern = jnp.asarray(np.stack([_KG, _KH, _KV, _KD]))[:, None]  # OIHW
+    # HIGHEST: default MXU bf16 perturbs the interpolation weights
+    # enough to flip u8 output pixels, breaking CPU/TPU decode parity
+    # for the same raw file (CLAUDE.md bit-exactness policy)
     maps = lax.conv_general_dilated(
         xp[:, None], kern, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))  # (B,4,H,W)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST)  # (B,4,H,W)
     fg, fh, fv, fd = maps[:, 0], maps[:, 1], maps[:, 2], maps[:, 3]
 
     yy = jnp.arange(h)[:, None] & 1
@@ -110,7 +114,8 @@ def _process_jax(mosaic, black, white, wb, matrix, cfa, has_matrix):
     x = jnp.clip(x * gains, 0.0, 1.0)
     rgb = _demosaic_jax(x, cfa)
     if has_matrix:
-        rgb = jnp.einsum("bhwc,dc->bhwd", rgb, matrix)
+        rgb = jnp.einsum("bhwc,dc->bhwd", rgb, matrix,
+                         precision=jax.lax.Precision.HIGHEST)
     rgb = jnp.clip(rgb, 0.0, 1.0)
     # sRGB transfer
     srgb = jnp.where(rgb <= 0.0031308, rgb * 12.92,
@@ -154,21 +159,26 @@ def process_raw(raw) -> np.ndarray | None:
 
     # WB gains per channel, G-normalized (AsShotNeutral is the camera
     # response to a neutral: gain = asn[G]/asn[c])
-    if raw.as_shot_neutral is not None:
-        asn = raw.as_shot_neutral
+    asn = raw.as_shot_neutral
+    if asn is not None and np.all(np.isfinite(np.asarray(asn[:3],
+                                                         np.float64))) \
+            and asn[0] > 0 and asn[2] > 0:
         wb = np.array([asn[1] / asn[0], 1.0, asn[1] / asn[2]],
                       dtype=np.float32)
-    else:
+    else:  # malformed AsShotNeutral (zeros/NaN): neutral gains
         wb = np.ones(3, dtype=np.float32)
 
     has_matrix = raw.color_matrix is not None
     if has_matrix:
         try:
-            cam2xyz = np.linalg.inv(raw.color_matrix)
+            cam2xyz = np.linalg.inv(np.asarray(raw.color_matrix,
+                                               np.float64))
             m = (_XYZ2SRGB @ cam2xyz).astype(np.float32)
             # row-normalize so WB'd camera white (1,1,1) stays white
             m = m / np.maximum(m.sum(axis=1, keepdims=True), 1e-6)
-        except np.linalg.LinAlgError:
+        except (np.linalg.LinAlgError, ValueError):
+            # singular OR wrong shape (malformed DNG metadata): fall
+            # back to no matrix rather than aborting the file
             has_matrix = False
             m = np.eye(3, dtype=np.float32)
     else:

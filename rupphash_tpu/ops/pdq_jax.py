@@ -148,14 +148,6 @@ def quality_from_buffer(buf64: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum((tv + th) / 90.0, 1.0)
 
 
-def pack_bit_matrices(bits: jnp.ndarray) -> jnp.ndarray:
-    """(..., 16, 16) bool -> (..., 32) uint8 in the reference byte layout:
-    coefficient idx = r*16+c lands in byte 31 - idx//8, bit idx%8."""
-    flat = bits.reshape(bits.shape[:-2] + (32, 8)).astype(jnp.int32)
-    bytes_fwd = (flat * _BIT_WEIGHTS).sum(axis=-1)
-    return bytes_fwd[..., ::-1].astype(jnp.uint8)
-
-
 def _median_lower_bisect(flat: jnp.ndarray) -> jnp.ndarray:
     """(B, 4, 256) -> (B, 4) lower median (128th smallest,
     pdqhash.rs:116-124) by a 32-step binary search over the standard

@@ -65,7 +65,6 @@ from . import pdq_jax
 TILE_B = 8
 
 _SIGNS = pdq_jax._sign_patterns()          # (4, 16, 16) float32
-_BIT_W = np.asarray(1 << np.arange(8), dtype=np.int32)
 
 
 def _median_lower(c: jnp.ndarray) -> jnp.ndarray:

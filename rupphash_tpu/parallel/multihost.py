@@ -53,19 +53,43 @@ def allgather_hashes(local_hashes: np.ndarray,
                      local_variants: np.ndarray | None = None,
                      local_low: np.ndarray | None = None):
     """Gather per-host hash shards into the global matrices every host
-    needs for all-pairs grouping.  Single-process: identity."""
+    needs for all-pairs grouping.  Single-process: identity.
+
+    process_allgather requires identical shapes on every process, but
+    shard_files' hash partitioning produces unequal shard sizes — so
+    the per-host count is gathered first (a scalar, always
+    shape-equal), every array pads to the max, and the padding is
+    trimmed per shard after the gather."""
     if jax.process_count() <= 1:
         return local_hashes, local_variants, local_low
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(local_hashes)
-    hashes = np.asarray(gathered).reshape(-1, local_hashes.shape[-1])
+    n_local = len(local_hashes)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n_local], dtype=np.int64))).reshape(-1)
+    m = int(counts.max()) if counts.size else 0
+
+    def pad(a):
+        if a is None or len(a) == m:
+            return a
+        padded = np.zeros((m,) + a.shape[1:], dtype=a.dtype)
+        padded[:len(a)] = a
+        return padded
+
+    def trim(gathered, trailing_shape):
+        g = np.asarray(gathered).reshape(-1, m, *trailing_shape)
+        return np.concatenate([g[i, :counts[i]]
+                               for i in range(len(counts))], axis=0)
+
+    hashes = trim(multihost_utils.process_allgather(pad(local_hashes)),
+                  local_hashes.shape[1:])
     variants = None
     if local_variants is not None:
-        gv = multihost_utils.process_allgather(local_variants)
-        variants = np.asarray(gv).reshape(-1, *local_variants.shape[1:])
+        variants = trim(
+            multihost_utils.process_allgather(pad(local_variants)),
+            local_variants.shape[1:])
     low = None
     if local_low is not None:
-        gl = multihost_utils.process_allgather(local_low)
-        low = np.asarray(gl).reshape(-1)
+        low = trim(multihost_utils.process_allgather(pad(local_low)),
+                   local_low.shape[1:])
     return hashes, variants, low

@@ -372,20 +372,10 @@ def sharded_group_files(mesh: Mesh, files, similarity: int = 40,
 
     ei, ej = sharded_find_edges(mesh, base, variants, low, similarity)
     dense = np.asarray(idx, dtype=np.int64)
-    uf = engine.UnionFind(len(files))
-    uf.union_edges(dense[ei], dense[ej])
-    raw = engine.merge_groups_by_stem(uf.components(min_size=2), files)
-    groups, infos = [], []
-    for g in raw:
-        members = [files[i] for i in g]
-        infos.append(engine.analyze_group(members, sort_order))
-        groups.append(members)
-    order = sorted(range(len(groups)),
-                   key=lambda k: (0 if infos[k].status == "all-identical"
-                                  else 1, infos[k].max_dist,
-                                  -len(groups[k])))
-    return ([groups[k] for k in order], [infos[k] for k in order],
-            int(len(ei)))
+    # one shared production tail (union-find incl. the native fast
+    # path, stem merge, analyze, ordering) — engine.finalize_edges
+    return engine.finalize_edges(files, dense[ei], dense[ej],
+                                 sort_order)
 
 
 def full_dedup_step(mesh: Mesh, rows: int, cols: int, similarity: int = 40):

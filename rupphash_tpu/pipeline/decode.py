@@ -86,21 +86,30 @@ def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
     the trailing EOI; RAW files typically embed a full-size preview JPEG
     that the reference hashes instead of demosaicing (scanner.rs:1353-1380).
     """
+    # real JPEG streams follow SOI with APPn/DQT/SOF/COM — filtering on
+    # the 4th byte discards the FFD8FF triples that occur by chance in
+    # compressed raw payloads (~once per 16 MB), so ALL markers can be
+    # scanned and the decode-attempt cap spent on plausible spans (a
+    # position cap used to miss previews located after the mosaic data)
+    _plausible = {0xC0, 0xC2, 0xC4, 0xDB, 0xE0, 0xE1, 0xE2, 0xEE, 0xFE}
     best = None
     best_pixels = 0
     start = 0
-    n = len(data)
     candidates = []
     while True:
         i = data.find(b"\xff\xd8\xff", start)
-        if i < 0 or len(candidates) >= 16:
+        if i < 0:
             break
-        candidates.append(i)
+        if i + 3 < len(data) and data[i + 3] in _plausible:
+            candidates.append(i)
         start = i + 3
+    spans = []
     for i in candidates:
         end = data.rfind(b"\xff\xd9", i)
-        if end < 0 or end - i < min_bytes:
-            continue
+        if end >= 0 and end - i >= min_bytes:
+            spans.append((end - i, i, end))
+    spans.sort(reverse=True)  # longest spans first
+    for _, i, end in spans[:32]:
         img = decode_bytes(data[i:end + 2])
         if img is not None:
             px = img.shape[0] * img.shape[1]

@@ -174,7 +174,6 @@ def extract(path: str | Path | None = None, data: bytes | None = None) -> dict:
                     continue
             out["tags"][name] = val
 
-    names = {v: k for k, v in ExifTags.TAGS.items()}
     sweep(exif, ExifTags.TAGS)
     try:
         sweep(exif.get_ifd(_EXIF_IFD), ExifTags.TAGS)

@@ -272,7 +272,12 @@ def tonemap_pq_maxrgb(lin: np.ndarray, peak_nits: float = 203.0
     maxrgb = lin.max(axis=-1)
     sig_pq = pq_inverse_eotf(maxrgb)
     max_pq = float(pq_inverse_eotf(np.float64(peak_nits / 10000.0)))
-    mapped_pq = bt2390_eetf(sig_pq / max(max_pq, 1e-6), 1.0) * max_pq
+    # the EETF maps the full source PQ range onto [0, max_pq]: ks =
+    # 1.5*max_pq - 0.5 places the hermite knee below peak so highlights
+    # roll off.  (Pre-normalizing and passing max_lum=1.0 makes ks=1.0,
+    # the knee region vanishes, and the curve degenerates to identity
+    # + hard clip — 1000-4000 nit highlights crush to flat white.)
+    mapped_pq = bt2390_eetf(sig_pq, max_pq)
     mapped = pq_eotf(mapped_pq)
     scale = np.where(maxrgb > 1e-8, mapped / np.maximum(maxrgb, 1e-8), 1.0)
     out = lin * scale[..., None]

@@ -33,22 +33,24 @@ _WORKER = textwrap.dedent("""
     mine = multihost.shard_files(files, by="stride")
     assert mine == files[pid::2]
 
-    # deterministic per-process hash shard (equal sizes, as the
-    # production input pipeline guarantees by padding)
+    # UNEQUAL per-process shard sizes (what shard_files' hash
+    # partitioning actually produces): the gather pads to the max
+    # count, trims per shard, and concatenates in process order
+    n_local = 8 if pid == 0 else 5
     rng = np.random.default_rng(pid)
-    local = rng.integers(0, 256, (8, 32), dtype=np.uint8)
+    local = rng.integers(0, 256, (n_local, 32), dtype=np.uint8)
     local_var = np.repeat(local[:, None, :], 8, axis=1)
-    local_low = (np.arange(8) % 2 == pid).astype(bool)
+    local_low = (np.arange(n_local) % 2 == pid).astype(bool)
     hashes, variants, low = multihost.allgather_hashes(
         local, local_var, local_low)
-    assert hashes.shape == (16, 32), hashes.shape
-    assert variants.shape == (16, 8, 32), variants.shape
-    assert low.shape == (16,), low.shape
+    assert hashes.shape == (13, 32), hashes.shape
+    assert variants.shape == (13, 8, 32), variants.shape
+    assert low.shape == (13,), low.shape
     # this process's shard must appear intact at its offset
-    off = pid * 8
-    assert np.array_equal(hashes[off:off + 8], local)
-    assert np.array_equal(variants[off:off + 8], local_var)
-    assert np.array_equal(low[off:off + 8], local_low)
+    off = 0 if pid == 0 else 8
+    assert np.array_equal(hashes[off:off + n_local], local)
+    assert np.array_equal(variants[off:off + n_local], local_var)
+    assert np.array_equal(low[off:off + n_local], local_low)
     np.savez(os.path.join(outdir, f"proc{pid}.npz"),
              hashes=hashes, variants=variants, low=low)
     print("worker-ok", pid)
@@ -94,5 +96,6 @@ def test_two_process_allgather(tmp_path):
     for k in ("hashes", "variants", "low"):
         assert np.array_equal(a[k], b[k])
     rng0 = np.random.default_rng(0)
+    assert a["hashes"].shape == (13, 32)
     assert np.array_equal(a["hashes"][:8],
                           rng0.integers(0, 256, (8, 32), dtype=np.uint8))
