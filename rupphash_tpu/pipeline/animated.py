@@ -41,15 +41,46 @@ def is_animated_webp(data: bytes) -> bool:
 
 
 def is_animated_gif(data: bytes) -> bool:
-    """Two-image-descriptor probe (gui/image.rs:1618-1640): animated
-    iff more than one image block exists."""
+    """Two-image-descriptor byte walk (gui/image.rs:1618-1640):
+    animated iff a second image block exists.  Answers after the
+    second descriptor without decoding — PIL's n_frames seeks through
+    every frame's data, O(file) on the GUI's per-request hot path."""
     if not data.startswith((b"GIF87a", b"GIF89a")):
         return False
     try:
-        from PIL import Image
-        with Image.open(io.BytesIO(data)) as im:
-            return getattr(im, "n_frames", 1) > 1
-    except Exception:
+        # logical screen descriptor + optional global color table
+        p = 10
+        packed = data[p]
+        p = 13
+        if packed & 0x80:
+            p += 3 * (2 << (packed & 0x07))
+        images = 0
+        n = len(data)
+        while p < n:
+            b = data[p]
+            if b == 0x3B:          # trailer
+                break
+            if b == 0x21:          # extension: label + sub-blocks
+                p += 2
+                while p < n and data[p] != 0:
+                    p += 1 + data[p]
+                p += 1
+            elif b == 0x2C:        # image descriptor
+                images += 1
+                if images >= 2:
+                    return True
+                p += 10
+                lp = data[p - 1]
+                if lp & 0x80:      # local color table
+                    p += 3 * (2 << (lp & 0x07))
+                p += 1             # LZW min code size
+                while p < n and data[p] != 0:
+                    p += 1 + data[p]
+                p += 1
+            else:
+                break              # corrupt block stream
+        return False
+    except IndexError:
         return False
 
 

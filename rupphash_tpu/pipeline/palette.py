@@ -149,7 +149,11 @@ def kmeans_palette(rgb: np.ndarray, config: PaletteConfig | None = None,
             m = assign == c
             if m.any():
                 w = weights[m][:, None]
-                centers[c] = (lab[m] * w).sum(0) / w.sum()
+                ws = w.sum()
+                if ws > 1e-12:  # all-zero-weight cluster (e.g.
+                    centers[c] = (lab[m] * w).sum(0) / ws
+                else:           # saturation_bias=0): plain mean
+                    centers[c] = lab[m].mean(0)
 
     cluster_w = np.array([weights[assign == c].sum() for c in range(k)])
 

@@ -31,6 +31,7 @@ _NUM_KEY = {
     b"Predictor": re.compile(rb"/Predictor\s+(\d+)"),
     b"Colors": re.compile(rb"/Colors\s+(\d+)"),
     b"Columns": re.compile(rb"/Columns\s+(\d+)"),
+    b"Length": re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)"),
 }
 
 
@@ -150,7 +151,15 @@ def extract_largest_pdf_image(data: bytes,
         end = data.find(b"endstream", start)
         if end < 0:
             continue
-        stream = data[start:end].rstrip(b"\r\n")
+        # a direct /Length delimits the stream exactly; the rstrip
+        # fallback corrupts ~1/128 of flate streams whose compressed
+        # payload happens to end in \n or \r
+        length = d.get(b"Length")
+        if length is not None and 0 < length <= end - start \
+                and not data[start + length:end].strip(b"\r\n "):
+            stream = data[start:start + length]
+        else:
+            stream = data[start:end].rstrip(b"\r\n")
         try:
             img = _decode_stream(d, filters or [], stream)
         except Exception:

@@ -51,9 +51,10 @@ def collect_files(paths, recursive: bool = True):
 
 
 def dedup_hardlinks(records):
-    """Given FileRecords with unique_file_id set, return (records,
-    hardlink_groups) where hardlinked paths share one representative in
-    the scan but are reported together (scanner.rs:1526-1540)."""
+    """Given FileRecords with unique_file_id set, return the hardlink
+    groups as {unique_file_id: [records]} for every id with more than
+    one path (scanner.rs:1526-1540).  The scan's actual dedup happens
+    in pipeline/scan.py's prepass; this is the reporting helper."""
     by_id: dict[int, list] = {}
     for r in records:
         by_id.setdefault(r.unique_file_id, []).append(r)

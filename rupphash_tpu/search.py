@@ -60,11 +60,9 @@ def search_records(records, query: str, index: si.SearchIndex | None = None,
     for part in re.split(r"[\s;]+", query.strip()):
         if not part:
             continue
-        gf = None
-        try:
-            gf = geo.GeoDistanceFilter.parse(part, locations)
-        except ValueError:
-            raise
+        # ValueError (unknown location name, malformed number)
+        # propagates to the caller, which surfaces it as a failed search
+        gf = geo.GeoDistanceFilter.parse(part, locations)
         if gf is not None:
             hits = {i for i in candidates
                     if records[i].gps_pos is not None

@@ -80,8 +80,12 @@ def _two_opt(points, order, deadline_s=TWO_OPT_DEADLINE_S):
 def _morton_key(lat: float, lon: float) -> int:
     """Interleave 21-bit quantized lat/lon into a Z-order key
     (gps_map.rs:155-169; scalar equivalent of the BMI2 _pdep_u64 path)."""
-    x = int((lon + 180.0) / 360.0 * ((1 << 21) - 1))
-    y = int((lat + 90.0) / 180.0 * ((1 << 21) - 1))
+    # mod guards the 21-bit quantization against out-of-domain input
+    # (overflow used to corrupt the interleave entirely); the caller
+    # re-centers unwrapped antimeridian tracks so adjacency survives
+    x = int(((lon + 180.0) % 360.0) / 360.0 * ((1 << 21) - 1))
+    y = int((max(-90.0, min(90.0, lat)) + 90.0) / 180.0
+            * ((1 << 21) - 1))
 
     def spread(v):
         v &= (1 << 21) - 1
@@ -112,7 +116,14 @@ def order_markers(points, timestamps=None, mode: str = "auto"):
                                      timestamps[i] or 0))
     pts = _unwrap_lons(points)
     if mode == "morton" or (mode == "auto" and n >= MORTON_THRESHOLD):
-        return sorted(range(n), key=lambda i: _morton_key(*pts[i]))
+        # re-center the (possibly unwrapped past 180) longitudes onto
+        # the quantization domain: without this a track crossing the
+        # antimeridian splits into two runs at opposite curve ends —
+        # exactly the jump the unwrap exists to prevent
+        lon0 = min(p[1] for p in pts)
+        return sorted(range(n),
+                      key=lambda i: _morton_key(
+                          pts[i][0], pts[i][1] - lon0 - 180.0))
     order = _nn_greedy(pts)
     return _two_opt(pts, order)
 

@@ -53,7 +53,13 @@ def pixel_hash_rgba16(content_key: bytes, image: np.ndarray) -> bytes:
     if img.ndim == 2:
         img = np.stack([img, img, img], axis=-1)
     if img.shape[-1] == 3:
-        alpha = np.full(img.shape[:-1] + (1,), 255, dtype=img.dtype)
+        # opaque in the INPUT dtype's own scale: uint8's 255 widens to
+        # 65535 below, but uint16 input skips the widening, so a 255
+        # fill would make 16-bit decodes hash differently from 8-bit
+        # containers of identical pixels (scanner.rs:1395-1398 uses
+        # the Rgba16 opaque value)
+        opaque = 255 if img.dtype == np.uint8 else 65535
+        alpha = np.full(img.shape[:-1] + (1,), opaque, dtype=img.dtype)
         img = np.concatenate([img, alpha], axis=-1)
     if img.dtype == np.uint8:
         img = img.astype(np.uint16) * 257

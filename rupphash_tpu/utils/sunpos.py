@@ -68,11 +68,12 @@ def solar_position(lat: float, lon: float, dt: datetime):
     minutes = (t.hour * 60.0 + t.minute + (t.second + t.microsecond / 1e6)
                / 60.0)
     tst = (minutes + eot + 4.0 * lon) % 1440.0
-    ha = tst / 4.0 - 180.0 if tst / 4.0 >= 0 else tst / 4.0 + 180.0
-    if tst / 4.0 < 180.0:
-        ha = tst / 4.0 + 180.0
-    else:
-        ha = tst / 4.0 - 180.0
+    # NOAA: ha = tst/4 - 180 in [-180, 180) — negative before local
+    # solar noon.  (A previous inverted mapping sent mornings to
+    # [180, 360), mirroring the azimuth east/west for every pre-noon
+    # timestamp; the validation fixture is a sunset, which is why it
+    # never caught it.)
+    ha = tst / 4.0 - 180.0
 
     lat_r = math.radians(lat)
     decl_r = math.radians(decl)

@@ -83,3 +83,18 @@ def test_geo_distance_filter_parse_and_match():
     with pytest.raises(ValueError):
         geo.GeoDistanceFilter.parse("DistanceFrom:nowhere:10")
     assert geo.GeoDistanceFilter.parse("make:Canon") is None
+
+
+def test_solar_azimuth_morning_is_east():
+    """Regression: an inverted NOAA hour-angle mapping mirrored every
+    pre-noon azimuth to the west (the validation fixture is a sunset,
+    which never caught it)."""
+    from datetime import datetime, timezone
+
+    el, az = sunpos.solar_position(
+        51.5, -0.1, datetime(2026, 6, 21, 8, 0, tzinfo=timezone.utc))
+    assert 80 < az < 120       # morning sun in the east
+    assert el > 20
+    el2, az2 = sunpos.solar_position(
+        51.5, -0.1, datetime(2026, 6, 21, 16, 0, tzinfo=timezone.utc))
+    assert 240 < az2 < 280     # afternoon in the west
