@@ -69,6 +69,8 @@ def parse_cube(text: str, path: str = "") -> Lut3D | None:
                     return None
     if size < 2 or len(rows) != size ** 3:
         return None
+    if dmin.shape != (3,) or dmax.shape != (3,):
+        return None  # DOMAIN_* with a wrong token count
     # .cube data order: R fastest, then G, then B
     table = np.asarray(rows, np.float32).reshape(size, size, size, 3)
     if np.any(dmax - dmin <= 0):
@@ -83,6 +85,11 @@ def load_cube(path: str | Path) -> Lut3D | None:
                                                errors="replace"),
                           str(path))
     except OSError:
+        return None
+    except Exception:
+        # malformed grammar beyond what parse_cube's own checks catch
+        # (e.g. a 2-token DOMAIN_MIN broadcasting error) must surface
+        # as "could not parse", not crash the GUI at startup
         return None
 
 

@@ -302,10 +302,18 @@ async function selectRow(gi, fi) {
 }
 
 let imgSeq = 0;
+let imgShownUrl = null;
 function loadImage() {
   const cur = current();
   const img = $('img');
-  if (!cur) { img.src = ''; return; }
+  if (!cur) { img.src = ''; imgShownUrl = null; return; }
+  const url = `/api/image?g=${S.cursor[0]}&f=${S.cursor[1]}&s=2048` +
+              `&v=${encodeURIComponent(cur.path + cur.mtime +
+                                       (cur.tf || ''))}`;
+  // every render calls loadImage (marks, sort, rev bumps, watcher
+  // ticks): if the same image is already shown, keep it — reloading
+  // would flash the spinner and reset the user's pan position
+  if (url === imgShownUrl) return;
   const seq = ++imgSeq;
   const curName = cur.name;
   const sp = $('spin');
@@ -317,6 +325,7 @@ function loadImage() {
     if (seq !== imgSeq) return;
     imgNatural = [pre.naturalWidth, pre.naturalHeight];
     img.src = pre.src;
+    imgShownUrl = url;
     const bg = $('bg');
     bg.src = pre.src;                 // frosted blur backdrop
     bg.style.display = 'block';
@@ -329,13 +338,13 @@ function loadImage() {
     // failed-image card (gui/app.rs failed_images analogue)
     $('bg').style.display = 'none';
     $('img').src = '';
+    imgShownUrl = null;
     const sp = $('spin');
     sp.style.display = 'block';
     sp.style.color = '#e06c75';
     sp.textContent = 'decode failed: ' + curName;
   }};
-  pre.src = `/api/image?g=${S.cursor[0]}&f=${S.cursor[1]}&s=2048` +
-            `&v=${encodeURIComponent(cur.path + cur.mtime)}`;
+  pre.src = url;
 }
 
 function layoutImage() {
@@ -505,9 +514,11 @@ function drawMap() {
   ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
 }
 
+let panelSeq = 0;
 async function loadAnalysis() {
+  const seq = ++panelSeq;
   const r = await fetch(`/api/analysis?g=${S.cursor[0]}&f=${S.cursor[1]}`);
-  if (!r.ok) return;
+  if (!r.ok || seq !== panelSeq) return;  // a newer panel superseded us
   const a = await r.json();
   const cv = $('hist'); cv.style.display = 'block';
   const ctx = cv.getContext('2d');
@@ -535,7 +546,10 @@ async function loadAnalysis() {
 }
 
 async function loadExif() {
-  const r = await fetch(`/api/exif?g=${S.cursor[0]}&f=${S.cursor[1]}`);
+  const seq = ++panelSeq;
+  const reqGi = S.cursor[0], reqFi = S.cursor[1];
+  const r = await fetch(`/api/exif?g=${reqGi}&f=${reqFi}`);
+  if (seq !== panelSeq) return;   // a newer request superseded us
   const e = $('exif');
   e.style.display = 'block';
   if (!r.ok) { e.textContent = 'EXIF unavailable'; return; }
@@ -563,8 +577,8 @@ async function loadExif() {
   if (x.sun && x.sun.sun_altitude !== undefined) {
     t += `Sun         alt ${x.sun.sun_altitude}°  ` +
          `az ${x.sun.sun_azimuth}°\n`;
-    lastSun = {gi: S.cursor[0], fi: S.cursor[1],
-               az: x.sun.sun_azimuth};
+    lastSun = {gi: reqGi, fi: reqFi,   // the REQUESTED file's sun —
+               az: x.sun.sun_azimuth}; // not whatever is now selected
     drawMap();
   }
   if (x.location && x.location.country)
@@ -659,8 +673,8 @@ $('pinput').addEventListener('keydown', async ev => {
   }
 });
 
-const SORTS = ['name','path','size','size-asc','modified','modified-asc',
-               'resolution','resolution-asc','random'];
+const SORTS = ['name','name-desc','name-natural','name-natural-desc',
+               'date','date-desc','size','size-desc','random'];
 
 const HELP = `rupphash_tpu viewer keys
 ↑/↓ or j/k   next / previous file
@@ -676,7 +690,7 @@ r            rename current file
 f            advanced search (EXIF/geo/regex)   F  fullscreen
 s            cycle sort order        t  relative times
 W            zoom fit cycle  Z  1:1/2x/4x/8x cycle
-X            zoom levels absolute (1:1 px) vs relative to fit
+z            zoom levels absolute (1:1 px) vs relative to fit
 I            histogram off/luma/Oklab   E  EXIF overlay
 N            map off/markers/paths      G  sun via GPS-UTC/camera clock
 A            map: fit all markers vs zoom on selected
@@ -725,7 +739,9 @@ document.addEventListener('click', closeCtx);
 document.addEventListener('keydown', async ev => {
   if (ev.target.tagName === 'INPUT') return;
   if (S && S.pending_confirm) {
-    if (ev.key === 'y')
+    if (['Shift','Control','Alt','Meta','CapsLock'].includes(ev.key))
+      return;  // touching Shift must not cancel a pending delete
+    if (ev.key === 'y' || ev.key === 'Y')
       await intent({'delete': 'execute_delete',
                     'delete-one': 'execute_delete',
                     'move': 'move_marked'}[S.pending_confirm]
@@ -837,8 +853,8 @@ document.addEventListener('keydown', async ev => {
       pathDepth = (pathDepth + 1) % 3;
       renderList();
       break;
-    case 'X':                       // KEYS.txt: zoom absolute/relative
-      zoomRel = !zoomRel;
+    case 'z':                       // KEYS.txt X: zoom abs/relative
+      zoomRel = !zoomRel;           // (X itself is ignore-group here)
       layoutImage();
       break;
     case '<': case '>': {           // KEYS.txt V/B: sidebar width

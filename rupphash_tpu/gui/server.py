@@ -93,6 +93,15 @@ class GuiServer:
         except ValueError:
             return False
 
+    def _tf_tag(self, f) -> str:
+        t = self.state.transforms.get(f.unique_file_id)
+        lut = getattr(self.engine, "active_lut", -1)
+        if t is None and lut < 0:
+            return ""
+        if t is None:
+            return f"L{lut}"
+        return f"{t.quarter_turns}{int(t.flip_h)}{int(t.flip_v)}L{lut}"
+
     # ------------------------------------------------------------ state
     def snapshot(self) -> dict:
         st = self.state
@@ -116,6 +125,10 @@ class GuiServer:
                     "size": f.size,
                     "mtime": f.modified,
                     "res": list(f.resolution) if f.resolution else None,
+                    # render-state fingerprint: the client keys its
+                    # image cache on this so rotate/flip/LUT reload
+                    # while unrelated intents (marks, sorts) don't
+                    "tf": self._tf_tag(f),
                     "marked": f.path in st.marked,
                     "hardlink": link_counts.get(f.unique_file_id, 0) > 1,
                     "identical": bool(

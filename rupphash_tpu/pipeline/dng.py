@@ -166,11 +166,15 @@ def _raster(data: bytes, ifd: dict, endian: str) -> np.ndarray | None:
 
     def _unpack(raw: bytes, rows: int, width: int):
         if bits == 16:
+            if len(raw) < rows * width * 2:
+                return None  # truncated strip / lying byte counts
             arr = np.frombuffer(raw, dtype=np.dtype(
                 np.uint16).newbyteorder(endian),
                 count=rows * width)
             return arr.reshape(rows, width)
         if bits == 8:
+            if len(raw) < rows * width:
+                return None
             return np.frombuffer(raw, dtype=np.uint8,
                                  count=rows * width).reshape(
                 rows, width).astype(np.uint16)

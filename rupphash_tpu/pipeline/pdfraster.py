@@ -447,7 +447,18 @@ def _composite_image(canvas, img: np.ndarray, ctm: np.ndarray):
 
 def rasterize_first_page(data: bytes, scale: float = 2.0,
                          max_side: int = 4096) -> np.ndarray | None:
-    """Render page 1 at `scale` on white -> (H, W, 3) uint8, or None."""
+    """Render page 1 at `scale` on white -> (H, W, 3) uint8, or None.
+    Never raises: this parses untrusted scan input and its callers
+    (decode tiers, GUI render, serve add) treat None as 'not a
+    renderable PDF'."""
+    try:
+        return _rasterize_first_page(data, scale, max_side)
+    except Exception:
+        return None
+
+
+def _rasterize_first_page(data: bytes, scale: float,
+                          max_side: int) -> np.ndarray | None:
     if not data.startswith(b"%PDF"):
         idx = data.find(b"%PDF")
         if idx < 0:
@@ -460,9 +471,16 @@ def rasterize_first_page(data: bytes, scale: float = 2.0,
         return None
     if page is None:
         return None
-    mb = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
-    mb = [float(doc.resolve(v)) for v in mb]
-    pw, ph = mb[2] - mb[0], mb[3] - mb[1]
+    try:
+        mb = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        mb = [float(doc.resolve(v)) for v in mb[:4]]
+        if len(mb) != 4:
+            raise ValueError("short MediaBox")
+        pw, ph = mb[2] - mb[0], mb[3] - mb[1]
+    except (TypeError, ValueError, IndexError):
+        # malformed MediaBox (short array, null entries): the contract
+        # is None, not an exception out of the untrusted-input parser
+        return None
     if pw <= 0 or ph <= 0:
         return None
     scale = min(scale, max_side / max(pw, ph))

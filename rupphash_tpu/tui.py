@@ -46,8 +46,23 @@ def _draw(stdscr, st: AppState, offset: int) -> int:
     cur = st.flat_cursor
     if cur < offset:
         offset = cur
-    if cur >= offset + visible:
-        offset = cur - visible + 1
+    else:
+        # the draw loop emits one header line per group whose first
+        # row is inside the window, so 'cur - offset < visible' is not
+        # enough — find the furthest-back start whose draw lines
+        # (files + headers) still fit the cursor on screen
+        lines = 0
+        s = cur
+        k = cur
+        while k >= 0:
+            add = 2 if (k < len(st.rows) and st.rows[k][1] == 0) else 1
+            if lines + add > visible:
+                break
+            lines += add
+            s = k
+            k -= 1
+        if offset < s:
+            offset = s
 
     row = 0
     last_group = -1
@@ -189,20 +204,30 @@ def _prompt(stdscr, text: str, initial: str = "",
                            w - 1, curses.A_REVERSE)
             stdscr.move(h - 1, min(len(text) + len(buf), w - 2))
             stdscr.refresh()
-            ch = stdscr.getch()
-            if ch in (27,):                      # Esc
+            # get_wch: multi-byte UTF-8 arrives as a complete str
+            # (plain getch() returns the raw bytes one at a time, so
+            # typing 'é' in a rename dialog produced mojibake); curses
+            # keycodes for arrows/F-keys arrive as ints and are ignored
+            try:
+                ch = stdscr.get_wch()
+            except curses.error:
+                continue
+            if isinstance(ch, int):
+                if ch == curses.KEY_ENTER:
+                    return buf
+                if ch == curses.KEY_BACKSPACE:
+                    buf = buf[:-1]
+                continue
+            if ch == "\x1b":                     # Esc
                 return None
-            if ch in (curses.KEY_ENTER, 10, 13):
+            if ch in ("\n", "\r"):
                 return buf
-            if ch in (curses.KEY_BACKSPACE, 127, 8):
+            if ch in ("\x7f", "\b"):
                 buf = buf[:-1]
-            elif ch == 9 and completer is not None:   # Tab
+            elif ch == "\t" and completer is not None:
                 buf = completer.next(buf)
-            elif 32 <= ch < 256 and ch != 9:
-                # getch() returns curses keycodes >= 256 for arrows /
-                # Home / Delete / F-keys — appending chr(259)='ă' etc.
-                # would silently corrupt the edit buffer
-                buf += chr(ch)
+            elif ch >= " " and ch != "\t":
+                buf += ch
     finally:
         curses.curs_set(0)
 
