@@ -155,3 +155,25 @@ def test_find_edges_fast_no_matches_interpret():
         base, similarity=0, interpret=True, return_stats=True)
     assert len(fi) == 0 and len(fj) == 0
     assert stats["hot_rows"] == 0
+
+
+@pytest.mark.parametrize("n", [1023, 1024, 1025, 2047, 2049])
+def test_counts_exact_across_tile_boundaries(n):
+    """Padding/masking property sweep: planted pairs that straddle the
+    1024-wide kernel tiles (and land in padded regions' neighborhoods)
+    count exactly, for sizes one off each boundary."""
+    rng = np.random.default_rng(n)
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    # disjoint pairs spanning the first/last rows and the middle
+    # (straddles the 1024-row tile boundary for every n in the sweep)
+    pairs = [(0, n - 1), (n // 2, n // 2 + 1), (1, 2)]
+    planted = set()
+    for a, b in pairs:
+        base[b] = base[a]
+        planted.add((min(a, b), max(a, b)))
+    fi, fj = hamming.find_edges_fast(base, similarity=0, interpret=True)
+    got = set(zip(fi.tolist(), fj.tolist()))
+    # planted pairs must all be found (chance collisions may add more,
+    # but at 256 random bits they effectively cannot)
+    assert planted <= got
+    assert got == planted
