@@ -329,3 +329,50 @@ def test_similarity_clamped_to_hash_width():
     idxs = {i for i, _, _ in hits}
     assert all(i < 6 for i in idxs)            # no padding rows
     assert not any(p == "/lowq.png" for _, p, _ in hits)  # gate holds
+
+
+def test_concurrent_query_vs_remove_stress():
+    """Queries racing add/remove must never crash or return paths that
+    mismatch their indices (the mesh path once recomputed distances
+    from live hashes with snapshot indices; single-device snapshots
+    are captured under the lock)."""
+    import threading
+
+    import numpy as np
+
+    ix = serve.HashIndex()
+    rng = np.random.default_rng(30)
+    hs = [bytes(rng.integers(0, 256, 32, dtype=np.uint8).tolist())
+          for _ in range(64)]
+    for i, h in enumerate(hs):
+        ix.add(f"/s/{i}.png", h, quality=90)
+
+    errors = []
+    stop = threading.Event()
+
+    def churn():
+        k = 64
+        while not stop.is_set():
+            try:
+                ix.add(f"/s/{k}.png", hs[k % 64], quality=90)
+                ix.remove(f"/s/{k}.png")
+                k += 1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        for q in range(40):
+            h = hs[q % 64]
+            qv = np.frombuffer(h, dtype=np.uint8)[None, None, :]
+            qv = qv.repeat(8, 1)
+            for idx, path, dist in ix.query(qv, similarity=0)[0]:
+                # the snapshot contract: index, path and distance agree
+                assert path.startswith("/s/")
+                assert dist == 0
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors, errors
