@@ -286,7 +286,14 @@ def group_files(files: list[FileRecord],
 
     n_all = len(files)
     if use_device is None:
-        use_device = len(idx_with_hash) > 2048
+        # numpy brute force beats the XLA-CPU sweep below ~2.5k rows
+        # (the sweep pads to 1024-wide tiles, a ~6 s fixed cost on one
+        # core), but a real accelerator wins at a few hundred already —
+        # measured: n=2000 brute force costs 3.1 s on this class of
+        # host vs milliseconds of MXU time
+        import jax
+        accel = jax.default_backend() != "cpu"
+        use_device = len(idx_with_hash) > (256 if accel else 2048)
     if use_device:
         import jax
         if len(jax.devices()) > 1:

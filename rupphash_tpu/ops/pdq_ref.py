@@ -352,6 +352,38 @@ def dihedral_hashes(coeffs: np.ndarray) -> list[bytes]:
     ]
 
 
+def dihedral_hashes_batch(coeffs_batch: np.ndarray) -> np.ndarray:
+    """(B, 256) f32 coefficient blocks -> (B, 8, 32) uint8 dihedral
+    hashes, bit-identical to per-file dihedral_hashes (asserted in
+    tests).  Vectorized for the cached-rescan path, where regenerating
+    variants one file at a time (pack_bits is a 256-step Python loop
+    per call) dominated the probe cost at scan rate."""
+    c = np.asarray(coeffs_batch, F32).reshape(-1, DCT_OUTPUT_W_H,
+                                              DCT_OUTPUT_W_H)
+    b = len(c)
+    flip_r = _ROW_FREQ_ODD[:, None]
+    flip_c = _ROW_FREQ_ODD[None, :]
+    zeros = np.zeros_like(flip_r, bool)
+    # sign-variant order matches _bit_matrix calls in dihedral_hashes:
+    # ident, neg_c, neg_r, neg_b
+    flips = np.stack([
+        zeros ^ zeros.T, zeros ^ flip_c, flip_r ^ zeros.T,
+        flip_r ^ flip_c])                              # (4, 16, 16)
+    signed = np.where(flips[None], -c[:, None], c[:, None])  # (B,4,16,16)
+    flat = signed.reshape(b, 4, 256)
+    med = np.sort(flat, axis=-1, kind="stable")[:, :, (256 - 1) // 2]
+    bits = flat > med[:, :, None]                      # (B, 4, 256)
+    bm = bits.reshape(b, 4, 16, 16)
+    ident, neg_c, neg_r, neg_b = (bm[:, k] for k in range(4))
+    t = lambda m: np.swapaxes(m, 1, 2)
+    variants = np.stack([ident, t(neg_r), neg_b, t(neg_c),
+                         neg_c, neg_r, t(ident), t(neg_b)],
+                        axis=1)                        # (B, 8, 16, 16)
+    vb = variants.reshape(b, 8, 32, 8)
+    packed = np.packbits(vb, axis=-1, bitorder="little")[..., 0]
+    return packed[:, :, ::-1].copy()                   # byte 31-i layout
+
+
 # --------------------------------------------------------------------------
 # Full pipeline
 # --------------------------------------------------------------------------

@@ -102,14 +102,12 @@ def _probe_one(path: Path, cfg: ScanConfig, store, identity=None):
             rec.orientation = feats.get("orientation", 1)
             rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
             rec.exif_timestamp = feats.get("exif_timestamp")
-            if coeffs is not None:
-                # dihedral set regenerated from cached coefficients;
-                # the coefficients themselves stay cache-resident
-                rec.dihedral = np.stack(
-                    [np.frombuffer(h, dtype=np.uint8)
-                     for h in pdq_ref.dihedral_hashes(coeffs)])
             store.put_meta(mkey, content)  # refresh timestamp
-            return {"record": rec, "luma": None, "cached": True}
+            # dihedral regen from cached coefficients happens BATCHED
+            # in the caller (pdq_ref.dihedral_hashes_batch): per-file
+            # packing is a Python loop that dominated rescan rate
+            return {"record": rec, "luma": None, "cached": True,
+                    "coeffs_cached": coeffs}
 
     trace.count("CACHE-PARTIAL" if content is not None else "CACHE-MISS")
     trace.debug("CACHE-PARTIAL" if content is not None else "CACHE-MISS",
@@ -250,14 +248,27 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     content_key = store.content_key if store else None
     want_px = bool(cfg.pixel_hash)  # works store-less via zero key
     misses: list[tuple] = []
+    dihedral_pending: list[tuple] = []  # (record, cached coeffs)
     for p in files:
         probe = _probe_one(p, cfg, store, identity=identities.get(p))
         if probe is None:
             consume(None)
         elif probe.get("cached"):
+            coeffs = probe.pop("coeffs_cached", None)
+            if coeffs is not None:
+                dihedral_pending.append((probe["record"], coeffs))
             consume(probe)
         else:
             misses.append((p, probe))
+
+    if dihedral_pending:
+        # one vectorized pass regenerates every cache hit's dihedral
+        # set (coefficients stay cache-resident, not RAM-resident)
+        packed = pdq_ref.dihedral_hashes_batch(
+            np.stack([c for _, c in dihedral_pending]))
+        for k, (rec, _) in enumerate(dihedral_pending):
+            rec.dihedral = packed[k]
+        dihedral_pending.clear()
 
     if misses:
         from concurrent.futures import as_completed

@@ -183,3 +183,15 @@ def test_near_duplicate_pair_matches(near_dupe_pair):
     ha, _ = ref.generate_pdq(a)
     hb, _ = ref.generate_pdq(b)
     assert ref.hamming_distance(ha, hb) <= 63
+
+
+def test_dihedral_hashes_batch_bit_exact():
+    """The vectorized cached-rescan regen must match the scalar golden
+    bit-for-bit, including median ties from duplicated values."""
+    rng = np.random.default_rng(12)
+    coeffs = rng.standard_normal((40, 256)).astype(np.float32)
+    coeffs[20:] = np.round(coeffs[20:] * 4) / 4  # force ties
+    batch = pdq_ref.dihedral_hashes_batch(coeffs)
+    for i in range(40):
+        want = pdq_ref.dihedral_hashes(coeffs[i])
+        assert [bytes(batch[i, v]) for v in range(8)] == want, i
