@@ -191,7 +191,7 @@ def test_dihedral_hashes_batch_bit_exact():
     rng = np.random.default_rng(12)
     coeffs = rng.standard_normal((40, 256)).astype(np.float32)
     coeffs[20:] = np.round(coeffs[20:] * 4) / 4  # force ties
-    batch = pdq_ref.dihedral_hashes_batch(coeffs)
+    batch = ref.dihedral_hashes_batch(coeffs)
     for i in range(40):
-        want = pdq_ref.dihedral_hashes(coeffs[i])
+        want = ref.dihedral_hashes(coeffs[i])
         assert [bytes(batch[i, v]) for v in range(8)] == want, i
