@@ -74,7 +74,12 @@ def encrypt(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
 
 
 def decrypt(key: bytes, blob: bytes, aad: bytes) -> bytes:
-    """Raises cryptography.exceptions.InvalidTag on tamper/swap."""
+    """Raises cryptography.exceptions.InvalidTag on tamper/swap/truncation."""
+    if len(blob) < NONCE_LEN + 16:  # full nonce + poly1305 tag minimum
+        # a truncated DB row must fail like tampering — passing a short
+        # nonce down would over-read in the native HChaCha20 core
+        from cryptography.exceptions import InvalidTag
+        raise InvalidTag()
     nonce, ct = blob[:NONCE_LEN], blob[NONCE_LEN:]
     subkey, n12 = _subkey_nonce(key, nonce)
     return ChaCha20Poly1305(subkey).decrypt(n12, ct, aad)

@@ -294,6 +294,13 @@ def find_edges_fast(base_hashes: np.ndarray,
         return (empty, empty, {}) if return_stats else (empty, empty)
     if variants is None:
         variants = base_hashes[:, None, :]
+    elif not np.array_equal(variants[:, 0], base_hashes):
+        # the device pipeline matches queries against variant slot 0 as
+        # the base side (every production caller puts the identity hash
+        # there: dihedral[0]); for any other layout, honor the
+        # documented base_hashes semantics via the tile path
+        return find_edges(base_hashes, variants, low_conf, similarity,
+                          return_stats=return_stats)
     if low_conf is None:
         low_conf = np.zeros(n, dtype=bool)
 

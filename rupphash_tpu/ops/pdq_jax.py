@@ -321,11 +321,21 @@ def pdq_hash_batch_mixed(lumas: list):
     the number of distinct shapes, not the batch size.
     """
     b = len(lumas)
+    if b == 0:
+        return {"hash": np.zeros((0, 32), np.uint8),
+                "dihedral": np.zeros((0, 8, 32), np.uint8),
+                "quality": np.zeros((0,), np.float32),
+                "coeffs": np.zeros((0, 256), np.float32)}
     hp = _bucket_dim(max(l.shape[0] for l in lumas))
     wp = _bucket_dim(max(l.shape[1] for l in lumas))
-    planes = np.zeros((b, hp, wp), dtype=np.uint8)
+    # bucket the batch dim too: scan leftovers produce arbitrary
+    # trailing sizes, and every distinct b would compile a fresh XLA
+    # program (minutes over a remote tunnel); padded rows hash garbage
+    # that is sliced away below
+    bpad = max(8, 1 << (b - 1).bit_length())
+    planes = np.zeros((bpad, hp, wp), dtype=np.uint8)
     shape_id: dict[tuple[int, int], int] = {}
-    idx = np.zeros(b, dtype=np.int32)
+    idx = np.zeros(bpad, dtype=np.int32)
     for k, luma in enumerate(lumas):
         rows, cols = luma.shape
         planes[k, :rows, :cols] = luma
@@ -347,9 +357,12 @@ def pdq_hash_batch_mixed(lumas: list):
             [l_unique, np.zeros((spad - s, BUFFER_W_H, hp), np.float32)])
         r_unique = np.concatenate(
             [r_unique, np.zeros((spad - s, BUFFER_W_H, wp), np.float32)])
-    return _jitted_mixed(b, hp, wp, spad)(
+    out = _jitted_mixed(bpad, hp, wp, spad)(
         jnp.asarray(planes), jnp.asarray(l_unique),
         jnp.asarray(r_unique), jnp.asarray(idx))
+    if bpad == b:
+        return out
+    return {k: v[:b] for k, v in out.items()}
 
 
 def pdq_hash_image(image: np.ndarray):

@@ -103,16 +103,23 @@ def extract_number_from_string(s) -> float | None:
                 return num / den
         except ValueError:
             pass
-    m = re.search(r"-?[\d.]+", s)
-    if m:
+    # reference semantics (search_index.rs:48-62): collect the first
+    # contiguous run of number-ish characters and float-parse it whole —
+    # '1e-5' parses as 1e-5 (a regex '[\d.]+' would stop at the
+    # mantissa) and '3-4' fails like the reference instead of
+    # truncating to 3.0
+    run = ""
+    for ch in s:
+        if ch.isdigit() or ch in ".-eE":
+            run += ch
+        elif run:
+            break
+    if run:
         try:
-            return float(m.group(0))
+            return float(run)
         except ValueError:
-            pass
-    try:
-        return float(s)
-    except ValueError:
-        return None
+            return None
+    return None
 
 
 def parse_range_value(value: str):
@@ -194,6 +201,11 @@ def _parse_single(q: str) -> Criterion:
         num = extract_number_from_string(value)
         if num is not None:
             return Criterion(tag, op if op != "eq" else "eq_num", value=num)
+        if op != "eq":
+            # numeric comparison against an unparseable value matches
+            # nothing (search_index.rs:586-590), it must not carry the
+            # raw string into arithmetic
+            return Criterion(tag, "nothing", value=None)
     if op == "eq":
         op = "contains"
     return Criterion(tag, op, value=value)
@@ -272,13 +284,10 @@ class SearchIndex:
                     etags.append(tag)
                 self._dirty = True
 
-    def remove(self, slot: int):
-        """Frees the slot for reuse (search_index.rs:157-249).
-        O(the slot's own tags): exact bits are masked out by _live at
-        query time and scrubbed lazily when the slot is reused."""
-        if not (self._live >> slot) & 1:
-            return  # double remove would double-free the slot id
-        self._live &= ~(1 << slot)
+    def _teardown_slot(self, slot: int):
+        """Per-slot removal body shared by remove/remove_many (the
+        _live mask update is the caller's, so bulk removal can batch
+        it)."""
         ekeys, etags = self._slot_keys.pop(slot, ((), ()))
         for tag in etags:
             d = self._strings.get(tag)
@@ -292,6 +301,15 @@ class SearchIndex:
             self._pending_scrub[slot] = list(ekeys)
         self._free.append(slot)
 
+    def remove(self, slot: int):
+        """Frees the slot for reuse (search_index.rs:157-249).
+        O(the slot's own tags): exact bits are masked out by _live at
+        query time and scrubbed lazily when the slot is reused."""
+        if not (self._live >> slot) & 1:
+            return  # double remove would double-free the slot id
+        self._live &= ~(1 << slot)
+        self._teardown_slot(slot)
+
     def remove_many(self, slots) -> int:
         """Bulk removal (directory deletion under the watcher): one
         _live mask update for the whole batch."""
@@ -303,18 +321,7 @@ class SearchIndex:
             mask |= 1 << s
         self._live &= ~mask
         for s in slots:
-            ekeys, etags = self._slot_keys.pop(s, ((), ()))
-            for tag in etags:
-                d = self._strings.get(tag)
-                if d is not None:
-                    d.pop(s, None)
-                d = self._numeric.get(tag)
-                if d is not None and s in d:
-                    del d[s]
-                    self._dirty = True
-            if ekeys:
-                self._pending_scrub[s] = list(ekeys)
-            self._free.append(s)
+            self._teardown_slot(s)
         return len(slots)
 
     def finalize(self):
@@ -339,6 +346,8 @@ class SearchIndex:
 
     def _eval(self, c: Criterion) -> int:
         inf = math.inf
+        if c.op == "nothing":  # unparseable numeric comparison value
+            return 0
         if c.op == "between":
             return self._numeric_bitmap(c.tag, c.lo, c.hi)
         if c.op == "eq_num":

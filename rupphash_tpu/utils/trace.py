@@ -25,7 +25,8 @@ import time
 _counters: dict[str, int] = collections.defaultdict(int)
 _lock = threading.Lock()
 
-DEBUG = bool(os.environ.get("RUPPHASH_DEBUG"))
+DEBUG = os.environ.get("RUPPHASH_DEBUG", "").strip().lower() \
+    not in ("", "0", "false", "no")
 
 
 def tag(name: str, msg: str):

@@ -167,3 +167,22 @@ def test_double_remove_does_not_double_free():
     b = ix.alloc_slot()
     c = ix.alloc_slot()
     assert b != c         # a double-free would hand out one slot twice
+
+
+def test_numeric_op_with_unparseable_value_matches_nothing():
+    """iso:<:abc must return empty (search_index.rs:586-590), not crash
+    with a str-minus-float TypeError."""
+    ix = si.SearchIndex()
+    s0 = ix.alloc_slot()
+    ix.insert(s0, {"ISO": 100})
+    ix.finalize()
+    assert ix.search("iso:<:abc") == set()
+    assert ix.search("iso:<:200") == {s0}
+
+
+def test_extract_number_exponent_and_interior_hyphen():
+    """Reference char-scan semantics: exponents parse whole, an
+    interior hyphen makes the run unparseable (None) instead of
+    truncating to the leading digits."""
+    assert si.extract_number_from_string("1e-5") == pytest.approx(1e-5)
+    assert si.extract_number_from_string("3-4") is None
