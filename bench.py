@@ -43,8 +43,11 @@ def bench_pdq(batch=1024, rows=512, cols=288, iters=20):
         log(f"parity: bench.jpg hamming={dist} quality_ok="
             f"{abs(float(out['quality'][0]) - gold_q) < 1e-6}")
         assert dist == 0, "parity failure vs golden"
-    except FileNotFoundError:
-        log("parity: fixture unavailable, skipped")
+    except (FileNotFoundError, ImportError, OSError) as e:
+        # fixture or PIL unavailable: the headline JSON line must
+        # still print (CLAUDE.md contract); AssertionError (true
+        # parity breakage) still aborts
+        log(f"parity: gate skipped ({type(e).__name__})")
 
     # Timing protocol: the device executes dispatches FIFO, so N async
     # dispatches followed by ONE host readback of the last result bounds

@@ -28,7 +28,12 @@ print("entry + dryrun_multichip ok")
 EOF
 
 echo "== package =="
-python -m build --sdist --wheel --no-isolation 2>/dev/null || \
+# only a missing `build` module may skip; a real sdist/wheel failure
+# must fail the gate (2>/dev/null previously hid both alike)
+if python -c "import build" 2>/dev/null; then
+    python -m build --sdist --wheel --no-isolation
+else
     echo "python-build unavailable; skipping package step"
+fi
 
 echo "release checks passed"

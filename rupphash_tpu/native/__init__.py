@@ -80,6 +80,9 @@ def get_lib():
 
 
 def hchacha20(key: bytes, nonce16: bytes) -> bytes | None:
+    if len(key) != 32 or len(nonce16) != 16:
+        return None  # fall back to the asserting Python path: the C
+                     # core reads fixed 32/16-byte buffers regardless
     lib = get_lib()
     if lib is None:
         return None
@@ -95,6 +98,9 @@ def luma601(img: np.ndarray) -> np.ndarray | None:
     if img.ndim == 2:
         return np.ascontiguousarray(img, dtype=np.uint8)
     h, w, c = img.shape
+    if c not in (3, 4):
+        return None  # the C loop reads p[0..2] per pixel; a 2-channel
+                     # (LA) layout would read past the buffer
     src = np.ascontiguousarray(img, dtype=np.uint8)
     out = np.empty((h, w), dtype=np.uint8)
     lib.luma601(src.ctypes.data, h * w, c, out.ctypes.data)
@@ -113,6 +119,31 @@ def box_resample_u8(luma: np.ndarray, new_w: int, new_h: int):
     return out
 
 
+def _sof3_dims(stream: bytes):
+    """(H, W, NC) from the SOF3 marker, or None (marker walk only)."""
+    p = 2
+    n = len(stream)
+    while p + 9 <= n:
+        if stream[p] != 0xFF:
+            return None
+        marker = stream[p + 1]
+        p += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = (stream[p] << 8) | stream[p + 1]
+        if seglen < 2:
+            return None
+        if marker == 0xC3 and p + 8 <= n:
+            h = (stream[p + 3] << 8) | stream[p + 4]
+            w = (stream[p + 5] << 8) | stream[p + 6]
+            nc = stream[p + 7]
+            return (h, w, nc) if h and w and nc else None
+        if marker == 0xDA:
+            return None
+        p += seglen
+    return None
+
+
 def lj92_decode(data: bytes, max_pixels: int = 512_000_000 // 4):
     """Decode a lossless-JPEG (SOF3) stream to a (h, w*ncomp) uint16
     array, or None on failure / when the library is unavailable.
@@ -120,10 +151,14 @@ def lj92_decode(data: bytes, max_pixels: int = 512_000_000 // 4):
     lib = get_lib()
     if lib is None:
         return None
-    # SOF3 geometry is unknown until parse; allocate from the stream
-    # size upper bound: lossless JPEG is >= ~0.5 bit/sample, so
-    # 16x the byte length always covers it (capped by max_pixels).
-    cap = min(max(len(data) * 16, 1 << 16), max_pixels)
+    # size the output from the SOF3 header when findable (a 20 MB
+    # strip would otherwise allocate a 256 MB transient per call);
+    # fall back to the >=1-bit/sample stream bound
+    dims = _sof3_dims(data)
+    if dims is not None:
+        cap = min(dims[0] * dims[1] * dims[2] + 64, max_pixels)
+    else:
+        cap = min(max(len(data) * 8, 1 << 16), max_pixels)
     out = np.empty(cap, dtype=np.uint16)
     w = ctypes.c_int()
     h = ctypes.c_int()

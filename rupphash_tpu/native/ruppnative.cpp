@@ -218,19 +218,16 @@ struct BitReader {
         nbits -= n;
         return v;
     }
-    int peek16() {
-        if (nbits < 16) refill();
-        return (int)(bits >> 16);
-    }
-    void drop(int n) { bits <<= n; nbits -= n; }
-    void align_to_marker() {  // skip padding + stuffing to RSTn
+    bool align_to_marker() {  // skip padding + stuffing to RSTn
         bits = 0; nbits = 0;
         while (p + 1 < end) {
             if (*p != 0xFF) { p++; continue; }
-            if (p[1] >= 0xD0 && p[1] <= 0xD7) { p += 2; return; }
+            if (p[1] == 0xFF) { p++; continue; }     // T.81 B.1.1.2 fill
+            if (p[1] >= 0xD0 && p[1] <= 0xD7) { p += 2; return true; }
             if (p[1] == 0x00) { p += 2; continue; }  // stuffed pad byte
-            return;  // some other marker; let decode fail naturally
+            return false;  // some other marker: the restart is missing
         }
+        return false;
     }
 };
 
@@ -542,6 +539,8 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
             }
             predictor = seg[1 + 2 * ns];
             pt = seg[3 + 2 * ns] & 0x0F;
+            if (pt >= precision) return -7;  // 1 << (P-1-Pt) must not
+                                             // shift negatively
             p = segend;
 
             // ---- entropy-coded scan ----
@@ -594,16 +593,16 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
                     mcu++;
                     if (restart_interval && mcu % restart_interval == 0 &&
                         !(y == H - 1 && x == W - 1)) {
-                        br.align_to_marker();
+                        if (!br.align_to_marker())
+                            return -14;  // expected RSTn is missing:
+                                         // failing loudly beats
+                                         // silently decoding zeros
                         just_restarted = true;
                     }
                 }
             }
             *out_w = W; *out_h = H; *out_comps = NC;
             return 0;
-        } else if (marker >= 0xD0 && marker <= 0xD7) {
-            // unexpected bare restart marker
-            p += 0;
         } else {
             p = segend;  // skip APPn/COM/etc.
         }

@@ -53,8 +53,9 @@ def main(argv=None) -> int:
               bytes(np.asarray(out["hash"][0])) == gold)
         check("bench.jpg quality parity",
               abs(float(out["quality"][0]) - gq) < 1e-6)
-    except FileNotFoundError:
-        print("  [SKIP] bench.jpg fixture unavailable")
+    except (FileNotFoundError, ImportError, OSError) as e:
+        print(f"  [SKIP] bench.jpg fixture unavailable "
+              f"({type(e).__name__})")
 
     # 2. randomized batch
     rng = np.random.default_rng(0)

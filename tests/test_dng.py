@@ -17,21 +17,29 @@ from rupphash_tpu.pipeline import decode, dng
 # ------------------------------------------------------------- LJ92
 
 def lj92_encode(img16: np.ndarray, predictor: int = 1,
-                precision: int = 16, components: int = 1) -> bytes:
+                precision: int = 16, components: int = 1,
+                restart_interval: int = 0, rst_fill: int = 0) -> bytes:
     """Minimal lossless-JPEG encoder (ITU-T T.81 process 14) used as an
     independent oracle for the native decoder.  img16 is (h, w*components)
-    with samples interleaved along the row."""
+    with samples interleaved along the row.  restart_interval emits a
+    DRI segment and byte-aligned RSTn markers every that many MCUs (the
+    first MCU after a restart predicts from the default, H.2.1);
+    rst_fill prepends that many spec-legal 0xFF fill bytes (B.1.1.2)
+    to each restart marker."""
     h, ws = img16.shape
     assert ws % components == 0
     w = ws // components
     img = img16.astype(np.int64).reshape(h, w, components)
     default = 1 << (precision - 1)
     diffs = np.zeros((h, w, components), dtype=np.int64)
-    for c in range(components):
-        plane = img[:, :, c]
-        for y in range(h):
-            for x in range(w):
-                if y == 0 and x == 0:
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            restarted = (restart_interval and mcu
+                         and mcu % restart_interval == 0)
+            for c in range(components):
+                plane = img[:, :, c]
+                if (y == 0 and x == 0) or restarted:
                     pred = default
                 elif y == 0:
                     pred = plane[0, x - 1]
@@ -46,6 +54,7 @@ def lj92_encode(img16: np.ndarray, predictor: int = 1,
                             7: (a + b) >> 1}[predictor]
                 d = (int(plane[y, x]) - int(pred)) & 0xFFFF
                 diffs[y, x, c] = d - 65536 if d >= 32768 else d
+            mcu += 1
 
     def cat(d):
         return 0 if d == 0 else int(np.floor(np.log2(abs(d)))) + 1
@@ -68,19 +77,11 @@ def lj92_encode(img16: np.ndarray, predictor: int = 1,
             code += 1
         code <<= 1
 
-    bits = []
-    for y in range(h):
-        for x in range(w):
-            for c in range(components):
-                d = int(diffs[y, x, c])
-                s = cat(d)
-                bits.append(codes[s])
-                if s and s < 16:
-                    v = d if d >= 0 else d + (1 << s) - 1
-                    bits.append((v & ((1 << s) - 1), s))
     out = bytearray()
     acc = n = 0
-    for v, l in bits:
+
+    def emit(v, l):
+        nonlocal acc, n
         acc = (acc << l) | v
         n += l
         while n >= 8:
@@ -89,11 +90,35 @@ def lj92_encode(img16: np.ndarray, predictor: int = 1,
             if byte == 0xFF:
                 out.append(0x00)
             n -= 8
-    if n:
-        byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)
+        acc &= (1 << n) - 1
+
+    def flush_align():
+        nonlocal acc, n
+        if n:
+            byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc = n = 0
+
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush_align()
+                out.extend(b"\xff" * rst_fill)
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+            for c in range(components):
+                d = int(diffs[y, x, c])
+                s = cat(d)
+                emit(*codes[s])
+                if s and s < 16:
+                    v = d if d >= 0 else d + (1 << s) - 1
+                    emit(v & ((1 << s) - 1), s)
+            mcu += 1
+    flush_align()
 
     def seg(marker, payload):
         return (bytes([0xFF, marker])
@@ -107,7 +132,10 @@ def lj92_encode(img16: np.ndarray, predictor: int = 1,
     sos = (bytes([components])
            + b"".join(bytes([i + 1, 0x00]) for i in range(components))
            + bytes([predictor, 0, 0]))
-    return (b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht)
+    dri = b""
+    if restart_interval:
+        dri = seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return (b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht) + dri
             + seg(0xDA, sos) + bytes(out) + b"\xff\xd9")
 
 
@@ -356,3 +384,43 @@ def test_preview_less_dng_through_pipeline(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"photo.dng", "twin.png"}
+
+
+@native_gated
+def test_lj92_restart_markers_and_fill_bytes():
+    """Restart intervals roundtrip; spec-legal 0xFF fill bytes before
+    RSTn (T.81 B.1.1.2) are skipped (previously treated as a foreign
+    marker, silently zero-decoding the rest of the scan); a stream
+    whose expected RSTn is missing fails loudly instead of returning
+    success with corrupted pixels."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 65536, (13, 17), dtype=np.uint16)
+
+    plain = lj92_encode(img, 1, restart_interval=7)
+    out = native.lj92_decode(plain)
+    assert out is not None and np.array_equal(out, img)
+
+    filled = lj92_encode(img, 1, restart_interval=7, rst_fill=3)
+    out = native.lj92_decode(filled)
+    assert out is not None and np.array_equal(out, img)
+
+    # clobber the first restart marker (FF D0 -> FF C5): missing RSTn
+    broken = bytearray(plain)
+    i = broken.find(b"\xff\xd0")
+    assert i > 0
+    broken[i + 1] = 0xC5
+    assert native.lj92_decode(bytes(broken)) is None
+
+
+@native_gated
+def test_lj92_rejects_invalid_point_transform():
+    """SOS Pt >= precision would shift negatively in the default
+    predictor; the decoder must reject it."""
+    good = lj92_encode(np.full((4, 4), 100, np.uint16), 1, precision=8)
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    bad = bytearray(good)
+    # SOS payload: len(2) ns(1) [id,td](2) pred(1) se(1) ah_al(1)
+    # FF DA | len(2) | ns(1) | id,td(2) | pred(1) | se(1) | AhAl(1)
+    bad[sos_at + 9] = 0x0F  # Al nibble = 15
+    assert native.lj92_decode(bytes(bad)) is None
