@@ -15,6 +15,9 @@
 //                     round-half-away (matches ops/pdq_ref.py exactly)
 //   union_find        path-halving union-find over an edge list
 //                     (scanner.rs:1780-1807 semantics)
+//   huffio            shared canonical-Huffman bit I/O for the LJ92
+//                     and Nikon-34713 decoders (one implementation,
+//                     jpeg-stuffing vs plain modes)
 //
 // Build: g++ -O3 -shared -fPIC (see build.py). No external dependencies.
 
@@ -179,30 +182,35 @@ void union_find(int64_t n, const int64_t* ei, const int64_t* ej,
 // row-major as (h, w*ncomp) uint16, which maps linearly onto the CFA
 // mosaic row (python side reshapes).
 // ---------------------------------------------------------------------
-namespace lj92 {
+// Shared canonical-Huffman bit I/O for the two JPEG-family codecs
+// below (LJ92 and Nikon 34713).  One implementation, two stuffing
+// modes: jpeg_stuffing handles FF00 unstuffing + marker stops (T.81),
+// plain mode feeds the raw bytes (Nikon's stream has no stuffing).
+// Both zero-feed past end-of-stream; the raster geometry bounds every
+// decode loop, so truncation cannot spin.
+namespace huffio {
 
 struct BitReader {
     const uint8_t* p;
     const uint8_t* end;
     uint32_t bits = 0;
     int nbits = 0;
-    bool bad = false;
+    bool jpeg_stuffing;
 
-    BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
+    BitReader(const uint8_t* data, const uint8_t* e, bool jpeg)
+        : p(data), end(e), jpeg_stuffing(jpeg) {}
 
     void refill() {
         while (nbits <= 24) {
-            if (p >= end) { bits |= 0; nbits += 8; continue; }
+            if (p >= end) { nbits += 8; continue; }
             uint8_t b = *p++;
-            if (b == 0xFF) {
+            if (jpeg_stuffing && b == 0xFF) {
                 if (p < end && *p == 0x00) {
                     p++;  // stuffed byte
                 } else {
                     // marker (EOI / RSTn handled by caller via reset)
                     p--;
-                    b = 0;  // feed zeros past the marker
-                    bits |= (uint32_t)b << (24 - nbits);
-                    nbits += 8;
+                    nbits += 8;  // feed zeros at the marker
                     continue;
                 }
             }
@@ -211,7 +219,7 @@ struct BitReader {
         }
     }
     int get(int n) {
-        if (n == 0) return 0;
+        if (n <= 0) return 0;
         if (nbits < n) refill();
         int v = (int)(bits >> (32 - n));
         bits <<= n;
@@ -232,7 +240,7 @@ struct BitReader {
 };
 
 struct Huff {
-    // canonical per-length first-code table for fast decode
+    // canonical per-length first-code table
     int mincode[17], maxcode[17], valptr[17];
     uint8_t vals[256];
     bool ok = false;
@@ -261,6 +269,13 @@ struct Huff {
         return -1;
     }
 };
+
+}  // namespace huffio
+
+namespace lj92 {
+
+using huffio::BitReader;
+using huffio::Huff;
 
 static inline int extend(int v, int ssss) {
     // T.81 F.2.2.1 sign extension of a magnitude category
@@ -311,59 +326,8 @@ static const uint8_t kTree[6][32] = {
     {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
      7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14, 0}};
 
-struct Bits {
-    // plain MSB-first reader; feeds zero bits past end-of-stream (the
-    // raster geometry bounds the loop, so truncation cannot spin)
-    const uint8_t* p;
-    const uint8_t* end;
-    uint32_t acc = 0;
-    int n = 0;
-    Bits(const uint8_t* d, const uint8_t* e) : p(d), end(e) {}
-    void refill() {
-        while (n <= 24) {
-            uint32_t b = (p < end) ? *p++ : 0;
-            acc |= b << (24 - n);
-            n += 8;
-        }
-    }
-    int get(int k) {
-        if (k <= 0) return 0;
-        if (n < k) refill();
-        int v = (int)(acc >> (32 - k));
-        acc <<= k;
-        n -= k;
-        return v;
-    }
-};
-
-struct Huff {
-    int mincode[17], maxcode[17], valptr[17];
-    uint8_t vals[16];
-    void build(const uint8_t* row) {
-        const uint8_t* counts = row;       // code counts, lengths 1..16
-        const uint8_t* values = row + 16;  // canonical-order leaf values
-        int code = 0, k = 0;
-        for (int l = 1; l <= 16; l++) {
-            valptr[l] = k;
-            mincode[l] = code;
-            code += counts[l - 1];
-            maxcode[l] = code - 1;
-            code <<= 1;
-            k += counts[l - 1];
-        }
-        for (int i = 0; i < k && i < 16; i++) vals[i] = values[i];
-    }
-    int decode(Bits& br) const {
-        int code = 0;
-        for (int l = 1; l <= 16; l++) {
-            code = (code << 1) | br.get(1);
-            if (maxcode[l] >= mincode[l] && code >= mincode[l] &&
-                code <= maxcode[l])
-                return vals[valptr[l] + code - mincode[l]];
-        }
-        return -1;
-    }
-};
+using huffio::BitReader;
+using huffio::Huff;
 
 }  // namespace nef
 
@@ -376,14 +340,21 @@ int nef_decode(const uint8_t* data, int64_t len, const uint16_t* vpred_in,
     using namespace nef;
     if (tree < 0 || tree > 5 || width <= 0 || height <= 0) return -1;
     if (split != 0 && tree != 0 && tree != 3) return -2;
+    auto nv = [](const uint8_t* row) {
+        int n = 0;
+        for (int i = 0; i < 16; i++) n += row[i];
+        return n;
+    };
     Huff hu;
-    hu.build(kTree[tree]);
-    Bits br(data, data + len);
+    hu.build(kTree[tree], kTree[tree] + 16, nv(kTree[tree]));
+    BitReader br(data, data + len, false);
     uint16_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
                             {vpred_in[2], vpred_in[3]}};
     uint16_t hpred[2] = {0, 0};
     for (int row = 0; row < height; row++) {
-        if (split != 0 && row == split) hu.build(kTree[tree + 1]);
+        if (split != 0 && row == split)
+            hu.build(kTree[tree + 1], kTree[tree + 1] + 16,
+                     nv(kTree[tree + 1]));
         for (int col = 0; col < width; col++) {
             int leaf = hu.decode(br);
             if (leaf < 0) return -3;
@@ -547,7 +518,7 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
             if ((int64_t)W * H * NC > out_cap) return -8;
             for (int i = 0; i < NC; i++)
                 if (!tables[comp_table[i]].ok) return -9;
-            BitReader br(p, end);
+            BitReader br(p, end, true);
             int64_t stride = (int64_t)W * NC;
             int default_pred = 1 << (precision - 1 - pt);
             int64_t mcu = 0;
