@@ -94,6 +94,9 @@ def test_no_self_edges_and_ordered():
     base[3] = base[97]
     ei, ej = hamming.find_edges(base, similarity=10,
                                 query_tile=64, base_tile=64)
+    # the planted pair must actually be found: np.all on an empty
+    # array is True, so the ordering property alone is vacuous
+    assert (3, 97) in set(zip(ei.tolist(), ej.tolist()))
     assert np.all(ei < ej)
 
 

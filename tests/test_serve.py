@@ -368,7 +368,11 @@ def test_concurrent_query_vs_remove_stress():
             h = hs[q % 64]
             qv = np.frombuffer(h, dtype=np.uint8)[None, None, :]
             qv = qv.repeat(8, 1)
-            for idx, path, dist in ix.query(qv, similarity=0)[0]:
+            hits = ix.query(qv, similarity=0)[0]
+            # rows 0..63 are permanent, so a hit is guaranteed — an
+            # empty result would mean the snapshot machinery broke
+            assert hits, "query lost its guaranteed match"
+            for idx, path, dist in hits:
                 # the snapshot contract: index, path and distance agree
                 assert path.startswith("/s/")
                 assert dist == 0

@@ -146,8 +146,11 @@ def test_full_dedup_step(mesh8):
 
 def test_graft_entry_contract():
     import importlib.util
+    import pathlib
+    entry_py = pathlib.Path(__file__).resolve().parent.parent \
+        / "__graft_entry__.py"
     spec = importlib.util.spec_from_file_location(
-        "__graft_entry__", "/root/repo/__graft_entry__.py")
+        "__graft_entry__", str(entry_py))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
