@@ -173,10 +173,6 @@ def test_group_files_above_device_threshold_on_cpu():
     search; on a CPU backend that must take the XLA tile path, not the
     hardware-only Pallas kernel (crashed with 'Only interpret mode is
     supported on CPU backend')."""
-    import numpy as np
-
-    from rupphash_tpu.grouping import engine
-
     rng = np.random.default_rng(0)
     n = 2600
     files = []

@@ -202,6 +202,7 @@ def test_http_surface(corpus):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+        httpd.server_close()  # shutdown() leaves the socket bound
 
 
 def test_quality_scale_is_0_to_100(corpus):
