@@ -549,3 +549,28 @@ def test_host_header_gate_blocks_dns_rebinding():
         assert GuiServer.host_allowed(h), h
     for h in bad:
         assert not GuiServer.host_allowed(h), h
+
+
+def test_transform_fingerprint_tracks_render_state(gui):
+    """The per-file `tf` snapshot field is the client's image cache
+    key: it must change exactly when the rendered pixels change
+    (rotate/flip/LUT) and return to the clean value on reset, so
+    unrelated intents (marks, sorts) never flash-reload the image."""
+    srv, port, paths = gui
+
+    def snap():
+        return srv.snapshot()["groups"][0]["files"]
+
+    assert snap()[0]["tf"] == ""
+    srv.apply_intent("rotate_cw", None)
+    fi = srv.state.cursor_file
+    rotated = snap()[fi]["tf"]
+    assert rotated != ""
+    srv.apply_intent("flip_h", None)
+    flipped = snap()[fi]["tf"]
+    assert flipped not in ("", rotated)
+    srv.apply_intent("reset_transform", None)
+    assert snap()[fi]["tf"] == ""
+    # untouched files never carried a fingerprint
+    other = [f["tf"] for k, f in enumerate(snap()) if k != fi]
+    assert all(t == "" for t in other)
