@@ -109,7 +109,9 @@ def test_prune(store):
     mk_old = store.compute_meta_key(1, 1, 1)
     mk_new = store.compute_meta_key(2, 2, 2)
     old_ts = int(time.time()) - 10_000
-    store._put_now(2, mk_old, ch_old + struct.pack("<Q", old_ts))
+    from rupphash_tpu.cache.store import NS_META
+    store._put_now(NS_META, mk_old,
+                   ch_old + struct.pack("<Q", old_ts))
     store.put_meta(mk_new, ch_new)
     store.put_pdqhash(ch_old, b"\x00" * 32, 1)
     store.put_pdqhash(ch_new, b"\x01" * 32, 2)
@@ -149,7 +151,6 @@ def test_config_create_and_heal(tmp_path, monkeypatch):
 def test_corrupt_db_file_recreated(tmp_path):
     """A garbage cache file is recreated instead of crashing (the
     reference treats lmdb corruption as recomputable, db.rs:685-693)."""
-    from rupphash_tpu.cache.store import CacheStore
 
     p = tmp_path / "cache.db"
     p.write_bytes(b"definitely not a sqlite database" * 64)

@@ -125,7 +125,6 @@ def test_full_hdr_pipeline_smoke():
 
 def test_blue_noise_tile_properties():
     """Void-and-cluster tile: exact rank uniformity + blue spectrum."""
-    import numpy as np
 
     from rupphash_tpu.pipeline import hdr
 
@@ -144,7 +143,6 @@ def test_blue_noise_tile_properties():
 
 
 def test_dither_preserves_mean_and_kills_banding():
-    import numpy as np
 
     from rupphash_tpu.pipeline import hdr
 
@@ -152,10 +150,15 @@ def test_dither_preserves_mean_and_kills_banding():
     out = hdr.encode_srgb_u8_dithered(lin)
     expect = float(hdr.srgb_oetf(np.array(0.2))) * 255
     assert abs(out.mean() - expect) < 0.5
-    # a slow ramp quantizes to >2 distinct levels per output step
+    # dithering must break up banding: within a span the plain
+    # rounding maps to ONE level, the dithered output must mix levels
+    # (>=2 unique) was vacuous — a slow ramp already crosses 3-4 steps
     ramp = np.linspace(0.195, 0.205, 4096)[:, None, None] * np.ones(
         (1, 8, 3))
     q = hdr.encode_srgb_u8_dithered(ramp)
-    assert len(np.unique(q)) >= 2
+    plain = np.rint(hdr.srgb_oetf(ramp) * 255).astype(np.uint8)
+    flat_span = plain[:, 0, 0] == plain[2048, 0, 0]  # one plain level
+    assert len(np.unique(q[flat_span])) >= 2, \
+        "dither produced no level mixing inside a flat span"
     # noise is shared across channels: gray stays gray
     assert np.array_equal(q[..., 0], q[..., 1])

@@ -133,7 +133,7 @@ def test_hardlink_identity(tmp_path):
     assert len(groups) == 1
 
 
-def test_exif_gps_and_sun(bench_jpg):
+def test_exif_gps_and_sun():
     """The Kaanapali fixture documents the GPS-UTC-vs-local regression
     (tests/Kaanapali_*.txt): sun must compute from satellite time."""
     fix = Path("/root/reference/tests/"
@@ -168,10 +168,6 @@ def test_scan_process_pool_path(tmp_path):
     """Force the spawn-based process pool (>=64 misses, workers>1): the
     1-core CI box otherwise never exercises heavy_prepare pickling or
     the as_completed merge path."""
-    import numpy as np
-    from PIL import Image
-
-    from rupphash_tpu.pipeline import scan
 
     rng = np.random.default_rng(0)
     d = tmp_path / "many"

@@ -270,8 +270,7 @@ def test_nef_packed12_and_cfa_variant():
 
 def test_nef_demosaic_recovers_scene():
     rgb, mosaic = _scene14()
-    out = rawcontainers.decode_raw_container(write_nef(mosaic))
-    # neutral WB in the fixture is (1,1): use wb=(1.0, 1.0)
+    # neutral WB: the fixture sensor is unattenuated
     out = rawcontainers.decode_raw_container(
         write_nef(mosaic, wb=(1.0, 1.0)))
     assert out is not None and out.shape == rgb.shape
@@ -459,8 +458,13 @@ def test_nef34713_lossless_roundtrip_12_and_14():
         stream = nef_huff_encode(vals, tree, vpred)
         curve = np.arange(0x4000, dtype=np.uint16)
         vp = np.asarray(vpred, dtype=np.uint16)
-        got = native.nef_huff_decode(stream, vp, curve, 20, 12, tree)
-        if got is None:
+        if native.get_lib() is not None:
+            got = native.nef_huff_decode(stream, vp, curve, 20, 12,
+                                         tree)
+            # a None here is a NATIVE regression, not a missing lib —
+            # falling back would mask it
+            assert got is not None
+        else:
             got = rawcontainers._nef_decode_py(stream, vp, curve, 20,
                                                12, tree)
         assert np.array_equal(got, vals)
@@ -706,8 +710,10 @@ def test_arw2_exact_roundtrip_small_range():
     vals = rng.integers(900, 1023, (6, 64)).astype(np.int64)
     stream = arw2_encode(vals)
     curve = rawcontainers.sony_curve_lut(None)  # slope 16 -> out = 8*pix
-    got = native.arw2_decode(stream, curve, 64, 6)
-    if got is None:
+    if native.get_lib() is not None:
+        got = native.arw2_decode(stream, curve, 64, 6)
+        assert got is not None  # None would be a native regression
+    else:
         got = rawcontainers._arw2_decode_py(stream, curve, 64, 6)
     assert np.array_equal(got, (vals * 8).astype(np.uint16))
 
@@ -765,7 +771,6 @@ def test_raw_container_parsers_survive_mutations():
         write_arw((vals12 >> 1).astype(np.int64), black=(0, 0, 0, 0)),
         write_cr2(vals12),
     ]
-    survived = 0
     for seed_data in seeds:
         buf = bytearray(seed_data)
         for _ in range(120):
@@ -776,9 +781,10 @@ def test_raw_container_parsers_survive_mutations():
                 buf[int(p)] = int(rng.integers(0, 256))
             try:
                 rawcontainers.parse_raw_container(bytes(buf))
-                survived += 1
             except Exception:
-                survived += 1  # contained Python error is acceptable
+                pass  # a contained Python error is the accepted
+                      # contract; the real assertion is that the
+                      # process (native decoders) survives every
+                      # mutation — a segfault aborts pytest itself
             for p, v in saved:
                 buf[p] = v
-    assert survived == 3 * 120  # process alive through every mutation

@@ -195,7 +195,6 @@ def test_quit(st):
 
 
 def test_set_move_target_intent(tmp_path):
-    from rupphash_tpu.state import AppState, Intent
 
     st = AppState([], [])
     st.handle_input(Intent.SET_MOVE_TARGET, str(tmp_path))
