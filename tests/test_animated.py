@@ -97,3 +97,4 @@ def test_gui_serves_animated_original(tmp_path):
             assert im.size == (24, 32)  # rotated first frame
     finally:
         httpd.shutdown()
+        httpd.server_close()

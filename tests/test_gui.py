@@ -113,6 +113,7 @@ def gui(tmp_path):
     t.start()
     yield srv, port, paths
     httpd.shutdown()
+    httpd.server_close()
 
 
 def _get(port, path):

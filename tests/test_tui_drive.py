@@ -7,6 +7,7 @@ this locks the actual terminal surface.
 import os
 import pty
 import select
+import subprocess
 import sys
 import time
 
@@ -14,7 +15,7 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.skipif(not hasattr(pty, "fork"), reason="pty unavailable")
+@pytest.mark.skipif(not hasattr(pty, "openpty"), reason="pty unavailable")
 def test_tui_pty_drive(tmp_path):
     from PIL import Image
 
@@ -31,13 +32,18 @@ def test_tui_pty_drive(tmp_path):
                COLUMNS="90", RUPPHASH_PLATFORM="cpu",
                RUPPHASH_CACHE_DIR=str(tmp_path / "cache"),
                RUPPHASH_CONFIG_DIR=str(tmp_path / "cache"))
-    env["PYTHONPATH"] = "/root/repo" + (
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-    pid, fd = pty.fork()
-    if pid == 0:  # child
-        os.execvpe(sys.executable,
-                   [sys.executable, "-m", "rupphash_tpu", str(d),
-                    "--use-tui"], env)
+    # openpty + subprocess instead of pty.fork(): forking the
+    # JAX-threaded pytest process warns about deadlocks even though
+    # the child execs immediately
+    fd, slave = pty.openpty()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rupphash_tpu", str(d), "--use-tui"],
+        env=env, stdin=slave, stdout=slave, stderr=slave,
+        close_fds=True, start_new_session=True)
+    os.close(slave)
 
     out = b""
 
@@ -78,5 +84,5 @@ def test_tui_pty_drive(tmp_path):
             os.close(fd)
         except OSError:
             pass
-        _, status = os.waitpid(pid, 0)
-    assert os.waitstatus_to_exitcode(status) == 0
+        rc = proc.wait(timeout=30)
+    assert rc == 0
