@@ -76,7 +76,11 @@ def test_shard_files_partitions_completely():
 def test_allgather_single_process_identity():
     h = np.zeros((3, 32), dtype=np.uint8)
     out, v, l = multihost.allgather_hashes(h)
-    assert out is h and v is None
+    assert out is h and v is None and l is None
+    var = np.zeros((3, 8, 32), dtype=np.uint8)
+    low = np.zeros(3, dtype=bool)
+    out, v, l = multihost.allgather_hashes(h, var, low)
+    assert out is h and v is var and l is low
 
 
 def test_safe_move_no_replace(tmp_path):

@@ -1,4 +1,6 @@
 """CLI frontend: argument surface, scan/list flow, ignore lifecycle."""
+import re
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -71,7 +73,7 @@ def test_prune_and_ignored_flow(corpus, capsys):
     assert capsys.readouterr().out == ""  # registered but not ignored
     assert cli.main(["--prune", "0"]) == 0
     out = capsys.readouterr().out
-    assert "Pruned" in out
+    assert re.search(r"Pruned \d+ stale", out)
 
 
 def test_no_cache_flow(corpus, capsys):
@@ -92,10 +94,6 @@ def test_ignore_unignore_cli_roundtrip(tmp_path, monkeypatch):
     import io
     import contextlib
 
-    import numpy as np
-    from PIL import Image
-
-    from rupphash_tpu import cli
 
     monkeypatch.setenv("RUPPHASH_CONFIG_DIR", str(tmp_path / "cfg"))
     monkeypatch.setenv("RUPPHASH_CACHE_DIR", str(tmp_path / "cache"))
@@ -155,6 +153,7 @@ def test_ignore_unignore_cli_roundtrip(tmp_path, monkeypatch):
     st2 = _CS(cfgmod.cache_dir() / "cache.db",
               cfg["_master_key_bytes"], start_writer=False)
     g2, i2, r2, _ = scanmod.scan_and_group([d], None, st2)
+    assert g2, "scan must still produce the group to filter"
     kept = [[f for f in g if not st2.is_ignored(f.content_hash)]
             for g in g2]
     assert all(len(g) <= 1 for g in kept)  # group fully ignored

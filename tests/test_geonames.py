@@ -12,11 +12,16 @@ pytestmark = pytest.mark.skipif(not g.available(),
 
 
 def test_reference_country_fixture():
-    # the reference's own unit test coordinate (scanner.rs:2854-2866)
+    # the reference's own unit test coordinate (scanner.rs:2854-2866).
+    # Each API pinned to its own contract (an OR across them masked
+    # either one regressing): country_name is the bare country;
+    # derive_location carries the reference's subdivision-prefixed
+    # form that reaches the search index and EXIF overlay.
     assert g.country_name(28.68, -81.31) == \
-        "Florida, United States of America (the)" or \
-        g.derive_location(28.68, -81.31)["country"] == \
-        "Florida, United States of America (the)"
+        "United States of America (the)"
+    loc = g.derive_location(28.68, -81.31)
+    assert loc["country"] == "Florida, United States of America (the)"
+    assert loc["subdivision"] == "Florida"
 
 
 def test_subdivisions():

@@ -63,11 +63,17 @@ def test_jxl_garbage_returns_none():
 
 @jxl_gated
 def test_jxl_scan_groups_with_png(tmp_path):
+    """Textured fixture (CLAUDE.md rule): a smooth gradient gates the
+    pair to exact-match-only, which lossless JXL would satisfy even
+    with the perceptual path broken."""
     from PIL import Image
 
     from rupphash_tpu.pipeline import scan
 
-    img = _gradient(240, 320)
+    rng = np.random.default_rng(6)
+    base = rng.integers(30, 220, (24, 32, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((320, 240),
+                                                  Image.BILINEAR))
     d = tmp_path / "s"
     d.mkdir()
     (d / "a.jxl").write_bytes(jxl.encode_jxl(img))
@@ -191,7 +197,7 @@ jxl_container_gated = pytest.mark.skipif(jxl._load() is None,
                                          reason="libjxl unavailable")
 
 
-@jxl_container_gated
+@jxl_gated
 def test_sniff_decodes_container_jxl_and_preamble_pdf():
     """Serve queries carry no filename: the sniff tier must handle
     ISO-BMFF JXL (via the ftyp branch) and PDFs with preamble bytes."""

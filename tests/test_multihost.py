@@ -72,7 +72,8 @@ def test_two_process_allgather(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # one local device per process
-    env["PYTHONPATH"] = "/root/repo" + (
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), str(port), str(tmp_path)],

@@ -56,8 +56,9 @@ def test_union_find_matches_python():
     uf = UnionFind(n)
     uf.union_edges(ei, ej)
     py_roots = np.array([uf.find(i) for i in range(n)])
-    # same partition (root labels may differ)
-    import itertools
-    remap = {}
+    # same partition (root labels may differ) — BOTH directions: the
+    # forward map alone passes for a native impl that never merges
+    fwd, bwd = {}, {}
     for a, b in zip(roots.tolist(), py_roots.tolist()):
-        assert remap.setdefault(a, b) == b
+        assert fwd.setdefault(a, b) == b
+        assert bwd.setdefault(b, a) == a
