@@ -100,18 +100,20 @@ def _dump_toml(cfg: dict) -> str:
             tables.append((k, v))
         else:
             lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
+    def emit_entries(prefix: str, tbl: dict):
+        # arbitrary nesting depth via dotted keys so nothing is silently
+        # dropped on a save/load round-trip
+        for k, v in tbl.items():
+            key = f"{prefix}{_toml_key(k)}"
+            if isinstance(v, dict):
+                emit_entries(key + ".", v)
+            else:
+                lines.append(f"{key} = {_toml_value(v)}")
+
     for name, tbl in tables:
         lines.append("")
         lines.append(f"[{_toml_key(name)}]")
-        for k, v in tbl.items():
-            if isinstance(v, dict):
-                # one nesting level deeper (sub-tables) via dotted keys
-                for k2, v2 in v.items():
-                    if not isinstance(v2, dict):
-                        lines.append(f"{_toml_key(k)}.{_toml_key(k2)}"
-                                     f" = {_toml_value(v2)}")
-                continue
-            lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
+        emit_entries("", tbl)
     return "\n".join(lines) + "\n"
 
 

@@ -132,6 +132,7 @@ class CacheStore:
         self._writer: threading.Thread | None = None
         self._stop = threading.Event()
         self.dropped_updates = 0
+        self._dropped_at_last_flush = 0
         self.writer_failed = False
         if start_writer:
             self.start_writer()
@@ -261,8 +262,16 @@ class CacheStore:
             return True
         ev = threading.Event()
         self._q.put(("FLUSH", ev))
-        ev.wait(timeout=30)
-        return not (self.writer_failed or self.dropped_updates)
+        completed = ev.wait(timeout=30)
+        # Only drops since the previous flush count against this one —
+        # dropped_updates is a lifetime counter, and one historic backlog
+        # overflow must not mark every later (healthy) flush as failed.
+        # Drops happen in submit() during the scan, so the epoch marker is
+        # taken at the end of each flush, not at its start.  A wedged
+        # writer (ev never set within the timeout) is itself a failure.
+        dropped_since = self.dropped_updates - self._dropped_at_last_flush
+        self._dropped_at_last_flush = self.dropped_updates
+        return completed and not (self.writer_failed or dropped_since)
 
     def close(self):
         if self._writer is not None:

@@ -70,6 +70,7 @@ class UnionFind:
 
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
+        self.size = np.ones(n, dtype=np.int64)
 
     def find(self, i: int) -> int:
         p = self.parent
@@ -86,7 +87,13 @@ class UnionFind:
     def union(self, i: int, j: int):
         ri, rj = self.find(i), self.find(j)
         if ri != rj:
+            # union by size: adversarial edge orders otherwise build O(n)
+            # parent chains (scanner.rs:1780-1807 uses rank for the same
+            # reason); with compression this is O(alpha) amortized
+            if self.size[ri] > self.size[rj]:
+                ri, rj = rj, ri
             self.parent[ri] = rj
+            self.size[rj] += self.size[ri]
 
     def union_edges(self, ei: np.ndarray, ej: np.ndarray):
         for a, b in zip(ei.tolist(), ej.tolist()):
@@ -322,7 +329,10 @@ def finalize_edges(files, gi: np.ndarray, gj: np.ndarray,
     (scanner.rs:1780-1830 + :1561-1576), shared by the single-chip and
     mesh-sharded edge searches so the production semantics exist once."""
     n_all = len(files)
-    if len(gi) > 10_000:
+    # always prefer the native path-halving union-find when the library
+    # is present — the old >10k-edge threshold left mid-size edge sets
+    # on the slower Python loop for no benefit
+    if len(gi) > 0:
         from .. import native
         roots = native.union_find_roots(n_all, gi, gj)
     else:

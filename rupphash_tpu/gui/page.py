@@ -514,11 +514,11 @@ function drawMap() {
   ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
 }
 
-let panelSeq = 0;
+let histSeq = 0, exifSeq = 0;   // per-panel so one panel's fetch never supersedes the other's
 async function loadAnalysis() {
-  const seq = ++panelSeq;
+  const seq = ++histSeq;
   const r = await fetch(`/api/analysis?g=${S.cursor[0]}&f=${S.cursor[1]}`);
-  if (!r.ok || seq !== panelSeq) return;  // a newer panel superseded us
+  if (!r.ok || seq !== histSeq) return;  // a newer histogram request superseded us
   const a = await r.json();
   const cv = $('hist'); cv.style.display = 'block';
   const ctx = cv.getContext('2d');
@@ -546,10 +546,10 @@ async function loadAnalysis() {
 }
 
 async function loadExif() {
-  const seq = ++panelSeq;
+  const seq = ++exifSeq;
   const reqGi = S.cursor[0], reqFi = S.cursor[1];
   const r = await fetch(`/api/exif?g=${reqGi}&f=${reqFi}`);
-  if (seq !== panelSeq) return;   // a newer request superseded us
+  if (seq !== exifSeq) return;   // a newer EXIF request superseded us
   const e = $('exif');
   e.style.display = 'block';
   if (!r.ok) { e.textContent = 'EXIF unavailable'; return; }

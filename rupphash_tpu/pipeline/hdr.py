@@ -25,6 +25,7 @@ pixels too); it serves viewers and export tooling.
 from __future__ import annotations
 
 import struct
+from pathlib import Path
 
 import numpy as np
 
@@ -313,13 +314,26 @@ _blue_noise_cache = None
 def blue_noise_tile(side: int = _BLUE_NOISE_SIDE) -> np.ndarray:
     """Tileable blue-noise rank matrix in [0, 1) via Ulichney's
     void-and-cluster method.  The reference ships a pre-baked 256x256
-    tile (assets/blue-noise-256.bin, hdr.rs:712-742); generating a
-    64x64 tile once per process gives the same high-frequency spectrum
-    (energy kernel sigma 1.5, toroidal wrap)."""
+    tile (assets/blue-noise-256.bin, hdr.rs:712-742); we ship our own
+    256x256 rank tile generated by tools/gen_bluenoise.py (same
+    algorithm at sigma 1.9) and fall back to generating a 64x64 tile
+    in-process when the asset is absent."""
     global _blue_noise_cache
-    if _blue_noise_cache is not None and \
-            _blue_noise_cache.shape[0] == side:
+    if _blue_noise_cache is not None:
         return _blue_noise_cache
+    asset = Path(__file__).resolve().parents[1] / "assets" / \
+        "blue-noise-256.npy"
+    if asset.is_file():
+        try:
+            rank = np.load(asset)
+            n = rank.size
+            if rank.ndim == 2 and rank.shape[0] == rank.shape[1] and \
+                    len(np.unique(rank)) == n:
+                _blue_noise_cache = \
+                    (rank.astype(np.float64) + 0.5) / n
+                return _blue_noise_cache
+        except Exception:
+            pass  # corrupt asset: regenerate below
     n = side * side
     yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     # toroidal gaussian energy splat

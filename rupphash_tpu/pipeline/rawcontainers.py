@@ -556,7 +556,17 @@ def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
         g = (g1 + g2) / 2.0
         wb = np.array([g / r, 1.0, g / b])
 
-    if len(stream) >= 2 * w * h:
+    # BitsPerSample governs the strip layout (8 -> ARW2 packed blocks,
+    # 16 -> plain little-endian u16); the strip-length check is only a
+    # consistency guard — some ARW2 writers pad strip byte counts, so
+    # length alone would misread a packed raster as u16 garbage.
+    bps = int(_scalar(raw_ifd, _T_BITS, 0))
+    if bps == 16 and len(stream) >= 2 * w * h:
+        mosaic = np.frombuffer(stream, dtype="<u2",
+                               count=w * h).reshape(h, w).copy()
+        return mosaic, black, wb, None
+    if bps == 0 and len(stream) >= 2 * w * h:
+        # no BitsPerSample tag: fall back to the length heuristic
         mosaic = np.frombuffer(stream, dtype="<u2",
                                count=w * h).reshape(h, w).copy()
         return mosaic, black, wb, None

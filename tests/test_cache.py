@@ -159,3 +159,37 @@ def test_corrupt_db_file_recreated(tmp_path):
     st.put_meta(mk, b"c" * 32)
     assert st.get_meta(mk) == b"c" * 32
     st.close()
+
+
+def test_flush_recovers_after_historic_drop(tmp_path):
+    """flush() must report failure only for drops since the previous
+    flush — one backlog overflow must not mark every later (healthy)
+    flush undurable forever (ADVICE r2)."""
+    s = CacheStore(tmp_path / "c.db", master_key=b"\x01" * 32,
+                   start_writer=True)
+    try:
+        # simulate a historic backlog overflow
+        s.dropped_updates += 5
+        assert s.flush() is False          # the drop epoch that saw them
+        s.put_pdqhash(b"\xaa" * 32, b"\x00" * 32, 80)
+        assert s.flush() is True           # healthy again
+        s.dropped_updates += 1
+        assert s.flush() is False          # a fresh drop counts again
+        assert s.flush() is True
+    finally:
+        s.close()
+
+
+def test_toml_deep_nested_dict_roundtrip(tmp_path):
+    """_dump_toml must not silently drop dicts nested two levels under a
+    table (ADVICE r2): multi-segment dotted keys round-trip."""
+    import tomllib
+    cfg = {
+        "top": 1,
+        "gui": {"font_scale": 1.5,
+                "panels": {"left": {"width": 30, "show": True},
+                           "right": {"width": 20}}},
+    }
+    text = cfgmod._dump_toml(cfg)
+    back = tomllib.loads(text)
+    assert back == cfg

@@ -186,3 +186,27 @@ def test_group_files_above_device_threshold_on_cpu():
     groups, infos, edges = engine.group_files(files, similarity=8)
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"00111.jpg", "00777.jpg"}
+
+
+def test_union_find_adversarial_chain_is_shallow():
+    """Union-by-size: a worst-case edge order (always appending a fresh
+    singleton to the head of one growing component) must not build O(n)
+    parent chains in the pure-Python UnionFind (scanner.rs:1780-1807
+    guards the same with rank)."""
+    n = 30_000
+    uf = engine.UnionFind(n)
+    # append each new node to the most recently added node: without
+    # union-by-size this is a linked list and find(0) walks n parents
+    for i in range(1, n):
+        uf.union(i, i - 1)
+    # with union-by-size the tree depth stays O(log n) pre-compression;
+    # measure the raw chain from node 0 before any find() compresses it
+    depth = 0
+    p = uf.parent
+    i = 0
+    while i != p[i]:
+        i = int(p[i])
+        depth += 1
+        assert depth <= 64, "parent chain degenerated to O(n)"
+    comps = uf.components(min_size=2)
+    assert len(comps) == 1 and len(comps[0]) == n
