@@ -335,6 +335,33 @@ def find_edges_fast(base_hashes: np.ndarray,
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
     stride = npad // 8
+    # Pipelined dispatch: enqueue row-chunk extraction + nonzero
+    # compaction ahead of the readbacks (JAX dispatch is async), drain
+    # in dispatch order behind a bounded window.  The old per-chunk
+    # synchronous np.asarray readback serialized device compute behind
+    # host unpack and per-chunk tunnel latency, tripling the 1M
+    # end-to-end tail.  The window caps in-flight HBM: each chunk's
+    # (mpad, npad/8) mask buffer lives until its nonzero op runs, so an
+    # unbounded dispatch would hold every mask at once.
+    window = 8
+    pending = []
+
+    def drain_one():
+        ridx_p, idx_d, vals_d = pending.pop(0)
+        # readback in dispatch order: this wait overlaps with the
+        # device still computing later chunks, and host unpack of chunk
+        # c overlaps with device work on chunks > c
+        idx, vals = np.asarray(idx_d), np.asarray(vals_d)
+        sel = idx >= 0
+        idx, vals = idx[sel], vals[sel]
+        r = idx // stride
+        bytecol = (idx % stride).astype(np.int64)
+        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
+                             bitorder="little")
+        rr, bb = np.nonzero(bits)
+        edges_i.append(ridx_p[r[rr]].astype(np.int64))
+        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
+
     for c0 in range(0, len(hot), row_chunk):
         rows = hot[c0:c0 + row_chunk]
         m = len(rows)
@@ -360,16 +387,14 @@ def find_edges_fast(base_hashes: np.ndarray,
         k = int(counts[rows].sum())
         kpad = max(4096, 1 << max(0, (k - 1).bit_length()))
         kpad = min(kpad, mpad * stride)
-        idx, vals = (np.asarray(a) for a in _nonzero_bytes(packed, kpad))
-        sel = idx >= 0
-        idx, vals = idx[sel], vals[sel]
-        r = idx // stride
-        bytecol = (idx % stride).astype(np.int64)
-        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
-                             bitorder="little")
-        rr, bb = np.nonzero(bits)
-        edges_i.append(ridx[r[rr]].astype(np.int64))
-        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
+        idx_d, vals_d = _nonzero_bytes(packed, kpad)
+        # `packed` (the full (mpad, stride) mask) dies once its nonzero
+        # runs; only the O(edges) compacted pairs stay resident
+        pending.append((ridx, idx_d, vals_d))
+        if len(pending) >= window:
+            drain_one()
+    while pending:
+        drain_one()
 
     ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
     ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)

@@ -39,31 +39,70 @@ from .ops import hamming
 
 PDQ_MIN_QUALITY = 50
 
+# device-resident per-row status codes (int8): OK matches normally, LOW
+# only matches at distance 0 (scanner.rs:1588-1594), DEAD never matches
+# (tombstoned by remove(); reclaimed by compaction)
+STATUS_OK, STATUS_LOW, STATUS_DEAD = 0, 1, 2
+
+# host->device upload accounting: every device_put in this module goes
+# through _upload so tests can assert that add/remove traffic is
+# O(delta), never O(corpus) (the tunnel to the TPU is the scarce
+# resource in production)
+UPLOAD_BYTES = 0
+
+
+def _upload(x, sharding=None):
+    global UPLOAD_BYTES
+    x = np.asarray(x)
+    UPLOAD_BYTES += x.nbytes
+    if sharding is not None:
+        return jax.device_put(x, sharding)
+    return jax.device_put(x)
+
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
-def _query_min_dists(q_packed, base_packed, base_low, nbits):
+def _query_min_dists(q_packed, base_packed, base_status, nbits):
     """(Q, V, nbytes) u8 query variants vs (N, nbytes) u8 base ->
-    (Q, N) int32 min-over-variant Hamming distance, with low-quality
-    base rows reported as nbits+1 unless the distance is exactly 0."""
+    (Q, N) int32 min-over-variant Hamming distance; low-quality base
+    rows report nbits+1 unless the distance is exactly 0, dead
+    (tombstoned) rows always report nbits+1."""
     q, v, nbytes = q_packed.shape
     qv = hamming.unpack_bits_pm1(q_packed).reshape(q * v, nbits)
     base = hamming.unpack_bits_pm1(base_packed)
     dots = jax.lax.dot_general(qv, base.T, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     dist = (nbits - dots.reshape(q, v, -1).max(axis=1)) // 2
-    gated = jnp.where(base_low[None, :] & (dist > 0), nbits + 1, dist)
+    low = base_status[None, :] == STATUS_LOW
+    dead = base_status[None, :] >= STATUS_DEAD
+    gated = jnp.where(dead | (low & (dist > 0)), nbits + 1, dist)
     return gated
 
 
+@jax.jit
+def _dev_write_rows(base, status, rows, strows, start):
+    """Append/overwrite a contiguous row block at `start` (device-side;
+    the only host->device traffic is the new rows themselves)."""
+    base = jax.lax.dynamic_update_slice(base, rows, (start, 0))
+    status = jax.lax.dynamic_update_slice(status, strows, (start,))
+    return base, status
+
+
+@jax.jit
+def _dev_kill_rows(status, idx):
+    """Tombstone rows by index (idx padded with out-of-range values,
+    dropped by mode='drop')."""
+    return status.at[idx].set(STATUS_DEAD, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("nbits", "k"))
-def _query_topk(q_packed, base_packed, base_low, n_total, nbits, k):
+def _query_topk(q_packed, base_packed, base_status, n_total, nbits, k):
     """Device-side selection: the k best (distance, corpus index) pairs
     per query instead of the full (Q, N) distance matrix — the
     readback is O(k) per query rather than O(N) (4 MB/query at a 1M
     corpus).  Rows past n_total (padding) report nbits+1; distance
     ties resolve to the lower corpus index (lax.top_k keeps first
     occurrences), matching the host-side stable sort it replaces."""
-    gated = _query_min_dists(q_packed, base_packed, base_low, nbits)
+    gated = _query_min_dists(q_packed, base_packed, base_status, nbits)
     col = jnp.arange(gated.shape[1], dtype=jnp.int32)[None, :]
     gated = jnp.where(col >= n_total, nbits + 1, gated)
     neg, idx = jax.lax.top_k(-gated, k)
@@ -73,36 +112,58 @@ def _query_topk(q_packed, base_packed, base_low, n_total, nbits, k):
 class HashIndex:
     """Persistent (hashes, quality, paths) corpus index.
 
-    Device residency: packed hashes are pushed to the default device on
-    first query and re-pushed after mutation; adds are O(1) amortized
-    via array doubling.
+    Device residency is INCREMENTAL: the packed corpus is pushed once
+    (padded to a capacity), then add() appends rows into the spare
+    capacity with a device-side dynamic_update_slice (uploading only
+    the new rows) and remove() tombstones rows via a status write
+    (uploading only the indices).  A full re-push happens only on first
+    use, capacity growth (amortized O(1) via doubling), or compaction
+    (when >50% of slots are dead).  Device updates are pure — an
+    in-flight query's captured snapshot stays valid while a mutation
+    builds the next version.  Host slots are append-only between
+    compactions, so a snapshot's (arrays, paths-list, n) triple never
+    tears under concurrent mutation.
     """
 
     def __init__(self, nbytes: int = 32):
         self.nbytes = nbytes
         self._hashes = np.zeros((0, nbytes), dtype=np.uint8)
         self._quality = np.zeros(0, dtype=np.int32)
-        self.paths: list[str] = []
-        self._n = 0
-        # (hashes_dev, low_dev, paths_snapshot, n) or None — the path
-        # snapshot is captured with the arrays so concurrent add/remove
-        # cannot shift the index<->path mapping mid-query
-        self._device = None
-        # mesh-sharded residency: (mesh, hashes_dev, low_dev, paths, n)
+        self._dead = np.zeros(0, dtype=bool)
+        self._paths: list[str] = []   # slot-aligned; tombstones keep slot
+        self._n = 0                   # slots in use (incl. dead)
+        self._n_dead = 0
+        self._version = 0             # bumped on every mutation
+        # device state: {"h","st" (device arrays), "cap", "applied",
+        # "paths" (the slot list object at push time)} or None
+        self._dev = None
+        # mesh-sharded residency:
+        # (mesh, hashes_dev, low_dev, paths, n, host_snapshot, version)
         self._device_mesh = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------ size
     def __len__(self) -> int:
-        return self._n
+        return self._n - self._n_dead
+
+    @property
+    def _live_mask(self) -> np.ndarray:
+        return ~self._dead[:self._n]
 
     @property
     def hashes(self) -> np.ndarray:
-        return self._hashes[:self._n]
+        """Live (non-tombstoned) hashes, compacted."""
+        return self._hashes[:self._n][self._live_mask]
 
     @property
     def quality(self) -> np.ndarray:
-        return self._quality[:self._n]
+        return self._quality[:self._n][self._live_mask]
+
+    @property
+    def paths(self) -> list[str]:
+        """Live paths, compacted (aligned with .hashes/.quality)."""
+        m = self._live_mask
+        return [p for i, p in enumerate(self._paths[:self._n]) if m[i]]
 
     # ----------------------------------------------------------- build
     def add(self, path: str, pdqhash: bytes | np.ndarray,
@@ -118,28 +179,48 @@ class HashIndex:
                      np.zeros((grow, self.nbytes), np.uint8)])
                 self._quality = np.concatenate(
                     [self._quality, np.zeros(grow, np.int32)])
+                self._dead = np.concatenate(
+                    [self._dead, np.zeros(grow, bool)])
             self._hashes[self._n] = h
             self._quality[self._n] = 100 if quality is None else quality
-            self.paths.append(str(path))
+            self._dead[self._n] = False
+            self._paths.append(str(path))
             self._n += 1
-            self._device = None  # re-push lazily
-            self._device_mesh = None
+            self._version += 1
+            # device state stays valid: the new row syncs as an O(1)
+            # append at the next query (_device_arrays)
 
     def remove(self, path: str) -> int:
-        """Drop every entry whose path matches; returns count removed."""
+        """Tombstone every entry whose path matches; returns count.
+        Slots are reclaimed by compaction once >50% are dead."""
+        path = str(path)
         with self._lock:
-            keep = [i for i in range(self._n)
-                    if self.paths[i] != str(path)]
-            removed = self._n - len(keep)
+            removed = 0
+            dev = self._dev
+            for i in range(self._n):
+                if self._paths[i] == path and not self._dead[i]:
+                    self._dead[i] = True
+                    self._n_dead += 1
+                    removed += 1
+                    if dev is not None and i < dev["applied"]:
+                        dev["pending_dead"].append(i)
             if removed:
-                idx = np.asarray(keep, dtype=np.int64)
-                self._hashes = self._hashes[:self._n][idx].copy()
-                self._quality = self._quality[:self._n][idx].copy()
-                self.paths = [self.paths[i] for i in keep]
-                self._n = len(keep)
-                self._device = None
-                self._device_mesh = None
+                self._version += 1
             return removed
+
+    def _compact_locked(self):
+        """Rebuild host arrays to live rows (lock held).  Builds a NEW
+        paths list object so snapshots captured against the old slot
+        layout keep indexing the old (immutable-from-now-on) list."""
+        keep = np.flatnonzero(self._live_mask)
+        self._hashes = self._hashes[:self._n][keep].copy()
+        self._quality = self._quality[:self._n][keep].copy()
+        self._dead = np.zeros(len(keep), dtype=bool)
+        self._paths = [self._paths[i] for i in keep]
+        self._n = len(keep)
+        self._n_dead = 0
+        self._dev = None
+        self._device_mesh = None
 
     @classmethod
     def from_records(cls, records) -> "HashIndex":
@@ -185,28 +266,67 @@ class HashIndex:
                                               dtype=np.uint8)
             ix._quality = np.ascontiguousarray(z["quality"],
                                                dtype=np.int32)
-            ix.paths = [str(p) for p in
-                        json.loads(bytes(z["paths_json"]).decode())]
+            ix._dead = np.zeros(n, dtype=bool)
+            ix._paths = [str(p) for p in
+                         json.loads(bytes(z["paths_json"]).decode())]
             ix._n = n
         return ix
 
     # ----------------------------------------------------------- query
+    def _status_rows(self, lo: int, hi: int) -> np.ndarray:
+        """(hi-lo,) int8 device status codes for host slots [lo, hi)."""
+        st = np.where(self._quality[lo:hi] < PDQ_MIN_QUALITY,
+                      STATUS_LOW, STATUS_OK).astype(np.int8)
+        st[self._dead[lo:hi]] = STATUS_DEAD
+        return st
+
     def _device_arrays(self):
-        """(hashes_dev, low_dev, paths_snapshot, n) — captured together
+        """(hashes_dev, status_dev, paths_list, n) — captured together
         under the lock so concurrent add/remove cannot shift the
-        index<->path mapping mid-query."""
+        index<->path mapping mid-query.  Syncs pending mutations with
+        O(delta) upload traffic (see class docstring)."""
         with self._lock:
-            if self._device is None:
-                n = max(self._n, 8)
-                pad = -(-n // 8) * 8
-                hp = np.zeros((pad, self.nbytes), np.uint8)
-                hp[:self._n] = self.hashes
-                lowp = np.ones(pad, dtype=bool)
-                lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
-                self._device = (jax.device_put(hp),
-                                jax.device_put(lowp),
-                                tuple(self.paths), self._n)
-            return self._device
+            if self._n_dead > max(64, self._n // 2):
+                self._compact_locked()
+            dev = self._dev
+            if dev is None or self._n > dev["cap"]:
+                # full (re-)push: first use, capacity growth, compaction
+                cap = max(1024,
+                          1 << max(0, (max(self._n, 1) - 1).bit_length()))
+                hp = np.zeros((cap, self.nbytes), np.uint8)
+                hp[:self._n] = self._hashes[:self._n]
+                st = np.full(cap, STATUS_DEAD, np.int8)
+                st[:self._n] = self._status_rows(0, self._n)
+                dev = {"h": _upload(hp), "st": _upload(st),
+                       "cap": cap, "applied": self._n,
+                       "paths": self._paths, "pending_dead": []}
+                self._dev = dev
+            else:
+                if dev["applied"] < self._n:
+                    # O(delta): upload only the appended rows (padded to
+                    # a power of two so the jit compiles per bucket, not
+                    # per call; pad rows land beyond n and write DEAD)
+                    start, n = dev["applied"], self._n
+                    r = n - start
+                    rpad = min(1 << (r - 1).bit_length(),
+                               dev["cap"] - start)
+                    rows = np.zeros((rpad, self.nbytes), np.uint8)
+                    rows[:r] = self._hashes[start:n]
+                    strows = np.full(rpad, STATUS_DEAD, np.int8)
+                    strows[:r] = self._status_rows(start, n)
+                    dev["h"], dev["st"] = _dev_write_rows(
+                        dev["h"], dev["st"], _upload(rows),
+                        _upload(strows), start)
+                    dev["applied"] = n
+                if dev["pending_dead"]:
+                    # O(delta): upload only the tombstoned indices
+                    k = len(dev["pending_dead"])
+                    kpad = max(64, 1 << (k - 1).bit_length())
+                    idx = np.full(kpad, dev["cap"], np.int32)
+                    idx[:k] = dev["pending_dead"]
+                    dev["st"] = _dev_kill_rows(dev["st"], _upload(idx))
+                    dev["pending_dead"] = []
+            return dev["h"], dev["st"], dev["paths"], self._n
 
     def _device_arrays_mesh(self, mesh):
         """Mesh-sharded corpus residency: the ±1 base matrix split over
@@ -217,22 +337,33 @@ class HashIndex:
 
         with self._lock:
             cur = self._device_mesh
-            if cur is None or cur[0] is not mesh:
+            if cur is None or cur[0] is not mesh or \
+                    cur[6] != self._version:
+                # the mesh path re-pushes lazily on the first query
+                # after any number of mutations (deferred/batched: N
+                # adds then a query is ONE re-push, not N); per-shard
+                # incremental append is future work — the single-device
+                # path (_device_arrays) is fully O(delta)
                 ndev = _math.prod(mesh.shape.values())
-                pad = max(-(-max(self._n, 1) // (8 * ndev)) * (8 * ndev),
+                live_h = self.hashes
+                live_q = self.quality
+                live_paths = tuple(self.paths)
+                n_live = len(live_h)
+                pad = max(-(-max(n_live, 1) // (8 * ndev)) * (8 * ndev),
                           8 * ndev)
                 hp = np.zeros((pad, self.nbytes), np.uint8)
-                hp[:self._n] = self.hashes
+                hp[:n_live] = live_h
                 lowp = np.ones(pad, dtype=bool)
-                lowp[:self._n] = self.quality < PDQ_MIN_QUALITY
+                lowp[:n_live] = live_q < PDQ_MIN_QUALITY
                 sh = NamedSharding(mesh, _P(("q", "b")))
                 # hp rides along as the HOST snapshot for exact-distance
                 # recompute: indices from these device arrays must never
                 # be applied to live self.hashes (concurrent add/remove
                 # compaction shifts rows)
-                self._device_mesh = (mesh, jax.device_put(hp, sh),
-                                     jax.device_put(lowp, sh),
-                                     tuple(self.paths), self._n, hp)
+                self._device_mesh = (mesh, _upload(hp, sh),
+                                     _upload(lowp, sh),
+                                     live_paths, n_live, hp,
+                                     self._version)
             return self._device_mesh
 
     @staticmethod
@@ -249,13 +380,13 @@ class HashIndex:
         """Mesh-sharded query: packed match bitmasks from every device
         (parallel/sharded.sharded_query_masks), exact distances
         recomputed host-side for the (few) matched rows only."""
-        if self._n == 0:
+        if len(self) == 0:
             return [[] for _ in range(len(variants))]
         similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
-        _, base_dev, low_dev, paths, n, hsnap = \
+        _, base_dev, low_dev, paths, n, hsnap, _ = \
             self._device_arrays_mesh(mesh)
         fn = _mesh_query_fn(mesh, similarity)
-        masks = np.asarray(fn(jax.device_put(
+        masks = np.asarray(fn(_upload(
             np.ascontiguousarray(variants, dtype=np.uint8)),
             base_dev, low_dev))
         out = []
@@ -284,16 +415,16 @@ class HashIndex:
         if mesh is not None:
             return self.query_mesh(mesh, variants, similarity,
                                    max_results)
-        if self._n == 0:
+        if len(self) == 0:
             return [[] for _ in range(len(variants))]
-        base_dev, low_dev, paths, n = self._device_arrays()
+        base_dev, status_dev, paths, n = self._device_arrays()
         q = np.ascontiguousarray(variants, dtype=np.uint8)
         # k buckets to a power of two so the jit caches a handful of
         # executables across max_results values
         k = min(int(base_dev.shape[0]),
                 max(16, 1 << (max(1, max_results) - 1).bit_length()))
         dists, idx = (np.asarray(a) for a in _query_topk(
-            jax.device_put(q), base_dev, low_dev, n,
+            _upload(q), base_dev, status_dev, n,
             self.nbytes * 8, k))
         out = []
         for drow, irow in zip(dists, idx):

@@ -381,3 +381,75 @@ def test_concurrent_query_vs_remove_stress():
         stop.set()
         t.join(timeout=10)
     assert not errors, errors
+
+
+def test_incremental_device_corpus_upload_traffic():
+    """VERDICT r2 weak #2: add/remove must be O(delta) device traffic.
+    Build a corpus, query once (full push), then interleave adds and
+    removes with queries and assert the additional upload bytes scale
+    with the delta — never with the corpus size."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    ix = serve.HashIndex()
+    n0 = 3000
+    hs = rng.integers(0, 256, (n0 + 64, 32), dtype=np.uint8)
+    for i in range(n0):
+        ix.add(f"/c/{i}.png", bytes(hs[i]), quality=90)
+
+    def q(h):
+        v = np.asarray(h, np.uint8)[None, None, :].repeat(8, 1)
+        return ix.query(v, similarity=4)[0]
+
+    assert q(hs[5])  # first query: full push (cap 4096 x 33 B + query)
+    base = serve.UPLOAD_BYTES
+
+    # 40 adds + queries: each sync uploads O(rows) not O(corpus)
+    for j in range(40):
+        ix.add(f"/c/n{j}.png", bytes(hs[n0 + j]), quality=90)
+        res = q(hs[n0 + j])
+        assert any(p == f"/c/n{j}.png" for _, p, _ in res)
+    added = serve.UPLOAD_BYTES - base
+    # corpus is 3040*33 ~ 100 KB on device; 40 single-row syncs must
+    # stay tiny: row pad (1*33) + status + index pads + query uploads
+    # (8*32 variants each).  Generous bound: 40 * 4 KB.
+    assert added < 40 * 4096, f"adds re-shipped the corpus: {added} B"
+
+    base = serve.UPLOAD_BYTES
+    for j in range(20):
+        assert ix.remove(f"/c/{j}.png") == 1
+        res = q(hs[j])
+        assert all(p != f"/c/{j}.png" for _, p, _ in res)
+    removed = serve.UPLOAD_BYTES - base
+    assert removed < 20 * 4096, f"removes re-shipped: {removed} B"
+    assert len(ix) == n0 + 40 - 20
+
+
+def test_incremental_corpus_growth_and_compaction():
+    """Capacity growth re-pushes once (amortized); compaction engages
+    past 50% dead and preserves query exactness."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    ix = serve.HashIndex()
+    hs = rng.integers(0, 256, (3000, 32), dtype=np.uint8)
+    for i in range(1000):
+        ix.add(f"/g/{i}.png", bytes(hs[i]), quality=90)
+
+    def q(h):
+        v = np.asarray(h, np.uint8)[None, None, :].repeat(8, 1)
+        return ix.query(v, similarity=4)[0]
+
+    assert q(hs[0])            # push at cap 1024
+    for i in range(1000, 1100):   # crosses capacity -> one re-push
+        ix.add(f"/g/{i}.png", bytes(hs[i]), quality=90)
+    assert q(hs[1099])
+    assert ix._dev["cap"] == 2048
+    # kill >50% -> compaction on next query
+    for i in range(600):
+        ix.remove(f"/g/{i}.png")
+    res = q(hs[700])
+    assert any(p == "/g/700.png" for _, p, _ in res)
+    assert ix._n_dead == 0 and len(ix) == 500
+    for i in range(600):
+        assert all(p != f"/g/{i}.png" for _, p, _ in q(hs[i])), i
