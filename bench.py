@@ -18,6 +18,7 @@ against the numpy golden before timing.
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -194,6 +195,58 @@ def bench_grouping_1m_e2e():
     return dt, int(len(ei)), n_groups
 
 
+def bench_scan_e2e(n_images=256):
+    """Decode-fed end-to-end scan benchmark (SURVEY §7 hard part #4):
+    walk -> decode -> hash -> cache on a generated JPEG corpus, then a
+    warm-cache rescan of the same tree.  Returns
+    (scan_images_per_s, cached_rescan_files_per_s).
+
+    Caveat (CLAUDE.md): this box exposes ONE host core, so the decode
+    side of the cold number is a single-core figure — the reference's
+    comparable number is 233 images/s/core (NOTES.txt:42-44,
+    4.286 ms/image); production hosts scale it by their core count via
+    the scan process pool.  The cached rescan is stat+probe bound and
+    matches the README's ~1,600 files/s claim shape (README.md:67)."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from rupphash_tpu.cache.store import CacheStore
+    from rupphash_tpu.pipeline import scan as scanmod
+
+    tmp = Path(tempfile.mkdtemp(prefix="rupbench_"))
+    try:
+        rng = np.random.default_rng(7)
+        # textured 320x240-class JPEGs (quality>=50 so grouping is
+        # exercised realistically); a handful of duplicate pairs
+        for i in range(n_images):
+            px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            im = Image.fromarray(px).resize((320, 240), Image.BILINEAR)
+            im.save(tmp / f"img_{i:04d}.jpg", quality=90)
+            if i % 50 == 0:
+                im.save(tmp / f"img_{i:04d}_dup.jpg", quality=85)
+        total = len(list(tmp.glob("*.jpg")))
+
+        store = CacheStore(tmp / "cache.db", master_key=b"\x05" * 32)
+        cfg = scanmod.ScanConfig(workers=1)
+        t0 = time.perf_counter()
+        records, stats = scanmod.scan([tmp], cfg, store)
+        cold = time.perf_counter() - t0
+        assert stats.failed == 0 and len(records) == total
+        store.flush()
+
+        t0 = time.perf_counter()
+        records2, stats2 = scanmod.scan([tmp], cfg, store)
+        warm = time.perf_counter() - t0
+        assert stats2.cache_full == total, \
+            f"rescan missed cache: {stats2}"
+        store.close()
+        return total / cold, total / warm
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     # persistent XLA compile cache: cold compiles over the axon tunnel
     # cost minutes; after the first bench run every kernel starts hot
@@ -225,6 +278,16 @@ def main():
         extra["grouping_1m_v5e8_projected_s"] = round(proj, 2)
     except Exception as e:
         log(f"1M grouping bench failed: {e}")
+
+    try:
+        cold_ips, warm_fps = bench_scan_e2e()
+        log(f"scan end-to-end (walk->decode->hash->cache, 1 host "
+            f"core): {cold_ips:,.0f} images/s; cached rescan: "
+            f"{warm_fps:,.0f} files/s")
+        extra["scan_e2e_images_per_s"] = round(cold_ips, 1)
+        extra["cached_rescan_files_per_s"] = round(warm_fps, 1)
+    except Exception as e:
+        log(f"scan e2e bench failed: {e}")
 
     try:
         e2e, n_edges, n_groups = bench_grouping_1m_e2e()
