@@ -269,6 +269,73 @@ class ImageEngine:
                 self._cache.popitem(last=False)
         return out
 
+    def render_animated(self, path: Path, orientation: int = 1,
+                        transform=None, max_side: int = 2048,
+                        max_frames: int = 96) -> bytes | None:
+        """Animated original with the per-file transform + active LUT
+        applied to EVERY frame server-side, re-encoded as APNG (which
+        browsers play natively).  This is the web analogue of the
+        reference viewer running its animation frames through the same
+        orientation/LUT path as stills (gui/image.rs:1602-1800); the
+        frame count is bounded so worst-case work stays predictable.
+        Returns None when the file is not animated (caller falls back
+        to the still path)."""
+        try:
+            st = path.stat()
+        except OSError:
+            return None
+        tkey = (transform.quarter_turns, transform.flip_h,
+                transform.flip_v) if transform else (0, False, False)
+        key = ("anim", str(path), st.st_mtime_ns, st.st_size,
+               orientation, tkey, self.active_lut, max_side, max_frames)
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+
+        from ..pipeline import animated
+
+        try:
+            data = path.read_bytes()
+        except OSError:
+            return None
+        if animated.probe(data) is None:
+            return None
+        frames, delays = animated.decode_frames(data,
+                                                max_frames=max_frames)
+        if frames is None:
+            return None
+        from PIL import Image
+
+        lut = (self.luts[self.active_lut]
+               if 0 <= self.active_lut < len(self.luts) else None)
+        out = []
+        for f in frames:
+            img = exif_orient(f, orientation)
+            if transform is not None:
+                img = apply_transform(img, transform.quarter_turns,
+                                      transform.flip_h,
+                                      transform.flip_v)
+            img = _downscale(img, min(max_side, MAX_TEXTURE_SIDE))
+            if lut is not None:
+                from . import lut as lutmod
+                rgb = lutmod.apply_lut_u8(
+                    np.ascontiguousarray(img[..., :3]), lut)
+                img = (np.concatenate([rgb, img[..., 3:]], axis=-1)
+                       if img.shape[-1] == 4 else rgb)
+            out.append(Image.fromarray(np.ascontiguousarray(img)))
+        buf = io.BytesIO()
+        out[0].save(buf, format="PNG", save_all=True,
+                    append_images=out[1:],
+                    duration=[max(int(d * 1000), 10) for d in delays],
+                    loop=0)
+        body = buf.getvalue()
+        with self._lock:
+            self._cache[key] = body
+            while len(self._cache) > self._cache_items:
+                self._cache.popitem(last=False)
+        return body
+
     def analyze(self, path: Path, palette_config=None) -> dict | None:
         """Histograms + palette for the overlay (gui/image.rs:2561-3255
         analysis path, downsampled).  palette_config: PaletteConfig from

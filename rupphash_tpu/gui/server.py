@@ -378,18 +378,27 @@ class GuiServer:
                     tr = server.state.transforms.get(rec.unique_file_id)
                     # animated originals play natively in the browser
                     # (the AnimationState playback analogue,
-                    # gui/image.rs:589-594) unless a transform or LUT
-                    # forces a processed still
-                    if tr is None and server.engine.active_lut < 0:
-                        from ..pipeline import animated
-                        try:
-                            raw = rec.path.read_bytes()
-                        except OSError:
-                            raw = b""
-                        kind = animated.probe(raw) if raw else None
-                        if kind is not None:
+                    # gui/image.rs:589-594); with a transform or LUT
+                    # active the frames are processed server-side and
+                    # re-encoded as APNG so the animation still plays
+                    # (gui/image.rs:1602-1800 parity)
+                    from ..pipeline import animated
+                    try:
+                        raw = rec.path.read_bytes()
+                    except OSError:
+                        raw = b""
+                    kind = animated.probe(raw) if raw else None
+                    if kind is not None:
+                        if tr is None and server.engine.active_lut < 0:
                             self._send(200, raw, animated.MIME[kind])
                             return
+                        body = server.engine.render_animated(
+                            rec.path, rec.orientation, tr,
+                            max_side=qi("s", 2048) or 2048)
+                        if body is not None:
+                            self._send(200, body, "image/png")
+                            return
+                        # fall through to the processed still
                     # deep=1: 48-bit PNG for deep-display clients (the
                     # web analogue of the reference's Rgba16 swapchain
                     # path, hdr.rs:998-1019)

@@ -575,3 +575,51 @@ def test_transform_fingerprint_tracks_render_state(gui):
     # untouched files never carried a fingerprint
     other = [f["tf"] for k, f in enumerate(snap()) if k != fi]
     assert all(t == "" for t in other)
+
+
+def test_animated_transform_lut_served_as_apng(tmp_path):
+    """VERDICT r2 item 10: with a transform + LUT active an animated
+    file must render as a *processed animation* (APNG, every frame
+    rotated + LUT'd), not fall back to a processed still."""
+    import io
+
+    frames = [Image.new("RGB", (48, 24), c)
+              for c in [(255, 0, 0), (0, 255, 0), (0, 0, 255)]]
+    p = tmp_path / "anim.gif"
+    frames[0].save(p, save_all=True, append_images=frames[1:],
+                   duration=80, loop=0)
+    # invert LUT (2-point)
+    lines = ["LUT_3D_SIZE 2"]
+    for b in (1.0, 0.0):
+        for g in (1.0, 0.0):
+            for r in (1.0, 0.0):
+                lines.append(f"{r} {g} {b}")
+    lt = lut.parse_cube("\n".join(lines))
+    groups = [[FileRecord(path=p, size=1, unique_file_id=9)]]
+    st = AppState(groups, [GroupInfo()])
+    srv = server.GuiServer(st, imaging.ImageEngine([lt]))
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # untouched: the original gif streams through
+        code, ctype, body = _get(port, "/api/image?g=0&f=0")
+        assert ctype == "image/gif" and body[:3] == b"GIF"
+        srv.apply_intent("rotate_cw")
+        srv.apply_intent("cycle_lut")
+        code, ctype, body = _get(port, "/api/image?g=0&f=0")
+        assert code == 200 and ctype == "image/png"
+        assert b"acTL" in body[:200]  # APNG, still animated
+        im = Image.open(io.BytesIO(body))
+        assert getattr(im, "n_frames", 1) == 3
+        assert im.size == (24, 48)  # rotated 90
+        first = np.asarray(im.convert("RGB"))
+        # frame 1 was pure red -> inverted to cyan
+        assert first[0, 0, 0] < 10 and first[0, 0, 1] > 245 \
+            and first[0, 0, 2] > 245
+        im.seek(1)
+        second = np.asarray(im.convert("RGB"))
+        assert second[0, 0, 0] > 245 and second[0, 0, 1] < 10  # magenta
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
