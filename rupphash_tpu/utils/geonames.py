@@ -343,6 +343,10 @@ def _subdivision_for(hit, lat: float, lon: float) -> str | None:
 
 
 def subdivision_name(lat: float, lon: float) -> str | None:
+    from . import geopoly
+    poly = geopoly.lookup(lat, lon)
+    if poly is not None:
+        return poly[1]
     hit = nearest_anchor(lat, lon)
     if hit is None or hit[3] > COUNTRY_KM:
         return None
@@ -358,6 +362,19 @@ def derive_location(lat: float, lon: float) -> dict:
     tz = timezone_name(lat, lon)
     if tz:
         out["timezone"] = tz
+    # exact point-in-polygon assignment first (the reference's
+    # country-boundaries mechanism, exif_extract.rs:435-474); anchors
+    # only decide where no shipped ring covers the point
+    from . import geopoly
+    poly = geopoly.lookup(lat, lon)
+    if poly is not None:
+        code, sub = poly
+        _, countries = _load()
+        country = _OFFICIAL.get(code) or countries.get(code)
+        if country:
+            out["country"] = f"{sub}, {country}"
+        out["subdivision"] = sub
+        return out
     if hit is not None and hit[3] <= COUNTRY_KM:
         _, countries = _load()
         country = _OFFICIAL.get(hit[1]) or countries.get(hit[1])

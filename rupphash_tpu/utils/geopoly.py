@@ -1,0 +1,185 @@
+"""Point-in-polygon admin-1 lookup (reference: exif_extract.rs:435-474).
+
+The reference resolves Country/Subdivision through the
+`country-boundaries` polygon database.  This image has zero egress and
+ships no boundary dataset (no Natural Earth, no cartopy/geopandas), so
+a worldwide polygon DB is unobtainable here; this module provides the
+same *mechanism* — quantized polygon rings behind a coarse grid index,
+consulted before the nearest-anchor tables (utils/geonames.py) — and
+populates it with hand-authored polygons for subdivisions whose legal
+borders are (mostly) straight lat/lon lines, where a few vertices are
+EXACT along the contested border:
+
+  * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) — meridian/
+    parallel borders exact; river/divide segments approximated with a
+    documented envelope;
+  * Australian states — all land borders exact save the NSW/QLD east
+    tail and the Murray River (segment-approximated);
+  * Canadian prairie provinces (AB/SK/MB) — 49/60 parallels and 110/120
+    meridians exact, staircase/divide approximated.
+
+Coastal rings are deliberately GENEROUS (they extend offshore): no
+sibling subdivision competes over water, so over-extension cannot
+misassign, while clipping at an approximate coastline would lose
+coastal points to the anchor fallback for no benefit.
+
+Accuracy envelope: along the meridian/parallel borders listed above the
+assignment is exact (this is what nearest-anchor could never do); along
+approximated river/divide segments it can be off within ~10-30 km of
+the segment; everywhere not covered by a ring the caller falls back to
+nearest-anchor semantics (utils/geonames.py documents that envelope).
+"""
+from __future__ import annotations
+
+# (country_code, subdivision) -> ring of (lat, lon) vertices.
+# Vertices on meridian/parallel legal borders are exact; others are
+# documented approximations (see module docstring).
+POLYGONS: dict[tuple[str, str], list[tuple[float, float]]] = {
+    # --- United States: rectilinear interior states ---
+    ("US", "Wyoming"): [
+        (41.0, -111.046), (45.0, -111.046), (45.0, -104.052),
+        (41.0, -104.052)],
+    ("US", "Colorado"): [
+        (37.0, -109.045), (41.0, -109.045), (41.0, -102.045),
+        (37.0, -102.045)],
+    ("US", "Utah"): [
+        (37.0, -114.041), (42.0, -114.041), (42.0, -111.046),
+        (41.0, -111.046), (41.0, -109.045), (37.0, -109.045)],
+    ("US", "New Mexico"): [
+        (37.0, -109.045), (37.0, -103.042), (32.0, -103.042),
+        (32.0, -106.62), (31.78, -106.53), (31.78, -108.21),
+        (31.33, -108.21), (31.33, -109.045)],
+    ("US", "Arizona"): [
+        (31.33, -109.045), (37.0, -109.045), (37.0, -114.05),
+        (36.1, -114.05), (36.12, -114.4), (35.1, -114.60),   # river
+        (34.3, -114.14), (33.4, -114.52), (32.7, -114.53),
+        (32.49, -114.81), (31.33, -111.07)],
+    ("US", "Kansas"): [
+        (37.0, -102.042), (40.0, -102.042), (40.0, -95.31),
+        (39.75, -94.97), (39.1, -94.61), (37.0, -94.617)],
+    ("US", "Nebraska"): [
+        (40.0, -102.05), (41.0, -102.05), (41.0, -104.053),
+        (43.0, -104.053), (43.0, -98.47), (42.85, -97.4),
+        (42.5, -96.5), (41.5, -95.93), (40.0, -95.31)],
+    ("US", "North Dakota"): [
+        (45.935, -104.045), (49.0, -104.045), (49.0, -97.23),
+        (48.0, -97.15), (46.5, -96.8), (45.935, -96.56)],
+    ("US", "South Dakota"): [
+        (45.935, -104.05), (45.935, -96.56), (45.3, -96.45),
+        (44.0, -96.45), (43.2, -96.6), (42.5, -96.5),
+        (42.9, -97.4), (42.99, -98.47), (43.0, -104.05)],
+    ("US", "Montana"): [
+        (45.0, -111.05), (45.0, -104.045), (49.0, -104.045),
+        (49.0, -116.05), (48.0, -116.05), (46.6, -114.6),   # divide
+        (45.6, -114.5), (45.56, -113.45), (44.95, -112.8),
+        (44.5, -112.3), (44.56, -111.3)],
+    ("US", "Oklahoma"): [
+        (37.0, -103.002), (37.0, -94.62), (35.5, -94.43),
+        (33.87, -94.48), (33.8, -95.5), (33.9, -96.9),       # Red R.
+        (34.1, -98.1), (34.15, -98.6), (34.4, -99.4),
+        (34.56, -99.99), (36.5, -100.00), (36.5, -103.002)],
+    # --- Canada: prairie provinces ---
+    ("CA", "Alberta"): [
+        (49.0, -110.005), (49.0, -114.06), (50.5, -115.3),  # divide
+        (51.5, -116.8), (52.4, -117.8), (53.0, -119.0),
+        (53.8, -119.9), (54.0, -120.0), (60.0, -120.0),
+        (60.0, -110.005)],
+    ("CA", "Saskatchewan"): [
+        (49.0, -110.005), (60.0, -110.005), (60.0, -102.0),
+        (55.0, -101.8), (49.0, -101.36)],
+    ("CA", "Manitoba"): [
+        (49.0, -101.36), (55.0, -101.8), (60.0, -102.0),
+        (60.0, -94.8),                                       # coast
+        (56.9, -88.9), (54.5, -92.5), (52.0, -95.0),
+        (49.0, -95.153)],
+    # --- Australia: state borders are meridians/parallels ---
+    ("AU", "Western Australia"): [
+        (-36.0, 110.0), (-12.0, 110.0), (-12.0, 129.0),
+        (-36.0, 129.0)],
+    ("AU", "Northern Territory"): [
+        (-26.0, 129.0), (-10.5, 129.0), (-10.5, 138.0),
+        (-26.0, 138.0)],
+    ("AU", "South Australia"): [
+        (-39.0, 129.0), (-26.0, 129.0), (-26.0, 141.0),
+        (-39.0, 141.0)],
+    # QLD's sea edge stays south of PNG's coast (Port Moresby -9.44,
+    # the Milne Bay peninsula to -10.7/150.7, Louisiades -11.3/153):
+    # the -10.5 cap keeps Cape York (-10.69) and Thursday Island
+    # (-10.58) while leaving the far Torres Strait islands to the
+    # anchor fallback
+    ("AU", "Queensland"): [
+        (-26.0, 138.0), (-10.5, 138.0), (-10.5, 143.5),
+        (-12.5, 147.0), (-13.5, 152.0), (-14.0, 155.0),
+        (-28.16, 155.0), (-28.16, 153.55), (-28.25, 152.0),
+        (-28.7, 150.0), (-29.0, 148.95), (-29.0, 141.0),
+        (-26.0, 141.0)],
+    ("AU", "New South Wales"): [
+        (-29.0, 141.0), (-29.0, 148.95), (-28.7, 150.0),
+        (-28.25, 152.0), (-28.16, 153.55), (-28.16, 155.0),
+        (-37.6, 151.0),                                      # ocean
+        (-37.51, 149.98), (-36.8, 148.2),                    # Murray
+        (-36.1, 147.0), (-36.0, 146.0), (-36.12, 144.75),
+        (-35.33, 143.55), (-34.58, 142.77), (-34.19, 142.16),
+        (-34.0, 141.0)],
+    ("AU", "Victoria"): [
+        (-34.0, 141.0), (-34.19, 142.16), (-34.58, 142.77),
+        (-35.33, 143.55), (-36.12, 144.75), (-36.0, 146.0),
+        (-36.1, 147.0), (-36.8, 148.2), (-37.51, 149.98),
+        (-39.2, 147.0), (-39.2, 141.0)],                     # ocean
+    ("AU", "Tasmania"): [
+        (-44.5, 143.5), (-39.5, 143.5), (-39.5, 149.0),
+        (-44.5, 149.0)],
+}
+
+_GRID_DEG = 2.0
+_grid: dict[tuple[int, int], list[tuple[str, str]]] | None = None
+
+
+def _cell(lat: float, lon: float) -> tuple[int, int]:
+    return int(lat // _GRID_DEG), int(lon // _GRID_DEG)
+
+
+def _build_grid():
+    global _grid
+    if _grid is not None:
+        return _grid
+    g: dict[tuple[int, int], list[tuple[str, str]]] = {}
+    for key, ring in POLYGONS.items():
+        lats = [p[0] for p in ring]
+        lons = [p[1] for p in ring]
+        c0 = _cell(min(lats), min(lons))
+        c1 = _cell(max(lats), max(lons))
+        for ci in range(c0[0], c1[0] + 1):
+            for cj in range(c0[1], c1[1] + 1):
+                g.setdefault((ci, cj), []).append(key)
+    _grid = g
+    return g
+
+
+def _in_ring(lat: float, lon: float,
+             ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray cast in the (lon, lat) plane.  Planar arithmetic is
+    adequate at admin-1 scales; none of the shipped rings crosses the
+    antimeridian."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        la1, lo1 = ring[i]
+        la2, lo2 = ring[(i + 1) % n]
+        if (la1 > lat) != (la2 > lat):
+            x = lo1 + (lat - la1) / (la2 - la1) * (lo2 - lo1)
+            if lon < x:
+                inside = not inside
+    return inside
+
+
+def lookup(lat: float, lon: float) -> tuple[str, str] | None:
+    """(country_code, subdivision) for a point inside a shipped ring,
+    else None (caller falls back to nearest-anchor)."""
+    cands = _build_grid().get(_cell(lat, lon))
+    if not cands:
+        return None
+    for key in cands:
+        if _in_ring(lat, lon, POLYGONS[key]):
+            return key
+    return None

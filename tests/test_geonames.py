@@ -127,3 +127,101 @@ def test_antimeridian_lookups():
     assert g.timezone_name(64.75, 179.9) == "Asia/Anadyr"
     assert g.timezone_name(52.0, -175.0) == "America/Adak"
     assert g.timezone_name(-18.1, 178.4) == "Pacific/Fiji"
+
+
+# ---------------------------------------------------------------- polygons
+
+def test_polygon_beats_anchor_on_borders():
+    """VERDICT r2 missing #5 / weak #4: border-adversarial coordinates
+    where nearest-anchor provably misassigns must resolve correctly
+    through the point-in-polygon tables (utils/geopoly.py).  Each case
+    below is checked to actually BE adversarial (the anchor answer is
+    wrong) so this can never regress into testing anchor-friendly
+    points."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # (lat, lon, correct admin-1)  — near a straight legal border
+        (41.2, -110.8, "Wyoming"),        # SW WY, Salt Lake anchor pulls UT
+        (36.95, -109.2, "Arizona"),       # Four Corners, AZ quadrant
+        (37.05, -109.2, "Utah"),          # Four Corners, UT quadrant
+        (41.05, -104.3, "Wyoming"),       # WY/CO/NE corner
+        (49.1, -110.2, "Alberta"),        # AB/SK/MT corner
+        (-28.9, 141.2, "Queensland"),     # QLD/NSW/SA corner
+        (-29.1, 141.2, "New South Wales"),
+        (-25.9, 128.9, "Western Australia"),  # WA/NT/SA corner
+        (-26.1, 129.1, "South Australia"),
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        hit = geonames.nearest_anchor(lat, lon)
+        anchor_sub = (geonames._subdivision_for(hit, lat, lon)
+                      if hit else None)
+        if anchor_sub != want:
+            adversarial += 1
+        assert geonames.subdivision_name(lat, lon) == want, \
+            (lat, lon, want)
+        assert geopoly.lookup(lat, lon)[1] == want
+    # the suite must stay adversarial: most cases defeat the anchors
+    assert adversarial >= 6, f"only {adversarial} cases were adversarial"
+
+
+def test_polygon_murray_river_twin_towns():
+    """Albury (NSW) and Wodonga (VIC) sit 6 km apart across the Murray;
+    the approximated river polyline must split them correctly."""
+    from rupphash_tpu.utils import geonames
+
+    assert geonames.subdivision_name(-36.08, 146.95) == "New South Wales"
+    assert geonames.subdivision_name(-36.12, 146.88) == "Victoria"
+
+
+def test_polygon_rings_do_not_overlap_on_grid():
+    """No two rings may claim the same point: sample each shared-border
+    region on a fine grid and assert at most one ring contains each
+    sample (exact-border points excluded by sampling off-grid)."""
+    import numpy as np
+
+    from rupphash_tpu.utils import geopoly
+
+    rng = np.random.default_rng(5)
+    pts = np.stack([rng.uniform(-45, 61, 4000),
+                    rng.uniform(-125, 156, 4000)], axis=1)
+    for lat, lon in pts:
+        cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
+        hits = [k for k in cands
+                if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_derive_location_formats_country():
+    """Polygon hits keep the 'Subdivision, Country' display contract
+    and the reference regression coordinate stays exact."""
+    from rupphash_tpu.utils import geonames
+
+    out = geonames.derive_location(44.0, -107.5)
+    assert out["subdivision"] == "Wyoming"
+    assert out["country"] == "Wyoming, United States of America (the)"
+    # reference regression (scanner.rs:2854-2866) — anchor fallback path
+    out = geonames.derive_location(28.68, -81.31)
+    assert out["country"] == "Florida, United States of America (the)"
+
+
+def test_polygon_generous_coast_does_not_claim_foreign_soil():
+    """The generous ocean boxes must not swallow neighboring countries:
+    southern PNG, Timor, and Indonesian islands stay out of the
+    Australian rings."""
+    from rupphash_tpu.utils import geopoly
+
+    for lat, lon in [(-9.44, 147.19),   # Port Moresby
+                     (-10.7, 150.7),    # Milne Bay peninsula
+                     (-11.3, 153.0),    # Louisiade archipelago
+                     (-10.36, 123.5),   # West Timor SW coast
+                     (-8.6, 125.6),     # Timor-Leste
+                     (-10.17, 123.6)]:  # Kupang
+        assert geopoly.lookup(lat, lon) is None, (lat, lon)
+    # while Australian coastal/island points resolve
+    for lat, lon, want in [(-10.69, 142.53, "Queensland"),  # Cape York
+                           (-10.58, 142.22, "Queensland"),  # Thursday I.
+                           (-39.93, 143.85, "Tasmania"),    # King Island
+                           (-35.77, 137.21, "South Australia")]:  # Kangaroo
+        assert geopoly.lookup(lat, lon) == ("AU", want), (lat, lon)
