@@ -124,6 +124,57 @@ def _process_jax(mosaic, black, white, wb, matrix, cfa, has_matrix):
     return jnp.round(jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("cfa", "n", "has_matrix"))
+def _process_generic_jax(mosaic, black, white, wb, matrix, cfa, n,
+                         has_matrix):
+    """Arbitrary n x n RGB CFA (e.g. Fuji X-Trans 6x6): per-channel
+    normalized convolution with a 5x5 tent kernel.  One batched conv on
+    the MXU — the TPU-idiomatic generalization of the Malvar path for
+    patterns it cannot express.  X-Trans guarantees every color within
+    a radius-2 window, so the tent support always covers >=1 site."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    b, h, w = mosaic.shape
+    x = (mosaic.astype(jnp.float32) - black) / jnp.maximum(
+        white - black, 1.0)
+    x = jnp.clip(x, 0.0, 1.0)
+    yy = jnp.arange(h)[:, None] % n
+    xx = jnp.arange(w)[None, :] % n
+    site = jnp.asarray(np.asarray(cfa, np.int32).reshape(n, n))[yy, xx]
+    x = jnp.clip(x * wb[site][None], 0.0, 1.0)
+
+    tent = np.outer([1, 2, 3, 2, 1], [1, 2, 3, 2, 1]).astype(np.float32)
+    kern = jnp.asarray(tent)[None, None]  # OIHW (1,1,5,5)
+
+    def conv(v):
+        vp = jnp.pad(v, ((0, 0), (2, 2), (2, 2)), mode="reflect")
+        return lax.conv_general_dilated(
+            vp[:, None], kern, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST)[:, 0]
+
+    planes = []
+    for c in range(3):
+        mask = (site == c).astype(jnp.float32)[None]
+        num = conv(x * mask)
+        den = conv(jnp.broadcast_to(mask, x.shape))
+        # a reflected corner window of a degenerate pattern can hold no
+        # site of color c: fall back to the local sample rather than 0
+        interp = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), x)
+        planes.append(jnp.where(site[None] == c, x, interp))
+    rgb = jnp.stack(planes, axis=-1)
+    if has_matrix:
+        rgb = jnp.einsum("bhwc,dc->bhwd", rgb, matrix,
+                         precision=jax.lax.Precision.HIGHEST)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    srgb = jnp.where(rgb <= 0.0031308, rgb * 12.92,
+                     1.055 * jnp.power(jnp.maximum(rgb, 1e-8),
+                                       1 / 2.4) - 0.055)
+    return jnp.round(jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 def demosaic_batch(mosaics: np.ndarray, cfa) -> np.ndarray:
     """(B, H, W) [0,1] float mosaics -> (B, H, W, 3) linear RGB."""
     import jax.numpy as jnp
@@ -150,12 +201,21 @@ def process_raw(raw) -> np.ndarray | None:
         u8 = np.round(np.clip(srgb, 0, 1) * 255).astype(np.uint8)
         return np.stack([u8] * 3, axis=-1)
 
-    # even-align so the CFA phase is static
-    h2, w2 = mosaic.shape[0] & ~1, mosaic.shape[1] & ~1
+    cfa_arr = np.asarray(raw.cfa)
+    n = int(cfa_arr.shape[0])
+    if cfa_arr.ndim != 2 or cfa_arr.shape[1] != n:
+        return None
+    # n-align so the CFA phase is static
+    h2 = (mosaic.shape[0] // n) * n
+    w2 = (mosaic.shape[1] // n) * n
+    if h2 < n or w2 < n:
+        return None
     mosaic = mosaic[:h2, :w2]
-    cfa_t = tuple(int(v) for v in np.asarray(raw.cfa).flatten())
+    cfa_t = tuple(int(v) for v in cfa_arr.flatten())
     if any(c not in (0, 1, 2) for c in cfa_t):
         return None  # non-RGB CFA (e.g. CYGM) unsupported
+    if n > 2 and not all(c in cfa_t for c in (0, 1, 2)):
+        return None  # degenerate pattern missing a color
 
     # WB gains per channel, G-normalized (AsShotNeutral is the camera
     # response to a neutral: gain = asn[G]/asn[c])
@@ -184,8 +244,16 @@ def process_raw(raw) -> np.ndarray | None:
     else:
         m = np.eye(3, dtype=np.float32)
 
-    out = _process_jax(jnp.asarray(mosaic[None]),
-                       jnp.float32(raw.black), jnp.float32(raw.white),
-                       jnp.asarray(wb), jnp.asarray(m), cfa_t,
-                       has_matrix)
+    if n == 2:
+        out = _process_jax(jnp.asarray(mosaic[None]),
+                           jnp.float32(raw.black),
+                           jnp.float32(raw.white),
+                           jnp.asarray(wb), jnp.asarray(m), cfa_t,
+                           has_matrix)
+    else:
+        out = _process_generic_jax(jnp.asarray(mosaic[None]),
+                                   jnp.float32(raw.black),
+                                   jnp.float32(raw.white),
+                                   jnp.asarray(wb), jnp.asarray(m),
+                                   cfa_t, n, has_matrix)
     return np.asarray(out[0])

@@ -150,6 +150,12 @@ def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
                     img = rawcontainers.decode_raw_container(data)
             except Exception:
                 img = None
+    if img is None and data[:16] == b"FUJIFILMCCD-RAW ":
+        from . import rawcontainers
+        try:
+            img = rawcontainers.decode_raw_container(data)
+        except Exception:
+            img = None
     if img is None and b"%PDF" in data[:1024]:
         # readers tolerate preamble bytes before the header; embedded
         # photo first (the dedup-relevant content), else rasterize the

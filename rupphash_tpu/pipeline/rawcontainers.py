@@ -734,11 +734,124 @@ def parse_tiff_cfa(data: bytes) -> RawImage | None:
         orientation=int(_scalar(ifd0, _T_ORIENTATION, 1)))
 
 
+# --------------------------------------------------------------------------
+# Fujifilm RAF (gui/image.rs:1886-1945 decodes it via LibRaw; the RAF
+# container layout — big-endian offset table at 0x54, tagged CFA meta
+# records, packed/u16 raster — is published format knowledge carried by
+# exiftool's RAF.pm and dcraw's parse_fuji)
+# --------------------------------------------------------------------------
+
+_RAF_MAGIC = b"FUJIFILMCCD-RAW "
+_RAF_T_DIMS = 0x0100        # raw height u16be, width u16be
+_RAF_T_LAYOUT = 0x0130      # fuji layout byte
+_RAF_T_XTRANS = 0x0131      # 6x6 CFA pattern, 36 bytes (&3: 0=R 1=G 2=B)
+_RAF_T_WB = 0x2FF0          # WB levels u16be x4, order (G, R, B, G)
+_RAF_T_BITS = 0x0121        # sample bits (not always present)
+
+
+def is_raf(data: bytes) -> bool:
+    return data[:16] == _RAF_MAGIC
+
+
+def _unpack_lsb(stream: bytes, bits: int, count: int) -> np.ndarray:
+    """LSB-first n-bit little-endian unpack (the Fuji packed raster
+    layout: low bits of each sample come first in the byte stream)."""
+    need = (count * bits + 7) // 8
+    if len(stream) < need:
+        raise ValueError("short packed stream")
+    b = np.unpackbits(np.frombuffer(stream, np.uint8, count=need),
+                      bitorder="little")[:count * bits]
+    w = (1 << np.arange(bits, dtype=np.uint32))
+    return (b.reshape(count, bits).astype(np.uint32) * w).sum(
+        axis=1).astype(np.uint16)
+
+
+def parse_raf(data: bytes) -> RawImage | None:
+    """Fujifilm RAF -> RawImage.  Supports plain u16-LE and LSB-packed
+    12/14-bit CFA rasters with Bayer or X-Trans (6x6, record 0x0131)
+    patterns; Fuji's lossless-compressed rasters are not decoded here
+    (the scanner uses the embedded preview for those, the same source
+    the reference hashes, scanner.rs:1353-1380)."""
+    if not is_raf(data) or len(data) < 0x70:
+        return None
+    try:
+        (_joff, _jlen, hdr_off, hdr_len,
+         cfa_off, cfa_len) = struct.unpack_from(">6I", data, 0x54)
+    except struct.error:
+        return None
+    if not hdr_off or hdr_off + 4 > len(data):
+        return None
+    recs: dict[int, bytes] = {}
+    (count,) = struct.unpack_from(">I", data, hdr_off)
+    p = hdr_off + 4
+    for _ in range(min(count, 512)):
+        if p + 4 > len(data):
+            break
+        tag, size = struct.unpack_from(">HH", data, p)
+        p += 4
+        recs[tag] = bytes(data[p:p + size])
+        p += size
+    dims = recs.get(_RAF_T_DIMS)
+    if dims is None or len(dims) < 4:
+        return None
+    h, w = struct.unpack_from(">HH", dims, 0)
+    if not (4 <= h <= 20000 and 4 <= w <= 20000):
+        return None
+
+    cfa = _RGGB.copy()
+    xt = recs.get(_RAF_T_XTRANS)
+    if xt is not None and len(xt) >= 36:
+        grid = (np.frombuffer(xt, np.uint8, count=36) & 3).reshape(6, 6)
+        if np.all(grid <= 2):
+            # some Bayer bodies fill the record with a 2x2-periodic
+            # pattern; collapse so the Malvar path handles them
+            t = np.tile(grid[:2, :2], (3, 3))
+            cfa = grid[:2, :2].copy() if np.array_equal(t, grid) \
+                else grid.astype(np.int64)
+
+    wb = None
+    wbrec = recs.get(_RAF_T_WB)
+    if wbrec is not None and len(wbrec) >= 8:
+        g, r, b, _g2 = struct.unpack_from(">4H", wbrec, 0)
+        if r > 0 and b > 0 and g > 0:
+            wb = np.array([g / r, 1.0, g / b])
+
+    if cfa_off <= 0 or cfa_off >= len(data):
+        return None
+    stream = bytes(data[cfa_off:cfa_off + cfa_len]) if cfa_len \
+        else bytes(data[cfa_off:])
+    npx = w * h
+    bits = None
+    brec = recs.get(_RAF_T_BITS)
+    if brec is not None and len(brec) >= 2:
+        bits = struct.unpack_from(">H", brec, 0)[0]
+    if len(stream) >= 2 * npx:
+        mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(h, w)
+        mosaic = mosaic.copy()
+    elif len(stream) >= (npx * 14 + 7) // 8 and bits in (None, 14):
+        mosaic = _unpack_lsb(stream, 14, npx).reshape(h, w)
+        bits = 14
+    elif len(stream) >= (npx * 12 + 7) // 8:
+        mosaic = _unpack_lsb(stream, 12, npx).reshape(h, w)
+        bits = 12
+    else:
+        return None  # compressed RAF: embedded-preview fallback
+    if bits is None:
+        bits = 16 if mosaic.max() > 16383 else 14
+    return RawImage(mosaic=mosaic, cfa=np.asarray(cfa), black=0.0,
+                    white=_white_for_bits(bits, mosaic),
+                    as_shot_neutral=wb, color_matrix=None,
+                    orientation=1)
+
+
 def parse_raw_container(data: bytes) -> RawImage | None:
-    """Dispatch: CR2 signature first, then generic TIFF-EP CFA (NEF,
-    uncompressed ARW, ...).  DNG is handled by pipeline/dng.py."""
+    """Dispatch: CR2 signature first, then RAF, then generic TIFF-EP
+    CFA (NEF, uncompressed ARW, ...).  DNG is handled by
+    pipeline/dng.py."""
     if is_cr2(data):
         return parse_cr2(data)
+    if is_raf(data):
+        return parse_raf(data)
     if _tiff_endian(data) is not None:
         return parse_tiff_cfa(data)
     return None

@@ -788,3 +788,153 @@ def test_raw_container_parsers_survive_mutations():
                       # mutation — a segfault aborts pytest itself
             for p, v in saved:
                 buf[p] = v
+
+
+# ------------------------------------------------------------------ RAF
+
+XTRANS = np.array([  # Fujifilm X-Trans 6x6 (0=R 1=G 2=B)
+    [1, 2, 1, 1, 0, 1],
+    [0, 1, 0, 2, 1, 2],
+    [1, 2, 1, 1, 0, 1],
+    [1, 0, 1, 1, 2, 1],
+    [2, 1, 2, 0, 1, 0],
+    [1, 0, 1, 1, 2, 1]], dtype=np.int64)
+
+
+def pack_lsb(vals: np.ndarray, bits: int) -> bytes:
+    """LSB-first bit packing (inverse of rawcontainers._unpack_lsb)."""
+    v = vals.astype(np.int64).reshape(-1)
+    b = ((v[:, None] >> np.arange(bits)) & 1).astype(np.uint8)
+    return np.packbits(b.reshape(-1), bitorder="little").tobytes()
+
+
+def write_raf(mosaic: np.ndarray, bits: int = 16, wb=None,
+              xtrans: np.ndarray | None = None,
+              jpeg_preview: bytes = b"") -> bytes:
+    """Structurally correct minimal RAF: 16-byte magic, big-endian
+    offset table at 0x54, tagged CFA header records, raster."""
+    h, w = mosaic.shape
+    recs = [(0x0100, struct.pack(">HH", h, w))]
+    if bits != 16:
+        recs.append((0x0121, struct.pack(">H", bits)))
+    if wb is not None:
+        g, r, b = wb
+        recs.append((0x2FF0, struct.pack(">4H", g, r, b, g)))
+    if xtrans is not None:
+        recs.append((0x0131, bytes(int(v) for v in xtrans.reshape(-1))))
+    hdr = struct.pack(">I", len(recs))
+    for tag, payload in recs:
+        hdr += struct.pack(">HH", tag, len(payload)) + payload
+    if bits == 16:
+        raster = mosaic.astype("<u2").tobytes()
+    else:
+        raster = pack_lsb(mosaic, bits)
+    head = bytearray(b"FUJIFILMCCD-RAW 0201FF129502".ljust(0x54, b"\0"))
+    jpeg_off = 0x70
+    hdr_off = jpeg_off + len(jpeg_preview)
+    cfa_off = hdr_off + len(hdr)
+    head += struct.pack(">6I", jpeg_off if jpeg_preview else 0,
+                        len(jpeg_preview), hdr_off, len(hdr),
+                        cfa_off, len(raster))
+    head = head.ljust(jpeg_off, b"\0")
+    return bytes(head) + jpeg_preview + hdr + raster
+
+
+def test_raf_u16_roundtrip_and_wb():
+    rng = np.random.default_rng(17)
+    mosaic = rng.integers(0, 16384, (24, 36), dtype=np.uint16)
+    raw = rawcontainers.parse_raf(write_raf(mosaic, wb=(1024, 512, 256)))
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert np.allclose(raw.as_shot_neutral, [2.0, 1.0, 4.0])
+    assert np.array_equal(raw.cfa, [[0, 1], [1, 2]])
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_raf_packed_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    mosaic = rng.integers(0, 1 << bits, (30, 42), dtype=np.uint16)
+    raw = rawcontainers.parse_raf(write_raf(mosaic, bits=bits))
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert raw.white == float((1 << bits) - 1)
+
+
+def test_raf_xtrans_pattern_and_demosaic():
+    """X-Trans RAF: 6x6 CFA flows through the generic normalized-conv
+    demosaic and recovers a flat-color scene."""
+    from rupphash_tpu.ops import demosaic
+
+    h, w = 36, 48
+    # flat mid-gray linear scene sampled through the X-Trans mosaic
+    lin = 0.2
+    site = XTRANS[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]
+    # no 0x0121 record: the parser infers 14-bit white for <=16383
+    mosaic = np.full((h, w), round(lin * 16383), np.uint16)
+    raw = rawcontainers.parse_raf(write_raf(mosaic, xtrans=XTRANS))
+    assert raw is not None and raw.cfa.shape == (6, 6)
+    assert np.array_equal(raw.cfa, XTRANS)
+    rgb = demosaic.process_raw(raw)
+    assert rgb is not None
+    # a flat field must stay flat and neutral after demosaic
+    expect = round((1.055 * lin ** (1 / 2.4) - 0.055) * 255)
+    assert np.all(np.abs(rgb.astype(int) - expect) <= 2), \
+        (rgb.min(), rgb.max(), expect)
+    assert site.shape == (h, w)
+
+
+def test_raf_bayer_2x2_periodic_xtrans_record_collapses():
+    """Bayer bodies fill record 0x0131 with a 2x2-periodic pattern; the
+    parser must collapse it so the Malvar path engages."""
+    grid = np.tile(np.array([[2, 1], [1, 0]]), (3, 3))
+    mosaic = np.zeros((12, 12), np.uint16)
+    raw = rawcontainers.parse_raf(write_raf(mosaic, xtrans=grid))
+    assert raw is not None
+    assert raw.cfa.shape == (2, 2)
+    assert np.array_equal(raw.cfa, [[2, 1], [1, 0]])
+
+
+def test_raf_demosaic_recovers_scene_and_groups(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic = _scene14(240, 320, seed=21)
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot.raf").write_bytes(
+        write_raf((mosaic.astype(np.uint32) * 4).astype(np.uint16),
+                  bits=16, wb=(1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "twin.png")
+    arr, res = decode.load_image(d / "shot.raf")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot.raf", "twin.png"}
+
+
+def test_raf_preview_is_hashed_when_compressed_raster(tmp_path):
+    """A RAF whose raster is unsupported (simulating Fuji lossless
+    compression) must fall back to its embedded JPEG preview — the
+    reference's hashing source (scanner.rs:1353-1380)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    pimg = Image.fromarray(base).resize((320, 240), Image.BILINEAR)
+    buf = io.BytesIO()
+    pimg.save(buf, format="JPEG", quality=92)
+    preview = buf.getvalue()
+    mosaic = np.zeros((64, 64), np.uint16)
+    data = bytearray(write_raf(mosaic, jpeg_preview=preview))
+    # truncate the raster so the native path cannot decode it
+    raf = bytes(data[:len(data) - 64 * 64 * 2 + 100])
+    p = tmp_path / "comp.raf"
+    p.write_bytes(raf)
+    assert rawcontainers.parse_raf(raf) is None
+    arr, res = decode.load_image(p)
+    assert arr is not None and res == (320, 240)
