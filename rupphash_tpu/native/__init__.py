@@ -75,6 +75,10 @@ def get_lib():
         lib.arw2_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.rw2_decode.restype = ctypes.c_int
+        lib.rw2_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -207,6 +211,18 @@ def arw2_decode(data: bytes, curve: np.ndarray, width: int, height: int,
     out = np.empty((height, width), dtype=np.uint16)
     rc = lib.arw2_decode(data, len(data), cv.ctypes.data, width, height,
                          stride, out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def rw2_decode(data: bytes, width: int, height: int):
+    """Decode a Panasonic RW2 12-bit predictive bitstream to a
+    (height, width) uint16 mosaic, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.rw2_decode(data, len(data), width, height,
+                        out.ctypes.data)
     return out if rc == 0 else None
 
 

@@ -442,6 +442,83 @@ int arw2_decode(const uint8_t* data, int64_t len, const uint16_t* curve,
     return 0;
 }
 
+// Panasonic RW2 12-bit predictive raster (the classic "Panasonic RAW"
+// bitstream): 0x4000-byte blocks stored tail-first (the last 0x2008
+// bytes of each block precede the first 0x1ff8 in consumption order),
+// a down-counting 17-bit position register, and per-14-pixel groups of
+// two parity-interleaved predictors with a 2-bit shift code every third
+// pixel.  Published algorithm (dcraw/LibRaw panasonic_load_raw
+// semantics), reimplemented from the format description.
+namespace rw2 {
+struct PanaBits {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;       // next block's file offset
+    uint8_t buf[0x4000];
+    int vbits = 0;
+};
+static int pana_bits(PanaBits& pb, int nbits) {
+    if (!pb.vbits) {
+        const int lf = 0x2008;      // RW2 load flags (block tail size)
+        std::memset(pb.buf, 0, sizeof(pb.buf));
+        int64_t remain = pb.len - pb.pos;
+        if (remain < 0) remain = 0;
+        int64_t n1 = 0x4000 - lf;   // bytes landing at buf[lf..)
+        int64_t c1 = remain < n1 ? remain : n1;
+        if (c1 > 0) std::memcpy(pb.buf + lf, pb.data + pb.pos, c1);
+        int64_t c2 = remain - n1;
+        if (c2 > 0) std::memcpy(pb.buf, pb.data + pb.pos + n1,
+                                c2 < lf ? c2 : lf);
+        pb.pos += 0x4000;
+    }
+    pb.vbits = (pb.vbits - nbits) & 0x1ffff;
+    // 16-byte cells consumed tail-first: one 14-pixel group's 128 bits
+    // tile exactly one cell (byte 15 down to 0 within each cell)
+    int byte = (pb.vbits >> 3) ^ 0x3ff0;
+    int hi = byte + 1 < 0x4000 ? pb.buf[byte + 1] : 0;
+    return ((pb.buf[byte] | hi << 8) >> (pb.vbits & 7)) &
+           ~((-1) << nbits);
+}
+}  // namespace rw2
+
+int rw2_decode(const uint8_t* data, int64_t len, int width, int height,
+               uint16_t* out) {
+    using rw2::PanaBits;
+    using rw2::pana_bits;
+    if (width <= 0 || height <= 0) return -1;
+    PanaBits pb;
+    pb.data = data;
+    pb.len = len;
+    pb.pos = 0;
+    pb.vbits = 0;
+    int pred[2] = {0, 0}, nonz[2] = {0, 0}, sh = 0;
+    for (int row = 0; row < height; row++) {
+        for (int col = 0; col < width; col++) {
+            int i = col % 14;
+            if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+            if (i % 3 == 2) sh = 4 >> (3 - pana_bits(pb, 2));
+            int p = i & 1;
+            if (nonz[p]) {
+                int j = pana_bits(pb, 8);
+                if (j) {
+                    pred[p] -= 0x80 << sh;
+                    if (pred[p] < 0 || sh == 4)
+                        pred[p] &= ~((-1) << sh);
+                    pred[p] += j << sh;
+                }
+            } else {
+                nonz[p] = pana_bits(pb, 8);
+                if (nonz[p] || i > 11)
+                    pred[p] = nonz[p] << 4 | pana_bits(pb, 4);
+            }
+            int v = pred[col & 1];
+            out[(int64_t)row * width + col] =
+                (uint16_t)(v > 0xffff ? 0xffff : (v < 0 ? 0 : v));
+        }
+    }
+    return 0;
+}
+
 // Returns 0 on success.  out must hold out_cap uint16 samples; w/h/comps
 // receive the SOF3 geometry (per-component width; row stride = w*comps).
 int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,

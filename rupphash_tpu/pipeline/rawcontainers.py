@@ -844,14 +844,169 @@ def parse_raf(data: bytes) -> RawImage | None:
                     orientation=1)
 
 
+# --------------------------------------------------------------------------
+# Panasonic RW2 (reference decodes via LibRaw, gui/image.rs:1886-1945;
+# the container is TIFF-shaped with magic 0x55 and PanasonicRaw tags —
+# published format knowledge, exiftool PanasonicRaw.pm)
+# --------------------------------------------------------------------------
+
+_RW2_T_SENSOR_W = 0x0002
+_RW2_T_SENSOR_H = 0x0003
+_RW2_T_BORDERS = (0x0004, 0x0005, 0x0006, 0x0007)  # top,left,bottom,right
+_RW2_T_CFA = 0x0009
+_RW2_T_BITS = 0x000A
+_RW2_T_BLACK = (0x001C, 0x001D, 0x001E)
+_RW2_T_WB = (0x0024, 0x0025, 0x0026)               # R, G, B levels
+_RW2_T_RAW_OFFSET = 0x0118
+
+# CFAPattern tag value -> 2x2 site grid (exiftool: 1 = [Red,Green][Green,Blue])
+_RW2_CFA = {1: [[0, 1], [1, 2]], 2: [[1, 0], [2, 1]],
+            3: [[1, 2], [0, 1]], 4: [[2, 1], [1, 0]]}
+
+
+def is_rw2(data: bytes) -> bool:
+    return data[:4] == b"II\x55\x00"
+
+
+class _PanaBits:
+    """The RW2 bitstream reader: 0x4000-byte blocks stored tail-first
+    (last 0x2008 bytes consumed before the first 0x1ff8), a 17-bit
+    down-counting position register.  Mirrors the C++ core
+    (ruppnative.cpp rw2::pana_bits) for the differential oracle."""
+
+    LF = 0x2008
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = b"\0" * 0x4000
+        self.vbits = 0
+
+    def get(self, nbits: int) -> int:
+        if not self.vbits:
+            blk = self.data[self.pos:self.pos + 0x4000]
+            blk = blk + b"\0" * (0x4000 - len(blk))
+            n1 = 0x4000 - self.LF
+            self.buf = blk[n1:] + blk[:n1]
+            self.pos += 0x4000
+        self.vbits = (self.vbits - nbits) & 0x1FFFF
+        # 16-byte cells consumed tail-first (see ruppnative.cpp)
+        byte = (self.vbits >> 3) ^ 0x3FF0
+        hi = self.buf[byte + 1] if byte + 1 < 0x4000 else 0
+        return ((self.buf[byte] | hi << 8) >> (self.vbits & 7)) & \
+            ((1 << nbits) - 1)
+
+
+def _rw2_decode_py(data: bytes, width: int, height: int) -> np.ndarray:
+    """Pure-Python RW2 12-bit predictive decode (oracle for the C++
+    core): per-14-pixel groups, two parity predictors, 2-bit shift code
+    every third pixel."""
+    pb = _PanaBits(data)
+    out = np.empty((height, width), np.uint16)
+    pred = [0, 0]
+    nonz = [0, 0]
+    sh = 0
+    for row in range(height):
+        orow = out[row]
+        for col in range(width):
+            i = col % 14
+            if i == 0:
+                pred[0] = pred[1] = nonz[0] = nonz[1] = 0
+            if i % 3 == 2:
+                sh = 4 >> (3 - pb.get(2))
+            p = i & 1
+            if nonz[p]:
+                j = pb.get(8)
+                if j:
+                    pred[p] -= 0x80 << sh
+                    if pred[p] < 0 or sh == 4:
+                        pred[p] &= ~(-1 << sh)
+                    pred[p] += j << sh
+            else:
+                nonz[p] = pb.get(8)
+                if nonz[p] or i > 11:
+                    pred[p] = nonz[p] << 4 | pb.get(4)
+            orow[col] = max(0, min(0xFFFF, pred[col & 1]))
+    return out
+
+
+def parse_rw2(data: bytes) -> RawImage | None:
+    """Panasonic RW2 -> RawImage: sensor raster (plain u16-LE or the
+    12-bit predictive bitstream), active-area crop from the sensor
+    border tags, WB from the 0x0024-0x0026 levels (G-relative
+    multiplier numerators), CFA from tag 0x0009."""
+    from .. import native
+
+    if not is_rw2(data) or len(data) < 8:
+        return None
+    (first,) = struct.unpack_from("<I", data, 4)
+    ifd, _ = _read_ifd(data, first, "<")
+    if not ifd:
+        return None
+    sw = int(_scalar(ifd, _RW2_T_SENSOR_W, 0))
+    sh_ = int(_scalar(ifd, _RW2_T_SENSOR_H, 0))
+    if not (4 <= sw <= 20000 and 4 <= sh_ <= 20000):
+        return None
+    off = int(_scalar(ifd, _RW2_T_RAW_OFFSET, 0))
+    if off <= 0 or off >= len(data):
+        return None
+    stream = bytes(data[off:])
+    bits = int(_scalar(ifd, _RW2_T_BITS, 12))
+    npx = sw * sh_
+    if len(stream) >= 2 * npx:
+        mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(
+            sh_, sw).copy()
+    else:
+        mosaic = native.rw2_decode(stream, sw, sh_)
+        if mosaic is None:
+            mosaic = _rw2_decode_py(stream, sw, sh_)
+        bits = 12  # the predictive bitstream is 12-bit
+
+    # active-area crop (top, left, bottom, right sensor borders)
+    t, le, bo, ri = (int(_scalar(ifd, tag, 0))
+                     for tag in _RW2_T_BORDERS)
+    if 0 <= t < bo <= sh_ and 0 <= le < ri <= sw:
+        mosaic = mosaic[t:bo, le:ri]
+        # keep the CFA phase: odd top/left shifts the 2x2 alignment,
+        # handled below by rolling the pattern
+        phase = (t & 1, le & 1)
+    else:
+        phase = (0, 0)
+
+    cfa = np.asarray(_RW2_CFA.get(int(_scalar(ifd, _RW2_T_CFA, 1)),
+                                  _RW2_CFA[1]), np.int64)
+    cfa = np.roll(cfa, (-phase[0], -phase[1]), axis=(0, 1))
+
+    black = 0.0
+    blks = [_scalar(ifd, tag) for tag in _RW2_T_BLACK]
+    vals = [float(v) for v in blks if v is not None]
+    if vals and all(0 <= v < 65536 for v in vals):
+        black = sum(vals) / len(vals)
+
+    wb = None
+    wbv = [_scalar(ifd, tag) for tag in _RW2_T_WB]
+    if all(v is not None for v in wbv):
+        r, g, b = (float(v) for v in wbv)
+        if r > 0 and g > 0 and b > 0:
+            wb = np.array([g / r, 1.0, g / b])
+
+    return RawImage(
+        mosaic=mosaic, cfa=cfa, black=black,
+        white=float((1 << bits) - 1), as_shot_neutral=wb,
+        color_matrix=None,
+        orientation=int(_scalar(ifd, _T_ORIENTATION, 1)))
+
+
 def parse_raw_container(data: bytes) -> RawImage | None:
-    """Dispatch: CR2 signature first, then RAF, then generic TIFF-EP
-    CFA (NEF, uncompressed ARW, ...).  DNG is handled by
-    pipeline/dng.py."""
+    """Dispatch: CR2 signature first, then RAF and RW2 by magic, then
+    generic TIFF-EP CFA (NEF, uncompressed ARW, ...).  DNG is handled
+    by pipeline/dng.py."""
     if is_cr2(data):
         return parse_cr2(data)
     if is_raf(data):
         return parse_raf(data)
+    if is_rw2(data):
+        return parse_rw2(data)
     if _tiff_endian(data) is not None:
         return parse_tiff_cfa(data)
     return None

@@ -765,11 +765,15 @@ def test_raw_container_parsers_survive_mutations():
     vpred = (512, 512, 512, 512)
     stream = nef_huff_encode(vals12, 2, vpred)
     lin = nikon_lin_block(ver=(0x46, 0x30), vpred=vpred)
+    raf_m = np.clip(vals12, 16, 4080) & 0xFF0
     seeds = [
         write_nef(vals12, bits=12, compression=34713, lin_table=lin,
                   stream=stream),
         write_arw((vals12 >> 1).astype(np.int64), black=(0, 0, 0, 0)),
         write_cr2(vals12),
+        write_raf(vals12, bits=12),
+        write_rw2(rw2_encode(np.clip(raf_m[:16, :28], 16, 4080)
+                             .astype(np.uint16)), 28, 16),
     ]
     for seed_data in seeds:
         buf = bytearray(seed_data)
@@ -938,3 +942,186 @@ def test_raf_preview_is_hashed_when_compressed_raster(tmp_path):
     assert rawcontainers.parse_raf(raf) is None
     arr, res = decode.load_image(p)
     assert arr is not None and res == (320, 240)
+
+
+# ------------------------------------------------------------------ RW2
+
+class _PanaWriter:
+    """Inverse of the RW2 bitstream reader: places bit fields at the
+    positions rw2::pana_bits will read them from, emitting 0x4000-byte
+    blocks with the tail-first byte order."""
+
+    LF = 0x2008
+
+    def __init__(self):
+        self.blocks = []
+        self.buf = None
+        self.vbits = 0
+
+    def put(self, val: int, nbits: int):
+        if not self.vbits:
+            if self.buf is not None:
+                self._flush()
+            self.buf = bytearray(0x4000)
+        self.vbits = (self.vbits - nbits) & 0x1FFFF
+        byte = (self.vbits >> 3) ^ 0x3FF0
+        sh = self.vbits & 7
+        word = self.buf[byte] | (self.buf[byte + 1] << 8
+                                 if byte + 1 < 0x4000 else 0)
+        word |= (val & ((1 << nbits) - 1)) << sh
+        self.buf[byte] = word & 0xFF
+        if byte + 1 < 0x4000:
+            self.buf[byte + 1] = (word >> 8) & 0xFF
+
+    def _flush(self):
+        n1 = 0x4000 - self.LF
+        # reader builds buf = blk[n1:] + blk[:n1]; invert that
+        self.blocks.append(bytes(self.buf[self.LF:])
+                           + bytes(self.buf[:self.LF]))
+
+    def done(self) -> bytes:
+        if self.buf is not None:
+            self._flush()
+            self.buf = None
+        return b"".join(self.blocks)
+
+
+def rw2_encode(mosaic: np.ndarray) -> bytes:
+    """Encode a mosaic whose values are multiples of 16 in [16, 4080]
+    (the subset the two-predictor scheme can reach exactly when every
+    group starts from the absolute path): first use of each parity in a
+    14-pixel group writes nonz+low-nibble, later pixels write the j
+    code with sh pinned to 4 (2-bit code 3 at every i%3==2 slot)."""
+    h, w = mosaic.shape
+    # each 14-pixel group consumes exactly 128 bits = one 16-byte cell;
+    # fields must never straddle a cell's top byte (the reader's 16-bit
+    # window would collide with the next cell), so valid streams need
+    # width padded to a multiple of 14 — real Panasonic rasters are
+    assert w % 14 == 0, "RW2 raster width must be a multiple of 14"
+    wr = _PanaWriter()
+    for row in range(h):
+        nonz = [0, 0]
+        for col in range(w):
+            i = col % 14
+            if i == 0:
+                nonz = [0, 0]
+            if i % 3 == 2:
+                wr.put(3, 2)          # sh = 4
+            v = int(mosaic[row, col])
+            assert 16 <= v <= 4080 and v % 16 == 0, v
+            p = i & 1
+            if nonz[p]:
+                wr.put(v >> 4, 8)     # new = (old&0xF) | (j<<4), old&0xF=0
+            else:
+                nonz[p] = v >> 4
+                wr.put(nonz[p], 8)
+                wr.put(v & 0xF, 4)
+    return wr.done()
+
+
+def write_rw2(raster: bytes, sw: int, sh: int, bits: int = 12,
+              borders=None, cfa: int = 1, wb=None, black=None) -> bytes:
+    """Structurally correct minimal RW2: TIFF with magic 0x55 and the
+    PanasonicRaw IFD tags."""
+    entries = [(0x0002, 3, [sw]), (0x0003, 3, [sh]),
+               (0x0009, 3, [cfa]), (0x000A, 3, [bits])]
+    if borders is not None:
+        t, le, bo, ri = borders
+        entries += [(0x0004, 3, [t]), (0x0005, 3, [le]),
+                    (0x0006, 3, [bo]), (0x0007, 3, [ri])]
+    if wb is not None:
+        entries += [(0x0024, 3, [wb[0]]), (0x0025, 3, [wb[1]]),
+                    (0x0026, 3, [wb[2]])]
+    if black is not None:
+        entries += [(0x001C, 3, [black]), (0x001D, 3, [black]),
+                    (0x001E, 3, [black])]
+    n = len(entries) + 1
+    ifd_off = 0x18
+    data_off = ifd_off + _size(n)
+    extra = bytearray()
+    body = struct.pack("<H", n)
+    for tag, typ, vals in sorted(entries):
+        body += _entry(tag, typ, vals, extra, data_off)
+    body += _entry(0x0118, 4, [data_off], extra, data_off)
+    body += struct.pack("<I", 0)
+    assert not extra, "inline-only entries expected"
+    head = (b"II\x55\x00" + struct.pack("<I", ifd_off)).ljust(
+        ifd_off, b"\0")
+    return head + body + raster
+
+
+@native_gated
+def test_rw2_cpp_matches_python_random_streams():
+    """Differential fuzz: the C++ and Python RW2 bitstream decoders
+    must agree bit-for-bit on arbitrary streams."""
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        stream = rng.integers(0, 256, 0x4000 * 2 + 1234,
+                              dtype=np.uint8).tobytes()
+        w, h = 56, 9
+        cpp = native.rw2_decode(stream, w, h)
+        assert cpp is not None
+        py = rawcontainers._rw2_decode_py(stream, w, h)
+        assert np.array_equal(cpp, py), trial
+
+
+@native_gated
+def test_rw2_encoder_roundtrip_exact():
+    rng = np.random.default_rng(33)
+    # multi-block stream (> 0x4000 bytes) to cover block transitions
+    mosaic = (rng.integers(1, 256, (50, 14 * 23), dtype=np.uint16) * 16)
+    stream = rw2_encode(mosaic)
+    assert len(stream) > 0x4000  # spans a block transition
+    cpp = native.rw2_decode(stream, 14 * 23, 50)
+    assert np.array_equal(cpp, mosaic)
+    py = rawcontainers._rw2_decode_py(stream, 14 * 23, 50)
+    assert np.array_equal(py, mosaic)
+
+
+def test_rw2_container_u16_crop_and_wb():
+    rng = np.random.default_rng(35)
+    sensor = rng.integers(0, 4096, (24, 32), dtype=np.uint16)
+    data = write_rw2(sensor.astype("<u2").tobytes(), 32, 24, bits=12,
+                     borders=(2, 4, 22, 28), wb=(2048, 1024, 512),
+                     black=144)
+    raw = rawcontainers.parse_rw2(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, sensor[2:22, 4:28])
+    assert raw.white == 4095.0 and raw.black == 144.0
+    assert np.allclose(raw.as_shot_neutral, [0.5, 1.0, 2.0])
+    # even borders keep the base CFA phase
+    assert np.array_equal(raw.cfa, [[0, 1], [1, 2]])
+    # odd left border rolls the pattern
+    raw2 = rawcontainers.parse_rw2(write_rw2(
+        sensor.astype("<u2").tobytes(), 32, 24, bits=12,
+        borders=(2, 5, 22, 29)))
+    assert np.array_equal(raw2.cfa, [[1, 0], [2, 1]])
+
+
+@native_gated
+def test_rw2_demosaic_and_group_with_png(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(240, 320, seed=41)
+    # 12-bit RW2 domain, quantized to the encoder's exact subset; the
+    # sensor raster pads to 322 (14 | width) and the border tags crop
+    # back to the 320x240 active area, like real files
+    m12 = np.clip((mosaic14 >> 2) & 0xFF0, 16, 4080).astype(np.uint16)
+    sensor = np.full((240, 322), 16, np.uint16)
+    sensor[:, :320] = m12
+    stream = rw2_encode(sensor)
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot.rw2").write_bytes(write_rw2(stream, 322, 240, bits=12,
+                                           borders=(0, 0, 240, 320),
+                                           wb=(1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "twin.png")
+    arr, res = decode.load_image(d / "shot.rw2")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot.rw2", "twin.png"}
