@@ -79,6 +79,10 @@ def get_lib():
         lib.rw2_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.orf_decode.restype = ctypes.c_int
+        lib.orf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -222,6 +226,18 @@ def rw2_decode(data: bytes, width: int, height: int):
         return None
     out = np.empty((height, width), dtype=np.uint16)
     rc = lib.rw2_decode(data, len(data), width, height,
+                        out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def orf_decode(data: bytes, width: int, height: int):
+    """Decode an Olympus-compressed ORF raster to a (height, width)
+    uint16 mosaic, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.orf_decode(data, len(data), width, height,
                         out.ctypes.data)
     return out if rc == 0 else None
 

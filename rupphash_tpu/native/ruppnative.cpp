@@ -519,6 +519,94 @@ int rw2_decode(const uint8_t* data, int64_t len, int width, int height,
     return 0;
 }
 
+// Olympus ORF compressed raster ("Olympus compression"): MSB-first
+// bitstream (after a 7-byte preamble), per-pixel 3-bit sign+low field,
+// a unary-coded magnitude class with a 12-zero escape, per-parity
+// carry state (magnitude, smoothed carry, small-run counter) driving
+// an adaptive low-bit width, and a two-row/two-column gradient
+// predictor.  Published algorithm (dcraw/LibRaw olympus_load_raw
+// semantics), reimplemented from the format description.
+namespace orf {
+struct Bits {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos = 0;   // next byte
+    uint64_t acc = 0;
+    int nacc = 0;
+    int get(int n) {
+        while (nacc < n) {
+            uint8_t b = pos < len ? data[pos] : 0;
+            pos++;
+            acc = (acc << 8) | b;
+            nacc += 8;
+        }
+        nacc -= n;
+        return (int)((acc >> nacc) & ((1u << n) - 1));
+    }
+};
+}  // namespace orf
+
+int orf_decode(const uint8_t* data, int64_t len, int width, int height,
+               uint16_t* out) {
+    using orf::Bits;
+    if (width <= 0 || height <= 0 || len < 8) return -1;
+    Bits bits;
+    bits.data = data + 7;   // 7-byte preamble before the bitstream
+    bits.len = len - 7;
+    // int64 state: random/corrupt streams can push the escape path to
+    // magnitudes that overflow int32 (the Python oracle uses bigints;
+    // the differential fuzz requires identical arithmetic)
+    int64_t acarry[2][3];
+    for (int row = 0; row < height; row++) {
+        std::memset(acarry, 0, sizeof(acarry));
+        for (int col = 0; col < width; col++) {
+            int64_t* carry = acarry[col & 1];
+            int i = 2 * (carry[2] < 3);
+            int nbits;
+            for (nbits = 2 + i;
+                 (uint16_t)carry[0] >> (nbits + i); nbits++) {}
+            int field = bits.get(3);
+            int low = field & 3;
+            int sign = (field & 4) ? -1 : 0;
+            // magnitude class: unary zero-run (the run length IS the
+            // value, terminated by a 1); a full 12-zero run escapes to
+            // an explicit (16-nbits)-bit field
+            int high = 0;
+            while (high < 12 && bits.get(1) == 0) high++;
+            if (high == 12) high = bits.get(16 - nbits) >> 1;
+            carry[0] = ((int64_t)high << nbits) | bits.get(nbits);
+            int64_t diff = (carry[0] ^ sign) + carry[1];
+            carry[1] = (diff * 3 + carry[1]) >> 5;
+            carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+            int64_t pred;
+            if (row < 2 && col < 2) pred = 0;
+            else if (row < 2) pred = out[(int64_t)row * width + col - 2];
+            else if (col < 2) pred = out[(int64_t)(row - 2) * width + col];
+            else {
+                int64_t w_ = out[(int64_t)row * width + col - 2];
+                int64_t n_ = out[(int64_t)(row - 2) * width + col];
+                int64_t nw = out[(int64_t)(row - 2) * width + col - 2];
+                if ((w_ < nw && nw < n_) || (n_ < nw && nw < w_)) {
+                    if (std::llabs(w_ - nw) > 32 ||
+                        std::llabs(n_ - nw) > 32)
+                        pred = w_ + n_ - nw;
+                    else
+                        pred = (w_ + n_) >> 1;
+                } else {
+                    pred = std::llabs(w_ - nw) > std::llabs(n_ - nw)
+                               ? w_ : n_;
+                }
+            }
+            int64_t v = pred + ((diff << 2) | low);
+            // stored as raw ushort (mod-65536 wrap, matching the
+            // published decoder's ushort raster) — predictions read
+            // the stored value
+            out[(int64_t)row * width + col] = (uint16_t)v;
+        }
+    }
+    return 0;
+}
+
 // Returns 0 on success.  out must hold out_cap uint16 samples; w/h/comps
 // receive the SOF3 geometry (per-component width; row stride = w*comps).
 int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,

@@ -997,8 +997,184 @@ def parse_rw2(data: bytes) -> RawImage | None:
         orientation=int(_scalar(ifd, _T_ORIENTATION, 1)))
 
 
+# --------------------------------------------------------------------------
+# Olympus ORF (reference decodes via LibRaw, gui/image.rs:1886-1945;
+# the container is TIFF-shaped with an "RO"/"SR" magic word and the
+# raster is either packed 12-bit or "Olympus compressed" — published
+# format knowledge, exiftool Olympus.pm + the dcraw/LibRaw decoder
+# semantics reimplemented in ruppnative.cpp orf_decode)
+# --------------------------------------------------------------------------
+
+_ORF_MAGICS = (b"IIRO", b"IIRS", b"MMOR")
+_T_ORF_RED_BALANCE = 0x1017    # MakerNote, x256
+_T_ORF_BLUE_BALANCE = 0x1018
+
+
+def is_orf(data: bytes) -> bool:
+    return data[:4] in _ORF_MAGICS
+
+
+class _MsbBits:
+    """MSB-first bit reader (the ORF compressed stream layout)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def get(self, n: int) -> int:
+        while self.nacc < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nacc += 8
+        self.nacc -= n
+        return (self.acc >> self.nacc) & ((1 << n) - 1)
+
+
+def _orf_decode_py(data: bytes, width: int, height: int) -> np.ndarray:
+    """Pure-Python Olympus-compressed decode (oracle for the C++ core):
+    3-bit sign+low field, unary magnitude class (zero-run length = the
+    class, 12 zeros escape to an explicit field), per-parity carry
+    state with adaptive low-bit width, two-row/two-column gradient
+    predictor."""
+    bits = _MsbBits(data[7:])      # 7-byte preamble
+    # u16 raster with mod-65536 wrap (the published decoder's ushort
+    # semantics); predictions read the stored value
+    out = np.zeros((height, width), np.uint16)
+    for row in range(height):
+        acarry = [[0, 0, 0], [0, 0, 0]]
+        for col in range(width):
+            carry = acarry[col & 1]
+            i = 2 * (carry[2] < 3)
+            nbits = 2 + i
+            while (carry[0] & 0xFFFF) >> (nbits + i):
+                nbits += 1
+            field = bits.get(3)
+            low = field & 3
+            sign = -1 if field & 4 else 0
+            high = 0
+            while high < 12 and bits.get(1) == 0:
+                high += 1
+            if high == 12:
+                high = bits.get(16 - nbits) >> 1
+            carry[0] = (high << nbits) | bits.get(nbits)
+            diff = (carry[0] ^ sign) + carry[1]
+            carry[1] = (diff * 3 + carry[1]) >> 5
+            carry[2] = 0 if carry[0] > 16 else carry[2] + 1
+            if row < 2 and col < 2:
+                pred = 0
+            elif row < 2:
+                pred = int(out[row, col - 2])
+            elif col < 2:
+                pred = int(out[row - 2, col])
+            else:
+                w_ = int(out[row, col - 2])
+                n_ = int(out[row - 2, col])
+                nw = int(out[row - 2, col - 2])
+                if (w_ < nw < n_) or (n_ < nw < w_):
+                    if abs(w_ - nw) > 32 or abs(n_ - nw) > 32:
+                        pred = w_ + n_ - nw
+                    else:
+                        pred = (w_ + n_) >> 1
+                else:
+                    pred = w_ if abs(w_ - nw) > abs(n_ - nw) else n_
+            out[row, col] = (pred + ((diff << 2) | low)) & 0xFFFF
+    return out
+
+
+def _orf_wb(data: bytes, endian: str, ifd0: dict):
+    """WB from the Olympus MakerNote (RedBalance/BlueBalance, x256)."""
+    exif_ptr = ifd0.get(_T_EXIF_IFD)
+    if exif_ptr is None:
+        return None
+    try:
+        exif_entries = _ifd_entry_offsets(
+            data, int(np.atleast_1d(exif_ptr)[0]), endian)
+        mn = exif_entries.get(_T_MAKERNOTE)
+        if mn is None:
+            return None
+        _, _, mn_off = mn
+        # 'OLYMP\0' header then a bare IFD (older MakerNote layout)
+        if data[mn_off:mn_off + 5] == b"OLYMP":
+            mn_off += 8
+        mn_ifd, _ = _read_ifd(data, mn_off, endian)
+        r = _scalar(mn_ifd, _T_ORF_RED_BALANCE)
+        b = _scalar(mn_ifd, _T_ORF_BLUE_BALANCE)
+        if r is None or b is None:
+            return None
+        r, b = float(r) / 256.0, float(b) / 256.0
+        if r <= 0 or b <= 0:
+            return None
+        return np.array([1.0 / r, 1.0, 1.0 / b])
+    except Exception:
+        return None
+
+
+def parse_orf(data: bytes) -> RawImage | None:
+    """Olympus ORF -> RawImage: u16-LE, LSB-packed 12-bit, or the
+    Olympus-compressed raster; WB from MakerNote Red/BlueBalance."""
+    from .. import native
+
+    if not is_orf(data) or len(data) < 8:
+        return None
+    endian = "<" if data[:2] == b"II" else ">"
+    (first,) = struct.unpack_from(endian + "I", data, 4)
+    ifds = list(_all_ifds(data, endian, first))
+    if not ifds:
+        return None
+    ifd0 = ifds[0]
+    raw_ifd = None
+    for ifd in ifds:
+        if _T_STRIP_OFFSETS in ifd and _scalar(ifd, _T_WIDTH, 0):
+            raw_ifd = ifd
+            break
+    if raw_ifd is None:
+        return None
+    w = int(_scalar(raw_ifd, _T_WIDTH, 0))
+    h = int(_scalar(raw_ifd, _T_LENGTH, 0))
+    if not (4 <= w <= 20000 and 4 <= h <= 20000):
+        return None
+    offs = np.atleast_1d(raw_ifd.get(_T_STRIP_OFFSETS, [])).astype(
+        np.int64)
+    if offs.size == 0 or offs[0] <= 0 or offs[0] >= len(data):
+        return None
+    cnts = np.atleast_1d(raw_ifd.get(
+        _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(
+        np.int64)
+    stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
+    bits = int(_scalar(raw_ifd, _T_BITS, 12))
+    npx = w * h
+    if len(stream) >= 2 * npx:
+        mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(
+            h, w).copy()
+    elif len(stream) >= (npx * 12 + 7) // 8 and bits == 12:
+        mosaic = _unpack_lsb(stream, 12, npx).reshape(h, w)
+    else:
+        mosaic = native.orf_decode(stream, w, h)
+        if mosaic is None:
+            mosaic = _orf_decode_py(stream, w, h)
+        if mosaic is None:
+            return None
+
+    cfa = _RGGB.copy()
+    pat = raw_ifd.get(_T_CFA_PATTERN)
+    if pat is not None:
+        p = np.atleast_1d(pat).astype(np.int32)
+        if p.size >= 4 and np.all(p[:4] <= 2):
+            cfa = p[:4].reshape(2, 2)
+
+    return RawImage(
+        mosaic=mosaic, cfa=cfa, black=0.0,
+        white=_white_for_bits(bits, mosaic),
+        as_shot_neutral=_orf_wb(data, endian, ifd0),
+        color_matrix=None,
+        orientation=int(_scalar(ifd0, _T_ORIENTATION, 1)))
+
+
 def parse_raw_container(data: bytes) -> RawImage | None:
-    """Dispatch: CR2 signature first, then RAF and RW2 by magic, then
+    """Dispatch: CR2 signature first, then RAF/RW2/ORF by magic, then
     generic TIFF-EP CFA (NEF, uncompressed ARW, ...).  DNG is handled
     by pipeline/dng.py."""
     if is_cr2(data):
@@ -1007,6 +1183,8 @@ def parse_raw_container(data: bytes) -> RawImage | None:
         return parse_raf(data)
     if is_rw2(data):
         return parse_rw2(data)
+    if is_orf(data):
+        return parse_orf(data)
     if _tiff_endian(data) is not None:
         return parse_tiff_cfa(data)
     return None

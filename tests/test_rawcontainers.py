@@ -1125,3 +1125,178 @@ def test_rw2_demosaic_and_group_with_png(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"shot.rw2", "twin.png"}
+
+
+# ------------------------------------------------------------------ ORF
+
+class _MsbWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, val: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bits.append((val >> k) & 1)
+
+    def done(self) -> bytes:
+        b = np.array(self.bits + [0] * (-len(self.bits) % 8),
+                     dtype=np.uint8)
+        return np.packbits(b).tobytes()
+
+
+def orf_encode(mosaic: np.ndarray) -> bytes:
+    """Encode an arbitrary <=12-bit mosaic as an Olympus-compressed
+    stream by simulating the decoder's carry/predictor state and
+    emitting the exact fields it will read."""
+    h, w = mosaic.shape
+    wr = _MsbWriter()
+    out = np.zeros((h, w), np.int64)
+    for row in range(h):
+        acarry = [[0, 0, 0], [0, 0, 0]]
+        for col in range(w):
+            carry = acarry[col & 1]
+            i = 2 * (carry[2] < 3)
+            nbits = 2 + i
+            while (carry[0] & 0xFFFF) >> (nbits + i):
+                nbits += 1
+            if row < 2 and col < 2:
+                pred = 0
+            elif row < 2:
+                pred = int(out[row, col - 2])
+            elif col < 2:
+                pred = int(out[row - 2, col])
+            else:
+                w_ = int(out[row, col - 2])
+                n_ = int(out[row - 2, col])
+                nw = int(out[row - 2, col - 2])
+                if (w_ < nw < n_) or (n_ < nw < w_):
+                    if abs(w_ - nw) > 32 or abs(n_ - nw) > 32:
+                        pred = w_ + n_ - nw
+                    else:
+                        pred = (w_ + n_) >> 1
+                else:
+                    pred = w_ if abs(w_ - nw) > abs(n_ - nw) else n_
+            v = int(mosaic[row, col])
+            delta = v - pred
+            low = delta & 3
+            diff = delta >> 2
+            t = diff - carry[1]
+            sign = 0 if t >= 0 else -1
+            c0 = t if t >= 0 else ~t
+            wr.put((4 if sign else 0) | low, 3)
+            high = c0 >> nbits
+            if high < 12:
+                wr.put(1, high + 1)        # `high` zeros then the 1
+            else:
+                wr.put(0, 12)
+                assert high < (1 << (15 - nbits)), (high, nbits)
+                wr.put(high << 1, 16 - nbits)
+            wr.put(c0 & ((1 << nbits) - 1), nbits)
+            carry[0] = c0
+            carry[1] = (diff * 3 + carry[1]) >> 5
+            carry[2] = 0 if c0 > 16 else carry[2] + 1
+            out[row, col] = v & 0xFFFF
+    return b"\x00" * 7 + wr.done()
+
+
+def write_orf(raster: bytes, w: int, h: int, bits: int = 12,
+              cfa=(0, 1, 1, 2), wb=None) -> bytes:
+    """Structurally correct minimal ORF: 'IIRO' header, IFD0 with the
+    CFA raster strip, EXIF IFD + OLYMP MakerNote Red/BlueBalance."""
+    n0 = 8 if wb is not None else 7
+    ifd0_off = 8
+    exif_off = ifd0_off + _size(n0)
+    mn_off = exif_off + _size(1)
+    mn_hdr = b"OLYMP\x00\x02\x00"
+    mn_ifd_off = mn_off + len(mn_hdr)
+    data_off = mn_ifd_off + _size(2) + 16
+
+    def build(doff: int) -> bytes:
+        extra = bytearray()
+        entries = (_entry(256, 4, [w], extra, data_off)
+                   + _entry(257, 4, [h], extra, data_off)
+                   + _entry(258, 3, [bits], extra, data_off)
+                   + _entry(273, 4, [doff], extra, data_off)
+                   + _entry(279, 4, [len(raster)], extra, data_off)
+                   + _entry(33421, 3, [2, 2], extra, data_off)
+                   + _entry(33422, 1, list(cfa), extra, data_off))
+        n = 7
+        if wb is not None:
+            entries += _entry(34665, 4, [exif_off], extra, data_off)
+            n += 1
+        ifd0 = struct.pack("<H", n) + entries + struct.pack("<I", 0)
+        body = b"IIRO" + struct.pack("<I", ifd0_off) + ifd0
+        if wb is not None:
+            exif = (struct.pack("<H", 1)
+                    + struct.pack("<HHII", 37500, 7,
+                                  len(mn_hdr) + _size(2) + 16, mn_off)
+                    + struct.pack("<I", 0))
+            mn_extra = bytearray()
+            mn = (struct.pack("<H", 2)
+                  + _entry(0x1017, 3, [wb[0]], mn_extra, mn_ifd_off)
+                  + _entry(0x1018, 3, [wb[1]], mn_extra, mn_ifd_off)
+                  + struct.pack("<I", 0))
+            body = body.ljust(exif_off, b"\0") + exif
+            body = body.ljust(mn_off, b"\0") + mn_hdr + mn \
+                + bytes(mn_extra)
+        return body.ljust(doff, b"\0")
+
+    head = build(data_off)
+    return head + raster
+
+
+@native_gated
+def test_orf_cpp_matches_python_random_streams():
+    rng = np.random.default_rng(51)
+    for trial in range(4):
+        stream = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+        cpp = native.orf_decode(stream, 20, 8)
+        assert cpp is not None
+        py = rawcontainers._orf_decode_py(stream, 20, 8)
+        assert np.array_equal(cpp, py), trial
+
+
+@native_gated
+def test_orf_encoder_roundtrip_exact():
+    rng = np.random.default_rng(53)
+    mosaic = rng.integers(0, 4096, (24, 30), dtype=np.uint16)
+    stream = orf_encode(mosaic)
+    cpp = native.orf_decode(stream, 30, 24)
+    assert np.array_equal(cpp, mosaic)
+    py = rawcontainers._orf_decode_py(stream, 30, 24)
+    assert np.array_equal(py, mosaic)
+
+
+def test_orf_container_u16_and_wb():
+    rng = np.random.default_rng(55)
+    mosaic = rng.integers(0, 4096, (16, 24), dtype=np.uint16)
+    data = write_orf(mosaic.astype("<u2").tobytes(), 24, 16,
+                     wb=(512, 384))
+    raw = rawcontainers.parse_orf(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert raw.white == 4095.0
+    # RedBalance 512/256=2.0, BlueBalance 384/256=1.5 -> neutral 1/gain
+    assert np.allclose(raw.as_shot_neutral, [0.5, 1.0, 1 / 1.5])
+
+
+@native_gated
+def test_orf_compressed_demosaic_and_group_with_png(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(240, 320, seed=61)
+    m12 = (mosaic14 >> 2).astype(np.uint16)
+    stream = orf_encode(m12)
+    assert len(stream) < 2 * m12.size  # actually compressed path
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot.orf").write_bytes(write_orf(stream, 320, 240))
+    Image.fromarray(rgb).save(d / "twin.png")
+    arr, res = decode.load_image(d / "shot.orf")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot.orf", "twin.png"}
