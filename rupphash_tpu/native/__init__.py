@@ -83,6 +83,10 @@ def get_lib():
         lib.orf_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.crx_decode_plane.restype = ctypes.c_int
+        lib.crx_decode_plane.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -227,6 +231,18 @@ def rw2_decode(data: bytes, width: int, height: int):
     out = np.empty((height, width), dtype=np.uint16)
     rc = lib.rw2_decode(data, len(data), width, height,
                         out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def crx_decode_plane(data: bytes, width: int, height: int, nbits: int):
+    """Decode one CRX-class raw plane (MED + adaptive Golomb-Rice) to
+    a (height, width) uint16 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.crx_decode_plane(data, len(data), width, height, nbits,
+                              out.ctypes.data)
     return out if rc == 0 else None
 
 

@@ -519,6 +519,90 @@ int rw2_decode(const uint8_t* data, int64_t len, int width, int height,
     return 0;
 }
 
+// Canon CR3 raw plane codec (the CRX lossless class): per-plane
+// line-based MED (LOCO-I) prediction with adaptive Golomb-Rice residual
+// coding — the published algorithm family of Canon's crx lossless mode
+// (wavelet levels = 0).  The CR3 *container* parsing
+// (pipeline/cr3.py) follows the documented ISOBMFF layout; this
+// entropy layer is a self-consistent implementation of the family
+// (validated by encoder roundtrip + a Python differential oracle, the
+// NEF-34713 test pattern) — exact LibRaw bitstream compatibility is
+// untestable here (no real CR3 fixtures in the image; those fall back
+// to their embedded previews, the reference's hashing source).
+namespace crx {
+struct Bits {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos = 0;
+    uint64_t acc = 0;
+    int nacc = 0;
+    int get(int n) {
+        while (nacc < n) {
+            uint8_t b = pos < len ? data[pos] : 0;
+            pos++;
+            acc = (acc << 8) | b;
+            nacc += 8;
+        }
+        nacc -= n;
+        return (int)((acc >> nacc) & ((1ull << n) - 1));
+    }
+    int zeros(int cap) {   // count zero bits up to cap (exclusive stop)
+        int n = 0;
+        while (n < cap && get(1) == 0) n++;
+        return n;
+    }
+};
+constexpr int ESCAPE_Q = 20;   // >= this many zeros -> explicit field
+constexpr int RESET_N = 64;    // Golomb adaptation halving period
+}  // namespace crx
+
+int crx_decode_plane(const uint8_t* data, int64_t len, int width,
+                     int height, int nbits, uint16_t* out) {
+    using namespace crx;
+    if (width <= 0 || height <= 0 || nbits < 2 || nbits > 16) return -1;
+    Bits bits;
+    bits.data = data;
+    bits.len = len;
+    int64_t A = 4;   // running absolute-residual sum (JPEG-LS style)
+    int64_t N = 1;
+    for (int row = 0; row < height; row++) {
+        for (int col = 0; col < width; col++) {
+            int a = col > 0 ? out[(int64_t)row * width + col - 1] : 0;
+            int b = row > 0 ? out[(int64_t)(row - 1) * width + col] : 0;
+            int c = (row > 0 && col > 0)
+                        ? out[(int64_t)(row - 1) * width + col - 1] : 0;
+            int pred;
+            if (row == 0) pred = col > 0 ? a : 0;
+            else if (col == 0) pred = b;
+            else {
+                int mx = a > b ? a : b, mn = a < b ? a : b;
+                if (c >= mx) pred = mn;
+                else if (c <= mn) pred = mx;
+                else pred = a + b - c;
+            }
+            int k = 0;
+            while ((N << k) < A && k < 15) k++;
+            int q = bits.zeros(ESCAPE_Q + 1);
+            int64_t u;
+            if (q > ESCAPE_Q) return -2;       // ran off the stream
+            if (q == ESCAPE_Q)
+                u = bits.get(nbits + 2);
+            else
+                u = ((int64_t)q << k) | bits.get(k);
+            int64_t err = (u & 1) ? -((u + 1) >> 1) : (u >> 1);
+            int64_t v = pred + err;
+            out[(int64_t)row * width + col] = (uint16_t)v;
+            A += u;
+            N += 1;
+            if (N == RESET_N) {
+                A >>= 1;
+                N >>= 1;
+            }
+        }
+    }
+    return 0;
+}
+
 // Olympus ORF compressed raster ("Olympus compression"): MSB-first
 // bitstream (after a 7-byte preamble), per-pixel 3-bit sign+low field,
 // a unary-coded magnitude class with a 12-zero escape, per-parity

@@ -156,6 +156,13 @@ def sniff_decode_bytes(data: bytes) -> np.ndarray | None:
             img = rawcontainers.decode_raw_container(data)
         except Exception:
             img = None
+    if img is None and len(data) >= 12 and data[4:8] == b"ftyp" \
+            and data[8:12] == b"crx ":
+        from . import cr3
+        try:
+            img = cr3.decode_cr3(data)
+        except Exception:
+            img = None
     if img is None and b"%PDF" in data[:1024]:
         # readers tolerate preamble bytes before the header; embedded
         # photo first (the dedup-relevant content), else rasterize the
@@ -212,7 +219,10 @@ def load_image(path: str | os.PathLike, data: bytes | None = None,
             try:
                 if dng.is_dng(data):
                     return dng.decode_dng(data)
-                # CR2 / NEF / generic TIFF-EP native decode
+                from . import cr3
+                if cr3.is_cr3(data):
+                    return cr3.decode_cr3(data, prefer_full_raw=True)
+                # CR2 / NEF / RAF / RW2 / ORF / generic TIFF-EP
                 return rawcontainers.decode_raw_container(data)
             except Exception:
                 return None

@@ -774,6 +774,8 @@ def test_raw_container_parsers_survive_mutations():
         write_raf(vals12, bits=12),
         write_rw2(rw2_encode(np.clip(raf_m[:16, :28], 16, 4080)
                              .astype(np.uint16)), 28, 16),
+        write_orf(orf_encode(vals12), 32, 16),
+        write_cr3(vals12),
     ]
     for seed_data in seeds:
         buf = bytearray(seed_data)
@@ -784,7 +786,11 @@ def test_raw_container_parsers_survive_mutations():
             for p in positions:
                 buf[int(p)] = int(rng.integers(0, 256))
             try:
-                rawcontainers.parse_raw_container(bytes(buf))
+                mutated = bytes(buf)
+                rawcontainers.parse_raw_container(mutated)
+                if mutated[4:8] == b"ftyp":
+                    from rupphash_tpu.pipeline import cr3 as _cr3
+                    _cr3.parse_cr3(mutated)
             except Exception:
                 pass  # a contained Python error is the accepted
                       # contract; the real assertion is that the
@@ -1300,3 +1306,228 @@ def test_orf_compressed_demosaic_and_group_with_png(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"shot.orf", "twin.png"}
+
+
+# ------------------------------------------------------------------ CR3
+
+from rupphash_tpu.pipeline import cr3 as cr3mod  # noqa: E402
+
+
+def crx_encode_plane(plane: np.ndarray, nbits: int) -> bytes:
+    """Encoder mirror of crx_decode_plane: MED prediction + adaptive
+    Golomb-Rice with the 20-zero escape."""
+    h, w = plane.shape
+    wr = _MsbWriter()
+    A, N = 4, 1
+    out = plane.astype(np.int64)
+    for row in range(h):
+        for col in range(w):
+            a = int(out[row, col - 1]) if col else 0
+            if row == 0:
+                pred = a if col else 0
+            elif col == 0:
+                pred = int(out[row - 1, 0])
+            else:
+                b = int(out[row - 1, col])
+                c = int(out[row - 1, col - 1])
+                mx, mn = (a, b) if a > b else (b, a)
+                if c >= mx:
+                    pred = mn
+                elif c <= mn:
+                    pred = mx
+                else:
+                    pred = a + b - c
+            err = int(out[row, col]) - pred
+            u = 2 * err if err >= 0 else -2 * err - 1
+            k = 0
+            while (N << k) < A and k < 15:
+                k += 1
+            q = u >> k
+            if q < cr3mod.ESCAPE_Q:
+                wr.put(1, q + 1)
+                wr.put(u & ((1 << k) - 1), k)
+            else:
+                wr.put(1, cr3mod.ESCAPE_Q + 1)   # 20 zeros + 1
+                assert u < (1 << (nbits + 2)), u
+                wr.put(u, nbits + 2)
+            A += u
+            N += 1
+            if N == cr3mod.RESET_N:
+                A >>= 1
+                N >>= 1
+    return wr.done()
+
+
+def _box(t: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + t + payload
+
+
+def _tiff_blob(entries) -> bytes:
+    """Bare little-endian TIFF with one IFD."""
+    extra = bytearray()
+    base = 8 + _size(len(entries))
+    body = struct.pack("<H", len(entries))
+    for tag, typ, vals in entries:
+        body += _entry(tag, typ, vals, extra, base)
+    body += struct.pack("<I", 0)
+    return struct.pack("<2sHI", b"II", 42, 8) + body + bytes(extra)
+
+
+def write_cr3(mosaic: np.ndarray, nbits: int = 14, wb=None,
+              preview_jpeg: bytes | None = None,
+              enc_type: int = 0) -> bytes:
+    """Structurally correct minimal CR3: ftyp('crx '), moov with the
+    Canon uuid (CNCV + CMT1/CMT3), a preview track (when given) and a
+    CRAW raw track (CMP1 + stsz/co64), mdat."""
+    fh, fw = mosaic.shape
+    planes = [mosaic[0::2, 0::2], mosaic[0::2, 1::2],
+              mosaic[1::2, 0::2], mosaic[1::2, 1::2]]
+    blobs = [crx_encode_plane(p, nbits) for p in planes]
+    hdr = b"".join(struct.pack(">HHII", 0xFF02, 0, len(b), 0)
+                   for b in blobs)
+    raw_sample = hdr + b"".join(blobs)
+
+    cmp1_payload = (b"\0\0\0\0"
+                    + struct.pack(">HH4I", 0, 0, fw, fh, fw, fh)
+                    + bytes([nbits, (4 << 4) | 0, (enc_type << 4) | 0,
+                             0])
+                    + struct.pack(">I", len(hdr)))
+    cmp1 = _box(b"CMP1", cmp1_payload)
+
+    cmt1 = _tiff_blob([(274, 3, [1])])
+    cd = [0] * 1312
+    if wb is not None:
+        cd[63:67] = list(wb)
+    cmt3 = _tiff_blob([(0x4001, 3, cd)])
+    uuid_box = _box(b"uuid", cr3mod.CANON_UUID
+                    + _box(b"CNCV", b"CanonCR3_001/synthetic")
+                    + _box(b"CMT1", cmt1) + _box(b"CMT3", cmt3))
+
+    def trak(sample_type: bytes, child: bytes, size: int,
+             offset: int) -> bytes:
+        entry = struct.pack(">I", 8 + 70 + len(child)) + sample_type \
+            + b"\0" * 70 + child
+        stsd = _box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1) + entry)
+        stsz = _box(b"stsz", b"\0\0\0\0"
+                    + struct.pack(">III", 0, 1, size))
+        co64 = _box(b"co64", b"\0\0\0\0" + struct.pack(">IQ", 1,
+                                                       offset))
+        stbl = _box(b"stbl", stsd + stsz + co64)
+        return _box(b"trak", _box(b"mdia", _box(b"minf", stbl)))
+
+    ftyp = _box(b"ftyp", b"crx " + b"\0\0\0\1" + b"crx isom")
+
+    def build(data_base: int) -> bytes:
+        pv_off = data_base
+        raw_off = pv_off + (len(preview_jpeg) if preview_jpeg else 0)
+        traks = b""
+        if preview_jpeg:
+            traks += trak(b"CRAW", b"", len(preview_jpeg), pv_off)
+        traks += trak(b"CRAW", cmp1, len(raw_sample), raw_off)
+        moov = _box(b"moov", uuid_box + traks)
+        return ftyp + moov
+
+    head = build(0)
+    data_base = len(head) + 8   # mdat payload starts after its header
+    head = build(data_base)
+    mdat = _box(b"mdat", (preview_jpeg or b"") + raw_sample)
+    return head + mdat
+
+
+@native_gated
+def test_crx_plane_roundtrip_and_differential():
+    rng = np.random.default_rng(71)
+    plane = rng.integers(0, 1 << 14, (30, 22), dtype=np.uint16)
+    blob = crx_encode_plane(plane, 14)
+    cpp = native.crx_decode_plane(blob, 22, 30, 14)
+    assert np.array_equal(cpp, plane)
+    py = cr3mod.crx_decode_plane_py(blob, 22, 30, 14)
+    assert np.array_equal(py, plane)
+    # differential on random (usually invalid) streams: both reject or
+    # both produce identical output
+    for trial in range(4):
+        stream = rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+        c = native.crx_decode_plane(stream, 16, 10, 12)
+        p = cr3mod.crx_decode_plane_py(stream, 16, 10, 12)
+        if c is None or p is None:
+            assert c is None and p is None, trial
+        else:
+            assert np.array_equal(c, p), trial
+
+
+@native_gated
+def test_cr3_container_roundtrip_preview_and_raw():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(73)
+    mosaic = rng.integers(0, 1 << 14, (32, 48), dtype=np.uint16)
+    buf = io.BytesIO()
+    Image.new("RGB", (48, 32), (90, 120, 30)).save(buf, format="JPEG")
+    data = write_cr3(mosaic, wb=(1024, 1024, 1024, 1024),
+                     preview_jpeg=buf.getvalue())
+    parsed = cr3mod.parse_cr3(data)
+    assert parsed is not None
+    assert parsed["cncv"].startswith("CanonCR3")
+    assert parsed["preview"][:2] == b"\xff\xd8"
+    assert parsed["raw"] is not None
+    assert np.array_equal(parsed["raw"].mosaic, mosaic)
+    assert np.allclose(parsed["raw"].as_shot_neutral, [1.0, 1.0, 1.0])
+
+
+@native_gated
+def test_cr3_lossy_track_falls_back_to_preview(tmp_path):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(75)
+    base = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    pimg = Image.fromarray(base).resize((320, 240), Image.BILINEAR)
+    buf = io.BytesIO()
+    pimg.save(buf, format="JPEG", quality=92)
+    mosaic = rng.integers(0, 1 << 14, (16, 16), dtype=np.uint16)
+    data = write_cr3(mosaic, preview_jpeg=buf.getvalue(), enc_type=1)
+    parsed = cr3mod.parse_cr3(data)
+    assert parsed["raw"] is None          # lossy: not decoded
+    p = tmp_path / "lossy.cr3"
+    p.write_bytes(data)
+    arr, res = decode.load_image(p)
+    assert arr is not None and res == (320, 240)   # preview hashed
+
+
+@native_gated
+def test_cr3_full_decode_groups_with_jpeg_sibling(tmp_path):
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic = _scene14(240, 320, seed=81)
+    d = tmp_path / "s"
+    d.mkdir()
+    # preview-less CR3: the scanner must full-decode the raw track
+    (d / "shot.cr3").write_bytes(
+        write_cr3(mosaic, wb=(1024, 1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "sibling.jpg", quality=95)
+    arr, res = decode.load_image(d / "shot.cr3")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == \
+        {"shot.cr3", "sibling.jpg"}
+
+
+@native_gated
+def test_cr3_views_in_gui_engine(tmp_path):
+    """The viewer path full-decodes a CR3 (gui/image.rs:1839-1962)."""
+    from rupphash_tpu.gui import imaging
+
+    rgb, mosaic = _scene14(64, 96, seed=83)
+    p = tmp_path / "view.cr3"
+    p.write_bytes(write_cr3(mosaic))
+    eng = imaging.ImageEngine()
+    out = eng.render(p)
+    assert out is not None and out[:2] == b"\xff\xd8"
