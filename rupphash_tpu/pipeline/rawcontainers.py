@@ -23,9 +23,21 @@ ops/demosaic.py):
   (1 byte/px) and plain u16 strips both decode natively; the SR2
   private block (tags 0x7200/0x7201/0x7221) is stream-decrypted for
   the tone curve (0x7010), black level (0x7310) and WB (0x7313).
+* **RAF** (Fujifilm): big-endian offset table at 0x54, tagged CFA
+  header records, u16-LE / LSB-packed 12/14-bit rasters, X-Trans 6x6
+  pattern (record 0x0131) through the generic normalized-conv
+  demosaic; WB record 0x2ff0.
+* **RW2** (Panasonic): TIFF magic 0x55, PanasonicRaw IFD (sensor
+  borders crop, CFA tag, WB levels, black), classic 12-bit predictive
+  bitstream (native rw2_decode + Python oracle).
+* **ORF** (Olympus): 'IIRO'/'IIRS'/'MMOR' magic, u16/packed-12 or the
+  Olympus-compressed raster (native orf_decode + Python oracle),
+  MakerNote Red/BlueBalance WB.
 * **generic TIFF-EP**: any other maker whose raw IFD uses a supported
   compression takes the same path (covers uncompressed PEF-class
   files).
+
+CR3 lives in pipeline/cr3.py (ISOBMFF, not TIFF).
 
 Black/white levels: CR2/NEF carry no TIFF-level black/white tags (LibRaw
 uses per-camera tables).  White defaults to the stream's sample

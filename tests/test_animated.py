@@ -87,14 +87,17 @@ def test_gui_serves_animated_original(tmp_path):
                 timeout=10) as r:
             assert r.headers["Content-Type"] == "image/gif"
             assert r.read() == gif  # untouched original
-        # with a transform active, a processed still is served instead
+        # with a transform active, frames are processed server-side
+        # and re-encoded as APNG — the animation keeps playing
         srv.apply_intent("rotate_cw")
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/api/image?g=0&f=0",
                 timeout=10) as r:
-            assert r.headers["Content-Type"] == "image/jpeg"
-            im = Image.open(io.BytesIO(r.read()))
-            assert im.size == (24, 32)  # rotated first frame
+            assert r.headers["Content-Type"] == "image/png"
+            body = r.read()
+            assert b"acTL" in body[:200]
+            im = Image.open(io.BytesIO(body))
+            assert im.size == (24, 32)  # rotated frames
     finally:
         httpd.shutdown()
         httpd.server_close()
