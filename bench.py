@@ -183,16 +183,45 @@ def bench_grouping_1m_e2e():
 
     # warm call compiles the unpack/sweep/extract executables (first
     # compiles behind the axon tunnel take tens of seconds and are a
-    # one-time cost any long-lived scanner amortizes); the timed call
-    # still pays the full host->device hash transfer each run
+    # one-time cost any long-lived scanner amortizes); each timed run
+    # still pays the full host->device hash transfer.  Tunnel transfer
+    # latency varies 2x run-to-run (CLAUDE.md), so report the median
+    # of 3 timed runs as the steady-state number.
     hamming.find_edges_fast(base, variants, low, similarity=31)
-    t0 = _t.perf_counter()
-    ei, ej = hamming.find_edges_fast(base, variants, low, similarity=31)
-    parent = native.union_find_roots(n, ei, ej)
-    dt = _t.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        ei, ej = hamming.find_edges_fast(base, variants, low,
+                                         similarity=31)
+        parent = native.union_find_roots(n, ei, ej)
+        times.append(_t.perf_counter() - t0)
+    dt = float(np.median(times))
+    log(f"  e2e runs (host-in): {[round(t, 2) for t in times]}")
     n_groups = len({int(parent[i]) for i in np.concatenate([ei, ej])}) \
         if len(ei) else 0
-    return dt, int(len(ei)), n_groups
+
+    # The production scan->group configuration: the 8 dihedral hashes
+    # were computed ON DEVICE by the hashing stage and never left the
+    # chip, so grouping pays zero hash re-upload.  The host-in number
+    # above additionally pays a ~256 MB variant ship, which through the
+    # axon tunnel is transfer-bound (not device-bound) — on a
+    # co-located host that transfer is PCIe-speed noise.
+    import jax
+    import jax.numpy as jnp
+    var_dev = jax.device_put(variants)
+    jax.block_until_ready(var_dev)
+    hamming.find_edges_fast_resident(var_dev, low, similarity=31)
+    rtimes = []
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        ei2, ej2 = hamming.find_edges_fast_resident(var_dev, low,
+                                                    similarity=31)
+        native.union_find_roots(n, ei2, ej2)
+        rtimes.append(_t.perf_counter() - t0)
+    rdt = float(np.median(rtimes))
+    log(f"  e2e runs (device-resident): {[round(t, 2) for t in rtimes]}")
+    assert len(ei2) == len(ei), "resident path edge-count mismatch"
+    return dt, rdt, int(len(ei)), n_groups
 
 
 def bench_scan_e2e(n_images=256):
@@ -290,11 +319,13 @@ def main():
         log(f"scan e2e bench failed: {e}")
 
     try:
-        e2e, n_edges, n_groups = bench_grouping_1m_e2e()
+        e2e, e2e_res, n_edges, n_groups = bench_grouping_1m_e2e()
         log(f"grouping 1M end-to-end (counts -> hot-row extraction -> "
-            f"union-find): {e2e:.2f}s, {n_edges} edges, "
-            f"{n_groups} groups (expected 6000 edges / 2000 groups)")
+            f"union-find): host-in {e2e:.2f}s / device-resident "
+            f"{e2e_res:.2f}s, {n_edges} edges, {n_groups} groups "
+            f"(expected 6000 edges / 2000 groups)")
         extra["grouping_1m_e2e_s"] = round(e2e, 2)
+        extra["grouping_1m_e2e_resident_s"] = round(e2e_res, 2)
         extra["grouping_1m_e2e_edges"] = n_edges
     except Exception as e:
         log(f"1M e2e grouping bench failed: {e}")

@@ -273,7 +273,7 @@ def find_edges_fast(base_hashes: np.ndarray,
                     variants: np.ndarray | None = None,
                     low_conf: np.ndarray | None = None,
                     similarity: int = 40,
-                    row_chunk: int = 256,
+                    row_chunk: int = 1024,
                     interpret: bool = False,
                     return_stats: bool = False):
     """Production edge search: fused Pallas row-count sweep, then exact
@@ -308,6 +308,53 @@ def find_edges_fast(base_hashes: np.ndarray,
     # (8x less host->device traffic than shipping the int8 encoding)
     var_d, low_d, _, npad = hamming_pallas.prepare_inputs_device(
         base_hashes, variants, low_conf)
+    return _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
+                              int(variants.shape[1]), similarity,
+                              row_chunk, interpret, return_stats)
+
+
+def find_edges_fast_resident(var_dev, low_conf=None,
+                             similarity: int = 40,
+                             row_chunk: int = 1024,
+                             interpret: bool = False,
+                             return_stats: bool = False):
+    """Device-resident production path: `var_dev` is an (N, V, nbytes)
+    u8 jax.Array already on device — the layout pdq_jax.pdq_hash_batch
+    emits as 'dihedral', with the identity hash at slot 0 (the contract
+    every production caller already follows).  This is the scan->group
+    configuration: the hashes never leave the chip, so grouping pays
+    ZERO hash re-upload (only the (N,) low-confidence flags cross the
+    link).  Results are identical to find_edges_fast on the host copy."""
+    import jax as _jax
+
+    n, v, nbytes = (int(s) for s in var_dev.shape)
+    nbits = nbytes * 8
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, empty, {}) if return_stats else (empty, empty)
+    if _jax.default_backend() == "cpu" and not interpret:
+        host = np.asarray(var_dev)
+        return find_edges(np.ascontiguousarray(host[:, 0]), host,
+                          low_conf, similarity,
+                          return_stats=return_stats)
+    from . import hamming_pallas
+
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+    var_d, low_d, _, npad = hamming_pallas.prepare_inputs_resident(
+        var_dev, low_conf)
+    return _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
+                              v, similarity, row_chunk, interpret,
+                              return_stats)
+
+
+def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
+                       n_variants, similarity, row_chunk, interpret,
+                       return_stats):
+    """Shared device tail: count sweep -> hot-row selection ->
+    pipelined extraction -> host edge assembly."""
+    from . import hamming_pallas
+
     counts_d = hamming_pallas.scan_row_counts(
         var_d, low_d, ta=hamming_pallas.QUERY_TILE,
         tb=hamming_pallas.BASE_TILE, nbits=nbits, sim=similarity,
@@ -322,7 +369,7 @@ def find_edges_fast(base_hashes: np.ndarray,
         if return_stats:
             return empty, empty, {"hot_rows": 0,
                                   "pairs_checked": n * (n - 1) // 2
-                                  * variants.shape[1]}
+                                  * n_variants}
         return empty, empty
     hpad = max(1024, 1 << (n_hot - 1).bit_length())
     hot_idx, hot_cnt = (np.asarray(a) for a in _nonzero_rows(
@@ -343,7 +390,7 @@ def find_edges_fast(base_hashes: np.ndarray,
     # end-to-end tail.  The window caps in-flight HBM: each chunk's
     # (mpad, npad/8) mask buffer lives until its nonzero op runs, so an
     # unbounded dispatch would hold every mask at once.
-    window = 8
+    window = max(2, (8 * 256) // row_chunk)
     pending = []
 
     def drain_one():
@@ -362,23 +409,35 @@ def find_edges_fast(base_hashes: np.ndarray,
         edges_i.append(ridx_p[r[rr]].astype(np.int64))
         edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
 
-    for c0 in range(0, len(hot), row_chunk):
-        rows = hot[c0:c0 + row_chunk]
+    # One stacked upload for every chunk's gather/guard parameters
+    # instead of 3 per-chunk device_puts: through a tunneled TPU the
+    # per-transfer latency dominates the tail, so the loop below only
+    # issues device-side slices and kernel dispatches.
+    chunk_rows = [hot[c0:c0 + row_chunk]
+                  for c0 in range(0, len(hot), row_chunk)]
+    n_chunks = len(chunk_rows)
+    mpad = -(-row_chunk // 32) * 32
+    # padded slots point at row n-1 with qidx=n so the kernel's index
+    # guard keeps them inert
+    ridx_all = np.full((n_chunks, mpad), n - 1, dtype=np.int32)
+    qidx_all = np.full((n_chunks, mpad, 1), n, dtype=np.int32)
+    qlow_all = np.ones((n_chunks, mpad, 1), dtype=np.int32)
+    for c, rows in enumerate(chunk_rows):
         m = len(rows)
-        mpad = -(-m // 32) * 32
+        ridx_all[c, :m] = rows
+        qidx_all[c, :m, 0] = rows
+        qlow_all[c, :m, 0] = low_conf[rows].astype(np.int32)
+    ridx_d = jax.device_put(ridx_all)
+    qidx_d = jax.device_put(qidx_all)
+    qlow_d = jax.device_put(qlow_all)
+
+    for c, rows in enumerate(chunk_rows):
         # gather the hot rows' +/-1 variants on DEVICE (var_d already
-        # holds them); padded slots point at row n-1 with qidx=n so the
-        # kernel's index guard keeps them inert
-        ridx = np.full(mpad, n - 1, dtype=np.int32)
-        ridx[:m] = rows
-        qidx = np.full((mpad, 1), n, dtype=np.int32)
-        qidx[:m, 0] = rows
-        q_d = jnp.take(var_d, jnp.asarray(ridx), axis=1)
-        qlow = np.ones((mpad, 1), dtype=np.int32)
-        qlow[:m, 0] = low_conf[rows].astype(np.int32)
+        # holds them)
+        q_d = jnp.take(var_d, ridx_d[c], axis=1)
         packed = hamming_pallas.extract_rows_packed(
-            q_d, var_d[0], jax.device_put(qlow), low_d,
-            jax.device_put(qidx), tb=hamming_pallas.BASE_TILE,
+            q_d, var_d[0], qlow_d[c], low_d, qidx_d[c],
+            tb=hamming_pallas.BASE_TILE,
             nbits=nbits, sim=similarity, n_total=n, interpret=interpret)
         # the chunk's exact edge count bounds its nonzero mask bytes; a
         # floor collapses kpad buckets so the jit compiles once, and the
@@ -390,7 +449,7 @@ def find_edges_fast(base_hashes: np.ndarray,
         idx_d, vals_d = _nonzero_bytes(packed, kpad)
         # `packed` (the full (mpad, stride) mask) dies once its nonzero
         # runs; only the O(edges) compacted pairs stay resident
-        pending.append((ridx, idx_d, vals_d))
+        pending.append((ridx_all[c], idx_d, vals_d))
         if len(pending) >= window:
             drain_one()
     while pending:
@@ -401,7 +460,7 @@ def find_edges_fast(base_hashes: np.ndarray,
     if return_stats:
         return ei, ej, {"hot_rows": int(len(hot)),
                         "pairs_checked": n * (n - 1) // 2
-                        * variants.shape[1]}
+                        * n_variants}
     return ei, ej
 
 

@@ -257,6 +257,41 @@ def prepare_inputs_device(base_hashes: np.ndarray,
     return var_d, low_d, n, npad
 
 
+@functools.partial(jax.jit, static_argnames=("npad",))
+def _prep_resident(var_u8, low_i32, npad):
+    """(N, V, nbytes) device u8 variants -> padded (V, Npad, nbits)
+    +/-1 int8 + (Npad, 1) int32 low flags, entirely on device."""
+    from . import hamming
+
+    v, nbytes = var_u8.shape[1], var_u8.shape[2]
+    packed = jnp.zeros((v, npad, nbytes), jnp.uint8)
+    packed = jax.lax.dynamic_update_slice(
+        packed, jnp.moveaxis(var_u8, 1, 0), (0, 0, 0))
+    low = jnp.ones((npad, 1), jnp.int32)
+    low = jax.lax.dynamic_update_slice(low, low_i32, (0, 0))
+    return hamming.unpack_bits_pm1(packed), low
+
+
+def prepare_inputs_resident(var_dev, low_conf,
+                            ta: int = QUERY_TILE, tb: int = BASE_TILE):
+    """Device-resident variant of prepare_inputs_device: `var_dev` is
+    an (N, V, nbytes) u8 jax.Array already on device (the shape
+    pdq_jax.pdq_hash_batch emits as 'dihedral') — the scan->group
+    production path, where the 8 dihedral hashes never leave the chip
+    and grouping pays ZERO hash re-upload.  Only the (N,) low-conf
+    flags cross the link."""
+    n, v, nbytes = var_dev.shape
+    npad = max(ta, tb)
+    npad = -(-n // npad) * npad
+    npad = -(-npad // ta) * ta
+    npad = -(-npad // tb) * tb
+    if low_conf is None:
+        low_conf = np.zeros(n, dtype=bool)
+    low = np.asarray(low_conf, dtype=np.int32).reshape(n, 1)
+    var_d, low_d = _prep_resident(var_dev, jax.device_put(low), npad)
+    return var_d, low_d, n, npad
+
+
 def row_match_counts(base_hashes: np.ndarray,
                      variants: np.ndarray | None = None,
                      low_conf: np.ndarray | None = None,

@@ -177,3 +177,35 @@ def test_counts_exact_across_tile_boundaries(n):
     # but at 256 random bits they effectively cannot)
     assert planted <= got
     assert got == planted
+
+
+def test_find_edges_fast_resident_matches_host_path():
+    """Device-resident variants (the scan->group production path) must
+    produce identical edges to the host-array path — both in interpret
+    mode (the kernel path) and via the CPU fallback."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(77)
+    n = 700
+    base = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    base[123] = base[45]
+    base[600] = base[45]
+    variants = np.repeat(base[:, None, :], 8, axis=1)
+    # make non-identity slots differ so min-over-variants matters
+    variants[:, 1:, 0] ^= rng.integers(1, 255, (n, 7), dtype=np.uint8)
+    low = np.zeros(n, dtype=bool)
+    low[600] = True   # low-quality: exact-only (it IS exact here)
+
+    want = hamming.find_edges_fast(base, variants, low, similarity=6,
+                                   interpret=True)
+    var_dev = jnp.asarray(variants)
+    got = hamming.find_edges_fast_resident(var_dev, low, similarity=6,
+                                           interpret=True)
+    assert np.array_equal(want[0], got[0])
+    assert np.array_equal(want[1], got[1])
+    # CPU fallback path (no interpret): same answer
+    got2 = hamming.find_edges_fast_resident(var_dev, low, similarity=6)
+    assert np.array_equal(want[0], got2[0])
+    assert np.array_equal(want[1], got2[1])
+    assert {(45, 123), (45, 600)} <= set(zip(got[0].tolist(),
+                                             got[1].tolist()))
