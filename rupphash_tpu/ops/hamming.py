@@ -273,7 +273,7 @@ def find_edges_fast(base_hashes: np.ndarray,
                     variants: np.ndarray | None = None,
                     low_conf: np.ndarray | None = None,
                     similarity: int = 40,
-                    row_chunk: int = 1024,
+                    row_chunk: int | None = None,
                     interpret: bool = False,
                     return_stats: bool = False):
     """Production edge search: fused Pallas row-count sweep, then exact
@@ -315,7 +315,7 @@ def find_edges_fast(base_hashes: np.ndarray,
 
 def find_edges_fast_resident(var_dev, low_conf=None,
                              similarity: int = 40,
-                             row_chunk: int = 1024,
+                             row_chunk: int | None = None,
                              interpret: bool = False,
                              return_stats: bool = False):
     """Device-resident production path: `var_dev` is an (N, V, nbytes)
@@ -355,6 +355,14 @@ def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
     pipelined extraction -> host edge assembly."""
     from . import hamming_pallas
 
+    if row_chunk is None:
+        # extraction cost is dominated by per-chunk dispatch/readback
+        # latency (tunneled TPUs: ~hundreds of ms each), so prefer the
+        # largest chunk whose (rows, Npad/8) mask stays within ~512 MB
+        # of HBM
+        row_chunk = int(min(4096, max(256, (512 << 20) // max(npad // 8,
+                                                              1))))
+        row_chunk = max(256, (row_chunk // 256) * 256)
     counts_d = hamming_pallas.scan_row_counts(
         var_d, low_d, ta=hamming_pallas.QUERY_TILE,
         tb=hamming_pallas.BASE_TILE, nbits=nbits, sim=similarity,

@@ -142,6 +142,23 @@ def main(argv=None) -> int:
         d = rc._arw2_decode_py(s2, curve2, 64, 4)
         check("ARW2 C++ vs Python oracle",
               c is not None and np.array_equal(c, d))
+        s3 = rng.integers(0, 256, 0x4000, dtype=np.uint8).tobytes()
+        e1 = native.rw2_decode(s3, 56, 6)
+        e2 = rc._rw2_decode_py(s3, 56, 6)
+        check("RW2 C++ vs Python oracle",
+              e1 is not None and np.array_equal(e1, e2))
+        s4 = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+        f1 = native.orf_decode(s4, 20, 6)
+        f2 = rc._orf_decode_py(s4, 20, 6)
+        check("ORF C++ vs Python oracle",
+              f1 is not None and np.array_equal(f1, f2))
+        from ..pipeline import cr3 as cr3mod
+        g1 = native.crx_decode_plane(s4, 12, 6, 12)
+        g2 = cr3mod.crx_decode_plane_py(s4, 12, 6, 12)
+        check("CRX plane C++ vs Python oracle",
+              (g1 is None and g2 is None)
+              or (g1 is not None and g2 is not None
+                  and np.array_equal(g1, g2)))
     except Exception as e:
         check(f"native raw codecs ({type(e).__name__})", False)
 
