@@ -271,12 +271,19 @@ def content_subgroups(group: list[FileRecord]) -> dict[bytes, int]:
 def group_files(files: list[FileRecord],
                 similarity: int = DEFAULT_SIMILARITY,
                 sort_order: str = "name",
-                use_device: bool | None = None):
+                use_device: bool | None = None,
+                device_batches: list | None = None):
     """Full grouping pipeline (scanner.rs:1640-1830 semantics).
 
     Returns (groups: list[list[FileRecord]], infos: list[GroupInfo],
     edge_count: int).  Groups are ordered identical-first, then by max
     distance, then by descending size (scanner.rs:1561-1576).
+
+    device_batches: optional ([FileRecord,...], (B, 8, 32) device u8)
+    pairs from scan(..., device_sink=...) — when every hashed record
+    has a device row and one accelerator is in use, the edge search
+    consumes the device-resident dihedral sets directly
+    (find_edges_fast_resident: zero hash re-upload).
     """
     assert similarity <= hamming.MAX_SIMILARITY_256
     idx_with_hash = [i for i, f in enumerate(files) if f.pdqhash is not None]
@@ -311,15 +318,53 @@ def group_files(files: list[FileRecord],
             ei, ej = sharded.sharded_find_edges(
                 sharded.make_mesh(), base, variants, low, similarity)
         else:
-            # find_edges_fast reroutes CPU backends to the XLA tile path
-            ei, ej = hamming.find_edges_fast(base, variants, low,
-                                             similarity)
+            var_sel = _resident_rows(files, idx_with_hash,
+                                     device_batches)
+            if var_sel is not None:
+                ei, ej = hamming.find_edges_fast_resident(
+                    var_sel, low, similarity)
+            else:
+                # find_edges_fast reroutes CPU backends to the XLA
+                # tile path
+                ei, ej = hamming.find_edges_fast(base, variants, low,
+                                                 similarity)
     else:
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 
     dense_to_sparse = np.asarray(idx_with_hash, dtype=np.int64)
     return finalize_edges(files, dense_to_sparse[ei],
                           dense_to_sparse[ej], sort_order)
+
+
+def _resident_rows(files, idx_with_hash, device_batches):
+    """(len(idx_with_hash), 8, 32) device u8 gathered from the scan's
+    retained device batches, or None when any hashed record lacks a
+    device row (fall back to the host-array path)."""
+    if not device_batches:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    row_of: dict[int, tuple[int, int]] = {}
+    for b, (recs, arr) in enumerate(device_batches):
+        if int(arr.shape[0]) != len(recs):
+            return None   # misaligned batch: fall back
+        for k, rec in enumerate(recs):
+            row_of[id(rec)] = (b, k)
+    offsets = np.cumsum([0] + [len(recs)
+                               for recs, _ in device_batches])
+    order = np.empty(len(idx_with_hash), dtype=np.int32)
+    for k, i in enumerate(idx_with_hash):
+        loc = row_of.get(id(files[i]))
+        if loc is None:
+            return None
+        order[k] = offsets[loc[0]] + loc[1]
+    try:
+        var_all = jnp.concatenate([jnp.asarray(a)
+                                   for _, a in device_batches], axis=0)
+        return jnp.take(var_all, jnp.asarray(order), axis=0)
+    except Exception:
+        return None
 
 
 def finalize_edges(files, gi: np.ndarray, gj: np.ndarray,

@@ -359,8 +359,11 @@ def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
         # extraction cost is dominated by per-chunk dispatch/readback
         # latency (tunneled TPUs: ~hundreds of ms each), so prefer the
         # largest chunk whose (rows, Npad/8) mask stays within ~512 MB
-        # of HBM
-        row_chunk = int(min(4096, max(256, (512 << 20) // max(npad // 8,
+        # of HBM.  Hard cap 1024: the Pallas kernel's scoped-VMEM stack
+        # allocation scales with the chunk's row count and 2048+ rows
+        # exceed the 16 MB Mosaic limit at the 1M corpus size
+        # (measured: u8[4096, Npad/8] wants 31.4 MB of stack).
+        row_chunk = int(min(1024, max(256, (512 << 20) // max(npad // 8,
                                                               1))))
         row_chunk = max(256, (row_chunk // 256) * 256)
     counts_d = hamming_pallas.scan_row_counts(
@@ -390,33 +393,6 @@ def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
     stride = npad // 8
-    # Pipelined dispatch: enqueue row-chunk extraction + nonzero
-    # compaction ahead of the readbacks (JAX dispatch is async), drain
-    # in dispatch order behind a bounded window.  The old per-chunk
-    # synchronous np.asarray readback serialized device compute behind
-    # host unpack and per-chunk tunnel latency, tripling the 1M
-    # end-to-end tail.  The window caps in-flight HBM: each chunk's
-    # (mpad, npad/8) mask buffer lives until its nonzero op runs, so an
-    # unbounded dispatch would hold every mask at once.
-    window = max(2, (8 * 256) // row_chunk)
-    pending = []
-
-    def drain_one():
-        ridx_p, idx_d, vals_d = pending.pop(0)
-        # readback in dispatch order: this wait overlaps with the
-        # device still computing later chunks, and host unpack of chunk
-        # c overlaps with device work on chunks > c
-        idx, vals = np.asarray(idx_d), np.asarray(vals_d)
-        sel = idx >= 0
-        idx, vals = idx[sel], vals[sel]
-        r = idx // stride
-        bytecol = (idx % stride).astype(np.int64)
-        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
-                             bitorder="little")
-        rr, bb = np.nonzero(bits)
-        edges_i.append(ridx_p[r[rr]].astype(np.int64))
-        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
-
     # One stacked upload for every chunk's gather/guard parameters
     # instead of 3 per-chunk device_puts: through a tunneled TPU the
     # per-transfer latency dominates the tail, so the loop below only
@@ -439,6 +415,24 @@ def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
     qidx_d = jax.device_put(qidx_all)
     qlow_d = jax.device_put(qlow_all)
 
+    # Per-chunk nonzero budgets are host-known from the count sweep; a
+    # power-of-two floor collapses kpad buckets so the jit compiles
+    # once, and the mask's own byte count caps it (dense-duplicate
+    # corpora would otherwise pad the nonzero output past the mask)
+    kpads = []
+    for rows in chunk_rows:
+        k = int(counts[rows].sum())
+        kpad = max(4096, 1 << max(0, (k - 1).bit_length()))
+        kpads.append(min(kpad, mpad * stride))
+    offs = np.concatenate([[0], np.cumsum(kpads)]).astype(np.int64)
+    total = int(offs[-1])
+    # Every chunk's compacted (index, byte) pairs accumulate into ONE
+    # device buffer (dynamic_update_slice chain) and come back in a
+    # single fenced readback: per-chunk readbacks each paid a full
+    # round trip through the tunnel, dominating the extraction tail.
+    tpad = 1 << max(12, (max(total, 1) - 1).bit_length())
+    acc_idx = jnp.full((tpad,), -1, jnp.int32)
+    acc_val = jnp.zeros((tpad,), jnp.uint8)
     for c, rows in enumerate(chunk_rows):
         # gather the hot rows' +/-1 variants on DEVICE (var_d already
         # holds them)
@@ -447,21 +441,34 @@ def _edges_from_device(var_d, low_d, npad, n, nbits, low_conf,
             q_d, var_d[0], qlow_d[c], low_d, qidx_d[c],
             tb=hamming_pallas.BASE_TILE,
             nbits=nbits, sim=similarity, n_total=n, interpret=interpret)
-        # the chunk's exact edge count bounds its nonzero mask bytes; a
-        # floor collapses kpad buckets so the jit compiles once, and the
-        # mask's own byte count caps it (dense-duplicate corpora would
-        # otherwise pad the nonzero output past the mask itself)
-        k = int(counts[rows].sum())
-        kpad = max(4096, 1 << max(0, (k - 1).bit_length()))
-        kpad = min(kpad, mpad * stride)
-        idx_d, vals_d = _nonzero_bytes(packed, kpad)
+        idx_d, vals_d = _nonzero_bytes(packed, kpads[c])
         # `packed` (the full (mpad, stride) mask) dies once its nonzero
         # runs; only the O(edges) compacted pairs stay resident
-        pending.append((ridx_all[c], idx_d, vals_d))
-        if len(pending) >= window:
-            drain_one()
-    while pending:
-        drain_one()
+        acc_idx = jax.lax.dynamic_update_slice(acc_idx, idx_d,
+                                               (int(offs[c]),))
+        acc_val = jax.lax.dynamic_update_slice(acc_val, vals_d,
+                                               (int(offs[c]),))
+        if c % 8 == 7:
+            # cheap fence: allocation happens at dispatch, so without
+            # an occasional sync every chunk's mask buffer would be
+            # live at once; waiting on one accumulated element caps
+            # in-flight masks at ~8 x (mpad, stride)
+            np.asarray(jax.device_get(acc_idx[0]))
+
+    idx_all = np.asarray(acc_idx)
+    val_all = np.asarray(acc_val)
+    for c in range(n_chunks):
+        idx = idx_all[offs[c]:offs[c] + kpads[c]]
+        vals = val_all[offs[c]:offs[c] + kpads[c]]
+        sel = idx >= 0
+        idx, vals = idx[sel], vals[sel]
+        r = idx // stride
+        bytecol = (idx % stride).astype(np.int64)
+        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
+                             bitorder="little")
+        rr, bb = np.nonzero(bits)
+        edges_i.append(ridx_all[c][r[rr]].astype(np.int64))
+        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
 
     ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
     ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)

@@ -137,9 +137,17 @@ def _merge_heavy(rec, heavy, mkey, content, cfg, store):
 
 
 def scan(paths, cfg: ScanConfig | None = None, store=None,
-         progress=None):
+         progress=None, device_sink: list | None = None):
     """Scan paths, hash on device, and return
-    (records: list[FileRecord], stats: ScanStats)."""
+    (records: list[FileRecord], stats: ScanStats).
+
+    device_sink (optional list): when given, the per-batch DEVICE
+    dihedral arrays are retained and appended as
+    ([FileRecord, ...], (B, 8, 32) u8 jax.Array) pairs, aligned
+    row-for-row — the hashes never leave the chip, so a following
+    group step can match them with zero re-upload
+    (ops.hamming.find_edges_fast_resident).  Cache hits contribute one
+    device_put batch of their host-regenerated dihedral sets."""
     cfg = cfg or ScanConfig()
     files = walker.collect_files(paths, recursive=cfg.recursive)
     stats = ScanStats(total=len(files))
@@ -173,6 +181,9 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         dihedral = np.asarray(out["dihedral"])
         quality = np.asarray(out["quality"])
         coeffs = np.asarray(out["coeffs"])
+        if device_sink is not None:
+            device_sink.append(([rec for rec, _, _ in items],
+                                out["dihedral"]))
         for k, (rec, _, feats) in enumerate(items):
             rec.pdqhash = bytes(hashes[k])
             rec.pdq_quality = int(round(float(quality[k]) * 100))
@@ -268,6 +279,10 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             np.stack([c for _, c in dihedral_pending]))
         for k, (rec, _) in enumerate(dihedral_pending):
             rec.dihedral = packed[k]
+        if device_sink is not None:
+            import jax
+            device_sink.append(([rec for rec, _ in dihedral_pending],
+                                jax.device_put(packed)))
         dihedral_pending.clear()
 
     if misses:
@@ -325,11 +340,20 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         by_path = {r.path: r for r in records}
         # clones were already counted by the walk; only the record list
         # needs the per-path copies
+        clone_recs = []
         for clone, rep_path in hardlink_clones.items():
             rep = by_path.get(rep_path)
             if rep is None:
                 continue
-            records.append(dataclasses.replace(rep, path=clone))
+            crec = dataclasses.replace(rep, path=clone)
+            records.append(crec)
+            clone_recs.append(crec)
+        if device_sink is not None and clone_recs:
+            import jax
+            with_d = [r for r in clone_recs if r.dihedral is not None]
+            if with_d:
+                device_sink.append((with_d, jax.device_put(
+                    np.stack([r.dihedral for r in with_d]))))
 
     if store and not store.flush():
         trace.tag("CACHE-WRITE-FAILED",
@@ -345,12 +369,19 @@ def scan_and_group(paths, cfg: ScanConfig | None = None, store=None,
     scanner::scan_and_group (scanner.rs:1146).  Phase timings go to
     stderr as [TIMING] lines (scanner.rs:1542-1559)."""
     cfg = cfg or ScanConfig()
+    # retain the device-side dihedral batches the hashing stage
+    # produced: on a real accelerator the group step matches them with
+    # zero hash re-upload (find_edges_fast_resident)
+    import jax
+    sink: list | None = [] if jax.default_backend() != "cpu" else None
     with trace.Phase("scan+hash") as ph:
-        records, stats = scan(paths, cfg, store, progress)
+        records, stats = scan(paths, cfg, store, progress,
+                              device_sink=sink)
         ph.add(stats.total)
     with trace.Phase("group") as pg:
         groups, infos, edges = engine.group_files(
-            records, similarity=cfg.similarity, sort_order=cfg.sort)
+            records, similarity=cfg.similarity, sort_order=cfg.sort,
+            device_batches=sink)
         pg.add(len(records))
     if stats.cache_full or stats.decoded:
         trace.tag("CACHE", f"full={stats.cache_full} "

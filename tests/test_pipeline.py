@@ -188,3 +188,62 @@ def test_scan_process_pool_path(tmp_path):
     from rupphash_tpu.grouping import engine
     groups, infos, _ = engine.group_files(records, similarity=40)
     assert len(groups) == 1 and len(groups[0]) == 66
+
+
+def test_scan_device_sink_aligns_with_records(tmp_path):
+    """scan(device_sink=...) retains per-batch device dihedral arrays
+    aligned row-for-row with the records (fresh hashes, cache hits,
+    and hardlink clones all get rows), and the grouping gather produces
+    identical edges to the host-array path."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.cache.store import CacheStore
+    from rupphash_tpu.grouping import engine
+    from rupphash_tpu.ops import hamming
+    from rupphash_tpu.pipeline import scan
+
+    d = tmp_path / "s"
+    d.mkdir()
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    im = Image.fromarray(base).resize((320, 240), Image.BILINEAR)
+    im.save(d / "a.png")
+    im.save(d / "a_twin.jpg", quality=92)
+    Image.fromarray(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                    ).resize((320, 240), Image.BILINEAR).save(
+        d / "other.png")
+    os.link(d / "a.png", d / "clone.png")
+
+    store = CacheStore(tmp_path / "c.db", master_key=b"\x02" * 32)
+
+    def run():
+        sink = []
+        records, stats = scan.scan([d], scan.ScanConfig(batch_size=2),
+                                   store, device_sink=sink)
+        assert stats.failed == 0
+        files = sorted(records, key=lambda r: r.path.name)
+        idx = [i for i, f in enumerate(files) if f.pdqhash is not None]
+        var_sel = engine._resident_rows(files, idx, sink)
+        assert var_sel is not None, "a record lacked a device row"
+        low = np.array([files[i].is_low_quality for i in idx])
+        ei, ej = hamming.find_edges_fast_resident(var_sel, low, 31)
+        base_h = np.stack([np.frombuffer(files[i].pdqhash, np.uint8)
+                           for i in idx])
+        variants = np.stack([files[i].dihedral for i in idx])
+        wi, wj = hamming.find_edges_fast(base_h, variants, low, 31)
+        assert np.array_equal(ei, wi) and np.array_equal(ej, wj)
+        # the duplicate pair + hardlink clone all interconnect
+        names = {files[i].path.name for i in idx}
+        assert {"a.png", "a_twin.jpg", "clone.png"} <= names
+        assert len(ei) >= 3
+        return stats
+
+    s1 = run()
+    assert s1.decoded == 3          # clone deduped by (dev, inode)
+    store.flush()
+    s2 = run()                      # warm: the cache-hit sink path
+    assert s2.cache_full == 3
+    store.close()
