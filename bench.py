@@ -185,8 +185,9 @@ def bench_grouping_1m_e2e():
     # compiles behind the axon tunnel take tens of seconds and are a
     # one-time cost any long-lived scanner amortizes); each timed run
     # still pays the full host->device hash transfer.  Tunnel transfer
-    # latency varies 2x run-to-run (CLAUDE.md), so report the median
-    # of 3 timed runs as the steady-state number.
+    # latency varies 2x run-to-run (CLAUDE.md), so each configuration
+    # is timed twice and the mean reported (a 3rd run would push the
+    # whole bench past the driver's time budget).
     hamming.find_edges_fast(base, variants, low, similarity=31)
     times = []
     for _ in range(2):

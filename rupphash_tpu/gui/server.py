@@ -383,10 +383,17 @@ class GuiServer:
                     # re-encoded as APNG so the animation still plays
                     # (gui/image.rs:1602-1800 parity)
                     from ..pipeline import animated
-                    try:
-                        raw = rec.path.read_bytes()
-                    except OSError:
-                        raw = b""
+                    # only container types that can animate are worth
+                    # reading here; a transform/LUT view of a large
+                    # RAW/TIFF still must not pay a full-file read per
+                    # request just to probe for animation
+                    raw = b""
+                    if rec.path.suffix.lower() in (".gif", ".webp",
+                                                   ".png", ".apng"):
+                        try:
+                            raw = rec.path.read_bytes()
+                        except OSError:
+                            raw = b""
                     kind = animated.probe(raw) if raw else None
                     if kind is not None:
                         if tr is None and server.engine.active_lut < 0:

@@ -81,22 +81,7 @@ def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
 
 # ------------------------------------------------------------------ codec
 
-class _MsbBits:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nacc = 0
-
-    def get(self, n: int) -> int:
-        while self.nacc < n:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nacc += 8
-        self.nacc -= n
-        return (self.acc >> self.nacc) & ((1 << n) - 1)
-
+from .rawcontainers import _MsbBits  # noqa: E402  (shared bit reader)
 
 ESCAPE_Q = 20
 RESET_N = 64
@@ -272,20 +257,8 @@ def parse_cr3(data: bytes):
             (first,) = struct.unpack_from(endian + "I", cmt3, 4)
             mn_ifd, _ = _read_ifd(cmt3, first, endian)
             from .rawcontainers import (_T_CANON_COLORDATA,
-                                        _plausible_wb4)
-            cd = mn_ifd.get(_T_CANON_COLORDATA)
-            if cd is not None:
-                cd = np.atleast_1d(cd)
-                offsets = {582: (25,), 653: (24,)}.get(cd.size,
-                                                       (63, 71))
-                for off in offsets:
-                    if off + 4 <= cd.size and _plausible_wb4(
-                            cd[off:off + 4]):
-                        r, g1, g2, b = (float(x)
-                                        for x in cd[off:off + 4])
-                        g = (g1 + g2) / 2.0
-                        wb = np.array([g / r, 1.0, g / b])
-                        break
+                                        wb_from_colordata)
+            wb = wb_from_colordata(mn_ifd.get(_T_CANON_COLORDATA))
         except Exception:
             wb = None
 

@@ -308,32 +308,39 @@ def hdr_to_sdr(rgb: np.ndarray, cicp: Cicp,
 
 
 _BLUE_NOISE_SIDE = 64
-_blue_noise_cache = None
+_blue_noise_cache: dict = {}
 
 
-def blue_noise_tile(side: int = _BLUE_NOISE_SIDE) -> np.ndarray:
+def blue_noise_tile(side: int | None = None) -> np.ndarray:
     """Tileable blue-noise rank matrix in [0, 1) via Ulichney's
     void-and-cluster method.  The reference ships a pre-baked 256x256
     tile (assets/blue-noise-256.bin, hdr.rs:712-742); we ship our own
     256x256 rank tile generated by tools/gen_bluenoise.py (same
-    algorithm at sigma 1.9) and fall back to generating a 64x64 tile
-    in-process when the asset is absent."""
-    global _blue_noise_cache
-    if _blue_noise_cache is not None:
-        return _blue_noise_cache
-    asset = Path(__file__).resolve().parents[1] / "assets" / \
-        "blue-noise-256.npy"
-    if asset.is_file():
-        try:
-            rank = np.load(asset)
-            n = rank.size
-            if rank.ndim == 2 and rank.shape[0] == rank.shape[1] and \
-                    len(np.unique(rank)) == n:
-                _blue_noise_cache = \
-                    (rank.astype(np.float64) + 0.5) / n
-                return _blue_noise_cache
-        except Exception:
-            pass  # corrupt asset: regenerate below
+    algorithm at sigma 1.9).  side=None (the dither paths) prefers the
+    shipped asset and falls back to generating a 64x64 tile in-process
+    when it is absent; an explicit side always returns exactly that
+    size (from the asset when it matches, else generated)."""
+    want_asset = side is None or side == 256
+    if side is None:
+        side = _BLUE_NOISE_SIDE
+    cached = _blue_noise_cache.get(("asset", None) if want_asset
+                                   else side)
+    if cached is not None:
+        return cached
+    if want_asset:
+        asset = Path(__file__).resolve().parents[1] / "assets" / \
+            "blue-noise-256.npy"
+        if asset.is_file():
+            try:
+                rank = np.load(asset)
+                n = rank.size
+                if rank.ndim == 2 and rank.shape[0] == rank.shape[1] \
+                        and len(np.unique(rank)) == n:
+                    tile = (rank.astype(np.float64) + 0.5) / n
+                    _blue_noise_cache[("asset", None)] = tile
+                    return tile
+            except Exception:
+                pass  # corrupt asset: generate below
     n = side * side
     yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     # toroidal gaussian energy splat
@@ -387,8 +394,9 @@ def blue_noise_tile(side: int = _BLUE_NOISE_SIDE) -> np.ndarray:
         work[vy, vx] = True
         e2 += np.roll(np.roll(kernel, vy, 0), vx, 1)
         rank[vy, vx] = r
-    _blue_noise_cache = (rank.astype(np.float64) + 0.5) / n
-    return _blue_noise_cache
+    tile = (rank.astype(np.float64) + 0.5) / n
+    _blue_noise_cache[("asset", None) if want_asset else side] = tile
+    return tile
 
 
 def encode_srgb_u8_dithered(lin: np.ndarray, seed: int = 0) -> np.ndarray:

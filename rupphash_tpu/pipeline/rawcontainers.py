@@ -203,7 +203,15 @@ def _canon_wb(data: bytes, endian: str, exif_off: int):
         return None
     _, _, mn_off = mn
     mn_ifd, _ = _read_ifd(data, mn_off, endian)
-    cd = mn_ifd.get(_T_CANON_COLORDATA)
+    return wb_from_colordata(mn_ifd.get(_T_CANON_COLORDATA))
+
+
+def wb_from_colordata(cd):
+    """AsShotNeutral from a Canon ColorData SHORT array (tag 0x4001):
+    WB_RGGBLevelsAsShot at a version-dependent word offset (25 for
+    ColorData1, 24 for ColorData2, 63 or 71 for later versions —
+    validated by plausibility instead of a full version table).
+    Shared by the CR2 MakerNote path and the CR3 CMT3 path."""
     if cd is None:
         return None
     cd = np.atleast_1d(cd)
@@ -568,17 +576,14 @@ def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
         g = (g1 + g2) / 2.0
         wb = np.array([g / r, 1.0, g / b])
 
-    # BitsPerSample governs the strip layout (8 -> ARW2 packed blocks,
-    # 16 -> plain little-endian u16); the strip-length check is only a
-    # consistency guard — some ARW2 writers pad strip byte counts, so
-    # length alone would misread a packed raster as u16 garbage.
+    # BitsPerSample governs the strip layout (8 -> ARW2 packed blocks;
+    # anything else with a 2-byte/pixel strip -> plain little-endian
+    # u16 — ARW writers declare 12/14/16 for uncompressed rasters); the
+    # strip-length check is a consistency guard — some ARW2 writers pad
+    # strip byte counts, so length alone would misread a packed raster
+    # as u16 garbage.
     bps = int(_scalar(raw_ifd, _T_BITS, 0))
-    if bps == 16 and len(stream) >= 2 * w * h:
-        mosaic = np.frombuffer(stream, dtype="<u2",
-                               count=w * h).reshape(h, w).copy()
-        return mosaic, black, wb, None
-    if bps == 0 and len(stream) >= 2 * w * h:
-        # no BitsPerSample tag: fall back to the length heuristic
+    if bps != 8 and len(stream) >= 2 * w * h:
         mosaic = np.frombuffer(stream, dtype="<u2",
                                count=w * h).reshape(h, w).copy()
         return mosaic, black, wb, None
@@ -757,7 +762,7 @@ _RAF_MAGIC = b"FUJIFILMCCD-RAW "
 _RAF_T_DIMS = 0x0100        # raw height u16be, width u16be
 _RAF_T_LAYOUT = 0x0130      # fuji layout byte
 _RAF_T_XTRANS = 0x0131      # 6x6 CFA pattern, 36 bytes (&3: 0=R 1=G 2=B)
-_RAF_T_WB = 0x2FF0          # WB levels u16be x4, order (G, R, B, G)
+_RAF_T_WB = 0x2FF0          # WB levels u16be x4, order (G, R, G2, B)
 _RAF_T_BITS = 0x0121        # sample bits (not always present)
 
 
@@ -813,7 +818,11 @@ def parse_raf(data: bytes) -> RawImage | None:
     cfa = _RGGB.copy()
     xt = recs.get(_RAF_T_XTRANS)
     if xt is not None and len(xt) >= 36:
-        grid = (np.frombuffer(xt, np.uint8, count=36) & 3).reshape(6, 6)
+        # the record stores the pattern REVERSED (published decoders
+        # fill xtrans_abs[0][35 - c] byte by byte): un-reverse before
+        # reshaping or the grid comes out 180-degree rotated
+        grid = (np.frombuffer(xt, np.uint8, count=36)[::-1]
+                & 3).reshape(6, 6)
         if np.all(grid <= 2):
             # some Bayer bodies fill the record with a 2x2-periodic
             # pattern; collapse so the Malvar path handles them
@@ -824,7 +833,10 @@ def parse_raf(data: bytes) -> RawImage | None:
     wb = None
     wbrec = recs.get(_RAF_T_WB)
     if wbrec is not None and len(wbrec) >= 8:
-        g, r, b, _g2 = struct.unpack_from(">4H", wbrec, 0)
+        # published layout (dcraw: FORC4 cam_mul[c ^ 1] = get2()):
+        # stored order is G, R, G2, B — the third value is the second
+        # green, NOT blue
+        g, r, _g2, b = struct.unpack_from(">4H", wbrec, 0)
         if r > 0 and b > 0 and g > 0:
             wb = np.array([g / r, 1.0, g / b])
 
@@ -1159,8 +1171,10 @@ def parse_orf(data: bytes) -> RawImage | None:
     bits = int(_scalar(raw_ifd, _T_BITS, 12))
     npx = w * h
     if len(stream) >= 2 * npx:
-        mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(
-            h, w).copy()
+        # honor the container byte order: 'MMOR' files store the
+        # raster big-endian
+        mosaic = np.frombuffer(stream, endian + "u2",
+                               count=npx).reshape(h, w).copy()
     elif len(stream) >= (npx * 12 + 7) // 8 and bits == 12:
         mosaic = _unpack_lsb(stream, 12, npx).reshape(h, w)
     else:

@@ -281,10 +281,14 @@ class HashIndex:
         return st
 
     def _device_arrays(self):
-        """(hashes_dev, status_dev, paths_list, n) — captured together
-        under the lock so concurrent add/remove cannot shift the
-        index<->path mapping mid-query.  Syncs pending mutations with
-        O(delta) upload traffic (see class docstring)."""
+        """(hashes_dev, status_dev, paths_list, n, live_rank) —
+        captured together under the lock so concurrent add/remove
+        cannot shift the index<->path mapping mid-query.  live_rank
+        maps device slots to positions in the live-compacted view
+        (.hashes/.paths and the mesh path's index space), so the
+        public match 'index' is consistent across deployment modes and
+        corpus mutations.  Syncs pending mutations with O(delta)
+        upload traffic (see class docstring)."""
         with self._lock:
             if self._n_dead > max(64, self._n // 2):
                 self._compact_locked()
@@ -326,7 +330,14 @@ class HashIndex:
                     idx[:k] = dev["pending_dead"]
                     dev["st"] = _dev_kill_rows(dev["st"], _upload(idx))
                     dev["pending_dead"] = []
-            return dev["h"], dev["st"], dev["paths"], self._n
+            if dev.get("rank_n") != (self._n, self._n_dead):
+                # slot -> live-compacted position (host-side, rebuilt
+                # only when the live set changed)
+                alive = self._live_mask
+                dev["rank"] = np.cumsum(alive) - 1
+                dev["rank_n"] = (self._n, self._n_dead)
+            return (dev["h"], dev["st"], dev["paths"], self._n,
+                    dev["rank"])
 
     def _device_arrays_mesh(self, mesh):
         """Mesh-sharded corpus residency: the ±1 base matrix split over
@@ -417,7 +428,7 @@ class HashIndex:
                                    max_results)
         if len(self) == 0:
             return [[] for _ in range(len(variants))]
-        base_dev, status_dev, paths, n = self._device_arrays()
+        base_dev, status_dev, paths, n, rank = self._device_arrays()
         q = np.ascontiguousarray(variants, dtype=np.uint8)
         # k buckets to a power of two so the jit caches a handful of
         # executables across max_results values
@@ -429,7 +440,9 @@ class HashIndex:
         out = []
         for drow, irow in zip(dists, idx):
             sel = drow <= similarity
-            out.append([(int(i), paths[int(i)], int(d))
+            # report live-compacted positions (same index space as
+            # .hashes/.paths and the mesh path), not device slots
+            out.append([(int(rank[int(i)]), paths[int(i)], int(d))
                         for d, i in zip(drow[sel][:max_results],
                                         irow[sel][:max_results])])
         return out

@@ -829,9 +829,12 @@ def write_raf(mosaic: np.ndarray, bits: int = 16, wb=None,
         recs.append((0x0121, struct.pack(">H", bits)))
     if wb is not None:
         g, r, b = wb
-        recs.append((0x2FF0, struct.pack(">4H", g, r, b, g)))
+        # on-disk order is (G, R, G2, B)
+        recs.append((0x2FF0, struct.pack(">4H", g, r, g, b)))
     if xtrans is not None:
-        recs.append((0x0131, bytes(int(v) for v in xtrans.reshape(-1))))
+        # the container stores the 6x6 pattern reversed
+        recs.append((0x0131,
+                     bytes(int(v) for v in xtrans.reshape(-1)[::-1])))
     hdr = struct.pack(">I", len(recs))
     for tag, payload in recs:
         hdr += struct.pack(">HH", tag, len(payload)) + payload
@@ -1531,3 +1534,63 @@ def test_cr3_views_in_gui_engine(tmp_path):
     eng = imaging.ImageEngine()
     out = eng.render(p)
     assert out is not None and out[:2] == b"\xff\xd8"
+
+
+def test_raf_xtrans_on_disk_byte_order_is_reversed():
+    """Regression for the bidirectional blind spot: the 0x0131 record
+    stores the 6x6 pattern REVERSED (dcraw fills
+    xtrans_abs[0][35 - c]).  Hard-code the on-disk byte sequence for an
+    asymmetric pattern and assert the parser recovers the logical grid
+    (an unreversed read would return it rotated 180 degrees)."""
+    # NB the true X-Trans pattern is 180-degree symmetric (the
+    # reversal is invisible for it); use an asymmetric pattern so the
+    # byte order is actually observable
+    grid = XTRANS.copy()
+    grid[0, 0], grid[0, 1] = 2, 1
+    assert not np.array_equal(grid, grid[::-1, ::-1])
+    on_disk = bytes(int(v) for v in grid.reshape(-1)[::-1])
+    mosaic = np.zeros((12, 12), np.uint16)
+    raw = write_raf(mosaic)
+    # splice a hand-built record list: dims + raw 0x0131 payload
+    hdr = struct.pack(">I", 2)
+    hdr += struct.pack(">HH", 0x0100, 4) + struct.pack(">HH", 12, 12)
+    hdr += struct.pack(">HH", 0x0131, 36) + on_disk
+    raster = mosaic.astype("<u2").tobytes()
+    head = bytearray(b"FUJIFILMCCD-RAW 0201FF129502".ljust(0x54, b"\0"))
+    hdr_off = 0x70
+    cfa_off = hdr_off + len(hdr)
+    head += struct.pack(">6I", 0, 0, hdr_off, len(hdr), cfa_off,
+                        len(raster))
+    head = head.ljust(hdr_off, b"\0")
+    parsed = rawcontainers.parse_raf(bytes(head) + hdr + raster)
+    assert parsed is not None
+    assert np.array_equal(parsed.cfa, grid)
+    assert raw is not None  # silence unused
+
+
+def test_orf_big_endian_u16_raster():
+    """'MMOR' ORFs store the u16 raster big-endian; the parser must
+    honor the container byte order (regression: always-LE read)."""
+    rng = np.random.default_rng(57)
+    mosaic = rng.integers(0, 4096, (8, 12), dtype=np.uint16)
+    # hand-build a minimal big-endian ORF
+    extra = bytearray()
+    data_off = 8 + _size(5)
+
+    def ent(tag, typ, val):
+        return struct.pack(">HHI", tag, typ, 1) + struct.pack(">I", val)
+
+    # SHORT values sit left-justified in the 4-byte field for MM files
+    def ent_s(tag, val):
+        return struct.pack(">HHI", tag, 3, 1) + struct.pack(">HH",
+                                                            val, 0)
+
+    raster = mosaic.astype(">u2").tobytes()
+    ifd = (struct.pack(">H", 5)
+           + ent(256, 4, 12) + ent(257, 4, 8) + ent_s(258, 12)
+           + ent(273, 4, data_off) + ent(279, 4, len(raster))
+           + struct.pack(">I", 0))
+    data = b"MMOR" + struct.pack(">I", 8) + ifd + bytes(extra) + raster
+    raw = rawcontainers.parse_orf(data)
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)

@@ -453,3 +453,30 @@ def test_incremental_corpus_growth_and_compaction():
     assert ix._n_dead == 0 and len(ix) == 500
     for i in range(600):
         assert all(p != f"/g/{i}.png" for _, p, _ in q(hs[i])), i
+
+
+def test_query_index_is_live_compacted_after_remove():
+    """The public match 'index' must align with .hashes/.paths (the
+    live-compacted view) and with the mesh path's index space even
+    while tombstones exist below the compaction threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    ix = serve.HashIndex()
+    hs = rng.integers(0, 256, (10, 32), dtype=np.uint8)
+    for i in range(10):
+        ix.add(f"/r/{i}.png", bytes(hs[i]), quality=90)
+
+    def q(h):
+        v = np.asarray(h, np.uint8)[None, None, :].repeat(8, 1)
+        return ix.query(v, similarity=0)[0]
+
+    assert q(hs[5])[0][0] == 5
+    assert ix.remove("/r/0.png") == 1      # tombstoned, not compacted
+    assert ix._n_dead == 1
+    idx5, path5, d5 = q(hs[5])[0]
+    assert path5 == "/r/5.png" and d5 == 0
+    # slot 5 is live position 4 after slot 0 died
+    assert idx5 == 4
+    assert ix.paths[idx5] == path5
+    assert bytes(ix.hashes[idx5]) == bytes(hs[5])
