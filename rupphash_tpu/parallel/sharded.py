@@ -351,6 +351,49 @@ def sharded_query_masks(mesh: Mesh, similarity: int = 40):
     return run
 
 
+def sharded_query_masks_status(mesh: Mesh, similarity: int = 40):
+    """Status-aware mesh query for the serving index's INCREMENTAL
+    sharded residency: the corpus arrives pre-padded to the device
+    capacity (a multiple of 8 * ndev) with an int8 per-row status
+    (0 ok / 1 low-quality / 2 dead or padding) instead of a bool low
+    mask — tombstoned rows never match, low rows only at distance 0.
+    Returns (Q, cap//8) packed match bitmasks."""
+    axes = ("q", "b")
+    ndev = math.prod(mesh.shape.values())
+
+    def tile(q_pm1, base_shard, st_shard, boff, n_total):
+        nloc = base_shard.shape[0]
+        qn, v, nbits = q_pm1.shape
+        flat_q = q_pm1.reshape(qn * v, nbits)
+        dots = jax.lax.dot_general(flat_q, base_shard.T,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        dist = (nbits - dots.reshape(qn, v, nloc).max(axis=1)) // 2
+        low = st_shard[None, :] == 1
+        dead = st_shard[None, :] >= 2
+        thr = jnp.where(dead | (low & (dist > 0)), -1, similarity)
+        jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, nloc), 1)
+        mask = (dist <= thr) & (jidx < n_total[0])
+        weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
+        grouped = mask.reshape(qn, nloc // 8, 8).astype(jnp.int32)
+        return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+
+    smapped = shard_map(
+        tile, mesh=mesh,
+        in_specs=(P(), P(axes), P(axes), P(axes), P()),
+        out_specs=P(None, axes))
+
+    @jax.jit
+    def run(q_var_u8, base_u8, status, n_total):
+        cap = base_u8.shape[0]
+        boff = jnp.arange(ndev, dtype=jnp.int32) * (cap // ndev)
+        return smapped(unpack_bits_pm1(q_var_u8),
+                       unpack_bits_pm1(base_u8), status, boff,
+                       jnp.full((1,), n_total, dtype=jnp.int32))
+
+    return run
+
+
 def sharded_group_files(mesh: Mesh, files, similarity: int = 40,
                         sort_order: str = "name"):
     """Mesh-sharded end of the grouping pipeline: scanner.rs:1640-1830

@@ -135,11 +135,12 @@ class HashIndex:
         self._n_dead = 0
         self._version = 0             # bumped on every mutation
         # device state: {"h","st" (device arrays), "cap", "applied",
-        # "paths" (the slot list object at push time)} or None
+        # "paths" (the slot list object at push time), "pending_dead",
+        # "hsnap" (slot-aligned host hash array at push time)} — one
+        # for the default device, one for a mesh (same incremental
+        # machinery, arrays sharded over the mesh)
         self._dev = None
-        # mesh-sharded residency:
-        # (mesh, hashes_dev, low_dev, paths, n, host_snapshot, version)
-        self._device_mesh = None
+        self._dev_mesh = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------ size
@@ -196,14 +197,16 @@ class HashIndex:
         path = str(path)
         with self._lock:
             removed = 0
-            dev = self._dev
+            devs = [d for d in (self._dev, self._dev_mesh)
+                    if d is not None]
             for i in range(self._n):
                 if self._paths[i] == path and not self._dead[i]:
                     self._dead[i] = True
                     self._n_dead += 1
                     removed += 1
-                    if dev is not None and i < dev["applied"]:
-                        dev["pending_dead"].append(i)
+                    for dev in devs:
+                        if i < dev["applied"]:
+                            dev["pending_dead"].append(i)
             if removed:
                 self._version += 1
             return removed
@@ -220,7 +223,7 @@ class HashIndex:
         self._n = len(keep)
         self._n_dead = 0
         self._dev = None
-        self._device_mesh = None
+        self._dev_mesh = None
 
     @classmethod
     def from_records(cls, records) -> "HashIndex":
@@ -280,31 +283,52 @@ class HashIndex:
         st[self._dead[lo:hi]] = STATUS_DEAD
         return st
 
-    def _device_arrays(self):
-        """(hashes_dev, status_dev, paths_list, n, live_rank) —
+    def _device_arrays(self, mesh=None):
+        """(hashes_dev, status_dev, paths_list, n, live_rank, hsnap) —
         captured together under the lock so concurrent add/remove
         cannot shift the index<->path mapping mid-query.  live_rank
         maps device slots to positions in the live-compacted view
-        (.hashes/.paths and the mesh path's index space), so the
-        public match 'index' is consistent across deployment modes and
-        corpus mutations.  Syncs pending mutations with O(delta)
-        upload traffic (see class docstring)."""
+        (.hashes/.paths), so the public match 'index' is consistent
+        across deployment modes and corpus mutations; hsnap is the
+        slot-aligned host hash array backing exact-distance recompute.
+        Syncs pending mutations with O(delta) upload traffic (see
+        class docstring).  With a mesh, the same incremental machinery
+        runs on arrays sharded over every device (capacity a multiple
+        of 8 * ndev), so mesh serving also mutates in O(delta)."""
+        import math as _math
+
+        sharding = None
+        unit = 8
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            sharding = NamedSharding(mesh, _P(("q", "b")))
+            unit = 8 * _math.prod(mesh.shape.values())
         with self._lock:
             if self._n_dead > max(64, self._n // 2):
                 self._compact_locked()
-            dev = self._dev
+            dev = self._dev if mesh is None else self._dev_mesh
+            if dev is not None and mesh is not None \
+                    and dev.get("mesh") is not mesh:
+                dev = None   # different mesh: rebuild
             if dev is None or self._n > dev["cap"]:
                 # full (re-)push: first use, capacity growth, compaction
                 cap = max(1024,
                           1 << max(0, (max(self._n, 1) - 1).bit_length()))
+                cap = -(-cap // unit) * unit
                 hp = np.zeros((cap, self.nbytes), np.uint8)
                 hp[:self._n] = self._hashes[:self._n]
                 st = np.full(cap, STATUS_DEAD, np.int8)
                 st[:self._n] = self._status_rows(0, self._n)
-                dev = {"h": _upload(hp), "st": _upload(st),
+                dev = {"h": _upload(hp, sharding),
+                       "st": _upload(st, sharding),
                        "cap": cap, "applied": self._n,
-                       "paths": self._paths, "pending_dead": []}
-                self._dev = dev
+                       "paths": self._paths, "pending_dead": [],
+                       "hsnap": self._hashes, "mesh": mesh}
+                if mesh is None:
+                    self._dev = dev
+                else:
+                    self._dev_mesh = dev
             else:
                 if dev["applied"] < self._n:
                     # O(delta): upload only the appended rows (padded to
@@ -336,46 +360,9 @@ class HashIndex:
                 alive = self._live_mask
                 dev["rank"] = np.cumsum(alive) - 1
                 dev["rank_n"] = (self._n, self._n_dead)
+            dev["hsnap"] = self._hashes
             return (dev["h"], dev["st"], dev["paths"], self._n,
-                    dev["rank"])
-
-    def _device_arrays_mesh(self, mesh):
-        """Mesh-sharded corpus residency: the ±1 base matrix split over
-        every device so the corpus can exceed one chip's HBM."""
-        import math as _math
-
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-
-        with self._lock:
-            cur = self._device_mesh
-            if cur is None or cur[0] is not mesh or \
-                    cur[6] != self._version:
-                # the mesh path re-pushes lazily on the first query
-                # after any number of mutations (deferred/batched: N
-                # adds then a query is ONE re-push, not N); per-shard
-                # incremental append is future work — the single-device
-                # path (_device_arrays) is fully O(delta)
-                ndev = _math.prod(mesh.shape.values())
-                live_h = self.hashes
-                live_q = self.quality
-                live_paths = tuple(self.paths)
-                n_live = len(live_h)
-                pad = max(-(-max(n_live, 1) // (8 * ndev)) * (8 * ndev),
-                          8 * ndev)
-                hp = np.zeros((pad, self.nbytes), np.uint8)
-                hp[:n_live] = live_h
-                lowp = np.ones(pad, dtype=bool)
-                lowp[:n_live] = live_q < PDQ_MIN_QUALITY
-                sh = NamedSharding(mesh, _P(("q", "b")))
-                # hp rides along as the HOST snapshot for exact-distance
-                # recompute: indices from these device arrays must never
-                # be applied to live self.hashes (concurrent add/remove
-                # compaction shifts rows)
-                self._device_mesh = (mesh, _upload(hp, sh),
-                                     _upload(lowp, sh),
-                                     live_paths, n_live, hp,
-                                     self._version)
-            return self._device_mesh
+                    dev["rank"], dev["hsnap"])
 
     @staticmethod
     def _host_min_dists(variants: np.ndarray, hashes_snap: np.ndarray,
@@ -388,18 +375,22 @@ class HashIndex:
 
     def query_mesh(self, mesh, variants: np.ndarray,
                    similarity: int = 40, max_results: int = 100):
-        """Mesh-sharded query: packed match bitmasks from every device
-        (parallel/sharded.sharded_query_masks), exact distances
-        recomputed host-side for the (few) matched rows only."""
+        """Mesh-sharded query against the INCREMENTAL sharded corpus
+        (same O(delta) mutation machinery as the single-device path):
+        packed match bitmasks from every device
+        (parallel/sharded.sharded_query_masks_status), exact distances
+        recomputed host-side for the (few) matched rows only.  Match
+        indices are live-compacted positions, identical to the
+        single-device path."""
         if len(self) == 0:
             return [[] for _ in range(len(variants))]
         similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
-        _, base_dev, low_dev, paths, n, hsnap, _ = \
-            self._device_arrays_mesh(mesh)
+        base_dev, st_dev, paths, n, rank, hsnap = \
+            self._device_arrays(mesh)
         fn = _mesh_query_fn(mesh, similarity)
         masks = np.asarray(fn(_upload(
             np.ascontiguousarray(variants, dtype=np.uint8)),
-            base_dev, low_dev))
+            base_dev, st_dev, n))
         out = []
         for qi in range(len(variants)):
             bits = np.unpackbits(masks[qi], bitorder="little")[:n]
@@ -409,8 +400,8 @@ class HashIndex:
                 continue
             d = self._host_min_dists(variants[qi], hsnap, hit)
             order = np.argsort(d, kind="stable")[:max_results]
-            out.append([(int(hit[k]), paths[int(hit[k])], int(d[k]))
-                        for k in order])
+            out.append([(int(rank[int(hit[k])]), paths[int(hit[k])],
+                         int(d[k])) for k in order])
         return out
 
     def query(self, variants: np.ndarray, similarity: int = 40,
@@ -428,7 +419,7 @@ class HashIndex:
                                    max_results)
         if len(self) == 0:
             return [[] for _ in range(len(variants))]
-        base_dev, status_dev, paths, n, rank = self._device_arrays()
+        base_dev, status_dev, paths, n, rank, _ = self._device_arrays()
         q = np.ascontiguousarray(variants, dtype=np.uint8)
         # k buckets to a power of two so the jit caches a handful of
         # executables across max_results values
@@ -451,7 +442,7 @@ class HashIndex:
 @functools.lru_cache(maxsize=8)
 def _mesh_query_fn(mesh, similarity: int):
     from .parallel import sharded as shardedmod
-    return shardedmod.sharded_query_masks(mesh, similarity)
+    return shardedmod.sharded_query_masks_status(mesh, similarity)
 
 
 class NearDupService:

@@ -480,3 +480,47 @@ def test_query_index_is_live_compacted_after_remove():
     assert idx5 == 4
     assert ix.paths[idx5] == path5
     assert bytes(ix.hashes[idx5]) == bytes(hs[5])
+
+
+def test_mesh_incremental_mutation_is_o_delta():
+    """The mesh-sharded corpus now uses the same incremental machinery
+    as the single-device path: adds/removes after the first push must
+    upload O(delta) bytes, results must stay exact and index-aligned
+    with the single-device path."""
+    import numpy as np
+
+    from rupphash_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh()
+    rng = np.random.default_rng(63)
+    ix = serve.HashIndex()
+    hs = rng.integers(0, 256, (600, 32), dtype=np.uint8)
+    for i in range(512):
+        ix.add(f"/m/{i}.png", bytes(hs[i]), quality=90)
+
+    def q(h, use_mesh):
+        v = np.asarray(h, np.uint8)[None, None, :].repeat(8, 1)
+        return ix.query(v, similarity=4,
+                        mesh=mesh if use_mesh else None)[0]
+
+    assert q(hs[5], True)           # first mesh push
+    base = serve.UPLOAD_BYTES
+    for j in range(20):
+        ix.add(f"/m/n{j}.png", bytes(hs[512 + j]), quality=90)
+        res = q(hs[512 + j], True)
+        assert any(p == f"/m/n{j}.png" for _, p, _ in res)
+    added = serve.UPLOAD_BYTES - base
+    assert added < 20 * 4096, f"mesh adds re-shipped: {added} B"
+
+    base = serve.UPLOAD_BYTES
+    for j in range(10):
+        assert ix.remove(f"/m/{j}.png") == 1
+        assert all(p != f"/m/{j}.png" for _, p, _ in q(hs[j], True))
+    removed = serve.UPLOAD_BYTES - base
+    assert removed < 10 * 4096, f"mesh removes re-shipped: {removed} B"
+
+    # index space identical between deployment modes under tombstones
+    for probe in (30, 200, 515):
+        a = q(hs[probe], True)
+        b = q(hs[probe], False)
+        assert a == b, (probe, a, b)
