@@ -477,7 +477,7 @@ static int pana_bits(PanaBits& pb, int nbits) {
     int byte = (pb.vbits >> 3) ^ 0x3ff0;
     int hi = byte + 1 < 0x4000 ? pb.buf[byte + 1] : 0;
     return ((pb.buf[byte] | hi << 8) >> (pb.vbits & 7)) &
-           ~((-1) << nbits);
+           ((1 << nbits) - 1);
 }
 }  // namespace rw2
 
@@ -503,7 +503,7 @@ int rw2_decode(const uint8_t* data, int64_t len, int width, int height,
                 if (j) {
                     pred[p] -= 0x80 << sh;
                     if (pred[p] < 0 || sh == 4)
-                        pred[p] &= ~((-1) << sh);
+                        pred[p] &= (1 << sh) - 1;
                     pred[p] += j << sh;
                 }
             } else {
@@ -681,7 +681,7 @@ int orf_decode(const uint8_t* data, int64_t len, int width, int height,
                                ? w_ : n_;
                 }
             }
-            int64_t v = pred + ((diff << 2) | low);
+            int64_t v = pred + (diff * 4 | low);
             // stored as raw ushort (mod-65536 wrap, matching the
             // published decoder's ushort raster) — predictions read
             // the stored value
