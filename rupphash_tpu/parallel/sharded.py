@@ -302,55 +302,6 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
             np.concatenate(edges_j) if edges_j else empty)
 
 
-def sharded_query_masks(mesh: Mesh, similarity: int = 40):
-    """Serving-side mesh query: (Q, V, 32) u8 query variants
-    (replicated) against a base corpus sharded over EVERY mesh device
-    -> (Q, Npad//8) uint8 packed match bitmasks.
-
-    This is how `rupphash --serve` scales past one chip's HBM: the ±1
-    corpus matrix lives sharded across the mesh; each device computes
-    its distance columns as one int8 MXU matmul and packs matches; ICI
-    carries only the tiny query tile and the packed masks.  The
-    low-quality exact-only gate applies per corpus row
-    (scanner.rs:1588-1594).
-    """
-    axes = ("q", "b")
-    ndev = math.prod(mesh.shape.values())
-
-    def tile(q_pm1, base_shard, blow_shard, boff, n_total):
-        nloc = base_shard.shape[0]
-        qn, v, nbits = q_pm1.shape
-        flat_q = q_pm1.reshape(qn * v, nbits)
-        dots = jax.lax.dot_general(flat_q, base_shard.T,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        dist = (nbits - dots.reshape(qn, v, nloc).max(axis=1)) // 2
-        thr = jnp.where(blow_shard[None, :] & (dist > 0), -1, similarity)
-        jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, nloc), 1)
-        mask = (dist <= thr) & (jidx < n_total[0])
-        weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
-        grouped = mask.reshape(qn, nloc // 8, 8).astype(jnp.int32)
-        return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
-
-    smapped = shard_map(
-        tile, mesh=mesh,
-        in_specs=(P(), P(axes), P(axes), P(axes), P()),
-        out_specs=P(None, axes))
-
-    @jax.jit
-    def run(q_var_u8, base_u8, blow):
-        n = base_u8.shape[0]
-        npad = _pad_multiple(n, 8 * ndev)
-        if npad != n:
-            base_u8 = jnp.pad(base_u8, ((0, npad - n), (0, 0)))
-            blow = jnp.pad(blow, (0, npad - n), constant_values=True)
-        boff = jnp.arange(ndev, dtype=jnp.int32) * (npad // ndev)
-        return smapped(unpack_bits_pm1(q_var_u8), unpack_bits_pm1(base_u8),
-                       blow, boff, jnp.full((1,), n, dtype=jnp.int32))
-
-    return run
-
-
 def sharded_query_masks_status(mesh: Mesh, similarity: int = 40):
     """Status-aware mesh query for the serving index's INCREMENTAL
     sharded residency: the corpus arrives pre-padded to the device
