@@ -321,6 +321,9 @@ def group_files(files: list[FileRecord],
             var_sel = _resident_rows(files, idx_with_hash,
                                      device_batches)
             if var_sel is not None:
+                from ..utils import trace
+                trace.debug("GROUP", "device-resident edge search "
+                            f"({len(idx_with_hash)} rows, zero re-upload)")
                 ei, ej = hamming.find_edges_fast_resident(
                     var_sel, low, similarity)
             else:
