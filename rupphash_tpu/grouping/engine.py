@@ -52,6 +52,12 @@ class FileRecord:
     exif_timestamp: int | None = None
     dihedral: np.ndarray | None = None      # (8, 32) uint8 variants
     coeffs: np.ndarray | None = None        # (256,) float32
+    # (batch, row) into the scan's device_sink list: the explicit
+    # contract for the zero-re-upload grouping path.  Stamped by
+    # pipeline.scan; survives dataclasses.replace copies (unlike the
+    # old id(rec) map, which silently dropped copied records to the
+    # host path).  Validated against the batch's own record before use.
+    device_slot: tuple[int, int] | None = None
 
     @property
     def is_low_quality(self) -> bool:
@@ -342,32 +348,53 @@ def group_files(files: list[FileRecord],
 def _resident_rows(files, idx_with_hash, device_batches):
     """(len(idx_with_hash), 8, 32) device u8 gathered from the scan's
     retained device batches, or None when any hashed record lacks a
-    device row (fall back to the host-array path)."""
+    valid device row (fall back to the host-array path — LOUDLY, via a
+    [GROUP] trace tag + GROUP-RESIDENT-FALLBACK counter, so a caller
+    that reconstructs records and loses the zero-re-upload path sees
+    why).
+
+    Routing uses the explicit FileRecord.device_slot = (batch, row)
+    stamp written by pipeline.scan, cross-checked against the batch's
+    own record at that row by pdqhash (a stale stamp from an earlier
+    scan against a different sink is rejected, a dataclasses.replace
+    copy of a stamped record still qualifies)."""
+    from ..utils import trace
+
+    def fallback(reason):
+        trace.count("GROUP-RESIDENT-FALLBACK")
+        trace.tag("GROUP", "device-resident path unavailable "
+                  f"({reason}); falling back to host-array upload")
+        return None
+
     if not device_batches:
         return None
-    import jax
     import jax.numpy as jnp
 
-    row_of: dict[int, tuple[int, int]] = {}
-    for b, (recs, arr) in enumerate(device_batches):
+    for recs, arr in device_batches:
         if int(arr.shape[0]) != len(recs):
-            return None   # misaligned batch: fall back
-        for k, rec in enumerate(recs):
-            row_of[id(rec)] = (b, k)
+            return fallback("misaligned device batch")
     offsets = np.cumsum([0] + [len(recs)
                                for recs, _ in device_batches])
     order = np.empty(len(idx_with_hash), dtype=np.int32)
+    missing = 0
     for k, i in enumerate(idx_with_hash):
-        loc = row_of.get(id(files[i]))
-        if loc is None:
-            return None
+        loc = files[i].device_slot
+        if (loc is None or loc[0] >= len(device_batches)
+                or loc[1] >= len(device_batches[loc[0]][0])
+                or device_batches[loc[0]][0][loc[1]].pdqhash
+                != files[i].pdqhash):
+            missing += 1
+            continue
         order[k] = offsets[loc[0]] + loc[1]
+    if missing:
+        return fallback(f"{missing}/{len(idx_with_hash)} records lack "
+                        "a matching device_slot stamp")
     try:
         var_all = jnp.concatenate([jnp.asarray(a)
                                    for _, a in device_batches], axis=0)
         return jnp.take(var_all, jnp.asarray(order), axis=0)
     except Exception:
-        return None
+        return fallback("device gather failed")
 
 
 def finalize_edges(files, gi: np.ndarray, gj: np.ndarray,

@@ -386,14 +386,17 @@ class GuiServer:
                     # only container types that can animate are worth
                     # reading here; a transform/LUT view of a large
                     # RAW/TIFF still must not pay a full-file read per
-                    # request just to probe for animation
+                    # request just to probe for animation.  The gate is
+                    # a 16-byte magic sniff, not the extension — an
+                    # animated GIF named .jpg still streams as one.
                     raw = b""
-                    if rec.path.suffix.lower() in (".gif", ".webp",
-                                                   ".png", ".apng"):
-                        try:
-                            raw = rec.path.read_bytes()
-                        except OSError:
-                            raw = b""
+                    try:
+                        with rec.path.open("rb") as fh:
+                            head = fh.read(16)
+                            if animated.sniff_animatable(head):
+                                raw = head + fh.read()
+                    except OSError:
+                        raw = b""
                     kind = animated.probe(raw) if raw else None
                     if kind is not None:
                         if tr is None and server.engine.active_lut < 0:

@@ -112,6 +112,17 @@ def probe(data: bytes) -> str | None:
     return None
 
 
+def sniff_animatable(head: bytes) -> bool:
+    """True when the first bytes identify a container type that *can*
+    animate (GIF / RIFF-WebP / PNG) — the cheap 16-byte gate before the
+    O(file) read that probe() needs.  Magic bytes, not extensions: an
+    animated GIF named .jpg must still stream as an animation, while a
+    large RAW/TIFF must not pay a full read per request."""
+    return (head.startswith((b"GIF87a", b"GIF89a"))
+            or (head[:4] == b"RIFF" and head[8:12] == b"WEBP")
+            or head.startswith(b"\x89PNG\r\n\x1a\n"))
+
+
 def decode_frames(data: bytes, max_frames: int = 512,
                   max_side: int = 8192):
     """All frames + normalized delays: (frames [(H,W,3|4) u8], delays s).

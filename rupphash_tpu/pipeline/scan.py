@@ -182,6 +182,11 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         quality = np.asarray(out["quality"])
         coeffs = np.asarray(out["coeffs"])
         if device_sink is not None:
+            # explicit (batch, row) stamp: the grouping engine's
+            # device-resident gather routes on this, not object identity
+            b = len(device_sink)
+            for k, (rec, _, _) in enumerate(items):
+                rec.device_slot = (b, k)
             device_sink.append(([rec for rec, _, _ in items],
                                 out["dihedral"]))
         for k, (rec, _, feats) in enumerate(items):
@@ -281,6 +286,9 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             rec.dihedral = packed[k]
         if device_sink is not None:
             import jax
+            b = len(device_sink)
+            for k, (rec, _) in enumerate(dihedral_pending):
+                rec.device_slot = (b, k)
             device_sink.append(([rec for rec, _ in dihedral_pending],
                                 jax.device_put(packed)))
         dihedral_pending.clear()
@@ -352,6 +360,9 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             import jax
             with_d = [r for r in clone_recs if r.dihedral is not None]
             if with_d:
+                b = len(device_sink)
+                for k, r in enumerate(with_d):
+                    r.device_slot = (b, k)
                 device_sink.append((with_d, jax.device_put(
                     np.stack([r.dihedral for r in with_d]))))
 

@@ -47,14 +47,18 @@ STATUS_OK, STATUS_LOW, STATUS_DEAD = 0, 1, 2
 # host->device upload accounting: every device_put in this module goes
 # through _upload so tests can assert that add/remove traffic is
 # O(delta), never O(corpus) (the tunnel to the TPU is the scarce
-# resource in production)
+# resource in production).  HashIndex supports concurrent mutation
+# threads, so the counter increment is lock-guarded — unsynchronized
+# += would lose increments and make the accounting unreliable.
 UPLOAD_BYTES = 0
+_UPLOAD_LOCK = threading.Lock()
 
 
 def _upload(x, sharding=None):
     global UPLOAD_BYTES
     x = np.asarray(x)
-    UPLOAD_BYTES += x.nbytes
+    with _UPLOAD_LOCK:
+        UPLOAD_BYTES += x.nbytes
     if sharding is not None:
         return jax.device_put(x, sharding)
     return jax.device_put(x)

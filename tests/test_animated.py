@@ -64,6 +64,47 @@ def test_decode_frames_and_delays():
     assert animated.decode_frames(b"garbage") == (None, None)
 
 
+def test_sniff_animatable():
+    """16-byte magic gate: true for GIF/WebP/PNG heads, false for
+    formats that cannot animate (no full-file read for RAW/TIFF)."""
+    assert animated.sniff_animatable(_gif()[:16])
+    assert animated.sniff_animatable(_webp_anim()[:16])
+    assert animated.sniff_animatable(b"\x89PNG\r\n\x1a\n" + b"\0" * 8)
+    assert not animated.sniff_animatable(b"\xff\xd8\xff\xe0" + b"\0" * 12)
+    assert not animated.sniff_animatable(b"II*\x00" + b"\0" * 12)
+    assert not animated.sniff_animatable(b"")
+
+
+def test_gui_serves_animated_original_with_wrong_extension(tmp_path):
+    """An animated GIF named .jpg still streams as an animation — the
+    server gates on a magic-byte sniff, not the extension (advisor r3)."""
+    import threading
+    import urllib.request
+
+    from rupphash_tpu.grouping.engine import FileRecord, GroupInfo
+    from rupphash_tpu.gui import server
+    from rupphash_tpu.state import AppState
+
+    gif = _gif()
+    p = tmp_path / "mislabeled.jpg"
+    p.write_bytes(gif)
+    st = AppState([[FileRecord(path=p, size=len(gif),
+                               unique_file_id=9)]], [GroupInfo()])
+    srv = server.GuiServer(st)
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/image?g=0&f=0",
+                timeout=10) as r:
+            assert r.headers["Content-Type"] == "image/gif"
+            assert r.read() == gif
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_gui_serves_animated_original(tmp_path):
     import threading
     import urllib.request

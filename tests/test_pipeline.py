@@ -247,3 +247,52 @@ def test_scan_device_sink_aligns_with_records(tmp_path):
     s2 = run()                      # warm: the cache-hit sink path
     assert s2.cache_full == 3
     store.close()
+
+
+def test_device_slot_contract(tmp_path, capsys):
+    """The device-resident grouping contract: records carry an explicit
+    (batch, row) device_slot stamp.  dataclasses.replace copies keep the
+    zero-re-upload path; reconstructed records (no stamp) degrade
+    LOUDLY — [GROUP] trace tag + GROUP-RESIDENT-FALLBACK counter — not
+    silently."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.grouping import engine
+    from rupphash_tpu.pipeline import scan
+    from rupphash_tpu.utils import trace
+
+    d = tmp_path / "s"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    for k in range(3):
+        Image.fromarray(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                        ).resize((320, 240), Image.BILINEAR).save(
+            d / f"f{k}.png")
+
+    sink = []
+    records, stats = scan.scan([d], scan.ScanConfig(batch_size=2),
+                               device_sink=sink)
+    assert stats.failed == 0 and sink
+    idx = list(range(len(records)))
+    assert all(r.device_slot is not None for r in records)
+
+    # a copied record list still routes resident (the stamp survives)
+    copies = [dataclasses.replace(r) for r in records]
+    assert engine._resident_rows(copies, idx, sink) is not None
+
+    # a reconstructed list (stampless) degrades loudly
+    rebuilt = [engine.FileRecord(path=r.path, pdqhash=r.pdqhash,
+                                 pdq_quality=r.pdq_quality,
+                                 dihedral=r.dihedral) for r in records]
+    before = trace.counters().get("GROUP-RESIDENT-FALLBACK", 0)
+    assert engine._resident_rows(rebuilt, idx, sink) is None
+    assert trace.counters()["GROUP-RESIDENT-FALLBACK"] == before + 1
+    assert "device-resident path unavailable" in capsys.readouterr().err
+
+    # a stale stamp pointing at a different record's row is rejected
+    swapped = [dataclasses.replace(r) for r in records]
+    swapped[0].device_slot = swapped[1].device_slot
+    assert engine._resident_rows(swapped, idx, sink) is None
