@@ -192,14 +192,20 @@ def sharded_row_counts(mesh: Mesh, similarity: int = 40):
 
 
 def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
-    """Phase 2 of count-then-extract: hot query rows vs the full base.
+    """Phase 2 of count-then-extract: hot query rows vs the full base,
+    compacted on device to O(edges) readback.
 
     Returns a jitted fn(q_var_u8 (M, V, 32), qlow (M,), qidx (M,) global
-    row indices, base_u8 (N, 32), blow (N,)) -> (M, Npad//8) uint8 packed
-    match bitmasks.  M must divide mesh 'q'; the base is sharded over
-    'b', outputs concatenate along the byte axis (local column blocks
-    are byte-aligned because Nb_loc is padded to a multiple of 8).
-    """
+    row indices, base_u8 (N, 32), blow (N,), kpad static) ->
+    (positions, values) of the first kpad nonzero bytes of the
+    (Mpad, Npad//8) packed match bitmask (position -1 pads).  M is
+    padded to mesh 'q'; the base is sharded over 'b' with byte-aligned
+    local column blocks.  The full bitmask lives only as sharded device
+    tiles — what crosses the device->host link is the compacted
+    (index, byte) pairs, the same O(edges) bar the single-chip path
+    sets with ops/hamming._nonzero_bytes (an (M, N/8) readback at 1M
+    hashes is ~128 MB per 1024-row chunk through the tunnel; the
+    compacted pairs are KBs)."""
     nq = mesh.shape["q"]
     nb = mesh.shape["b"]
 
@@ -222,8 +228,8 @@ def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
         in_specs=(P("q"), P("q"), P("q"), P("b"), P("b"), P("b"), P()),
         out_specs=P("q", "b"))
 
-    @jax.jit
-    def run(q_var_u8, qlow, qidx, base_u8, blow):
+    @functools.partial(jax.jit, static_argnames=("kpad",))
+    def run(q_var_u8, qlow, qidx, base_u8, blow, kpad):
         n = base_u8.shape[0]
         npad = _pad_multiple(n, 8 * nb)
         if npad != n:
@@ -235,11 +241,17 @@ def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
             q_var_u8 = jnp.pad(q_var_u8, ((0, mpad - m), (0, 0), (0, 0)))
             qlow = jnp.pad(qlow, (0, mpad - m), constant_values=True)
             qidx = jnp.pad(qidx, (0, mpad - m), constant_values=n)
-        return smapped(unpack_bits_pm1(q_var_u8), qlow,
-                       qidx.astype(jnp.int32), unpack_bits_pm1(base_u8),
-                       blow, (jnp.arange(nb, dtype=jnp.int32)
-                              * (npad // nb)),
-                       jnp.full((1,), n, dtype=jnp.int32))
+        packed = smapped(unpack_bits_pm1(q_var_u8), qlow,
+                         qidx.astype(jnp.int32), unpack_bits_pm1(base_u8),
+                         blow, (jnp.arange(nb, dtype=jnp.int32)
+                                * (npad // nb)),
+                         jnp.full((1,), n, dtype=jnp.int32))
+        # device-side compaction (XLA moves the sharded tiles over ICI,
+        # never to the host): flat index = row * (Npad//8) + bytecol
+        flat = packed.reshape(-1)
+        (idx,) = jnp.nonzero(flat != 0, size=kpad, fill_value=-1)
+        vals = jnp.where(idx >= 0, flat[jnp.maximum(idx, 0)], 0)
+        return idx, vals
 
     return run
 
@@ -258,17 +270,35 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
                        low_conf: np.ndarray | None = None,
                        similarity: int = 40,
                        row_chunk: int = 1024,
-                       counts_fn=None, extract_fn=None):
+                       counts_fn=None, extract_fn=None,
+                       return_stats: bool = False):
     """Mesh-sharded all-pairs duplicate edges: the multi-chip equivalent
-    of ops/hamming.find_edges_fast.  Returns (i, j) int64 with i < j.
+    of ops/hamming.find_edges_fast.  Returns (i, j) int64 with i < j;
+    plus a stats dict (hot_rows, readback_bytes) when requested.
+
+    Device->host traffic is O(edges), never O(N): the count sweep reads
+    back only the nonzero rows' (index, count) pairs
+    (hamming._nonzero_rows on the device-resident count vector) and the
+    extraction reads back compacted nonzero (index, byte) pairs sized
+    by the host-known per-chunk edge budget — the same compaction bar
+    the single-chip path sets (ops/hamming.py:257-269).
 
     counts_fn/extract_fn allow callers to override the compiled
     closures; by default they are memoized per (mesh, similarity).
     """
+    from ..ops.hamming import _nonzero_rows
+
     n = base_hashes.shape[0]
     empty = np.empty(0, dtype=np.int64)
+
+    def done(ei, ej, hot_rows, readback):
+        if return_stats:
+            return ei, ej, {"hot_rows": hot_rows,
+                            "readback_bytes": readback}
+        return ei, ej
+
     if n == 0:
-        return empty, empty
+        return done(empty, empty, 0, 0)
     if variants is None:
         variants = base_hashes[:, None, :]
     if low_conf is None:
@@ -278,28 +308,60 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
         counts_fn = counts_fn or default_counts
         extract_fn = extract_fn or default_extract
 
-    counts = np.asarray(counts_fn(variants.astype(np.uint8),
-                                  low_conf.astype(bool)))[:n]
-    hot = np.nonzero(counts > 0)[0]
-    if hot.size == 0:
-        return empty, empty
+    nq = mesh.shape["q"]
+    nb = mesh.shape["b"]
+    npad = _pad_multiple(n, 8 * nb)
+    stride = npad // 8
+
+    # base + flags upload once; the per-chunk calls below reuse the
+    # device arrays (jit does not re-transfer committed jax.Arrays)
+    var_d = jax.device_put(np.ascontiguousarray(variants, dtype=np.uint8))
+    base_d = jax.device_put(np.ascontiguousarray(base_hashes,
+                                                 dtype=np.uint8))
+    low_d = jax.device_put(low_conf.astype(bool))
+
+    counts_dev = counts_fn(var_d, low_d)       # (Npad,) device-resident
+    n_hot = int(jnp.count_nonzero(counts_dev[:n]))
+    readback = 4  # the scalar above
+    if n_hot == 0:
+        return done(empty, empty, 0, readback)
+    hpad = max(1024, 1 << (n_hot - 1).bit_length())
+    hot_idx_d, hot_cnt_d = _nonzero_rows(counts_dev, n, hpad)
+    hot_idx, hot_cnt = np.asarray(hot_idx_d), np.asarray(hot_cnt_d)
+    readback += hot_idx.nbytes + hot_cnt.nbytes
+    sel = hot_idx >= 0
+    hot = hot_idx[sel].astype(np.int64)
+    hot_counts = hot_cnt[sel].astype(np.int64)
 
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
     for c0 in range(0, len(hot), row_chunk):
         rows = hot[c0:c0 + row_chunk]
-        packed = np.asarray(extract_fn(
-            variants[rows].astype(np.uint8), low_conf[rows].astype(bool),
-            rows.astype(np.int32), base_hashes.astype(np.uint8),
-            low_conf.astype(bool)))
-        m = len(rows)
-        mbits = np.unpackbits(packed, axis=-1, bitorder="little")[:m, :n]
-        ri, rj = np.nonzero(mbits)
-        edges_i.append(rows[ri].astype(np.int64))
-        edges_j.append(rj.astype(np.int64))
+        mpad = _pad_multiple(len(rows), nq)
+        # per-chunk nonzero budget is host-known from the count sweep;
+        # a power-of-two floor collapses kpad buckets so the jit
+        # compiles once per bucket, and the mask's own byte count caps
+        # it for dense-duplicate corpora
+        k = int(hot_counts[c0:c0 + row_chunk].sum())
+        kpad = max(256, 1 << max(0, (k - 1).bit_length()))
+        kpad = min(kpad, mpad * stride)
+        idx, vals = (np.asarray(a) for a in extract_fn(
+            var_d[rows], low_d[rows], rows.astype(np.int32),
+            base_d, low_d, kpad=kpad))
+        readback += idx.nbytes + vals.nbytes
+        live = idx >= 0
+        idx, vals = idx[live], vals[live]
+        r = idx // stride
+        bytecol = (idx % stride).astype(np.int64)
+        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1,
+                             bitorder="little")
+        rr, bb = np.nonzero(bits)
+        edges_i.append(rows[r[rr]].astype(np.int64))
+        edges_j.append((bytecol[rr] * 8 + bb).astype(np.int64))
 
-    return (np.concatenate(edges_i) if edges_i else empty,
-            np.concatenate(edges_j) if edges_j else empty)
+    return done(np.concatenate(edges_i) if edges_i else empty,
+                np.concatenate(edges_j) if edges_j else empty,
+                int(len(hot)), readback)
 
 
 def sharded_query_masks_status(mesh: Mesh, similarity: int = 40):
