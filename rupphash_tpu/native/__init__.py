@@ -87,6 +87,11 @@ def get_lib():
         lib.crx_decode_plane.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.crx_decode_plane_wavelet.restype = ctypes.c_int
+        lib.crx_decode_plane_wavelet.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -236,13 +241,33 @@ def rw2_decode(data: bytes, width: int, height: int):
 
 def crx_decode_plane(data: bytes, width: int, height: int, nbits: int):
     """Decode one CRX-class raw plane (MED + adaptive Golomb-Rice) to
-    a (height, width) uint16 array, or None."""
+    a (height, width) uint16 array, or None.  Strict: out-of-range
+    samples or inexact bitstream consumption reject the stream."""
     lib = get_lib()
     if lib is None:
         return None
     out = np.empty((height, width), dtype=np.uint16)
     rc = lib.crx_decode_plane(data, len(data), width, height, nbits,
                               out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def crx_decode_plane_wavelet(data: bytes, band_sizes, width: int,
+                             height: int, nbits: int, levels: int,
+                             lossless: bool):
+    """Decode one CRX wavelet-class (CRAW) raw plane to a
+    (height, width) uint16 array, or None.  band_sizes are the
+    3*levels+1 per-subband byte sizes from the mdat tile header."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bs = np.ascontiguousarray(band_sizes, dtype=np.int64)
+    if bs.size != 3 * levels + 1:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.crx_decode_plane_wavelet(
+        data, len(data), bs.ctypes.data, bs.size, width, height,
+        nbits, levels, 1 if lossless else 0, out.ctypes.data)
     return out if rc == 0 else None
 
 

@@ -591,6 +591,11 @@ int crx_decode_plane(const uint8_t* data, int64_t len, int width,
                 u = ((int64_t)q << k) | bits.get(k);
             int64_t err = (u & 1) ? -((u + 1) >> 1) : (u >> 1);
             int64_t v = pred + err;
+            // a valid stream only encodes in-range samples; anything
+            // outside [0, 2^nbits) marks a foreign/corrupt bitstream
+            // (the advisor-r3 sanity gate: garbage must not silently
+            // pass as pixels)
+            if (v < 0 || (v >> nbits) != 0) return -3;
             out[(int64_t)row * width + col] = (uint16_t)v;
             A += u;
             N += 1;
@@ -600,6 +605,183 @@ int crx_decode_plane(const uint8_t* data, int64_t len, int width,
             }
         }
     }
+    // exact-consumption gate: the encoder emits ceil(bits/8) bytes, so
+    // a stream that leaves whole unread bytes (or ran past the end,
+    // zero-filled) is not one of ours -> reject, caller falls back to
+    // the embedded preview (the reference's hashing source)
+    int64_t consumed_bytes = bits.pos - bits.nacc / 8;
+    if (consumed_bytes != len) return -4;
+    return 0;
+}
+
+// Canon CR3 wavelet class: the "CRAW" lossy family plus the lossless
+// wavelet mode (CMP1 levels > 0).  Per CFA plane: LeGall 5/3 integer
+// (reversible) wavelet pyramid, each subband an independent bitstream —
+// one quantization-exponent byte (power-of-two step; 0 for lossless)
+// followed by adaptive Golomb-Rice coded coefficients (zigzag signed,
+// DPCM prediction on the LL band only).  Like the lossless MED class
+// above, this is a self-consistent implementation of the published crx
+// algorithm family (LibRaw implements it openly; the reference reaches
+// it via FFI, gui/image.rs:1839-1962): validated by encoder roundtrip +
+// a Python differential oracle; byte compatibility with real Canon
+// bitstreams is untestable here, and the exact-consumption + range
+// gates below make foreign streams fail closed to the preview path.
+namespace crxw {
+using crx::Bits;
+using crx::ESCAPE_Q;
+using crx::RESET_N;
+
+// reversible 5/3 inverse lifting on a strided signal: in holds
+// [s(0..ns-1) | d(0..nd-1)] packed low-then-high, out interleaved.
+static void inv53(const int64_t* in, int64_t* out, int n, int stride) {
+    int ns = (n + 1) / 2, nd = n / 2;
+    if (n == 1) { out[0] = in[0]; return; }
+    const int64_t* s = in;
+    const int64_t* d = in + (int64_t)ns * stride;
+    for (int j = 0; j < ns; j++) {
+        int64_t dm1 = d[(int64_t)(j > 0 ? j - 1 : 0) * stride];
+        int64_t dj = d[(int64_t)(j < nd ? j : nd - 1) * stride];
+        out[(int64_t)2 * j * stride] =
+            s[(int64_t)j * stride] - ((dm1 + dj + 2) >> 2);
+    }
+    for (int j = 0; j < nd; j++) {
+        int64_t e0 = out[(int64_t)2 * j * stride];
+        int64_t e1 = (2 * j + 2 <= n - 1)
+                         ? out[(int64_t)(2 * j + 2) * stride] : e0;
+        out[(int64_t)(2 * j + 1) * stride] =
+            d[(int64_t)j * stride] + ((e0 + e1) >> 1);
+    }
+}
+
+// decode one subband's quantized integer coefficients; returns 0 or a
+// negative error.  q_exp is the leading byte; ll enables the DPCM
+// prediction the LL band uses.
+static int decode_band(const uint8_t* blob, int64_t blen, int bw, int bh,
+                       int nbits, bool ll, int64_t* out) {
+    if (blen < 1) return -20;
+    int q_exp = blob[0];
+    if (q_exp > ESCAPE_Q) return -21;
+    Bits bits;
+    bits.data = blob + 1;
+    bits.len = blen - 1;
+    int64_t A = 4, N = 1;
+    for (int row = 0; row < bh; row++) {
+        for (int col = 0; col < bw; col++) {
+            int64_t pred = 0;
+            if (ll) {
+                if (col > 0) pred = out[(int64_t)row * bw + col - 1];
+                else if (row > 0) pred = out[(int64_t)(row - 1) * bw];
+            }
+            int k = 0;
+            while ((N << k) < A && k < 15) k++;
+            int q = bits.zeros(ESCAPE_Q + 1);
+            int64_t u;
+            if (q > ESCAPE_Q) return -22;
+            if (q == ESCAPE_Q)
+                u = bits.get(nbits + 4);
+            else
+                u = ((int64_t)q << k) | bits.get(k);
+            int64_t err = (u & 1) ? -((u + 1) >> 1) : (u >> 1);
+            out[(int64_t)row * bw + col] = pred + err;
+            A += u;
+            N += 1;
+            if (N == RESET_N) { A >>= 1; N >>= 1; }
+        }
+    }
+    int64_t consumed_bytes = bits.pos - bits.nacc / 8;
+    if (consumed_bytes != blen - 1) return -23;
+    if (q_exp)
+        for (int64_t i = 0; i < (int64_t)bw * bh; i++)
+            out[i] <<= q_exp;
+    return 0;
+}
+}  // namespace crxw
+
+// band_sizes: 3*levels+1 per-band byte sizes (stream order LL_L, then
+// HL_l, LH_l, HH_l for l = levels..1), summing to len.  lossless != 0
+// requires exact reconstruction in [0, 2^nbits); lossy clamps but
+// rejects streams where more than 1/8 of samples need clamping (the
+// plane-statistics sanity gate).
+int crx_decode_plane_wavelet(const uint8_t* data, int64_t len,
+                             const int64_t* band_sizes, int nbands,
+                             int width, int height, int nbits,
+                             int levels, int lossless, uint16_t* out) {
+    using namespace crxw;
+    if (width <= 0 || height <= 0 || nbits < 2 || nbits > 16) return -1;
+    if (levels < 1 || levels > 8 || nbands != 3 * levels + 1) return -1;
+    // per-level low-pass dims (lw[0] = full plane)
+    int lw[9], lh[9];
+    lw[0] = width; lh[0] = height;
+    for (int l = 1; l <= levels; l++) {
+        lw[l] = (lw[l - 1] + 1) / 2;
+        lh[l] = (lh[l - 1] + 1) / 2;
+        if (lw[l] < 1 || lh[l] < 1) return -1;
+    }
+    int64_t npix = (int64_t)width * height;
+    std::vector<int64_t> canvas(npix, 0);
+    std::vector<int64_t> scratch((size_t)(width > height ? width
+                                                         : height) * 2);
+    // decode bands into the canonical pyramid layout: level-l transform
+    // of the canvas[0:lh[l-1], 0:lw[l-1]] block keeps s|d packed —
+    // LL_l at (0,0), HL_l right of it, LH_l below, HH_l diagonal
+    const uint8_t* p = data;
+    int64_t remaining = len;
+    int bi = 0;
+    auto take = [&](int bw, int bh, bool ll, int r0, int c0) -> int {
+        int64_t bsz = band_sizes[bi++];
+        if (bsz < 0 || bsz > remaining) return -24;
+        std::vector<int64_t> tmp((int64_t)bw * bh);
+        int rc = decode_band(p, bsz, bw, bh, nbits, ll, tmp.data());
+        if (rc) return rc;
+        for (int r = 0; r < bh; r++)
+            for (int c = 0; c < bw; c++)
+                canvas[(int64_t)(r0 + r) * width + c0 + c] =
+                    tmp[(int64_t)r * bw + c];
+        p += bsz;
+        remaining -= bsz;
+        return 0;
+    };
+    int rc = take(lw[levels], lh[levels], true, 0, 0);
+    if (rc) return rc;
+    for (int l = levels; l >= 1; l--) {
+        int cw = lw[l], ch = lh[l];             // low dims at this level
+        int dw = lw[l - 1] - cw, dh = lh[l - 1] - ch;
+        if (dw > 0 && (rc = take(dw, ch, false, 0, cw))) return rc;
+        if (dh > 0 && (rc = take(cw, dh, false, ch, 0))) return rc;
+        if (dw > 0 && dh > 0 && (rc = take(dw, dh, false, ch, cw)))
+            return rc;
+    }
+    if (remaining != 0) return -25;   // plane blob exactly partitioned
+    // inverse transform, deepest level first: columns then rows (the
+    // forward applied rows then columns)
+    for (int l = levels; l >= 1; l--) {
+        int n_r = lh[l - 1], n_c = lw[l - 1];
+        for (int c = 0; c < n_c; c++) {
+            for (int r = 0; r < n_r; r++)
+                scratch[r] = canvas[(int64_t)r * width + c];
+            inv53(scratch.data(), scratch.data() + n_r, n_r, 1);
+            for (int r = 0; r < n_r; r++)
+                canvas[(int64_t)r * width + c] = scratch[n_r + r];
+        }
+        for (int r = 0; r < n_r; r++) {
+            int64_t* rowp = &canvas[(int64_t)r * width];
+            for (int c = 0; c < n_c; c++) scratch[c] = rowp[c];
+            inv53(scratch.data(), scratch.data() + n_c, n_c, 1);
+            for (int c = 0; c < n_c; c++) rowp[c] = scratch[n_c + c];
+        }
+    }
+    int64_t maxv = ((int64_t)1 << nbits) - 1;
+    int64_t clamped = 0;
+    for (int64_t i = 0; i < npix; i++) {
+        int64_t v = canvas[i];
+        if (v < 0 || v > maxv) {
+            if (lossless) return -26;
+            clamped++;
+            v = v < 0 ? 0 : maxv;
+        }
+        out[i] = (uint16_t)v;
+    }
+    if (!lossless && clamped * 8 > npix) return -27;
     return 0;
 }
 

@@ -1361,6 +1361,101 @@ def crx_encode_plane(plane: np.ndarray, nbits: int) -> bytes:
     return wr.done()
 
 
+def _fwd53(x: list[int]) -> list[int]:
+    """Forward reversible 5/3 lifting (mirror of cr3._inv53):
+    interleaved -> [s|d] packed."""
+    n = len(x)
+    if n == 1:
+        return list(x)
+    ns, nd = (n + 1) // 2, n // 2
+    d = [0] * nd
+    s = [0] * ns
+    for j in range(nd):
+        e0 = x[2 * j]
+        e1 = x[2 * j + 2] if 2 * j + 2 <= n - 1 else e0
+        d[j] = x[2 * j + 1] - ((e0 + e1) >> 1)
+    for j in range(ns):
+        dm1 = d[j - 1 if j > 0 else 0]
+        dj = d[j if j < nd else nd - 1]
+        s[j] = x[2 * j] + ((dm1 + dj + 2) >> 2)
+    return s + d
+
+
+def _encode_band(band: np.ndarray, nbits: int, ll: bool,
+                 q_exp: int) -> bytes:
+    """Mirror of cr3._decode_band_py: quantization-exponent byte, then
+    adaptive Golomb-Rice zigzag coefficients (DPCM on LL)."""
+    bh, bw = band.shape
+    if q_exp:
+        step = 1 << q_exp
+        q = np.floor_divide(band + (step >> 1), step)
+    else:
+        q = band.astype(np.int64)
+    wr = _MsbWriter()
+    A, N = 4, 1
+    for row in range(bh):
+        for col in range(bw):
+            pred = 0
+            if ll:
+                if col > 0:
+                    pred = int(q[row, col - 1])
+                elif row > 0:
+                    pred = int(q[row - 1, 0])
+            err = int(q[row, col]) - pred
+            u = 2 * err if err >= 0 else -2 * err - 1
+            k = 0
+            while (N << k) < A and k < 15:
+                k += 1
+            qq = u >> k
+            if qq < cr3mod.ESCAPE_Q:
+                wr.put(1, qq + 1)
+                wr.put(u & ((1 << k) - 1), k)
+            else:
+                wr.put(1, cr3mod.ESCAPE_Q + 1)
+                assert u < (1 << (nbits + 4)), u
+                wr.put(u, nbits + 4)
+            A += u
+            N += 1
+            if N == cr3mod.RESET_N:
+                A >>= 1
+                N >>= 1
+    return bytes([q_exp]) + wr.done()
+
+
+def crx_encode_plane_wavelet(plane: np.ndarray, nbits: int, levels: int,
+                             q_exp: int = 0):
+    """Encoder mirror of crx_decode_plane_wavelet: forward 5/3 pyramid
+    (rows then columns per level), per-band encode (LL kept exact,
+    detail bands quantized by q_exp).  Returns (blob, band_sizes)."""
+    h, w = plane.shape
+    canvas = plane.astype(np.int64)
+    lw, lh = [w], [h]
+    for _ in range(levels):
+        lw.append((lw[-1] + 1) // 2)
+        lh.append((lh[-1] + 1) // 2)
+    for l in range(1, levels + 1):
+        nr, nc = lh[l - 1], lw[l - 1]
+        for r in range(nr):
+            canvas[r, :nc] = _fwd53(canvas[r, :nc].tolist())
+        for c in range(nc):
+            canvas[:nr, c] = _fwd53(canvas[:nr, c].tolist())
+    blobs = [_encode_band(canvas[:lh[levels], :lw[levels]], nbits,
+                          True, 0)]
+    for l in range(levels, 0, -1):
+        cw, ch = lw[l], lh[l]
+        dw, dh = lw[l - 1] - cw, lh[l - 1] - ch
+        if dw > 0:
+            blobs.append(_encode_band(canvas[:ch, cw:cw + dw], nbits,
+                                      False, q_exp))
+        if dh > 0:
+            blobs.append(_encode_band(canvas[ch:ch + dh, :cw], nbits,
+                                      False, q_exp))
+        if dw > 0 and dh > 0:
+            blobs.append(_encode_band(canvas[ch:ch + dh, cw:cw + dw],
+                                      nbits, False, q_exp))
+    return b"".join(blobs), [len(b) for b in blobs]
+
+
 def _box(t: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + t + payload
 
@@ -1378,22 +1473,36 @@ def _tiff_blob(entries) -> bytes:
 
 def write_cr3(mosaic: np.ndarray, nbits: int = 14, wb=None,
               preview_jpeg: bytes | None = None,
-              enc_type: int = 0) -> bytes:
+              enc_type: int = 0, levels: int = 0,
+              q_exp: int = 0) -> bytes:
     """Structurally correct minimal CR3: ftyp('crx '), moov with the
     Canon uuid (CNCV + CMT1/CMT3), a preview track (when given) and a
-    CRAW raw track (CMP1 + stsz/co64), mdat."""
+    CRAW raw track (CMP1 + stsz/co64), mdat.  levels > 0 emits the
+    wavelet (CRAW) class with per-band ff03 header entries; enc_type 1
+    + q_exp quantizes the detail bands (lossy)."""
     fh, fw = mosaic.shape
     planes = [mosaic[0::2, 0::2], mosaic[0::2, 1::2],
               mosaic[1::2, 0::2], mosaic[1::2, 1::2]]
-    blobs = [crx_encode_plane(p, nbits) for p in planes]
-    hdr = b"".join(struct.pack(">HHII", 0xFF02, 0, len(b), 0)
-                   for b in blobs)
+    hdr = b""
+    blobs = []
+    if levels > 0:
+        for p in planes:
+            blob, bands = crx_encode_plane_wavelet(p, nbits, levels,
+                                                   q_exp)
+            blobs.append(blob)
+            hdr += struct.pack(">HHII", 0xFF02, 0, len(blob), 0)
+            hdr += b"".join(struct.pack(">HHII", 0xFF03, 0, b, 0)
+                            for b in bands)
+    else:
+        blobs = [crx_encode_plane(p, nbits) for p in planes]
+        hdr = b"".join(struct.pack(">HHII", 0xFF02, 0, len(b), 0)
+                       for b in blobs)
     raw_sample = hdr + b"".join(blobs)
 
     cmp1_payload = (b"\0\0\0\0"
                     + struct.pack(">HH4I", 0, 0, fw, fh, fw, fh)
-                    + bytes([nbits, (4 << 4) | 0, (enc_type << 4) | 0,
-                             0])
+                    + bytes([nbits, (4 << 4) | 0,
+                             (enc_type << 4) | levels, 0])
                     + struct.pack(">I", len(hdr)))
     cmp1 = _box(b"CMP1", cmp1_payload)
 
@@ -1456,6 +1565,164 @@ def test_crx_plane_roundtrip_and_differential():
             assert c is None and p is None, trial
         else:
             assert np.array_equal(c, p), trial
+
+
+def test_crx_hand_derived_bitstream_vectors():
+    """Hand-derived CRX entropy-layer vectors (VERDICT-r3 missing #2):
+    the constants (A0=4, N0=1, RESET_N=64, ESCAPE_Q=20, escape field =
+    nbits+2) and state transitions walked on paper, byte-exact.
+
+    Vector 1 — 2x2 plane, nbits=4, pixels [[5,6],[4,4]]:
+      (0,0) pred=0  A=4 N=1 -> k=2; err=+5 u=10: q=2 -> '001' + '10'
+      (0,1) pred=5  A=14 N=2 -> k=3; err=+1 u=2:  q=0 -> '1' + '010'
+      (1,0) pred=5 (above) A=16 N=3 -> k=3; err=-1 u=1: '1' + '001'
+      (1,1) MED: a=4 b=6 c=5 -> pred=a+b-c=5; A=17 N=4 -> k=3;
+            err=-1 u=1: '1' + '001'
+      bits 00110'1010'1001'1001 + pad -> 0x35 0x4C 0x80
+
+    Vector 2 — 1x5 plane, nbits=4, pixels [0,0,0,0,12]: k adapts to 0
+    after three zero residuals (N catches up to A), then u=24 >= 20
+    escapes: 20 zeros + stop + 6-bit explicit field '011000'.
+      bits 100'10'10'1 + 0*20 + 1 + 011000 -> 0x95 00 00 0x0B 00"""
+    v1 = bytes([0x35, 0x4C, 0x80])
+    expect1 = np.array([[5, 6], [4, 4]], np.uint16)
+    py = cr3mod.crx_decode_plane_py(v1, 2, 2, 4)
+    assert np.array_equal(py, expect1)
+    assert crx_encode_plane(expect1, 4) == v1
+    if native.get_lib() is not None:
+        assert np.array_equal(native.crx_decode_plane(v1, 2, 2, 4),
+                              expect1)
+
+    v2 = bytes([0x95, 0x00, 0x00, 0x0B, 0x00])
+    expect2 = np.array([[0, 0, 0, 0, 12]], np.uint16)
+    py = cr3mod.crx_decode_plane_py(v2, 5, 1, 4)
+    assert np.array_equal(py, expect2)
+    assert crx_encode_plane(expect2, 4) == v2
+    if native.get_lib() is not None:
+        assert np.array_equal(native.crx_decode_plane(v2, 5, 1, 4),
+                              expect2)
+
+    # strictness: a trailing unread byte or an out-of-range sample
+    # rejects (the foreign-bitstream gates)
+    assert cr3mod.crx_decode_plane_py(v1 + b"\x00", 2, 2, 4) is None
+    if native.get_lib() is not None:
+        assert native.crx_decode_plane(v1 + b"\x00", 2, 2, 4) is None
+
+
+def test_crx_cmp1_routing_table():
+    """Explicit CMP1 (enc_type, levels) routing: which combinations
+    raw-decode vs fall back to the embedded preview."""
+    assert cr3mod.crx_route(0, 0) == "med"
+    for l in (1, 2, 3, 8):
+        assert cr3mod.crx_route(0, l) == "wavelet-lossless"
+        assert cr3mod.crx_route(1, l) == "wavelet-lossy"
+    assert cr3mod.crx_route(1, 0) is None
+    assert cr3mod.crx_route(2, 0) is None
+    assert cr3mod.crx_route(2, 3) is None
+    assert cr3mod.crx_route(0, 9) is None
+    assert cr3mod.crx_route(3, 1) is None
+
+
+@native_gated
+def test_crx_wavelet_roundtrip_and_differential():
+    """LeGall 5/3 wavelet class: lossless roundtrip exact (C++ and
+    Python oracle), lossy within the quantization bound, C++/Python
+    bit-identical on both, random-stream differential."""
+    rng = np.random.default_rng(77)
+    for h, w, levels in ((30, 22, 2), (17, 13, 3), (8, 8, 1)):
+        plane = rng.integers(0, 1 << 14, (h, w), dtype=np.uint16)
+        blob, bands = crx_encode_plane_wavelet(plane, 14, levels)
+        cpp = native.crx_decode_plane_wavelet(blob, bands, w, h, 14,
+                                              levels, True)
+        assert cpp is not None and np.array_equal(cpp, plane), (h, w)
+        py = cr3mod.crx_decode_plane_wavelet_py(blob, bands, w, h, 14,
+                                                levels, True)
+        assert np.array_equal(py, plane), (h, w)
+
+    # lossy: quantized detail bands; C++ == Python bit-exact, output
+    # within a loose synthesis-amplified step bound of the original
+    plane = rng.integers(200, 1 << 13, (24, 36), dtype=np.uint16)
+    blob, bands = crx_encode_plane_wavelet(plane, 14, 3, q_exp=3)
+    cpp = native.crx_decode_plane_wavelet(blob, bands, 36, 24, 14, 3,
+                                          False)
+    py = cr3mod.crx_decode_plane_wavelet_py(blob, bands, 36, 24, 14, 3,
+                                            False)
+    assert cpp is not None and py is not None
+    assert np.array_equal(cpp, py)
+    diff = np.abs(cpp.astype(np.int64) - plane.astype(np.int64))
+    assert diff.max() <= 128 and diff.mean() <= 8
+
+    # differential on random (usually invalid) streams
+    for trial in range(4):
+        stream = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+        sizes = [150, 150, 150, 150]
+        c = native.crx_decode_plane_wavelet(stream, sizes, 12, 10, 12,
+                                            1, False)
+        p = cr3mod.crx_decode_plane_wavelet_py(stream, sizes, 12, 10,
+                                               12, 1, False)
+        if c is None or p is None:
+            assert c is None and p is None, trial
+        else:
+            assert np.array_equal(c, p), trial
+
+
+@native_gated
+def test_cr3_craw_container_decode():
+    """CR3 with a wavelet-class raw track: lossless reconstructs the
+    mosaic exactly; lossy (CRAW, enc_type 1) reconstructs within the
+    quantization bound."""
+    rng = np.random.default_rng(79)
+    mosaic = rng.integers(0, 1 << 14, (32, 48), dtype=np.uint16)
+    data = write_cr3(mosaic, wb=(1024, 1024, 1024, 1024), levels=3)
+    parsed = cr3mod.parse_cr3(data)
+    assert parsed["raw"] is not None
+    assert np.array_equal(parsed["raw"].mosaic, mosaic)
+
+    _, scene = _scene14(32, 48, seed=85)
+    lossy = write_cr3(scene, enc_type=1, levels=3, q_exp=2)
+    parsed = cr3mod.parse_cr3(lossy)
+    assert parsed["raw"] is not None
+    diff = np.abs(parsed["raw"].mosaic.astype(np.int64)
+                  - scene.astype(np.int64))
+    assert diff.max() <= 64
+
+
+@native_gated
+def test_cr3_craw_groups_with_jpeg_sibling(tmp_path):
+    """Preview-less lossy CRAW CR3 full-decodes through the scanner and
+    groups with its JPEG sibling (VERDICT-r3 item 1 'done' bar)."""
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic = _scene14(240, 320, seed=87)
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot_craw.cr3").write_bytes(
+        write_cr3(mosaic, wb=(1024, 1024, 1024, 1024), enc_type=1,
+                  levels=3, q_exp=2))
+    Image.fromarray(rgb).save(d / "sibling.jpg", quality=95)
+    arr, res = decode.load_image(d / "shot_craw.cr3")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == \
+        {"shot_craw.cr3", "sibling.jpg"}
+
+
+@native_gated
+def test_cr3_craw_views_in_gui_engine(tmp_path):
+    """The viewer path full-decodes a lossy CRAW CR3."""
+    from rupphash_tpu.gui import imaging
+
+    _, mosaic = _scene14(64, 96, seed=89)
+    p = tmp_path / "view_craw.cr3"
+    p.write_bytes(write_cr3(mosaic, enc_type=1, levels=2, q_exp=2))
+    eng = imaging.ImageEngine()
+    out = eng.render(p)
+    assert out is not None and out[:2] == b"\xff\xd8"
 
 
 @native_gated
