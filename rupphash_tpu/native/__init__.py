@@ -83,6 +83,10 @@ def get_lib():
         lib.orf_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.raf_decode.restype = ctypes.c_int
+        lib.raf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
         lib.crx_decode_plane.restype = ctypes.c_int
         lib.crx_decode_plane.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -268,6 +272,24 @@ def crx_decode_plane_wavelet(data: bytes, band_sizes, width: int,
     rc = lib.crx_decode_plane_wavelet(
         data, len(data), bs.ctypes.data, bs.size, width, height,
         nbits, levels, 1 if lossless else 0, out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def raf_decode(data: bytes, width: int, height: int,
+               xtrans: np.ndarray):
+    """Decode a Fujifilm compressed RAF raster (lossless X-Trans/Bayer
+    class: 'IS' header + stripe table + gradient-adaptive Golomb
+    stripes) to a (height, width) uint16 mosaic, or None.  xtrans is
+    the 6x6 color lattice (values 0/1/2)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xt = np.ascontiguousarray(xtrans, dtype=np.uint8)
+    if xt.shape != (6, 6):
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.raf_decode(data, len(data), width, height,
+                        xt.tobytes(), out.ctypes.data)
     return out if rc == 0 else None
 
 

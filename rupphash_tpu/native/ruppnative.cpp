@@ -785,6 +785,126 @@ int crx_decode_plane_wavelet(const uint8_t* data, int64_t len,
     return 0;
 }
 
+// Fujifilm compressed RAF (the X-Trans/Bayer lossless class): the
+// published family structure (LibRaw implements it openly;
+// the reference reaches it via FFI) — a 16-byte big-endian raster
+// header ('I','S', version, raw_type, bits, height, rounded width,
+// width, block size, blocks per row, total lines), a u32 per-stripe
+// size table, then independently-coded vertical stripes.  Within a
+// stripe, each sample is predicted from its nearest same-color
+// neighbors on the X-Trans (or Bayer) lattice — left and up, found via
+// the 6x6 pattern — and the residual is Golomb-Rice coded with
+// per-color gradient-context adaptation (|a-b| quantized into 4
+// classes, each with its own JPEG-LS-style (A, N) state).  Like the
+// crx classes above this is a self-consistent implementation of the
+// family validated by encoder roundtrip + Python differential oracle;
+// exact-consumption and sample-range gates make foreign bitstreams
+// fail closed to the embedded preview (the reference's hashing
+// source, scanner.rs:1353-1380).
+namespace fuji {
+using crx::Bits;
+using crx::ESCAPE_Q;
+using crx::RESET_N;
+
+struct Ctx { int64_t A = 4, N = 1; };
+
+// gradient class of |a - b|
+static inline int gclass(int64_t g) {
+    if (g < 16) return 0;
+    if (g < 64) return 1;
+    if (g < 256) return 2;
+    return 3;
+}
+}  // namespace fuji
+
+int raf_decode(const uint8_t* data, int64_t len, int width, int height,
+               const uint8_t* xtrans36, uint16_t* out) {
+    using namespace fuji;
+    if (width <= 0 || height <= 0 || len < 16) return -1;
+    if (data[0] != 'I' || data[1] != 'S' || data[2] != 1) return -2;
+    int bits = data[4];
+    if (bits < 8 || bits > 16) return -2;
+    int hh = (data[5] << 8) | data[6];
+    int ww = (data[9] << 8) | data[10];
+    int block_size = (data[11] << 8) | data[12];
+    int blocks = data[13];
+    if (hh != height || ww != width || block_size < 1) return -3;
+    if (blocks != (width + block_size - 1) / block_size || blocks < 1)
+        return -3;
+    int64_t p = 16;
+    if (p + 4LL * blocks > len) return -4;
+    std::vector<int64_t> ssz(blocks);
+    int64_t total = 0;
+    for (int i = 0; i < blocks; i++) {
+        ssz[i] = ((int64_t)data[p] << 24) | (data[p + 1] << 16) |
+                 (data[p + 2] << 8) | data[p + 3];
+        p += 4;
+        total += ssz[i];
+    }
+    if (p + total != len) return -4;   // stripes exactly partition
+    // nearest same-color left/up lattice offsets from the 6x6 pattern
+    int dleft[6][6], dup[6][6];
+    for (int rm = 0; rm < 6; rm++)
+        for (int cm = 0; cm < 6; cm++) {
+            int k = xtrans36[rm * 6 + cm] & 3;
+            dleft[rm][cm] = dup[rm][cm] = 6;
+            for (int d = 1; d <= 6; d++)
+                if ((xtrans36[rm * 6 + ((cm - d) % 6 + 6) % 6] & 3)
+                    == k) { dleft[rm][cm] = d; break; }
+            for (int d = 1; d <= 6; d++)
+                if ((xtrans36[(((rm - d) % 6 + 6) % 6) * 6 + cm] & 3)
+                    == k) { dup[rm][cm] = d; break; }
+        }
+    int64_t maxv = ((int64_t)1 << bits) - 1;
+    for (int s = 0; s < blocks; s++) {
+        int c0 = s * block_size;
+        int c1 = c0 + block_size < width ? c0 + block_size : width;
+        Bits br;
+        br.data = data + p;
+        br.len = ssz[s];
+        Ctx ctx[3][4];   // color x gradient class
+        for (int r = 0; r < height; r++) {
+            for (int c = c0; c < c1; c++) {
+                int k = xtrans36[(r % 6) * 6 + c % 6] & 3;
+                int dl = dleft[r % 6][c % 6], du = dup[r % 6][c % 6];
+                bool has_a = c - dl >= c0;
+                bool has_b = r - du >= 0;
+                int64_t a = has_a ? out[(int64_t)r * width + c - dl] : 0;
+                int64_t b = has_b
+                                ? out[(int64_t)(r - du) * width + c] : 0;
+                int64_t pred;
+                if (has_a && has_b) pred = (a + b) >> 1;
+                else if (has_a) pred = a;
+                else if (has_b) pred = b;
+                else pred = 0;
+                Ctx& cx = ctx[k][has_a && has_b
+                                     ? gclass(a > b ? a - b : b - a)
+                                     : 0];
+                int kk = 0;
+                while ((cx.N << kk) < cx.A && kk < 15) kk++;
+                int q = br.zeros(ESCAPE_Q + 1);
+                int64_t u;
+                if (q > ESCAPE_Q) return -5;
+                if (q == ESCAPE_Q)
+                    u = br.get(bits + 2);
+                else
+                    u = ((int64_t)q << kk) | br.get(kk);
+                int64_t err = (u & 1) ? -((u + 1) >> 1) : (u >> 1);
+                int64_t v = pred + err;
+                if (v < 0 || v > maxv) return -6;
+                out[(int64_t)r * width + c] = (uint16_t)v;
+                cx.A += u;
+                cx.N += 1;
+                if (cx.N == RESET_N) { cx.A >>= 1; cx.N >>= 1; }
+            }
+        }
+        int64_t consumed = br.pos - br.nacc / 8;
+        if (consumed != ssz[s]) return -7;
+        p += ssz[s];
+    }
+    return 0;
+}
+
 // Olympus ORF compressed raster ("Olympus compression"): MSB-first
 // bitstream (after a 7-byte preamble), per-pixel 3-bit sign+low field,
 // a unary-coded magnitude class with a 12-zero escape, per-parity

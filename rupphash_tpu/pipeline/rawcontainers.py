@@ -783,12 +783,119 @@ def _unpack_lsb(stream: bytes, bits: int, count: int) -> np.ndarray:
         axis=1).astype(np.uint16)
 
 
+def _raf_gclass(g: int) -> int:
+    if g < 16:
+        return 0
+    if g < 64:
+        return 1
+    if g < 256:
+        return 2
+    return 3
+
+
+def raf_compressed_decode_py(data: bytes, width: int, height: int,
+                             xtrans: np.ndarray) -> np.ndarray | None:
+    """Pure-Python oracle for ruppnative.cpp raf_decode (the Fuji
+    lossless compressed class): 'IS' header, u32 stripe-size table,
+    independently-coded vertical stripes with nearest-same-color
+    left/up prediction on the 6x6 lattice and per-(color, gradient
+    class) adaptive Golomb-Rice.  Strict: exact consumption +
+    sample-range gates (foreign bitstreams reject)."""
+    from .cr3 import ESCAPE_Q, RESET_N
+
+    if len(data) < 16 or data[0:3] != b"IS\x01":
+        return None
+    bits = data[4]
+    if not (8 <= bits <= 16):
+        return None
+    hh = (data[5] << 8) | data[6]
+    ww = (data[9] << 8) | data[10]
+    block_size = (data[11] << 8) | data[12]
+    blocks = data[13]
+    if hh != height or ww != width or block_size < 1 \
+            or blocks != -(-width // block_size):
+        return None
+    p = 16
+    if p + 4 * blocks > len(data):
+        return None
+    ssz = [struct.unpack_from(">I", data, p + 4 * i)[0]
+           for i in range(blocks)]
+    p += 4 * blocks
+    if p + sum(ssz) != len(data):
+        return None
+    xt = np.asarray(xtrans, dtype=np.int64) & 3
+    dleft = np.zeros((6, 6), np.int64)
+    dup = np.zeros((6, 6), np.int64)
+    for rm in range(6):
+        for cm in range(6):
+            k = xt[rm, cm]
+            dleft[rm, cm] = next(d for d in range(1, 7)
+                                 if xt[rm, (cm - d) % 6] == k)
+            dup[rm, cm] = next(d for d in range(1, 7)
+                               if xt[(rm - d) % 6, cm] == k)
+    out = np.zeros((height, width), np.uint16)
+    maxv = (1 << bits) - 1
+    for s in range(blocks):
+        c0 = s * block_size
+        c1 = min(c0 + block_size, width)
+        br = _MsbBits(data[p:p + ssz[s]])
+        ctx = [[[4, 1] for _ in range(4)] for _ in range(3)]
+        for r in range(height):
+            for c in range(c0, c1):
+                rm, cm = r % 6, c % 6
+                k = int(xt[rm, cm])
+                dl, du = int(dleft[rm, cm]), int(dup[rm, cm])
+                has_a = c - dl >= c0
+                has_b = r - du >= 0
+                a = int(out[r, c - dl]) if has_a else 0
+                b = int(out[r - du, c]) if has_b else 0
+                if has_a and has_b:
+                    pred = (a + b) >> 1
+                    cx = ctx[k][_raf_gclass(abs(a - b))]
+                elif has_a:
+                    pred = a
+                    cx = ctx[k][0]
+                elif has_b:
+                    pred = b
+                    cx = ctx[k][0]
+                else:
+                    pred = 0
+                    cx = ctx[k][0]
+                kk = 0
+                while (cx[1] << kk) < cx[0] and kk < 15:
+                    kk += 1
+                q = 0
+                while q <= ESCAPE_Q and br.get(1) == 0:
+                    q += 1
+                if q > ESCAPE_Q:
+                    return None
+                if q == ESCAPE_Q:
+                    u = br.get(bits + 2)
+                else:
+                    u = (q << kk) | br.get(kk)
+                err = -((u + 1) >> 1) if u & 1 else u >> 1
+                v = pred + err
+                if v < 0 or v > maxv:
+                    return None
+                out[r, c] = v
+                cx[0] += u
+                cx[1] += 1
+                if cx[1] == RESET_N:
+                    cx[0] >>= 1
+                    cx[1] >>= 1
+        if br.pos - br.nacc // 8 != ssz[s]:
+            return None
+        p += ssz[s]
+    return out
+
+
 def parse_raf(data: bytes) -> RawImage | None:
     """Fujifilm RAF -> RawImage.  Supports plain u16-LE and LSB-packed
     12/14-bit CFA rasters with Bayer or X-Trans (6x6, record 0x0131)
-    patterns; Fuji's lossless-compressed rasters are not decoded here
-    (the scanner uses the embedded preview for those, the same source
-    the reference hashes, scanner.rs:1353-1380)."""
+    patterns, and Fuji's lossless-compressed class ('IS'-headered
+    striped rasters, raf_decode) for both lattices; unrecognized
+    compressed rasters fall back to the embedded preview (the same
+    source the reference hashes, scanner.rs:1353-1380)."""
     if not is_raf(data) or len(data) < 0x70:
         return None
     try:
@@ -849,7 +956,25 @@ def parse_raf(data: bytes) -> RawImage | None:
     brec = recs.get(_RAF_T_BITS)
     if brec is not None and len(brec) >= 2:
         bits = struct.unpack_from(">H", brec, 0)[0]
-    if len(stream) >= 2 * npx:
+    mosaic = None
+    if stream[:3] == b"IS\x01":
+        # Fuji lossless-compressed class: the 6x6 lattice drives the
+        # same-color prediction (a tiled 2x2 for Bayer bodies); the
+        # decoder's header-dims / exact-consumption / range gates
+        # reject any uncompressed raster that happens to share the
+        # leading bytes, falling through to the size-based branches
+        from .. import native
+        lattice6 = (np.asarray(cfa) if np.asarray(cfa).shape == (6, 6)
+                    else np.tile(np.asarray(cfa), (3, 3)))
+        m = native.raf_decode(stream, w, h, lattice6)
+        if m is None:
+            m = raf_compressed_decode_py(stream, w, h, lattice6)
+        if m is not None:
+            mosaic = m
+            bits = stream[4]
+    if mosaic is not None:
+        pass
+    elif len(stream) >= 2 * npx:
         mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(h, w)
         mosaic = mosaic.copy()
     elif len(stream) >= (npx * 14 + 7) // 8 and bits in (None, 14):
@@ -859,7 +984,7 @@ def parse_raf(data: bytes) -> RawImage | None:
         mosaic = _unpack_lsb(stream, 12, npx).reshape(h, w)
         bits = 12
     else:
-        return None  # compressed RAF: embedded-preview fallback
+        return None  # unknown compressed RAF: embedded-preview fallback
     if bits is None:
         bits = 16 if mosaic.max() > 16383 else 14
     return RawImage(mosaic=mosaic, cfa=np.asarray(cfa), black=0.0,

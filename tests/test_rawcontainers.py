@@ -811,6 +811,24 @@ XTRANS = np.array([  # Fujifilm X-Trans 6x6 (0=R 1=G 2=B)
     [1, 0, 1, 1, 2, 1]], dtype=np.int64)
 
 
+def _scene_xtrans14(h=64, w=96, seed=5):
+    """Textured sRGB scene + linear-light 14-bit mosaic sampled through
+    the X-Trans lattice (the 6x6 analogue of _scene14)."""
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, (8, 12, 3), dtype=np.uint8)
+    rgb = np.asarray(Image.fromarray(base).resize((w, h),
+                                                  Image.BILINEAR))
+    srgb = rgb.astype(np.float64) / 255.0
+    lin = np.where(srgb <= 0.04045, srgb / 12.92,
+                   ((srgb + 0.055) / 1.055) ** 2.4)
+    site = XTRANS[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]
+    mosaic = np.round(np.take_along_axis(
+        lin, site[:, :, None], axis=2)[:, :, 0] * 16383.0
+    ).astype(np.uint16)
+    return rgb, mosaic
+
+
 def pack_lsb(vals: np.ndarray, bits: int) -> bytes:
     """LSB-first bit packing (inverse of rawcontainers._unpack_lsb)."""
     v = vals.astype(np.int64).reshape(-1)
@@ -820,9 +838,11 @@ def pack_lsb(vals: np.ndarray, bits: int) -> bytes:
 
 def write_raf(mosaic: np.ndarray, bits: int = 16, wb=None,
               xtrans: np.ndarray | None = None,
-              jpeg_preview: bytes = b"") -> bytes:
+              jpeg_preview: bytes = b"",
+              raster: bytes | None = None) -> bytes:
     """Structurally correct minimal RAF: 16-byte magic, big-endian
-    offset table at 0x54, tagged CFA header records, raster."""
+    offset table at 0x54, tagged CFA header records, raster (pass
+    raster= for a pre-compressed stream)."""
     h, w = mosaic.shape
     recs = [(0x0100, struct.pack(">HH", h, w))]
     if bits != 16:
@@ -838,10 +858,9 @@ def write_raf(mosaic: np.ndarray, bits: int = 16, wb=None,
     hdr = struct.pack(">I", len(recs))
     for tag, payload in recs:
         hdr += struct.pack(">HH", tag, len(payload)) + payload
-    if bits == 16:
-        raster = mosaic.astype("<u2").tobytes()
-    else:
-        raster = pack_lsb(mosaic, bits)
+    if raster is None:
+        raster = mosaic.astype("<u2").tobytes() if bits == 16 \
+            else pack_lsb(mosaic, bits)
     head = bytearray(b"FUJIFILMCCD-RAW 0201FF129502".ljust(0x54, b"\0"))
     jpeg_off = 0x70
     hdr_off = jpeg_off + len(jpeg_preview)
@@ -851,6 +870,78 @@ def write_raf(mosaic: np.ndarray, bits: int = 16, wb=None,
                         cfa_off, len(raster))
     head = head.ljust(jpeg_off, b"\0")
     return bytes(head) + jpeg_preview + hdr + raster
+
+
+def raf_compress(mosaic: np.ndarray, bits: int, lattice6: np.ndarray,
+                 block_size: int = 32) -> bytes:
+    """Encoder mirror of native raf_decode / raf_compressed_decode_py:
+    'IS' header + u32 stripe table + per-stripe gradient-adaptive
+    Golomb bitstreams (nearest-same-color prediction on the 6x6
+    lattice)."""
+    from rupphash_tpu.pipeline.cr3 import ESCAPE_Q, RESET_N
+    from rupphash_tpu.pipeline.rawcontainers import _raf_gclass
+
+    h, w = mosaic.shape
+    xt = np.asarray(lattice6, dtype=np.int64) & 3
+    dleft = np.zeros((6, 6), np.int64)
+    dup = np.zeros((6, 6), np.int64)
+    for rm in range(6):
+        for cm in range(6):
+            k = xt[rm, cm]
+            dleft[rm, cm] = next(d for d in range(1, 7)
+                                 if xt[rm, (cm - d) % 6] == k)
+            dup[rm, cm] = next(d for d in range(1, 7)
+                               if xt[(rm - d) % 6, cm] == k)
+    blocks = -(-w // block_size)
+    stripes = []
+    m = mosaic.astype(np.int64)
+    for s in range(blocks):
+        c0 = s * block_size
+        c1 = min(c0 + block_size, w)
+        wr = _MsbWriter()
+        ctx = [[[4, 1] for _ in range(4)] for _ in range(3)]
+        for r in range(h):
+            for c in range(c0, c1):
+                rm, cm = r % 6, c % 6
+                k = int(xt[rm, cm])
+                dl, du = int(dleft[rm, cm]), int(dup[rm, cm])
+                has_a = c - dl >= c0
+                has_b = r - du >= 0
+                a = int(m[r, c - dl]) if has_a else 0
+                b = int(m[r - du, c]) if has_b else 0
+                if has_a and has_b:
+                    pred = (a + b) >> 1
+                    cx = ctx[k][_raf_gclass(abs(a - b))]
+                else:
+                    pred = a if has_a else (b if has_b else 0)
+                    cx = ctx[k][0]
+                err = int(m[r, c]) - pred
+                u = 2 * err if err >= 0 else -2 * err - 1
+                kk = 0
+                while (cx[1] << kk) < cx[0] and kk < 15:
+                    kk += 1
+                q = u >> kk
+                if q < ESCAPE_Q:
+                    wr.put(1, q + 1)
+                    wr.put(u & ((1 << kk) - 1), kk)
+                else:
+                    wr.put(1, ESCAPE_Q + 1)
+                    assert u < (1 << (bits + 2)), u
+                    wr.put(u, bits + 2)
+                cx[0] += u
+                cx[1] += 1
+                if cx[1] == RESET_N:
+                    cx[0] >>= 1
+                    cx[1] >>= 1
+        stripes.append(wr.done())
+    header = (bytes([0x49, 0x53, 1, 0, bits])
+              + struct.pack(">H", h) + struct.pack(">H", w)
+              + struct.pack(">H", w) + struct.pack(">H", block_size)
+              + bytes([blocks]) + struct.pack(">H", h))
+    assert len(header) == 16
+    return (header
+            + b"".join(struct.pack(">I", len(s)) for s in stripes)
+            + b"".join(stripes))
 
 
 def test_raf_u16_roundtrip_and_wb():
@@ -951,6 +1042,79 @@ def test_raf_preview_is_hashed_when_compressed_raster(tmp_path):
     assert rawcontainers.parse_raf(raf) is None
     arr, res = decode.load_image(p)
     assert arr is not None and res == (320, 240)
+
+
+@native_gated
+def test_raf_compressed_roundtrip_and_differential():
+    """Fuji lossless-compressed class: encoder roundtrip exact through
+    the C++ decoder and the Python oracle on X-Trans and Bayer
+    lattices; random-stream differential."""
+    rng = np.random.default_rng(91)
+    for lattice in (XTRANS, np.tile(np.array([[0, 1], [1, 2]]), (3, 3))):
+        mosaic = rng.integers(0, 1 << 14, (30, 44), dtype=np.uint16)
+        blob = raf_compress(mosaic, 14, lattice, block_size=16)
+        cpp = native.raf_decode(blob, 44, 30, lattice)
+        assert cpp is not None and np.array_equal(cpp, mosaic)
+        py = rawcontainers.raf_compressed_decode_py(blob, 44, 30,
+                                                    lattice)
+        assert py is not None and np.array_equal(py, mosaic)
+    # differential on random streams: both reject or both identical
+    hdr = raf_compress(np.zeros((6, 12), np.uint16), 12, XTRANS,
+                       block_size=12)[:16]
+    for trial in range(4):
+        body = rng.integers(0, 256, 80, dtype=np.uint8).tobytes()
+        stream = hdr + struct.pack(">I", len(body)) + body
+        c = native.raf_decode(stream, 12, 6, XTRANS)
+        p = rawcontainers.raf_compressed_decode_py(stream, 12, 6,
+                                                   XTRANS)
+        if c is None or p is None:
+            assert c is None and p is None, trial
+        else:
+            assert np.array_equal(c, p), trial
+    # strictness: a trailing unread byte rejects
+    mosaic = rng.integers(0, 1 << 12, (12, 12), dtype=np.uint16)
+    blob = raf_compress(mosaic, 12, XTRANS, block_size=12)
+    bad = blob[:16] + struct.pack(">I", len(blob) - 20 + 1) \
+        + blob[20:] + b"\x00"
+    assert native.raf_decode(bad, 12, 12, XTRANS) is None
+    assert rawcontainers.raf_compressed_decode_py(
+        bad, 12, 12, XTRANS) is None
+
+
+@native_gated
+def test_raf_compressed_xtrans_demosaic_groups(tmp_path):
+    """A compressed X-Trans RAF full-decodes through the container
+    parser, feeds the normalized-conv demosaic, and groups with its
+    PNG twin (VERDICT-r3 item 2 'done' bar: the RAF row stops saying
+    'uncompressed/packed only')."""
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic = _scene_xtrans14(240, 320, seed=93)
+    raw = rawcontainers.parse_raf(write_raf(
+        mosaic, bits=14, wb=(1024, 1024, 1024), xtrans=XTRANS,
+        raster=raf_compress(mosaic, 14, XTRANS, block_size=64)))
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert raw.cfa.shape == (6, 6)
+
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot_comp.raf").write_bytes(write_raf(
+        mosaic, bits=14, wb=(1024, 1024, 1024), xtrans=XTRANS,
+        raster=raf_compress(mosaic, 14, XTRANS, block_size=64)))
+    Image.fromarray(rgb).save(d / "twin.png")
+    arr, res = decode.load_image(d / "shot_comp.raf")
+    # the X-Trans normalized-conv demosaic trims the lattice border
+    assert arr is not None and abs(res[0] - 320) <= 4 \
+        and abs(res[1] - 240) <= 4
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == \
+        {"shot_comp.raf", "twin.png"}
 
 
 # ------------------------------------------------------------------ RW2
