@@ -79,6 +79,14 @@ def get_lib():
         lib.rw2_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.rw2_v6_decode.restype = ctypes.c_int
+        lib.rw2_v6_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
+        lib.rw2_v7_decode.restype = ctypes.c_int
+        lib.rw2_v7_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         lib.orf_decode.restype = ctypes.c_int
         lib.orf_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -240,6 +248,32 @@ def rw2_decode(data: bytes, width: int, height: int):
     out = np.empty((height, width), dtype=np.uint16)
     rc = lib.rw2_decode(data, len(data), width, height,
                         out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def rw2_v6_decode(data: bytes, width: int, height: int):
+    """Decode a Panasonic RW2 RawFormat-6 cell raster (16-byte pages,
+    11 pixels: 2 full 14-bit + 3 groups of scale + 10-bit deltas) to a
+    (height, width) uint16 mosaic, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.rw2_v6_decode(data, len(data), width, height,
+                           out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def rw2_v7_decode(data: bytes, width: int, height: int, bps: int):
+    """Decode a Panasonic RW2 RawFormat-7 raster (fixed-rate 16-byte
+    blocks: 9x14-bit or 10x12-bit pixels, little-endian bit order) to
+    a (height, width) uint16 mosaic, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.rw2_v7_decode(data, len(data), width, height, bps,
+                           out.ctypes.data)
     return out if rc == 0 else None
 
 

@@ -519,6 +519,106 @@ int rw2_decode(const uint8_t* data, int64_t len, int width, int height,
     return 0;
 }
 
+// Panasonic RW2 v6 cell scheme (RawFormat 6): plain byte stream of
+// 16-byte pages, each carrying 11 pixels as 14 packed entries — two
+// full 14-bit pixels, then three groups of one 2-bit scale selector
+// (code 3 means shift 4) and three 10-bit values.  The page
+// bit-slicing layout follows the published description (rawspeed /
+// LibRaw implement this format openly); the value reconstruction here
+// is the family rule — odd/even base channels updated by the 10-bit
+// entries as midpoint-relative deltas shifted by the group scale —
+// validated by encoder roundtrip + a Python differential oracle
+// (byte-exactness against real camera files is untestable in this
+// image; RW2 v6 files that look implausible fall back to the embedded
+// preview like every other raw tail).
+int rw2_v6_decode(const uint8_t* data, int64_t len, int width,
+                  int height, uint16_t* out) {
+    if (width <= 0 || height <= 0) return -1;
+    int64_t bpr = (width + 10) / 11;           // pages per row
+    if (len != bpr * 16 * height) return -2;   // exact-size gate
+    for (int row = 0; row < height; row++) {
+        const uint8_t* rp = data + (int64_t)row * bpr * 16;
+        for (int64_t blk = 0; blk < bpr; blk++) {
+            const uint8_t* b = rp + blk * 16;
+            unsigned e[14];
+            e[0] = (b[3] << 6) | (b[2] >> 2);
+            e[1] = (((b[2] & 3) << 12) | (b[1] << 4) | (b[0] >> 4))
+                   & 0x3fff;
+            e[2] = (b[0] >> 2) & 3;
+            e[3] = ((b[0] & 3) << 8) | b[7];
+            e[4] = ((b[6] << 2) | (b[5] >> 6)) & 0x3ff;
+            e[5] = ((b[5] & 0x3f) << 4) | (b[4] >> 4);
+            e[6] = (b[4] >> 2) & 3;
+            e[7] = ((b[4] & 3) << 8) | b[11];
+            e[8] = ((b[10] << 2) | (b[9] >> 6)) & 0x3ff;
+            e[9] = ((b[9] << 4) | (b[8] >> 4)) & 0x3ff;
+            e[10] = (b[8] >> 2) & 3;
+            e[11] = ((b[8] & 3) << 8) | b[15];
+            e[12] = ((b[14] << 2) | (b[13] >> 6)) & 0x3ff;
+            e[13] = ((b[13] << 4) | (b[12] >> 4)) & 0x3ff;
+            int64_t oddeven[2] = {(int64_t)e[0], (int64_t)e[1]};
+            int64_t px[11];
+            px[0] = oddeven[0];
+            px[1] = oddeven[1];
+            static const int vidx[3][3] = {{3, 4, 5}, {7, 8, 9},
+                                           {11, 12, 13}};
+            static const int sidx[3] = {2, 6, 10};
+            for (int g = 0; g < 3; g++) {
+                int sel = e[sidx[g]];
+                int sh = sel == 3 ? 4 : sel;
+                for (int k = 0; k < 3; k++) {
+                    int pixi = 2 + g * 3 + k;
+                    int64_t v = (int64_t)e[vidx[g][k]] - 0x200;
+                    int64_t r = oddeven[pixi & 1] + (v << sh);
+                    if (r < 0) r = 0;
+                    if (r > 0x3fff) r = 0x3fff;
+                    px[pixi] = r;
+                    oddeven[pixi & 1] = r;
+                }
+            }
+            for (int k = 0; k < 11; k++) {
+                int64_t col = blk * 11 + k;
+                if (col < width)
+                    out[(int64_t)row * width + col] = (uint16_t)px[k];
+            }
+        }
+    }
+    return 0;
+}
+
+// Panasonic RW2 v7 cell scheme (RawFormat 7): fixed-rate packing —
+// each 16-byte block holds 9 pixels at 14 bits or 10 pixels at 12
+// bits, little-endian bit order, rows starting on block boundaries.
+// Published layout (LibRaw panasonicC7 semantics), reimplemented from
+// the format description.
+int rw2_v7_decode(const uint8_t* data, int64_t len, int width,
+                  int height, int bps, uint16_t* out) {
+    if (width <= 0 || height <= 0) return -1;
+    if (bps != 12 && bps != 14) return -1;
+    int ppb = bps == 14 ? 9 : 10;
+    int64_t bpr = (width + ppb - 1) / ppb;
+    if (len != bpr * 16 * height) return -2;
+    for (int row = 0; row < height; row++) {
+        const uint8_t* rp = data + (int64_t)row * bpr * 16;
+        for (int64_t blk = 0; blk < bpr; blk++) {
+            const uint8_t* b = rp + blk * 16;
+            for (int k = 0; k < ppb; k++) {
+                int64_t col = blk * ppb + k;
+                if (col >= width) break;
+                int bit0 = k * bps;
+                unsigned v = 0;
+                for (int j = 0; j < bps; j++) {
+                    int bit = bit0 + j;
+                    v |= (unsigned)((b[bit >> 3] >> (bit & 7)) & 1)
+                         << j;
+                }
+                out[(int64_t)row * width + col] = (uint16_t)v;
+            }
+        }
+    }
+    return 0;
+}
+
 // Canon CR3 raw plane codec (the CRX lossless class): per-plane
 // line-based MED (LOCO-I) prediction with adaptive Golomb-Rice residual
 // coding — the published algorithm family of Canon's crx lossless mode

@@ -544,6 +544,70 @@ def _arw2_decode_py(data: bytes, curve, width: int, height: int,
     return out
 
 
+def _sony_levels(sr2: dict):
+    """(black, wb_neutral|None) from the decrypted SR2 private block
+    (black 0x7310, WB 0x7313) — shared by the ARW2 and lossless paths."""
+    black = 0.0
+    blk = sr2.get(_T_SONY_BLACK)
+    if blk is not None:
+        bv = np.atleast_1d(blk).astype(np.float64)
+        if bv.size >= 1 and np.all((bv >= 0) & (bv < 65536)):
+            black = float(bv.mean())
+    wb = None
+    wbv = sr2.get(_T_SONY_WB_RGGB)
+    if wbv is not None and _plausible_wb4(np.atleast_1d(wbv)[:4]):
+        r, g1, g2, b = (float(x) for x in np.atleast_1d(wbv)[:4])
+        g = (g1 + g2) / 2.0
+        wb = np.array([g / r, 1.0, g / b])
+    return black, wb
+
+
+def _sony_lossless_raster(data: bytes, raw_ifd: dict, ifd0: dict,
+                          endian: str):
+    """Sony lossless-compressed ARW (the ARW4 class): the raster is a
+    standard lossless-JPEG (SOF3, ITU-T T.81 process 14) stream whose
+    samples are 4-component 2x2 Bayer quads at half spatial resolution
+    — LibRaw decodes these with its ljpeg core the same way (the
+    reference reaches it through FFI, gui/image.rs:1839-1962).  The
+    existing LJ92 core (native/ruppnative.cpp) is the codec; this
+    wrapper re-interleaves the quads onto the full-resolution mosaic
+    and pulls black/WB from the SR2 private block like the ARW2 path.
+    Returns (mosaic, black, wb, white|None) or None."""
+    from .. import native
+
+    w = int(_scalar(raw_ifd, _T_WIDTH, 0))
+    h = int(_scalar(raw_ifd, _T_LENGTH, 0))
+    if w <= 0 or h <= 0 or w % 2 or h % 2 \
+            or w * h > 512_000_000 // 2:
+        return None
+    offs = np.atleast_1d(raw_ifd.get(_T_STRIP_OFFSETS, [])).astype(
+        np.int64)
+    if offs.size == 0:
+        return None
+    cnts = np.atleast_1d(raw_ifd.get(
+        _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(
+        np.int64)
+    stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
+    dec = native.lj92_decode(stream)
+    if dec is None:
+        return None
+    hj, stride = dec.shape
+    if hj == h and stride == w:
+        mosaic = dec.copy()                 # 1-component variant
+    elif hj * 2 == h and stride == w * 2:
+        quad = dec.reshape(hj, w // 2, 4)
+        mosaic = np.zeros((h, w), np.uint16)
+        mosaic[0::2, 0::2] = quad[:, :, 0]
+        mosaic[0::2, 1::2] = quad[:, :, 1]
+        mosaic[1::2, 0::2] = quad[:, :, 2]
+        mosaic[1::2, 1::2] = quad[:, :, 3]
+    else:
+        return None
+    sr2 = _sony_sr2(data, endian, ifd0) or {}
+    black, wb = _sony_levels(sr2)
+    return mosaic, black, wb, None
+
+
 def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
     """Decode a Sony compression-32767 CFA raster: ARW2 packed blocks
     when the strip is 1 byte/pixel, plain little-endian u16 when it is
@@ -563,18 +627,7 @@ def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
     stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
 
     sr2 = _sony_sr2(data, endian, ifd0) or {}
-    black = 0.0
-    blk = sr2.get(_T_SONY_BLACK)
-    if blk is not None:
-        bv = np.atleast_1d(blk).astype(np.float64)
-        if bv.size >= 1 and np.all((bv >= 0) & (bv < 65536)):
-            black = float(bv.mean())
-    wb = None
-    wbv = sr2.get(_T_SONY_WB_RGGB)
-    if wbv is not None and _plausible_wb4(np.atleast_1d(wbv)[:4]):
-        r, g1, g2, b = (float(x) for x in np.atleast_1d(wbv)[:4])
-        g = (g1 + g2) / 2.0
-        wb = np.array([g / r, 1.0, g / b])
+    black, wb = _sony_levels(sr2)
 
     # BitsPerSample governs the strip layout (8 -> ARW2 packed blocks;
     # anything else with a 2-byte/pixel strip -> plain little-endian
@@ -712,7 +765,19 @@ def parse_tiff_cfa(data: bytes) -> RawImage | None:
     white = None
     wb = None
 
-    mosaic = _raster(data, raw_ifd, endian)
+    mosaic = None
+    if comp == 7 and make.upper().startswith("SONY"):
+        # ARW4-class lossless: the LJ92 stream carries half-res
+        # 4-component Bayer quads — the generic single-component
+        # reshape in _raster would silently scramble it
+        try:
+            sony4 = _sony_lossless_raster(data, raw_ifd, ifd0, endian)
+        except Exception:
+            sony4 = None
+        if sony4 is not None:
+            mosaic, black, wb, white = sony4
+    if mosaic is None:
+        mosaic = _raster(data, raw_ifd, endian)
     if mosaic is None and comp == _COMP_NIKON:
         try:
             mosaic = _nikon_raster(data, raw_ifd, ifd0, endian)
@@ -1006,6 +1071,7 @@ _RW2_T_CFA = 0x0009
 _RW2_T_BITS = 0x000A
 _RW2_T_BLACK = (0x001C, 0x001D, 0x001E)
 _RW2_T_WB = (0x0024, 0x0025, 0x0026)               # R, G, B levels
+_RW2_T_RAW_FORMAT = 0x002D                          # 6/7 = cell schemes
 _RW2_T_RAW_OFFSET = 0x0118
 
 # CFAPattern tag value -> 2x2 site grid (exiftool: 1 = [Red,Green][Green,Blue])
@@ -1079,9 +1145,83 @@ def _rw2_decode_py(data: bytes, width: int, height: int) -> np.ndarray:
     return out
 
 
+def rw2_v6_decode_py(data: bytes, width: int, height: int
+                     ) -> np.ndarray | None:
+    """Pure-Python oracle for ruppnative rw2_v6_decode (RawFormat 6):
+    16-byte pages of 11 pixels — two full 14-bit pixels then three
+    groups of a 2-bit scale selector (3 -> shift 4) and three 10-bit
+    midpoint-relative deltas applied to odd/even base channels.  The
+    page bit-slicing layout is the published one; the reconstruction
+    is the family rule (see ruppnative.cpp)."""
+    bpr = -(-width // 11)
+    if len(data) != bpr * 16 * height:
+        return None
+    out = np.empty((height, width), np.uint16)
+    vidx = ((3, 4, 5), (7, 8, 9), (11, 12, 13))
+    sidx = (2, 6, 10)
+    for row in range(height):
+        r0 = row * bpr * 16
+        for blk in range(bpr):
+            b = data[r0 + blk * 16:r0 + blk * 16 + 16]
+            e = [0] * 14
+            e[0] = (b[3] << 6) | (b[2] >> 2)
+            e[1] = (((b[2] & 3) << 12) | (b[1] << 4)
+                    | (b[0] >> 4)) & 0x3fff
+            e[2] = (b[0] >> 2) & 3
+            e[3] = ((b[0] & 3) << 8) | b[7]
+            e[4] = ((b[6] << 2) | (b[5] >> 6)) & 0x3ff
+            e[5] = ((b[5] & 0x3f) << 4) | (b[4] >> 4)
+            e[6] = (b[4] >> 2) & 3
+            e[7] = ((b[4] & 3) << 8) | b[11]
+            e[8] = ((b[10] << 2) | (b[9] >> 6)) & 0x3ff
+            e[9] = ((b[9] << 4) | (b[8] >> 4)) & 0x3ff
+            e[10] = (b[8] >> 2) & 3
+            e[11] = ((b[8] & 3) << 8) | b[15]
+            e[12] = ((b[14] << 2) | (b[13] >> 6)) & 0x3ff
+            e[13] = ((b[13] << 4) | (b[12] >> 4)) & 0x3ff
+            oddeven = [e[0], e[1]]
+            px = [e[0], e[1]] + [0] * 9
+            for g in range(3):
+                sel = e[sidx[g]]
+                sh = 4 if sel == 3 else sel
+                for k in range(3):
+                    pixi = 2 + g * 3 + k
+                    v = e[vidx[g][k]] - 0x200
+                    r = oddeven[pixi & 1] + (v << sh)
+                    r = 0 if r < 0 else (0x3fff if r > 0x3fff else r)
+                    px[pixi] = r
+                    oddeven[pixi & 1] = r
+            for k in range(11):
+                col = blk * 11 + k
+                if col < width:
+                    out[row, col] = px[k]
+    return out
+
+
+def rw2_v7_decode_py(data: bytes, width: int, height: int,
+                     bps: int) -> np.ndarray | None:
+    """Pure-Python oracle for ruppnative rw2_v7_decode (RawFormat 7):
+    fixed-rate 16-byte blocks, 9x14-bit or 10x12-bit little-endian
+    packed pixels, rows block-aligned."""
+    if bps not in (12, 14):
+        return None
+    ppb = 9 if bps == 14 else 10
+    bpr = -(-width // ppb)
+    if len(data) != bpr * 16 * height:
+        return None
+    blocks = np.frombuffer(data, np.uint8).reshape(height, bpr, 16)
+    bits = np.unpackbits(blocks, axis=-1,
+                         bitorder="little")   # (h, bpr, 128)
+    w = (1 << np.arange(bps, dtype=np.uint32))
+    vals = (bits[:, :, :ppb * bps].reshape(height, bpr, ppb, bps)
+            .astype(np.uint32) * w).sum(axis=-1)
+    return vals.reshape(height, bpr * ppb)[:, :width].astype(np.uint16)
+
+
 def parse_rw2(data: bytes) -> RawImage | None:
-    """Panasonic RW2 -> RawImage: sensor raster (plain u16-LE or the
-    12-bit predictive bitstream), active-area crop from the sensor
+    """Panasonic RW2 -> RawImage: sensor raster (plain u16-LE, the
+    classic 12-bit predictive bitstream, or the v6/v7 cell schemes
+    routed by RawFormat tag 0x002D), active-area crop from the sensor
     border tags, WB from the 0x0024-0x0026 levels (G-relative
     multiplier numerators), CFA from tag 0x0009."""
     from .. import native
@@ -1101,8 +1241,30 @@ def parse_rw2(data: bytes) -> RawImage | None:
         return None
     stream = bytes(data[off:])
     bits = int(_scalar(ifd, _RW2_T_BITS, 12))
+    raw_format = int(_scalar(ifd, _RW2_T_RAW_FORMAT, 0))
     npx = sw * sh_
-    if len(stream) >= 2 * npx:
+    mosaic = None
+    if raw_format == 6:
+        need = -(-sw // 11) * 16 * sh_
+        blob = stream[:need]
+        mosaic = native.rw2_v6_decode(blob, sw, sh_)
+        if mosaic is None:
+            mosaic = rw2_v6_decode_py(blob, sw, sh_)
+        if mosaic is None:
+            return None   # short raster: preview fallback
+        bits = 14
+    elif raw_format == 7:
+        bps = bits if bits in (12, 14) else 14
+        ppb = 9 if bps == 14 else 10
+        need = -(-sw // ppb) * 16 * sh_
+        blob = stream[:need]
+        mosaic = native.rw2_v7_decode(blob, sw, sh_, bps)
+        if mosaic is None:
+            mosaic = rw2_v7_decode_py(blob, sw, sh_, bps)
+        if mosaic is None:
+            return None
+        bits = bps
+    elif len(stream) >= 2 * npx:
         mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(
             sh_, sw).copy()
     else:

@@ -754,6 +754,104 @@ def test_arw_demosaic_and_group_with_png(tmp_path):
     assert {f.path.name for f in groups[0]} == {"shot.arw", "twin.png"}
 
 
+def write_arw4(mosaic: np.ndarray, bits: int = 14,
+               black=(512, 512, 512, 512),
+               wb=(2200, 1024, 1024, 1700), key=0x12345678) -> bytes:
+    """Minimal Sony lossless ARW (ARW4 class): TIFF with a CFA SubIFD
+    (Compression 7) whose strip is a standard LJ92 stream of half-res
+    4-component 2x2 Bayer quads, plus the encrypted SR2 private block
+    (black 0x7310, WB 0x7313)."""
+    h, w = mosaic.shape
+    assert h % 2 == 0 and w % 2 == 0
+    quad = np.stack([mosaic[0::2, 0::2], mosaic[0::2, 1::2],
+                     mosaic[1::2, 0::2], mosaic[1::2, 1::2]],
+                    axis=-1)
+    stream = lj92_encode(
+        quad.reshape(h // 2, (w // 2) * 4).astype(np.uint16),
+        precision=bits, components=4)
+
+    ifd0_off = 8
+    sub_off = ifd0_off + _size(6)
+    sr2_off = sub_off + _size(10)
+    sr2_base = sr2_off + _size(2)
+    sr2_extra = bytearray()
+    sr2_ifd = (struct.pack("<H", 2)
+               + _entry(0x7310, 3, list(black), sr2_extra, sr2_base)
+               + _entry(0x7313, 3, list(wb), sr2_extra, sr2_base)
+               + struct.pack("<I", 0))
+    sr2_plain = sr2_ifd + bytes(sr2_extra)
+    if len(sr2_plain) % 4:
+        sr2_plain += b"\x00" * (4 - len(sr2_plain) % 4)
+    sr2_enc = rawcontainers.sony_decrypt(sr2_plain, key)
+    data_off = sr2_off + len(sr2_enc)
+    extra_off = data_off + len(stream)
+
+    extra = bytearray()
+    ifd0 = (struct.pack("<H", 6)
+            + _entry2(271, "SONY", extra, extra_off)
+            + _entry(274, 3, [1], extra, extra_off)
+            + _entry(330, 4, [sub_off], extra, extra_off)
+            + _entry(0x7200, 4, [sr2_off], extra, extra_off)
+            + _entry(0x7201, 4, [len(sr2_enc)], extra, extra_off)
+            + _entry(0x7221, 4, [key], extra, extra_off)
+            + struct.pack("<I", 0))
+    sub = (struct.pack("<H", 10)
+           + _entry(256, 4, [w], extra, extra_off)
+           + _entry(257, 4, [h], extra, extra_off)
+           + _entry(258, 3, [bits], extra, extra_off)
+           + _entry(259, 3, [7], extra, extra_off)
+           + _entry(262, 3, [32803], extra, extra_off)
+           + _entry(273, 4, [data_off], extra, extra_off)
+           + _entry(278, 4, [h], extra, extra_off)
+           + _entry(279, 4, [len(stream)], extra, extra_off)
+           + _entry(33421, 3, [2, 2], extra, extra_off)
+           + _entry(33422, 1, [0, 1, 1, 2], extra, extra_off)
+           + struct.pack("<I", 0))
+    header = struct.pack("<2sHI", b"II", 42, ifd0_off)
+    return header + ifd0 + sub + sr2_enc + stream + bytes(extra)
+
+
+@native_gated
+def test_arw4_lossless_roundtrip_and_levels():
+    """Sony lossless (ARW4): the LJ92 quad stream reassembles to the
+    exact mosaic; black/WB come from the SR2 private block."""
+    rng = np.random.default_rng(95)
+    mosaic = rng.integers(0, 1 << 14, (24, 40), dtype=np.uint16)
+    raw = rawcontainers.parse_raw_container(write_arw4(mosaic))
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert raw.black == 512.0
+    np.testing.assert_allclose(raw.as_shot_neutral,
+                               [1024 / 2200, 1.0, 1024 / 1700],
+                               rtol=1e-6)
+    assert raw.white == float((1 << 14) - 1)
+
+
+@native_gated
+def test_arw4_demosaic_and_group_with_png(tmp_path):
+    """ARW4 full-decodes through the scanner and groups with its PNG
+    twin (VERDICT-r3 item 3 'done' bar)."""
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(96, 128, seed=97)
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot4.arw").write_bytes(write_arw4(
+        mosaic14, black=(0, 0, 0, 0), wb=(1024, 1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "twin.png")
+
+    arr, res = decode.load_image(d / "shot4.arw")
+    assert arr is not None and res == (128, 96)
+
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot4.arw", "twin.png"}
+
+
 def test_raw_container_parsers_survive_mutations():
     """Scan input is untrusted: byte-mutated NEF/ARW/CR2 containers must
     decode, fail cleanly (None), or raise a contained Python error —
@@ -1193,11 +1291,14 @@ def rw2_encode(mosaic: np.ndarray) -> bytes:
 
 
 def write_rw2(raster: bytes, sw: int, sh: int, bits: int = 12,
-              borders=None, cfa: int = 1, wb=None, black=None) -> bytes:
+              borders=None, cfa: int = 1, wb=None, black=None,
+              raw_format: int | None = None) -> bytes:
     """Structurally correct minimal RW2: TIFF with magic 0x55 and the
     PanasonicRaw IFD tags."""
     entries = [(0x0002, 3, [sw]), (0x0003, 3, [sh]),
                (0x0009, 3, [cfa]), (0x000A, 3, [bits])]
+    if raw_format is not None:
+        entries.append((0x002D, 3, [raw_format]))
     if borders is not None:
         t, le, bo, ri = borders
         entries += [(0x0004, 3, [t]), (0x0005, 3, [le]),
@@ -1298,6 +1399,196 @@ def test_rw2_demosaic_and_group_with_png(tmp_path):
     assert stats.failed == 0
     assert len(groups) == 1
     assert {f.path.name for f in groups[0]} == {"shot.rw2", "twin.png"}
+
+
+def _rw2_v6_pack_page(e: list[int]) -> bytes:
+    """Invert the v6 16-byte page bit-slicing (14 entries -> bytes)."""
+    b = [0] * 16
+    b[3] = (e[0] >> 6) & 0xFF
+    b[2] = ((e[0] & 0x3F) << 2) | ((e[1] >> 12) & 3)
+    b[1] = (e[1] >> 4) & 0xFF
+    b[0] = ((e[1] & 0xF) << 4) | (e[2] << 2) | (e[3] >> 8)
+    b[7] = e[3] & 0xFF
+    b[6] = (e[4] >> 2) & 0xFF
+    b[5] = ((e[4] & 3) << 6) | ((e[5] >> 4) & 0x3F)
+    b[4] = ((e[5] & 0xF) << 4) | (e[6] << 2) | (e[7] >> 8)
+    b[11] = e[7] & 0xFF
+    b[10] = (e[8] >> 2) & 0xFF
+    b[9] = ((e[8] & 3) << 6) | ((e[9] >> 4) & 0x3F)
+    b[8] = ((e[9] & 0xF) << 4) | (e[10] << 2) | (e[11] >> 8)
+    b[15] = e[11] & 0xFF
+    b[14] = (e[12] >> 2) & 0xFF
+    b[13] = ((e[12] & 3) << 6) | ((e[13] >> 4) & 0x3F)
+    b[12] = (e[13] & 0xF) << 4
+    return bytes(b)
+
+
+def rw2_v6_encode(mosaic: np.ndarray) -> bytes:
+    """Encoder mirror of rw2_v6_decode: per 11-pixel block, two full
+    14-bit pixels then per-group minimal scale + 10-bit deltas,
+    tracking the decoder's odd/even base state.  Exact when same-parity
+    deltas stay within +-511 x the chosen scale."""
+    h, w = mosaic.shape
+    bpr = -(-w // 11)
+    m = mosaic.astype(np.int64)
+    out = bytearray()
+    for row in range(h):
+        for blk in range(bpr):
+            tgt = [int(m[row, blk * 11 + k]) if blk * 11 + k < w else 0
+                   for k in range(11)]
+            e = [0] * 14
+            e[0], e[1] = tgt[0], tgt[1]
+            oddeven = [tgt[0], tgt[1]]
+            vidx = ((3, 4, 5), (7, 8, 9), (11, 12, 13))
+            sidx = (2, 6, 10)
+            for g in range(3):
+                # choose the smallest representable scale for the group
+                base_sim = list(oddeven)
+                sel = 0
+                for cand, shc in ((0, 0), (1, 1), (2, 2), (3, 4)):
+                    sim = list(oddeven)
+                    ok = True
+                    for k in range(3):
+                        pixi = 2 + g * 3 + k
+                        delta = tgt[pixi] - sim[pixi & 1]
+                        v = (delta >> shc) + 0x200
+                        if not (0 <= v <= 0x3FF):
+                            ok = False
+                            break
+                        sim[pixi & 1] = max(0, min(0x3FFF,
+                                                   sim[pixi & 1]
+                                                   + ((v - 0x200)
+                                                      << shc)))
+                    if ok:
+                        sel = cand
+                        break
+                else:
+                    sel = 3
+                sh = 4 if sel == 3 else sel
+                e[sidx[g]] = sel
+                for k in range(3):
+                    pixi = 2 + g * 3 + k
+                    delta = tgt[pixi] - oddeven[pixi & 1]
+                    v = max(0, min(0x3FF, (delta >> sh) + 0x200))
+                    e[vidx[g][k]] = v
+                    r = oddeven[pixi & 1] + ((v - 0x200) << sh)
+                    oddeven[pixi & 1] = max(0, min(0x3FFF, r))
+                del base_sim
+            out += _rw2_v6_pack_page(e)
+    return bytes(out)
+
+
+def rw2_v7_encode(mosaic: np.ndarray, bps: int) -> bytes:
+    """Encoder mirror of rw2_v7_decode: little-endian fixed-rate
+    packing, 9x14-bit or 10x12-bit pixels per 16-byte block."""
+    h, w = mosaic.shape
+    ppb = 9 if bps == 14 else 10
+    bpr = -(-w // ppb)
+    padded = np.zeros((h, bpr * ppb), np.uint16)
+    padded[:, :w] = mosaic
+    vals = padded.reshape(h, bpr, ppb).astype(np.uint32)
+    bits = ((vals[..., None] >> np.arange(bps)) & 1).astype(np.uint8)
+    flat = bits.reshape(h, bpr, ppb * bps)
+    blocks = np.zeros((h, bpr, 128), np.uint8)
+    blocks[:, :, :ppb * bps] = flat
+    return np.packbits(blocks, axis=-1,
+                       bitorder="little").reshape(-1).tobytes()
+
+
+@native_gated
+def test_rw2_v7_roundtrip_and_differential():
+    rng = np.random.default_rng(101)
+    for bps in (12, 14):
+        mosaic = rng.integers(0, 1 << bps, (18, 50), dtype=np.uint16)
+        blob = rw2_v7_encode(mosaic, bps)
+        cpp = native.rw2_v7_decode(blob, 50, 18, bps)
+        assert cpp is not None and np.array_equal(cpp, mosaic), bps
+        py = rawcontainers.rw2_v7_decode_py(blob, 50, 18, bps)
+        assert np.array_equal(py, mosaic), bps
+    # differential on random blobs (fixed-rate unpack: always agrees)
+    for trial in range(3):
+        blob = rng.integers(0, 256, 6 * 16 * 4,
+                            dtype=np.uint8).tobytes()
+        c = native.rw2_v7_decode(blob, 50, 4, 14)
+        p = rawcontainers.rw2_v7_decode_py(blob, 50, 4, 14)
+        assert c is not None and np.array_equal(c, p), trial
+    # size gate
+    assert native.rw2_v7_decode(blob[:-1], 50, 4, 14) is None
+    assert rawcontainers.rw2_v7_decode_py(blob[:-1], 50, 4, 14) is None
+
+
+@native_gated
+def test_rw2_v6_roundtrip_and_differential():
+    rng = np.random.default_rng(103)
+    # same-parity steps within +-511: scale-0 groups reconstruct exact
+    base = rng.integers(2048, 12288, (1, 2), dtype=np.int64)
+    steps = rng.integers(-255, 256, (20, 44), dtype=np.int64)
+    m = np.zeros((20, 44), np.int64)
+    for r in range(20):
+        for c in range(44):
+            prev = m[r, c - 2] if c >= 2 else base[0, c % 2]
+            m[r, c] = np.clip(prev + steps[r, c], 0, 0x3FFF)
+    mosaic = m.astype(np.uint16)
+    blob = rw2_v6_encode(mosaic)
+    cpp = native.rw2_v6_decode(blob, 44, 20)
+    assert cpp is not None and np.array_equal(cpp, mosaic)
+    py = rawcontainers.rw2_v6_decode_py(blob, 44, 20)
+    assert np.array_equal(py, mosaic)
+    # large jumps engage coarser scales: C++ == Python bit-exact and
+    # the reconstruction stays within the scale-4 truncation bound
+    # (deltas within the +-8176 scale-4 representable range)
+    wild = rng.integers(4096, 12100, (12, 22), dtype=np.uint16)
+    blob = rw2_v6_encode(wild)
+    cpp = native.rw2_v6_decode(blob, 22, 12)
+    py = rawcontainers.rw2_v6_decode_py(blob, 22, 12)
+    assert cpp is not None and np.array_equal(cpp, py)
+    assert np.abs(cpp.astype(np.int64)
+                  - wild.astype(np.int64)).max() <= 15
+    # differential on random pages
+    for trial in range(3):
+        blob = rng.integers(0, 256, 2 * 16 * 6,
+                            dtype=np.uint8).tobytes()
+        c = native.rw2_v6_decode(blob, 22, 6)
+        p = rawcontainers.rw2_v6_decode_py(blob, 22, 6)
+        assert c is not None and np.array_equal(c, p), trial
+
+
+@native_gated
+def test_rw2_v6_v7_container_and_group(tmp_path):
+    """RW2 RawFormat 6 and 7 route through parse_rw2 and the v7 file
+    groups with its PNG twin through the scanner (VERDICT-r3 item 3)."""
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import scan
+
+    rgb, mosaic14 = _scene14(240, 320, seed=105)
+    # v7 container roundtrip (exact: fixed-rate packing)
+    raw = rawcontainers.parse_rw2(write_rw2(
+        rw2_v7_encode(mosaic14, 14), 320, 240, bits=14, raw_format=7,
+        wb=(1024, 1024, 1024)))
+    assert raw is not None and np.array_equal(raw.mosaic, mosaic14)
+    assert raw.white == float((1 << 14) - 1)
+    # v6 container roundtrip (bilinear scene: smooth, scale-0 exact)
+    raw6 = rawcontainers.parse_rw2(write_rw2(
+        rw2_v6_encode(mosaic14), 320, 240, bits=14, raw_format=6,
+        wb=(1024, 1024, 1024)))
+    assert raw6 is not None
+    assert np.abs(raw6.mosaic.astype(np.int64)
+                  - mosaic14.astype(np.int64)).max() <= 15
+
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "shot7.rw2").write_bytes(write_rw2(
+        rw2_v7_encode(mosaic14, 14), 320, 240, bits=14, raw_format=7,
+        wb=(1024, 1024, 1024)))
+    Image.fromarray(rgb).save(d / "twin.png")
+    arr, res = decode.load_image(d / "shot7.rw2")
+    assert arr is not None and res == (320, 240)
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"shot7.rw2", "twin.png"}
 
 
 # ------------------------------------------------------------------ ORF
