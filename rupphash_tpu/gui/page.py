@@ -1,16 +1,23 @@
 """The single-page GUI frontend (vanilla HTML/JS/CSS, no build step).
 
 Renders the reference GUI's panels (gui/app.rs:2067-4151): bottom
-status bar, left virtualized group list with the reference's row
-encoding (M/L/C<n>/! markers; magenta=marked, light-blue=hardlink,
-green=bit-identical, gold=pixel-identical, gui/app.rs:3316-3410),
-central image with the reference's zoom cycles (W fit cycle, Z 1:1
-cycle, gui/dialogs.rs:649-669) and drag pan, right GPS panel (offline
-canvas map: markers, ordered path lines, fit-to-bounds —
-gps_map.rs:44-243,332-393), histogram overlay cycle (I,
-gui/dialogs.rs:447-452), EXIF overlay (gui/image.rs:3928), slideshow
-timer (gui/dialogs.rs:1566-1595), 3D LUT cycle (L), per-file transforms
+status bar, left virtualized group list, central image with drag pan,
+right GPS panel (offline canvas map: markers, ordered path lines,
+fit-to-bounds — gps_map.rs:44-243,332-393), histogram overlay, EXIF
+overlay, slideshow timer, 3D LUT cycle (L), per-file transforms
 (state.rs FileTransform), confirm-gated delete and ignore.
+
+THIN-CLIENT CONTRACT (round-4): this script renders; it does not
+decide.  Keymap->intent resolution, zoom/overlay/sidebar state
+transitions, row encoding (M/L/C<n>/! markers + colors,
+gui/app.rs:3316-3410), sort cycling, and confirm handling all run
+server-side (gui/server.py resolve_key + snapshot "view"/"mk"/"cls")
+where the pytest socket suite drives them — the reference's
+equivalents are tested Rust (gui/dialogs.rs:22, gui/app.rs:3316-3410).
+Browser-only residue, all presentation: drag-pan math, slippy-tile
+drawing, prompt input fields with Tab completion, the slideshow
+interval timer, fullscreen, image preloading, and stepping through
+already-fetched advanced-search matches.
 """
 
 PAGE = r"""<!DOCTYPE html>
@@ -93,17 +100,20 @@ body { background:var(--bg); color:var(--fg);
   <span id="st-msg" style="margin-left:auto"></span></div>
 <script>
 'use strict';
-let S = null;            // server snapshot
-let zoomMode = 'fit';    // fit | fitw | fith | x1 | x2 | x4 | x8
-let zoomRel = false;     // X: x-levels relative to fit vs absolute px
+// This script is RENDERING ONLY: every state decision (keymap ->
+// intent, zoom cycles, overlay modes, row encoding, sort cycling,
+// confirm handling) happens server-side (gui/server.py resolve_key /
+// snapshot) where pytest drives it over sockets.  What stays here is
+// presentation: pan/drag math, tile drawing, prompt input fields, the
+// slideshow interval timer, fullscreen, and stepping through
+// already-fetched advanced-search matches.
+let S = null;            // server snapshot (incl. S.view state)
 let pan = {x:0, y:0}, drag = null;
-let histMode = 0, exifOn = false, slideTimer = null, mapMode = 2;
-let mapFocus = false;    // A: zoom the map on the selected marker
-let pathDepth = 0;       // P: 0 name, 1 parent/name, 2 full path
-let sideW = 1;           // </>: sidebar width step (0..3)
+let slideTimer = null;
 let scanPoll = null, statusTimer = null, lastStatus = '';
 let lastSun = null;   // {gi, fi, az} for the map sun indicator
 let imgNatural = [0, 0];
+const V = () => (S && S.view) || {};   // server-side view state
 
 const $ = id => document.getElementById(id);
 const esc = t => String(t).replace(/[&<>"']/g,
@@ -180,7 +190,6 @@ function buildRows() {
 }
 
 function renderList() {
-  const curf = current();
   // windowed rendering over fixed-height rows (the reference's
   // virtualized list with cached y offsets, gui/app.rs:3080-3260)
   const list = $('list'), pad = $('listpad'), win = $('listwin');
@@ -195,36 +204,25 @@ function renderList() {
     const d = document.createElement('div');
     if (r.hdr) {
       d.className = 'ghdr';
-      d.innerHTML = `Group ${r.gi+1} (max dist ${r.g.max_dist})` +
-        (r.g.status !== 'none' ? ` [${r.g.status}]` : '') +
+      d.innerHTML = esc(r.g.header) +       // server-computed header
         (r.g.low_quality ?
          ' <span class="lq">[low quality: exact match only]</span>'
          : '');
     } else {
       const {gi, fi, f} = r;
-      let cls = 'row';
-      if (gi === S.cursor[0] && fi === S.cursor[1]) cls += ' sel';
-      else if (curf && curf.subgroup && gi === S.cursor[0] &&
-               f.subgroup === curf.subgroup)
-        cls += ' peer';   // pixel-identical peers of the selection
-                          // (gui/app.rs:3400-3410)
-      if (f.marked) cls += ' marked';
-      else if (f.hardlink) cls += ' hardlink';
-      else if (f.subgroup) cls += ' pixid';
-      else if (f.identical) cls += ' identical';
-      d.className = cls;
-      let mk = (f.marked ? 'M' : ' ') + (f.hardlink ? 'L' : ' ') +
-               (f.subgroup ? 'C' + f.subgroup : '  ');
-      if (f.low_quality) mk = mk.slice(0, 3) + '!';
+      // row class + marker column come pre-encoded from the server
+      // (gui/app.rs:3316-3410 semantics, pytest-covered there)
+      d.className = f.cls;
       const res = f.res ? f.res[0] + 'x' + f.res[1] : '?';
       // P cycles shown path depth (reference sidebar depth toggle)
+      const pathDepth = V().path_depth || 0;
       let shown = f.name;
       if (pathDepth === 2) shown = f.path;
       else if (pathDepth === 1) {
         const parts = f.path.split('/');
         shown = parts.slice(-2).join('/');
       }
-      d.innerHTML = `<span class="mk">${esc(mk)}</span>` +
+      d.innerHTML = `<span class="mk">${esc(f.mk)}</span>` +
         `<span>${esc(shown)}</span>` +
         `<span class="meta">${esc(fmtTime(f.mtime))} · ${res} · ` +
         `${fmtSize(f.size)}</span>`;
@@ -272,7 +270,7 @@ function render() {
       statusTimer = setTimeout(
         () => { $('st-msg').textContent = ''; }, 2000);
   }
-  $('st-zoom').textContent = zoomMode;
+  $('st-zoom').textContent = V().zoom_mode || 'fit';
   if (S.pending_confirm) {
     const c = $('confirm');
     c.style.display = 'block';
@@ -287,8 +285,34 @@ function render() {
   } else $('confirm').style.display = 'none';
   loadImage();
   drawMap();
-  if (histMode) loadAnalysis();
-  if (exifOn) loadExif();
+  // view-driven overlays and panels (server decides, this renders)
+  const vw = V();
+  $('list').style.width = [20, 30, 40, 50][vw.side_w ?? 1] + '%';
+  if (vw.help_on) {
+    $('help').textContent = HELP;
+    $('help').style.display = 'block';
+  } else $('help').style.display = 'none';
+  if (vw.hist_mode) loadAnalysis();
+  else { $('hist').style.display = 'none';
+         $('palette').style.display = 'none'; }
+  if (vw.exif_on) loadExif();
+  else $('exif').style.display = 'none';
+  syncSlideshow();
+}
+
+function syncSlideshow() {
+  // the decision (on/off) is server view state; only the interval
+  // timer lives in the browser
+  const on = !!V().slideshow_on;
+  if (on && !slideTimer) {
+    const iv = (S.slideshow || 3) * 1000;
+    slideTimer = setInterval(() => {
+      if ($('prompt').style.display !== 'block') intent('next_item');
+    }, iv);
+  } else if (!on && slideTimer) {
+    clearInterval(slideTimer);
+    slideTimer = null;
+  }
 }
 
 function current() {
@@ -352,6 +376,9 @@ function layoutImage() {
   const cw = c.clientWidth, ch = c.clientHeight;
   const [iw, ih] = imgNatural;
   if (!iw) return;
+  // zoom mode/relativity are server-side view state (W/Z/z keys cycle
+  // them in gui/server.py resolve_key); this is just the layout math
+  const zoomMode = V().zoom_mode || 'fit';
   let scale;
   if (zoomMode === 'fit') scale = Math.min(cw/iw, ch/ih, 2); // cap 2x
   else if (zoomMode === 'fitw') scale = cw/iw;
@@ -360,7 +387,7 @@ function layoutImage() {
     scale = {x1:1, x2:2, x4:4, x8:8}[zoomMode] || 1;
     // X: relative zoom scales from the fitted size instead of 1:1
     // pixels (gui/image.rs zoom-type toggle)
-    if (zoomRel) scale *= Math.min(cw/iw, ch/ih);
+    if (V().zoom_rel) scale *= Math.min(cw/iw, ch/ih);
   }
   const w = iw*scale, h = ih*scale;
   let x = (cw-w)/2 + pan.x, y = (ch-h)/2 + pan.y;
@@ -371,7 +398,7 @@ function layoutImage() {
   img.style.width = w+'px'; img.style.height = h+'px';
   img.style.left = x+'px'; img.style.top = y+'px';
   img.style.imageRendering = scale >= 2 ? 'pixelated' : 'auto';
-  $('st-zoom').textContent = zoomMode + (zoomRel ? ' rel ' : ' ') +
+  $('st-zoom').textContent = zoomMode + (V().zoom_rel ? ' rel ' : ' ') +
     Math.round(scale*100) + '%';
 }
 
@@ -403,7 +430,7 @@ function drawMap() {
   cv.width = cv.clientWidth; cv.height = cv.clientHeight;
   const ctx = cv.getContext('2d');
   ctx.fillStyle = '#0c1016'; ctx.fillRect(0, 0, cv.width, cv.height);
-  if (mapMode === 0) return;  // N: off -> markers -> markers+paths
+  if (!V().map_mode) return;  // N: off -> markers -> markers+paths
   const md = S.map || {markers: [], order: []};
   if (!md.markers.length) {
     ctx.fillStyle = '#39445a';
@@ -426,7 +453,7 @@ function drawMap() {
       (1 - Math.log(Math.tan(m.lat*d) + 1/Math.cos(m.lat*d))
            / Math.PI) / 2];
     // A: zoom on the selected file's marker instead of fitting all
-    const sel = mapFocus && S ?
+    const sel = V().map_focus && S ?
       md.markers.find(m => m.file === S.cursor[1]) : null;
     const ws = (sel ? [sel] : md.markers).map(merc);
     const mx0 = Math.min(...ws.map(w => w[0])),
@@ -465,7 +492,7 @@ function drawMap() {
     }
   }
   // ordered path lines (gps_map.rs marker plugin)
-  if (mapMode >= 2 && md.order.length > 1) {
+  if (V().map_mode >= 2 && md.order.length > 1) {
     ctx.strokeStyle = '#61afef88'; ctx.lineWidth = 1.5;
     ctx.beginPath();
     md.order.forEach((oi, k) => {
@@ -524,7 +551,7 @@ async function loadAnalysis() {
   const ctx = cv.getContext('2d');
   ctx.clearRect(0, 0, 256, 110);
   ctx.fillStyle = '#0009'; ctx.fillRect(0, 0, 256, 110);
-  const series = histMode === 1
+  const series = V().hist_mode === 1
     ? [['#cdd3dd', a.luma]]
     : [['#cdd3dd', a.okl], ['#98c379', a.oka], ['#61afef', a.okb]];
   for (const [color, h] of series) {
@@ -673,9 +700,6 @@ $('pinput').addEventListener('keydown', async ev => {
   }
 });
 
-const SORTS = ['name','name-desc','name-natural','name-natural-desc',
-               'date','date-desc','size','size-desc','random'];
-
 const HELP = `rupphash_tpu viewer keys
 ↑/↓ or j/k   next / previous file
 ←/→          previous / next group   ]/[  next/prev distance band
@@ -736,149 +760,46 @@ function ctxMenu(ev, gi, fi, f) {
 }
 document.addEventListener('click', closeCtx);
 
+// Thin keymap forwarder: the server decides what every key DOES
+// (gui/server.py resolve_key, pytest-covered); this handler only
+// forwards the raw key and performs the returned rendering ops.
+async function sendKey(k) {
+  const r = await fetch('/api/key', {method:'POST',
+    headers:{'Content-Type':'application/json',
+             'X-Session-Token': TOKEN},
+    body: JSON.stringify({key: k})});
+  const resp = await r.json();
+  if (resp.snapshot) { S = resp.snapshot; render(); }
+  if (S && S.quit) {
+    clearTimeout(statusTimer);
+    $('st-msg').textContent = 'session ended';
+  }
+  const ui = resp.ui;
+  if (!ui) return;
+  if (ui.op === 'fullscreen') {
+    document.fullscreenElement ? document.exitFullscreen()
+      : document.documentElement.requestFullscreen();
+  } else if (ui.op === 'search_step') {
+    // stepping an already-fetched advanced-search list is client
+    // render state; with none loaded, fall back to the search intents
+    if (advMatches.length) await advStep(ui.dir);
+    else await intent(ui.dir > 0 ? 'next_search' : 'prev_search');
+  } else if (ui.op === 'prompt') {
+    if (ui.reset_adv) advMatches = [];
+    if (ui.kind === 'adv') prompt2(ui.label, v => advSearch(v));
+    else prompt2(ui.label, v => intent(ui.intent, v), ui.preset,
+                 ui.paths);
+  }
+}
+
 document.addEventListener('keydown', async ev => {
   if (ev.target.tagName === 'INPUT') return;
-  if (S && S.pending_confirm) {
-    if (['Shift','Control','Alt','Meta','CapsLock'].includes(ev.key))
-      return;  // touching Shift must not cancel a pending delete
-    if (ev.key === 'y' || ev.key === 'Y')
-      await intent({'delete': 'execute_delete',
-                    'delete-one': 'execute_delete',
-                    'move': 'move_marked'}[S.pending_confirm]
-                   || 'ignore_group');
-    else await intent('cancel');
-    return;
-  }
-  const k = ev.key;
-  const plain = {
-    ArrowDown:'next_item', j:'next_item', ArrowUp:'prev_item',
-    k:'prev_item', ArrowRight:'next_group', ArrowLeft:'prev_group',
-    PageDown:'page_down', PageUp:'page_up', Home:'home', End:'end',
-    ' ':'toggle_mark', g:'mark_group', u:'unmark_all',
-    d:'confirm_delete', x:'ignore_current', X:'ignore_group',
-    ']':'next_group_by_dist', '[':'prev_group_by_dist',
-    t:'toggle_relative_time', L:'cycle_lut',
-    R:'rotate_cw', H:'flip_h', V:'flip_v', '0':'reset_transform',
-  };
-  if (plain[k]) { ev.preventDefault(); await intent(plain[k]); return; }
-  switch (k) {
-    case 'q': case 'Q': await intent('quit'); break;
-    case 'm':
-      await intent('move_marked');
-      break;
-    case 'c':
-      prompt2('Move-target directory:',
-              v => intent('set_move_target', v), '', true);
-      break;
-    case 'C':
-      prompt2('View directory:',
-              v => intent('change_dir', v), '', true);
-      break;
-    case 'r': {
-      const cur = current();
-      if (cur) prompt2('Rename to:', v => intent('submit_rename', v),
-                       cur.name);
-      break; }
-    case '/':
-      ev.preventDefault();
-      advMatches = [];
-      prompt2('Search filename regex:',
-              v => intent('submit_search', v));
-      break;
-    case 'n':
-      advMatches.length ? await advStep(1)
-                        : await intent('next_search');
-      break;
-    case 'p':
-      advMatches.length ? await advStep(-1)
-                        : await intent('prev_search');
-      break;
-    case 'f':
-      prompt2('Advanced search (EXIF query / DistanceFrom:NAME:KM / ' +
-              'regex):', v => advSearch(v));
-      break;
-    case 's': {
-      const i = SORTS.indexOf(S.sort_order);
-      await intent('change_sort', SORTS[(i+1) % SORTS.length]);
-      break; }
-    case 'W':
-      zoomMode = {fit:'fitw', fitw:'fith', fith:'fit'}[zoomMode]
-                 || 'fit';
-      layoutImage(); break;
-    case 'Z':
-      zoomMode = {x1:'x2', x2:'x4', x4:'x8', x8:'fit'}[zoomMode]
-                 || 'x1';
-      layoutImage(); break;
-    case 'I':
-      histMode = (histMode+1) % 3;
-      if (histMode) loadAnalysis();
-      else { $('hist').style.display = 'none';
-             $('palette').style.display = 'none'; }
-      break;
-    case 'N':
-      mapMode = (mapMode + 1) % 3;  // gui/dialogs.rs:459-524
-      drawMap();
-      break;
-    case 'G':
-      await intent('toggle_gps_time');
-      if (exifOn) loadExif();
-      break;
-    case 'E':
-      exifOn = !exifOn;
-      if (exifOn) loadExif();
-      else $('exif').style.display = 'none';
-      break;
-    case 'T':
-      if (slideTimer) { clearInterval(slideTimer); slideTimer = null;
-                        $('st-msg').textContent = 'slideshow off'; }
-      else {
-        const iv = (S.slideshow || 3) * 1000;
-        slideTimer = setInterval(() => {
-          if (!document.getElementById('prompt').style.display ||
-              $('prompt').style.display !== 'block')
-            intent('next_item');
-        }, iv);
-        $('st-msg').textContent = 'slideshow on';
-      }
-      break;
-    case 'F':
-      document.fullscreenElement ? document.exitFullscreen()
-        : document.documentElement.requestFullscreen();
-      break;
-    case 'A':                       // KEYS.txt: autozoom map
-      mapFocus = !mapFocus;
-      drawMap();
-      break;
-    case 'P':                       // KEYS.txt: path depth in sidebar
-      pathDepth = (pathDepth + 1) % 3;
-      renderList();
-      break;
-    case 'z':                       // KEYS.txt X: zoom abs/relative
-      zoomRel = !zoomRel;           // (X itself is ignore-group here)
-      layoutImage();
-      break;
-    case '<': case '>': {           // KEYS.txt V/B: sidebar width
-      sideW = Math.max(0, Math.min(3, sideW + (k === '>' ? 1 : -1)));
-      $('list').style.width = [20, 30, 40, 50][sideW] + '%';
-      renderList();
-      break; }
-    case '.': {                     // KEYS.txt: up one directory
-      const cur = current();
-      if (cur) {
-        const parts = cur.path.split('/');
-        const up = parts.slice(0, -2).join('/') || '/';
-        await intent('change_dir', up);
-      }
-      break; }
-    case 'Delete':                  // KEYS.txt: delete selected file
-      await intent('delete_immediate');
-      break;
-    case '?':
-      $('help').textContent = HELP;
-      $('help').style.display =
-        $('help').style.display === 'block' ? 'none' : 'block';
-      break;
-  }
+  if (['Shift','Control','Alt','Meta','CapsLock'].includes(ev.key))
+    return;                      // pure modifiers never act
+  if ([' ','ArrowDown','ArrowUp','ArrowLeft','ArrowRight','PageDown',
+       'PageUp','Home','End','/'].includes(ev.key))
+    ev.preventDefault();         // keep the page from scrolling
+  await sendKey(ev.key);
 });
 
 // drag pan (gui/image.rs:2430-2557 whole-area drag sense)
