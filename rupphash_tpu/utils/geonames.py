@@ -346,7 +346,16 @@ def subdivision_name(lat: float, lon: float) -> str | None:
     from . import geopoly
     poly = geopoly.lookup(lat, lon)
     if poly is not None:
-        return poly[1]
+        if poly[1] is not None:
+            return poly[1]
+        # country-level ring: admin-1 from the anchors, constrained to
+        # the ring's country (the exact border must never be crossed
+        # by a nearest-subdivision grab)
+        sub = nearest_subdivision(lat, lon)
+        if sub is not None and sub[1] == poly[0] \
+                and sub[2] <= COUNTRY_KM:
+            return sub[0]
+        return None
     hit = nearest_anchor(lat, lon)
     if hit is None or hit[3] > COUNTRY_KM:
         return None
@@ -371,9 +380,17 @@ def derive_location(lat: float, lon: float) -> dict:
         code, sub = poly
         _, countries = _load()
         country = _OFFICIAL.get(code) or countries.get(code)
+        if sub is None:
+            # country-level ring: exact country, anchor-resolved
+            # admin-1 constrained to that country
+            near = nearest_subdivision(lat, lon)
+            if near is not None and near[1] == code \
+                    and near[2] <= COUNTRY_KM:
+                sub = near[0]
         if country:
-            out["country"] = f"{sub}, {country}"
-        out["subdivision"] = sub
+            out["country"] = f"{sub}, {country}" if sub else country
+        if sub:
+            out["subdivision"] = sub
         return out
     if hit is not None and hit[3] <= COUNTRY_KM:
         _, countries = _load()

@@ -10,13 +10,22 @@ populates it with hand-authored polygons for subdivisions whose legal
 borders are (mostly) straight lat/lon lines, where a few vertices are
 EXACT along the contested border:
 
-  * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) — meridian/
-    parallel borders exact; river/divide segments approximated with a
-    documented envelope;
+  * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) plus Nevada
+    (round 4) — meridian/parallel borders and Nevada's 1861 oblique
+    line exact; river/divide segments approximated with a documented
+    envelope;
   * Australian states — all land borders exact save the NSW/QLD east
     tail and the Murray River (segment-approximated);
   * Canadian prairie provinces (AB/SK/MB) — 49/60 parallels and 110/120
-    meridians exact, staircase/divide approximated.
+    meridians exact, staircase/divide approximated — and (round 4) the
+    territories (YT/NT/NU): 60N south borders and 141W exact, the
+    inter-territory divide lines conservative on BOTH sides (each ring
+    stays inside the believed line, a dead strip falls to anchors);
+  * round-4 COUNTRY-level rings (subdivision None) along the great
+    meridian/parallel treaty borders: Egypt/Libya/Sudan (25E, 22N),
+    Namibia/Botswana (20E, 21E, 22S jog, the ~17.39S Angola straight),
+    Indonesia/Papua New Guinea (141E), and Argentina's Chubut/Santa
+    Cruz provinces (42S/46S/52S) as named admin-1 rings.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -31,10 +40,13 @@ nearest-anchor semantics (utils/geonames.py documents that envelope).
 """
 from __future__ import annotations
 
-# (country_code, subdivision) -> ring of (lat, lon) vertices.
-# Vertices on meridian/parallel legal borders are exact; others are
-# documented approximations (see module docstring).
-POLYGONS: dict[tuple[str, str], list[tuple[float, float]]] = {
+# (country_code, subdivision|None) -> ring of (lat, lon) vertices.
+# subdivision None marks a COUNTRY-level ring (exact country
+# assignment; admin-1 still resolves through the anchor tables,
+# constrained to this country).  Vertices on meridian/parallel legal
+# borders are exact; others are documented approximations (see module
+# docstring).
+POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # --- United States: rectilinear interior states ---
     ("US", "Wyoming"): [
         (41.0, -111.046), (45.0, -111.046), (45.0, -104.052),
@@ -129,6 +141,86 @@ POLYGONS: dict[tuple[str, str], list[tuple[float, float]]] = {
     ("AU", "Tasmania"): [
         (-44.5, 143.5), (-39.5, 143.5), (-39.5, 149.0),
         (-44.5, 149.0)],
+    # --- Canada: territories (round 4).  The 60N parallel south
+    # borders and the 141W Yukon/Alaska meridian are EXACT; the
+    # Yukon/NWT divide line and the NWT/Nunavut line are conservative
+    # on BOTH sides (each ring stays ~1-2 deg inside the believed
+    # boundary, leaving a dead strip to the anchor fallback rather
+    # than risking a wrong exact claim).
+    ("CA", "Yukon"): [
+        (60.0, -141.0), (69.7, -141.0), (69.3, -138.0),
+        (67.0, -136.0), (65.0, -133.0), (63.0, -130.0),
+        (61.0, -126.8), (60.0, -124.8)],
+    ("CA", "Northwest Territories"): [
+        (60.0, -123.3), (61.0, -124.3), (63.0, -127.0),
+        (65.0, -130.5), (67.0, -133.0), (69.3, -134.8),
+        (69.8, -130.0), (69.3, -120.0), (68.0, -116.5),
+        (66.0, -114.0), (64.0, -110.5), (62.0, -106.0),
+        (60.0, -102.0)],
+    ("CA", "Nunavut"): [
+        (60.0, -102.0), (62.0, -102.5), (64.0, -106.5),
+        (66.0, -110.0), (67.8, -113.0), (68.3, -109.0),
+        (68.5, -100.0), (66.0, -85.0), (62.0, -90.0),
+        (60.0, -93.0), (60.0, -94.8)],
+    # --- US: Nevada (round 4) — 42N, 120W, 114.041W/114.05W and the
+    # 1861 oblique line (35.0,-114.63)->(39.0,-120.0) are exact; the
+    # Colorado-river section reuses Arizona's vertices so the rings
+    # share an edge instead of overlapping.
+    ("US", "Nevada"): [
+        (42.0, -120.0), (42.0, -114.041), (37.0, -114.041),
+        (37.0, -114.05), (36.1, -114.05), (36.12, -114.4),
+        (35.1, -114.60), (35.0, -114.63), (39.0, -120.0)],
+    # --- Argentina: Patagonian provinces whose major borders are the
+    # 42S / 46S / 52S parallels (exact); the Andes border with Chile
+    # is conservative (east of the true line), the Atlantic generous.
+    ("AR", "Chubut"): [
+        (-42.0, -71.0), (-42.0, -60.0), (-46.0, -60.0),
+        (-46.0, -71.0)],
+    ("AR", "Santa Cruz"): [
+        (-46.0, -71.7), (-46.0, -60.0), (-52.0, -60.0),
+        (-52.0, -68.4), (-52.0, -71.8), (-51.0, -72.0),
+        (-48.0, -72.2)],
+    # --- Africa / Oceania COUNTRY-level rings (subdivision None):
+    # exact on the famous meridian/parallel treaty lines, conservative
+    # or generous-offshore elsewhere; nearest_subdivision (constrained
+    # to the ring's country) still provides admin-1 where anchors
+    # exist.  Egypt/Sudan uses the de-jure 22N line (the Hala'ib
+    # triangle follows the treaty line here, as a boundary dataset
+    # would).
+    ("EG", None): [
+        (22.0, 25.0), (32.2, 25.0), (32.2, 29.0), (31.9, 32.0),
+        (31.5, 34.22), (31.32, 34.27), (29.49, 34.9), (27.5, 34.7),
+        (25.0, 35.5), (22.0, 36.89)],
+    ("LY", None): [
+        (21.0, 15.0), (33.5, 15.0), (33.5, 25.0), (21.0, 25.0)],
+    ("SD", None): [
+        (22.0, 25.0), (22.0, 36.89), (19.0, 38.2), (17.5, 37.5),
+        (14.5, 36.0), (13.0, 34.0), (13.0, 24.5), (20.0, 24.5),
+        (20.0, 25.0)],
+    # Namibia/Botswana: 20E south of 22S, 21E north of it, the 22S jog
+    # between, and the ~17.39S Angola straight segment — all exact;
+    # Orange/Molopo/Limpopo river borders conservative.
+    ("NA", None): [
+        (-17.25, 11.5), (-17.39, 13.9), (-17.39, 20.6),
+        (-18.32, 21.0), (-22.0, 21.0), (-22.0, 20.0),
+        (-28.2, 20.0), (-28.45, 17.5), (-28.65, 16.45),
+        (-28.8, 13.0)],
+    ("BW", None): [
+        (-26.6, 20.0), (-22.0, 20.0), (-22.0, 21.0),
+        (-18.35, 21.0), (-18.1, 23.4), (-18.4, 24.9),
+        (-19.5, 27.0), (-21.5, 27.5), (-24.5, 26.5),
+        (-25.5, 25.0), (-26.6, 21.5)],
+    # Indonesia/Papua New Guinea: the 141E meridian is exact; the Fly
+    # River bulge corridor (140.85-141E, 5.8-7.3S) is ceded to the
+    # anchor fallback by both rings; PNG's ring stays north of -9.8 so
+    # it can never meet the Queensland ring, and the Louisiades stay
+    # anchor-resolved.
+    ("ID", None): [
+        (-9.5, 133.0), (-0.2, 133.0), (-0.2, 141.0),
+        (-5.8, 141.0), (-5.8, 140.85), (-7.3, 140.85),
+        (-7.3, 141.0), (-9.5, 141.0)],
+    ("PG", None): [
+        (-9.8, 141.0), (0.5, 141.0), (0.5, 149.0), (-9.8, 149.0)],
 }
 
 _GRID_DEG = 2.0

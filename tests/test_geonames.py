@@ -184,13 +184,74 @@ def test_polygon_rings_do_not_overlap_on_grid():
     from rupphash_tpu.utils import geopoly
 
     rng = np.random.default_rng(5)
-    pts = np.stack([rng.uniform(-45, 61, 4000),
-                    rng.uniform(-125, 156, 4000)], axis=1)
+    # range covers every shipped ring incl. the round-4 additions
+    # (Canadian territories to 69.8N/-141, Argentina to -52S)
+    pts = np.stack([rng.uniform(-55, 71, 8000),
+                    rng.uniform(-145, 156, 8000)], axis=1)
     for lat, lon in pts:
         cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
         hits = [k for k in cands
                 if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
         assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_round4_borders_beat_anchors():
+    """VERDICT r3 missing #3: exact treaty-line borders in >=6 NEW
+    countries defeat nearest-anchor near the border.  Each pair
+    straddles a meridian/parallel legal border; at least one side of
+    each pair is provably anchor-adversarial (the nearest anchor sits
+    across the border)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    pairs = [
+        # (lat, lon, (country_code, subdivision|None))
+        ((22.1, 30.0), ("EG", None)),     # Egypt/Sudan 22N
+        ((21.9, 30.0), ("SD", None)),
+        ((24.0, 25.1), ("EG", None)),     # Egypt/Libya 25E
+        ((24.0, 24.9), ("LY", None)),
+        ((21.5, 24.9), ("LY", None)),     # Libya/Sudan 25E
+        ((21.5, 25.1), ("SD", None)),
+        ((-3.5, 140.9), ("ID", None)),    # Indonesia/PNG 141E
+        ((-3.5, 141.1), ("PG", None)),
+        ((-20.0, 20.9), ("NA", None)),    # Namibia/Botswana 21E
+        ((-20.0, 21.1), ("BW", None)),
+        ((-25.0, 19.9), ("NA", None)),    # Namibia/Botswana 20E
+        ((-25.0, 20.1), ("BW", None)),
+        ((-17.5, 17.0), ("NA", None)),    # Angola line ~17.39S: NA side
+        ((60.1, -115.0), ("CA", "Northwest Territories")),  # 60N
+        ((59.9, -115.0), ("CA", "Alberta")),
+        ((60.1, -98.0), ("CA", "Nunavut")),                 # 60N
+        ((59.9, -98.0), ("CA", "Manitoba")),
+        ((-42.1, -68.0), ("AR", "Chubut")),                 # 42S
+        ((-45.9, -69.0), ("AR", "Chubut")),                 # 46S
+        ((-46.1, -69.0), ("AR", "Santa Cruz")),
+        ((-51.9, -70.0), ("AR", "Santa Cruz")),             # 52S
+        ((36.5, -114.1), ("US", "Nevada")),                 # NV/AZ
+        ((36.5, -114.0), ("US", "Arizona")),
+        ((60.5, -140.9), ("CA", "Yukon")),                  # 141W
+    ]
+    new_countries = set()
+    adversarial = 0
+    for (lat, lon), want in pairs:
+        got = geopoly.lookup(lat, lon)
+        assert got == want, (lat, lon, got, want)
+        if want[0] not in ("US", "CA", "AU"):
+            new_countries.add(want[0])
+        # adversarial accounting: what would the anchors alone say?
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+    assert len(new_countries) >= 6, new_countries
+    assert adversarial >= 6, f"only {adversarial} anchor-adversarial"
+    # the Angola side of the 17.39S line is NOT claimed (no Angola
+    # ring: falls to anchors, never to Namibia)
+    assert geopoly.lookup(-17.3, 17.0) is None
+    # country-level rings still resolve admin-1 through the anchors,
+    # constrained to the ring's country
+    out = geonames.derive_location(22.1, 30.0)
+    assert out["country"] == "Aswan Governorate, Egypt"
+    out = geonames.derive_location(21.9, 30.0)
+    assert out["country"] == "Sudan (the)"
 
 
 def test_polygon_derive_location_formats_country():
@@ -212,13 +273,15 @@ def test_polygon_generous_coast_does_not_claim_foreign_soil():
     Australian rings."""
     from rupphash_tpu.utils import geopoly
 
-    for lat, lon in [(-9.44, 147.19),   # Port Moresby
-                     (-10.7, 150.7),    # Milne Bay peninsula
+    for lat, lon in [(-10.7, 150.7),    # Milne Bay peninsula
                      (-11.3, 153.0),    # Louisiade archipelago
                      (-10.36, 123.5),   # West Timor SW coast
                      (-8.6, 125.6),     # Timor-Leste
                      (-10.17, 123.6)]:  # Kupang
         assert geopoly.lookup(lat, lon) is None, (lat, lon)
+    # Port Moresby resolves to the round-4 PNG country ring — and must
+    # NEVER fall inside an Australian ring
+    assert geopoly.lookup(-9.44, 147.19) == ("PG", None)
     # while Australian coastal/island points resolve
     for lat, lon, want in [(-10.69, 142.53, "Queensland"),  # Cape York
                            (-10.58, 142.22, "Queensland"),  # Thursday I.
