@@ -159,6 +159,35 @@ def main(argv=None) -> int:
               (g1 is None and g2 is None)
               or (g1 is not None and g2 is not None
                   and np.array_equal(g1, g2)))
+        # round-4 codecs: differential on random streams (both reject
+        # or both identical — the fail-closed contract)
+        def _same(a, b):
+            return (a is None and b is None) or \
+                (a is not None and b is not None and np.array_equal(a, b))
+        s5 = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+        w1 = native.crx_decode_plane_wavelet(s5, [100, 100, 100, 100],
+                                             10, 8, 12, 1, False)
+        w2 = cr3mod.crx_decode_plane_wavelet_py(
+            s5, [100, 100, 100, 100], 10, 8, 12, 1, False)
+        check("CRX wavelet C++ vs Python oracle", _same(w1, w2))
+        xt = np.tile(np.array([[0, 1], [1, 2]], np.uint8), (3, 3))
+        hdr = (bytes([0x49, 0x53, 1, 0, 12]) + (6).to_bytes(2, "big")
+               + (12).to_bytes(2, "big") + (12).to_bytes(2, "big")
+               + (12).to_bytes(2, "big") + bytes([1])
+               + (6).to_bytes(2, "big"))
+        body = rng.integers(0, 256, 60, dtype=np.uint8).tobytes()
+        s6 = hdr + len(body).to_bytes(4, "big") + body
+        r1 = native.raf_decode(s6, 12, 6, xt)
+        r2 = rc.raf_compressed_decode_py(s6, 12, 6, xt)
+        check("compressed RAF C++ vs Python oracle", _same(r1, r2))
+        s7 = rng.integers(0, 256, 2 * 16 * 6, dtype=np.uint8).tobytes()
+        v1 = native.rw2_v6_decode(s7, 22, 6)
+        v2 = rc.rw2_v6_decode_py(s7, 22, 6)
+        check("RW2 v6 C++ vs Python oracle", _same(v1, v2))
+        s8 = rng.integers(0, 256, 2 * 16 * 6, dtype=np.uint8).tobytes()
+        u1 = native.rw2_v7_decode(s8, 18, 6, 14)
+        u2 = rc.rw2_v7_decode_py(s8, 18, 6, 14)
+        check("RW2 v7 C++ vs Python oracle", _same(u1, u2))
     except Exception as e:
         check(f"native raw codecs ({type(e).__name__})", False)
 
