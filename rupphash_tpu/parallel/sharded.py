@@ -364,13 +364,16 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
                 int(len(hot)), readback)
 
 
-def sharded_query_masks_status(mesh: Mesh, similarity: int = 40):
+def sharded_query_topk_status(mesh: Mesh, similarity: int = 40):
     """Status-aware mesh query for the serving index's INCREMENTAL
     sharded residency: the corpus arrives pre-padded to the device
     capacity (a multiple of 8 * ndev) with an int8 per-row status
-    (0 ok / 1 low-quality / 2 dead or padding) instead of a bool low
-    mask — tombstoned rows never match, low rows only at distance 0.
-    Returns (Q, cap//8) packed match bitmasks."""
+    (0 ok / 1 low-quality / 2 dead or padding) — tombstoned rows never
+    match, low rows only at distance 0 (distances past the gate report
+    the nbits+1 sentinel).  Returns the k best (distance, corpus row)
+    per query via a device-side top-k, so device->host readback is
+    O(Q x k) — the mesh mirror of serve._query_topk, matching the
+    round-4 O(edges)-readback bar (sharded_find_edges)."""
     axes = ("q", "b")
     ndev = math.prod(mesh.shape.values())
 
@@ -384,25 +387,25 @@ def sharded_query_masks_status(mesh: Mesh, similarity: int = 40):
         dist = (nbits - dots.reshape(qn, v, nloc).max(axis=1)) // 2
         low = st_shard[None, :] == 1
         dead = st_shard[None, :] >= 2
-        thr = jnp.where(dead | (low & (dist > 0)), -1, similarity)
         jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, nloc), 1)
-        mask = (dist <= thr) & (jidx < n_total[0])
-        weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
-        grouped = mask.reshape(qn, nloc // 8, 8).astype(jnp.int32)
-        return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+        bad = dead | (low & (dist > 0)) | (jidx >= n_total[0]) \
+            | (dist > similarity)
+        return jnp.where(bad, nbits + 1, dist)
 
     smapped = shard_map(
         tile, mesh=mesh,
         in_specs=(P(), P(axes), P(axes), P(axes), P()),
         out_specs=P(None, axes))
 
-    @jax.jit
-    def run(q_var_u8, base_u8, status, n_total):
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(q_var_u8, base_u8, status, n_total, k):
         cap = base_u8.shape[0]
         boff = jnp.arange(ndev, dtype=jnp.int32) * (cap // ndev)
-        return smapped(unpack_bits_pm1(q_var_u8),
-                       unpack_bits_pm1(base_u8), status, boff,
-                       jnp.full((1,), n_total, dtype=jnp.int32))
+        gated = smapped(unpack_bits_pm1(q_var_u8),
+                        unpack_bits_pm1(base_u8), status, boff,
+                        jnp.full((1,), n_total, dtype=jnp.int32))
+        neg, idx = jax.lax.top_k(-gated, k)
+        return -neg, idx
 
     return run
 

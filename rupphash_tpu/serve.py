@@ -368,44 +368,33 @@ class HashIndex:
             return (dev["h"], dev["st"], dev["paths"], self._n,
                     dev["rank"], dev["hsnap"])
 
-    @staticmethod
-    def _host_min_dists(variants: np.ndarray, hashes_snap: np.ndarray,
-                        idx: np.ndarray) -> np.ndarray:
-        """Exact min-over-variant distances for a few matched rows of
-        the given corpus *snapshot* (same capture as the indices)."""
-        vb = np.unpackbits(variants, axis=-1)            # (V, bits)
-        bb = np.unpackbits(hashes_snap[idx], axis=-1)    # (M, bits)
-        return (vb[:, None, :] != bb[None, :, :]).sum(-1).min(0)
-
     def query_mesh(self, mesh, variants: np.ndarray,
                    similarity: int = 40, max_results: int = 100):
         """Mesh-sharded query against the INCREMENTAL sharded corpus
         (same O(delta) mutation machinery as the single-device path):
-        packed match bitmasks from every device
-        (parallel/sharded.sharded_query_masks_status), exact distances
-        recomputed host-side for the (few) matched rows only.  Match
-        indices are live-compacted positions, identical to the
+        gated distances computed per shard, a device-side top-k over
+        the full corpus row (parallel/sharded.sharded_query_topk_status)
+        so device->host readback is O(Q x max_results), never O(Q x N)
+        — the mesh mirror of the single-device _query_topk path.
+        Match indices are live-compacted positions, identical to the
         single-device path."""
         if len(self) == 0:
             return [[] for _ in range(len(variants))]
         similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
-        base_dev, st_dev, paths, n, rank, hsnap = \
+        base_dev, st_dev, paths, n, rank, _hsnap = \
             self._device_arrays(mesh)
         fn = _mesh_query_fn(mesh, similarity)
-        masks = np.asarray(fn(_upload(
-            np.ascontiguousarray(variants, dtype=np.uint8)),
-            base_dev, st_dev, n))
+        k = min(int(base_dev.shape[0]),
+                max(16, 1 << (max(1, max_results) - 1).bit_length()))
+        dists, idx = (np.asarray(a) for a in fn(
+            _upload(np.ascontiguousarray(variants, dtype=np.uint8)),
+            base_dev, st_dev, n, k))
         out = []
-        for qi in range(len(variants)):
-            bits = np.unpackbits(masks[qi], bitorder="little")[:n]
-            hit = np.flatnonzero(bits)
-            if hit.size == 0:
-                out.append([])
-                continue
-            d = self._host_min_dists(variants[qi], hsnap, hit)
-            order = np.argsort(d, kind="stable")[:max_results]
-            out.append([(int(rank[int(hit[k])]), paths[int(hit[k])],
-                         int(d[k])) for k in order])
+        for drow, irow in zip(dists, idx):
+            sel = drow <= similarity    # sentinel rows never selected
+            out.append([(int(rank[int(i)]), paths[int(i)], int(d))
+                        for d, i in zip(drow[sel][:max_results],
+                                        irow[sel][:max_results])])
         return out
 
     def query(self, variants: np.ndarray, similarity: int = 40,
@@ -446,7 +435,7 @@ class HashIndex:
 @functools.lru_cache(maxsize=8)
 def _mesh_query_fn(mesh, similarity: int):
     from .parallel import sharded as shardedmod
-    return shardedmod.sharded_query_masks_status(mesh, similarity)
+    return shardedmod.sharded_query_topk_status(mesh, similarity)
 
 
 class NearDupService:
