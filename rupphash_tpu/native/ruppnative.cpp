@@ -104,9 +104,14 @@ static void axis_weights(int src, int dst, std::vector<int>& starts,
 
 void box_resample_u8(const uint8_t* src, int h, int w,
                      uint8_t* dst, int nh, int nw) {
-    std::vector<double> acc((size_t)h * w);
-    for (int64_t i = 0; i < (int64_t)h * w; i++) acc[i] = src[i];
-
+    // Bit-exactness note: each output element's weighted sum runs over
+    // k in the SAME ascending order as the Python reference (the loop
+    // nests below only reorder the independent j/i dimensions for
+    // sequential memory access), so results stay identical while the
+    // full-size float64 staging copy — which dominated 4 MP timings —
+    // is gone (the rows pass reads the u8 source directly; u8->double
+    // conversion is exact).
+    std::vector<double> acc;
     int ch = h, cw = w;
     if (nh != h) {
         std::vector<int> starts;
@@ -117,30 +122,45 @@ void box_resample_u8(const uint8_t* src, int h, int w,
             const auto& wv = wts[i];
             double wsum = 0;
             for (double x : wv) wsum += x;
-            for (int j = 0; j < w; j++) {
-                double v = 0;
-                for (size_t k = 0; k < wv.size(); k++)
-                    v += wv[k] * acc[(size_t)(starts[i] + k) * w + j];
-                tmp[(size_t)i * w + j] = v / wsum;
+            double* out_row = &tmp[(size_t)i * w];
+            for (int j = 0; j < w; j++) out_row[j] = 0.0;
+            for (size_t k = 0; k < wv.size(); k++) {
+                const double wk = wv[k];
+                const uint8_t* in_row =
+                    src + (size_t)(starts[i] + k) * w;
+                for (int j = 0; j < w; j++)
+                    out_row[j] += wk * (double)in_row[j];
             }
+            const double inv = wsum;
+            for (int j = 0; j < w; j++) out_row[j] /= inv;
         }
         acc.swap(tmp);
         ch = nh;
+    } else {
+        acc.resize((size_t)h * w);
+        for (int64_t i = 0; i < (int64_t)h * w; i++) acc[i] = src[i];
     }
     if (nw != w) {
         std::vector<int> starts;
         std::vector<std::vector<double>> wts;
         axis_weights(w, nw, starts, wts);
-        std::vector<double> tmp((size_t)ch * nw);
+        std::vector<double> wsums(nw);
         for (int j = 0; j < nw; j++) {
-            const auto& wv = wts[j];
-            double wsum = 0;
-            for (double x : wv) wsum += x;
-            for (int i = 0; i < ch; i++) {
+            double s = 0;
+            for (double x : wts[j]) s += x;
+            wsums[j] = s;
+        }
+        std::vector<double> tmp((size_t)ch * nw);
+        for (int i = 0; i < ch; i++) {
+            const double* in_row = &acc[(size_t)i * cw];
+            double* out_row = &tmp[(size_t)i * nw];
+            for (int j = 0; j < nw; j++) {
+                const auto& wv = wts[j];
+                const double* p = in_row + starts[j];
                 double v = 0;
                 for (size_t k = 0; k < wv.size(); k++)
-                    v += acc[(size_t)i * cw + starts[j] + k] * wv[k];
-                tmp[(size_t)i * nw + j] = v / wsum;
+                    v += p[k] * wv[k];
+                out_row[j] = v / wsums[j];
             }
         }
         acc.swap(tmp);
