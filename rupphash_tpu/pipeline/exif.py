@@ -116,6 +116,24 @@ def _gps_utc_timestamp(gps: dict):
         return None
 
 
+def _png_exif_blob(data: bytes) -> bytes | None:
+    """The eXIf chunk's raw TIFF payload via a cheap chunk walk, or
+    None when the PNG carries no EXIF (the common case — deciding that
+    must not cost a full image decode)."""
+    import struct
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        if typ == b"eXIf":
+            return bytes(data[pos + 8:pos + 8 + length])
+        if typ == b"IEND":
+            return None
+        pos += 12 + length
+    return None
+
+
 def extract(path: str | Path | None = None, data: bytes | None = None) -> dict:
     """Extract features from a file path or raw bytes.
 
@@ -134,7 +152,19 @@ def extract(path: str | Path | None = None, data: bytes | None = None) -> dict:
         src = io.BytesIO(data) if data is not None else path
         with Image.open(src) as im:
             out["width"], out["height"] = im.width, im.height
-            exif = im.getexif()
+            if data is not None \
+                    and data[:8] == b"\x89PNG\r\n\x1a\n":
+                # PIL's PNG getexif() fully DECODES the image when no
+                # eXIf chunk precedes IDAT (post-IDAT chunk search) —
+                # a redundant multi-ms decode per PNG at scan rate.
+                # A direct chunk walk reads the same blob for free.
+                blob = _png_exif_blob(data)
+                if blob is None:
+                    return out
+                exif = Image.Exif()
+                exif.load(blob)
+            else:
+                exif = im.getexif()
     except Exception:
         return out
     if not exif:

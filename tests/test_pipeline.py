@@ -296,3 +296,34 @@ def test_device_slot_contract(tmp_path, capsys):
     swapped = [dataclasses.replace(r) for r in records]
     swapped[0].device_slot = swapped[1].device_slot
     assert engine._resident_rows(swapped, idx, sink) is None
+
+
+def test_png_exif_chunk_walk():
+    """PNG EXIF extraction must not pay PIL's full-image decode:
+    a direct eXIf chunk walk reads the same blob, preserving the tag
+    sweep for EXIF-bearing PNGs and fast-skipping the common bare
+    case (round-4 decode-profile finding: getexif() decoded every
+    PNG at scan rate)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.pipeline import exif as exifmod
+
+    rng = np.random.default_rng(13)
+    im = Image.fromarray(rng.integers(0, 256, (24, 32, 3), np.uint8))
+    ex = Image.Exif()
+    ex[274] = 6                         # orientation
+    ex[306] = "2024:03:01 10:00:00"     # DateTime
+    buf = io.BytesIO()
+    im.save(buf, format="PNG", exif=ex)
+    out = exifmod.extract(data=buf.getvalue())
+    assert out["orientation"] == 6
+    assert out["width"] == 32 and out["height"] == 24
+    assert out["tags"].get("DateTime") == "2024:03:01 10:00:00"
+
+    buf2 = io.BytesIO()
+    im.save(buf2, format="PNG")
+    out2 = exifmod.extract(data=buf2.getvalue())
+    assert out2["orientation"] == 1 and out2["tags"] == {}
