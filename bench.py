@@ -305,7 +305,6 @@ def bench_decode_profile(n=64, chip_ips=None):
     sweep, image decode, luma+<=512 box resample — per image on one
     host core, and derive the chips-fed-per-host-core model against
     the measured chip hash rate."""
-    import io
     import shutil
     import tempfile
 

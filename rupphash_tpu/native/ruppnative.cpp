@@ -589,7 +589,9 @@ int rw2_v6_decode(const uint8_t* data, int64_t len, int width,
                 for (int k = 0; k < 3; k++) {
                     int pixi = 2 + g * 3 + k;
                     int64_t v = (int64_t)e[vidx[g][k]] - 0x200;
-                    int64_t r = oddeven[pixi & 1] + (v << sh);
+                    // multiply, not shift: v can be negative (UB)
+                    int64_t r = oddeven[pixi & 1]
+                                + v * ((int64_t)1 << sh);
                     if (r < 0) r = 0;
                     if (r > 0x3fff) r = 0x3fff;
                     px[pixi] = r;
@@ -811,8 +813,10 @@ static int decode_band(const uint8_t* blob, int64_t blen, int bw, int bh,
     int64_t consumed_bytes = bits.pos - bits.nacc / 8;
     if (consumed_bytes != blen - 1) return -23;
     if (q_exp)
+        // multiply, not shift: left-shifting negative coefficients is
+        // UB pre-C++20 (same value, UBSan-clean)
         for (int64_t i = 0; i < (int64_t)bw * bh; i++)
-            out[i] <<= q_exp;
+            out[i] *= (int64_t)1 << q_exp;
     return 0;
 }
 }  // namespace crxw
