@@ -334,6 +334,12 @@ def bench_decode_profile(n=64, chip_ips=None):
                 p = tmp / f"{name}_{i:03d}.{ext}"
                 im.save(p, **kw)
                 paths.append(p)
+            # JPEGs take the fused probe in production (scanlines ->
+            # luma/resample accumulators, native/jpegfast.py): decode
+            # and luma_resize collapse into one stage, reported under
+            # decode_ms with fused=True
+            from rupphash_tpu.native import jpegfast
+            fused = ext == "jpg" and jpegfast.available()
             stages = {"read": 0.0, "blake2b": 0.0, "exif": 0.0,
                       "decode": 0.0, "luma_resize": 0.0}
             for p in paths:
@@ -344,10 +350,14 @@ def bench_decode_profile(n=64, chip_ips=None):
                 t2 = time.perf_counter()
                 exifmod.extract(p, data=data)
                 t3 = time.perf_counter()
-                img, _res = decmod.load_image(p, data=data)
-                t4 = time.perf_counter()
-                decmod.prepare_luma_fast(img)
-                t5 = time.perf_counter()
+                if fused:
+                    assert jpegfast.probe_luma(data) is not None
+                    t4 = t5 = time.perf_counter()
+                else:
+                    img, _res = decmod.load_image(p, data=data)
+                    t4 = time.perf_counter()
+                    decmod.prepare_luma_fast(img)
+                    t5 = time.perf_counter()
                 stages["read"] += t1 - t0
                 stages["blake2b"] += t2 - t1
                 stages["exif"] += t3 - t2
@@ -356,6 +366,8 @@ def bench_decode_profile(n=64, chip_ips=None):
             total_s = sum(stages.values())
             entry = {f"{k}_ms": round(v / count * 1000, 3)
                      for k, v in stages.items()}
+            if fused:
+                entry["fused"] = True
             entry["total_ms"] = round(total_s / count * 1000, 3)
             entry["images_per_s_per_core"] = round(count / total_s, 1)
             profile[name] = entry

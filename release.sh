@@ -6,11 +6,15 @@
 set -e
 
 echo "== native library rebuild =="
-rm -f rupphash_tpu/native/ruppnative.so
+rm -f rupphash_tpu/native/ruppnative.so rupphash_tpu/native/ruppjpeg.so
 python - <<'EOF'
 from rupphash_tpu import native
+from rupphash_tpu.native import jpegfast
 assert native.get_lib() is not None, "native build failed"
 print("ruppnative.so built")
+# jpegfast is optional (needs system libjpeg); report, don't gate
+print("ruppjpeg.so (fused JPEG probe):",
+      "available" if jpegfast.available() else "unavailable (PIL path)")
 EOF
 
 echo "== tests =="

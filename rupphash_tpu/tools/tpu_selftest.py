@@ -191,6 +191,18 @@ def main(argv=None) -> int:
     except Exception as e:
         check(f"native raw codecs ({type(e).__name__})", False)
 
+    # fused JPEG probe (optional: needs system libjpeg): the runtime
+    # self-probe IS the bit-equality differential (PIL vs fused over a
+    # baseline/progressive/subsampling/grayscale/resample corpus)
+    try:
+        from rupphash_tpu.native import jpegfast
+        if jpegfast.available():
+            check("fused JPEG probe self-equality", True)
+        else:
+            print("  [skip] fused JPEG probe unavailable (PIL path)")
+    except Exception as e:
+        check(f"fused JPEG probe ({type(e).__name__})", False)
+
     print(f"{'PASS' if failures == 0 else 'FAIL'} "
           f"({failures} failing checks)")
     return 1 if failures else 0
