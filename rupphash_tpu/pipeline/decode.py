@@ -79,21 +79,15 @@ def decode_bytes(data: bytes) -> np.ndarray | None:
         return None
 
 
-def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
-    """Carve the largest embedded JPEG stream from a RAW container.
-
-    Scans for SOI (FFD8FF) markers and attempts a decode of each span to
-    the trailing EOI; RAW files typically embed a full-size preview JPEG
-    that the reference hashes instead of demosaicing (scanner.rs:1353-1380).
-    """
+def _jpeg_spans(data: bytes, min_bytes: int = 4096):
+    """Candidate embedded-JPEG spans [(length, start, end)], longest
+    first, capped at 32."""
     # real JPEG streams follow SOI with APPn/DQT/SOF/COM — filtering on
     # the 4th byte discards the FFD8FF triples that occur by chance in
     # compressed raw payloads (~once per 16 MB), so ALL markers can be
     # scanned and the decode-attempt cap spent on plausible spans (a
     # position cap used to miss previews located after the mosaic data)
     _plausible = {0xC0, 0xC2, 0xC4, 0xDB, 0xE0, 0xE1, 0xE2, 0xEE, 0xFE}
-    best = None
-    best_pixels = 0
     start = 0
     candidates = []
     while True:
@@ -109,13 +103,77 @@ def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
         if end >= 0 and end - i >= min_bytes:
             spans.append((end - i, i, end))
     spans.sort(reverse=True)  # longest spans first
-    for _, i, end in spans[:32]:
+    return spans[:32]
+
+
+def _ranked_jpeg_spans(data: bytes, min_bytes: int = 4096):
+    """Spans ordered by SOF pixel count (desc, ties keep longest-first
+    order), or None when any span's header fails the cheap parse — the
+    caller must then fall back to decode-and-compare."""
+    from ..native.jpegfast import jpeg_dims
+
+    spans = _jpeg_spans(data, min_bytes)
+    if not spans:
+        return []
+    ranked = []
+    for _, i, end in spans:
+        # bounded slice: only the marker walk is needed, and headers
+        # (EXIF/XMP/MPF APPn runs) fit well inside 256 KiB; a span
+        # whose SOF lies deeper parses as None => legacy path
+        dims = jpeg_dims(data[i:min(end + 2, i + (256 << 10))])
+        if dims is None:
+            return None
+        ranked.append((dims[0] * dims[1], i, end))
+    ranked.sort(key=lambda t: -t[0])  # stable: ties stay longest-first
+    return ranked
+
+
+def extract_largest_jpeg(data: bytes, min_bytes: int = 4096):
+    """Carve the largest embedded JPEG stream from a RAW container.
+
+    Scans for SOI (FFD8FF) markers; RAW files typically embed a
+    full-size preview JPEG that the reference hashes instead of
+    demosaicing (scanner.rs:1353-1380).  Selection is by SOF pixel
+    count so only the winning span is decoded (multi-preview raws used
+    to decode every candidate just to compare sizes); if any header
+    resists the cheap parse, every span is decoded and compared, as
+    before.
+    """
+    ranked = _ranked_jpeg_spans(data, min_bytes)
+    if ranked is not None:
+        # decode dims == SOF dims, so the first successful decode in
+        # pixel order IS the max over all successful decodes
+        for _, i, end in ranked:
+            img = decode_bytes(data[i:end + 2])
+            if img is not None:
+                return img
+        return None
+    best = None
+    best_pixels = 0
+    for _, i, end in _jpeg_spans(data, min_bytes):
         img = decode_bytes(data[i:end + 2])
         if img is not None:
             px = img.shape[0] * img.shape[1]
             if px > best_pixels:
                 best, best_pixels = img, px
     return best
+
+
+def probe_luma_raw_preview(data: bytes):
+    """(luma, (w, h)) for a RAW container's largest embedded preview
+    via the fused JPEG probe, or None => take the load_image path.
+    Only offered when every candidate span's header parses (so the
+    span chosen here is the same one extract_largest_jpeg would pick)
+    and the winning span probe-decodes cleanly."""
+    from ..native import jpegfast
+
+    if not jpegfast.available():
+        return None
+    ranked = _ranked_jpeg_spans(data)
+    if not ranked:
+        return None
+    _, i, end = ranked[0]
+    return jpegfast.probe_luma(data[i:end + 2])
 
 
 def sniff_decode_bytes(data: bytes) -> np.ndarray | None:

@@ -38,18 +38,24 @@ def heavy_prepare(path, content_key: bytes | None, want_pixel_hash: bool):
     # (bit-identical to the load_image route, see native/jpegfast.py);
     # skipped when the full RGB is needed (--pixel-hash) or the suffix
     # routes elsewhere (RAW containers hash their embedded preview)
-    if (not want_pixel_hash and data[:3] == b"\xff\xd8\xff"
-            and not decode.is_raw_ext(path)
-            and path.suffix.lower().lstrip(".") not in (
-                "heic", "heif", "jxl", "pdf")):
-        from ..native import jpegfast
-        fast = jpegfast.probe_luma(data)
-        if fast is not None:
-            luma, res = fast
-            out["res"] = res
-            feats["width"], feats["height"] = res
-            out["luma"] = luma
-            return out
+    fast = None
+    if not want_pixel_hash:
+        if (data[:3] == b"\xff\xd8\xff" and not decode.is_raw_ext(path)
+                and path.suffix.lower().lstrip(".") not in (
+                    "heic", "heif", "jxl", "pdf")):
+            from ..native import jpegfast
+            fast = jpegfast.probe_luma(data)
+        elif decode.is_raw_ext(path):
+            # RAW files hash their largest embedded preview — same
+            # fused route, selected by SOF dims without decoding the
+            # other candidate previews
+            fast = decode.probe_luma_raw_preview(data)
+    if fast is not None:
+        luma, res = fast
+        out["res"] = res
+        feats["width"], feats["height"] = res
+        out["luma"] = luma
+        return out
 
     img, res = decode.load_image(path, data=data)
     if img is None:

@@ -124,6 +124,60 @@ def test_jpeg_dims_rejects_lossless_and_12bit():
     assert jpegfast.jpeg_dims(bytes(bad)) is None
 
 
+def _multi_preview_blob(seed: int) -> tuple[bytes, np.ndarray]:
+    """TIFF-magic-prefixed blob embedding a small and a large JPEG
+    preview (RAW-container shape); returns (blob, large RGB array)."""
+    small = _jpeg(_textured(200, 150, seed), quality=95)
+    big_arr = _textured(640, 480, seed + 1)
+    big = _jpeg(big_arr, quality=95)
+    assert len(small) > 4096 and len(big) > 4096
+    blob = (b"II*\x00" + b"\x00" * 256 + small + b"\x00" * 64 + big
+            + b"\x00" * 32)
+    return blob, big_arr
+
+
+def test_extract_largest_jpeg_decodes_only_winner(monkeypatch):
+    """Dims-first selection: only the largest-SOF span is decoded."""
+    blob, _ = _multi_preview_blob(41)
+    calls = []
+    real = decode.decode_bytes
+
+    def counting(data):
+        calls.append(len(data))
+        return real(data)
+
+    monkeypatch.setattr(decode, "decode_bytes", counting)
+    img = decode.extract_largest_jpeg(blob)
+    assert img is not None and img.shape[:2] == (480, 640)
+    assert len(calls) == 1
+
+
+def test_raw_preview_probe_matches_slow_path():
+    blob, _ = _multi_preview_blob(43)
+    fast = decode.probe_luma_raw_preview(blob)
+    assert fast is not None
+    img = decode.extract_largest_jpeg(blob)
+    want = decode.prepare_luma_fast(img)
+    assert fast[1] == (640, 480)
+    assert np.array_equal(fast[0], want)
+
+
+def test_heavy_prepare_raw_preview_equality(tmp_path, monkeypatch):
+    """A RAW-suffixed multi-preview file produces identical records
+    with the fused preview probe on and force-disabled."""
+    from rupphash_tpu.pipeline import heavy
+
+    blob, _ = _multi_preview_blob(47)
+    p = tmp_path / "shot.cr2"
+    p.write_bytes(blob)
+    fast = heavy.heavy_prepare(p, None, want_pixel_hash=False)
+    monkeypatch.setenv("RUPPHASH_NO_JPEGFAST", "1")
+    slow = heavy.heavy_prepare(p, None, want_pixel_hash=False)
+    monkeypatch.delenv("RUPPHASH_NO_JPEGFAST")
+    assert fast["res"] == slow["res"] == (640, 480)
+    assert np.array_equal(fast["luma"], slow["luma"])
+
+
 def test_heavy_prepare_uses_fast_path_and_matches(tmp_path, monkeypatch):
     """End-to-end: heavy_prepare's record is identical with the fast
     path on and force-disabled (hashes downstream are therefore too)."""
