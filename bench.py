@@ -334,12 +334,18 @@ def bench_decode_profile(n=64, chip_ips=None):
                 p = tmp / f"{name}_{i:03d}.{ext}"
                 im.save(p, **kw)
                 paths.append(p)
-            # JPEGs take the fused probe in production (scanlines ->
-            # luma/resample accumulators, native/jpegfast.py): decode
-            # and luma_resize collapse into one stage, reported under
-            # decode_ms with fused=True
-            from rupphash_tpu.native import jpegfast
-            fused = ext == "jpg" and jpegfast.available()
+            # JPEGs/PNGs take the fused probes in production (rows ->
+            # luma/resample accumulators, native/jpegfast.py +
+            # pngfast.py): decode and luma_resize collapse into one
+            # stage, reported under decode_ms with fused=True
+            from rupphash_tpu.native import jpegfast, pngfast
+            if ext == "jpg" and jpegfast.available():
+                fused_probe = jpegfast.probe_luma
+            elif ext == "png" and pngfast.available():
+                fused_probe = pngfast.probe_luma
+            else:
+                fused_probe = None
+            fused = fused_probe is not None
             stages = {"read": 0.0, "blake2b": 0.0, "exif": 0.0,
                       "decode": 0.0, "luma_resize": 0.0}
             for p in paths:
@@ -351,7 +357,7 @@ def bench_decode_profile(n=64, chip_ips=None):
                 exifmod.extract(p, data=data)
                 t3 = time.perf_counter()
                 if fused:
-                    assert jpegfast.probe_luma(data) is not None
+                    assert fused_probe(data) is not None
                     t4 = t5 = time.perf_counter()
                 else:
                     img, _res = decmod.load_image(p, data=data)

@@ -26,68 +26,21 @@ equivalence tests to drive the slow path).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from pathlib import Path
 
 import numpy as np
 
+from .fastpath import FastLib
+
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / "ruppjpeg.cpp"
-_SO = _HERE / "ruppjpeg.so"
-_lock = threading.RLock()  # available() -> _get_lib() re-enters
-_lib = None
-_state = None  # None = unprobed, True = validated, False = disabled
 
 
-def _build() -> bool:
-    # -march=native vectorizes the luma + resample accumulators (1.3x
-    # at 4 MP); -ffp-contract=off forbids FMA contraction so the
-    # float64 resample math stays bit-identical to box_resample_u8
-    # (plain -O3 on baseline x86-64 has no FMA, so the golden was
-    # compiled contraction-free).  Element-wise loops vectorize order-
-    # preserving; the cols-pass reduction is left scalar by gcc
-    # without -fassociative-math, so SIMD never reorders additions.
-    for extra in (["-march=native", "-ffp-contract=off"],
-                  ["-ffp-contract=off"]):
-        cmd = (["g++", "-O3"] + extra +
-               ["-shared", "-fPIC", "-std=c++17", str(_SRC),
-                "-o", str(_SO), "-ljpeg"])
-        try:
-            subprocess.run(cmd, check=True, capture_output=True,
-                           timeout=120)
-            return True
-        except FileNotFoundError:
-            return False
-        except subprocess.SubprocessError:
-            continue
-    return False
-
-
-def _get_lib():
-    global _lib, _state
-    if _lib is not None or _state is False:
-        return _lib
-    with _lock:
-        if _lib is not None or _state is False:
-            return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                _state = False
-                return None
-        try:
-            lib = ctypes.CDLL(str(_SO))
-        except OSError:
-            _state = False
-            return None
-        lib.jpeg_luma_probe.restype = ctypes.c_int
-        lib.jpeg_luma_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
-        _lib = lib
-        return _lib
+def _configure(lib):
+    lib.jpeg_luma_probe.restype = ctypes.c_int
+    lib.jpeg_luma_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
 
 
 def jpeg_dims(data: bytes):
@@ -127,7 +80,7 @@ def jpeg_dims(data: bytes):
 
 def _decode(data: bytes, nw: int, nh: int):
     """Raw C++ call: (luma (nh, nw) u8, full (w, h)) or None."""
-    lib = _get_lib()
+    lib = _FAST.get_lib()
     if lib is None:
         return None
     out = np.empty((nh, nw), dtype=np.uint8)
@@ -140,15 +93,10 @@ def _decode(data: bytes, nw: int, nh: int):
     return out, (fw.value, fh.value)
 
 
-def _self_probe() -> bool:
-    """Decode a deterministic corpus through both paths; bit-equal or
-    the fast path stays off on this machine."""
+def _probe_corpus():
     import io
 
     from PIL import Image
-
-    from ..ops import pdq_ref
-    from ..pipeline import decode as dec
 
     rng = np.random.default_rng(0xC0FFEE)
 
@@ -162,7 +110,7 @@ def _self_probe() -> bool:
     big = np.asarray(
         Image.fromarray(rng.integers(0, 256, (30, 53, 3), np.uint8))
         .resize((530, 300), Image.BILINEAR))
-    corpus = [
+    return [
         enc(rgb_odd, quality=88, subsampling=2),           # 4:2:0
         enc(rgb_odd, quality=76, subsampling=0,
             progressive=True),                             # prog 4:4:4
@@ -170,7 +118,13 @@ def _self_probe() -> bool:
         enc(gray, quality=90),                             # grayscale
         enc(big, quality=85, subsampling=2),               # resample
     ]
-    for data in corpus:
+
+
+def _self_probe() -> bool:
+    from ..ops import pdq_ref
+    from ..pipeline import decode as dec
+
+    for data in _probe_corpus():
         dims = jpeg_dims(data)
         if dims is None:
             return False
@@ -191,24 +145,14 @@ def _self_probe() -> bool:
     return True
 
 
+_FAST = FastLib(_HERE / "ruppjpeg.cpp", _HERE / "ruppjpeg.so",
+                ["-ljpeg"], _configure, _self_probe,
+                "RUPPHASH_NO_JPEGFAST")
+
+
 def available() -> bool:
     """Library built AND the self-probe validated bit-equality."""
-    global _state
-    if os.environ.get("RUPPHASH_NO_JPEGFAST"):
-        return False
-    if _state is not None:
-        return _state
-    with _lock:
-        if _state is not None:
-            return _state
-        ok = _get_lib() is not None
-        if ok:
-            try:
-                ok = _self_probe()
-            except Exception:
-                ok = False
-        _state = ok
-        return _state
+    return _FAST.available()
 
 
 def probe_luma(data: bytes):

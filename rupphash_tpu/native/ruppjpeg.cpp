@@ -4,9 +4,9 @@
 // PIL route materializes the full RGB image, copies it into numpy
 // (tobytes: as expensive as the decode itself at 4 MP on this host),
 // then runs two more full-resolution passes (luma601, box_resample).
-// This decoder streams libjpeg scanlines straight into the luma +
-// area-resample accumulators, so the full-resolution RGB never exists
-// in memory and each decoded row is consumed cache-hot.
+// This decoder streams libjpeg scanlines straight into the shared
+// luma/area-resample sink (rupp_stream.h), so the full-resolution RGB
+// never exists in memory and each decoded row is consumed cache-hot.
 //
 // Bit-exactness contract (tests/test_jpegfast.py): output is
 // bit-identical to decode_bytes() -> luma601 -> box_resample_u8 for
@@ -15,10 +15,8 @@
 //      match Pillow's JpegDecode.c settings; mismatched library
 //      behavior is caught by the runtime self-probe in jpegfast.py.
 //   2. luma: same integer math as ruppnative.cpp:luma601.
-//   3. resample: same float64 weighted accumulation, in the same
-//      FP-addition order, as ruppnative.cpp:box_resample_u8 (identity
-//      weights reproduce the no-resample branches exactly: integer-
-//      valued doubles round to the same u8).
+//   3. resample: rupp_stream.h StreamResampler (same float64 math and
+//      addition order as ruppnative.cpp:box_resample_u8).
 // Anything uncertain fails closed: non-8-bit precision, colorspaces
 // other than grayscale/YCbCr/RGB, or ANY libjpeg warning (Pillow's
 // tolerance for dirty streams differs by version, so dirty streams
@@ -28,18 +26,19 @@
 // (zune-jpeg full decode, scanner.rs:461-520) before hashing; this is
 // the same architectural slot with the copies fused away.
 //
-// Build: g++ -O3 -shared -fPIC -std=c++17 ruppjpeg.cpp -o ruppjpeg.so
-//        -ljpeg   (system libjpeg-turbo; absent => jpegfast disabled)
+// Build (native/jpegfast.py): g++ -O3 -march=native -ffp-contract=off
+//   -shared -fPIC -std=c++17 ruppjpeg.cpp -o ruppjpeg.so -ljpeg
+// (system libjpeg-turbo; absent => jpegfast disabled)
 
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <algorithm>
-#include <cmath>
 #include <vector>
 
 #include <jpeglib.h>
+
+#include "rupp_stream.h"
 
 namespace {
 
@@ -57,25 +56,6 @@ void on_error(j_common_ptr cinfo) {
 // num_warnings is the fail-closed truncation/corruption signal.
 void on_message(j_common_ptr cinfo, int msg_level) {
     if (msg_level < 0) cinfo->err->num_warnings++;
-}
-
-// Identical to ruppnative.cpp axis_weights (same doubles, same order).
-void axis_weights(int src, int dst, std::vector<int>& starts,
-                  std::vector<std::vector<double>>& weights) {
-    const double s = (double)src / (double)dst;
-    starts.resize(dst);
-    weights.resize(dst);
-    for (int i = 0; i < dst; i++) {
-        double lo = i * s, hi = (i + 1) * s;
-        int k0 = (int)std::floor(lo);
-        int k1 = std::min((int)std::ceil(hi), src);
-        starts[i] = k0;
-        auto& w = weights[i];
-        w.resize(k1 - k0);
-        for (int k = k0; k < k1; k++)
-            w[k - k0] =
-                std::min(hi, (double)(k + 1)) - std::max(lo, (double)k);
-    }
 }
 
 }  // namespace
@@ -132,112 +112,21 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
         return -3;
     }
 
-    if (nw == w && nh == h) {
-        // identity: prepare_luma_fast never resamples <=512px images,
-        // so the output is the luma rows themselves — skip the
-        // double-precision accumulators entirely
-        std::vector<uint8_t> row((size_t)w * ch);
-        JSAMPROW rp = row.data();
-        while (cinfo.output_scanline < cinfo.output_height) {
-            uint8_t* orow = out + (size_t)cinfo.output_scanline * w;
-            if (jpeg_read_scanlines(&cinfo, &rp, 1) != 1) {
-                jpeg_destroy_decompress(&cinfo);
-                return -6;
-            }
-            if (gray) {
-                std::memcpy(orow, row.data(), (size_t)w);
-            } else {
-                for (int j = 0; j < w; j++) {
-                    const uint8_t* p = row.data() + (size_t)j * 3;
-                    uint32_t l = (299u * p[0] + 587u * p[1] +
-                                  114u * p[2] + 500u) / 1000u;
-                    orow[j] = (uint8_t)l;
-                }
-            }
-        }
-        jpeg_finish_decompress(&cinfo);
-        const long warn = cinfo.err->num_warnings;
-        jpeg_destroy_decompress(&cinfo);
-        return warn != 0 ? -5 : 0;
-    }
-
-    std::vector<int> rstarts, cstarts;
-    std::vector<std::vector<double>> rwts, cwts;
-    axis_weights(h, nh, rstarts, rwts);
-    axis_weights(w, nw, cstarts, cwts);
-    std::vector<double> rwsum(nh), cwsum(nw);
-    for (int i = 0; i < nh; i++) {
-        double s = 0;
-        for (double x : rwts[i]) s += x;
-        rwsum[i] = s;
-    }
-    for (int j = 0; j < nw; j++) {
-        double s = 0;
-        for (double x : cwts[j]) s += x;
-        cwsum[j] = s;
-    }
-
+    ruppstream::StreamResampler rs;
+    rs.init(w, h, nw, nh, out);
     std::vector<uint8_t> row((size_t)w * ch);
-    std::vector<uint8_t> luma(w);
-    // Rows-pass accumulators: only the output rows whose source window
-    // is still open need storage, but nh*w doubles (<=512 rows) is
-    // small; completed rows are immediately column-reduced + rounded.
-    std::vector<double> acc((size_t)nh * w, 0.0);
-    int next_emit = 0;  // first output row not yet finalized
+    std::vector<uint8_t> luma(gray ? 0 : w);
     JSAMPROW rp = row.data();
-
     while (cinfo.output_scanline < cinfo.output_height) {
-        const int r = (int)cinfo.output_scanline;
         if (jpeg_read_scanlines(&cinfo, &rp, 1) != 1) {
             jpeg_destroy_decompress(&cinfo);
             return -6;
         }
-        const uint8_t* lp;
         if (gray) {
-            lp = row.data();
+            rs.feed(row.data());
         } else {
-            // same integer math as ruppnative.cpp:luma601
-            for (int j = 0; j < w; j++) {
-                const uint8_t* p = row.data() + (size_t)j * 3;
-                uint32_t l =
-                    (299u * p[0] + 587u * p[1] + 114u * p[2] + 500u) /
-                    1000u;
-                luma[j] = (uint8_t)l;
-            }
-            lp = luma.data();
-        }
-        // scatter this source row into every open output row; windows
-        // are ascending, so per-output-row addition order matches the
-        // ascending-k order of box_resample_u8's rows pass
-        for (int i = next_emit; i < nh; i++) {
-            const int k0 = rstarts[i];
-            if (r < k0) break;
-            const int kn = (int)rwts[i].size();
-            if (r >= k0 + kn) continue;  // only possible for i==next_emit
-            const double wk = rwts[i][r - k0];
-            double* arow = &acc[(size_t)i * w];
-            for (int j = 0; j < w; j++) arow[j] += wk * (double)lp[j];
-        }
-        // finalize output rows whose window just closed
-        while (next_emit < nh &&
-               r + 1 >= rstarts[next_emit] +
-                            (int)rwts[next_emit].size()) {
-            double* arow = &acc[(size_t)next_emit * w];
-            const double inv = rwsum[next_emit];
-            for (int j = 0; j < w; j++) arow[j] /= inv;
-            uint8_t* orow = out + (size_t)next_emit * nw;
-            for (int j = 0; j < nw; j++) {
-                const auto& wv = cwts[j];
-                const double* p = arow + cstarts[j];
-                double v = 0;
-                for (size_t k = 0; k < wv.size(); k++)
-                    v += p[k] * wv[k];
-                v /= cwsum[j];
-                double rv = std::floor(v + 0.5);
-                orow[j] =
-                    (uint8_t)std::max(0.0, std::min(255.0, rv));
-            }
-            next_emit++;
+            ruppstream::luma601_row(row.data(), w, 3, luma.data());
+            rs.feed(luma.data());
         }
     }
     jpeg_finish_decompress(&cinfo);
@@ -247,7 +136,7 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
     const long warnings = cinfo.err->num_warnings;
     jpeg_destroy_decompress(&cinfo);
     if (warnings != 0) return -5;
-    if (next_emit != nh) return -7;
+    if (!rs.complete()) return -7;
     return 0;
 }
 

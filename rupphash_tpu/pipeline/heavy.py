@@ -40,11 +40,16 @@ def heavy_prepare(path, content_key: bytes | None, want_pixel_hash: bool):
     # routes elsewhere (RAW containers hash their embedded preview)
     fast = None
     if not want_pixel_hash:
-        if (data[:3] == b"\xff\xd8\xff" and not decode.is_raw_ext(path)
-                and path.suffix.lower().lstrip(".") not in (
-                    "heic", "heif", "jxl", "pdf")):
+        special = decode.is_raw_ext(path) or \
+            path.suffix.lower().lstrip(".") in ("heic", "heif", "jxl",
+                                                "pdf")
+        if data[:3] == b"\xff\xd8\xff" and not special:
             from ..native import jpegfast
             fast = jpegfast.probe_luma(data)
+        elif data[:8] == b"\x89PNG\r\n\x1a\n" and not special:
+            # APNGs carry acTL and fail closed inside the probe
+            from ..native import pngfast
+            fast = pngfast.probe_luma(data)
         elif decode.is_raw_ext(path):
             # RAW files hash their largest embedded preview — same
             # fused route, selected by SOF dims without decoding the

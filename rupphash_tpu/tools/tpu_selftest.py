@@ -191,17 +191,21 @@ def main(argv=None) -> int:
     except Exception as e:
         check(f"native raw codecs ({type(e).__name__})", False)
 
-    # fused JPEG probe (optional: needs system libjpeg): the runtime
-    # self-probe IS the bit-equality differential (PIL vs fused over a
-    # baseline/progressive/subsampling/grayscale/resample corpus)
-    try:
-        from rupphash_tpu.native import jpegfast
-        if jpegfast.available():
-            check("fused JPEG probe self-equality", True)
-        else:
-            print("  [skip] fused JPEG probe unavailable (PIL path)")
-    except Exception as e:
-        check(f"fused JPEG probe ({type(e).__name__})", False)
+    # fused JPEG/PNG probes (optional: need system libjpeg /
+    # libdeflate): the runtime self-probes ARE the bit-equality
+    # differentials (PIL vs fused over format-class corpora)
+    for label, modname in (("JPEG", "jpegfast"), ("PNG", "pngfast")):
+        try:
+            import importlib
+            mod = importlib.import_module(
+                f"rupphash_tpu.native.{modname}")
+            if mod.available():
+                check(f"fused {label} probe self-equality", True)
+            else:
+                print(f"  [skip] fused {label} probe unavailable "
+                      "(PIL path)")
+        except Exception as e:
+            check(f"fused {label} probe ({type(e).__name__})", False)
 
     print(f"{'PASS' if failures == 0 else 'FAIL'} "
           f"({failures} failing checks)")
