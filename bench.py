@@ -338,11 +338,13 @@ def bench_decode_profile(n=64, chip_ips=None):
             # luma/resample accumulators, native/jpegfast.py +
             # pngfast.py): decode and luma_resize collapse into one
             # stage, reported under decode_ms with fused=True
-            from rupphash_tpu.native import jpegfast, pngfast
+            from rupphash_tpu.native import jpegfast, pngfast, webpfast
             if ext == "jpg" and jpegfast.available():
                 fused_probe = jpegfast.probe_luma
             elif ext == "png" and pngfast.available():
                 fused_probe = pngfast.probe_luma
+            elif ext == "webp" and webpfast.available():
+                fused_probe = webpfast.probe_luma
             else:
                 fused_probe = None
             fused = fused_probe is not None

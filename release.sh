@@ -7,18 +7,20 @@ set -e
 
 echo "== native library rebuild =="
 rm -f rupphash_tpu/native/ruppnative.so rupphash_tpu/native/ruppjpeg.so \
-      rupphash_tpu/native/ruppng.so
+      rupphash_tpu/native/ruppng.so rupphash_tpu/native/ruppwebp.so
 python - <<'EOF'
 from rupphash_tpu import native
-from rupphash_tpu.native import jpegfast, pngfast
+from rupphash_tpu.native import jpegfast, pngfast, webpfast
 assert native.get_lib() is not None, "native build failed"
 print("ruppnative.so built")
-# the fused probes are optional (need system libjpeg / libdeflate);
-# report, don't gate
+# the fused probes are optional (need system libjpeg / libdeflate /
+# libwebp); report, don't gate
 print("ruppjpeg.so (fused JPEG probe):",
       "available" if jpegfast.available() else "unavailable (PIL path)")
 print("ruppng.so (fused PNG probe):",
       "available" if pngfast.available() else "unavailable (PIL path)")
+print("ruppwebp.so (fused WebP probe):",
+      "available" if webpfast.available() else "unavailable (PIL path)")
 EOF
 
 echo "== tests =="

@@ -50,6 +50,11 @@ def heavy_prepare(path, content_key: bytes | None, want_pixel_hash: bool):
             # APNGs carry acTL and fail closed inside the probe
             from ..native import pngfast
             fast = pngfast.probe_luma(data)
+        elif (data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+              and not special):
+            # animated WebPs fail closed inside the probe (VP8X flag)
+            from ..native import webpfast
+            fast = webpfast.probe_luma(data)
         elif decode.is_raw_ext(path):
             # RAW files hash their largest embedded preview — same
             # fused route, selected by SOF dims without decoding the

@@ -194,7 +194,8 @@ def main(argv=None) -> int:
     # fused JPEG/PNG probes (optional: need system libjpeg /
     # libdeflate): the runtime self-probes ARE the bit-equality
     # differentials (PIL vs fused over format-class corpora)
-    for label, modname in (("JPEG", "jpegfast"), ("PNG", "pngfast")):
+    for label, modname in (("JPEG", "jpegfast"), ("PNG", "pngfast"),
+                           ("WebP", "webpfast")):
         try:
             import importlib
             mod = importlib.import_module(
