@@ -216,6 +216,14 @@ def show_build_info():
     from .native import heif, jxl
     info["libheif"] = heif.version()
     info["libjxl"] = jxl.version()
+    # fused probe decoders: "available" means built AND the per-process
+    # bit-equality self-probe passed on this machine
+    from .native import jpegfast, pngfast, webpfast
+    info["fused_probes"] = {
+        "jpeg": jpegfast.available(),
+        "png": pngfast.available(),
+        "webp": webpfast.available(),
+    }
     # git HEAD, like the reference's build.rs-embedded hash
     try:
         from pathlib import Path
