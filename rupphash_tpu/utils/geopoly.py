@@ -13,7 +13,13 @@ EXACT along the contested border:
   * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) plus Nevada
     (round 4) — meridian/parallel borders and Nevada's 1861 oblique
     line exact; river/divide segments approximated with a documented
-    envelope;
+    envelope; round 4b adds California / Oregon / Washington / Texas
+    (42N, 49N, 46N, 36.5N, 32N, 120W, -117.026, -117.04, -103.042,
+    -100.0, -94.043 and the CA/NV oblique and CA/Mexico straight
+    lines exact; Columbia/Snake/Red/Sabine rivers approximated,
+    the Rio Grande conservative, the WA marine boundary threaded so
+    Victoria/Sidney/Gulf Islands stay Canadian while the San Juans
+    and Point Roberts stay inside);
   * Australian states — all land borders exact save the NSW/QLD east
     tail and the Murray River (segment-approximated);
   * Canadian prairie provinces (AB/SK/MB) — 49/60 parallels and 110/120
@@ -170,6 +176,77 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (42.0, -120.0), (42.0, -114.041), (37.0, -114.041),
         (37.0, -114.05), (36.1, -114.05), (36.12, -114.4),
         (35.1, -114.60), (35.0, -114.63), (39.0, -120.0)],
+    # --- US West/South (round 4b).  California: 42N, the 120W segment
+    # and the 1861 oblique line are exact and SHARE the Nevada ring's
+    # vertices (coincident edges, no overlap, no gap); the Colorado
+    # river stays west of Arizona's river chords; the Mexico line runs
+    # (32.718,-114.719)->(32.534,-117.124) (the legal straight line);
+    # the coast is generous but the ring stays north of the border
+    # line's seaward extension (Islas Coronado remain Mexican) while
+    # covering the US Channel Islands.
+    ("US", "California"): [
+        (42.0, -124.8), (42.0, -120.0), (39.0, -120.0),
+        (35.0, -114.63),                                    # oblique
+        (34.3, -114.14), (33.4, -114.52), (32.7, -114.53),  # river
+        (32.718, -114.719), (32.534, -117.124),             # Mexico
+        (32.7, -118.6), (33.3, -120.0), (36.0, -122.8),     # ocean
+        (40.0, -125.0)],
+    # Oregon: 42N south and the -117.026 Owyhee meridian segment are
+    # exact; Snake river east and Columbia river north approximated
+    # (gorge towns sit within ~1 km of the polyline — documented
+    # envelope); the 46N segment east of Wallula is exact and shared
+    # with Washington.
+    ("US", "Oregon"): [
+        (42.0, -124.8), (42.0, -117.026), (43.8, -117.03),
+        (44.25, -117.2), (44.8, -116.9), (45.6, -116.75),   # Snake
+        (46.0, -116.96), (46.0, -118.98),                   # 46N
+        (45.9, -119.45), (45.72, -120.5), (45.71, -121.55), # Columbia
+        (45.685, -121.88), (45.65, -121.95), (45.63, -121.98),
+        (45.6, -122.3), (45.61, -122.75), (46.05, -122.88),
+        (46.15, -123.45), (46.23, -124.0), (46.2, -124.8)],
+    # Washington: 49N north and the -117.04 Idaho meridian are exact;
+    # Columbia/Snake approximated with Oregon's shared vertices; the
+    # marine boundary threads Juan de Fuca / Haro Strait / Boundary
+    # Pass so Victoria, Sidney and the Gulf Islands stay Canadian
+    # while the San Juans and Point Roberts stay inside.
+    ("US", "Washington"): [
+        (46.23, -124.0), (46.15, -123.45), (46.05, -122.88),
+        (45.61, -122.75), (45.6, -122.3), (45.63, -121.98),
+        (45.65, -121.95), (45.685, -121.88), (45.71, -121.55),
+        (45.72, -120.5), (45.9, -119.45), (46.0, -118.98),
+        (46.0, -116.96), (46.2, -116.98), (46.42, -117.04), # Snake
+        (49.0, -117.04),                                    # meridian
+        (49.0, -123.15), (48.78, -123.05), (48.6, -123.2),  # Boundary
+        (48.45, -123.25), (48.23, -123.8), (48.25, -124.7), # Juan de F.
+        (48.4, -124.9), (46.3, -124.9)],
+    # Texas: the 103.042W / 32N New Mexico lines, the 36.5N / -100.0
+    # panhandle lines and the -94.043 Sabine meridian segment are
+    # exact (NM and OK vertices shared); the Red River reuses
+    # Oklahoma's polyline; the Rio Grande polyline tracks the river
+    # within ~2 km on BOTH sides (the anchor fallback assigns the US
+    # twin cities to Mexican states, so a conservative setback would
+    # misassign El Paso/Brownsville/Laredo — each twin-city pair below
+    # is split explicitly and regression-tested); Gulf generous.
+    ("US", "Texas"): [
+        (36.5, -103.042), (36.5, -100.0), (34.56, -99.99),
+        (34.4, -99.4), (34.15, -98.6), (34.1, -98.1),       # Red R.
+        (33.9, -96.9), (33.8, -95.5), (33.87, -94.48),
+        (33.55, -94.043), (32.0, -94.043),                  # meridian
+        (31.8, -94.0), (31.2, -93.7), (30.3, -93.8),        # Sabine
+        (29.75, -93.9), (29.4, -93.9),
+        (28.5, -95.2), (27.3, -96.4), (26.0, -96.6),        # Gulf
+        (25.955, -97.15), (25.888, -97.50),                 # Matamoros
+        (26.05, -97.95), (26.09, -98.26),                   # Reynosa
+        (26.36, -98.82), (26.55, -99.17), (26.9, -99.32),
+        (27.5, -99.515),                                    # N. Laredo
+        (28.05, -100.05), (28.7, -100.51),                  # P. Negras
+        (29.0, -100.65), (29.33, -100.92),                  # Acuña
+        (29.45, -101.05), (29.75, -101.4), (29.8, -102.1),
+        (29.2, -102.7), (29.0, -103.15), (29.17, -103.6),   # Big Bend
+        (29.555, -104.40),                                  # Ojinaga
+        (30.1, -104.72), (30.68, -105.0), (31.1, -105.6),
+        (31.5, -106.2), (31.75, -106.47),                   # Juárez
+        (31.78, -106.53), (32.0, -106.62), (32.0, -103.042)],
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

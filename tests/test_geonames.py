@@ -288,3 +288,83 @@ def test_polygon_generous_coast_does_not_claim_foreign_soil():
                            (-39.93, 143.85, "Tasmania"),    # King Island
                            (-35.77, 137.21, "South Australia")]:  # Kangaroo
         assert geopoly.lookup(lat, lon) == ("AU", want), (lat, lon)
+
+
+def test_polygon_round4b_west_south_states():
+    """Round-4b rings: California / Oregon / Washington / Texas.  The
+    straight legal lines (42N, 49N, 46N, 36.5N, 32N, 120W, -117.04,
+    -103.042, -100.0, -94.043, the CA/NV 1861 oblique and the
+    CA/Mexico straight line) are exact; twin cities across river or
+    marine borders split correctly; foreign twin cities are NEVER
+    claimed (the anchor fallback would assign several US border cities
+    to Mexican states, so the Rio Grande polyline tracks the river
+    rather than setting back conservatively)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # (lat, lon, subdivision) — straight-line + twin-city splits
+        (34.05, -118.24, "California"),   # Los Angeles
+        (32.71, -117.16, "California"),   # San Diego
+        (33.33, -118.33, "California"),   # Catalina Island
+        (32.9, -118.5, "California"),     # San Clemente Island
+        (38.94, -119.98, "California"),   # South Lake Tahoe
+        (38.96, -119.939, "Nevada"),      # Stateline, NV (oblique)
+        (41.95, -120.5, "California"),    # 42N south side
+        (42.05, -120.5, "Oregon"),        # 42N north side
+        (45.52, -122.67, "Oregon"),       # Portland
+        (45.64, -122.66, "Washington"),   # Vancouver, WA (Columbia)
+        (45.60, -121.18, "Oregon"),       # The Dalles
+        (45.727, -121.49, "Washington"),  # White Salmon
+        (45.93, -118.39, "Oregon"),       # Milton-Freewater (46N)
+        (46.06, -118.34, "Washington"),   # Walla Walla (46N)
+        (47.66, -117.43, "Washington"),   # Spokane (-117.04 side)
+        (48.53, -123.02, "Washington"),   # Friday Harbor (San Juans)
+        (48.985, -123.07, "Washington"),  # Point Roberts exclave
+        (29.76, -95.37, "Texas"),         # Houston
+        (35.2, -101.8, "Texas"),          # Amarillo (panhandle)
+        (36.4, -103.0, "Texas"),          # panhandle NW corner
+        (33.43, -94.048, "Texas"),        # Texarkana, TX (-94.043)
+        (31.76, -106.485, "Texas"),       # El Paso
+        (25.901, -97.497, "Texas"),       # Brownsville
+        (27.506, -99.507, "Texas"),       # Laredo
+        (26.20, -98.23, "Texas"),         # McAllen
+        (28.709, -100.499, "Texas"),      # Eagle Pass
+        (29.37, -100.90, "Texas"),        # Del Rio
+        (29.56, -104.37, "Texas"),        # Presidio
+        (26.1, -97.16, "Texas"),          # South Padre Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    # foreign twins and neighbors must never fall inside a ring
+    foreign = [
+        (48.43, -123.36),   # Victoria, BC
+        (48.65, -123.40),   # Sidney, BC
+        (48.78, -123.12),   # Saturna Island, BC
+        (49.05, -122.3),    # Abbotsford, BC
+        (32.42, -117.25),   # Islas Coronado, MX
+        (32.52, -117.03),   # Tijuana, MX
+        (31.69, -106.49),   # Ciudad Juárez, MX
+        (25.87, -97.51),    # Matamoros, MX
+        (26.05, -98.30),    # Reynosa, MX
+        (27.486, -99.545),  # Nuevo Laredo, MX
+        (28.70, -100.523),  # Piedras Negras, MX
+        (29.32, -100.93),   # Ciudad Acuña, MX
+        (29.57, -104.42),   # Ojinaga, MX
+    ]
+    for lat, lon in foreign:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("US",), (lat, lon, got)
+
+    # adversarial accounting: the Mexican-border twin cities are cases
+    # where the ANCHOR fallback resolves to a Mexican state — the ring
+    # is the only correct mechanism
+    adversarial = 0
+    for lat, lon in [(31.76, -106.485), (25.901, -97.497),
+                     (27.506, -99.507), (26.20, -98.23),
+                     (28.709, -100.499)]:
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != "US":
+            adversarial += 1
+    assert adversarial >= 3, f"only {adversarial} anchor-adversarial"
