@@ -202,6 +202,25 @@ class CacheStore:
             return
         self._q.put((ns, key, value))
 
+    def submit_many(self, items: list[tuple[int, bytes, bytes]]):
+        """Queue a batch as ONE writer-queue interaction.  A warm rescan
+        refreshes one meta timestamp per cache hit; per-item puts wake
+        the writer thread per file (on a 1-core host each wake is a GIL
+        bounce that dominates the probe loop — measured ~24% of warm
+        rescan time), so hot loops batch their refreshes here."""
+        if not items:
+            return
+        if self._q is None:
+            con = self._conn()
+            for ns, key, value in items:
+                self._put_now(ns, key, value, con=con)
+            con.commit()
+            return
+        if self._q.qsize() >= MAX_BACKLOG:
+            self.dropped_updates += len(items)
+            return
+        self._q.put(("MANY", list(items)))
+
     def _writer_loop(self):
         con = sqlite3.connect(self.path, timeout=30.0)
         con.execute("PRAGMA journal_mode=WAL")
@@ -239,6 +258,8 @@ class CacheStore:
                 item = self._q.get(timeout=timeout)
                 if item[0] == "FLUSH":
                     flush_events.append(item[1])
+                elif item[0] == "MANY":
+                    buf.extend(item[1])
                 else:
                     buf.append(item)
             except queue.Empty:
@@ -287,6 +308,14 @@ class CacheStore:
     def put_meta(self, mkey: bytes, content_hash: bytes, now: int | None = None):
         ts = now if now is not None else int(time.time())
         self.submit(NS_META, mkey, content_hash + struct.pack("<Q", ts))
+
+    def put_meta_many(self, pairs, now: int | None = None):
+        """Batched put_meta: [(mkey, content_hash), ...] as one queue
+        interaction (see submit_many)."""
+        ts = now if now is not None else int(time.time())
+        packed = struct.pack("<Q", ts)
+        self.submit_many([(NS_META, mkey, ch + packed)
+                          for mkey, ch in pairs])
 
     def get_meta(self, mkey: bytes) -> bytes | None:
         """meta_key -> content_hash (refreshing the timestamp is the

@@ -66,13 +66,19 @@ def _default_workers() -> int:
     return max(1, min(cores, budget))
 
 
-def _probe_one(path: Path, cfg: ScanConfig, store, identity=None):
+def _probe_one(path: Path, cfg: ScanConfig, store, identity=None,
+               meta_refresh: list | None = None):
     """Cheap parent-side half: stat + cache probe (no decode).  Returns
     {record, cached: True, ...} on a full cache hit, or
     {record, miss: True, mkey, content} to hand to _heavy_one, or None.
     `identity` is the (fid, size, mtime_ns) triple if the caller
     already stat()ed the file (the hardlink prepass does — re-statting
-    1M files doubles syscall load and opens a TOCTOU window)."""
+    1M files doubles syscall load and opens a TOCTOU window).
+    `meta_refresh` (optional list): collect the hit's (mkey, content)
+    timestamp refresh instead of enqueuing it per file — the caller
+    batches them through put_meta_many (one writer wake per scan
+    instead of one per cache hit; each wake is a GIL bounce on a
+    1-core host, measured ~24% of warm rescan time)."""
     try:
         fid, size, mtime_ns = identity or H.file_identity(path)
     except OSError:
@@ -102,7 +108,10 @@ def _probe_one(path: Path, cfg: ScanConfig, store, identity=None):
             rec.orientation = feats.get("orientation", 1)
             rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
             rec.exif_timestamp = feats.get("exif_timestamp")
-            store.put_meta(mkey, content)  # refresh timestamp
+            if meta_refresh is not None:
+                meta_refresh.append((mkey, content))  # batched refresh
+            else:
+                store.put_meta(mkey, content)  # refresh timestamp
             # dihedral regen from cached coefficients happens BATCHED
             # in the caller (pdq_ref.dihedral_hashes_batch): per-file
             # packing is a Python loop that dominated rescan rate
@@ -265,8 +274,10 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     want_px = bool(cfg.pixel_hash)  # works store-less via zero key
     misses: list[tuple] = []
     dihedral_pending: list[tuple] = []  # (record, cached coeffs)
+    meta_refresh: list[tuple] = []      # (mkey, content) hit refreshes
     for p in files:
-        probe = _probe_one(p, cfg, store, identity=identities.get(p))
+        probe = _probe_one(p, cfg, store, identity=identities.get(p),
+                           meta_refresh=meta_refresh)
         if probe is None:
             consume(None)
         elif probe.get("cached"):
@@ -276,6 +287,9 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             consume(probe)
         else:
             misses.append((p, probe))
+    if meta_refresh and store:
+        store.put_meta_many(meta_refresh)
+        meta_refresh.clear()
 
     if dihedral_pending:
         # one vectorized pass regenerates every cache hit's dihedral

@@ -131,6 +131,49 @@ def test_async_writer(tmp_path):
     s.close()
 
 
+def test_put_meta_many_batched(tmp_path):
+    """put_meta_many lands every refresh through ONE writer-queue
+    interaction (warm rescans batch their per-hit timestamp refreshes;
+    per-item puts wake the writer per file).  Durability and the
+    backlog-drop accounting must match the per-item path."""
+    s = CacheStore(tmp_path / "m.db", master_key=b"\x03" * 32)
+    try:
+        pairs = [(s.compute_meta_key(i, i + 1, i + 2), bytes([i]) * 32)
+                 for i in range(50)]
+        s.put_meta_many(pairs, now=1234)
+        assert s.flush()
+        for mk, ch in pairs:
+            assert s.get_meta(mk) == ch
+        # one queue item for the whole batch: fill the backlog and the
+        # overflow accounting counts the WHOLE rejected batch
+        import rupphash_tpu.cache.store as stmod
+        before = s.dropped_updates
+        old = stmod.MAX_BACKLOG
+        stmod.MAX_BACKLOG = 0
+        try:
+            s.put_meta_many(pairs)
+        finally:
+            stmod.MAX_BACKLOG = old
+        assert s.dropped_updates == before + len(pairs)
+    finally:
+        s.close()
+
+
+def test_put_meta_many_without_writer(tmp_path):
+    """Store-less-writer path (start_writer=False) writes synchronously
+    in one transaction."""
+    s = CacheStore(tmp_path / "n.db", master_key=b"\x04" * 32,
+                   start_writer=False)
+    try:
+        pairs = [(s.compute_meta_key(9, 9, i), bytes([i + 1]) * 32)
+                 for i in range(10)]
+        s.put_meta_many(pairs)
+        for mk, ch in pairs:
+            assert s.get_meta(mk) == ch
+    finally:
+        s.close()
+
+
 def test_config_create_and_heal(tmp_path, monkeypatch):
     monkeypatch.setenv("RUPPHASH_CONFIG_DIR", str(tmp_path))
     cfg = cfgmod.load_config()
