@@ -27,8 +27,10 @@ class FastLib:
     """
 
     def __init__(self, src: Path, so: Path, ldflags: list[str],
-                 configure, self_probe, env_off: str):
+                 configure, self_probe, env_off: str,
+                 deps: list[Path] | None = None):
         self._src = src
+        self._deps = list(deps or [])
         self._so = so
         self._ldflags = ldflags
         self._configure = configure
@@ -64,9 +66,13 @@ class FastLib:
         with self._lock:
             if self._lib is not None or self._state is False:
                 return self._lib
+            # staleness vs the source AND every #include'd project
+            # header (rupp_stream.h) — editing the shared header must
+            # trigger a rebuild too
+            newest = max(p.stat().st_mtime
+                         for p in [self._src, *self._deps])
             if (not self._so.exists()
-                    or self._so.stat().st_mtime
-                    < self._src.stat().st_mtime):
+                    or self._so.stat().st_mtime < newest):
                 if not self._build():
                     self._state = False
                     return None
@@ -95,3 +101,62 @@ class FastLib:
                     ok = False
             self._state = ok
             return self._state
+
+
+def _target_dims(w: int, h: int) -> tuple[int, int]:
+    """Probe-luma target dims: the reference's <=512 aspect-keeping
+    downsample when either side exceeds it, else native size."""
+    from ..ops import pdq_ref
+
+    if w > pdq_ref.DOWNSAMPLE_DIMS or h > pdq_ref.DOWNSAMPLE_DIMS:
+        return pdq_ref.calculate_target_dimensions(w, h)
+    return w, h
+
+
+def probe_luma_via(available_fn, dims_fn, decode_fn, data: bytes):
+    """Shared gating for the per-format probe_luma entry points:
+    availability, MIN_HASHABLE_DIM / MAX_PIXELS window, target dims,
+    decode, and the header-vs-decoder dims cross-check.  Returns
+    (luma, (w, h)) or None => the caller uses the PIL path."""
+    from ..ops import pdq_ref
+    from ..pipeline.decode import MAX_PIXELS
+
+    if not available_fn():
+        return None
+    dims = dims_fn(data)
+    if dims is None:
+        return None
+    w, h = dims
+    if (w < pdq_ref.MIN_HASHABLE_DIM or h < pdq_ref.MIN_HASHABLE_DIM
+            or w * h > MAX_PIXELS):
+        return None
+    nw, nh = _target_dims(w, h)
+    got = decode_fn(data, nw, nh)
+    if got is None or got[1] != (w, h):
+        return None
+    return got[0], (w, h)
+
+
+def self_probe_via(dims_fn, decode_fn, corpus) -> bool:
+    """Shared self-probe loop: every corpus stream must decode through
+    BOTH the fused path and the PIL route to bit-identical luma."""
+    import numpy as np
+
+    from ..pipeline import decode as dec
+
+    for data in corpus:
+        dims = dims_fn(data)
+        if dims is None:
+            return False
+        w, h = dims
+        nw, nh = _target_dims(w, h)
+        got = decode_fn(data, nw, nh)
+        if got is None or got[1] != (w, h):
+            return False
+        img = dec.decode_bytes(data)
+        if img is None:
+            return False
+        want = dec.prepare_luma_fast(img)
+        if want is None or not np.array_equal(got[0], want):
+            return False
+    return True

@@ -20,6 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
+from . import fastpath
 from .fastpath import FastLib
 
 _HERE = Path(__file__).resolve().parent
@@ -105,33 +106,13 @@ def _probe_corpus():
 
 
 def _self_probe() -> bool:
-    from ..ops import pdq_ref
-    from ..pipeline import decode as dec
-
-    for data in _probe_corpus():
-        dims = png_dims(data)
-        if dims is None:
-            return False
-        w, h = dims
-        if w > pdq_ref.DOWNSAMPLE_DIMS or h > pdq_ref.DOWNSAMPLE_DIMS:
-            nw, nh = pdq_ref.calculate_target_dimensions(w, h)
-        else:
-            nw, nh = w, h
-        got = _decode(data, nw, nh)
-        if got is None or got[1] != (w, h):
-            return False
-        img = dec.decode_bytes(data)
-        if img is None:
-            return False
-        want = dec.prepare_luma_fast(img)
-        if want is None or not np.array_equal(got[0], want):
-            return False
-    return True
+    return fastpath.self_probe_via(png_dims, _decode, _probe_corpus())
 
 
 _FAST = FastLib(_HERE / "ruppng.cpp", _HERE / "ruppng.so",
                 ["-ldeflate"], _configure, _self_probe,
-                "RUPPHASH_NO_PNGFAST")
+                "RUPPHASH_NO_PNGFAST",
+                deps=[_HERE / "rupp_stream.h"])
 
 
 def available() -> bool:
@@ -143,23 +124,4 @@ def probe_luma(data: bytes):
     """(luma, (w, h)) for a PNG stream via the fused decoder, or None
     => use the PIL path.  Bit-identical to decode_bytes ->
     prepare_luma_fast for every accepted stream."""
-    from ..ops import pdq_ref
-    from ..pipeline.decode import MAX_PIXELS
-
-    if not available():
-        return None
-    dims = png_dims(data)
-    if dims is None:
-        return None
-    w, h = dims
-    if (w < pdq_ref.MIN_HASHABLE_DIM or h < pdq_ref.MIN_HASHABLE_DIM
-            or w * h > MAX_PIXELS):
-        return None
-    if w > pdq_ref.DOWNSAMPLE_DIMS or h > pdq_ref.DOWNSAMPLE_DIMS:
-        nw, nh = pdq_ref.calculate_target_dimensions(w, h)
-    else:
-        nw, nh = w, h
-    got = _decode(data, nw, nh)
-    if got is None or got[1] != (w, h):
-        return None
-    return got[0], (w, h)
+    return fastpath.probe_luma_via(available, png_dims, _decode, data)

@@ -112,10 +112,20 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
         return -3;
     }
 
+    // The resampler/row vectors can throw bad_alloc while cinfo is
+    // live; an exception must never cross the ctypes boundary
+    // (std::terminate would kill the scan process), so catch, destroy
+    // the codec, and fall back to the PIL route.
     ruppstream::StreamResampler rs;
-    rs.init(w, h, nw, nh, out);
-    std::vector<uint8_t> row((size_t)w * ch);
-    std::vector<uint8_t> luma(gray ? 0 : w);
+    std::vector<uint8_t> row, luma;
+    try {
+        rs.init(w, h, nw, nh, out);
+        row.resize((size_t)w * ch);
+        if (!gray) luma.resize(w);
+    } catch (...) {
+        jpeg_destroy_decompress(&cinfo);
+        return -8;
+    }
     JSAMPROW rp = row.data();
     while (cinfo.output_scanline < cinfo.output_height) {
         if (jpeg_read_scanlines(&cinfo, &rp, 1) != 1) {

@@ -143,10 +143,9 @@ int png_dims(const uint8_t* data, int64_t len, int* w, int* h,
     return 0;
 }
 
-// Decode to the (nh, nw) u8 probe luma; fw/fh get the full dims.
-// Nonzero return => caller falls back to the PIL path.
-int png_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
-                   uint8_t* out, int* fw, int* fh) {
+static int png_luma_probe_impl(const uint8_t* data, int64_t len,
+                               int nw, int nh, uint8_t* out, int* fw,
+                               int* fh) {
     int w, h, ct;
     int rc = png_dims(data, len, &w, &h, &ct);
     if (rc != 0) return rc;
@@ -267,6 +266,21 @@ int png_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
     }
     if (!rs.complete()) return -12;
     return 0;
+}
+
+// Decode to the (nh, nw) u8 probe luma; fw/fh get the full dims.
+// Nonzero return => caller falls back to the PIL path.  A legal
+// ~100 MP PNG can make the inflate/raster vectors throw bad_alloc on
+// a memory-constrained host; an exception must never cross the
+// ctypes boundary (std::terminate would kill the scan process), so
+// any throw degrades to the PIL route like every other failure.
+int png_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
+                   uint8_t* out, int* fw, int* fh) {
+    try {
+        return png_luma_probe_impl(data, len, nw, nh, out, fw, fh);
+    } catch (...) {
+        return -99;
+    }
 }
 
 }  // extern "C"

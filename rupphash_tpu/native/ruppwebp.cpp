@@ -49,10 +49,9 @@ int webp_dims(const uint8_t* data, int64_t len, int* w, int* h) {
     return 0;
 }
 
-// Decode to the (nh, nw) u8 probe luma; fw/fh get the full dims.
-// Nonzero return => caller falls back to the PIL path.
-int webp_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
-                    uint8_t* out, int* fw, int* fh) {
+static int webp_luma_probe_impl(const uint8_t* data, int64_t len,
+                                int nw, int nh, uint8_t* out, int* fw,
+                                int* fh) {
     int w, h;
     int rc = webp_dims(data, len, &w, &h);
     if (rc != 0) return rc;
@@ -75,6 +74,21 @@ int webp_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
     }
     if (!rs.complete()) return -6;
     return 0;
+}
+
+// Decode to the (nh, nw) u8 probe luma; fw/fh get the full dims.
+// Nonzero return => caller falls back to the PIL path.  The w*h*3
+// RGB vector can throw bad_alloc for a legal large WebP on a
+// memory-constrained host; an exception must never cross the ctypes
+// boundary (std::terminate would kill the scan process), so any
+// throw degrades to the PIL route like every other failure.
+int webp_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
+                    uint8_t* out, int* fw, int* fh) {
+    try {
+        return webp_luma_probe_impl(data, len, nw, nh, out, fw, fh);
+    } catch (...) {
+        return -99;
+    }
 }
 
 }  // extern "C"
