@@ -16,10 +16,14 @@ EXACT along the contested border:
     envelope; round 4b adds California / Oregon / Washington / Texas
     (42N, 49N, 46N, 36.5N, 32N, 120W, -117.026, -117.04, -103.042,
     -100.0, -94.043 and the CA/NV oblique and CA/Mexico straight
-    lines exact; Columbia/Snake/Red/Sabine rivers approximated,
-    the Rio Grande conservative, the WA marine boundary threaded so
-    Victoria/Sidney/Gulf Islands stay Canadian while the San Juans
-    and Point Roberts stay inside);
+    lines exact; the Colorado River CA/AZ border is one polyline
+    shared verbatim by both rings; the Rio Grande, lower-Columbia and
+    Snake polylines track the channel within ~2 km so river twin
+    towns split correctly — anchors provably misassign them; Red and
+    Sabine approximated; the WA marine boundary threads Juan de
+    Fuca / Haro Strait / Boundary Pass along the midline so
+    Victoria/Sidney/Gulf Islands stay Canadian while Neah Bay, the
+    San Juans and Point Roberts stay inside);
   * Australian states — all land borders exact save the NSW/QLD east
     tail and the Murray River (segment-approximated);
   * Canadian prairie provinces (AB/SK/MB) — 49/60 parallels and 110/120
@@ -46,6 +50,30 @@ nearest-anchor semantics (utils/geonames.py documents that envelope).
 """
 from __future__ import annotations
 
+# Colorado River CA/AZ border polyline, north (the NV tripoint at the
+# end of Nevada's 1861 oblique line) to south (the point where the
+# CA/Mexico straight line meets the river).  Shared VERBATIM as
+# Arizona's west edge and California's east edge (coincident edges =
+# no overlap and no dead strip), tracking the channel within ~2 km so
+# the river twin towns split correctly: Needles/Earp/Big River/
+# Blythe/Bard/Winterhaven stay California; Lake Havasu City/Parker/
+# Ehrenberg/Cibola/Martinez Lake/Yuma stay Arizona.
+_COLORADO_RIVER: list[tuple[float, float]] = [
+    (35.0, -114.63),                     # NV/CA/AZ tripoint
+    (34.86, -114.59),                    # Needles east
+    (34.72, -114.50),                    # Topock
+    (34.57, -114.385), (34.44, -114.36),  # Lake Havasu
+    (34.295, -114.14),                   # Parker Dam
+    (34.15, -114.296),                   # Parker/Earp split
+    (33.99, -114.41), (33.70, -114.53),
+    (33.60, -114.55),                    # Blythe/Ehrenberg split
+    (33.40, -114.725),                   # Palo Verde bend
+    (33.08, -114.68), (32.97, -114.51),  # Imperial reach
+    (32.84, -114.47), (32.76, -114.53),
+    (32.73, -114.615),                   # Winterhaven/Yuma split
+    (32.718, -114.719),                  # CA/Mexico corner
+]
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -67,10 +95,16 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (37.0, -109.045), (37.0, -103.042), (32.0, -103.042),
         (32.0, -106.62), (31.78, -106.53), (31.78, -108.21),
         (31.33, -108.21), (31.33, -109.045)],
+    # Arizona's west edge is the Colorado River polyline shared
+    # verbatim with Nevada (Lake Mohave reach) and California
+    # (_COLORADO_RIVER below): coincident edges, no overlap, no dead
+    # strip, and the river twin towns split correctly on both banks.
     ("US", "Arizona"): [
         (31.33, -109.045), (37.0, -109.045), (37.0, -114.05),
-        (36.1, -114.05), (36.12, -114.4), (35.1, -114.60),   # river
-        (34.3, -114.14), (33.4, -114.52), (32.7, -114.53),
+        (36.1, -114.05), (36.12, -114.4),
+        (35.168, -114.5715),                   # Laughlin/Bullhead split
+        (35.1, -114.60),
+        *_COLORADO_RIVER,
         (32.49, -114.81), (31.33, -111.07)],
     ("US", "Kansas"): [
         (37.0, -102.042), (40.0, -102.042), (40.0, -95.31),
@@ -175,20 +209,20 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("US", "Nevada"): [
         (42.0, -120.0), (42.0, -114.041), (37.0, -114.041),
         (37.0, -114.05), (36.1, -114.05), (36.12, -114.4),
+        (35.168, -114.5715),                   # Laughlin/Bullhead split
         (35.1, -114.60), (35.0, -114.63), (39.0, -120.0)],
     # --- US West/South (round 4b).  California: 42N, the 120W segment
     # and the 1861 oblique line are exact and SHARE the Nevada ring's
     # vertices (coincident edges, no overlap, no gap); the Colorado
-    # river stays west of Arizona's river chords; the Mexico line runs
-    # (32.718,-114.719)->(32.534,-117.124) (the legal straight line);
-    # the coast is generous but the ring stays north of the border
-    # line's seaward extension (Islas Coronado remain Mexican) while
-    # covering the US Channel Islands.
+    # river edge is _COLORADO_RIVER shared verbatim with Arizona; the
+    # Mexico line runs (32.718,-114.719)->(32.534,-117.124) (the legal
+    # straight line); the coast is generous but the ring stays north
+    # of the border line's seaward extension (Islas Coronado remain
+    # Mexican) while covering the US Channel Islands.
     ("US", "California"): [
-        (42.0, -124.8), (42.0, -120.0), (39.0, -120.0),
-        (35.0, -114.63),                                    # oblique
-        (34.3, -114.14), (33.4, -114.52), (32.7, -114.53),  # river
-        (32.718, -114.719), (32.534, -117.124),             # Mexico
+        (42.0, -124.8), (42.0, -120.0), (39.0, -120.0),     # oblique
+        *_COLORADO_RIVER,
+        (32.534, -117.124),                                 # Mexico
         (32.7, -118.6), (33.3, -120.0), (36.0, -122.8),     # ocean
         (40.0, -125.0)],
     # Oregon: 42N south and the -117.026 Owyhee meridian segment are
@@ -198,11 +232,18 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # with Washington.
     ("US", "Oregon"): [
         (42.0, -124.8), (42.0, -117.026), (43.8, -117.03),
-        (44.25, -117.2), (44.8, -116.9), (45.6, -116.75),   # Snake
+        (43.88, -116.98),                                   # Nyssa
+        (44.03, -116.935),                                  # Ontario
+        (44.08, -116.95), (44.25, -116.99),                 # Weiser
+        (44.32, -117.22),                                   # Farewell B.
+        (44.8, -116.9), (45.6, -116.75),                    # Snake
         (46.0, -116.96), (46.0, -118.98),                   # 46N
         (45.9, -119.45), (45.72, -120.5), (45.71, -121.55), # Columbia
         (45.685, -121.88), (45.65, -121.95), (45.63, -121.98),
-        (45.6, -122.3), (45.61, -122.75), (46.05, -122.88),
+        (45.6, -122.3), (45.61, -122.75),
+        (45.865, -122.79),                                  # St Helens
+        (46.0, -122.86), (46.09, -122.92),
+        (46.10, -122.945),                                  # Rainier
         (46.15, -123.45), (46.23, -124.0), (46.2, -124.8)],
     # Washington: 49N north and the -117.04 Idaho meridian are exact;
     # Columbia/Snake approximated with Oregon's shared vertices; the
@@ -210,15 +251,21 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # Pass so Victoria, Sidney and the Gulf Islands stay Canadian
     # while the San Juans and Point Roberts stay inside.
     ("US", "Washington"): [
-        (46.23, -124.0), (46.15, -123.45), (46.05, -122.88),
+        (46.23, -124.0), (46.15, -123.45),
+        (46.10, -122.945),                                  # Rainier
+        (46.09, -122.92), (46.0, -122.86),
+        (45.865, -122.79),                                  # St Helens
         (45.61, -122.75), (45.6, -122.3), (45.63, -121.98),
         (45.65, -121.95), (45.685, -121.88), (45.71, -121.55),
         (45.72, -120.5), (45.9, -119.45), (46.0, -118.98),
         (46.0, -116.96), (46.2, -116.98), (46.42, -117.04), # Snake
         (49.0, -117.04),                                    # meridian
         (49.0, -123.15), (48.78, -123.05), (48.6, -123.2),  # Boundary
-        (48.45, -123.25), (48.23, -123.8), (48.25, -124.7), # Juan de F.
-        (48.4, -124.9), (46.3, -124.9)],
+        (48.45, -123.25),
+        (48.27, -123.54),                                   # Race Rocks
+        (48.28, -124.0), (48.38, -124.45),                  # Juan de F.
+        (48.48, -124.75),                                   # C.Flattery
+        (48.50, -124.95), (46.3, -124.9)],
     # Texas: the 103.042W / 32N New Mexico lines, the 36.5N / -100.0
     # panhandle lines and the -94.043 Sabine meridian segment are
     # exact (NM and OK vertices shared); the Red River reuses
@@ -236,8 +283,12 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (29.75, -93.9), (29.4, -93.9),
         (28.5, -95.2), (27.3, -96.4), (26.0, -96.6),        # Gulf
         (25.955, -97.15), (25.888, -97.50),                 # Matamoros
-        (26.05, -97.95), (26.09, -98.26),                   # Reynosa
-        (26.36, -98.82), (26.55, -99.17), (26.9, -99.32),
+        (26.063, -97.953),                                  # Progreso
+        (26.09, -98.26),                                    # Reynosa
+        (26.36, -98.82),
+        (26.401, -99.021),                                  # Roma
+        (26.398, -99.06),                                   # Fronton
+        (26.55, -99.17), (26.9, -99.32),
         (27.5, -99.515),                                    # N. Laredo
         (28.05, -100.05), (28.7, -100.51),                  # P. Negras
         (29.0, -100.65), (29.33, -100.92),                  # Acuña

@@ -368,3 +368,71 @@ def test_polygon_round4b_west_south_states():
         if hit is None or hit[1] != "US":
             adversarial += 1
     assert adversarial >= 3, f"only {adversarial} anchor-adversarial"
+
+
+def test_polygon_river_twin_towns():
+    """River-border geometry regressions (round-4 review findings):
+
+    * the CA/AZ border is the _COLORADO_RIVER polyline shared verbatim
+      by both rings (CA previously reused AZ's conservative east-bank
+      chords and claimed Lake Havasu City / Parker / Ehrenberg);
+    * WA's Juan de Fuca line follows the strait midline to Cape
+      Flattery (it previously sagged to ~48.25N, geocoding Neah Bay
+      to British Columbia via the anchor fallback);
+    * the Rio Grande polyline splits the Progreso and Roma/Miguel
+      Alemán crossings correctly;
+    * the lower-Columbia and Snake segments track the channel so
+      St Helens / Rainier / Ontario / Nyssa stay Oregon.
+    """
+    from rupphash_tpu.utils import geopoly
+
+    cases = [
+        # --- Colorado River: both banks, north to south ---
+        (35.1678, -114.5730, ("US", "Nevada")),      # Laughlin
+        (35.1470, -114.5683, ("US", "Arizona")),     # Bullhead City
+        (34.8481, -114.6141, ("US", "California")),  # Needles
+        (34.4837, -114.3227, ("US", "Arizona")),     # Lake Havasu City
+        (34.1578, -114.3022, ("US", "California")),  # Earp
+        (34.1500, -114.2890, ("US", "Arizona")),     # Parker
+        (34.1394, -114.3623, ("US", "California")),  # Big River
+        (33.6103, -114.5964, ("US", "California")),  # Blythe
+        (33.6042, -114.5253, ("US", "Arizona")),     # Ehrenberg
+        (33.3400, -114.6600, ("US", "Arizona")),     # Cibola
+        (32.7940, -114.5570, ("US", "California")),  # Bard
+        (32.7392, -114.6341, ("US", "California")),  # Winterhaven
+        (32.6927, -114.6277, ("US", "Arizona")),     # Yuma
+        (32.5500, -114.7700, ("US", "Arizona")),     # Gadsden
+        (32.7160, -114.7270, None),                  # Los Algodones MX
+        # --- Strait of Juan de Fuca, west end ---
+        (48.3680, -124.6240, ("US", "Washington")),  # Neah Bay
+        (48.2546, -124.2630, ("US", "Washington")),  # Clallam Bay
+        (48.3846, -124.7288, ("US", "Washington")),  # Cape Flattery
+        (48.5530, -124.4210, None),                  # Port Renfrew BC
+        (48.3740, -123.7260, None),                  # Sooke BC
+        (48.2980, -123.5310, None),                  # Race Rocks BC
+        # --- Rio Grande crossings the round-4b ring missed ---
+        (26.0923, -97.9558, ("US", "Texas")),        # Progreso
+        (26.0560, -97.9511, None),                   # Nuevo Progreso MX
+        (26.4046, -99.0158, ("US", "Texas")),        # Roma
+        (26.3990, -99.0270, None),                   # Cd Miguel Alemán
+        (26.4055, -99.0503, ("US", "Texas")),        # Fronton
+        (26.3798, -98.8203, ("US", "Texas")),        # Rio Grande City
+        (26.3160, -98.8300, None),                   # Camargo MX
+        # --- lower Columbia ---
+        (45.8640, -122.8060, ("US", "Oregon")),      # St Helens
+        (46.0890, -122.9360, ("US", "Oregon")),      # Rainier
+        (46.1382, -122.9382, ("US", "Washington")),  # Longview
+        (46.0080, -122.8440, ("US", "Washington")),  # Kalama
+        (46.1010, -123.2070, ("US", "Oregon")),      # Clatskanie
+        (46.2030, -123.3840, ("US", "Washington")),  # Cathlamet
+        # --- Snake (OR/ID: Idaho has no ring, so the east bank must
+        # fall OUTSIDE and reach the anchors) ---
+        (44.0266, -116.9629, ("US", "Oregon")),      # Ontario
+        (43.8770, -116.9950, ("US", "Oregon")),      # Nyssa
+        (44.3510, -117.2670, ("US", "Oregon")),      # Huntington
+        (44.0075, -116.9160, None),                  # Fruitland ID
+        (44.0782, -116.9330, None),                  # Payette ID
+        (44.2510, -116.9690, None),                  # Weiser ID
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon)
