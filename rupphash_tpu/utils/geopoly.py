@@ -11,9 +11,10 @@ borders are (mostly) straight lat/lon lines, where a few vertices are
 EXACT along the contested border:
 
   * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) plus Nevada
-    (round 4) — meridian/parallel borders and Nevada's 1861 oblique
-    line exact; river/divide segments approximated with a documented
-    envelope; round 4b adds California / Oregon / Washington / Texas
+    and Idaho (round 4) — meridian/parallel borders and Nevada's 1861
+    oblique line exact; river/divide segments approximated with a
+    documented envelope; round 4b adds California / Oregon /
+    Washington / Texas
     (42N, 49N, 46N, 36.5N, 32N, 120W, -117.026, -117.04, -103.042,
     -100.0, -94.043 and the CA/NV oblique and CA/Mexico straight
     lines exact; the Colorado River CA/AZ border is one polyline
@@ -124,7 +125,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (45.0, -111.05), (45.0, -104.045), (49.0, -104.045),
         (49.0, -116.05), (48.0, -116.05), (46.6, -114.6),   # divide
         (45.6, -114.5), (45.56, -113.45), (44.95, -112.8),
-        (44.5, -112.3), (44.56, -111.3)],
+        (44.5, -112.3), (44.56, -111.3),
+        (44.62, -111.052)],                  # West Yellowstone salient
     ("US", "Oklahoma"): [
         (37.0, -103.002), (37.0, -94.62), (35.5, -94.43),
         (33.87, -94.48), (33.8, -95.5), (33.9, -96.9),       # Red R.
@@ -266,6 +268,27 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (48.28, -124.0), (48.38, -124.45),                  # Juan de F.
         (48.48, -124.75),                                   # C.Flattery
         (48.50, -124.95), (46.3, -124.9)],
+    # Idaho: 42N south, 49N north, the 111.046W Wyoming meridian and
+    # the -116.05/-117.04 segments are exact; the Oregon (Snake) and
+    # Washington edges share those rings' vertices verbatim
+    # (coincident edges — Fruitland/Payette/Weiser/Lewiston resolve
+    # exactly opposite Ontario/Nyssa/Clarkston); the Montana
+    # continental-divide/Bitterroot border is conservative on the
+    # Idaho side (the dead strip up to Montana's own approximation
+    # falls to the anchors, the YT/NT convention).
+    ("US", "Idaho"): [
+        (42.0, -117.026), (42.0, -111.046),                 # 42N
+        (44.45, -111.046),                                  # WY corner
+        (44.55, -111.3), (44.5, -111.8),                    # Targhee
+        (44.3, -112.3), (44.7, -112.9),                     # divide
+        (45.4, -113.6), (45.4, -114.6), (46.5, -114.75),    # Bitterroot
+        (47.2, -115.6), (47.9, -116.1),
+        (48.0, -116.05), (49.0, -116.05),                   # meridian
+        (49.0, -117.04),                                    # 49N
+        (46.42, -117.04), (46.2, -116.98), (46.0, -116.96), # WA shared
+        (45.6, -116.75), (44.8, -116.9), (44.32, -117.22),  # Snake
+        (44.25, -116.99), (44.08, -116.95), (44.03, -116.935),
+        (43.88, -116.98), (43.8, -117.03)],
     # Texas: the 103.042W / 32N New Mexico lines, the 36.5N / -100.0
     # panhandle lines and the -94.043 Sabine meridian segment are
     # exact (NM and OK vertices shared); the Red River reuses

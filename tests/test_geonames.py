@@ -425,14 +425,43 @@ def test_polygon_river_twin_towns():
         (46.0080, -122.8440, ("US", "Washington")),  # Kalama
         (46.1010, -123.2070, ("US", "Oregon")),      # Clatskanie
         (46.2030, -123.3840, ("US", "Washington")),  # Cathlamet
-        # --- Snake (OR/ID: Idaho has no ring, so the east bank must
-        # fall OUTSIDE and reach the anchors) ---
+        # --- Snake (OR/ID share the polyline: both banks exact) ---
         (44.0266, -116.9629, ("US", "Oregon")),      # Ontario
         (43.8770, -116.9950, ("US", "Oregon")),      # Nyssa
         (44.3510, -117.2670, ("US", "Oregon")),      # Huntington
-        (44.0075, -116.9160, None),                  # Fruitland ID
-        (44.0782, -116.9330, None),                  # Payette ID
-        (44.2510, -116.9690, None),                  # Weiser ID
+        (44.0075, -116.9160, ("US", "Idaho")),       # Fruitland
+        (44.0782, -116.9330, ("US", "Idaho")),       # Payette
+        (44.2510, -116.9690, ("US", "Idaho")),       # Weiser
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon)
+
+
+def test_polygon_idaho():
+    """Idaho ring: 42N/49N/111.046W and the -116.05/-117.04 segments
+    exact; Oregon/Washington edges shared verbatim; Montana divide
+    conservative on the Idaho side (dead strip falls to anchors)."""
+    from rupphash_tpu.utils import geopoly
+
+    cases = [
+        (43.6150, -116.2023, ("US", "Idaho")),       # Boise
+        (47.6777, -116.7805, ("US", "Idaho")),       # Coeur d'Alene
+        (48.2766, -116.5535, ("US", "Idaho")),       # Sandpoint
+        (48.6910, -116.3160, ("US", "Idaho")),       # Bonners Ferry
+        (46.7324, -117.0002, ("US", "Idaho")),       # Moscow
+        (46.7298, -117.1817, ("US", "Washington")),  # Pullman (twin)
+        (46.4166, -117.0177, ("US", "Idaho")),       # Lewiston
+        (46.4146, -117.0597, ("US", "Washington")),  # Clarkston (twin)
+        (42.0135, -111.8100, ("US", "Idaho")),       # Franklin (42N)
+        (41.9500, -111.8100, ("US", "Utah")),        # 42N south side
+        (43.7200, -111.1100, ("US", "Idaho")),       # Driggs (111.046W)
+        (43.1700, -111.0200, ("US", "Wyoming")),     # Alpine (east side)
+        (45.1760, -113.8960, ("US", "Idaho")),       # Salmon
+        (47.4700, -115.9300, ("US", "Idaho")),       # Wallace
+        (44.4200, -111.3700, ("US", "Idaho")),       # Island Park
+        (44.6600, -111.1000, ("US", "Montana")),     # West Yellowstone
+        (48.4600, -115.8900, ("US", "Montana")),     # Troy (meridian E)
+        (46.8722, -113.9940, ("US", "Montana")),     # Missoula
     ]
     for lat, lon, want in cases:
         assert geopoly.lookup(lat, lon) == want, (lat, lon)
