@@ -183,6 +183,33 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("AU", "Tasmania"): [
         (-44.5, 143.5), (-39.5, 143.5), (-39.5, 149.0),
         (-44.5, 149.0)],
+    # British Columbia: 49N south (exact), 120W and 60N exact, the
+    # Alberta divide and the Washington marine chain shared verbatim
+    # (coincident edges); the Alaska-panhandle border is conservative
+    # on the BC side (~10-30 km inside the true line, a dead strip to
+    # anchors) EXCEPT Portland Canal, threaded so Stewart stays BC and
+    # Hyder AK stays out; Dixon Entrance stays south of the A-B line,
+    # the ocean edge generous around Vancouver Island and Haida Gwaii.
+    ("CA", "British Columbia"): [
+        (60.0, -120.0),
+        (54.0, -120.0), (53.8, -119.9), (53.0, -119.0),     # Alberta
+        (52.4, -117.8), (51.5, -116.8), (50.5, -115.3),     # divide
+        (49.0, -114.06),
+        (49.0, -123.15),                                    # 49N exact
+        (48.78, -123.05), (48.6, -123.2), (48.45, -123.25), # Haro/
+        (48.27, -123.54), (48.28, -124.0), (48.38, -124.45),# Juan de F.
+        (48.48, -124.75), (48.50, -124.95),                 # (WA shared)
+        (48.45, -125.4), (49.5, -127.3), (50.8, -129.3),    # ocean
+        (51.8, -131.5), (54.0, -133.8),                     # Haida Gwaii
+        (54.49, -132.5), (54.5, -131.0),                    # Dixon Entr.
+        (54.55, -130.7),                                    # Portland In.
+        (55.3, -129.95), (55.90, -130.0),
+        (55.936, -129.99),                                  # Stewart
+        (56.2, -130.0), (56.6, -131.0), (57.3, -131.8),     # panhandle
+        (58.1, -132.9), (58.7, -133.7), (59.1, -134.2),     # (conserv.)
+        (59.45, -134.6), (59.7, -135.2),                    # White Pass
+        (59.75, -136.2), (59.3, -137.3),                    # Fairweather
+        (59.7, -138.3), (60.0, -139.0)],                    # YT corner
     # --- Canada: territories (round 4).  The 60N parallel south
     # borders and the 141W Yukon/Alaska meridian are EXACT; the
     # Yukon/NWT divide line and the NWT/Nunavut line are conservative

@@ -407,9 +407,9 @@ def test_polygon_river_twin_towns():
         (48.3680, -124.6240, ("US", "Washington")),  # Neah Bay
         (48.2546, -124.2630, ("US", "Washington")),  # Clallam Bay
         (48.3846, -124.7288, ("US", "Washington")),  # Cape Flattery
-        (48.5530, -124.4210, None),                  # Port Renfrew BC
-        (48.3740, -123.7260, None),                  # Sooke BC
-        (48.2980, -123.5310, None),                  # Race Rocks BC
+        (48.5530, -124.4210, ("CA", "British Columbia")),  # Pt Renfrew
+        (48.3740, -123.7260, ("CA", "British Columbia")),  # Sooke
+        (48.2980, -123.5310, ("CA", "British Columbia")),  # Race Rocks
         # --- Rio Grande crossings the round-4b ring missed ---
         (26.0923, -97.9558, ("US", "Texas")),        # Progreso
         (26.0560, -97.9511, None),                   # Nuevo Progreso MX
@@ -462,6 +462,47 @@ def test_polygon_idaho():
         (44.6600, -111.1000, ("US", "Montana")),     # West Yellowstone
         (48.4600, -115.8900, ("US", "Montana")),     # Troy (meridian E)
         (46.8722, -113.9940, ("US", "Montana")),     # Missoula
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon)
+
+
+def test_polygon_british_columbia():
+    """BC ring: 49N / 120W / 60N exact, Alberta divide + Washington
+    marine chain shared verbatim; the Alaska-panhandle border is
+    conservative on the BC side except Portland Canal (Stewart in,
+    Hyder AK out); Dixon Entrance stays south of the A-B line."""
+    from rupphash_tpu.utils import geopoly
+
+    bc = ("CA", "British Columbia")
+    cases = [
+        (49.2827, -123.1207, bc),                    # Vancouver
+        (49.0100, -123.0800, bc),                    # Tsawwassen
+        (48.4284, -123.3656, bc),                    # Victoria
+        (48.6500, -123.4000, bc),                    # Sidney
+        (49.8880, -119.4960, bc),                    # Kelowna
+        (49.0300, -119.4700, bc),                    # Osoyoos (49N)
+        (53.9171, -122.7497, bc),                    # Prince George
+        (54.3150, -130.3208, bc),                    # Prince Rupert
+        (54.0100, -132.1400, bc),                    # Masset (H. Gwaii)
+        (55.9360, -129.9850, bc),                    # Stewart
+        (55.7596, -120.2377, bc),                    # Dawson Creek
+        (58.8050, -122.6972, bc),                    # Fort Nelson
+        (59.5780, -133.6900, bc),                    # Atlin
+        (50.1163, -122.9574, bc),                    # Whistler
+        # US neighbors must never fall in
+        (48.9900, -122.7500, ("US", "Washington")),  # Blaine (49N)
+        (48.9850, -123.0780, ("US", "Washington")),  # Point Roberts
+        (48.5344, -123.0170, ("US", "Washington")),  # Friday Harbor
+        (55.9160, -130.0260, None),                  # Hyder AK
+        (55.3420, -131.6460, None),                  # Ketchikan AK
+        (56.4700, -132.3800, None),                  # Wrangell AK
+        (58.3005, -134.4201, None),                  # Juneau AK
+        (59.4550, -135.3150, None),                  # Skagway AK
+        (59.2360, -135.4450, None),                  # Haines AK
+        (55.4760, -133.1480, None),                  # Craig AK (PoW)
+        # Yukon stays Yukon across the 60N edge
+        (60.7212, -135.0568, ("CA", "Yukon")),       # Whitehorse
     ]
     for lat, lon, want in cases:
         assert geopoly.lookup(lat, lon) == want, (lat, lon)
