@@ -313,6 +313,15 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
     npad = _pad_multiple(n, 8 * nb)
     stride = npad // 8
 
+    # The extraction compaction flattens an (mpad, Npad/8) byte mask
+    # and jnp.nonzero indexes it in int32 (x64 off), so a chunk must
+    # keep mpad * stride < 2^31 — the same bound the single-chip
+    # _nonzero_bytes documents (ops/hamming.py:265).  Clamp the chunk
+    # so >16M-hash corpora compact correctly instead of silently
+    # wrapping the flat index into negative edge coordinates.
+    max_rows = max(nq, int((2 ** 31 - 1) // max(stride, 1)) // nq * nq)
+    row_chunk = min(row_chunk, max_rows)
+
     # base + flags upload once; the per-chunk calls below reuse the
     # device arrays (jit does not re-transfer committed jax.Arrays)
     var_d = jax.device_put(np.ascontiguousarray(variants, dtype=np.uint8))

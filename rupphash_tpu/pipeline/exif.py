@@ -116,22 +116,33 @@ def _gps_utc_timestamp(gps: dict):
         return None
 
 
-def _png_exif_blob(data: bytes) -> bytes | None:
-    """The eXIf chunk's raw TIFF payload via a cheap chunk walk, or
-    None when the PNG carries no EXIF (the common case — deciding that
-    must not cost a full image decode)."""
+def _png_exif_scan(data: bytes) -> tuple[bytes | None, bool]:
+    """(eXIf TIFF payload | None, has_text_metadata) via a cheap chunk
+    walk.  has_text_metadata flags the Pillow-recognized text-chunk
+    carriers — ImageMagick's 'Raw profile type exif' (tEXt/zTXt/iTXt)
+    and XMP ('XML:com.adobe.xmp') — whose presence sends extract()
+    down the exact im.getexif() path; PNGs with neither (the common
+    case) skip the full image decode that path costs."""
     import struct
+    blob = None
+    has_text = False
     pos = 8
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4:pos + 8]
-        if typ == b"eXIf":
-            return bytes(data[pos + 8:pos + 8 + length])
-        if typ == b"IEND":
-            return None
+        if typ == b"eXIf" and blob is None:
+            blob = bytes(data[pos + 8:pos + 8 + length])
+        elif typ in (b"tEXt", b"zTXt", b"iTXt"):
+            kw = bytes(data[pos + 8:pos + 8 + min(length, 32)])
+            kw = kw.split(b"\x00", 1)[0]
+            if kw in (b"Raw profile type exif", b"Raw profile type APP1",
+                      b"XML:com.adobe.xmp"):
+                has_text = True
+        elif typ == b"IEND":
+            break
         pos += 12 + length
-    return None
+    return blob, has_text
 
 
 def extract(path: str | Path | None = None, data: bytes | None = None) -> dict:
@@ -158,11 +169,18 @@ def extract(path: str | Path | None = None, data: bytes | None = None) -> dict:
                 # eXIf chunk precedes IDAT (post-IDAT chunk search) —
                 # a redundant multi-ms decode per PNG at scan rate.
                 # A direct chunk walk reads the same blob for free.
-                blob = _png_exif_blob(data)
-                if blob is None:
+                # Pillow-recognized TEXT metadata (ImageMagick's 'Raw
+                # profile type exif', XMP orientation) routes to the
+                # exact im.getexif() path so those files keep their
+                # pre-walk semantics.
+                blob, has_text = _png_exif_scan(data)
+                if has_text:
+                    exif = im.getexif()
+                elif blob is None:
                     return out
-                exif = Image.Exif()
-                exif.load(blob)
+                else:
+                    exif = Image.Exif()
+                    exif.load(blob)
             else:
                 exif = im.getexif()
     except Exception:

@@ -583,15 +583,28 @@ def _sony_lossless_raster(data: bytes, raw_ifd: dict, ifd0: dict,
     offs = np.atleast_1d(raw_ifd.get(_T_STRIP_OFFSETS, [])).astype(
         np.int64)
     if offs.size == 0:
-        return None
+        return None                 # tiled (0x0144) layouts: fail closed
     cnts = np.atleast_1d(raw_ifd.get(
         _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(
         np.int64)
-    stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
-    dec = native.lj92_decode(stream)
-    if dec is None:
+    if cnts.size != offs.size:
         return None
-    hj, stride = dec.shape
+    # each strip is an independent LJ92 stream (standard TIFF strip
+    # semantics); decode per strip and stack — a single concatenated
+    # decode would return only the first strip's rows
+    parts = []
+    stride = None
+    for o, c in zip(offs, cnts):
+        dec = native.lj92_decode(bytes(data[o:o + c]))
+        if dec is None:
+            return None
+        if stride is None:
+            stride = dec.shape[1]
+        elif dec.shape[1] != stride:
+            return None
+        parts.append(dec)
+    dec = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    hj = dec.shape[0]
     if hj == h and stride == w:
         mosaic = dec.copy()                 # 1-component variant
     elif hj * 2 == h and stride == w * 2:
@@ -769,13 +782,18 @@ def parse_tiff_cfa(data: bytes) -> RawImage | None:
     if comp == 7 and make.upper().startswith("SONY"):
         # ARW4-class lossless: the LJ92 stream carries half-res
         # 4-component Bayer quads — the generic single-component
-        # reshape in _raster would silently scramble it
+        # reshape in _raster would silently scramble it, and the quad
+        # sizes satisfy its dec.size == h*w check exactly, so this
+        # path FAILS CLOSED: any layout _sony_lossless_raster does not
+        # recognize (tiled rasters, inconsistent strips) hashes the
+        # embedded preview instead of garbage pixels.
         try:
             sony4 = _sony_lossless_raster(data, raw_ifd, ifd0, endian)
         except Exception:
             sony4 = None
-        if sony4 is not None:
-            mosaic, black, wb, white = sony4
+        if sony4 is None:
+            return None
+        mosaic, black, wb, white = sony4
     if mosaic is None:
         mosaic = _raster(data, raw_ifd, endian)
     if mosaic is None and comp == _COMP_NIKON:

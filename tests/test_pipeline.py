@@ -327,3 +327,32 @@ def test_png_exif_chunk_walk():
     im.save(buf2, format="PNG")
     out2 = exifmod.extract(data=buf2.getvalue())
     assert out2["orientation"] == 1 and out2["tags"] == {}
+
+
+def test_png_text_exif_routes_to_pil():
+    """A PNG whose EXIF rides an ImageMagick-style 'Raw profile type
+    exif' tEXt chunk (no eXIf chunk) must still extract: the cheap
+    chunk walk flags the text carrier and routes to im.getexif(),
+    which decodes the hex profile — the fast-skip must not eat it."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+    from PIL.PngImagePlugin import PngInfo
+
+    from rupphash_tpu.pipeline import exif as exifmod
+
+    rng = np.random.default_rng(14)
+    im = Image.fromarray(rng.integers(0, 256, (16, 20, 3), np.uint8))
+    ex = Image.Exif()
+    ex[274] = 3
+    raw = ex.tobytes()
+    hexed = raw.hex()
+    lines = [hexed[i:i + 72] for i in range(0, len(hexed), 72)]
+    profile = "\nexif\n%8d\n%s" % (len(raw), "\n".join(lines))
+    info = PngInfo()
+    info.add_text("Raw profile type exif", profile)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG", pnginfo=info)
+    out = exifmod.extract(data=buf.getvalue())
+    assert out["orientation"] == 3

@@ -756,19 +756,27 @@ def test_arw_demosaic_and_group_with_png(tmp_path):
 
 def write_arw4(mosaic: np.ndarray, bits: int = 14,
                black=(512, 512, 512, 512),
-               wb=(2200, 1024, 1024, 1700), key=0x12345678) -> bytes:
+               wb=(2200, 1024, 1024, 1700), key=0x12345678,
+               strips: int = 1, tiled: bool = False) -> bytes:
     """Minimal Sony lossless ARW (ARW4 class): TIFF with a CFA SubIFD
     (Compression 7) whose strip is a standard LJ92 stream of half-res
     4-component 2x2 Bayer quads, plus the encrypted SR2 private block
-    (black 0x7310, WB 0x7313)."""
+    (black 0x7310, WB 0x7313).  `strips` splits the quad rows into
+    independent LJ92 streams (standard TIFF strip semantics);
+    `tiled=True` stores the stream under TileOffsets/TileByteCounts
+    instead — a layout the decoder must fail closed on."""
     h, w = mosaic.shape
     assert h % 2 == 0 and w % 2 == 0
     quad = np.stack([mosaic[0::2, 0::2], mosaic[0::2, 1::2],
                      mosaic[1::2, 0::2], mosaic[1::2, 1::2]],
                     axis=-1)
-    stream = lj92_encode(
-        quad.reshape(h // 2, (w // 2) * 4).astype(np.uint16),
-        precision=bits, components=4)
+    qrows = quad.reshape(h // 2, (w // 2) * 4).astype(np.uint16)
+    assert (h // 2) % strips == 0
+    per = (h // 2) // strips
+    streams = [lj92_encode(qrows[i * per:(i + 1) * per],
+                           precision=bits, components=4)
+               for i in range(strips)]
+    stream = b"".join(streams)
 
     ifd0_off = 8
     sub_off = ifd0_off + _size(6)
@@ -795,15 +803,21 @@ def write_arw4(mosaic: np.ndarray, bits: int = 14,
             + _entry(0x7201, 4, [len(sr2_enc)], extra, extra_off)
             + _entry(0x7221, 4, [key], extra, extra_off)
             + struct.pack("<I", 0))
+    s_offs, pos = [], data_off
+    for s in streams:
+        s_offs.append(pos)
+        pos += len(s)
+    s_cnts = [len(s) for s in streams]
+    off_tag, cnt_tag = (0x0144, 0x0145) if tiled else (273, 279)
     sub = (struct.pack("<H", 10)
            + _entry(256, 4, [w], extra, extra_off)
            + _entry(257, 4, [h], extra, extra_off)
            + _entry(258, 3, [bits], extra, extra_off)
            + _entry(259, 3, [7], extra, extra_off)
            + _entry(262, 3, [32803], extra, extra_off)
-           + _entry(273, 4, [data_off], extra, extra_off)
-           + _entry(278, 4, [h], extra, extra_off)
-           + _entry(279, 4, [len(stream)], extra, extra_off)
+           + _entry(off_tag, 4, s_offs, extra, extra_off)
+           + _entry(278, 4, [h // strips], extra, extra_off)
+           + _entry(cnt_tag, 4, s_cnts, extra, extra_off)
            + _entry(33421, 3, [2, 2], extra, extra_off)
            + _entry(33422, 1, [0, 1, 1, 2], extra, extra_off)
            + struct.pack("<I", 0))
@@ -825,6 +839,24 @@ def test_arw4_lossless_roundtrip_and_levels():
                                [1024 / 2200, 1.0, 1024 / 1700],
                                rtol=1e-6)
     assert raw.white == float((1 << 14) - 1)
+
+
+@native_gated
+def test_arw4_multi_strip_and_tiled_fail_closed():
+    """Review regression: (a) a multi-strip ARW4 decodes strip-by-strip
+    (a single concatenated LJ92 decode would return only the first
+    strip's rows); (b) a tiled layout — or any layout the Sony
+    lossless reader does not recognize — must return None (fail closed
+    to the embedded preview), never fall through to the generic
+    _raster reshape, whose size check the half-res 4-component quads
+    satisfy exactly while scrambling the mosaic."""
+    rng = np.random.default_rng(96)
+    mosaic = rng.integers(0, 1 << 14, (24, 40), dtype=np.uint16)
+    raw = rawcontainers.parse_raw_container(write_arw4(mosaic, strips=3))
+    assert raw is not None
+    assert np.array_equal(raw.mosaic, mosaic)
+    assert rawcontainers.parse_raw_container(
+        write_arw4(mosaic, tiled=True)) is None
 
 
 @native_gated

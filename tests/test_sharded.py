@@ -106,6 +106,13 @@ def test_sharded_find_edges_exact_vs_oracle(mesh8):
     assert sorted(zip(ei.tolist(), ej.tolist())) == \
         sorted(zip(oi.tolist(), oj.tolist()))
     assert len(ei) > 0
+    # chunk-boundary behavior: a tiny row_chunk (clamped to the mesh's
+    # q extent and exercising multiple extraction chunks) must yield
+    # the identical edge set
+    ei2, ej2 = sharded.sharded_find_edges(mesh8, base, variants, low,
+                                          similarity=8, row_chunk=3)
+    assert sorted(zip(ei2.tolist(), ej2.tolist())) == \
+        sorted(zip(oi.tolist(), oj.tolist()))
 
 
 def test_sharded_find_edges_readback_is_o_edges(mesh8):
