@@ -70,6 +70,12 @@ class GuiServer:
         self.lock = threading.Lock()
         self._relist_lock = threading.Lock()
         self.rev = 0
+        # Record-data revision: bumped only when the session's records
+        # can change (intents, directory change, external watcher) —
+        # view-only keys bump `rev` (pollers re-render) but must not
+        # invalidate record-derived caches like the advanced-search
+        # EXIF index, whose rebuild scans the whole session.
+        self.data_rev = 0
         self.progress: tuple[int, int] | None = None  # scanning x/y
         self._httpd: ThreadingHTTPServer | None = None
         # Per-session CSRF token: intents mutate (and can delete) files,
@@ -237,7 +243,7 @@ class GuiServer:
         from .. import search as searchmod
 
         with self.lock:
-            rev = self.rev
+            rev = self.data_rev
             flat, where = [], []
             for gi, g in enumerate(self.state.groups):
                 for fi, f in enumerate(g):
@@ -331,6 +337,7 @@ class GuiServer:
                 if w is not None:  # retarget external-change polling
                     w.retarget([p])
             self.rev += 1
+            self.data_rev += 1
             return self.snapshot()
 
     def apply_intent(self, name: str, arg=None) -> dict:
@@ -353,6 +360,7 @@ class GuiServer:
             else:
                 self.state.status = f"unknown intent: {name}"
             self.rev += 1
+            self.data_rev += 1
             return self.snapshot()
 
     # ------------------------------------------------------------ keymap
@@ -484,7 +492,16 @@ class GuiServer:
                 ui = {"op": "search_step", "dir": -1}
             elif key == "F":
                 ui = {"op": "fullscreen"}
+            else:
+                # unmapped key (incl. stray modifiers outside a confirm
+                # gate): nothing changed — return the current snapshot
+                # without churning rev, which pollers and the status
+                # re-display key on
+                return {"snapshot": self.snapshot(), "ui": None}
             if intent_name is None:
+                # view/status changed but records did not: bump rev
+                # (clients re-render) and leave data_rev alone (the
+                # advanced-search index stays cached)
                 self.rev += 1
                 return {"snapshot": self.snapshot(), "ui": ui}
         # intents dispatch outside the lock (apply_intent/_change_dir

@@ -113,6 +113,7 @@ class Watcher:
                     f"directory changed ({len(new)} new, "
                     f"{len(changed)} modified) — rescan to refresh")
                 self.server.rev += 1
+                self.server.data_rev += 1
 
     def _drop(self, gone: set[str]):
         srv = self.server
@@ -124,6 +125,7 @@ class Watcher:
             st._drop_paths(gone_paths)
             st.status = f"{len(gone_paths)} file(s) removed externally"
             srv.rev += 1
+            srv.data_rev += 1
 
     def _run(self):
         while not self._stop.wait(self.interval):

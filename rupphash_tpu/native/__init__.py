@@ -277,6 +277,20 @@ def rw2_v7_decode(data: bytes, width: int, height: int, bps: int):
     return out if rc == 0 else None
 
 
+def with_py_fallback(native_fn, py_fn, *args):
+    """Run a native decoder; fall back to its pure-Python oracle ONLY
+    when the native library is unavailable (no toolchain).  A native
+    *reject* (None with the library loaded) is authoritative: the
+    oracles are differential twins carrying the same fail-closed gates,
+    so re-running a full pure-Python decode after a native reject would
+    stall the scan for minutes per foreign bitstream on a 1-core host
+    while reaching the same None."""
+    out = native_fn(*args)
+    if out is None and get_lib() is None:
+        out = py_fn(*args)
+    return out
+
+
 def crx_decode_plane(data: bytes, width: int, height: int, nbits: int):
     """Decode one CRX-class raw plane (MED + adaptive Golomb-Rice) to
     a (height, width) uint16 array, or None.  Strict: out-of-range

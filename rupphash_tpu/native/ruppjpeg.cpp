@@ -73,10 +73,23 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
     if (len < 4 || nw <= 0 || nh <= 0) return -1;
     jpeg_decompress_struct cinfo;
     ErrMgr jerr;
+    // The resampler/row buffers are heap-held behind a *volatile*
+    // pointer declared before setjmp: on_error longjmps out of
+    // jpeg_read_scanlines, which would skip the destructors of any
+    // automatic C++ objects scoped below (leaking the ~9 MB f64
+    // accumulator per corrupt JPEG in a long-lived scan worker) — the
+    // volatile pointer survives the jump by the setjmp rules, so both
+    // exit paths delete it.
+    struct ProbeCtx {
+        ruppstream::StreamResampler rs;
+        std::vector<uint8_t> row, luma;
+    };
+    ProbeCtx* volatile ctx = nullptr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = on_error;
     jerr.pub.emit_message = on_message;
     if (setjmp(jerr.jb)) {
+        delete ctx;
         jpeg_destroy_decompress(&cinfo);
         return -4;
     }
@@ -112,31 +125,33 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
         return -3;
     }
 
-    // The resampler/row vectors can throw bad_alloc while cinfo is
-    // live; an exception must never cross the ctypes boundary
-    // (std::terminate would kill the scan process), so catch, destroy
-    // the codec, and fall back to the PIL route.
-    ruppstream::StreamResampler rs;
-    std::vector<uint8_t> row, luma;
+    // Allocation can throw bad_alloc while cinfo is live; an exception
+    // must never cross the ctypes boundary (std::terminate would kill
+    // the scan process), so catch, destroy the codec, and fall back to
+    // the PIL route.
     try {
-        rs.init(w, h, nw, nh, out);
-        row.resize((size_t)w * ch);
-        if (!gray) luma.resize(w);
+        ctx = new ProbeCtx;
+        ctx->rs.init(w, h, nw, nh, out);
+        ctx->row.resize((size_t)w * ch);
+        if (!gray) ctx->luma.resize(w);
     } catch (...) {
+        delete ctx;
         jpeg_destroy_decompress(&cinfo);
         return -8;
     }
-    JSAMPROW rp = row.data();
+    JSAMPROW rp = ctx->row.data();
     while (cinfo.output_scanline < cinfo.output_height) {
         if (jpeg_read_scanlines(&cinfo, &rp, 1) != 1) {
+            delete ctx;
             jpeg_destroy_decompress(&cinfo);
             return -6;
         }
         if (gray) {
-            rs.feed(row.data());
+            ctx->rs.feed(ctx->row.data());
         } else {
-            ruppstream::luma601_row(row.data(), w, 3, luma.data());
-            rs.feed(luma.data());
+            ruppstream::luma601_row(ctx->row.data(), w, 3,
+                                    ctx->luma.data());
+            ctx->rs.feed(ctx->luma.data());
         }
     }
     jpeg_finish_decompress(&cinfo);
@@ -145,8 +160,10 @@ int jpeg_luma_probe(const uint8_t* data, int64_t len, int nw, int nh,
     // so the PIL path decides.
     const long warnings = cinfo.err->num_warnings;
     jpeg_destroy_decompress(&cinfo);
+    const bool complete = ctx->rs.complete();
+    delete ctx;
     if (warnings != 0) return -5;
-    if (!rs.complete()) return -7;
+    if (!complete) return -7;
     return 0;
 }
 

@@ -529,19 +529,18 @@ def _decode_raw_track(data: bytes, raw_track, wb, orientation):
         blob = body[pos:pos + psz]
         pos += psz
         if route == "med":
-            pl = native.crx_decode_plane(blob, pw, ph, nbits)
-            if pl is None:
-                pl = crx_decode_plane_py(blob, pw, ph, nbits)
+            pl = native.with_py_fallback(
+                native.crx_decode_plane, crx_decode_plane_py,
+                blob, pw, ph, nbits)
         else:
             bands = info["bands"]
             if len(bands) != 3 * levels + 1 or sum(bands) != psz:
                 return None
             lossless = route == "wavelet-lossless"
-            pl = native.crx_decode_plane_wavelet(
+            pl = native.with_py_fallback(
+                native.crx_decode_plane_wavelet,
+                crx_decode_plane_wavelet_py,
                 blob, bands, pw, ph, nbits, levels, lossless)
-            if pl is None:
-                pl = crx_decode_plane_wavelet_py(
-                    blob, bands, pw, ph, nbits, levels, lossless)
         if pl is None:
             return None
         planes.append(pl)

@@ -429,10 +429,9 @@ def _nikon_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
     cnts = np.atleast_1d(raw_ifd.get(
         _T_STRIP_COUNTS, np.array([len(data) - offs[0]]))).astype(np.int64)
     stream = b"".join(bytes(data[o:o + c]) for o, c in zip(offs, cnts))
-    out = native.nef_huff_decode(stream, vpred, curve, w, h, tree, split)
-    if out is None:
-        out = _nef_decode_py(stream, vpred, curve, w, h, tree, split)
-    return out
+    return native.with_py_fallback(
+        native.nef_huff_decode, _nef_decode_py,
+        stream, vpred, curve, w, h, tree, split)
 
 
 def sony_decrypt(buf: bytes, key: int) -> bytes:
@@ -655,9 +654,8 @@ def _sony_raster(data: bytes, raw_ifd: dict, ifd0: dict, endian: str):
         return mosaic, black, wb, None
     if len(stream) >= w * h:
         curve = sony_curve_lut(sr2.get(_T_SONY_CURVE))
-        mosaic = native.arw2_decode(stream, curve, w, h)
-        if mosaic is None:
-            mosaic = _arw2_decode_py(stream, curve, w, h)
+        mosaic = native.with_py_fallback(
+            native.arw2_decode, _arw2_decode_py, stream, curve, w, h)
         if mosaic is None:
             return None
         # black (SR2 0x7310) is quoted in the post-curve domain already;
@@ -1049,9 +1047,9 @@ def parse_raf(data: bytes) -> RawImage | None:
         from .. import native
         lattice6 = (np.asarray(cfa) if np.asarray(cfa).shape == (6, 6)
                     else np.tile(np.asarray(cfa), (3, 3)))
-        m = native.raf_decode(stream, w, h, lattice6)
-        if m is None:
-            m = raf_compressed_decode_py(stream, w, h, lattice6)
+        m = native.with_py_fallback(
+            native.raf_decode, raf_compressed_decode_py,
+            stream, w, h, lattice6)
         if m is not None:
             mosaic = m
             bits = stream[4]
@@ -1265,9 +1263,8 @@ def parse_rw2(data: bytes) -> RawImage | None:
     if raw_format == 6:
         need = -(-sw // 11) * 16 * sh_
         blob = stream[:need]
-        mosaic = native.rw2_v6_decode(blob, sw, sh_)
-        if mosaic is None:
-            mosaic = rw2_v6_decode_py(blob, sw, sh_)
+        mosaic = native.with_py_fallback(
+            native.rw2_v6_decode, rw2_v6_decode_py, blob, sw, sh_)
         if mosaic is None:
             return None   # short raster: preview fallback
         bits = 14
@@ -1276,9 +1273,8 @@ def parse_rw2(data: bytes) -> RawImage | None:
         ppb = 9 if bps == 14 else 10
         need = -(-sw // ppb) * 16 * sh_
         blob = stream[:need]
-        mosaic = native.rw2_v7_decode(blob, sw, sh_, bps)
-        if mosaic is None:
-            mosaic = rw2_v7_decode_py(blob, sw, sh_, bps)
+        mosaic = native.with_py_fallback(
+            native.rw2_v7_decode, rw2_v7_decode_py, blob, sw, sh_, bps)
         if mosaic is None:
             return None
         bits = bps
@@ -1286,9 +1282,8 @@ def parse_rw2(data: bytes) -> RawImage | None:
         mosaic = np.frombuffer(stream, "<u2", count=npx).reshape(
             sh_, sw).copy()
     else:
-        mosaic = native.rw2_decode(stream, sw, sh_)
-        if mosaic is None:
-            mosaic = _rw2_decode_py(stream, sw, sh_)
+        mosaic = native.with_py_fallback(
+            native.rw2_decode, _rw2_decode_py, stream, sw, sh_)
         bits = 12  # the predictive bitstream is 12-bit
 
     # active-area crop (top, left, bottom, right sensor borders)
@@ -1483,9 +1478,8 @@ def parse_orf(data: bytes) -> RawImage | None:
     elif len(stream) >= (npx * 12 + 7) // 8 and bits == 12:
         mosaic = _unpack_lsb(stream, 12, npx).reshape(h, w)
     else:
-        mosaic = native.orf_decode(stream, w, h)
-        if mosaic is None:
-            mosaic = _orf_decode_py(stream, w, h)
+        mosaic = native.with_py_fallback(
+            native.orf_decode, _orf_decode_py, stream, w, h)
         if mosaic is None:
             return None
 

@@ -342,20 +342,25 @@ def _subdivision_for(hit, lat: float, lon: float) -> str | None:
     return None
 
 
+def _ring_subdivision(code: str, lat: float, lon: float) -> str | None:
+    """Admin-1 for a point inside a country-level ring: the nearest
+    subdivision anchor, accepted only within the ring's country (the
+    exact border must never be crossed by a nearest-subdivision grab)
+    and in range.  Shared by subdivision_name and derive_location so
+    the two can never disagree about the same coordinates."""
+    sub = nearest_subdivision(lat, lon)
+    if sub is not None and sub[1] == code and sub[2] <= COUNTRY_KM:
+        return sub[0]
+    return None
+
+
 def subdivision_name(lat: float, lon: float) -> str | None:
     from . import geopoly
     poly = geopoly.lookup(lat, lon)
     if poly is not None:
         if poly[1] is not None:
             return poly[1]
-        # country-level ring: admin-1 from the anchors, constrained to
-        # the ring's country (the exact border must never be crossed
-        # by a nearest-subdivision grab)
-        sub = nearest_subdivision(lat, lon)
-        if sub is not None and sub[1] == poly[0] \
-                and sub[2] <= COUNTRY_KM:
-            return sub[0]
-        return None
+        return _ring_subdivision(poly[0], lat, lon)
     hit = nearest_anchor(lat, lon)
     if hit is None or hit[3] > COUNTRY_KM:
         return None
@@ -383,10 +388,7 @@ def derive_location(lat: float, lon: float) -> dict:
         if sub is None:
             # country-level ring: exact country, anchor-resolved
             # admin-1 constrained to that country
-            near = nearest_subdivision(lat, lon)
-            if near is not None and near[1] == code \
-                    and near[2] <= COUNTRY_KM:
-                sub = near[0]
+            sub = _ring_subdivision(code, lat, lon)
         if country:
             out["country"] = f"{sub}, {country}" if sub else country
         if sub:

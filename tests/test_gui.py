@@ -741,6 +741,25 @@ def test_key_prompt_descriptors_and_client_ops(gui):
     assert _key(port, "p")["ui"] == {"op": "search_step", "dir": -1}
 
 
+def test_key_rev_vs_data_rev(gui):
+    """View-only and unmapped keys must not invalidate record-derived
+    caches: a view key bumps rev (pollers re-render) but not data_rev
+    (the advanced-search EXIF index stays cached); a completely
+    unmapped key bumps neither; a real intent bumps both (review round
+    4 — any stray key used to force a full index rebuild on the next
+    search)."""
+    srv, port, _ = gui
+    r0, d0 = srv.rev, srv.data_rev
+    snap = _key(port, "W")["snapshot"]
+    assert snap["rev"] == r0 + 1
+    assert srv.data_rev == d0
+    before = srv.rev
+    assert _key(port, "!")["ui"] is None
+    assert srv.rev == before and srv.data_rev == d0
+    _key(port, "j")
+    assert srv.data_rev == d0 + 1
+
+
 def test_key_sort_cycle_and_updir(gui):
     """s cycles the sort order server-side; '.' resolves the parent
     directory server-side (gui/dialogs.rs:555-572)."""

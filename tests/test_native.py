@@ -62,3 +62,29 @@ def test_union_find_matches_python():
     for a, b in zip(roots.tolist(), py_roots.tolist()):
         assert fwd.setdefault(a, b) == b
         assert bwd.setdefault(b, a) == a
+
+
+def test_with_py_fallback_native_reject_is_authoritative(monkeypatch):
+    """The pure-Python codec oracles are the no-toolchain fallback
+    ONLY: after a native decoder rejects a stream (None with the
+    library loaded), the oracle must not re-run the full decode —
+    on a real foreign bitstream that is minutes of pure Python per
+    file (review round 4)."""
+    calls = []
+
+    def py(*args):
+        calls.append(args)
+        return "py-result"
+
+    if native.get_lib() is not None:
+        assert native.with_py_fallback(
+            lambda *a: None, py, b"x", 1) is None
+        assert calls == []
+        # a native success passes straight through
+        assert native.with_py_fallback(
+            lambda *a: "native", py, b"x", 1) == "native"
+        assert calls == []
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    assert native.with_py_fallback(
+        lambda *a: None, py, b"x", 1) == "py-result"
+    assert calls == [(b"x", 1)]
