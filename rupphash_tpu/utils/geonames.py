@@ -125,7 +125,10 @@ _US_STATES = {
     "Virginia": (_E, [(37.5, -78.9), (36.85, -75.98)]),
     "Washington": (_P, [(47.4, -120.5), (47.6, -122.33)]),
     "West Virginia": (_E, [(38.6, -80.6)]),
-    "Wisconsin": (_C, [(44.6, -90.0), (43.04, -87.91)]),
+    # Superior anchor: the MN ring excludes the WI side of the
+    # Duluth/Superior bay, so the fallback must not grab it for MN
+    "Wisconsin": (_C, [(44.6, -90.0), (43.04, -87.91),
+                       (46.72, -92.08)]),
     "Wyoming": (_M, [(43.0, -107.6)]),
     "District of Columbia": (_E, [(38.9, -77.0)]),
 }
@@ -143,8 +146,12 @@ _CA_PROVINCES = {
                               [(64.5, -119.2), (62.45, -114.37)]),
     "Nova Scotia": ("America/Halifax", [(45.1, -63.2), (44.65, -63.57)]),
     "Nunavut": ("America/Iqaluit", [(66.0, -92.0), (63.75, -68.52)]),
+    # Thunder Bay / Kenora anchors keep the Rainy River border towns
+    # (Fort Frances, Rainy River) and the north Superior shore in
+    # Ontario once the MN ring stops claiming that side
     "Ontario": ("America/Toronto", [(50.0, -86.0), (43.65, -79.38),
-                                    (45.42, -75.7)]),
+                                    (45.42, -75.7), (48.38, -89.25),
+                                    (49.77, -94.49)]),
     "Prince Edward Island": ("America/Halifax", [(46.4, -63.3)]),
     "Quebec": ("America/Toronto", [(53.0, -70.0), (45.51, -73.56),
                                    (46.81, -71.21)]),

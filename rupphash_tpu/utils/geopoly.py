@@ -13,8 +13,12 @@ EXACT along the contested border:
   * US interior states (WY/CO/UT/NM/AZ/KS/NE/ND/SD/MT/OK) plus Nevada
     and Idaho (round 4) — meridian/parallel borders and Nevada's 1861
     oblique line exact; river/divide segments approximated with a
-    documented envelope; round 4b adds California / Oregon /
-    Washington / Texas
+    documented envelope; round 4c adds Minnesota (49N / NW-Angle
+    meridian / Iowa 43.5N / SD meridian exact, the Red River and
+    Rainy River polylines within ~1-2 km — shared verbatim with a
+    river-accurate North Dakota east edge and the corrected South
+    Dakota Traverse/Big Stone chain; the east side conservative);
+    round 4b adds California / Oregon / Washington / Texas
     (42N, 49N, 46N, 36.5N, 32N, 120W, -117.026, -117.04, -103.042,
     -100.0, -94.043 and the CA/NV oblique and CA/Mexico straight
     lines exact; the Colorado River CA/AZ border is one polyline
@@ -75,6 +79,27 @@ _COLORADO_RIVER: list[tuple[float, float]] = [
     (32.718, -114.719),                  # CA/Mexico corner
 ]
 
+# Red River of the North ND/MN border polyline, north (the 49N corner
+# shared with Manitoba at Pembina/Emerson) to south (the Bois de Sioux
+# at the ND/SD/MN corner).  Shared VERBATIM as North Dakota's east
+# edge and Minnesota's west edge, tracking the channel within ~1-2 km
+# so the river twin cities split correctly: Pembina/Drayton/
+# Grand Forks/Fargo/Wahpeton stay North Dakota; St. Vincent/Oslo/
+# East Grand Forks/Moorhead/Breckenridge stay Minnesota (the anchors
+# provably send Fargo to Minnesota and BOTH Grand Forks cities to
+# Manitoba).
+_RED_RIVER: list[tuple[float, float]] = [
+    (49.0, -97.23),                      # Pembina/Emerson at 49N
+    (48.57, -97.16),                     # Drayton
+    (48.20, -97.14),                     # Oslo reach
+    (47.93, -97.03),                     # Grand Forks/East Grand Forks
+    (47.35, -96.845),                    # Halstad reach
+    (46.87, -96.78),                     # Fargo/Moorhead
+    (46.45, -96.71),                     # Abercrombie reach
+    (46.27, -96.598),                    # Wahpeton/Breckenridge
+    (45.935, -96.56),                    # Bois de Sioux at the SD line
+]
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -115,12 +140,66 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (43.0, -104.053), (43.0, -98.47), (42.85, -97.4),
         (42.5, -96.5), (41.5, -95.93), (40.0, -95.31)],
     ("US", "North Dakota"): [
-        (45.935, -104.045), (49.0, -104.045), (49.0, -97.23),
-        (48.0, -97.15), (46.5, -96.8), (45.935, -96.56)],
+        (45.935, -104.045), (49.0, -104.045),
+        *_RED_RIVER],
+    # South Dakota's NE corner follows the Bois de Sioux / Lake
+    # Traverse / Browns Valley gap / Big Stone Lake chain (vertices
+    # shared verbatim with Minnesota): Browns Valley and Ortonville
+    # stay Minnesota, Big Stone City stays South Dakota.
     ("US", "South Dakota"): [
-        (45.935, -104.05), (45.935, -96.56), (45.3, -96.45),
+        # west edge: -104.045 (shared with Montana) north of the 45N
+        # survey jog, -104.05 (east of Wyoming's -104.053) south of it
+        (45.0, -104.05), (45.0, -104.045),
+        (45.935, -104.045), (45.935, -96.56),
+        (45.86, -96.58), (45.59, -96.85),                   # Traverse
+        (45.3, -96.45),                                     # Big Stone
         (44.0, -96.45), (43.2, -96.6), (42.5, -96.5),
         (42.9, -97.4), (42.99, -98.47), (43.0, -104.05)],
+    # Minnesota: the west side is exact/river-accurate (the shared
+    # -96.45 meridian, the Big Stone/Traverse lake chain, the Red
+    # River polyline) and the 49N, NW-Angle -95.153 meridian and Iowa
+    # 43.5N borders are exact; the east side (Rainy River reach aside)
+    # is CONSERVATIVE — pulled inside the believed border so the ring
+    # never claims Ontario/Wisconsin/Iowa ground, with the strip
+    # falling back to anchors.  The Rainy River vertices split the
+    # border twin towns (Baudette vs Rainy River ON, International
+    # Falls vs Fort Frances ON).
+    ("US", "Minnesota"): [
+        (43.5, -96.45),                   # IA/SD/MN corner (exact)
+        (45.3, -96.45),                   # Big Stone outlet/Ortonville
+        (45.59, -96.85),                  # Browns Valley gap
+        (45.86, -96.58),                  # Lake Traverse head
+        *_RED_RIVER[::-1],                # up the Red to 49N
+        (49.0, -95.153),                  # 49N exact to the NW point
+        (49.389, -95.153),                # NW Angle meridian (exact)
+        (49.355, -95.05),                 # Angle Inlet shore
+        (49.32, -94.84),                  # Angle waters (Oak Island)
+        (48.95, -94.70),                  # MN lake waters
+        (48.86, -94.687),                 # Rainy River mouth
+        (48.715, -94.60),                 # Baudette/Rainy River ON
+        (48.61, -93.40),                  # Intl Falls/Fort Frances
+        (48.38, -92.85),                  # Rainy Lake conservative
+        (48.2, -92.3),                    # Crane Lake conservative
+        (47.95, -91.5),                   # boundary waters conservative
+        (47.90, -90.8),                   # Gunflint conservative
+        (47.99, -90.1),                   # Pigeon reach conservative
+        (47.985, -89.70),                 # Grand Portage
+        (47.96, -89.57),                  # tip, S of the Pigeon mouth
+        (47.70, -90.25),                  # off Grand Marais
+        (47.00, -91.55),                  # off Two Harbors
+        (46.80, -91.97),                  # off the Lester River
+        (46.75, -92.05),                  # Minnesota Point (outer spit
+                                          # left to anchors)
+        (46.74, -92.10),                  # St. Louis bay midline
+        (46.67, -92.19),                  # Oliver reach midline
+        (46.60, -92.32),                  # conservative W of the due-S
+        (46.2, -92.32),                   # WI line (-92.29)
+        (45.95, -92.85),                  # upper St. Croix conservative
+        (45.40, -92.78),
+        (45.05, -92.88),
+        (44.75, -92.95),                  # below Hastings
+        (43.5, -91.7)],                   # inland of the Mississippi
+                                          # valley; closes along 43.5N
     ("US", "Montana"): [
         (45.0, -111.05), (45.0, -104.045), (49.0, -104.045),
         (49.0, -116.05), (48.0, -116.05), (46.6, -114.6),   # divide
@@ -145,7 +224,9 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (49.0, -101.36), (55.0, -101.8), (60.0, -102.0),
         (60.0, -94.8),                                       # coast
         (56.9, -88.9), (54.5, -92.5), (52.0, -95.0),
-        (49.0, -95.153)],
+        # exact NW-Angle meridian tail: coincident with Minnesota's
+        # west edge (no sliver overlap over Buffalo/Muskeg Bay)
+        (49.389, -95.153), (49.0, -95.153)],
     # --- Australia: state borders are meridians/parallels ---
     ("AU", "Western Australia"): [
         (-36.0, 110.0), (-12.0, 110.0), (-12.0, 129.0),

@@ -506,3 +506,84 @@ def test_polygon_british_columbia():
     ]
     for lat, lon, want in cases:
         assert geopoly.lookup(lat, lon) == want, (lat, lon)
+
+
+def test_polygon_minnesota_red_river():
+    """Round-4c Minnesota ring + river-accurate North Dakota east edge
+    + corrected South Dakota Traverse/Big Stone chain: the Red River
+    twin cities split on the channel, the 49N / NW-Angle meridian /
+    Iowa 43.5N / SD -96.45 meridian edges are exact, the Rainy River
+    vertices split Baudette and International Falls from their Ontario
+    twins, and the conservative east side never claims Wisconsin or
+    Ontario ground (new Superior WI and Thunder Bay/Kenora ON anchors
+    catch the fallback).  Adversarial accounting proves the suite
+    stays anchor-defeating: before this ring the anchors sent Fargo to
+    Minnesota, BOTH Grand Forks cities to Manitoba, Browns Valley to
+    South Dakota, Warroad/Baudette/Angle Inlet to Manitoba, Luverne to
+    Nebraska and Grand Portage to Ontario."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # Red River twin cities (ND bank / MN bank)
+        (46.877, -96.789, "North Dakota"),    # Fargo
+        (46.874, -96.767, "Minnesota"),       # Moorhead
+        (47.925, -97.066, "North Dakota"),    # Grand Forks
+        (47.930, -97.017, "Minnesota"),       # East Grand Forks
+        (46.265, -96.606, "North Dakota"),    # Wahpeton
+        (46.264, -96.588, "Minnesota"),       # Breckenridge
+        (48.966, -97.243, "North Dakota"),    # Pembina
+        (48.970, -97.220, "Minnesota"),       # St. Vincent
+        (48.565, -97.178, "North Dakota"),    # Drayton
+        (48.195, -97.131, "Minnesota"),       # Oslo
+        (47.351, -96.826, "Minnesota"),       # Halstad
+        (47.400, -97.060, "North Dakota"),    # Hillsboro
+        # Traverse / Big Stone chain
+        (45.305, -96.439, "Minnesota"),       # Ortonville
+        (45.294, -96.467, "South Dakota"),    # Big Stone City
+        (45.595, -96.833, "Minnesota"),       # Browns Valley
+        # SD meridian + Iowa 43.5N corners
+        (43.650, -96.210, "Minnesota"),       # Luverne
+        (43.590, -96.570, "South Dakota"),    # Brandon
+        (43.540, -95.470, "Minnesota"),       # Round Lake
+        # 49N + Northwest Angle
+        (48.905, -95.320, "Minnesota"),       # Warroad
+        (49.345, -95.065, "Minnesota"),       # Angle Inlet
+        (49.310, -94.850, "Minnesota"),       # Oak Island
+        # Rainy River twins (Ontario side via the new anchors)
+        (48.7125, -94.599, "Minnesota"),      # Baudette
+        (48.601, -93.404, "Minnesota"),       # International Falls
+        # the arrowhead shore
+        (47.963, -89.685, "Minnesota"),       # Grand Portage
+        (47.750, -90.330, "Minnesota"),       # Grand Marais
+        (46.786, -92.100, "Minnesota"),       # Duluth
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        hit = geonames.nearest_anchor(lat, lon)
+        anchor_sub = (geonames._subdivision_for(hit, lat, lon)
+                      if hit else None)
+        if anchor_sub != want:
+            adversarial += 1
+        assert geonames.subdivision_name(lat, lon) == want, \
+            (lat, lon, want)
+        assert geopoly.lookup(lat, lon)[1] == want, (lat, lon)
+    assert adversarial >= 8, f"only {adversarial} cases adversarial"
+
+    # foreign neighbors must never fall into a US ring, and the
+    # anchors must resolve them to the right province
+    foreign = [
+        (49.007, -97.210, "Manitoba"),        # Emerson
+        (49.900, -97.140, "Manitoba"),        # Winnipeg
+        (48.620, -93.400, "Ontario"),         # Fort Frances
+        (48.723, -94.570, "Ontario"),         # Rainy River
+        (48.380, -89.250, "Ontario"),         # Thunder Bay
+        (49.770, -94.490, "Ontario"),         # Kenora
+    ]
+    for lat, lon, want in foreign:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] == "CA", (lat, lon, got)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+    # Wisconsin side of the Duluth/Superior bay: outside the MN ring,
+    # resolved by the new Superior anchor
+    assert geopoly.lookup(46.72, -92.10) is None
+    assert geonames.subdivision_name(46.72, -92.10) == "Wisconsin"
