@@ -167,6 +167,30 @@ class CacheStore:
         except Exception:
             return None  # corrupt/tampered value == cache miss (db.rs:685)
 
+    def _get_many(self, ns: int, keys) -> dict[bytes, bytes]:
+        """Batched point lookups: one IN(...) query per chunk instead of
+        one execute per key.  A warm rescan probes 4 namespaces per file;
+        per-file executes were ~20% of the probe loop at 1M files.
+        Undecryptable values are dropped (== cache miss, db.rs:685)."""
+        out: dict[bytes, bytes] = {}
+        if not keys:
+            return out
+        con = self._conn()
+        uniq = list(dict.fromkeys(keys))
+        CHUNK = 500  # stay clear of SQLITE_MAX_VARIABLE_NUMBER
+        for i in range(0, len(uniq), CHUNK):
+            chunk = uniq[i:i + CHUNK]
+            rows = con.execute(
+                "SELECT k, v FROM kv WHERE ns = ? AND k IN (%s)"
+                % ",".join("?" * len(chunk)), [ns, *chunk])
+            for k, vv in rows:
+                kb = bytes(k)
+                try:
+                    out[kb] = crypto.decrypt(self.enc_key, vv, kb)
+                except Exception:
+                    continue
+        return out
+
     def _delete(self, ns: int, key: bytes, con=None):
         c = con or self._conn()
         c.execute("DELETE FROM kv WHERE ns = ? AND k = ?", (ns, key))
@@ -322,6 +346,38 @@ class CacheStore:
         caller's job via put_meta, scanner.rs:1234-1236)."""
         v = self._get(NS_META, mkey)
         return v[:32] if v and len(v) >= 40 else None
+
+    def get_meta_many(self, mkeys) -> dict[bytes, bytes]:
+        """Batched get_meta: {mkey: content_hash} for present keys."""
+        return {k: v[:32] for k, v in self._get_many(NS_META, mkeys).items()
+                if len(v) >= 40}
+
+    def get_pdqhash_many(self, content_hashes) -> dict:
+        """Batched get_pdqhash: {content_hash: (pdq, quality)}."""
+        out = {}
+        for k, v in self._get_many(NS_HASH, content_hashes).items():
+            if v and v[0] == PDQ_ALGO_VERSION and len(v) >= 35:
+                out[k] = (v[1:33], struct.unpack("<H", v[33:35])[0])
+        return out
+
+    def get_features_many(self, content_hashes) -> dict:
+        out = {}
+        for k, v in self._get_many(NS_FEATURES, content_hashes).items():
+            try:
+                out[k] = json.loads(v)
+            except ValueError:
+                continue
+        return out
+
+    def get_coefficients_many(self, content_hashes) -> dict:
+        out = {}
+        for k, v in self._get_many(NS_COEFFS, content_hashes).items():
+            if v and v[0] == PDQ_ALGO_VERSION and len(v) == 1 + 256 * 4:
+                out[k] = np.frombuffer(v[1:], dtype=np.float32).copy()
+        return out
+
+    def get_pixel_hash_many(self, content_hashes) -> dict:
+        return self._get_many(NS_PIXELHASH, content_hashes)
 
     def put_pdqhash(self, content_hash: bytes, pdq: bytes, quality: int):
         self.submit(NS_HASH, content_hash,

@@ -66,62 +66,85 @@ def _default_workers() -> int:
     return max(1, min(cores, budget))
 
 
-def _probe_one(path: Path, cfg: ScanConfig, store, identity=None,
-               meta_refresh: list | None = None):
-    """Cheap parent-side half: stat + cache probe (no decode).  Returns
-    {record, cached: True, ...} on a full cache hit, or
-    {record, miss: True, mkey, content} to hand to _heavy_one, or None.
-    `identity` is the (fid, size, mtime_ns) triple if the caller
-    already stat()ed the file (the hardlink prepass does — re-statting
-    1M files doubles syscall load and opens a TOCTOU window).
-    `meta_refresh` (optional list): collect the hit's (mkey, content)
-    timestamp refresh instead of enqueuing it per file — the caller
-    batches them through put_meta_many (one writer wake per scan
-    instead of one per cache hit; each wake is a GIL bounce on a
-    1-core host, measured ~24% of warm rescan time)."""
-    try:
-        fid, size, mtime_ns = identity or H.file_identity(path)
-    except OSError:
-        return None
+def _probe_batch(files, cfg: ScanConfig, store, identities,
+                 meta_refresh: list):
+    """Cheap parent-side half: stat + cache probe (no decode), batched.
+    Yields one result per file in order: {record, cached: True, ...} on
+    a full cache hit, {record, miss: True, mkey, content} to hand to
+    _heavy_one, or None on a stat failure.
 
-    rec = engine.FileRecord(path=path, size=size, modified=mtime_ns / 1e9,
-                            unique_file_id=fid)
-    mkey = store.compute_meta_key(mtime_ns, size, fid) if store else None
+    Batching structure (each a single chunked IN(...) query instead of
+    a per-file execute — per-file point lookups were ~20% of the warm
+    rescan): stat every file -> get_meta_many over all meta keys ->
+    get_{pdqhash,features,coefficients,pixel_hash}_many over the hit
+    content hashes -> per-file assembly.  `identities` carries the
+    (fid, size, mtime_ns) triples the hardlink prepass already stat()ed
+    (re-statting 1M files doubles syscall load and opens a TOCTOU
+    window).  Cache-hit timestamp refreshes collect into `meta_refresh`
+    for one put_meta_many writer submission (one writer wake per scan
+    instead of one per hit; each wake is a GIL bounce on a 1-core host,
+    measured ~24% of warm rescan time)."""
+    staged = []  # (rec | None, mkey)
+    for p in files:
+        try:
+            fid, size, mtime_ns = identities.get(p) or H.file_identity(p)
+        except OSError:
+            staged.append((None, None))
+            continue
+        rec = engine.FileRecord(path=p, size=size, modified=mtime_ns / 1e9,
+                                unique_file_id=fid)
+        mkey = store.compute_meta_key(mtime_ns, size, fid) if store else None
+        staged.append((rec, mkey))
 
-    content = None
+    metas: dict = {}
     if store and not cfg.rehash:
-        content = store.get_meta(mkey)
-    if content is not None:
-        rec.content_hash = content
-        got = store.get_pdqhash(content)
-        feats = store.get_features(content)
-        coeffs = store.get_coefficients(content)
-        px = store.get_pixel_hash(content) if cfg.pixel_hash else None
-        if got and feats is not None and (not cfg.pixel_hash or px):
-            trace.count("CACHE-FULL")
-            trace.debug("CACHE-FULL", str(path))
-            pdq, quality = got
-            rec.pdqhash = pdq
-            rec.pdq_quality = quality
-            rec.pixel_hash = px
-            rec.resolution = (feats.get("width", 0), feats.get("height", 0))
-            rec.orientation = feats.get("orientation", 1)
-            rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
-            rec.exif_timestamp = feats.get("exif_timestamp")
-            if meta_refresh is not None:
-                meta_refresh.append((mkey, content))  # batched refresh
-            else:
-                store.put_meta(mkey, content)  # refresh timestamp
-            # dihedral regen from cached coefficients happens BATCHED
-            # in the caller (pdq_ref.dihedral_hashes_batch): per-file
-            # packing is a Python loop that dominated rescan rate
-            return {"record": rec, "luma": None, "cached": True,
-                    "coeffs_cached": coeffs}
+        metas = store.get_meta_many(
+            [mk for rec, mk in staged if rec is not None])
+    chs = list({metas[mk] for rec, mk in staged
+                if rec is not None and mk in metas})
+    pdqs = store.get_pdqhash_many(chs) if chs else {}
+    feats_all = store.get_features_many(chs) if chs else {}
+    coeffs_all = store.get_coefficients_many(chs) if chs else {}
+    px_all = (store.get_pixel_hash_many(chs)
+              if chs and cfg.pixel_hash else {})
 
-    trace.count("CACHE-PARTIAL" if content is not None else "CACHE-MISS")
-    trace.debug("CACHE-PARTIAL" if content is not None else "CACHE-MISS",
-                str(path))
-    return {"record": rec, "miss": True, "mkey": mkey, "content": content}
+    for rec, mkey in staged:
+        if rec is None:
+            yield None
+            continue
+        content = metas.get(mkey) if mkey is not None else None
+        if content is not None:
+            rec.content_hash = content
+            got = pdqs.get(content)
+            feats = feats_all.get(content)
+            px = px_all.get(content) if cfg.pixel_hash else None
+            if got and feats is not None and (not cfg.pixel_hash or px):
+                trace.count("CACHE-FULL")
+                trace.debug("CACHE-FULL", str(rec.path))
+                pdq, quality = got
+                rec.pdqhash = pdq
+                rec.pdq_quality = quality
+                rec.pixel_hash = px
+                rec.resolution = (feats.get("width", 0),
+                                  feats.get("height", 0))
+                rec.orientation = feats.get("orientation", 1)
+                rec.gps_pos = (tuple(feats["gps"])
+                               if feats.get("gps") else None)
+                rec.exif_timestamp = feats.get("exif_timestamp")
+                meta_refresh.append((mkey, content))  # batched refresh
+                # dihedral regen from cached coefficients happens
+                # BATCHED in the caller (pdq_ref.dihedral_hashes_batch):
+                # per-file packing is a Python loop that dominated
+                # rescan rate
+                yield {"record": rec, "luma": None, "cached": True,
+                       "coeffs_cached": coeffs_all.get(content)}
+                continue
+
+        tag = "CACHE-PARTIAL" if content is not None else "CACHE-MISS"
+        trace.count(tag)
+        trace.debug(tag, str(rec.path))
+        yield {"record": rec, "miss": True, "mkey": mkey,
+               "content": content}
 
 
 def _merge_heavy(rec, heavy, mkey, content, cfg, store):
@@ -275,9 +298,8 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     misses: list[tuple] = []
     dihedral_pending: list[tuple] = []  # (record, cached coeffs)
     meta_refresh: list[tuple] = []      # (mkey, content) hit refreshes
-    for p in files:
-        probe = _probe_one(p, cfg, store, identity=identities.get(p),
-                           meta_refresh=meta_refresh)
+    for p, probe in zip(files, _probe_batch(files, cfg, store, identities,
+                                            meta_refresh)):
         if probe is None:
             consume(None)
         elif probe.get("cached"):

@@ -236,3 +236,53 @@ def test_toml_deep_nested_dict_roundtrip(tmp_path):
     text = cfgmod._dump_toml(cfg)
     back = tomllib.loads(text)
     assert back == cfg
+
+
+def test_get_many_batched(store):
+    """Batched IN(...) lookups agree with the point getters, drop
+    tampered values, and version-gate exactly like the singles."""
+    from rupphash_tpu.cache import store as st
+    chs = [bytes([i]) * 32 for i in range(5)]
+    for i, ch in enumerate(chs):
+        store.put_pdqhash(ch, bytes([i]) * 32, quality=50 + i)
+        store.put_features(ch, {"width": 100 + i, "height": 50})
+        store.put_coefficients(ch, np.full(256, float(i), np.float32))
+        store.put_pixel_hash(ch, bytes([0xF0 | i]) * 32)
+    mks = [store.compute_meta_key(1000 + i, 10, i) for i in range(5)]
+    for mk, ch in zip(mks, chs):
+        store.put_meta(mk, ch)
+    absent = b"\x99" * 32
+
+    metas = store.get_meta_many(mks + [absent])
+    assert metas == dict(zip(mks, chs))
+    pdqs = store.get_pdqhash_many(chs + [absent])
+    feats = store.get_features_many(chs)
+    coeffs = store.get_coefficients_many(chs)
+    pxs = store.get_pixel_hash_many(chs)
+    for i, ch in enumerate(chs):
+        assert pdqs[ch] == store.get_pdqhash(ch)
+        assert feats[ch] == store.get_features(ch)
+        assert np.array_equal(coeffs[ch], store.get_coefficients(ch))
+        assert pxs[ch] == store.get_pixel_hash(ch)
+    assert absent not in pdqs
+
+    # stale version byte -> absent from the batch (db.rs:685-693)
+    v = bytes([99]) + bytes(32) + struct.pack("<H", 1)
+    store._put_now(st.NS_HASH, chs[0], v)
+    assert chs[0] not in store.get_pdqhash_many(chs)
+    # tampered ciphertext -> absent (decrypt failure == miss)
+    row = store._conn().execute(
+        "SELECT v FROM kv WHERE ns = ? AND k = ?",
+        (st.NS_FEATURES, chs[1])).fetchone()
+    bad = bytes(row[0][:-1]) + bytes([row[0][-1] ^ 1])
+    store._conn().execute(
+        "UPDATE kv SET v = ? WHERE ns = ? AND k = ?",
+        (bad, st.NS_FEATURES, chs[1]))
+    store._conn().commit()
+    assert chs[1] not in store.get_features_many(chs)
+    # chunking: >500 keys still resolve (multiple IN batches)
+    many = [bytes([i % 256, i // 256]) + bytes(30) for i in range(700)]
+    store.put_meta_many([(store.compute_meta_key(i, 1, 1), many[i])
+                         for i in range(700)])
+    mks2 = [store.compute_meta_key(i, 1, 1) for i in range(700)]
+    assert store.get_meta_many(mks2) == dict(zip(mks2, many))

@@ -47,6 +47,29 @@ def test_collect_files(corpus):
     assert len(files2) == len(files)
 
 
+def test_collect_files_symlinks(corpus):
+    """Canonicalization is per-directory with a per-file realpath only
+    for symlinks: link-to-image dedups against its target, the gate runs
+    on the *resolved* name, and directory symlinks are not followed
+    (os.walk semantics)."""
+    base = walker.collect_files([corpus])
+    # symlink to an already-collected image dedups to one entry
+    (corpus / "alias.png").symlink_to(corpus / "orig.png")
+    files = walker.collect_files([corpus])
+    assert len(files) == len(base)
+    # extension gate applies to the resolved target, both directions
+    (corpus / "link.txt").symlink_to(corpus / "other.png")     # in
+    (corpus / "link.jpg").symlink_to(corpus / "notes.txt")     # out
+    names = {f.name for f in walker.collect_files([corpus])}
+    assert "other.png" in names and "notes.txt" not in names
+    assert "link.jpg" not in names
+    # a directory symlink is not descended (no duplicate of sub/copy.png)
+    (corpus / "subdir_link").symlink_to(corpus / "sub",
+                                        target_is_directory=True)
+    files3 = walker.collect_files([corpus])
+    assert sum(1 for f in files3 if f.name == "copy.png") == 1
+
+
 def test_decode_tiers(corpus):
     img, res = decode.load_image(corpus / "orig.png")
     assert img is not None and res == (640, 480)
