@@ -53,6 +53,15 @@ def get_lib():
             return None
         lib.hchacha20.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_char_p]
+        lib.xchacha20poly1305_seal.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p]
+        lib.xchacha20poly1305_open.restype = ctypes.c_int
+        lib.xchacha20poly1305_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p]
         lib.luma601.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_int, ctypes.c_void_p]
         lib.box_resample_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -117,6 +126,44 @@ def hchacha20(key: bytes, nonce16: bytes) -> bytes | None:
         return None
     out = ctypes.create_string_buffer(32)
     lib.hchacha20(key, nonce16, out)
+    return out.raw
+
+
+def xchacha_seal(key: bytes, nonce24: bytes, plaintext: bytes,
+                 aad: bytes) -> bytes | None:
+    """XChaCha20-Poly1305 seal: ciphertext || 16-byte tag, or None when
+    the native library is unavailable (caller falls back to the
+    `cryptography` route in cache/crypto.py)."""
+    if len(key) != 32 or len(nonce24) != 24:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(len(plaintext) + 16)
+    lib.xchacha20poly1305_seal(key, nonce24, aad, len(aad),
+                               plaintext, len(plaintext), out)
+    return out.raw
+
+
+class NativeTagError(Exception):
+    """Poly1305 tag mismatch from the native open path."""
+
+
+def xchacha_open(key: bytes, nonce24: bytes, ct_and_tag: bytes,
+                 aad: bytes) -> bytes | None:
+    """XChaCha20-Poly1305 open.  Returns plaintext, raises
+    NativeTagError on tag mismatch, or returns None when the native
+    library is unavailable (fallback duty is the caller's)."""
+    if len(key) != 32 or len(nonce24) != 24 or len(ct_and_tag) < 16:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(len(ct_and_tag) - 16)
+    rc = lib.xchacha20poly1305_open(key, nonce24, aad, len(aad),
+                                    ct_and_tag, len(ct_and_tag), out)
+    if rc != 0:
+        raise NativeTagError()
     return out.raw
 
 

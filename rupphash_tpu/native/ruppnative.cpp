@@ -66,6 +66,249 @@ void hchacha20(const uint8_t key[32], const uint8_t nonce[16],
 }
 
 // ---------------------------------------------------------------------
+// XChaCha20-Poly1305 AEAD (RFC 8439 + draft-irtf-cfrg-xchacha).
+//
+// The cache envelope (cache/crypto.py, mirroring db.rs:634-673)
+// encrypts every stored value; a warm rescan decrypts 4 values per
+// file, and the per-value Python overhead (ctypes HChaCha20 subkey +
+// a fresh `cryptography` AEAD object per value) measured ~35% of the
+// probe loop.  One native call per value replaces all of it.
+// Construction matches cache/crypto.py exactly: subkey =
+// HChaCha20(key, nonce[0:16]); IETF ChaCha20-Poly1305 with 12-byte
+// nonce = 4 zero bytes || nonce[16:24]; AAD-authenticated tag.
+// ---------------------------------------------------------------------
+static inline uint32_t le32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;  // x86/LE hosts; matches the struct.unpack("<L") fallback
+}
+
+static void chacha20_block(const uint32_t key[8], uint32_t counter,
+                           const uint32_t nonce[3], uint8_t out[64]) {
+    uint32_t s[16], x[16];
+    s[0] = 0x61707865u; s[1] = 0x3320646Eu;
+    s[2] = 0x79622D32u; s[3] = 0x6B206574u;
+    for (int i = 0; i < 8; i++) s[4 + i] = key[i];
+    s[12] = counter;
+    for (int i = 0; i < 3; i++) s[13 + i] = nonce[i];
+    std::memcpy(x, s, sizeof(x));
+    for (int r = 0; r < 10; r++) {
+        QR(x[0], x[4], x[8],  x[12]);
+        QR(x[1], x[5], x[9],  x[13]);
+        QR(x[2], x[6], x[10], x[14]);
+        QR(x[3], x[7], x[11], x[15]);
+        QR(x[0], x[5], x[10], x[15]);
+        QR(x[1], x[6], x[11], x[12]);
+        QR(x[2], x[7], x[8],  x[13]);
+        QR(x[3], x[4], x[9],  x[14]);
+    }
+    for (int i = 0; i < 16; i++) x[i] += s[i];
+    std::memcpy(out, x, 64);
+}
+
+// poly1305-donna-32: 26-bit limbs, 64-bit products.
+struct Poly1305 {
+    uint32_t r[5], h[5], pad[4];
+    uint8_t buf[16];
+    int buf_len = 0;
+
+    void init(const uint8_t key[32]) {
+        r[0] = (le32(key + 0)) & 0x3ffffff;
+        r[1] = (le32(key + 3) >> 2) & 0x3ffff03;
+        r[2] = (le32(key + 6) >> 4) & 0x3ffc0ff;
+        r[3] = (le32(key + 9) >> 6) & 0x3f03fff;
+        r[4] = (le32(key + 12) >> 8) & 0x00fffff;
+        for (int i = 0; i < 5; i++) h[i] = 0;
+        for (int i = 0; i < 4; i++) pad[i] = le32(key + 16 + 4 * i);
+    }
+
+    void blocks(const uint8_t* m, size_t len, uint32_t hibit) {
+        const uint32_t s1 = r[1] * 5, s2 = r[2] * 5, s3 = r[3] * 5,
+                       s4 = r[4] * 5;
+        uint32_t h0 = h[0], h1 = h[1], h2 = h[2], h3 = h[3], h4 = h[4];
+        while (len >= 16) {
+            h0 += (le32(m + 0)) & 0x3ffffff;
+            h1 += (le32(m + 3) >> 2) & 0x3ffffff;
+            h2 += (le32(m + 6) >> 4) & 0x3ffffff;
+            h3 += (le32(m + 9) >> 6) & 0x3ffffff;
+            h4 += (le32(m + 12) >> 8) | hibit;
+            uint64_t d0 = (uint64_t)h0 * r[0] + (uint64_t)h1 * s4
+                        + (uint64_t)h2 * s3 + (uint64_t)h3 * s2
+                        + (uint64_t)h4 * s1;
+            uint64_t d1 = (uint64_t)h0 * r[1] + (uint64_t)h1 * r[0]
+                        + (uint64_t)h2 * s4 + (uint64_t)h3 * s3
+                        + (uint64_t)h4 * s2;
+            uint64_t d2 = (uint64_t)h0 * r[2] + (uint64_t)h1 * r[1]
+                        + (uint64_t)h2 * r[0] + (uint64_t)h3 * s4
+                        + (uint64_t)h4 * s3;
+            uint64_t d3 = (uint64_t)h0 * r[3] + (uint64_t)h1 * r[2]
+                        + (uint64_t)h2 * r[1] + (uint64_t)h3 * r[0]
+                        + (uint64_t)h4 * s4;
+            uint64_t d4 = (uint64_t)h0 * r[4] + (uint64_t)h1 * r[3]
+                        + (uint64_t)h2 * r[2] + (uint64_t)h3 * r[1]
+                        + (uint64_t)h4 * r[0];
+            uint64_t c;
+            c = d0 >> 26; h0 = (uint32_t)d0 & 0x3ffffff; d1 += c;
+            c = d1 >> 26; h1 = (uint32_t)d1 & 0x3ffffff; d2 += c;
+            c = d2 >> 26; h2 = (uint32_t)d2 & 0x3ffffff; d3 += c;
+            c = d3 >> 26; h3 = (uint32_t)d3 & 0x3ffffff; d4 += c;
+            c = d4 >> 26; h4 = (uint32_t)d4 & 0x3ffffff;
+            h0 += (uint32_t)c * 5;
+            uint32_t cc = h0 >> 26; h0 &= 0x3ffffff; h1 += cc;
+            m += 16;
+            len -= 16;
+        }
+        h[0] = h0; h[1] = h1; h[2] = h2; h[3] = h3; h[4] = h4;
+    }
+
+    void update(const uint8_t* m, size_t len) {
+        if (buf_len) {
+            size_t take = 16 - buf_len;
+            if (take > len) take = len;
+            std::memcpy(buf + buf_len, m, take);
+            buf_len += (int)take;
+            m += take;
+            len -= take;
+            if (buf_len == 16) {
+                blocks(buf, 16, 1u << 24);
+                buf_len = 0;
+            }
+        }
+        size_t full = len & ~(size_t)15;
+        if (full) blocks(m, full, 1u << 24);
+        m += full;
+        len -= full;
+        if (len) {
+            std::memcpy(buf, m, len);
+            buf_len = (int)len;
+        }
+    }
+
+    void pad16() {
+        // AEAD layout: zero-pad each section to a 16-byte boundary
+        if (buf_len) {
+            std::memset(buf + buf_len, 0, 16 - buf_len);
+            blocks(buf, 16, 1u << 24);
+            buf_len = 0;
+        }
+    }
+
+    void finish(uint8_t mac[16]) {
+        if (buf_len) {
+            // final partial block: append 0x01 then zeros, no hibit
+            buf[buf_len] = 1;
+            std::memset(buf + buf_len + 1, 0, 16 - buf_len - 1);
+            blocks(buf, 16, 0);
+            buf_len = 0;
+        }
+        uint32_t h0 = h[0], h1 = h[1], h2 = h[2], h3 = h[3], h4 = h[4];
+        uint32_t c;
+        c = h1 >> 26; h1 &= 0x3ffffff; h2 += c;
+        c = h2 >> 26; h2 &= 0x3ffffff; h3 += c;
+        c = h3 >> 26; h3 &= 0x3ffffff; h4 += c;
+        c = h4 >> 26; h4 &= 0x3ffffff; h0 += c * 5;
+        c = h0 >> 26; h0 &= 0x3ffffff; h1 += c;
+
+        uint32_t g0 = h0 + 5; c = g0 >> 26; g0 &= 0x3ffffff;
+        uint32_t g1 = h1 + c; c = g1 >> 26; g1 &= 0x3ffffff;
+        uint32_t g2 = h2 + c; c = g2 >> 26; g2 &= 0x3ffffff;
+        uint32_t g3 = h3 + c; c = g3 >> 26; g3 &= 0x3ffffff;
+        uint32_t g4 = h4 + c - (1u << 26);
+
+        uint32_t mask = (g4 >> 31) - 1;  // all-ones when h >= p
+        h0 = (g0 & mask) | (h0 & ~mask);
+        h1 = (g1 & mask) | (h1 & ~mask);
+        h2 = (g2 & mask) | (h2 & ~mask);
+        h3 = (g3 & mask) | (h3 & ~mask);
+        h4 = (g4 & mask) | (h4 & ~mask);
+
+        h0 = (h0 | (h1 << 26));
+        h1 = ((h1 >> 6) | (h2 << 20));
+        h2 = ((h2 >> 12) | (h3 << 14));
+        h3 = ((h3 >> 18) | (h4 << 8));
+
+        uint64_t f;
+        f = (uint64_t)h0 + pad[0];              h0 = (uint32_t)f;
+        f = (uint64_t)h1 + pad[1] + (f >> 32);  h1 = (uint32_t)f;
+        f = (uint64_t)h2 + pad[2] + (f >> 32);  h2 = (uint32_t)f;
+        f = (uint64_t)h3 + pad[3] + (f >> 32);  h3 = (uint32_t)f;
+        std::memcpy(mac + 0,  &h0, 4);
+        std::memcpy(mac + 4,  &h1, 4);
+        std::memcpy(mac + 8,  &h2, 4);
+        std::memcpy(mac + 12, &h3, 4);
+    }
+};
+
+static void xchacha_core(const uint8_t key[32], const uint8_t nonce[24],
+                         const uint8_t* aad, int64_t aad_len,
+                         const uint8_t* in, int64_t len, uint8_t* out,
+                         const uint8_t* mac_over, uint8_t tag[16]) {
+    // subkey + 12-byte nonce per the xchacha draft (cache/crypto.py)
+    uint8_t subkey[32];
+    hchacha20(key, nonce, subkey);
+    uint32_t k[8], n12[3];
+    for (int i = 0; i < 8; i++) k[i] = le32(subkey + 4 * i);
+    n12[0] = 0;
+    n12[1] = le32(nonce + 16);
+    n12[2] = le32(nonce + 20);
+
+    uint8_t block[64];
+    // poly key = first 32 bytes of block 0 (RFC 8439 2.6)
+    chacha20_block(k, 0, n12, block);
+    Poly1305 poly;
+    poly.init(block);
+
+    // stream cipher from counter 1
+    uint32_t counter = 1;
+    for (int64_t off = 0; off < len; off += 64) {
+        chacha20_block(k, counter++, n12, block);
+        int64_t chunk = len - off < 64 ? len - off : 64;
+        for (int64_t i = 0; i < chunk; i++)
+            out[off + i] = in[off + i] ^ block[i];
+    }
+
+    // tag = Poly1305(aad || pad || ct || pad || le64 lens)
+    if (aad_len) poly.update(aad, (size_t)aad_len);
+    poly.pad16();
+    if (len) poly.update(mac_over, (size_t)len);
+    poly.pad16();
+    uint8_t lens[16];
+    uint64_t al = (uint64_t)aad_len, cl = (uint64_t)len;
+    std::memcpy(lens, &al, 8);
+    std::memcpy(lens + 8, &cl, 8);
+    poly.update(lens, 16);
+    poly.finish(tag);
+}
+
+// out = ciphertext || 16-byte tag (pt_len + 16 bytes)
+void xchacha20poly1305_seal(const uint8_t key[32], const uint8_t nonce[24],
+                            const uint8_t* aad, int64_t aad_len,
+                            const uint8_t* pt, int64_t pt_len,
+                            uint8_t* out) {
+    xchacha_core(key, nonce, aad, aad_len, pt, pt_len, out, out,
+                 out + pt_len);
+}
+
+// ct_len includes the trailing tag; returns 0 and writes ct_len-16
+// plaintext bytes on success, -1 on tag mismatch (out is zeroed).
+int xchacha20poly1305_open(const uint8_t key[32], const uint8_t nonce[24],
+                           const uint8_t* aad, int64_t aad_len,
+                           const uint8_t* ct, int64_t ct_len,
+                           uint8_t* out) {
+    if (ct_len < 16) return -1;
+    int64_t len = ct_len - 16;
+    uint8_t tag[16];
+    xchacha_core(key, nonce, aad, aad_len, ct, len, out, ct, tag);
+    uint8_t diff = 0;  // constant-time compare
+    for (int i = 0; i < 16; i++) diff |= (uint8_t)(tag[i] ^ ct[len + i]);
+    if (diff) {
+        std::memset(out, 0, (size_t)len);
+        return -1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
 // Rec.601 integer luma: (299 r + 587 g + 114 b + 500) / 1000
 // ---------------------------------------------------------------------
 void luma601(const uint8_t* px, int64_t n_px, int channels, uint8_t* out) {

@@ -286,3 +286,65 @@ def test_get_many_batched(store):
                          for i in range(700)])
     mks2 = [store.compute_meta_key(i, 1, 1) for i in range(700)]
     assert store.get_meta_many(mks2) == dict(zip(mks2, many))
+
+
+def test_native_aead_differential():
+    """Native xchacha20poly1305_{seal,open} are byte-compatible with the
+    `cryptography` construction used by the fallback, reject tampering
+    in any region, and both envelope directions interoperate."""
+    import secrets
+
+    from cryptography.hazmat.primitives.ciphers.aead import \
+        ChaCha20Poly1305
+
+    from rupphash_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    def ref_seal(key, nonce, pt, aad):
+        sub, n12 = crypto._subkey_nonce(key, nonce)
+        return ChaCha20Poly1305(sub).encrypt(n12, pt, aad)
+
+    for ptlen, aadlen in [(0, 0), (1, 0), (15, 16), (16, 33), (17, 1),
+                          (64, 0), (65, 7), (1025, 100)]:
+        key = secrets.token_bytes(32)
+        nonce = secrets.token_bytes(24)
+        pt = secrets.token_bytes(ptlen)
+        aad = secrets.token_bytes(aadlen)
+        ref = ref_seal(key, nonce, pt, aad)
+        assert native.xchacha_seal(key, nonce, pt, aad) == ref
+        assert native.xchacha_open(key, nonce, ref, aad) == pt
+        for pos in ([0] if ptlen else []) + [len(ref) - 1]:
+            bad = bytearray(ref)
+            bad[pos] ^= 1
+            with pytest.raises(native.NativeTagError):
+                native.xchacha_open(key, nonce, bytes(bad), aad)
+        with pytest.raises(native.NativeTagError):
+            native.xchacha_open(key, nonce, ref, aad + b"x")
+
+
+def test_crypto_envelope_fallback_interop(monkeypatch):
+    """Blobs sealed by the native path decrypt through the pure
+    `cryptography` fallback and vice versa (cache files survive the
+    native library appearing or disappearing between runs)."""
+    from cryptography.exceptions import InvalidTag
+
+    from rupphash_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    key = b"\x21" * 32
+    blob_native = crypto.encrypt(key, b"payload", b"aad")
+
+    monkeypatch.setattr(native, "xchacha_seal",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(native, "xchacha_open",
+                        lambda *a, **k: None)
+    blob_py = crypto.encrypt(key, b"payload", b"aad")
+    assert crypto.decrypt(key, blob_native, b"aad") == b"payload"
+    monkeypatch.undo()
+    assert crypto.decrypt(key, blob_py, b"aad") == b"payload"
+    with pytest.raises(InvalidTag):
+        crypto.decrypt(key, blob_py[:-1] + bytes([blob_py[-1] ^ 1]),
+                       b"aad")
