@@ -47,7 +47,8 @@ def collect_files(paths, recursive: bool = True):
     def scan_dir(dirpath: str):
         try:
             dir_canon = os.path.realpath(dirpath)
-            entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
+            with os.scandir(dirpath) as it:
+                entries = sorted(it, key=lambda e: e.name)
         except OSError:
             return
         subdirs = []

@@ -191,6 +191,37 @@ def main(argv=None) -> int:
     except Exception as e:
         check(f"native raw codecs ({type(e).__name__})", False)
 
+    # native cache AEAD: byte-compatibility with the cryptography-wheel
+    # construction (envelope blobs must interoperate across machines
+    # with and without the native library)
+    try:
+        import secrets
+
+        from cryptography.hazmat.primitives.ciphers.aead import \
+            ChaCha20Poly1305
+
+        from .. import native
+        from ..cache import crypto as ccrypto
+        if native.get_lib() is not None:
+            key = secrets.token_bytes(32)
+            nonce = secrets.token_bytes(24)
+            pt = secrets.token_bytes(777)
+            sub, n12 = ccrypto._subkey_nonce(key, nonce)
+            ref = ChaCha20Poly1305(sub).encrypt(n12, pt, b"aad")
+            ok = native.xchacha_seal(key, nonce, pt, b"aad") == ref \
+                and native.xchacha_open(key, nonce, ref, b"aad") == pt
+            try:
+                native.xchacha_open(key, nonce, ref[:-1] + bytes(
+                    [ref[-1] ^ 1]), b"aad")
+                ok = False
+            except native.NativeTagError:
+                pass
+            check("native AEAD vs cryptography wheel", ok)
+        else:
+            print("  [skip] native AEAD unavailable (Python envelope)")
+    except Exception as e:
+        check(f"native AEAD ({type(e).__name__})", False)
+
     # fused JPEG/PNG probes (optional: need system libjpeg /
     # libdeflate): the runtime self-probes ARE the bit-equality
     # differentials (PIL vs fused over format-class corpora)

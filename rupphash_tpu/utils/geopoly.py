@@ -40,7 +40,16 @@ EXACT along the contested border:
     meridian/parallel treaty borders: Egypt/Libya/Sudan (25E, 22N),
     Namibia/Botswana (20E, 21E, 22S jog, the ~17.39S Angola straight),
     Indonesia/Papua New Guinea (141E), and Argentina's Chubut/Santa
-    Cruz provinces (42S/46S/52S) as named admin-1 rings.
+    Cruz provinces (42S/46S/52S) as named admin-1 rings;
+  * round 4d adds Pennsylvania (42N, Mason-Dixon 39.7222N, the
+    Ellicott meridian -80.5194 and the NY west line -79.762 exact; the
+    Delaware River within ~1-2 km splitting the PA/NJ/NY twin cities;
+    the PA/DE Twelve-Mile-Circle arc approximated by inside chords)
+    and Illinois (statutory 42.5N and the Indiana meridian -87.5246
+    exact-class; Mississippi/Ohio/Wabash polylines within ~2 km
+    splitting Rock Island/Davenport, East St. Louis/St. Louis,
+    Quincy/Hannibal, Hamilton/Keokuk, Metropolis/Paducah and the
+    Wabash bank towns).
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -429,6 +438,117 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (30.1, -104.72), (30.68, -105.0), (31.1, -105.6),
         (31.5, -106.2), (31.75, -106.47),                   # Juárez
         (31.78, -106.53), (32.0, -106.62), (32.0, -103.042)],
+    # --- Pennsylvania: 42N (NY), the Mason-Dixon line 39.7222N (MD/WV),
+    # the Ellicott meridian -80.5194 (OH/WV) and the NY west line
+    # -79.762 are exact; the Delaware River polyline (NY then NJ side)
+    # tracks the channel within ~1-2 km so the river twin cities split
+    # correctly (Matamoras/Easton/Morrisville/Philadelphia PA vs
+    # Port Jervis/Phillipsburg/Trenton/Camden across the water); the
+    # PA/DE Twelve-Mile-Circle arc is approximated by chords, which lie
+    # INSIDE the circle (south of the true arc), so the ring never
+    # claims Delaware soil and a thin PA sliver falls to anchors; the
+    # Lake Erie edge stays a few km offshore, far south of the
+    # mid-lake Canada boundary.
+    ("US", "Pennsylvania"): [
+        (42.03, -80.5194),                    # Lake Erie at the OH line
+        (42.28, -79.762),                     # lake edge (US waters)
+        (42.0, -79.762),                      # NY west line south end
+        (42.0, -75.36),                       # 42N meets the Delaware
+        (41.95, -75.28),                      # Hancock
+        (41.87, -75.21),                      # Lordville
+        (41.77, -75.06),                      # Callicoon
+        (41.60, -75.06),                      # Narrowsburg
+        (41.48, -74.91),                      # Barryville
+        (41.44, -74.82),                      # Pond Eddy
+        (41.405, -74.72),                     # Sparrowbush reach
+        (41.371, -74.690),                    # Port Jervis elbow
+        (41.357, -74.695),                    # NY/NJ/PA tri-state
+        (41.32, -74.80),                      # Milford
+        (41.22, -74.86),                      # Dingmans Ferry
+        (41.09, -75.00),                      # Bushkill
+        (40.97, -75.13),                      # Delaware Water Gap
+        (40.92, -75.09),                      # Portland / Columbia
+        (40.83, -75.08),                      # Belvidere reach
+        (40.69, -75.195),                     # Easton / Phillipsburg
+        (40.59, -75.19),                      # Riegelsville
+        (40.53, -75.06),                      # Frenchtown reach
+        (40.37, -74.95),                      # New Hope / Lambertville
+        (40.30, -74.87),                      # Washington Crossing
+        (40.22, -74.77),                      # Trenton / Morrisville
+        (40.14, -74.74),                      # Bordentown bend
+        (40.08, -74.865),                     # Bristol / Burlington
+        (40.01, -75.04),                      # Tacony reach
+        (39.95, -75.135),                     # Philadelphia / Camden
+        (39.89, -75.18),                      # south Philadelphia
+        (39.85, -75.31),                      # Eddystone
+        (39.83, -75.36),                      # Chester
+        (39.80, -75.43),                      # Marcus Hook / arc start
+        (39.83, -75.56),                      # Twelve-Mile-Circle chord
+        (39.78, -75.72),                      # Twelve-Mile-Circle chord
+        (39.7222, -75.788),                   # MD/DE corner
+        (39.7222, -80.5194)],                 # Mason-Dixon west end
+    # --- Illinois: the statutory 42.5N Wisconsin parallel (surveyed
+    # line wobbles within ~1 km) and the Indiana meridian -87.5246 are
+    # exact-class; the Mississippi, Ohio and Wabash river polylines
+    # track the channel within ~2 km so the river twin cities split
+    # correctly (Rock Island/East St. Louis/Quincy/Hamilton/Metropolis
+    # IL vs Davenport/St. Louis/Hannibal/Keokuk/Paducah across the
+    # water); the Lake Michigan edge hugs the shore (Chicago in,
+    # Hammond IN east of the meridian).
+    ("US", "Illinois"): [
+        (42.500, -90.642),                    # WI line at the Mississippi
+        (42.500, -87.79),                     # WI line at Lake Michigan
+        (42.36, -87.81),                      # Waukegan shore
+        (42.05, -87.66),                      # Evanston shore
+        (41.89, -87.60),                      # Chicago shore
+        (41.73, -87.52),                      # Calumet shore
+        (41.73, -87.5246),                    # IN meridian north end
+        (38.74, -87.5246),                    # meridian meets the Wabash
+        (38.677, -87.535),                    # Vincennes
+        (38.59, -87.636),                     # St. Francisville
+        (38.40, -87.75),                      # Mt. Carmel
+        (38.26, -87.98),                      # Grayville
+        (38.13, -87.95),                      # New Harmony reach
+        (37.80, -88.03),                      # Wabash -> Ohio confluence
+        (37.685, -88.13),                     # Old Shawneetown
+        (37.46, -88.15),                      # Cave-in-Rock
+        (37.36, -88.48),                      # Golconda
+        (37.15, -88.42),                      # Smithland bend
+        (37.105, -88.615),                    # Brookport / Paducah
+        (37.14, -88.73),                      # Metropolis reach
+        (36.984, -89.14),                     # Fort Defiance (confluence)
+        (37.01, -89.20),                      # Cairo west bank
+        (37.07, -89.26),                      # Future City reach
+        (37.18, -89.44),                      # Gale bend
+        (37.22, -89.465),                     # Thebes
+        (37.30, -89.505),                     # Cape Girardeau reach
+        (37.91, -89.83),                      # Chester
+        (37.98, -90.035),                     # Ste. Genevieve reach
+        (38.63, -90.178),                     # St. Louis / East St. Louis
+        (38.87, -90.18),                      # Alton reach
+        (38.955, -90.435),                    # Grafton
+        (39.45, -91.045),                     # Louisiana reach
+        (39.71, -91.347),                     # Hannibal
+        (39.93, -91.425),                     # Quincy
+        (40.397, -91.36),                     # Keokuk / Hamilton
+        (40.47, -91.41),                      # Galland bend
+        (40.55, -91.405),                     # Montrose / Nauvoo
+        (40.61, -91.335),                     # Nauvoo bend east
+        (40.62, -91.29),                      # Fort Madison reach
+        (40.81, -91.08),                      # Burlington
+        (40.93, -90.965),                     # Oquawka
+        (41.10, -90.955),                     # Keithsburg
+        (41.42, -91.03),                      # Muscatine
+        (41.45, -90.72),                      # Buffalo reach
+        (41.517, -90.576),                    # Rock Island / Davenport
+        (41.52, -90.44),                      # East Moline / Bettendorf
+        (41.60, -90.341),                     # LeClaire / Port Byron
+
+        (41.68, -90.32),                      # Cordova
+        (41.845, -90.182),                    # Clinton / Fulton
+        (42.08, -90.166),                     # Savanna / Sabula
+        (42.26, -90.41),                      # Bellevue reach
+        (42.497, -90.655)],                   # Dubuque / East Dubuque
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -587,3 +587,94 @@ def test_polygon_minnesota_red_river():
     # resolved by the new Superior anchor
     assert geopoly.lookup(46.72, -92.10) is None
     assert geonames.subdivision_name(46.72, -92.10) == "Wisconsin"
+
+
+def test_polygon_round4d_pennsylvania_illinois():
+    """Round-4d rings: Pennsylvania and Illinois.  The straight legal
+    lines (42N, the Mason-Dixon 39.7222N, -80.5194, -79.762, the
+    statutory 42.5N Wisconsin parallel, the Indiana meridian -87.5246)
+    are exact-class; the Delaware, Mississippi, Ohio and Wabash river
+    polylines split the river twin cities correctly; out-of-state twin
+    cities are NEVER claimed."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (40.4406, -79.9959, "Pennsylvania"),   # Pittsburgh
+        (39.9526, -75.1652, "Pennsylvania"),   # Philadelphia
+        (42.1292, -80.0851, "Pennsylvania"),   # Erie (lake shore)
+        (40.2073, -74.7849, "Pennsylvania"),   # Morrisville (vs Trenton)
+        (40.6884, -75.2207, "Pennsylvania"),   # Easton (vs Phillipsburg)
+        (41.3687, -74.7024, "Pennsylvania"),   # Matamoras (vs Port Jervis)
+        (41.95, -77.0, "Pennsylvania"),        # northern tier below 42N
+        (39.74, -79.0, "Pennsylvania"),        # just N of Mason-Dixon
+        (41.2412, -77.0011, "Pennsylvania"),   # Williamsport
+        (41.8781, -87.6298, "Illinois"),       # Chicago
+        (41.5095, -90.5787, "Illinois"),       # Rock Island (vs Davenport)
+        (41.5067, -90.5151, "Illinois"),       # Moline (vs Bettendorf)
+        (41.5120, -90.4443, "Illinois"),       # East Moline
+        (38.6245, -90.1510, "Illinois"),       # East St. Louis
+        (38.8906, -90.1843, "Illinois"),       # Alton
+        (39.9356, -91.4099, "Illinois"),       # Quincy (vs Hannibal)
+        (40.3964, -91.3389, "Illinois"),       # Hamilton (vs Keokuk)
+        (40.5583, -91.3850, "Illinois"),       # Nauvoo (west-bend reach)
+        (37.1512, -88.7320, "Illinois"),       # Metropolis (vs Paducah)
+        (37.1230, -88.6300, "Illinois"),       # Brookport (Ohio dip)
+        (37.0053, -89.1764, "Illinois"),       # Cairo (confluence wedge)
+        (42.4930, -89.0368, "Illinois"),       # South Beloit (42.5N)
+        (41.5648, -87.5389, "Illinois"),       # Lansing (IN meridian)
+        (38.4109, -87.7614, "Illinois"),       # Mt. Carmel (Wabash)
+        (38.5895, -87.6458, "Illinois"),       # St. Francisville
+        (37.6909, -88.1386, "Illinois"),       # Old Shawneetown
+        (41.8670, -90.1596, "Illinois"),       # Fulton (vs Clinton)
+        (42.4925, -90.6435, "Illinois"),       # East Dubuque
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    # out-of-state river twins and straight-line neighbors must never
+    # fall inside the new rings
+    outsiders = [
+        (40.2206, -74.7597, "Trenton NJ"),
+        (39.9450, -75.1190, "Camden NJ"),
+        (40.6940, -75.1900, "Phillipsburg NJ"),
+        (41.3759, -74.6927, "Port Jervis NY"),
+        (42.05, -77.0, "NY above 42N"),
+        (39.70, -79.0, "MD below Mason-Dixon"),
+        (39.7392, -75.65, "Wilmington DE"),
+        (42.5084, -89.0318, "Beloit WI"),
+        (41.5236, -90.5776, "Davenport IA"),
+        (41.5245, -90.5159, "Bettendorf IA"),
+        (38.6270, -90.1994, "St. Louis MO"),
+        (39.7084, -91.3585, "Hannibal MO"),
+        (40.3972, -91.3847, "Keokuk IA"),
+        (40.5316, -91.4179, "Montrose IA"),
+        (37.0834, -88.6000, "Paducah KY"),
+        (36.9659, -89.0890, "Wickliffe KY"),
+        (38.6773, -87.5286, "Vincennes IN"),
+        (38.1297, -87.9350, "New Harmony IN"),
+        (41.6797, -87.4945, "Whiting IN"),
+        (40.1420, -87.3950, "Covington IN"),
+        (42.5006, -90.6646, "Dubuque IA"),
+        (41.8445, -90.1887, "Clinton IA"),
+        (40.8070, -91.0927, "Burlington IA"),
+        (41.4245, -91.0432, "Muscatine IA"),
+        (40.6298, -91.3155, "Fort Madison IA"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in (("US", "Pennsylvania"), ("US", "Illinois")), \
+            (name, got)
+
+    # the polygon layer must be genuinely adversarial vs the anchors:
+    # several of the twin cities above get the wrong state from
+    # nearest-anchor (e.g. the Illinois bank of the Quad Cities pulls
+    # the Iowa anchor)
+    adversarial = 0
+    for lat, lon, want in cases:
+        hit = geonames.nearest_anchor(lat, lon)
+        anchor_sub = (geonames._subdivision_for(hit, lat, lon)
+                      if hit else None)
+        if anchor_sub != want:
+            adversarial += 1
+    assert adversarial >= 4, f"only {adversarial} adversarial cases"
