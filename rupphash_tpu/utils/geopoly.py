@@ -49,7 +49,14 @@ EXACT along the contested border:
     exact-class; Mississippi/Ohio/Wabash polylines within ~2 km
     splitting Rock Island/Davenport, East St. Louis/St. Louis,
     Quincy/Hannibal, Hamilton/Keokuk, Metropolis/Paducah and the
-    Wabash bank towns).
+    Wabash bank towns), then Indiana and Ohio completing the block:
+    the Michigan parallel 41.7597, the First Principal Meridian
+    -84.8029 and the Harris (Toledo) line exact-class, the shared
+    _WABASH edge verbatim with Illinois and the -80.5194 meridian
+    with Pennsylvania; the Ohio River polyline splits the
+    Louisville/Cincinnati/Wheeling/Huntington-area twin cities and
+    the Lake Erie edge threads south of the Canadian islands
+    (Middle/Pelee out, the US Bass islands and Kelleys in).
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -107,6 +114,23 @@ _RED_RIVER: list[tuple[float, float]] = [
     (46.45, -96.71),                     # Abercrombie reach
     (46.27, -96.598),                    # Wahpeton/Breckenridge
     (45.935, -96.56),                    # Bois de Sioux at the SD line
+]
+
+# Wabash River IL/IN border polyline, north (where the Vincennes
+# meridian -87.5246 meets the river) to south (the Ohio confluence).
+# Shared VERBATIM as Illinois's southeast edge and Indiana's west edge
+# (coincident edges = no overlap, no dead strip), tracking the channel
+# within ~1-2 km so the bank towns split correctly: St. Francisville/
+# Mt. Carmel/Grayville stay Illinois; Vincennes/New Harmony stay
+# Indiana.
+_WABASH: list[tuple[float, float]] = [
+    (38.74, -87.5246),                    # meridian meets the Wabash
+    (38.677, -87.535),                    # Vincennes
+    (38.59, -87.636),                     # St. Francisville
+    (38.40, -87.75),                      # Mt. Carmel
+    (38.26, -87.98),                      # Grayville
+    (38.13, -87.95),                      # New Harmony reach
+    (37.80, -88.03),                      # Wabash -> Ohio confluence
 ]
 
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
@@ -503,13 +527,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.89, -87.60),                      # Chicago shore
         (41.73, -87.52),                      # Calumet shore
         (41.73, -87.5246),                    # IN meridian north end
-        (38.74, -87.5246),                    # meridian meets the Wabash
-        (38.677, -87.535),                    # Vincennes
-        (38.59, -87.636),                     # St. Francisville
-        (38.40, -87.75),                      # Mt. Carmel
-        (38.26, -87.98),                      # Grayville
-        (38.13, -87.95),                      # New Harmony reach
-        (37.80, -88.03),                      # Wabash -> Ohio confluence
+        *_WABASH,                             # shared IL/IN river edge
         (37.685, -88.13),                     # Old Shawneetown
         (37.46, -88.15),                      # Cave-in-Rock
         (37.36, -88.48),                      # Golconda
@@ -549,6 +567,103 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (42.08, -90.166),                     # Savanna / Sabula
         (42.26, -90.41),                      # Bellevue reach
         (42.497, -90.655)],                   # Dubuque / East Dubuque
+    # --- Indiana: the Vincennes meridian -87.5246 (IL, continued by
+    # the shared _WABASH polyline), the Michigan parallel 41.7597 and
+    # the First Principal Meridian -84.8029 (OH) are exact-class; the
+    # Ohio River polyline tracks the channel within ~2 km so the
+    # Louisville-area and Evansville twin cities split correctly
+    # (Jeffersonville/New Albany/Evansville IN vs Louisville/Henderson
+    # KY); the Lake Michigan edge hugs the shore.
+    ("US", "Indiana"): [
+        (41.73, -87.5246),                    # lake at the IL meridian
+        (41.62, -87.33),                      # Gary shore
+        (41.67, -87.05),                      # Ogden Dunes reach
+        (41.73, -86.90),                      # Michigan City shore
+        (41.7597, -86.83),                    # MI line meets the lake
+        (41.7597, -84.8029),                  # MI/OH corner (parallel)
+        (39.103, -84.8029),                   # meridian meets the Ohio
+        (39.06, -84.90),                      # Aurora reach
+        (38.955, -84.855),                    # Rising Sun
+        (38.79, -84.91),                      # Warsaw bend
+        (38.74, -85.07),                      # Vevay
+        (38.72, -85.395),                     # Madison
+        (38.54, -85.42),                      # Bethlehem reach
+        (38.50, -85.47),                      # Westport bend
+        (38.35, -85.625),                     # Utica / Prospect
+        (38.267, -85.745),                    # Louisville / Jeffersonville
+        (38.272, -85.83),                     # New Albany reach
+        (38.15, -85.93),                      # Kosmosdale
+        (38.005, -85.95),                     # West Point
+        (38.005, -86.17),                     # Brandenburg
+        (38.05, -86.32),                      # Mauckport loop
+        (38.19, -86.35),                      # Leavenworth horseshoe
+        (38.05, -86.50),                      # Alton reach
+        (37.95, -86.62),                      # Derby bend
+        (37.92, -86.765),                     # Tell City / Hawesville
+        (37.885, -86.98),                     # Grandview reach
+        (37.87, -87.05),                      # Rockport
+        (37.783, -87.115),                    # Owensboro bend
+        (37.83, -87.26),                      # Yankeetown reach
+        (37.93, -87.40),                      # Newburgh
+        (37.96, -87.55),                      # Evansville
+        (37.90, -87.60),                      # Henderson bend north
+        (37.87, -87.67),                      # Henderson bend west
+        (37.92, -87.90),                      # Mt. Vernon
+        (37.785, -87.93),                     # Uniontown bend
+        *[(la, lo) for la, lo in reversed(_WABASH)]],  # shared edge
+    # --- Ohio: the First Principal Meridian -84.8029 (IN), the Harris
+    # (Toledo) line and the Ellicott meridian -80.5194 (PA, shared with
+    # the Pennsylvania ring) are exact-class; the Ohio River polyline
+    # tracks the channel within ~2 km so the WV/KY twin cities split
+    # correctly (Cincinnati/Ironton/Portsmouth/Marietta/Bridgeport OH
+    # vs Newport/Covington/Russell/South Shore/Williamstown/Wheeling
+    # across the water); the Lake Erie edge threads south of the
+    # Canadian islands (Middle/Pelee out, the US Bass islands and
+    # Kelleys in).
+    ("US", "Ohio"): [
+        (41.70, -84.8029),                    # MI corner (Harris line W)
+        (41.73, -83.45),                      # Harris line at Maumee Bay
+        (41.74, -82.95),                      # lake edge (US waters)
+        (41.735, -82.83),                     # north of North Bass Is.
+        (41.65, -82.69),                      # south of Middle Island
+        (41.63, -82.45),                      # Sandusky Bay approach
+        (41.60, -82.0),                       # Lorain offshore
+        (41.70, -81.55),                      # Cleveland offshore
+        (41.85, -81.0),                       # Fairport offshore
+        (42.0, -80.70),                       # Conneaut offshore
+        (42.03, -80.5194),                    # PA corner (lake)
+        (40.637, -80.5194),                   # PA/WV tripoint (river)
+        (40.37, -80.615),                     # Steubenville
+        (40.21, -80.66),                      # Wellsburg reach
+        (40.064, -80.730),                    # Wheeling / Bridgeport
+        (39.92, -80.752),                     # Moundsville reach
+        (39.665, -80.865),                    # New Martinsville
+        (39.56, -81.005),                     # Sistersville
+        (39.395, -81.21),                     # St. Marys reach
+        (39.409, -81.452),                    # Marietta / Williamstown
+        (39.32, -81.559),                     # Vienna reach
+        (39.270, -81.567),                    # Belpre / Parkersburg
+        (38.955, -81.78),                     # Ravenswood reach
+        (39.022, -82.028),                    # Pomeroy bend
+        (38.83, -82.17),                      # Gallipolis / Point Pleasant
+        (38.58, -82.27),                      # Crown City reach
+        (38.425, -82.448),                    # Chesapeake / Huntington
+        (38.515, -82.665),                    # Coal Grove reach
+        (38.527, -82.695),                    # Ironton / Russell
+        (38.578, -82.83),                     # Greenup reach
+        (38.72, -82.87),                      # Sciotoville bend
+        (38.7265, -82.99),                    # Portsmouth / South Shore
+        (38.68, -83.30),                      # Friendship reach
+        (38.68, -83.61),                      # Manchester
+        (38.65, -83.75),                      # Aberdeen / Maysville
+        (38.775, -84.0),                      # Augusta reach
+        (38.93, -84.28),                      # New Richmond reach
+        (39.065, -84.43),                     # California bend
+        (39.097, -84.497),                    # Cincinnati / Newport
+        (39.094, -84.525),                    # Cincinnati / Covington
+        (39.09, -84.60),                      # Delhi reach
+        (39.13, -84.71),                      # Addyston bend
+        (39.103, -84.8029)],                  # IN tripoint (Great Miami)
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -678,3 +678,86 @@ def test_polygon_round4d_pennsylvania_illinois():
         if anchor_sub != want:
             adversarial += 1
     assert adversarial >= 4, f"only {adversarial} adversarial cases"
+
+
+def test_polygon_round4d_indiana_ohio():
+    """Indiana and Ohio complete the round-4d block: the Michigan
+    parallel 41.7597, the First Principal Meridian -84.8029 and the
+    Harris (Toledo) line are exact-class; the shared _WABASH polyline
+    is verbatim with Illinois and the -80.5194 meridian with
+    Pennsylvania (coincident edges, no overlap, no dead strip); the
+    Ohio River polyline splits the KY/WV twin cities; the Lake Erie
+    edge keeps the Canadian islands out and the US islands in."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (39.7684, -86.1581, "Indiana"),    # Indianapolis
+        (41.6764, -86.2520, "Indiana"),    # South Bend (vs Niles MI)
+        (41.7075, -86.8950, "Indiana"),    # Michigan City
+        (41.5934, -87.5216, "Indiana"),    # Hammond (IL meridian east)
+        (38.2776, -85.7372, "Indiana"),    # Jeffersonville (vs Louisville)
+        (38.2856, -85.8241, "Indiana"),    # New Albany
+        (37.9716, -87.5711, "Indiana"),    # Evansville (vs Henderson)
+        (39.0909, -84.8499, "Indiana"),    # Lawrenceburg (vs Cincinnati)
+        (38.6773, -87.5286, "Indiana"),    # Vincennes (Wabash east bank)
+        (38.1297, -87.9350, "Indiana"),    # New Harmony
+        (38.1995, -86.3439, "Indiana"),    # Leavenworth (horseshoe)
+        (37.9514, -86.7678, "Indiana"),    # Tell City (vs Hawesville)
+        (39.9612, -82.9988, "Ohio"),       # Columbus
+        (41.4993, -81.6944, "Ohio"),       # Cleveland
+        (39.1031, -84.5120, "Ohio"),       # Cincinnati (vs Newport)
+        (41.6639, -83.5552, "Ohio"),       # Toledo (Harris line south)
+        (40.3698, -80.6340, "Ohio"),       # Steubenville (vs Weirton)
+        (40.0695, -80.7401, "Ohio"),       # Bridgeport (vs Wheeling)
+        (40.1009, -80.7245, "Ohio"),       # Martins Ferry
+        (39.4154, -81.4548, "Ohio"),       # Marietta (vs Williamstown)
+        (39.2737, -81.5729, "Ohio"),       # Belpre (vs Parkersburg)
+        (38.5365, -82.6829, "Ohio"),       # Ironton (vs Russell)
+        (38.7317, -82.9977, "Ohio"),       # Portsmouth (vs South Shore)
+        (38.6620, -83.7628, "Ohio"),       # Aberdeen (vs Maysville)
+        (38.4298, -82.4543, "Ohio"),       # Chesapeake (vs Huntington)
+        (41.5978, -82.7101, "Ohio"),       # Kelleys Island
+        (41.6525, -82.8177, "Ohio"),       # Put-in-Bay (South Bass)
+        (41.7158, -82.8225, "Ohio"),       # North Bass Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    outsiders = [
+        (38.2527, -85.7585, "Louisville KY"),
+        (37.8361, -87.5900, "Henderson KY"),
+        (37.7742, -87.1133, "Owensboro KY"),
+        (37.9001, -86.7549, "Hawesville KY"),
+        (38.3451, -85.6158, "Prospect KY"),
+        (39.0837, -84.5086, "Covington KY"),
+        (39.0914, -84.4958, "Newport KY"),
+        (41.7934, -86.7437, "New Buffalo MI"),
+        (41.8298, -86.2542, "Niles MI"),
+        (41.9167, -83.3977, "Monroe MI"),
+        (40.0640, -80.7210, "Wheeling WV"),
+        (40.4187, -80.5896, "Weirton WV"),
+        (40.3275, -80.5956, "Follansbee WV"),
+        (39.4026, -81.4490, "Williamstown WV"),
+        (39.3240, -81.5485, "Vienna WV"),
+        (39.2667, -81.5615, "Parkersburg WV"),
+        (38.8448, -82.1371, "Point Pleasant WV"),
+        (38.4192, -82.4452, "Huntington WV"),
+        (38.4784, -82.6379, "Ashland KY"),
+        (38.5173, -82.6976, "Russell KY"),
+        (38.5731, -82.8297, "Greenup KY"),
+        (38.7209, -82.9692, "South Shore KY"),
+        (38.6412, -83.7444, "Maysville KY"),
+        (41.7700, -82.6600, "Pelee Island ON"),
+        (41.6850, -82.6830, "Middle Island ON"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in (("US", "Indiana"), ("US", "Ohio")), (name, got)
+
+    # shared-edge contract: the Wabash polyline is the SAME object in
+    # both rings (verbatim edge = provably coincident)
+    il = geopoly.POLYGONS[("US", "Illinois")]
+    ind = geopoly.POLYGONS[("US", "Indiana")]
+    for v in geopoly._WABASH:
+        assert v in il and v in ind
