@@ -56,7 +56,19 @@ EXACT along the contested border:
     with Pennsylvania; the Ohio River polyline splits the
     Louisville/Cincinnati/Wheeling/Huntington-area twin cities and
     the Lake Erie edge threads south of the Canadian islands
-    (Middle/Pelee out, the US Bass islands and Kelleys in).
+    (Middle/Pelee out, the US Bass islands and Kelleys in); round 4e
+    adds Kentucky and Tennessee: Kentucky's whole north border is the
+    three shared Ohio River lists verbatim, the KY/TN border is the
+    shared _KY_TN list carrying the surveyed WALKER LINE (~36.62-36.64
+    east of the Tennessee River — the 1779-80 survey error the 36.5
+    charter never fixed — so Clarksville stays Tennessee and Guthrie
+    stays Kentucky, something a naive 36.5 line gets wrong on both
+    banks) with the Tennessee River jog to the true 36.4977 Jackson
+    Purchase parallel; Tennessee adds the Bristol State Street line
+    36.5951 (VA), the surveyed ~34.995 south line (East Ridge TN in,
+    Rossville GA out) and the Mississippi channel at Memphis; the
+    Appalachian VA/WV/NC sides are conservative chains inside the
+    ring.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -131,6 +143,87 @@ _WABASH: list[tuple[float, float]] = [
     (38.26, -87.98),                      # Grayville
     (38.13, -87.95),                      # New Harmony reach
     (37.80, -88.03),                      # Wabash -> Ohio confluence
+]
+
+# Ohio River border polylines, each shared VERBATIM by the state on
+# the north bank and Kentucky on the south (coincident edges = no
+# overlap, no dead strip), downstream order, channel within ~2 km.
+# _OHIO_RIVER_OH runs from the Big Sandy area to the IN tripoint
+# (Ohio's KY-facing section); _OHIO_RIVER_IN from the tripoint to the
+# Wabash mouth; _OHIO_RIVER_IL from the Wabash mouth to the
+# Mississippi confluence at Fort Defiance.
+_OHIO_RIVER_OH: list[tuple[float, float]] = [
+    (38.515, -82.665),                    # Coal Grove reach
+    (38.527, -82.695),                    # Ironton / Russell
+    (38.578, -82.83),                     # Greenup reach
+    (38.72, -82.87),                      # Sciotoville bend
+    (38.7265, -82.99),                    # Portsmouth / South Shore
+    (38.68, -83.30),                      # Friendship reach
+    (38.68, -83.61),                      # Manchester
+    (38.65, -83.75),                      # Aberdeen / Maysville
+    (38.775, -84.0),                      # Augusta reach
+    (38.93, -84.28),                      # New Richmond reach
+    (39.065, -84.43),                     # California bend
+    (39.097, -84.497),                    # Cincinnati / Newport
+    (39.094, -84.525),                    # Cincinnati / Covington
+    (39.09, -84.60),                      # Delhi reach
+    (39.13, -84.71),                      # Addyston bend
+]
+_OHIO_RIVER_IN: list[tuple[float, float]] = [
+    (39.06, -84.90),                      # Aurora reach
+    (38.955, -84.855),                    # Rising Sun
+    (38.79, -84.91),                      # Warsaw bend
+    (38.74, -85.07),                      # Vevay
+    (38.72, -85.395),                     # Madison
+    (38.54, -85.42),                      # Bethlehem reach
+    (38.50, -85.47),                      # Westport bend
+    (38.35, -85.625),                     # Utica / Prospect
+    (38.267, -85.745),                    # Louisville / Jeffersonville
+    (38.272, -85.83),                     # New Albany reach
+    (38.15, -85.93),                      # Kosmosdale
+    (38.005, -85.95),                     # West Point
+    (38.005, -86.17),                     # Brandenburg
+    (38.05, -86.32),                      # Mauckport loop
+    (38.19, -86.35),                      # Leavenworth horseshoe
+    (38.05, -86.50),                      # Alton reach
+    (37.95, -86.62),                      # Derby bend
+    (37.92, -86.765),                     # Tell City / Hawesville
+    (37.885, -86.98),                     # Grandview reach
+    (37.87, -87.05),                      # Rockport
+    (37.783, -87.115),                    # Owensboro bend
+    (37.83, -87.26),                      # Yankeetown reach
+    (37.93, -87.40),                      # Newburgh
+    (37.96, -87.55),                      # Evansville
+    (37.90, -87.60),                      # Henderson bend north
+    (37.87, -87.67),                      # Henderson bend west
+    (37.92, -87.90),                      # Mt. Vernon
+    (37.785, -87.93),                     # Uniontown bend
+]
+_OHIO_RIVER_IL: list[tuple[float, float]] = [
+    (37.685, -88.13),                     # Old Shawneetown
+    (37.46, -88.15),                      # Cave-in-Rock
+    (37.36, -88.48),                      # Golconda
+    (37.15, -88.42),                      # Smithland bend
+    (37.105, -88.615),                    # Brookport / Paducah
+    (37.14, -88.73),                      # Metropolis reach
+]
+
+# Kentucky/Tennessee border, east (Cumberland Gap tripoint) to west
+# (the Jackson Purchase), shared VERBATIM by both rings.  East of the
+# Tennessee River the line is the surveyed WALKER LINE at ~36.62-36.64
+# — NOT the chartered 36.5 parallel (the 1779-80 survey error) — so
+# Clarksville/Portland TN stay Tennessee while Guthrie/Oak Grove/
+# Franklin KY stay Kentucky; at the Tennessee River the border jogs
+# south to the true 36.4977 parallel, which runs to the Mississippi.
+_KY_TN: list[tuple[float, float]] = [
+    (36.60, -83.675),                     # Cumberland Gap (VA tripoint)
+    (36.61, -84.80),                      # Walker line
+    (36.62, -85.60),                      # Walker line
+    (36.63, -86.40),                      # Walker line (Portland north)
+    (36.641, -87.11),                     # Walker line (Guthrie south)
+    (36.641, -87.90),                     # Walker line meets the river
+    (36.50, -88.05),                      # Tennessee River jog south
+    (36.4977, -88.20),                    # true parallel resumes
 ]
 
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
@@ -528,12 +621,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.73, -87.52),                      # Calumet shore
         (41.73, -87.5246),                    # IN meridian north end
         *_WABASH,                             # shared IL/IN river edge
-        (37.685, -88.13),                     # Old Shawneetown
-        (37.46, -88.15),                      # Cave-in-Rock
-        (37.36, -88.48),                      # Golconda
-        (37.15, -88.42),                      # Smithland bend
-        (37.105, -88.615),                    # Brookport / Paducah
-        (37.14, -88.73),                      # Metropolis reach
+        *_OHIO_RIVER_IL,                      # shared IL/KY river edge
         (36.984, -89.14),                     # Fort Defiance (confluence)
         (37.01, -89.20),                      # Cairo west bank
         (37.07, -89.26),                      # Future City reach
@@ -582,34 +670,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.7597, -86.83),                    # MI line meets the lake
         (41.7597, -84.8029),                  # MI/OH corner (parallel)
         (39.103, -84.8029),                   # meridian meets the Ohio
-        (39.06, -84.90),                      # Aurora reach
-        (38.955, -84.855),                    # Rising Sun
-        (38.79, -84.91),                      # Warsaw bend
-        (38.74, -85.07),                      # Vevay
-        (38.72, -85.395),                     # Madison
-        (38.54, -85.42),                      # Bethlehem reach
-        (38.50, -85.47),                      # Westport bend
-        (38.35, -85.625),                     # Utica / Prospect
-        (38.267, -85.745),                    # Louisville / Jeffersonville
-        (38.272, -85.83),                     # New Albany reach
-        (38.15, -85.93),                      # Kosmosdale
-        (38.005, -85.95),                     # West Point
-        (38.005, -86.17),                     # Brandenburg
-        (38.05, -86.32),                      # Mauckport loop
-        (38.19, -86.35),                      # Leavenworth horseshoe
-        (38.05, -86.50),                      # Alton reach
-        (37.95, -86.62),                      # Derby bend
-        (37.92, -86.765),                     # Tell City / Hawesville
-        (37.885, -86.98),                     # Grandview reach
-        (37.87, -87.05),                      # Rockport
-        (37.783, -87.115),                    # Owensboro bend
-        (37.83, -87.26),                      # Yankeetown reach
-        (37.93, -87.40),                      # Newburgh
-        (37.96, -87.55),                      # Evansville
-        (37.90, -87.60),                      # Henderson bend north
-        (37.87, -87.67),                      # Henderson bend west
-        (37.92, -87.90),                      # Mt. Vernon
-        (37.785, -87.93),                     # Uniontown bend
+        *_OHIO_RIVER_IN,                      # shared IN/KY river edge
         *[(la, lo) for la, lo in reversed(_WABASH)]],  # shared edge
     # --- Ohio: the First Principal Meridian -84.8029 (IN), the Harris
     # (Toledo) line and the Ellicott meridian -80.5194 (PA, shared with
@@ -648,22 +709,69 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (38.83, -82.17),                      # Gallipolis / Point Pleasant
         (38.58, -82.27),                      # Crown City reach
         (38.425, -82.448),                    # Chesapeake / Huntington
-        (38.515, -82.665),                    # Coal Grove reach
-        (38.527, -82.695),                    # Ironton / Russell
-        (38.578, -82.83),                     # Greenup reach
-        (38.72, -82.87),                      # Sciotoville bend
-        (38.7265, -82.99),                    # Portsmouth / South Shore
-        (38.68, -83.30),                      # Friendship reach
-        (38.68, -83.61),                      # Manchester
-        (38.65, -83.75),                      # Aberdeen / Maysville
-        (38.775, -84.0),                      # Augusta reach
-        (38.93, -84.28),                      # New Richmond reach
-        (39.065, -84.43),                     # California bend
-        (39.097, -84.497),                    # Cincinnati / Newport
-        (39.094, -84.525),                    # Cincinnati / Covington
-        (39.09, -84.60),                      # Delhi reach
-        (39.13, -84.71),                      # Addyston bend
+        *_OHIO_RIVER_OH,                      # shared OH/KY river edge
         (39.103, -84.8029)],                  # IN tripoint (Great Miami)
+    # --- Kentucky: the ENTIRE north border is the three shared Ohio
+    # River polylines verbatim (coincident with the OH/IN/IL rings —
+    # every river twin city already split from the north side splits
+    # identically from the south); the south border is the shared
+    # _KY_TN Walker-line list; the Big Sandy/Tug Fork (WV) tracks the
+    # channel at the Louisa/Williamson twin towns, then the VA ridge
+    # chain is conservative (inside KY; the strip falls to anchors);
+    # the Mississippi edge is conservative of the New Madrid bend (the
+    # tiny Kentucky Bend exclave is ceded to anchors).
+    ("US", "Kentucky"): [
+        (38.485, -82.593),                    # Big Sandy mouth (channel)
+        *_OHIO_RIVER_OH,                      # shared OH/KY river edge
+        (39.103, -84.8029),                   # IN tripoint
+        *_OHIO_RIVER_IN,                      # shared IN/KY river edge
+        (37.80, -88.03),                      # Wabash mouth
+        *_OHIO_RIVER_IL,                      # shared IL/KY river edge
+        (36.984, -89.14),                     # Mississippi confluence
+        (36.76, -89.13),                      # Columbus reach
+        (36.57, -89.20),                      # Hickman
+        (36.4977, -89.25),                    # conservative SW corner
+        *[(la, lo) for la, lo in reversed(_KY_TN)],  # shared TN edge
+        (36.70, -83.40),                      # White Rocks flank (cons.)
+        (36.82, -83.15),                      # Cumberland Mtn (cons.)
+        (36.95, -82.85),                      # Black Mountain (cons.)
+        (37.02, -82.72),                      # Pound Gap flank (cons.)
+        (37.20, -82.45),                      # Elkhorn flank (cons.)
+        (37.28, -82.35),                      # Breaks flank (cons.)
+        (37.45, -82.30),                      # Tug headwater (cons.)
+        (37.62, -82.17),                      # Matewan reach
+        (37.671, -82.282),                    # Williamson / S. Williamson
+        (37.84, -82.415),                     # Kermit reach
+        (38.115, -82.595),                    # Louisa / Fort Gay
+        (38.25, -82.60),                      # Big Sandy reach
+        (38.40, -82.596)],                    # Catlettsburg reach
+    # --- Tennessee: north = the shared _KY_TN Walker-line edge (plus
+    # its own 36.4977 tail to the river) and the Bristol State Street
+    # line 36.5951 (VA); south = the surveyed ~34.995 parallel (MS/AL/
+    # GA) — East Ridge TN in, Rossville GA out; west = the Mississippi
+    # channel (Memphis in, West Memphis AR out); east = conservative
+    # Appalachian-crest chain inside TN (Mountain City/Johnson City/
+    # Gatlinburg in, the NC slope falls to anchors).
+    ("US", "Tennessee"): [
+        (36.4977, -89.485),                   # river corner (Tiptonville)
+        *_KY_TN[::-1],                        # shared KY edge (W to E)
+        (36.5951, -81.68),                    # Bristol line east end
+        (36.55, -81.70),                      # Mountain City flank
+        (36.20, -82.10),                      # Roan flank (cons.)
+        (35.93, -82.58),                      # Sams Gap flank (cons.)
+        (35.96, -82.88),                      # Paint Rock spike
+        (35.80, -83.0),                       # Max Patch flank (cons.)
+        (35.66, -83.46),                      # Newfound Gap flank
+        (35.45, -84.0),                       # Smokies SW flank (cons.)
+        (35.20, -84.20),                      # Hiwassee flank (cons.)
+        (35.0, -84.287),                      # NC/GA tripoint (34.995N)
+        (34.995, -84.32),                     # surveyed south line
+        (34.995, -90.30),                     # line meets the Mississippi
+        (35.13, -90.075),                     # Memphis / West Memphis
+        (35.35, -90.09),                      # Loosahatchie reach
+        (35.70, -89.955),                     # Osceola reach
+        (36.19, -89.64),                      # Caruthersville reach
+        (36.38, -89.54)],                     # Tiptonville reach
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -761,3 +761,100 @@ def test_polygon_round4d_indiana_ohio():
     ind = geopoly.POLYGONS[("US", "Indiana")]
     for v in geopoly._WABASH:
         assert v in il and v in ind
+
+
+def test_polygon_round4e_kentucky_tennessee():
+    """Kentucky + Tennessee: Kentucky's whole north border reuses the
+    three Ohio River polylines verbatim (every twin-city split proven
+    from the north bank holds from the south); the shared _KY_TN edge
+    carries the surveyed WALKER LINE (~36.62-36.64 east of the
+    Tennessee River — NOT the chartered 36.5 — the 1779-80 survey
+    error) with the river jog to the true 36.4977 Jackson Purchase
+    parallel; Tennessee adds the Bristol State Street line 36.5951,
+    the surveyed ~34.995 south line and the Memphis Mississippi
+    channel.  A naive 36.5 parallel would misassign Clarksville TN
+    (36.53N) to Kentucky and Guthrie KY (36.648N) would be ambiguous;
+    both resolve correctly here."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (38.2527, -85.7585, "Kentucky"),    # Louisville (river south)
+        (38.0406, -84.5037, "Kentucky"),    # Lexington
+        (39.0837, -84.5086, "Kentucky"),    # Covington (vs Cincinnati)
+        (39.0914, -84.4958, "Kentucky"),    # Newport
+        (37.0834, -88.6000, "Kentucky"),    # Paducah (vs Brookport)
+        (37.8361, -87.5900, "Kentucky"),    # Henderson (vs Evansville)
+        (37.7742, -87.1133, "Kentucky"),    # Owensboro
+        (38.4784, -82.6379, "Kentucky"),    # Ashland (vs Ironton)
+        (38.4048, -82.6003, "Kentucky"),    # Catlettsburg (Big Sandy)
+        (38.1140, -82.6032, "Kentucky"),    # Louisa (vs Fort Gay WV)
+        (37.6684, -82.2862, "Kentucky"),    # S. Williamson (Tug Fork)
+        (37.4793, -82.5190, "Kentucky"),    # Pikeville
+        (36.8430, -83.3219, "Kentucky"),    # Harlan
+        (36.9787, -82.9886, "Kentucky"),    # Cumberland KY
+        (36.6080, -83.7160, "Kentucky"),    # Middlesboro
+        (36.6480, -87.1660, "Kentucky"),    # Guthrie (Walker line!)
+        (36.6650, -87.4440, "Kentucky"),    # Oak Grove (Walker line)
+        (36.7223, -86.5772, "Kentucky"),    # Franklin KY
+        (36.5042, -88.8742, "Kentucky"),    # Fulton KY (36.4977)
+        (36.5731, -89.1860, "Kentucky"),    # Hickman (Mississippi)
+        (36.9659, -89.0890, "Kentucky"),    # Wickliffe
+        (36.1627, -86.7816, "Tennessee"),   # Nashville
+        (36.5298, -87.3595, "Tennessee"),   # Clarksville (Walker line!)
+        (36.5840, -86.5160, "Tennessee"),   # Portland TN
+        (36.5500, -85.5000, "Tennessee"),   # Celina
+        (35.1495, -90.0490, "Tennessee"),   # Memphis (vs West Memphis)
+        (35.0456, -85.3097, "Tennessee"),   # Chattanooga (34.995 north)
+        (35.0140, -85.2500, "Tennessee"),   # East Ridge (sliver)
+        (35.9606, -83.9207, "Tennessee"),   # Knoxville
+        (36.4740, -81.8040, "Tennessee"),   # Mountain City
+        (36.3134, -82.3535, "Tennessee"),   # Johnson City
+        (35.7143, -83.5102, "Tennessee"),   # Gatlinburg
+        (36.5800, -82.1900, "Tennessee"),   # Bristol TN (36.5951 south)
+        (36.3770, -89.4720, "Tennessee"),   # Tiptonville
+        (36.4953, -88.8710, "Tennessee"),   # South Fulton
+        (35.9100, -83.0200, "Tennessee"),   # Del Rio (Paint Rock spike)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    outsiders = [
+        (36.6126, -82.1774, "Bristol VA"),
+        (36.6400, -83.4300, "Ewing VA"),
+        (36.8620, -82.7720, "Big Stone Gap VA"),
+        (36.9300, -82.6200, "Norton VA"),
+        (38.4192, -82.4452, "Huntington WV"),
+        (37.6743, -82.2775, "Williamson WV"),
+        (38.1190, -82.5881, "Fort Gay WV"),
+        (35.8900, -82.8300, "Hot Springs NC"),
+        (35.1465, -90.1845, "West Memphis AR"),
+        (35.7050, -89.9850, "Osceola AR"),
+        (36.1930, -89.6556, "Caruthersville MO"),
+        (36.9073, -89.1918, "Birds Point MO"),
+        (34.9830, -85.2860, "Rossville GA"),
+        (34.9700, -90.0000, "Southaven MS"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in (("US", "Kentucky"), ("US", "Tennessee")), \
+            (name, got)
+
+    # Walker-line honesty: the naive 36.5 charter parallel would give
+    # the WRONG answer for both Clarksville and Guthrie; assert the
+    # test stays meaningful
+    assert 36.5 < 36.5298 < 36.641   # Clarksville above charter, below Walker
+    assert 36.648 > 36.641           # Guthrie above Walker
+
+    # shared-edge contract: Kentucky's river edge is the same objects
+    # as the three north-bank rings
+    ky = geopoly.POLYGONS[("US", "Kentucky")]
+    for lst, owner in ((geopoly._OHIO_RIVER_OH, "Ohio"),
+                       (geopoly._OHIO_RIVER_IN, "Indiana"),
+                       (geopoly._OHIO_RIVER_IL, "Illinois")):
+        ring = geopoly.POLYGONS[("US", owner)]
+        for v in lst:
+            assert v in ky and v in ring
+    tn = geopoly.POLYGONS[("US", "Tennessee")]
+    for v in geopoly._KY_TN:
+        assert v in ky and v in tn
