@@ -44,27 +44,31 @@ def collect_files(paths, recursive: bool = True):
         except OSError:
             pass
 
-    def scan_dir(dirpath: str):
-        try:
-            dir_canon = os.path.realpath(dirpath)
-            with os.scandir(dirpath) as it:
-                entries = sorted(it, key=lambda e: e.name)
-        except OSError:
-            return
-        subdirs = []
-        for e in entries:
+    def scan_dir(root: str):
+        # explicit stack, not recursion: os.walk handled arbitrarily
+        # deep trees and so must this
+        stack = [root]
+        while stack:
+            dirpath = stack.pop()
             try:
-                if e.is_dir(follow_symlinks=False):
-                    # directory symlinks are not followed (os.walk
-                    # semantics; loop-safe)
-                    subdirs.append(e.path)
-                elif e.is_file(follow_symlinks=True):
-                    add_entry(dir_canon, e.name, e.is_symlink())
+                dir_canon = os.path.realpath(dirpath)
+                with os.scandir(dirpath) as it:
+                    entries = sorted(it, key=lambda e: e.name)
             except OSError:
                 continue
-        if recursive:
-            for sub in subdirs:
-                scan_dir(sub)
+            subdirs = []
+            for e in entries:
+                try:
+                    if e.is_dir(follow_symlinks=False):
+                        # directory symlinks are not followed (os.walk
+                        # semantics; loop-safe)
+                        subdirs.append(e.path)
+                    elif e.is_file(follow_symlinks=True):
+                        add_entry(dir_canon, e.name, e.is_symlink())
+                except OSError:
+                    continue
+            if recursive:
+                stack.extend(reversed(subdirs))
 
     for root in paths:
         root = Path(root)

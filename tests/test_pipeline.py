@@ -379,3 +379,16 @@ def test_png_text_exif_routes_to_pil():
     im.save(buf, format="PNG", pnginfo=info)
     out = exifmod.extract(data=buf.getvalue())
     assert out["orientation"] == 3
+
+
+def test_collect_files_deep_tree(tmp_path):
+    """The walk is iterative (explicit stack): a tree deeper than the
+    Python recursion limit must not RecursionError (os.walk parity)."""
+    import os
+    d = str(tmp_path)
+    for _ in range(1100):
+        d = d + "/0"
+        os.mkdir(d)
+    open(d + "/x.png", "wb").write(b"\x89PNG\r\n\x1a\n" + b"0" * 20)
+    files = walker.collect_files([tmp_path])
+    assert len(files) == 1 and files[0].name == "x.png"
