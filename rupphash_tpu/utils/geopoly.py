@@ -68,7 +68,19 @@ EXACT along the contested border:
     36.5951 (VA), the surveyed ~34.995 south line (East Ridge TN in,
     Rossville GA out) and the Mississippi channel at Memphis; the
     Appalachian VA/WV/NC sides are conservative chains inside the
-    ring.
+    ring.  The corridor batch then adds Iowa and Missouri and makes
+    every Missouri/Mississippi/Big Sioux river border a shared channel
+    list — fixing pre-existing defects the densified overlap sweeps
+    exposed: Nebraska's straight-chord east edge claimed Council
+    Bluffs IA, the Kansas chord claimed Elwood/Wathena KS, South
+    Dakota's conservative edge lost Yankton, the Tennessee flat-36.4977
+    edge overlapped Missouri's New Madrid dip, Oklahoma's NE diagonal
+    crossed into Missouri, and the CO/NE/KS/WY meridians disagreed by
+    up to 0.008 deg (overlap slivers) — all now coincident
+    (-102.0517, -104.0526, shared vertex runs; 30k-point CONUS sweep
+    clean).  The Sullivan IA/MO line is the surveyed irregular
+    ~40.588-40.576 polyline; the bootheel drops to 36.0 between the
+    Mississippi and the St. Francis River.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -208,6 +220,121 @@ _OHIO_RIVER_IL: list[tuple[float, float]] = [
     (37.14, -88.73),                      # Metropolis reach
 ]
 
+# Big Sioux River SD/IA border polyline, north (the MN tripoint on the
+# shared -96.45 meridian) to south (the Missouri confluence at Sioux
+# City).  Shared VERBATIM by South Dakota and Iowa: Canton/Hudson/
+# Elk Point/North Sioux City stay South Dakota; Hawarden/Akron/
+# Sioux City stay Iowa.
+_BIG_SIOUX: list[tuple[float, float]] = [
+    (43.50, -96.45),                      # IA/SD/MN corner
+    (43.30, -96.555),                     # Canton reach
+    (43.13, -96.448),                     # Hudson reach
+    (43.005, -96.488),                    # Hawarden
+    (42.83, -96.567),                     # Akron
+    (42.58, -96.50),                      # Richland bend
+    (42.49, -96.435),                     # Missouri confluence
+]
+
+# Missouri River polylines, downstream, channel within ~2 km, each
+# shared VERBATIM by the facing rings.  _MISSOURI_RIVER_SD_NE: the
+# SD/NE section from the 43N corner to the Big Sioux mouth (Yankton/
+# Springfield/Vermillion stay South Dakota; Niobrara/Crofton/Ponca
+# stay Nebraska).  _MISSOURI_RIVER_IA_NE: the NE/IA then NE/MO section
+# from the Big Sioux mouth to the 40N Kansas corner (South Sioux City/
+# Omaha/Bellevue/Plattsmouth/Nebraska City/Brownville/Rulo stay
+# Nebraska; Sioux City/Council Bluffs stay Iowa — the old straight-
+# chord east edge provably claimed Council Bluffs for Nebraska).
+_MISSOURI_RIVER_SD_NE: list[tuple[float, float]] = [
+    (43.0, -98.47),                       # 43N corner (exact)
+    (42.88, -98.30),                      # Fort Randall reach
+    (42.77, -98.02),                      # Niobrara mouth
+    (42.86, -97.70),                      # Lewis & Clark Lake
+    (42.86, -97.395),                     # Yankton
+    (42.80, -97.16),                      # Gayville reach
+    (42.76, -96.93),                      # Vermillion
+    (42.58, -96.70),                      # Ponca bend
+    (42.49, -96.435),                     # Big Sioux mouth
+]
+_MISSOURI_RIVER_IA_NE: list[tuple[float, float]] = [
+    (42.49, -96.435),                     # Big Sioux mouth
+    (42.48, -96.405),                     # Sioux City / South Sioux City
+    (42.40, -96.40),                      # Dakota City reach
+    (42.00, -96.22),                      # Decatur / Onawa
+    (41.75, -96.09),                      # Little Sioux reach
+    (41.54, -96.08),                      # Blair east
+    (41.40, -95.93),                      # Fort Calhoun reach
+    (41.26, -95.92),                      # Omaha / Council Bluffs
+    (41.15, -95.905),                     # Bellevue
+    (41.01, -95.865),                     # Plattsmouth
+    (40.68, -95.84),                      # Nebraska City
+    (40.58, -95.765),                     # IA/MO corner
+    (40.40, -95.645),                     # Brownville
+    (40.05, -95.42),                      # Rulo
+    (40.0, -95.31),                       # 40N Kansas corner
+]
+
+# Missouri River KS/MO section, downstream (the 40N corner to Kaw
+# Point at Kansas City), shared VERBATIM by Kansas and Missouri: the
+# old straight chord claimed Elwood/Wathena KS for the east bank.
+# St. Joseph/Weston/Parkville stay Missouri; Elwood/Wathena/Atchison/
+# Leavenworth/Lansing stay Kansas.
+_MISSOURI_RIVER_KS: list[tuple[float, float]] = [
+    (40.0, -95.31),                       # 40N corner
+    (39.87, -95.15),                      # Iowa Point reach
+    (39.76, -94.88),                      # St. Joseph north
+    (39.747, -94.858),                    # St. Joseph / Elwood
+    (39.70, -94.875),                     # Rushville bend
+    (39.56, -95.10),                      # Atchison
+    (39.40, -95.03),                      # Oak Mills reach
+    (39.31, -94.905),                     # Leavenworth
+    (39.25, -94.88),                      # Lansing reach
+    (39.18, -94.79),                      # Farley bend
+    (39.155, -94.70),                     # Riverside reach
+    (39.117, -94.608),                    # Kaw Point (State Line Rd)
+]
+
+# Mississippi River sections factored from the Illinois ring so the
+# west-bank rings share them VERBATIM: _MISSISSIPPI_IL_MO faces
+# Missouri (Fort Defiance north to Quincy), _MISSISSIPPI_IL_IA faces
+# Iowa (Keokuk north to the Dubuque tripoint).  Both in Illinois's
+# northbound traversal order.
+_MISSISSIPPI_IL_MO: list[tuple[float, float]] = [
+    (36.984, -89.14),                     # Fort Defiance (confluence)
+    (37.01, -89.20),                      # Cairo west bank
+    (37.07, -89.26),                      # Future City reach
+    (37.18, -89.44),                      # Gale bend
+    (37.22, -89.465),                     # Thebes
+    (37.30, -89.505),                     # Cape Girardeau reach
+    (37.91, -89.83),                      # Chester
+    (37.98, -90.035),                     # Ste. Genevieve reach
+    (38.63, -90.178),                     # St. Louis / East St. Louis
+    (38.87, -90.18),                      # Alton reach
+    (38.955, -90.435),                    # Grafton
+    (39.45, -91.045),                     # Louisiana reach
+    (39.71, -91.347),                     # Hannibal
+    (39.93, -91.425),                     # Quincy
+]
+_MISSISSIPPI_IL_IA: list[tuple[float, float]] = [
+    (40.397, -91.36),                     # Keokuk / Hamilton
+    (40.47, -91.41),                      # Galland bend
+    (40.55, -91.405),                     # Montrose / Nauvoo
+    (40.61, -91.335),                     # Nauvoo bend east
+    (40.62, -91.29),                      # Fort Madison reach
+    (40.81, -91.08),                      # Burlington
+    (40.93, -90.965),                     # Oquawka
+    (41.10, -90.955),                     # Keithsburg
+    (41.42, -91.03),                      # Muscatine
+    (41.45, -90.72),                      # Buffalo reach
+    (41.517, -90.576),                    # Rock Island / Davenport
+    (41.52, -90.44),                      # East Moline / Bettendorf
+    (41.60, -90.341),                     # LeClaire / Port Byron
+    (41.68, -90.32),                      # Cordova
+    (41.845, -90.182),                    # Clinton / Fulton
+    (42.08, -90.166),                     # Savanna / Sabula
+    (42.26, -90.41),                      # Bellevue reach
+    (42.497, -90.655),                    # Dubuque / East Dubuque
+]
+
 # Kentucky/Tennessee border, east (Cumberland Gap tripoint) to west
 # (the Jackson Purchase), shared VERBATIM by both rings.  East of the
 # Tennessee River the line is the surveyed WALKER LINE at ~36.62-36.64
@@ -236,10 +363,10 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # --- United States: rectilinear interior states ---
     ("US", "Wyoming"): [
         (41.0, -111.046), (45.0, -111.046), (45.0, -104.052),
-        (41.0, -104.052)],
+        (43.0, -104.0526), (41.0, -104.0526)],
     ("US", "Colorado"): [
-        (37.0, -109.045), (41.0, -109.045), (41.0, -102.045),
-        (37.0, -102.045)],
+        (37.0, -109.045), (41.0, -109.045), (41.0, -102.0517),
+        (37.0, -102.0517)],
     ("US", "Utah"): [
         (37.0, -114.041), (42.0, -114.041), (42.0, -111.046),
         (41.0, -111.046), (41.0, -109.045), (37.0, -109.045)],
@@ -259,12 +386,16 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         *_COLORADO_RIVER,
         (32.49, -114.81), (31.33, -111.07)],
     ("US", "Kansas"): [
-        (37.0, -102.042), (40.0, -102.042), (40.0, -95.31),
-        (39.75, -94.97), (39.1, -94.61), (37.0, -94.617)],
+        (37.0, -102.0517), (40.0, -102.0517),
+        *_MISSOURI_RIVER_KS,
+        (37.0, -94.617)],
+    # Nebraska's river borders are the shared channel polylines: the
+    # old straight-chord east edge provably claimed Council Bluffs IA.
     ("US", "Nebraska"): [
-        (40.0, -102.05), (41.0, -102.05), (41.0, -104.053),
-        (43.0, -104.053), (43.0, -98.47), (42.85, -97.4),
-        (42.5, -96.5), (41.5, -95.93), (40.0, -95.31)],
+        (40.0, -102.0517), (41.0, -102.0517), (41.0, -104.0526),
+        (43.0, -104.0526), (43.0, -98.47),
+        *_MISSOURI_RIVER_SD_NE,
+        *_MISSOURI_RIVER_IA_NE[1:]],
     ("US", "North Dakota"): [
         (45.935, -104.045), (49.0, -104.045),
         *_RED_RIVER],
@@ -279,8 +410,10 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (45.935, -104.045), (45.935, -96.56),
         (45.86, -96.58), (45.59, -96.85),                   # Traverse
         (45.3, -96.45),                                     # Big Stone
-        (44.0, -96.45), (43.2, -96.6), (42.5, -96.5),
-        (42.9, -97.4), (42.99, -98.47), (43.0, -104.05)],
+        (44.0, -96.45),
+        *_BIG_SIOUX,
+        *[(la, lo) for la, lo in reversed(_MISSOURI_RIVER_SD_NE)][1:],
+        (43.0, -104.05)],
     # Minnesota: the west side is exact/river-accurate (the shared
     # -96.45 meridian, the Big Stone/Traverse lake chain, the Red
     # River polyline) and the 49N, NW-Angle -95.153 meridian and Iowa
@@ -333,7 +466,9 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (44.5, -112.3), (44.56, -111.3),
         (44.62, -111.052)],                  # West Yellowstone salient
     ("US", "Oklahoma"): [
-        (37.0, -103.002), (37.0, -94.62), (35.5, -94.43),
+        (37.0, -103.002), (37.0, -94.617),
+        (36.498, -94.617),                    # MO/AR corner (shared)
+        (35.5, -94.43),
         (33.87, -94.48), (33.8, -95.5), (33.9, -96.9),       # Red R.
         (34.1, -98.1), (34.15, -98.6), (34.4, -99.4),
         (34.56, -99.99), (36.5, -100.00), (36.5, -103.002)],
@@ -622,39 +757,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.73, -87.5246),                    # IN meridian north end
         *_WABASH,                             # shared IL/IN river edge
         *_OHIO_RIVER_IL,                      # shared IL/KY river edge
-        (36.984, -89.14),                     # Fort Defiance (confluence)
-        (37.01, -89.20),                      # Cairo west bank
-        (37.07, -89.26),                      # Future City reach
-        (37.18, -89.44),                      # Gale bend
-        (37.22, -89.465),                     # Thebes
-        (37.30, -89.505),                     # Cape Girardeau reach
-        (37.91, -89.83),                      # Chester
-        (37.98, -90.035),                     # Ste. Genevieve reach
-        (38.63, -90.178),                     # St. Louis / East St. Louis
-        (38.87, -90.18),                      # Alton reach
-        (38.955, -90.435),                    # Grafton
-        (39.45, -91.045),                     # Louisiana reach
-        (39.71, -91.347),                     # Hannibal
-        (39.93, -91.425),                     # Quincy
-        (40.397, -91.36),                     # Keokuk / Hamilton
-        (40.47, -91.41),                      # Galland bend
-        (40.55, -91.405),                     # Montrose / Nauvoo
-        (40.61, -91.335),                     # Nauvoo bend east
-        (40.62, -91.29),                      # Fort Madison reach
-        (40.81, -91.08),                      # Burlington
-        (40.93, -90.965),                     # Oquawka
-        (41.10, -90.955),                     # Keithsburg
-        (41.42, -91.03),                      # Muscatine
-        (41.45, -90.72),                      # Buffalo reach
-        (41.517, -90.576),                    # Rock Island / Davenport
-        (41.52, -90.44),                      # East Moline / Bettendorf
-        (41.60, -90.341),                     # LeClaire / Port Byron
-
-        (41.68, -90.32),                      # Cordova
-        (41.845, -90.182),                    # Clinton / Fulton
-        (42.08, -90.166),                     # Savanna / Sabula
-        (42.26, -90.41),                      # Bellevue reach
-        (42.497, -90.655)],                   # Dubuque / East Dubuque
+        *_MISSISSIPPI_IL_MO,                  # shared IL/MO river edge
+        *_MISSISSIPPI_IL_IA],                 # shared IL/IA river edge
     # --- Indiana: the Vincennes meridian -87.5246 (IL, continued by
     # the shared _WABASH polyline), the Michigan parallel 41.7597 and
     # the First Principal Meridian -84.8029 (OH) are exact-class; the
@@ -711,6 +815,78 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (38.425, -82.448),                    # Chesapeake / Huntington
         *_OHIO_RIVER_OH,                      # shared OH/KY river edge
         (39.103, -84.8029)],                  # IN tripoint (Great Miami)
+    # --- Iowa: the 43.5N Minnesota line is exact (coincident with the
+    # Minnesota ring); east = the Wisconsin-facing Mississippi channel
+    # then the shared _MISSISSIPPI_IL_IA list verbatim (every Quad-
+    # Cities/Keokuk/Burlington/Muscatine/Clinton/Dubuque split proven
+    # from the Illinois side holds); south = the Des Moines River to
+    # the surveyed Sullivan line (~40.588 east sloping to ~40.576 west
+    # — an irregular 1816 survey, envelope ~1.5 km); west = the shared
+    # _MISSOURI_RIVER_IA_NE and _BIG_SIOUX channel lists (Council
+    # Bluffs and Sioux City are Iowa — nearest-anchor provably assigns
+    # both to Nebraska).
+    ("US", "Iowa"): [
+        (43.5, -96.45),                       # IA/SD/MN corner (exact)
+        (43.5, -91.217),                      # 43.5N meets the Mississippi
+        (43.36, -91.205),                     # Lansing
+        (43.048, -91.163),                    # Marquette / Prairie du Chien
+        (42.786, -91.09),                     # Guttenberg
+        (42.70, -91.005),                     # Cassville reach
+        (42.58, -90.68),                      # Potosi reach
+        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_IL_IA)],
+        (40.376, -91.402),                    # Des Moines mouth (Keokuk)
+        (40.46, -91.52),                      # Des Moines River
+        (40.54, -91.60),                      # Farmington reach
+        (40.588, -91.719),                    # Sullivan line east end
+        (40.577, -93.52),                     # Sullivan line (Lineville)
+        (40.5757, -95.765),                   # Sullivan line west end
+        *[(la, lo) for la, lo in
+          reversed(_MISSOURI_RIVER_IA_NE[:12])],  # up to the Big Sioux
+        *[(la, lo) for la, lo in reversed(_BIG_SIOUX)][1:]],
+    # --- Missouri: east = its own Alexandria/Canton/La Grange channel
+    # reach then the shared _MISSISSIPPI_IL_MO list verbatim (St.
+    # Louis/Hannibal/West Quincy splits hold from the west bank), the
+    # shared Kentucky channel vertices, and a channel route around the
+    # New Madrid bend (New Madrid/Caruthersville in, the Kentucky Bend
+    # exclave left to anchors); south = the ~36.498 Arkansas parallel
+    # with the bootheel dropping to 36.0 between the Mississippi and
+    # the St. Francis River; west = -94.617 and the Kansas ring's own
+    # river vertices verbatim, then the shared _MISSOURI_RIVER_IA_NE
+    # tail; north = the Sullivan line + Des Moines River shared with
+    # Iowa.
+    ("US", "Missouri"): [
+        (40.376, -91.402),                    # Des Moines mouth
+        (40.35, -91.43),                      # Alexandria reach
+        (40.20, -91.45),                      # Gregory bend
+        (40.125, -91.455),                    # Canton
+        (40.04, -91.49),                      # La Grange
+        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_IL_MO)],
+        (36.76, -89.13),                      # Columbus reach (KY shared)
+        (36.57, -89.20),                      # Hickman (KY shared)
+        (36.47, -89.26),                      # bend approach
+        (36.42, -89.36),                      # Island 8 reach
+        (36.52, -89.46),                      # bend east arm
+        (36.575, -89.525),                    # New Madrid
+        (36.48, -89.58),                      # bend west arm
+        (36.30, -89.60),                      # Portageville reach
+        (36.19, -89.64),                      # Caruthersville (TN shared)
+        (36.0, -89.762),                      # AR corner (on the TN chord)
+        (36.0, -90.30),                       # bootheel south line
+        (36.06, -90.30),                      # Cardwell (St. Francis)
+        (36.20, -90.23),                      # St. Francis River
+        (36.45, -90.135),                     # St. Francis / Piggott
+        (36.498, -90.125),                    # 36.498 resumes
+        (36.498, -94.617),                    # AR/OK corner
+        (37.0, -94.617),                      # KS corner (shared)
+        *[(la, lo) for la, lo in reversed(_MISSOURI_RIVER_KS)],
+        (40.05, -95.42),                      # Rulo (shared river)
+        (40.40, -95.645),                     # Brownville (shared river)
+        (40.58, -95.765),                     # IA corner (shared river)
+        (40.5757, -95.765),                   # Sullivan line west end
+        (40.577, -93.52),                     # Sullivan line (shared)
+        (40.588, -91.719),                    # Sullivan line east end
+        (40.54, -91.60),                      # Des Moines River (shared)
+        (40.46, -91.52)],                     # Des Moines River (shared)
     # --- Kentucky: the ENTIRE north border is the three shared Ohio
     # River polylines verbatim (coincident with the OH/IN/IL rings —
     # every river twin city already split from the north side splits
@@ -754,6 +930,10 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # Gatlinburg in, the NC slope falls to anchors).
     ("US", "Tennessee"): [
         (36.4977, -89.485),                   # river corner (Tiptonville)
+        (36.4977, -89.4377),                  # bend west crossing
+        (36.42, -89.36),                      # New Madrid dip (MO shared)
+        (36.47, -89.26),                      # bend approach (MO shared)
+        (36.4977, -89.2435),                  # bend east crossing (KY)
         *_KY_TN[::-1],                        # shared KY edge (W to E)
         (36.5951, -81.68),                    # Bristol line east end
         (36.55, -81.70),                      # Mountain City flank

@@ -858,3 +858,105 @@ def test_polygon_round4e_kentucky_tennessee():
     tn = geopoly.POLYGONS[("US", "Tennessee")]
     for v in geopoly._KY_TN:
         assert v in ky and v in tn
+
+
+def test_polygon_round4e_iowa_missouri_corridor():
+    """Iowa + Missouri complete the Mississippi/Missouri corridor, and
+    the shared channel polylines FIX pre-existing misassignments: the
+    old straight-chord Nebraska east edge provably claimed Council
+    Bluffs IA, the Kansas chord claimed Elwood/Wathena KS for the east
+    bank, South Dakota's conservative edge lost Yankton, and the
+    CO/NE/KS/WY meridians disagreed by up to 0.008 deg (overlap
+    slivers).  Every border here is a shared list or identical vertex
+    run (coincident edges, no overlap — CONUS-wide 30k-point sweep
+    clean)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (41.5868, -93.6250, "Iowa"),        # Des Moines
+        (41.2619, -95.8608, "Iowa"),        # Council Bluffs (was NE!)
+        (42.4963, -96.4049, "Iowa"),        # Sioux City
+        (41.5236, -90.5776, "Iowa"),        # Davenport
+        (41.5245, -90.5159, "Iowa"),        # Bettendorf
+        (40.3972, -91.3847, "Iowa"),        # Keokuk (Des Moines wedge)
+        (40.8070, -91.0927, "Iowa"),        # Burlington
+        (41.8445, -90.1887, "Iowa"),        # Clinton
+        (42.5006, -90.6646, "Iowa"),        # Dubuque
+        (43.0055, -96.4855, "Iowa"),        # Hawarden (Big Sioux)
+        (43.3622, -91.2157, "Iowa"),        # Lansing (WI channel)
+        (43.0448, -91.1821, "Iowa"),        # Marquette
+        (42.7858, -91.0996, "Iowa"),        # Guttenberg
+        (38.6270, -90.1994, "Missouri"),    # St. Louis
+        (39.0997, -94.5786, "Missouri"),    # Kansas City MO
+        (39.7675, -94.8467, "Missouri"),    # St. Joseph
+        (39.7084, -91.3585, "Missouri"),    # Hannibal
+        (37.3059, -89.5181, "Missouri"),    # Cape Girardeau
+        (36.5860, -89.5270, "Missouri"),    # New Madrid (bend top)
+        (36.1930, -89.6556, "Missouri"),    # Caruthersville
+        (36.2360, -90.0556, "Missouri"),    # Kennett (bootheel)
+        (36.0470, -90.2946, "Missouri"),    # Cardwell (St. Francis)
+        (40.1250, -91.4621, "Missouri"),    # Canton
+        (40.3587, -91.4566, "Missouri"),    # Alexandria
+        (39.4110, -94.9000, "Missouri"),    # Weston (KS channel)
+        (39.1950, -94.6820, "Missouri"),    # Parkville
+        (37.0842, -94.5133, "Missouri"),    # Joplin
+        (36.9073, -89.1918, "Missouri"),    # Birds Point
+        (42.8711, -97.3973, "South Dakota"),  # Yankton (was anchored NE!)
+        (42.5270, -96.4846, "South Dakota"),  # North Sioux City
+        (42.7794, -96.9292, "South Dakota"),  # Vermillion
+        (42.4739, -96.4131, "Nebraska"),    # South Sioux City
+        (41.2565, -95.9345, "Nebraska"),    # Omaha
+        (41.0114, -95.8822, "Nebraska"),    # Plattsmouth
+        (42.7500, -98.0330, "Nebraska"),    # Niobrara
+        (39.7597, -94.9497, "Kansas"),      # Wathena (was claimed!)
+        (39.7467, -94.8722, "Kansas"),      # Elwood
+        (39.5630, -95.1216, "Kansas"),      # Atchison
+        (39.3111, -94.9225, "Kansas"),      # Leavenworth
+        (36.1906, -94.5786, "Oklahoma"),    # West Siloam Springs
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Iowa"), ("US", "Missouri"))
+    outsiders = [
+        (41.2565, -95.9345, "Omaha NE"),
+        (42.4739, -96.4131, "South Sioux City NE"),
+        (42.5270, -96.4846, "North Sioux City SD"),
+        (40.6760, -95.8590, "Nebraska City NE"),
+        (43.5446, -96.7311, "Sioux Falls SD"),
+        (42.7125, -90.9937, "Cassville WI"),
+        (43.0517, -91.1412, "Prairie du Chien WI"),
+        (43.8014, -91.2396, "La Crosse WI"),
+        (39.9356, -91.4099, "Quincy IL"),
+        (41.5095, -90.5787, "Rock Island IL"),
+        (36.3828, -90.1904, "Piggott AR"),
+        (36.4508, -90.1431, "St. Francis AR"),
+        (35.9270, -89.9190, "Blytheville AR"),
+        (39.1140, -94.6275, "Kansas City KS"),
+        (36.3770, -89.4720, "Tiptonville TN"),
+        (36.5731, -89.1860, "Hickman KY"),
+        (36.1880, -94.5405, "Siloam Springs AR"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    # the shared-list contract: IA/MO reuse the Illinois Mississippi
+    # sections, the Kansas river list, and the NE/SD channel verbatim
+    ia = geopoly.POLYGONS[("US", "Iowa")]
+    mo = geopoly.POLYGONS[("US", "Missouri")]
+    ne = geopoly.POLYGONS[("US", "Nebraska")]
+    sd = geopoly.POLYGONS[("US", "South Dakota")]
+    ks = geopoly.POLYGONS[("US", "Kansas")]
+    il = geopoly.POLYGONS[("US", "Illinois")]
+    for v in geopoly._MISSISSIPPI_IL_IA:
+        assert v in ia and v in il
+    for v in geopoly._MISSISSIPPI_IL_MO:
+        assert v in mo and v in il
+    for v in geopoly._MISSOURI_RIVER_KS:
+        assert v in mo and v in ks
+    for v in geopoly._BIG_SIOUX:
+        assert v in ia and v in sd
+    for v in geopoly._MISSOURI_RIVER_SD_NE:
+        assert v in ne and v in sd or v == geopoly._MISSOURI_RIVER_SD_NE[-1]
