@@ -80,7 +80,18 @@ EXACT along the contested border:
     (-102.0517, -104.0526, shared vertex runs; 30k-point CONUS sweep
     clean).  The Sullivan IA/MO line is the surveyed irregular
     ~40.588-40.576 polyline; the bootheel drops to 36.0 between the
-    Mississippi and the St. Francis River.
+    Mississippi and the St. Francis River.  Wisconsin and Michigan
+    finish the Great Lakes: shared _WI_MI land border (Montreal/Brule/
+    Menominee with the Niagara-Norway bend) and _GREEN_BAY water line
+    (north of Washington Island), the WI west edge channel-accurate
+    against Minnesota's conservative strip (La Crosse/Hudson/Superior
+    vs La Crescent/Stillwater/Duluth, the Lake Pepin midline), and
+    Michigan as ONE ring wrapping both peninsulas through the Straits
+    of Mackinac (the connecting water is Michigan) — Detroit/
+    St. Clair/St. Marys channels split the Ontario twins, the
+    False Detour and Sugar/Neebish channels wrap Drummond Island, and
+    offshore envelopes enclose the Keweenaw, Isle Royale (south of
+    the Canada line), the Apostles and Beaver Island.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -333,6 +344,53 @@ _MISSISSIPPI_IL_IA: list[tuple[float, float]] = [
     (42.08, -90.166),                     # Savanna / Sabula
     (42.26, -90.41),                      # Bellevue reach
     (42.497, -90.655),                    # Dubuque / East Dubuque
+]
+
+# Mississippi River WI/IA section, north (the 43.5N Minnesota corner)
+# to south (the Dubuque tripoint), shared VERBATIM by Wisconsin and
+# Iowa: Lansing/Marquette/McGregor/Guttenberg stay Iowa; Prairie du
+# Chien/Cassville stay Wisconsin.
+_MISSISSIPPI_WI_IA: list[tuple[float, float]] = [
+    (43.5, -91.217),                      # 43.5N meets the Mississippi
+    (43.36, -91.205),                     # Lansing
+    (43.048, -91.163),                    # Marquette / Prairie du Chien
+    (42.786, -91.09),                     # Guttenberg
+    (42.70, -91.005),                     # Cassville reach
+    (42.58, -90.68),                      # Potosi reach
+    (42.497, -90.655),                    # Dubuque tripoint
+]
+
+# Wisconsin/Michigan land border, northwest (the Montreal River mouth
+# on Lake Superior) to southeast (the Menominee River mouth on Green
+# Bay), shared VERBATIM by both rings: Hurley/Niagara/Marinette stay
+# Wisconsin; Ironwood/Iron Mountain/Menominee stay Michigan.  Montreal
+# and Menominee reaches track the channel; the Lac Vieux Desert /
+# Brule highland section is the surveyed line within ~3 km.
+_WI_MI: list[tuple[float, float]] = [
+    (46.565, -90.415),                    # Montreal mouth (Superior)
+    (46.45, -90.18),                      # Ironwood / Hurley
+    (46.33, -89.75),                      # Montreal headwaters line
+    (46.12, -89.12),                      # Lac Vieux Desert
+    (46.0, -88.90),                       # Brule River
+    (45.95, -88.50),                      # Brule lower reach
+    (45.79, -88.03),                      # Iron Mountain / Niagara
+    (45.783, -88.002),                    # Niagara north bend
+    (45.72, -87.93),                      # Norway reach
+    (45.67, -87.80),                      # Faithorn bend
+    (45.42, -87.76),                      # Wallace reach
+    (45.20, -87.75),                      # Menominee River
+    (45.12, -87.66),                      # Menominee bend
+    (45.103, -87.625),                    # Menominee / Marinette
+    (45.093, -87.588),                    # Menominee mouth (Green Bay)
+]
+
+# Green Bay / Lake Michigan water boundary between Wisconsin and
+# Michigan, from the Menominee mouth northeast past Washington Island
+# (WI) into Lake Michigan, shared VERBATIM by both rings.
+_GREEN_BAY: list[tuple[float, float]] = [
+    (45.093, -87.588),                    # Menominee mouth
+    (45.35, -87.10),                      # mid-bay line
+    (45.47, -86.78),                      # Rock Island Passage
 ]
 
 # Kentucky/Tennessee border, east (Cumberland Gap tripoint) to west
@@ -827,13 +885,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # both to Nebraska).
     ("US", "Iowa"): [
         (43.5, -96.45),                       # IA/SD/MN corner (exact)
-        (43.5, -91.217),                      # 43.5N meets the Mississippi
-        (43.36, -91.205),                     # Lansing
-        (43.048, -91.163),                    # Marquette / Prairie du Chien
-        (42.786, -91.09),                     # Guttenberg
-        (42.70, -91.005),                     # Cassville reach
-        (42.58, -90.68),                      # Potosi reach
-        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_IL_IA)],
+        *_MISSISSIPPI_WI_IA,                  # shared WI/IA river edge
+        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_IL_IA)][1:],
         (40.376, -91.402),                    # Des Moines mouth (Keokuk)
         (40.46, -91.52),                      # Des Moines River
         (40.54, -91.60),                      # Farmington reach
@@ -887,6 +940,131 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (40.588, -91.719),                    # Sullivan line east end
         (40.54, -91.60),                      # Des Moines River (shared)
         (40.46, -91.52)],                     # Des Moines River (shared)
+    # --- Wisconsin: south = the 42.5N statutory line (coincident with
+    # Illinois); west = the shared _MISSISSIPPI_WI_IA list, then the
+    # channel-accurate Mississippi/St. Croix against Minnesota
+    # (La Crosse/Hudson/St. Croix Falls/Superior stay Wisconsin;
+    # La Crescent/Stillwater/Taylors Falls/Duluth stay Minnesota —
+    # Minnesota's conservative east edge leaves the strip to these
+    # vertices, no overlap); north = the Superior shore incl. the
+    # Apostle Islands; east = the shared _WI_MI and _GREEN_BAY lists
+    # and the Lake Michigan shore wrapping the Door Peninsula and
+    # Washington Island.
+    ("US", "Wisconsin"): [
+        (42.500, -90.642),                    # IL line at the Mississippi
+        (42.500, -87.79),                     # IL line at Lake Michigan
+        (42.58, -87.78),                      # Kenosha shore
+        (42.73, -87.76),                      # Racine shore
+        (43.04, -87.85),                      # Milwaukee shore
+        (43.39, -87.84),                      # Port Washington shore
+        (43.75, -87.68),                      # Sheboygan shore
+        (44.09, -87.62),                      # Manitowoc shore
+        (44.46, -87.47),                      # Kewaunee shore
+        (44.85, -87.18),                      # Door east shore
+        (45.15, -86.93),                      # Bailey's Harbor offshore
+        (45.40, -86.85),                      # Washington Island east
+        *[(la, lo) for la, lo in reversed(_GREEN_BAY)],
+        *[(la, lo) for la, lo in reversed(_WI_MI)][1:],
+        (46.60, -90.40),                      # Superior shore
+        (47.15, -90.30),                      # Apostle Islands NE
+        (47.15, -91.00),                      # Apostle Islands NW
+        (46.90, -91.60),                      # Iron River offshore
+        (46.79, -91.90),                      # Brule Point reach (S of
+                                              # the MN water edge)
+        (46.735, -92.06),                     # Superior entry
+        (46.725, -92.105),                    # Superior Bay midline
+        (46.66, -92.195),                     # Oliver reach
+        (46.60, -92.27),                      # St. Louis River reach
+        (46.15, -92.29),                      # state-line lakes
+        (46.0, -92.39),                       # Danbury / St. Croix head
+        (45.41, -92.6495),                    # St. Croix Falls gorge
+        (45.32, -92.71),                      # Osceola
+        (45.055, -92.795),                    # Stillwater / Houlton
+        (44.97, -92.77),                      # Hudson / Lakeland
+        (44.745, -92.80),                     # Prescott (St. Croix mouth)
+        (44.575, -92.52),                     # Red Wing reach
+        (44.52, -92.35),                      # Lake Pepin (Frontenac)
+        (44.455, -92.22),                     # Lake Pepin (Pepin/Stockholm)
+        (44.395, -92.02),                     # Wabasha / Nelson
+        (44.045, -91.63),                     # Winona reach
+        (43.81, -91.272),                     # La Crosse / La Crescent
+        (43.57, -91.23),                      # Genoa reach
+        *_MISSISSIPPI_WI_IA],                 # shared WI/IA river edge
+    # --- Michigan: ONE ring wraps both peninsulas through the Straits
+    # of Mackinac (the connecting water is Michigan, so the boundary
+    # crosses the strait at its east and west mouths without
+    # self-intersection).  Exact-class shares: the 41.7597 parallel
+    # and -84.8029 meridian bit with Indiana, the Harris line with
+    # Ohio, the _WI_MI and _GREEN_BAY lists with Wisconsin.  The
+    # Detroit/St. Clair/St. Marys river borders and the De Tour-
+    # Drummond passage track the channel (Detroit/Port Huron/Sault MI
+    # in; Windsor/Sarnia/Soo ON out); the Lakes Huron/Superior/
+    # Michigan edges stay safely US-side of the mid-lake line, with an
+    # excursion enclosing Isle Royale; Lake Erie's edge hugs the shore.
+    ("US", "Michigan"): [
+        (41.73, -83.45),                      # OH corner (Harris line)
+        (41.90, -83.25),                      # Monroe shore
+        (42.05, -83.13),                      # Detroit River mouth
+        (42.25, -83.10),                      # Grosse Ile reach
+        (42.32, -83.07),                      # Detroit / Windsor
+        (42.46, -82.755),                     # Lake St. Clair midline
+        (42.62, -82.51),                      # St. Clair River
+        (42.99, -82.415),                     # Port Huron / Sarnia
+        (43.80, -82.45),                      # Lake Huron (thumb east)
+        (44.10, -82.85),                      # Saginaw Bay mouth
+        (44.33, -83.10),                      # Au Sable offshore
+        (44.90, -83.20),                      # Thunder Bay offshore
+        (45.20, -83.25),                      # Presque Isle offshore
+        (45.60, -83.70),                      # Rogers City offshore
+        (45.70, -84.40),                      # strait east mouth (LP)
+        (45.95, -84.30),                      # Les Cheneaux (UP)
+        (45.99, -83.90),                      # De Tour Passage
+        (45.93, -83.70),                      # Drummond south offshore
+        (45.95, -83.45),                      # Drummond SE offshore
+        (46.08, -83.42),                      # False Detour Channel
+        (46.09, -83.50),                      # Drummond north shore
+        (46.07, -83.87),                      # Potagannissing Bay
+        (46.18, -84.07),                      # Munuscong midchannel
+        (46.30, -84.12),                      # Neebish east channel
+        (46.45, -84.22),                      # Sugar Island east channel
+        (46.505, -84.335),                    # Sault Ste. Marie twin Soos
+        (46.77, -84.96),                      # Whitefish Point
+        (46.70, -85.50),                      # Superior shore
+        (46.68, -86.00),                      # Grand Marais
+        (46.55, -86.65),                      # Munising offshore
+        (46.65, -87.40),                      # Marquette offshore
+        (47.30, -87.60),                      # Keweenaw east offshore
+        (47.55, -87.75),                      # Keweenaw tip offshore
+        (47.85, -88.65),                      # Isle Royale corridor
+        (48.20, -88.45),                      # Isle Royale NE (Blake Pt)
+        (48.20, -89.00),                      # Isle Royale north
+        (47.88, -89.28),                      # Isle Royale SW
+        (47.82, -88.90),                      # corridor return
+        (47.45, -88.40),                      # Keweenaw NW offshore
+        (47.15, -88.80),                      # Ontonagon approach
+        (46.95, -89.15),                      # Ontonagon offshore
+        (46.80, -89.60),                      # Porcupine Mtns offshore
+        (46.70, -89.90),                      # Presque Isle River shore
+        *_WI_MI,                              # shared WI/MI land border
+        *_GREEN_BAY,                          # shared bay water line
+        (45.60, -86.30),                      # UP Lake Michigan shore
+        (45.85, -86.20),                      # Manistique shore
+        (45.90, -85.60),                      # Naubinway shore
+        (45.88, -84.95),                      # strait west mouth (UP)
+        (45.72, -84.95),                      # strait west mouth (LP)
+        (45.62, -85.10),                      # Cross Village shore
+        (45.78, -85.45),                      # Beaver Island north
+        (45.55, -85.70),                      # Beaver Island south
+        (45.21, -85.62),                      # Grand Traverse Bay mouth
+        (45.10, -86.08),                      # Leelanau offshore
+        (44.63, -86.30),                      # Frankfort shore
+        (43.95, -86.50),                      # Ludington shore
+        (43.23, -86.36),                      # Muskegon shore
+        (42.77, -86.25),                      # Holland shore
+        (42.10, -86.55),                      # St. Joseph shore
+        (41.7597, -86.83),                    # IN line at the lake
+        (41.7597, -84.8029),                  # IN/OH meridian corner
+        (41.70, -84.8029)],                   # OH corner (Harris west)
     # --- Kentucky: the ENTIRE north border is the three shared Ohio
     # River polylines verbatim (coincident with the OH/IN/IL rings —
     # every river twin city already split from the north side splits

@@ -583,9 +583,10 @@ def test_polygon_minnesota_red_river():
         got = geopoly.lookup(lat, lon)
         assert got is None or got[0] == "CA", (lat, lon, got)
         assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
-    # Wisconsin side of the Duluth/Superior bay: outside the MN ring,
-    # resolved by the new Superior anchor
-    assert geopoly.lookup(46.72, -92.10) is None
+    # Wisconsin side of the Duluth/Superior bay: outside the MN ring;
+    # since round 4e the Wisconsin ring resolves it exactly (it fell to
+    # the Superior anchor before)
+    assert geopoly.lookup(46.72, -92.10) == ("US", "Wisconsin")
     assert geonames.subdivision_name(46.72, -92.10) == "Wisconsin"
 
 
@@ -960,3 +961,87 @@ def test_polygon_round4e_iowa_missouri_corridor():
         assert v in ia and v in sd
     for v in geopoly._MISSOURI_RIVER_SD_NE:
         assert v in ne and v in sd or v == geopoly._MISSOURI_RIVER_SD_NE[-1]
+
+
+def test_polygon_round4e_wisconsin_michigan():
+    """Wisconsin + Michigan finish the Great Lakes block.  Shared
+    _WI_MI land border and _GREEN_BAY water line (verbatim in both
+    rings); Wisconsin's west edge is channel-accurate against
+    Minnesota's documented-conservative strip; Michigan is ONE ring
+    wrapping both peninsulas through the Straits of Mackinac, with
+    channel splits against Ontario (Detroit/St. Clair/St. Marys) and
+    offshore envelopes for the Keweenaw, Isle Royale, the Apostles,
+    Washington and Beaver Islands."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (43.0389, -87.9065, "Wisconsin"),   # Milwaukee
+        (43.0731, -89.4012, "Wisconsin"),   # Madison
+        (44.5133, -88.0133, "Wisconsin"),   # Green Bay city
+        (43.8014, -91.2396, "Wisconsin"),   # La Crosse (vs La Crescent)
+        (44.9747, -92.7569, "Wisconsin"),   # Hudson (vs Lakeland MN)
+        (46.7208, -92.1041, "Wisconsin"),   # Superior (vs Duluth!)
+        (46.4497, -90.1865, "Wisconsin"),   # Hurley (vs Ironwood)
+        (45.0997, -87.6304, "Wisconsin"),   # Marinette (vs Menominee)
+        (45.7699, -88.0037, "Wisconsin"),   # Niagara (vs Iron Mountain)
+        (43.0517, -91.1412, "Wisconsin"),   # Prairie du Chien
+        (42.7125, -90.9937, "Wisconsin"),   # Cassville
+        (45.3900, -86.9200, "Wisconsin"),   # Washington Island
+        (46.8133, -90.8200, "Wisconsin"),   # Bayfield (Apostles)
+        (44.4411, -92.1488, "Wisconsin"),   # Pepin (lake midline)
+        (44.4208, -92.0048, "Wisconsin"),   # Nelson (vs Wabasha)
+        (45.9983, -92.3732, "Wisconsin"),   # Danbury (St. Croix)
+        (42.3314, -83.0458, "Michigan"),    # Detroit (vs Windsor)
+        (42.9709, -82.4249, "Michigan"),    # Port Huron (vs Sarnia)
+        (46.4953, -84.3453, "Michigan"),    # Sault MI (vs Soo ON)
+        (46.4546, -90.1711, "Michigan"),    # Ironwood
+        (45.8202, -88.0659, "Michigan"),    # Iron Mountain
+        (45.1077, -87.6143, "Michigan"),    # Menominee
+        (45.7866, -87.9038, "Michigan"),    # Norway
+        (45.8660, -84.7310, "Michigan"),    # St. Ignace (UP strait)
+        (45.7456, -84.4600, "Michigan"),    # Cheboygan (LP strait)
+        (47.1211, -88.5694, "Michigan"),    # Houghton (Keweenaw)
+        (47.4696, -87.8863, "Michigan"),    # Copper Harbor
+        (48.1000, -88.7500, "Michigan"),    # Isle Royale
+        (46.0000, -83.6600, "Michigan"),    # Drummond Island
+        (45.6500, -85.5200, "Michigan"),    # Beaver Island
+        (45.7450, -87.0639, "Michigan"),    # Escanaba
+        (44.7631, -85.6206, "Michigan"),    # Traverse City
+        (41.7934, -86.7437, "Michigan"),    # New Buffalo (vs IN line)
+        (41.9164, -83.3977, "Michigan"),    # Monroe (Harris line north)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Wisconsin"), ("US", "Michigan"))
+    outsiders = [
+        (46.7867, -92.1005, "Duluth MN"),
+        (43.8280, -91.3042, "La Crescent MN"),
+        (44.0554, -91.6664, "Winona MN"),
+        (44.5633, -92.5340, "Red Wing MN"),
+        (44.3841, -92.0327, "Wabasha MN"),
+        (44.5117, -92.3583, "Frontenac MN"),
+        (44.4497, -92.2666, "Lake City MN"),
+        (45.0560, -92.8058, "Stillwater MN"),
+        (46.5200, -84.3300, "Sault Ste. Marie ON"),
+        (42.3175, -83.0390, "Windsor ON"),
+        (42.9745, -82.4066, "Sarnia ON"),
+        (48.2700, -88.4000, "Canada waters N of Isle Royale"),
+        (41.8781, -87.6298, "Chicago IL"),
+        (43.0448, -91.1821, "Marquette IA"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    # shared-edge contracts
+    wi = geopoly.POLYGONS[("US", "Wisconsin")]
+    mi = geopoly.POLYGONS[("US", "Michigan")]
+    ia = geopoly.POLYGONS[("US", "Iowa")]
+    for v in geopoly._WI_MI:
+        assert v in wi and v in mi
+    for v in geopoly._GREEN_BAY:
+        assert v in wi and v in mi
+    for v in geopoly._MISSISSIPPI_WI_IA:
+        assert v in wi and v in ia
