@@ -393,6 +393,43 @@ _GREEN_BAY: list[tuple[float, float]] = [
     (45.47, -86.78),                      # Rock Island Passage
 ]
 
+# Mississippi River sections below Tennessee, downstream, channel
+# within ~2 km, shared VERBATIM by the facing rings: _MISSISSIPPI_AR_MS
+# (the 34.995 Tennessee corner to the 33N Louisiana corner — Helena/
+# Lake Village stay Arkansas, Friars Point/Rosedale/Greenville stay
+# Mississippi) and _MISSISSIPPI_LA_MS (33N down to the 31N crossing —
+# Vicksburg/Natchez stay Mississippi, Delta/Vidalia stay Louisiana).
+_MISSISSIPPI_AR_MS: list[tuple[float, float]] = [
+    (34.995, -90.30),                     # TN corner (34.995 exact)
+    (34.53, -90.575),                     # Helena
+    (34.37, -90.645),                     # Friars Point
+    (33.85, -91.05),                      # Rosedale reach
+    (33.61, -91.18),                      # Arkansas City
+    (33.41, -91.09),                      # Greenville / Lake Village
+    (33.10, -91.15),                      # Eudora reach
+    (33.0, -91.166),                      # 33N Louisiana corner
+]
+_MISSISSIPPI_LA_MS: list[tuple[float, float]] = [
+    (33.0, -91.166),                      # 33N corner
+    (32.8, -91.16),                       # Transylvania reach
+    (32.34, -90.905),                     # Vicksburg / Delta
+    (32.0, -91.08),                       # Big Black reach
+    (31.76, -91.29),                      # St. Joseph bend
+    (31.563, -91.414),                    # Natchez / Vidalia
+    (31.30, -91.54),                      # Artonish reach
+    (31.0, -91.64),                       # the 31N crossing
+]
+
+# Pearl River LA/MS border, north (the 31N corner) to the Gulf,
+# shared VERBATIM: Bogalusa/Slidell stay Louisiana, Picayune stays
+# Mississippi.
+_PEARL: list[tuple[float, float]] = [
+    (31.0, -89.728),                      # 31N meets the Pearl
+    (30.79, -89.82),                      # Bogalusa
+    (30.53, -89.73),                      # Picayune reach
+    (30.18, -89.65),                      # Pearl mouth
+]
+
 # Kentucky/Tennessee border, east (Cumberland Gap tripoint) to west
 # (the Jackson Purchase), shared VERBATIM by both rings.  East of the
 # Tennessee River the line is the surveyed WALKER LINE at ~36.62-36.64
@@ -1065,6 +1102,78 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.7597, -86.83),                    # IN line at the lake
         (41.7597, -84.8029),                  # IN/OH meridian corner
         (41.70, -84.8029)],                   # OH corner (Harris west)
+    # --- Arkansas: the 36.498 Missouri parallel, the 33N Louisiana
+    # parallel and the -94.043 Texas meridian are exact; the west edge
+    # reuses Oklahoma's line and Texas's Red River vertices verbatim;
+    # the east edge shares the Missouri bootheel / St. Francis,
+    # Tennessee chord and _MISSISSIPPI_AR_MS channel vertices (West
+    # Memphis/Helena/Lake Village/Texarkana AR in; Memphis/Friars
+    # Point/Greenville/Texarkana TX across).
+    ("US", "Arkansas"): [
+        (36.498, -94.617),                    # MO/OK corner (shared)
+        (36.498, -90.125),                    # MO parallel (shared)
+        (36.45, -90.135),                     # St. Francis (MO shared)
+        (36.20, -90.23),                      # St. Francis (MO shared)
+        (36.06, -90.30),                      # St. Francis (MO shared)
+        (36.0, -90.30),                       # bootheel corner (shared)
+        (36.0, -89.762),                      # bootheel east (MO/TN chord)
+        (35.70, -89.955),                     # Osceola (TN shared)
+        (35.35, -90.09),                      # Loosahatchie (TN shared)
+        (35.13, -90.075),                     # Memphis / West Memphis
+        *_MISSISSIPPI_AR_MS,                  # shared AR/MS river edge
+        (33.0, -94.043),                      # 33N to the TX tripoint
+        (33.55, -94.043),                     # TX meridian (shared)
+        (33.87, -94.48),                      # Red River / OK corner
+        (35.5, -94.43)],                      # OK line (shared)
+    # --- Louisiana: 33N (AR) and 31N (MS, east of the river) are
+    # exact; the -94.043 meridian bit is shared with Texas but the
+    # Sabine chain is Louisiana's OWN east-of-channel conservative
+    # line (Texas's chain is west-of-channel conservative — sharing it
+    # would claim Orange TX); the Mississippi and Pearl are the shared
+    # channel lists; the Gulf edge is a generous offshore envelope
+    # around the delta.
+    ("US", "Louisiana"): [
+        (33.0, -94.043),                      # AR/TX tripoint (exact)
+        (33.0, -91.166),                      # 33N to the river (shared)
+        *_MISSISSIPPI_LA_MS,                  # shared LA/MS river edge
+        (31.0, -89.728),                      # 31N east to the Pearl
+        *_PEARL[1:],                          # shared Pearl edge
+        (30.10, -89.45),                      # Rigolets water line (MS)
+        (29.6, -88.9),                        # Chandeleur offshore
+        (29.0, -89.0),                        # delta east offshore
+        (28.85, -89.35),                      # bird-foot tip offshore
+        (28.9, -90.0),                        # Grand Isle offshore
+        (29.0, -91.0),                        # Atchafalaya offshore
+        (29.3, -91.9),                        # Marsh Island offshore
+        (29.45, -93.0),                       # Cameron offshore
+        (29.70, -93.82),                      # Sabine mouth
+        (29.95, -93.80),                      # Sabine Lake east midline
+        (30.09, -93.70),                      # Orange reach (east bank)
+        (30.3, -93.72),                       # Starks reach
+        (30.7, -93.60),                       # Merryville reach
+        (31.2, -93.60),                       # Toledo Bend east
+        (31.5, -93.72),                       # Zwolle reach
+        (31.9, -93.88),                       # Converse reach
+        (32.0, -94.043)],                     # TX meridian (shared)
+    # --- Mississippi: 34.995 (TN), 31N (LA) exact; the west edge is
+    # the two shared river lists; the MS/AL line is the surveyed
+    # near-straight diagonal (Columbus in, Aliceville AL out) with the
+    # lower section to the Gulf east of Pascagoula; the Sound edge
+    # keeps the MS barrier islands (Cat/Ship/Horn/Petit Bois) in and
+    # Dauphin Island AL out.
+    ("US", "Mississippi"): [
+        (34.995, -90.30),                     # TN corner (shared vertex)
+        (34.995, -88.20),                     # TN/AL corner (34.995)
+        (31.894, -88.473),                    # AL diagonal (surveyed)
+        (30.32, -88.40),                      # AL line at the coast
+        (30.18, -88.35),                      # Petit Bois / Dauphin split
+        (30.10, -88.85),                      # Sound offshore (islands in)
+        (30.10, -89.45),                      # Rigolets water line (LA)
+        *[(la, lo) for la, lo in reversed(_PEARL)][:-1],
+        (31.0, -89.728),                      # Pearl at 31N (shared)
+        (31.0, -91.64),                       # 31N west to the river
+        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_LA_MS)][1:],
+        *[(la, lo) for la, lo in reversed(_MISSISSIPPI_AR_MS)][1:]],
     # --- Kentucky: the ENTIRE north border is the three shared Ohio
     # River polylines verbatim (coincident with the OH/IN/IL rings —
     # every river twin city already split from the north side splits

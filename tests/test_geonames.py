@@ -1045,3 +1045,78 @@ def test_polygon_round4e_wisconsin_michigan():
         assert v in wi and v in mi
     for v in geopoly._MISSISSIPPI_WI_IA:
         assert v in wi and v in ia
+
+
+def test_polygon_round4e_arkansas_louisiana_mississippi():
+    """The Deep South river batch: Arkansas/Louisiana/Mississippi with
+    the exact 36.498 / 33N / 31N / 34.995 parallels and -94.043
+    meridian, shared channel lists (_MISSISSIPPI_AR_MS, _LA_MS,
+    _PEARL) and coastal water lines.  Louisiana's Sabine chain is its
+    own east-of-channel conservative line — Texas's chain is
+    west-of-channel, and sharing it would have claimed Orange TX."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (34.7465, -92.2896, "Arkansas"),    # Little Rock
+        (35.1465, -90.1845, "Arkansas"),    # West Memphis (vs Memphis)
+        (34.5293, -90.5918, "Arkansas"),    # Helena (river)
+        (33.3285, -91.2823, "Arkansas"),    # Lake Village (vs Greenville)
+        (33.4418, -94.0377, "Arkansas"),    # Texarkana AR (meridian!)
+        (35.3859, -94.3985, "Arkansas"),    # Fort Smith (OK line)
+        (36.3828, -90.1904, "Arkansas"),    # Piggott (St. Francis west)
+        (35.9270, -89.9190, "Arkansas"),    # Blytheville (36.0/river)
+        (29.9511, -90.0715, "Louisiana"),   # New Orleans
+        (30.4515, -91.1871, "Louisiana"),   # Baton Rouge (Florida Par.)
+        (32.5252, -93.7502, "Louisiana"),   # Shreveport
+        (31.5654, -91.4260, "Louisiana"),   # Vidalia (vs Natchez)
+        (32.3271, -90.9248, "Louisiana"),   # Delta (vs Vicksburg)
+        (30.7910, -89.8487, "Louisiana"),   # Bogalusa (Pearl west)
+        (30.2752, -89.7812, "Louisiana"),   # Slidell
+        (29.2833, -89.3500, "Louisiana"),   # Venice (delta envelope)
+        (31.9755, -93.9972, "Louisiana"),   # Logansport (Sabine east)
+        (30.1900, -93.5800, "Louisiana"),   # Vinton
+        (32.3526, -90.8779, "Mississippi"),  # Vicksburg
+        (31.5604, -91.4032, "Mississippi"),  # Natchez
+        (33.4100, -91.0620, "Mississippi"),  # Greenville
+        (34.3714, -90.6383, "Mississippi"),  # Friars Point
+        (30.5262, -89.6796, "Mississippi"),  # Picayune (Pearl east)
+        (30.3960, -88.8850, "Mississippi"),  # Biloxi
+        (33.4957, -88.4273, "Mississippi"),  # Columbus (AL diagonal)
+        (32.3643, -88.7037, "Mississippi"),  # Meridian
+        (34.9700, -90.0000, "Mississippi"),  # Southaven (34.995 south)
+        (30.2200, -89.1000, "Mississippi"),  # Cat Island (Sound)
+        (30.2000, -88.4300, "Mississippi"),  # Petit Bois Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Arkansas"), ("US", "Louisiana"),
+                 ("US", "Mississippi"))
+    outsiders = [
+        (35.1495, -90.0490, "Memphis TN"),
+        (33.4300, -94.0480, "Texarkana TX"),
+        (30.0930, -93.7370, "Orange TX"),
+        (29.8850, -93.9400, "Port Arthur TX"),
+        (33.1295, -88.1514, "Aliceville AL"),
+        (32.4862, -88.2964, "York AL"),
+        (30.6954, -88.0399, "Mobile AL"),
+        (31.0906, -88.2280, "Citronelle AL"),
+        (30.2550, -88.1100, "Dauphin Island AL"),
+        (36.2360, -90.0556, "Kennett MO (bootheel)"),
+        (36.5860, -89.5270, "New Madrid MO"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    # shared-list contracts
+    ar = geopoly.POLYGONS[("US", "Arkansas")]
+    la = geopoly.POLYGONS[("US", "Louisiana")]
+    ms = geopoly.POLYGONS[("US", "Mississippi")]
+    for v in geopoly._MISSISSIPPI_AR_MS:
+        assert v in ar and v in ms
+    for v in geopoly._MISSISSIPPI_LA_MS:
+        assert v in la and v in ms
+    for v in geopoly._PEARL:
+        assert v in la and v in ms
