@@ -430,6 +430,54 @@ _PEARL: list[tuple[float, float]] = [
     (30.18, -89.65),                      # Pearl mouth
 ]
 
+# Chattahoochee River AL/GA border, north (the West Point corner of
+# the straight AL/GA line) to south (the 31N Florida corner), shared
+# VERBATIM: Phenix City/Eufaula stay Alabama, Columbus GA stays
+# Georgia.  The section below 31N faces Florida instead
+# (_CHATTAHOOCHEE_FL, down to the Flint confluence tri-corner).
+_CHATTAHOOCHEE: list[tuple[float, float]] = [
+    (32.87, -85.18),                      # West Point corner
+    (32.61, -85.07),                      # Goat Rock reach
+    (32.466, -84.995),                    # Columbus / Phenix City
+    (32.0, -85.07),                       # Fort Benning reach
+    (31.89, -85.13),                      # Eufaula
+    (31.62, -85.06),                      # Fort Gaines reach
+    (31.28, -85.10),                      # Columbia reach
+    (31.0, -85.09),                       # 31N Florida corner
+]
+_CHATTAHOOCHEE_FL: list[tuple[float, float]] = [
+    (31.0, -85.09),                       # 31N corner
+    (30.90, -85.01),                      # Sneads reach
+    (30.71, -84.86),                      # Flint confluence tri-corner
+]
+
+# Perdido River AL/FL border, north (the 31N west end) to Perdido Bay,
+# shared VERBATIM: Orange Beach stays Alabama, Pensacola stays Florida.
+_PERDIDO: list[tuple[float, float]] = [
+    (31.0, -87.601),                      # 31N meets the Perdido
+    (30.85, -87.58),                      # Barrineau reach
+    (30.55, -87.44),                      # Muscogee reach
+    (30.38, -87.41),                      # Perdido Bay head
+    (30.297, -87.42),                     # bay midline to the Gulf
+]
+
+# Georgia/Florida border, west (the Flint confluence) to the Atlantic:
+# the surveyed Orr-Whitner line rising 30.59 -> 30.71 westward, then
+# the winding St. Marys River.  Shared VERBATIM (Valdosta GA in,
+# Madison FL out; Folkston GA in, Hilliard FL out).
+_GA_FL: list[tuple[float, float]] = [
+    (30.71, -84.86),                      # Flint confluence tri-corner
+    (30.66, -83.50),                      # Orr-Whitner line
+    (30.5226, -82.2291),                  # Ellicott's Mound (line end)
+    (30.51, -82.18),                      # Moniac reach
+    (30.52, -82.04),                      # St. George
+    (30.58, -81.965),                     # river turns north
+    (30.79, -81.965),                     # Folkston GA / Boulogne FL
+    (30.75, -81.70),                      # Kings Ferry reach
+    (30.72, -81.55),                      # St. Marys city reach
+    (30.71, -81.44),                      # Cumberland Sound mouth
+]
+
 # Kentucky/Tennessee border, east (Cumberland Gap tripoint) to west
 # (the Jackson Purchase), shared VERBATIM by both rings.  East of the
 # Tennessee River the line is the surveyed WALKER LINE at ~36.62-36.64
@@ -1174,6 +1222,76 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (31.0, -91.64),                       # 31N west to the river
         *[(la, lo) for la, lo in reversed(_MISSISSIPPI_LA_MS)][1:],
         *[(la, lo) for la, lo in reversed(_MISSISSIPPI_AR_MS)][1:]],
+    # --- Alabama: 34.995 (TN) and 31N (FL) exact; the MS diagonal and
+    # the _CHATTAHOOCHEE/_PERDIDO channel lists are shared verbatim;
+    # the upper AL/GA straight line runs corner-to-West-Point; the
+    # Gulf edge keeps Dauphin Island and Orange Beach in, with the MS
+    # Sound split shared with the Mississippi ring.
+    ("US", "Alabama"): [
+        (34.995, -88.20),                     # MS/TN corner (shared)
+        (34.995, -85.605),                    # GA/TN corner (34.995)
+        *_CHATTAHOOCHEE[:1],                  # West Point corner
+        *_CHATTAHOOCHEE[1:],                  # shared AL/GA river edge
+        (31.0, -87.601),                      # 31N west to the Perdido
+        *_PERDIDO[1:],                        # shared AL/FL river edge
+        (30.20, -87.55),                      # Orange Beach offshore
+        (30.12, -88.00),                      # Gulf offshore
+        (30.15, -88.15),                      # Dauphin Island south
+        (30.18, -88.35),                      # Petit Bois split (shared)
+        (30.32, -88.40),                      # MS line at the coast
+        (31.894, -88.473)],                   # MS diagonal (shared)
+    # --- Georgia: 34.995 (TN) and the ~35.0 NC line exact-class; west
+    # = the straight West Point line + shared _CHATTAHOOCHEE and
+    # _CHATTAHOOCHEE_FL; south = the shared _GA_FL list; east = the
+    # Chattooga/Tugaloo/Savannah channel (Augusta/Savannah GA in,
+    # North Augusta/Hardeeville SC out) and a generous Atlantic edge.
+    ("US", "Georgia"): [
+        (34.995, -85.605),                    # TN/AL corner
+        (34.995, -84.32),                     # TN line (shared value)
+        (35.0, -84.287),                      # TN/NC tripoint (shared)
+        (34.99, -83.109),                     # Ellicott Rock (NC/SC)
+        (34.90, -83.15),                      # Chattooga reach
+        (34.75, -83.30),                      # Chattooga lower
+        (34.54, -83.30),                      # Tugaloo / Toccoa
+        (34.40, -82.90),                      # Hartwell Lake
+        (34.35, -82.82),                      # Savannah head
+        (34.0, -82.60),                       # Calhoun Falls reach
+        (33.66, -82.20),                      # Clarks Hill
+        (33.48, -81.96),                      # Augusta / North Augusta
+        (33.0, -81.60),                       # Millhaven reach
+        (32.55, -81.25),                      # Clyo reach
+        (32.30, -81.14),                      # Hardeeville reach
+        (32.03, -80.87),                      # Savannah mouth
+        (31.9, -80.75),                       # Atlantic offshore
+        (31.0, -81.20),                       # Brunswick offshore
+        (30.71, -81.40),                      # Cumberland Sound
+        *[(la, lo) for la, lo in reversed(_GA_FL)][1:],
+        *[(la, lo) for la, lo in reversed(_CHATTAHOOCHEE_FL)][1:],
+        *[(la, lo) for la, lo in reversed(_CHATTAHOOCHEE)][1:]],
+    # --- Florida: 31N (AL) exact, the shared _PERDIDO /
+    # _CHATTAHOOCHEE_FL / _GA_FL lists, and generous offshore edges
+    # wrapping the peninsula, the Keys and the Dry Tortugas.
+    ("US", "Florida"): [
+        (31.0, -87.601),                      # AL corner (31N west end)
+        (31.0, -85.09),                       # 31N east (shared)
+        *_CHATTAHOOCHEE_FL[1:],               # shared FL/GA river edge
+        *_GA_FL[1:],                          # shared FL/GA line
+        (30.0, -81.10),                       # Atlantic offshore
+        (28.0, -80.30),                       # Canaveral offshore
+        (26.5, -79.90),                       # Gulf Stream edge
+        (24.5, -80.20),                       # Keys east
+        (24.4, -82.00),                       # Key West south
+        (24.35, -82.90),                      # Tortugas south
+        (24.75, -83.05),                      # Dry Tortugas west
+        (25.5, -81.90),                       # Ten Thousand Islands
+        (26.5, -82.40),                       # Fort Myers offshore
+        (27.5, -83.00),                       # Tampa Bay offshore
+        (28.8, -83.20),                       # Nature Coast offshore
+        (29.5, -84.00),                       # Apalachee Bay
+        (29.4, -85.50),                       # Cape San Blas offshore
+        (30.0, -86.50),                       # Destin offshore
+        (30.2, -87.30),                       # Pensacola Pass
+        *[(la, lo) for la, lo in reversed(_PERDIDO)][:-1]],
     # --- Kentucky: the ENTIRE north border is the three shared Ohio
     # River polylines verbatim (coincident with the OH/IN/IL rings —
     # every river twin city already split from the north side splits

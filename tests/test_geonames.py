@@ -1120,3 +1120,75 @@ def test_polygon_round4e_arkansas_louisiana_mississippi():
         assert v in la and v in ms
     for v in geopoly._PEARL:
         assert v in la and v in ms
+
+
+def test_polygon_round4e_alabama_georgia_florida():
+    """The Southeast batch: 34.995 (TN) and 31N (AL/FL) exact; shared
+    _CHATTAHOOCHEE (Columbus GA vs Phenix City/Eufaula AL), _PERDIDO
+    (Orange Beach AL vs Pensacola FL), _CHATTAHOOCHEE_FL and _GA_FL
+    (the Orr-Whitner line + the St. Marys with its northward bend:
+    Folkston GA west of the reach, Hilliard FL east of it); Georgia's
+    Savannah channel splits Augusta/Savannah from North Augusta/
+    Hardeeville SC; Florida's offshore envelope wraps the Keys and
+    Dry Tortugas."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (33.5186, -86.8104, "Alabama"),     # Birmingham
+        (30.6954, -88.0399, "Alabama"),     # Mobile
+        (32.4710, -85.0008, "Alabama"),     # Phenix City (vs Columbus)
+        (31.8913, -85.1455, "Alabama"),     # Eufaula
+        (30.2550, -88.1100, "Alabama"),     # Dauphin Island
+        (30.2944, -87.5750, "Alabama"),     # Orange Beach (Perdido)
+        (34.7304, -86.5861, "Alabama"),     # Huntsville (34.995 south)
+        (33.1295, -88.1514, "Alabama"),     # Aliceville (MS diagonal)
+        (33.7490, -84.3880, "Georgia"),     # Atlanta
+        (32.4610, -84.9877, "Georgia"),     # Columbus GA
+        (32.0809, -81.0912, "Georgia"),     # Savannah
+        (33.4735, -81.9748, "Georgia"),     # Augusta (vs North Augusta)
+        (34.9830, -85.2860, "Georgia"),     # Rossville (34.995 south)
+        (30.8327, -83.2785, "Georgia"),     # Valdosta (Orr-Whitner N)
+        (30.8327, -82.0050, "Georgia"),     # Folkston (St. Marys west)
+        (34.5773, -83.3324, "Georgia"),     # Toccoa (Tugaloo west)
+        (30.4213, -87.2169, "Florida"),     # Pensacola (Perdido east)
+        (30.4383, -84.2807, "Florida"),     # Tallahassee
+        (25.7617, -80.1918, "Florida"),     # Miami
+        (24.5551, -81.7800, "Florida"),     # Key West
+        (24.6280, -82.8730, "Florida"),     # Dry Tortugas
+        (30.4700, -83.4100, "Florida"),     # Madison (Orr-Whitner S)
+        (30.6911, -81.9173, "Florida"),     # Hilliard (St. Marys east)
+        (30.3322, -81.6557, "Florida"),     # Jacksonville
+        (27.9506, -82.4572, "Florida"),     # Tampa
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Alabama"), ("US", "Georgia"), ("US", "Florida"))
+    outsiders = [
+        (35.0456, -85.3097, "Chattanooga TN"),
+        (35.0900, -84.0300, "Murphy NC"),
+        (34.6645, -83.0968, "Westminster SC"),
+        (33.5018, -81.9651, "North Augusta SC"),
+        (32.2871, -81.0818, "Hardeeville SC"),
+        (32.2163, -80.7526, "Hilton Head SC"),
+        (26.5300, -78.7000, "Freeport, Bahamas"),
+        (32.3643, -88.7037, "Meridian MS"),
+        (30.5262, -89.6796, "Picayune MS"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    al = geopoly.POLYGONS[("US", "Alabama")]
+    ga = geopoly.POLYGONS[("US", "Georgia")]
+    fl = geopoly.POLYGONS[("US", "Florida")]
+    for v in geopoly._CHATTAHOOCHEE:
+        assert v in al and v in ga
+    for v in geopoly._PERDIDO:
+        assert v in al or v == geopoly._PERDIDO[0]
+        assert v in fl or v == geopoly._PERDIDO[0]
+    ends = (geopoly._GA_FL[0], geopoly._GA_FL[-1])
+    for v in geopoly._GA_FL:
+        assert v in ga or v in ends
+        assert v in fl or v in ends
