@@ -1292,6 +1292,82 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (30.0, -86.50),                       # Destin offshore
         (30.2, -87.30),                       # Pensacola Pass
         *[(la, lo) for la, lo in reversed(_PERDIDO)][:-1]],
+    # --- South Carolina: west = Georgia's Chattooga/Tugaloo/Savannah
+    # channel vertices verbatim; the 1735 coast-to-(34.8155,-79.6755)
+    # diagonal is exact (both monumented endpoints shared with the NC
+    # ring); the middle NC line and the Charlotte-notch panhandle are
+    # conservative inside SC (Fort Mill/Tega Cay/Indian Land/Rock Hill
+    # in; Pineville/Waxhaw NC left to the NC ring); the foothills
+    # section rises with the surveyed line (Landrum in, Tryon out).
+    ("US", "South Carolina"): [
+        (34.99, -83.109),                     # Ellicott Rock (GA/NC)
+        (34.90, -83.15),                      # Chattooga (GA shared)
+        (34.75, -83.30),                      # Chattooga lower (shared)
+        (34.54, -83.30),                      # Tugaloo (shared)
+        (34.40, -82.90),                      # Hartwell (shared)
+        (34.35, -82.82),                      # Savannah head (shared)
+        (34.0, -82.60),                       # Calhoun Falls (shared)
+        (33.66, -82.20),                      # Clarks Hill (shared)
+        (33.48, -81.96),                      # Augusta (shared)
+        (33.0, -81.60),                       # Millhaven (shared)
+        (32.55, -81.25),                      # Clyo (shared)
+        (32.30, -81.14),                      # Hardeeville (shared)
+        (32.03, -80.87),                      # Savannah mouth (shared)
+        (31.95, -80.65),                      # Atlantic offshore
+        (32.50, -79.90),                      # Charleston offshore
+        (33.00, -79.00),                      # Georgetown offshore
+        (33.50, -78.30),                      # Grand Strand offshore
+        (33.8514, -78.5414),                  # NC corner (monumented)
+        (34.8155, -79.6755),                  # 1735 diagonal end (exact)
+        (34.80, -80.30),                      # NC line (conservative)
+        (34.80, -80.75),                      # Lancaster corner (cons.)
+        (35.02, -80.81),                      # Indian Land panhandle
+        (35.03, -80.95),                      # Fort Mill (cons.)
+        (35.05, -81.06),                      # Tega Cay / Catawba
+        (35.13, -81.12),                      # Kings Mountain (cons.)
+        (35.15, -81.90),                      # Cherokee Foothills (cons.)
+        (35.185, -82.20),                     # Landrum / Tryon line
+        (35.07, -82.70)],                     # Caesars Head (cons.)
+    # --- North Carolina: the 1735 diagonal (shared exact endpoints),
+    # Georgia's 35N vertices and a conservative east-of-crest chain
+    # against Tennessee's west-of-crest chain (Hot Springs/Murphy NC
+    # in; the ridge strip falls to anchors); the VA line runs from the
+    # (36.5888,-81.677) tripoint sloping to the surveyed 36.5441;
+    # generous Outer Banks offshore edge.
+    ("US", "North Carolina"): [
+        (33.8514, -78.5414),                  # SC corner (monumented)
+        (33.80, -78.50),                      # Atlantic offshore
+        (33.80, -77.80),                      # Frying Pan offshore
+        (34.50, -76.20),                      # Lookout offshore
+        (35.00, -75.30),                      # Hatteras offshore
+        (35.80, -75.30),                      # Bodie offshore
+        (36.55, -75.50),                      # VA corner offshore
+        (36.5505, -75.87),                    # VA line at the coast
+        (36.5441, -76.50),                    # VA surveyed line
+        (36.5441, -79.50),                    # VA surveyed line
+        (36.56, -80.90),                      # VA line rising west
+        (36.5888, -81.677),                   # TN/VA tripoint
+        (36.33, -81.75),                      # Boone flank (cons.)
+        (36.17, -82.05),                      # Roan flank (cons.)
+        (35.90, -82.55),                      # Sams Gap flank (cons.)
+        (35.93, -82.82),                      # Hot Springs wrap (cons.)
+        (35.70, -83.02),                      # Max Patch flank (cons.)
+        (35.62, -83.35),                      # Newfound Gap flank (cons.)
+        (35.42, -83.75),                      # Smokies west (cons.)
+        (35.25, -83.95),                      # Santeetlah flank (cons.)
+        (35.05, -84.20),                      # Murphy flank (cons.)
+        (35.0, -84.287),                      # GA/TN tripoint (shared)
+        (34.99, -83.109),                     # Ellicott Rock (shared)
+        (35.07, -82.70),                      # SC foothills (shared)
+        (35.185, -82.20),                     # Landrum / Tryon (shared)
+        (35.15, -81.90),                      # foothills (shared)
+        (35.13, -81.12),                      # Kings Mountain (shared)
+        (35.05, -81.06),                      # Catawba (shared)
+        (35.03, -80.95),                      # Fort Mill (shared)
+        (35.02, -80.81),                      # panhandle (shared)
+        (34.80, -80.75),                      # Lancaster corner (shared)
+        (34.80, -80.30),                      # line (shared)
+        (34.8155, -79.6755)],                 # 1735 diagonal end (exact)
     # --- Kentucky: the ENTIRE north border is the three shared Ohio
     # River polylines verbatim (coincident with the OH/IN/IL rings —
     # every river twin city already split from the north side splits

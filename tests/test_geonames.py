@@ -1192,3 +1192,64 @@ def test_polygon_round4e_alabama_georgia_florida():
     for v in geopoly._GA_FL:
         assert v in ga or v in ends
         assert v in fl or v in ends
+
+
+def test_polygon_round4e_carolinas():
+    """South and North Carolina: the Savannah channel shared verbatim
+    with Georgia, the 1735 coast diagonal exact at both monumented
+    endpoints (shared by both rings), conservative twin chains in the
+    Charlotte notch (Fort Mill/Tega Cay/Indian Land/Rock Hill SC vs
+    Pineville/Waxhaw/Charlotte NC) and along the Blue Ridge against
+    Tennessee's west-of-crest chain (Hot Springs/Murphy NC in), and
+    the VA line sloping from the (36.5888,-81.677) tripoint to the
+    surveyed 36.5441."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (34.0007, -81.0348, "South Carolina"),  # Columbia
+        (32.7765, -79.9311, "South Carolina"),  # Charleston
+        (34.8526, -82.3940, "South Carolina"),  # Greenville
+        (33.5018, -81.9651, "South Carolina"),  # North Augusta
+        (32.2163, -80.7526, "South Carolina"),  # Hilton Head
+        (35.0074, -80.9451, "South Carolina"),  # Fort Mill (notch)
+        (34.9249, -81.0251, "South Carolina"),  # Rock Hill
+        (35.0240, -81.0280, "South Carolina"),  # Tega Cay
+        (35.1750, -82.1900, "South Carolina"),  # Landrum (foothills)
+        (33.6891, -78.8867, "South Carolina"),  # Myrtle Beach
+        (35.2271, -80.8431, "North Carolina"),  # Charlotte
+        (35.7796, -78.6382, "North Carolina"),  # Raleigh
+        (35.0875, -84.0343, "North Carolina"),  # Murphy
+        (35.8904, -82.8292, "North Carolina"),  # Hot Springs (wrap)
+        (35.0832, -80.8923, "North Carolina"),  # Pineville (notch)
+        (34.9246, -80.7436, "North Carolina"),  # Waxhaw
+        (35.2095, -82.2400, "North Carolina"),  # Tryon (vs Landrum)
+        (36.4993, -80.6075, "North Carolina"),  # Mount Airy (VA line)
+        (34.2257, -77.9447, "North Carolina"),  # Wilmington
+        (35.2500, -75.5400, "North Carolina"),  # Hatteras (Outer Banks)
+        (35.5951, -82.5515, "North Carolina"),  # Asheville
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "South Carolina"), ("US", "North Carolina"))
+    outsiders = [
+        (36.5860, -79.3950, "Danville VA"),
+        (36.6105, -82.1600, "Bristol VA area"),
+        (36.1450, -82.4166, "Erwin TN"),
+        (36.4740, -81.8040, "Mountain City TN"),
+        (35.0456, -85.3097, "Chattanooga TN"),
+        (34.9830, -85.2860, "Rossville GA"),
+        (32.0809, -81.0912, "Savannah GA"),
+        (33.4735, -81.9748, "Augusta GA"),
+        (34.5773, -83.3324, "Toccoa GA"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    # the 1735 diagonal endpoints are exact and shared verbatim
+    sc = geopoly.POLYGONS[("US", "South Carolina")]
+    nc = geopoly.POLYGONS[("US", "North Carolina")]
+    for v in ((33.8514, -78.5414), (34.8155, -79.6755)):
+        assert v in sc and v in nc
