@@ -1391,10 +1391,11 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         *[(la, lo) for la, lo in reversed(_KY_TN)],  # shared TN edge
         (36.70, -83.40),                      # White Rocks flank (cons.)
         (36.82, -83.15),                      # Cumberland Mtn (cons.)
-        (36.95, -82.85),                      # Black Mountain (cons.)
-        (37.02, -82.72),                      # Pound Gap flank (cons.)
-        (37.20, -82.45),                      # Elkhorn flank (cons.)
-        (37.28, -82.35),                      # Breaks flank (cons.)
+        (36.93, -82.95),                      # Black Mountain (cons.)
+        (37.06, -82.80),                      # Pine Mountain (cons.)
+        (37.18, -82.60),                      # Pound Gap (Jenkins in)
+        (37.24, -82.44),                      # Elkhorn flank (cons.)
+        (37.295, -82.33),                     # Breaks (Elkhorn City in)
         (37.45, -82.30),                      # Tug headwater (cons.)
         (37.62, -82.17),                      # Matewan reach
         (37.671, -82.282),                    # Williamson / S. Williamson
