@@ -91,7 +91,21 @@ EXACT along the contested border:
     St. Clair/St. Marys channels split the Ontario twins, the
     False Detour and Sugar/Neebish channels wrap Drummond Island, and
     offshore envelopes enclose the Keweenaw, Isle Royale (south of
-    the Canada line), the Apostles and Beaver Island.
+    the Canada line), the Apostles and Beaver Island.  Round 4f adds
+    Virginia and West Virginia: the Mason-Dixon 39.7222 / Ellicott
+    -80.5194 / Fairfax Stone corners exact and coincident with
+    Pennsylvania, the Ohio River OH/WV frontage a shared channel list
+    (densifying the northern-panhandle hairpin — the old straight
+    chord misassigned Chester/Newell WV and Mingo Junction/Brilliant
+    OH), the Tug Fork/Big Sandy shared verbatim with Kentucky, the
+    Potomac hugging the WV and VA banks (MD/DC own the river) so
+    Harpers Ferry / Shepherdstown / Falling Waters / Paw Paw /
+    Ridgeley / Keyser / Piedmont WV and Arlington / Alexandria /
+    Leesburg VA all split from their north-bank twins, the VA/WV and
+    VA/KY ridge borders as paired conservative chains (both Bluefields,
+    Peterstown/Rich Creek, WSS/Covington, Rippon/Berryville, Pound
+    under Pound Gap), and a conservative Chesapeake Bay line keeping
+    Tangier VA in and Smith Island/Crisfield MD out.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -485,6 +499,59 @@ _GA_FL: list[tuple[float, float]] = [
 # Clarksville/Portland TN stay Tennessee while Guthrie/Oak Grove/
 # Franklin KY stay Kentucky; at the Tennessee River the border jogs
 # south to the true 36.4977 parallel, which runs to the Mississippi.
+# Ohio River OH/WV frontage, north (the OH/PA/WV river tripoint) to
+# south (Chesapeake/Huntington, where the shared OH/KY list takes
+# over).  Shared VERBATIM as Ohio's upper east edge and West
+# Virginia's west edge, tracking the channel within ~2 km so the twin
+# cities split: East Liverpool/Wellsville/Toronto/Mingo Junction/
+# Brilliant/Steubenville stay Ohio; Chester/Newell/New Cumberland/
+# Weirton/Follansbee/Wellsburg stay West Virginia.  The northern-
+# panhandle hairpin is densified — the previous straight chord claimed
+# Chester and Newell WV for Ohio and lost Mingo Junction and Brilliant
+# OH to the east bank.
+_OHIO_RIVER_WV: list[tuple[float, float]] = [
+    (40.615, -80.572),                    # East Liverpool / Chester
+    (40.624, -80.607),                    # Newell reach
+    (40.597, -80.643),                    # Wellsville bend
+    (40.52, -80.625),                     # Stratton reach
+    (40.50, -80.615),                     # Empire / New Cumberland
+    (40.455, -80.595),                    # Toronto reach
+    (40.42, -80.605),                     # Weirton west
+    (40.37, -80.615),                     # Steubenville
+    (40.322, -80.601),                    # Mingo Junction / Follansbee
+    (40.28, -80.614),                     # Wellsburg west
+    (40.26, -80.618),                     # Brilliant reach
+    (40.21, -80.66),                      # Wellsburg reach
+    (40.064, -80.730),                    # Wheeling / Bridgeport
+    (39.92, -80.752),                     # Moundsville reach
+    (39.665, -80.865),                    # New Martinsville
+    (39.56, -81.005),                     # Sistersville
+    (39.395, -81.21),                     # St. Marys reach
+    (39.409, -81.452),                    # Marietta / Williamstown
+    (39.32, -81.559),                     # Vienna reach
+    (39.270, -81.567),                    # Belpre / Parkersburg
+    (38.955, -81.78),                     # Ravenswood reach
+    (39.022, -82.028),                    # Pomeroy bend
+    (38.83, -82.17),                      # Gallipolis / Point Pleasant
+    (38.58, -82.27),                      # Crown City reach
+    (38.425, -82.448),                    # Chesapeake / Huntington
+]
+
+# Tug Fork / Big Sandy channel (KY/WV border), south (the VA tripoint
+# headwater) to north (the Big Sandy reach below Louisa/Fort Gay).
+# Shared VERBATIM by the Kentucky and West Virginia rings so the
+# Williamson/South Williamson and Louisa/Fort Gay twins split
+# identically from both sides.
+_TUG_BIG_SANDY: list[tuple[float, float]] = [
+    (37.45, -82.30),                      # Tug headwater (cons.)
+    (37.62, -82.17),                      # Matewan reach
+    (37.671, -82.282),                    # Williamson / S. Williamson
+    (37.84, -82.415),                     # Kermit reach
+    (38.115, -82.595),                    # Louisa / Fort Gay
+    (38.25, -82.60),                      # Big Sandy reach
+    (38.40, -82.596),                     # Catlettsburg reach
+]
+
 _KY_TN: list[tuple[float, float]] = [
     (36.60, -83.675),                     # Cumberland Gap (VA tripoint)
     (36.61, -84.80),                      # Walker line
@@ -941,21 +1008,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (42.0, -80.70),                       # Conneaut offshore
         (42.03, -80.5194),                    # PA corner (lake)
         (40.637, -80.5194),                   # PA/WV tripoint (river)
-        (40.37, -80.615),                     # Steubenville
-        (40.21, -80.66),                      # Wellsburg reach
-        (40.064, -80.730),                    # Wheeling / Bridgeport
-        (39.92, -80.752),                     # Moundsville reach
-        (39.665, -80.865),                    # New Martinsville
-        (39.56, -81.005),                     # Sistersville
-        (39.395, -81.21),                     # St. Marys reach
-        (39.409, -81.452),                    # Marietta / Williamstown
-        (39.32, -81.559),                     # Vienna reach
-        (39.270, -81.567),                    # Belpre / Parkersburg
-        (38.955, -81.78),                     # Ravenswood reach
-        (39.022, -82.028),                    # Pomeroy bend
-        (38.83, -82.17),                      # Gallipolis / Point Pleasant
-        (38.58, -82.27),                      # Crown City reach
-        (38.425, -82.448),                    # Chesapeake / Huntington
+        *_OHIO_RIVER_WV,                      # shared OH/WV river edge
         *_OHIO_RIVER_OH,                      # shared OH/KY river edge
         (39.103, -84.8029)],                  # IN tripoint (Great Miami)
     # --- Iowa: the 43.5N Minnesota line is exact (coincident with the
@@ -1396,13 +1449,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (37.18, -82.60),                      # Pound Gap (Jenkins in)
         (37.24, -82.44),                      # Elkhorn flank (cons.)
         (37.295, -82.33),                     # Breaks (Elkhorn City in)
-        (37.45, -82.30),                      # Tug headwater (cons.)
-        (37.62, -82.17),                      # Matewan reach
-        (37.671, -82.282),                    # Williamson / S. Williamson
-        (37.84, -82.415),                     # Kermit reach
-        (38.115, -82.595),                    # Louisa / Fort Gay
-        (38.25, -82.60),                      # Big Sandy reach
-        (38.40, -82.596)],                    # Catlettsburg reach
+        *_TUG_BIG_SANDY],                     # shared WV channel edge
     # --- Tennessee: north = the shared _KY_TN Walker-line edge (plus
     # its own 36.4977 tail to the river) and the Bristol State Street
     # line 36.5951 (VA); south = the surveyed ~34.995 parallel (MS/AL/
@@ -1434,6 +1481,171 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (35.70, -89.955),                     # Osceola reach
         (36.19, -89.64),                      # Caruthersville reach
         (36.38, -89.54)],                     # Tiptonville reach
+    # --- West Virginia: the Ellicott meridian -80.5194 (northern
+    # panhandle east side, coincident with Pennsylvania's west edge)
+    # and the Mason-Dixon 39.7222 are exact; the Fairfax Stone deed
+    # line closes the MD west corner; the Potomac / North Branch edge
+    # tracks the WV (south/west) bank within ~2 km — MD owns the river
+    # — so the Piedmont/Westernport, Keyser/McCoole, Ridgeley/
+    # Cumberland, Paw Paw, Falling Waters/Williamsport, Shepherdstown/
+    # Sharpsburg and Harpers Ferry/Sandy Hook twins split correctly;
+    # the Ohio River is the shared _OHIO_RIVER_WV list verbatim and
+    # the Tug Fork/Big Sandy the shared _TUG_BIG_SANDY list; the VA
+    # side is a conservative inside-WV Allegheny chain against
+    # Virginia's inside-VA chain (Bluefield WV/VA, Peterstown/Rich
+    # Creek, White Sulphur Springs/Covington and the Berkeley/
+    # Frederick straight all split; the ridge strip falls to anchors).
+    ("US", "West Virginia"): [
+        (40.637, -80.5194),                   # OH/PA/WV tripoint (river)
+        (39.7222, -80.5194),                  # Mason-Dixon west end (PA)
+        (39.7222, -79.4766),                  # PA/MD/WV corner (exact)
+        (39.1960, -79.4872),                  # Fairfax Stone
+        (39.24, -79.42),                      # North Branch headwaters
+        (39.285, -79.32),                     # Gormania
+        (39.384, -79.18),                     # Kitzmiller south bank
+        (39.482, -79.043),                    # Piedmont / Westernport
+        (39.444, -78.976),                    # Keyser / McCoole
+        (39.57, -78.83),                      # Patterson Creek bend
+        (39.647, -78.765),                    # Ridgeley / Cumberland
+        (39.53, -78.60),                      # Oldtown reach
+        (39.535, -78.452),                    # Paw Paw
+        (39.52, -78.38),                      # Paw Paw bends (cons. chord)
+        (39.56, -78.32),                      # bends exit
+        (39.622, -78.295),                    # Great Cacapon
+        (39.692, -78.18),                     # Hancock south bank
+        (39.60, -78.00),                      # Fort Frederick reach
+        (39.598, -77.835),                    # Williamsport / Conococheague
+        (39.55, -77.875),                     # Falling Waters
+        (39.50, -77.885),                     # Dam No. 4 reach
+        (39.468, -77.845),                    # Scrabble reach
+        (39.437, -77.810),                    # Shepherdstown north
+        (39.405, -77.755),                    # Antietam mouth
+        (39.36, -77.775),                     # Dargan bend
+        (39.328, -77.756),                    # Harpers Ferry west
+        (39.3265, -77.72),                    # Shenandoah confluence
+        (39.28, -77.78),                      # Loudoun Heights flank
+        (39.25, -77.86),                      # Blue Ridge exit (cons.)
+        (39.19, -77.96),                      # Rippon in / Berryville out
+        (39.27, -78.04),                      # Berkeley straight (Bunker Hill)
+        (39.36, -78.12),                      # Gerrardstown flank
+        (39.44, -78.23),                      # Sleepy Creek (cons.)
+        (39.50, -78.31),                      # north of the VA apex
+        (39.44, -78.41),                      # Cacapon flank
+        (39.28, -78.42),                      # Capon Bridge in
+        (39.10, -78.54),                      # Hampshire crest (cons.)
+        (39.02, -78.62),                      # Wardensville in
+        (38.85, -78.86),                      # Lost River flank (Mathias in)
+        (38.62, -79.15),                      # Brandywine in
+        (38.55, -79.42),                      # Pendleton/Highland corner
+        (38.46, -79.76),                      # Allegheny Mtn (Green Bank in)
+        (38.20, -79.93),                      # Bath/Pocahontas crest (cons.)
+        (37.95, -80.09),                      # Greenbrier flank
+        (37.78, -80.26),                      # White Sulphur Springs in
+        (37.56, -80.37),                      # Gap Mills in / Paint Bank out
+        (37.405, -80.77),                     # Peterstown approach
+        (37.395, -80.83),                     # Rich Creek out
+        (37.37, -80.88),                      # Glen Lyn out
+        (37.30, -81.05),                      # East River Mtn
+        (37.255, -81.21),                     # Bluefield WV in
+        (37.245, -81.36),                     # Bluefield VA out
+        (37.28, -81.55),                      # Stony Ridge (Welch north)
+        (37.30, -81.77),                      # War in
+        (37.33, -81.90),                      # Bradshaw in
+        (37.42, -82.05),                      # McDowell flank (Grundy out)
+        *_TUG_BIG_SANDY,                      # shared KY channel edge
+        (38.485, -82.593),                    # Big Sandy mouth (KY shared)
+        *[(la, lo) for la, lo in reversed(_OHIO_RIVER_WV)]],  # shared OH
+    # --- Virginia: the NC surveyed line and the TN Bristol segment
+    # are the same vertices as those rings (coincident edges); the
+    # KY and WV sides are conservative inside-VA chains SE of the
+    # Pine/Cumberland Mountain crest and the Allegheny front (Pound,
+    # Grundy, Bluefield VA, Narrows, Covington, Monterey, Berryville
+    # in; the crest strips fall to anchors); the Potomac edge hugs
+    # the VA bank — MD/DC own the river — so Arlington/Alexandria
+    # stay in while DC, National Harbor and the MD north-bank towns
+    # stay out; the Chesapeake Bay crossing keeps Tangier in and
+    # Smith Island/Crisfield out (conservative of the 1877 line; the
+    # Greenbackville sliver falls to anchors); the Atlantic edge is
+    # generous offshore.
+    ("US", "Virginia"): [
+        (36.55, -75.50),                      # NC corner offshore (shared)
+        (36.5505, -75.87),                    # NC line at the coast (shared)
+        (36.5441, -76.50),                    # NC surveyed line (shared)
+        (36.5441, -79.50),                    # NC surveyed line (shared)
+        (36.56, -80.90),                      # NC line rising west (shared)
+        (36.5888, -81.677),                   # TN/NC/VA tripoint (shared)
+        (36.5951, -81.68),                    # Bristol line east end (TN)
+        (36.60, -83.675),                     # Cumberland Gap (TN/KY shared)
+        (36.655, -83.42),                     # Ewing under White Rocks
+        (36.74, -83.12),                      # Pennington Gap flank
+        (36.88, -82.86),                      # Big Stone Gap / Appalachia
+        (36.96, -82.70),                      # Black Mtn SE flank
+        (37.135, -82.615),                    # Pound Gap SE (Pound in)
+        (37.20, -82.40),                      # Clintwood flank
+        (37.30, -82.285),                     # Breaks village
+        (37.33, -82.00),                      # Grundy in
+        (37.27, -81.80),                      # War WV out
+        (37.22, -81.55),                      # Stony Ridge S flank
+        (37.246, -81.31),                     # East River Mtn (Bluefield VA)
+        (37.242, -81.24),                     # Bluefield VA east
+        (37.29, -81.05),                      # East River Mtn SE
+        (37.33, -80.90),                      # Wolf Creek flank
+        (37.377, -80.858),                    # Glen Lyn in
+        (37.392, -80.820),                    # Rich Creek in / Peterstown out
+        (37.355, -80.775),                    # Narrows in
+        (37.47, -80.48),                      # Peters Mtn SE
+        (37.60, -80.24),                      # Paint Bank in
+        (37.73, -80.14),                      # Alleghany flank
+        (37.92, -79.99),                      # Covington in
+        (38.10, -79.85),                      # Warm Springs in
+        (38.30, -79.72),                      # Highland W flank
+        (38.45, -79.54),                      # Monterey in (N corner)
+        (38.42, -79.20),                      # Shenandoah Mtn SE
+        (38.60, -79.03),                      # Rockingham flank
+        (38.78, -78.88),                      # Basye in
+        (38.98, -78.62),                      # Great North Mtn SE
+        (39.06, -78.50),                      # Star Tannery in
+        (39.23, -78.40),                      # Frederick W
+        (39.41, -78.34),                      # VA apex (cons., true 39.466)
+        (39.25, -78.14),                      # Back Creek valley
+        (39.28, -78.09),                      # Clear Brook in
+        (39.21, -78.00),                      # Frederick/Clarke corner
+        (39.165, -77.95),                     # Berryville in
+        (39.24, -77.80),                      # Blue Ridge SE flank
+        (39.30, -77.71),                      # Loudoun tip at the Potomac
+        (39.302, -77.655),                    # Brunswick reach (MD out)
+        (39.265, -77.55),                     # Point of Rocks reach
+        (39.20, -77.47),                      # Monocacy mouth reach
+        (39.12, -77.46),                      # Selden Island reach
+        (39.06, -77.36),                      # Seneca reach
+        (39.00, -77.27),                      # Great Falls VA in
+        (38.955, -77.16),                     # Scotts Run
+        (38.925, -77.12),                     # Chain Bridge
+        (38.90, -77.068),                     # Rosslyn / Key Bridge
+        (38.85, -77.038),                     # Reagan National east edge
+        (38.80, -77.040),                     # Alexandria waterfront
+        (38.77, -77.053),                     # Wilson Bridge west
+        (38.70, -77.075),                     # Mount Vernon in
+        (38.68, -77.11),                      # Gunston Cove
+        (38.60, -77.20),                      # Occoquan / Woodbridge in
+        (38.52, -77.27),                      # Quantico in
+        (38.40, -77.31),                      # Aquia reach
+        (38.36, -77.25),                      # Widewater
+        (38.345, -77.05),                     # Dahlgren in
+        (38.28, -76.95),                      # Colonial Beach in
+        (38.20, -76.80),                      # Nomini reach (Cobb Is. out)
+        (38.155, -76.62),                     # Coles Point in
+        (38.05, -76.45),                      # Yeocomico reach
+        (37.95, -76.33),                      # lower Potomac midline
+        (37.89, -76.22),                      # Smith Point
+        (37.90, -76.00),                      # bay line (Tangier in)
+        (37.95, -75.75),                      # south of Crisfield MD
+        (38.00, -75.62),                      # Pocomoke Sound
+        (38.01, -75.40),                      # Delmarva line (cons.)
+        (38.02, -75.20),                      # Atlantic at the MD line
+        (37.60, -75.20),                      # Wallops offshore
+        (37.10, -75.55),                      # Cape Charles offshore
+        (36.80, -75.70)],                     # Virginia Beach offshore
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -1253,3 +1253,146 @@ def test_polygon_round4e_carolinas():
     nc = geopoly.POLYGONS[("US", "North Carolina")]
     for v in ((33.8514, -78.5414), (34.8155, -79.6755)):
         assert v in sc and v in nc
+
+
+def test_polygon_round4f_virginia_west_virginia():
+    """Virginia + West Virginia close the Appalachian gap.  The
+    Mason-Dixon 39.7222 / Ellicott -80.5194 / Fairfax Stone corners
+    are exact and coincident with Pennsylvania; the Ohio River OH/WV
+    frontage is the new shared _OHIO_RIVER_WV channel list (which
+    FIXES a latent Ohio defect: the old straight panhandle chord
+    claimed Chester and Newell WV for Ohio and lost Mingo Junction
+    and Brilliant OH to the east bank); the Tug Fork/Big Sandy is the
+    shared _TUG_BIG_SANDY list; the Potomac edge hugs the WV/VA banks
+    (MD/DC own the river) so every river twin splits; the VA/WV and
+    VA/KY ridge borders are paired conservative chains."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # West Virginia — panhandles, river banks, ridge towns
+        (38.3498, -81.6326, "West Virginia"),  # Charleston
+        (38.4192, -82.4452, "West Virginia"),  # Huntington
+        (38.3990, -82.5780, "West Virginia"),  # Kenova (Big Sandy mouth)
+        (39.6295, -79.9559, "West Virginia"),  # Morgantown
+        (40.0640, -80.7210, "West Virginia"),  # Wheeling
+        (40.4187, -80.5896, "West Virginia"),  # Weirton
+        (40.6128, -80.5632, "West Virginia"),  # Chester (was Ohio's chord!)
+        (40.6187, -80.6034, "West Virginia"),  # Newell (was Ohio's chord!)
+        (40.4965, -80.6062, "West Virginia"),  # New Cumberland
+        (39.2667, -81.5615, "West Virginia"),  # Parkersburg
+        (38.8420, -82.1371, "West Virginia"),  # Point Pleasant
+        (37.6743, -82.2775, "West Virginia"),  # Williamson (vs S.W'son KY)
+        (37.4329, -81.5845, "West Virginia"),  # Welch
+        (37.2698, -81.2245, "West Virginia"),  # Bluefield WV (twin!)
+        (37.4022, -80.7983, "West Virginia"),  # Peterstown (New River)
+        (37.5526, -80.3990, "West Virginia"),  # Gap Mills
+        (37.7968, -80.2976, "West Virginia"),  # White Sulphur Springs
+        (38.4282, -79.8350, "West Virginia"),  # Green Bank
+        (38.8754, -78.8683, "West Virginia"),  # Mathias
+        (39.0767, -78.5942, "West Virginia"),  # Wardensville
+        (39.2970, -78.4380, "West Virginia"),  # Capon Bridge
+        (39.4562, -77.9636, "West Virginia"),  # Martinsburg
+        (39.2890, -77.8597, "West Virginia"),  # Charles Town
+        (39.2180, -77.9160, "West Virginia"),  # Rippon (vs Berryville)
+        (39.3251, -77.7386, "West Virginia"),  # Harpers Ferry
+        (39.4301, -77.8040, "West Virginia"),  # Shepherdstown
+        (39.5543, -77.8877, "West Virginia"),  # Falling Waters
+        (39.6244, -78.2292, "West Virginia"),  # Berkeley Springs
+        (39.5323, -78.4553, "West Virginia"),  # Paw Paw
+        (39.6403, -78.7669, "West Virginia"),  # Ridgeley (vs Cumberland)
+        (39.4409, -78.9764, "West Virginia"),  # Keyser (vs McCoole)
+        (39.4787, -79.0425, "West Virginia"),  # Piedmont (vs Westernport)
+        # Virginia — NoVA bank, valley, southwest, Eastern Shore
+        (37.5407, -77.4360, "Virginia"),       # Richmond
+        (36.8529, -75.9780, "Virginia"),       # Virginia Beach
+        (38.8816, -77.0910, "Virginia"),       # Arlington
+        (38.8048, -77.0469, "Virginia"),       # Alexandria (DC across!)
+        (38.9982, -77.2883, "Virginia"),       # Great Falls
+        (39.1157, -77.5636, "Virginia"),       # Leesburg
+        (39.2732, -77.6367, "Virginia"),       # Lovettsville
+        (39.1520, -77.9820, "Virginia"),       # Berryville (vs Rippon)
+        (39.1857, -78.1633, "Virginia"),       # Winchester
+        (39.2680, -78.1060, "Virginia"),       # Clear Brook (vs Bunker Hill)
+        (39.0880, -78.4320, "Virginia"),       # Star Tannery
+        (38.8060, -78.7930, "Virginia"),       # Basye (vs Mathias)
+        (38.4124, -79.5814, "Virginia"),       # Monterey (Highland bulge)
+        (37.7935, -79.9939, "Virginia"),       # Covington (vs WSS)
+        (37.5700, -80.2600, "Virginia"),       # Paint Bank (vs Gap Mills)
+        (37.3312, -80.8107, "Virginia"),       # Narrows
+        (37.3870, -80.8230, "Virginia"),       # Rich Creek (vs Peterstown)
+        (37.2379, -81.2723, "Virginia"),       # Bluefield VA (twin!)
+        (37.2779, -82.0990, "Virginia"),       # Grundy
+        (37.1243, -82.6046, "Virginia"),       # Pound (vs Jenkins KY)
+        (36.9334, -82.6290, "Virginia"),       # Norton
+        (36.9062, -82.7860, "Virginia"),       # Appalachia
+        (36.7589, -83.0270, "Virginia"),       # Pennington Gap
+        (36.6440, -83.4370, "Virginia"),       # Ewing
+        (36.6126, -82.1774, "Virginia"),       # Bristol VA (vs Bristol TN)
+        (37.9332, -75.3788, "Virginia"),       # Chincoteague
+        (37.8257, -75.9925, "Virginia"),       # Tangier Island
+        (37.2679, -76.0177, "Virginia"),       # Cape Charles
+        (38.2546, -76.9636, "Virginia"),       # Colonial Beach
+        (38.3310, -77.0510, "Virginia"),       # Dahlgren
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Virginia"), ("US", "West Virginia"))
+    outsiders = [
+        # DC and the MD north bank / Delmarva (no MD ring: anchors)
+        (38.9072, -77.0369, "Washington DC"),
+        (38.9090, -77.0650, "Georgetown DC"),
+        (38.7821, -77.0164, "National Harbor MD"),
+        (38.0381, -76.3222, "Point Lookout MD"),
+        (38.2630, -76.8450, "Cobb Island MD"),
+        (37.9835, -75.8538, "Crisfield MD"),
+        (37.9670, -76.0230, "Tylerton, Smith Island MD"),
+        (38.0757, -75.5660, "Pocomoke City MD"),
+        (39.2762, -77.5436, "Point of Rocks MD"),
+        (39.3143, -77.6277, "Brunswick MD"),
+        (39.3268, -77.7153, "Sandy Hook MD"),
+        (39.4573, -77.7493, "Sharpsburg MD"),
+        (39.6007, -77.8236, "Williamsport MD"),
+        (39.6993, -78.1800, "Hancock MD"),
+        (39.5426, -78.6094, "Oldtown MD"),
+        (39.6528, -78.7625, "Cumberland MD"),
+        (39.4859, -79.0445, "Westernport MD"),
+        (39.4472, -78.9752, "McCoole MD"),
+        (39.3871, -79.1815, "Kitzmiller MD"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+
+    # Ohio river twins stay Ohio under the densified panhandle channel
+    for lat, lon, name in [
+        (40.6187, -80.5772, "East Liverpool"),
+        (40.6028, -80.6492, "Wellsville"),
+        (40.4612, -80.6009, "Toronto"),
+        (40.3209, -80.6098, "Mingo Junction"),
+        (40.2645, -80.6262, "Brilliant"),
+    ]:
+        assert geopoly.lookup(lat, lon) == ("US", "Ohio"), (name,)
+
+    # shared-edge contracts: the channel lists are the same vertices
+    # in every ring that borders them
+    wv = geopoly.POLYGONS[("US", "West Virginia")]
+    oh = geopoly.POLYGONS[("US", "Ohio")]
+    ky = geopoly.POLYGONS[("US", "Kentucky")]
+    va = geopoly.POLYGONS[("US", "Virginia")]
+    for v in geopoly._OHIO_RIVER_WV:
+        assert v in wv and v in oh
+    for v in geopoly._TUG_BIG_SANDY:
+        assert v in wv and v in ky
+    nc = geopoly.POLYGONS[("US", "North Carolina")]
+    for v in ((36.5505, -75.87), (36.5441, -76.50), (36.5441, -79.50),
+              (36.56, -80.90), (36.5888, -81.677)):
+        assert v in va and v in nc
+    tn = geopoly.POLYGONS[("US", "Tennessee")]
+    assert (36.5951, -81.68) in va and (36.5951, -81.68) in tn
+    assert (36.60, -83.675) in va  # Cumberland Gap tripoint (_KY_TN[0])
+    assert geopoly._KY_TN[0] == (36.60, -83.675)
+    # PA corners coincide
+    pa = geopoly.POLYGONS[("US", "Pennsylvania")]
+    assert (39.7222, -80.5194) in wv and (39.7222, -80.5194) in pa
