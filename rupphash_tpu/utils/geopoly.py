@@ -105,7 +105,12 @@ EXACT along the contested border:
     VA/KY ridge borders as paired conservative chains (both Bluefields,
     Peterstown/Rich Creek, WSS/Covington, Rippon/Berryville, Pound
     under Pound Gap), and a conservative Chesapeake Bay line keeping
-    Tangier VA in and Smith Island/Crisfield MD out.
+    Tangier VA in and Smith Island/Crisfield MD out; then Maryland
+    and Delaware complete the block — Maryland's Potomac edge is the
+    WV/VA bank chains verbatim (MD owns the river) with the DC square
+    cut out, and Delaware reuses Pennsylvania's Twelve-Mile-Circle
+    chords, the Transpeninsular 38.4510 (Delmar and Fenwick/Ocean
+    City split) and the tangent line.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -1641,11 +1646,84 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (37.90, -76.00),                      # bay line (Tangier in)
         (37.95, -75.75),                      # south of Crisfield MD
         (38.00, -75.62),                      # Pocomoke Sound
-        (38.01, -75.40),                      # Delmarva line (cons.)
-        (38.02, -75.20),                      # Atlantic at the MD line
+        (38.0425, -75.435),                   # Greenbackville in
+        (38.0425, -75.405),                   # Stockton MD out
+        (38.027, -75.24),                     # Chincoteague Bay crossing
         (37.60, -75.20),                      # Wallops offshore
         (37.10, -75.55),                      # Cape Charles offshore
         (36.80, -75.70)],                     # Virginia Beach offshore
+    # --- Maryland: Mason-Dixon 39.7222 (shared PA vertices), the
+    # Fairfax Stone deed line (shared WV), the MD/DE tangent line and
+    # Transpeninsular 38.4510 (shared DE); the ENTIRE Potomac edge is
+    # the WV and VA bank chains verbatim — MD owns the river, so every
+    # vertex that keeps a WV/VA bank town out of Maryland keeps the
+    # north-bank town in — with the District of Columbia square cut
+    # out (its three landward sides exact, the NW side closed at the
+    # river); the lower-bay / Delmarva line is the shared VA chain;
+    # the Atlantic edge is generous offshore.
+    ("US", "Maryland"): [
+        (39.7222, -79.4766),                  # PA/MD/WV corner (exact)
+        (39.7222, -75.788),                   # Mason-Dixon east end (PA/DE)
+        (38.4510, -75.6931),                  # Transpeninsular middle (DE)
+        (38.4510, -75.0490),                  # Fenwick Island (DE shared)
+        (38.44, -74.95),                      # Atlantic offshore
+        (38.05, -75.10),                      # Assateague offshore
+        (38.027, -75.24),                     # Chincoteague Bay (VA shared)
+        (38.0425, -75.405),                   # Stockton in (VA shared)
+        (38.0425, -75.435),                   # Greenbackville out (shared)
+        (38.00, -75.62),                      # Pocomoke Sound (VA shared)
+        (37.95, -75.75),                      # Crisfield in (VA shared)
+        (37.90, -76.00),                      # Smith Island in (VA shared)
+        (37.89, -76.22),                      # Smith Point (VA shared)
+        # Potomac VA-bank chain (shared VA vertices, upstream)
+        (37.95, -76.33), (38.05, -76.45), (38.155, -76.62),
+        (38.20, -76.80), (38.28, -76.95), (38.345, -77.05),
+        (38.36, -77.25), (38.40, -77.31), (38.52, -77.27),
+        (38.60, -77.20), (38.68, -77.11), (38.70, -77.075),
+        (38.77, -77.053),
+        # District of Columbia cut-out (original-square sides exact)
+        (38.7916, -77.0404),                  # DC south corner (Jones Pt)
+        (38.8927, -76.9094),                  # DC east corner
+        (38.9955, -77.0410),                  # DC north corner
+        (38.934, -77.121),                    # DC NW side at the river
+        # Potomac VA-bank chain resumes (shared VA vertices)
+        (38.955, -77.16), (39.00, -77.27), (39.06, -77.36),
+        (39.12, -77.46), (39.20, -77.47), (39.265, -77.55),
+        (39.302, -77.655),
+        (39.30, -77.71),                      # Loudoun tip (VA shared)
+        # Potomac WV-bank chain (shared WV vertices, upstream)
+        (39.3265, -77.72), (39.328, -77.756), (39.36, -77.775),
+        (39.405, -77.755), (39.437, -77.810), (39.468, -77.845),
+        (39.50, -77.885), (39.55, -77.875), (39.598, -77.835),
+        (39.60, -78.00), (39.692, -78.18), (39.622, -78.295),
+        (39.56, -78.32), (39.52, -78.38), (39.535, -78.452),
+        (39.53, -78.60), (39.647, -78.765), (39.57, -78.83),
+        (39.444, -78.976), (39.482, -79.043), (39.384, -79.18),
+        (39.285, -79.32), (39.24, -79.42),
+        (39.1960, -79.4872)],                 # Fairfax Stone (WV shared)
+    # --- Delaware: the Mason-Dixon tangent line (straight between the
+    # shared PA/MD corner and the Transpeninsular middle point, ~1 km
+    # envelope at mid-line), the Transpeninsular 38.4510 exact (Delmar
+    # and Fenwick/Ocean City split), the Twelve-Mile-Circle chords
+    # shared verbatim with Pennsylvania, the NJ-shore edge inside the
+    # circle (Delaware owns the river to the New Jersey low-water
+    # mark: Penns Grove/Pennsville NJ stay out by the shore line),
+    # mid-bay below the circle, generous Atlantic.
+    ("US", "Delaware"): [
+        (39.7222, -75.788),                   # PA/MD corner (shared)
+        (38.4510, -75.6931),                  # Transpeninsular middle
+        (38.4510, -75.0490),                  # Fenwick Island (MD shared)
+        (38.50, -74.90),                      # Atlantic offshore
+        (38.85, -74.95),                      # bay mouth (Cape May out)
+        (39.05, -75.12),                      # mid-bay
+        (39.20, -75.28),                      # mid-bay (Fortescue out)
+        (39.40, -75.40),                      # mid-bay narrows
+        (39.55, -75.54),                      # Salem NJ out
+        (39.65, -75.52),                      # Pennsville NJ out (circle)
+        (39.73, -75.475),                     # Penns Grove NJ out (circle)
+        (39.80, -75.43),                      # arc start (PA shared)
+        (39.83, -75.56),                      # Twelve-Mile chord (PA shared)
+        (39.78, -75.72)],                     # Twelve-Mile chord (PA shared)
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -1396,3 +1396,97 @@ def test_polygon_round4f_virginia_west_virginia():
     # PA corners coincide
     pa = geopoly.POLYGONS[("US", "Pennsylvania")]
     assert (39.7222, -80.5194) in wv and (39.7222, -80.5194) in pa
+
+
+def test_polygon_round4f_maryland_delaware():
+    """Maryland + Delaware complete the mid-Atlantic block.  Maryland's
+    Potomac edge is the WV and VA bank chains VERBATIM — the same
+    vertices that keep Shepherdstown/Paw Paw/Ridgeley WV and
+    Arlington/Alexandria VA out of Maryland keep Sharpsburg/Hancock/
+    Cumberland/Williamsport MD in — with the District of Columbia
+    square cut out (DC falls to anchors, never to Maryland).
+    Delaware's Twelve-Mile-Circle chords are Pennsylvania's vertices
+    verbatim; the Transpeninsular 38.4510 splits Delmar DE/MD and
+    Fenwick Island DE / Ocean City MD; the tangent line closes the
+    west side."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (39.2904, -76.6122, "Maryland"),   # Baltimore
+        (38.9784, -76.4922, "Maryland"),   # Annapolis
+        (39.6418, -77.7200, "Maryland"),   # Hagerstown
+        (39.6528, -78.7625, "Maryland"),   # Cumberland (vs Ridgeley WV)
+        (39.4859, -79.0445, "Maryland"),   # Westernport (vs Piedmont WV)
+        (39.3871, -79.1815, "Maryland"),   # Kitzmiller
+        (39.4079, -79.4068, "Maryland"),   # Oakland (deep west)
+        (39.6993, -78.1800, "Maryland"),   # Hancock
+        (39.6007, -77.8236, "Maryland"),   # Williamsport (vs F. Waters)
+        (39.4573, -77.7493, "Maryland"),   # Sharpsburg (vs Shepherdstown)
+        (39.3143, -77.6277, "Maryland"),   # Brunswick (vs Lovettsville)
+        (39.2762, -77.5436, "Maryland"),   # Point of Rocks
+        (39.1457, -77.4170, "Maryland"),   # Poolesville
+        (38.9847, -77.0947, "Maryland"),   # Bethesda (vs DC)
+        (38.9907, -77.0261, "Maryland"),   # Silver Spring (vs DC)
+        (38.7821, -77.0164, "Maryland"),   # National Harbor (vs Alexandria)
+        (38.0381, -76.3222, "Maryland"),   # Point Lookout
+        (37.9835, -75.8538, "Maryland"),   # Crisfield (bay line)
+        (37.9670, -76.0230, "Maryland"),   # Tylerton, Smith Island
+        (38.0454, -75.4093, "Maryland"),   # Stockton (vs Greenbackville)
+        (38.3365, -75.0849, "Maryland"),   # Ocean City (vs Fenwick)
+        (38.4446, -75.5770, "Maryland"),   # Delmar MD (split town!)
+        (39.6068, -75.8333, "Maryland"),   # Elkton
+        (39.7459, -75.5466, "Delaware"),   # Wilmington
+        (39.6837, -75.7497, "Delaware"),   # Newark DE
+        (39.8007, -75.4596, "Delaware"),   # Claymont (in the circle)
+        (39.1582, -75.5244, "Delaware"),   # Dover
+        (38.7746, -75.1393, "Delaware"),   # Lewes
+        (38.4590, -75.0530, "Delaware"),   # Fenwick Island (vs OC)
+        (38.4565, -75.5770, "Delaware"),   # Delmar DE (split town!)
+        (38.6412, -75.6110, "Delaware"),   # Seaford
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Maryland"), ("US", "Delaware"))
+    outsiders = [
+        (38.9072, -77.0369, "Washington DC"),
+        (38.8670, -76.9840, "Anacostia DC"),
+        (38.9750, -77.0180, "Takoma DC"),
+        (39.7274, -75.4682, "Penns Grove NJ"),
+        (39.6534, -75.5168, "Pennsville NJ"),
+        (39.5718, -75.4671, "Salem NJ"),
+        (38.9351, -74.9060, "Cape May NJ"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+    # DC stays DC through the anchors
+    assert geonames.subdivision_name(38.9072, -77.0369) == \
+        "District of Columbia"
+    # neighbours keep their side of the shared edges
+    assert geopoly.lookup(38.8048, -77.0469) == ("US", "Virginia")
+    assert geopoly.lookup(39.3251, -77.7386) == ("US", "West Virginia")
+    assert geopoly.lookup(39.7300, -77.0000) == ("US", "Pennsylvania")
+    assert geopoly.lookup(39.8193, -75.4177) == ("US", "Pennsylvania")
+
+    # shared-edge contracts
+    md = geopoly.POLYGONS[("US", "Maryland")]
+    de = geopoly.POLYGONS[("US", "Delaware")]
+    pa = geopoly.POLYGONS[("US", "Pennsylvania")]
+    va = geopoly.POLYGONS[("US", "Virginia")]
+    wv = geopoly.POLYGONS[("US", "West Virginia")]
+    for v in ((39.7222, -79.4766), (39.7222, -75.788)):
+        assert v in md and v in pa or v in wv  # Mason-Dixon corners
+    assert (39.7222, -75.788) in md and (39.7222, -75.788) in pa \
+        and (39.7222, -75.788) in de
+    for v in ((38.4510, -75.6931), (38.4510, -75.0490)):
+        assert v in md and v in de            # Transpeninsular line
+    for v in ((39.78, -75.72), (39.83, -75.56), (39.80, -75.43)):
+        assert v in de and v in pa            # Twelve-Mile chords
+    # every Potomac bank vertex in MD is the same object value as the
+    # VA/WV chains (MD owns the river: coincident edges, no strip)
+    for v in ((38.77, -77.053), (38.345, -77.05), (37.89, -76.22)):
+        assert v in md and v in va
+    for v in ((39.437, -77.810), (39.535, -78.452), (39.1960, -79.4872)):
+        assert v in md and v in wv
