@@ -110,7 +110,19 @@ EXACT along the contested border:
     WV/VA bank chains verbatim (MD owns the river) with the DC square
     cut out, and Delaware reuses Pennsylvania's Twelve-Mile-Circle
     chords, the Transpeninsular 38.4510 (Delmar and Fenwick/Ocean
-    City split) and the tangent line.
+    City split) and the tangent line.  New Jersey and New York close
+    the Northeast seaboard: the Delaware River is two shared channel
+    lists (_DELAWARE_NY_PA, _DELAWARE_PA_NJ) spliced verbatim into
+    the PA/NJ/NY rings, the NJ/NY boundary is the 1774 straight line
+    plus the shared _NY_NJ_WATER harbor/Hudson channel (Staten Island,
+    Manhattan and Yonkers split from Perth Amboy, Jersey City and
+    Alpine across 300 m - 2 km of water), New York's Canada frontage
+    rides the Niagara west channel, the Great Lakes midlines, the
+    St. Lawrence channel (south of Wolfe Island) and the surveyed
+    ~45.005 parallel, Lake Champlain and the CT Oblong/panhandle
+    carry the east side, and Long Island Sound rides the NY/CT marine
+    midline (Orient/Plum/Fishers Islands NY, the CT shore and Block
+    Island RI out).
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -557,6 +569,80 @@ _TUG_BIG_SANDY: list[tuple[float, float]] = [
     (38.40, -82.596),                     # Catlettsburg reach
 ]
 
+# Delaware River, NY/PA reach: from where the 42N line meets the river
+# down to the Port Jervis elbow just above the NY/NJ/PA tri-state.
+# Shared VERBATIM by Pennsylvania (east edge, this order) and New York
+# (west edge, reversed): Hancock/Callicoon/Narrowsburg/Port Jervis NY
+# stay east of the channel, Equinunk/Lackawaxen/Matamoras PA west.
+_DELAWARE_NY_PA: list[tuple[float, float]] = [
+    (41.95, -75.28),                      # Hancock
+    (41.87, -75.21),                      # Lordville
+    (41.77, -75.06),                      # Callicoon
+    (41.60, -75.06),                      # Narrowsburg
+    (41.48, -74.91),                      # Barryville
+    (41.44, -74.82),                      # Pond Eddy
+    (41.405, -74.72),                     # Sparrowbush reach
+    (41.371, -74.690),                    # Port Jervis elbow
+]
+
+# Delaware River, PA/NJ reach: tri-state corner down to the Marcus Hook
+# arc start where the Twelve-Mile-Circle chords take over.  Shared
+# VERBATIM by Pennsylvania (this order) and New Jersey (reversed):
+# Easton/Trenton-side/Camden splits within ~1-2 km of the channel.
+_DELAWARE_PA_NJ: list[tuple[float, float]] = [
+    (41.32, -74.80),                      # Milford
+    (41.22, -74.86),                      # Dingmans Ferry
+    (41.09, -75.00),                      # Bushkill
+    (40.97, -75.13),                      # Delaware Water Gap
+    (40.92, -75.09),                      # Portland / Columbia
+    (40.83, -75.08),                      # Belvidere reach
+    (40.69, -75.195),                     # Easton / Phillipsburg
+    (40.59, -75.19),                      # Riegelsville
+    (40.53, -75.06),                      # Frenchtown reach
+    (40.37, -74.95),                      # New Hope / Lambertville
+    (40.30, -74.87),                      # Washington Crossing
+    (40.22, -74.77),                      # Trenton / Morrisville
+    (40.14, -74.74),                      # Bordentown bend
+    (40.08, -74.865),                     # Bristol / Burlington
+    (40.01, -75.04),                      # Tacony reach
+    (39.95, -75.135),                     # Philadelphia / Camden
+    (39.89, -75.18),                      # south Philadelphia
+    (39.85, -75.31),                      # Eddystone
+    (39.83, -75.36),                      # Chester
+    (39.80, -75.43),                      # Marcus Hook / arc start
+]
+
+# NY/NJ water boundary, south (the harbor entrance off Sandy Hook) to
+# north (where the 1774 straight line meets the Hudson midline).
+# Shared VERBATIM by the New Jersey and New York rings: Raritan Bay
+# midline (Staten Island's south shore NY, Keansburg/Sandy Hook NJ),
+# Arthur Kill channel (Tottenville/Howland Hook NY east bank 300-600 m
+# from Perth Amboy/Carteret/Linden/Elizabethport NJ west bank), the
+# Kill Van Kull (Shooters Island NY under the Bayonne shore, Port
+# Richmond/St. George NY south), Upper Bay and the Hudson midline
+# (Hoboken/Jersey City/Edgewater/Fort Lee/Alpine NJ west bank,
+# Manhattan/Riverdale/Yonkers NY east bank).
+_NY_NJ_WATER: list[tuple[float, float]] = [
+    (40.50, -73.95),                      # harbor entrance (Sandy Hook)
+    (40.47, -74.10),                      # Raritan Bay midline
+    (40.475, -74.20),                     # Raritan Bay west (Keansburg S)
+    (40.493, -74.26),                     # Ward Point (Kill mouth)
+    (40.525, -74.253),                    # Outerbridge midspan
+    (40.555, -74.235),                    # Arthur Kill (Tottenville reach)
+    (40.59, -74.21),                      # Arthur Kill (Carteret reach)
+    (40.625, -74.202),                    # Tremley reach (Linden out)
+    (40.645, -74.1915),                   # Kill north end (Howland Hook E)
+    (40.6475, -74.159),                   # north of Shooters Island
+    (40.6435, -74.13),                    # Kill Van Kull (Port Richmond)
+    (40.6465, -74.075),                   # Kill Van Kull east (St. George S)
+    (40.66, -74.058),                     # Upper Bay midline
+    (40.69, -74.045),                     # Upper Bay north (Jersey City W)
+    (40.75, -74.012),                     # Hudson midline (Hoboken)
+    (40.85, -73.952),                     # Hudson midline (GW Bridge)
+    (40.92, -73.915),                     # Hudson midline (Alpine/Riverdale)
+    (40.996, -73.907),                    # 1774 line at the Hudson
+]
+
 _KY_TN: list[tuple[float, float]] = [
     (36.60, -83.675),                     # Cumberland Gap (VA tripoint)
     (36.61, -84.80),                      # Walker line
@@ -921,35 +1007,9 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (42.28, -79.762),                     # lake edge (US waters)
         (42.0, -79.762),                      # NY west line south end
         (42.0, -75.36),                       # 42N meets the Delaware
-        (41.95, -75.28),                      # Hancock
-        (41.87, -75.21),                      # Lordville
-        (41.77, -75.06),                      # Callicoon
-        (41.60, -75.06),                      # Narrowsburg
-        (41.48, -74.91),                      # Barryville
-        (41.44, -74.82),                      # Pond Eddy
-        (41.405, -74.72),                     # Sparrowbush reach
-        (41.371, -74.690),                    # Port Jervis elbow
+        *_DELAWARE_NY_PA,                     # shared NY/PA river edge
         (41.357, -74.695),                    # NY/NJ/PA tri-state
-        (41.32, -74.80),                      # Milford
-        (41.22, -74.86),                      # Dingmans Ferry
-        (41.09, -75.00),                      # Bushkill
-        (40.97, -75.13),                      # Delaware Water Gap
-        (40.92, -75.09),                      # Portland / Columbia
-        (40.83, -75.08),                      # Belvidere reach
-        (40.69, -75.195),                     # Easton / Phillipsburg
-        (40.59, -75.19),                      # Riegelsville
-        (40.53, -75.06),                      # Frenchtown reach
-        (40.37, -74.95),                      # New Hope / Lambertville
-        (40.30, -74.87),                      # Washington Crossing
-        (40.22, -74.77),                      # Trenton / Morrisville
-        (40.14, -74.74),                      # Bordentown bend
-        (40.08, -74.865),                     # Bristol / Burlington
-        (40.01, -75.04),                      # Tacony reach
-        (39.95, -75.135),                     # Philadelphia / Camden
-        (39.89, -75.18),                      # south Philadelphia
-        (39.85, -75.31),                      # Eddystone
-        (39.83, -75.36),                      # Chester
-        (39.80, -75.43),                      # Marcus Hook / arc start
+        *_DELAWARE_PA_NJ,                     # shared PA/NJ river edge
         (39.83, -75.56),                      # Twelve-Mile-Circle chord
         (39.78, -75.72),                      # Twelve-Mile-Circle chord
         (39.7222, -75.788),                   # MD/DE corner
@@ -1724,6 +1784,115 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (39.80, -75.43),                      # arc start (PA shared)
         (39.83, -75.56),                      # Twelve-Mile chord (PA shared)
         (39.78, -75.72)],                     # Twelve-Mile chord (PA shared)
+    # --- New Jersey: the west edge is the shared _DELAWARE_PA_NJ
+    # channel list reversed (coincident with Pennsylvania); inside the
+    # Twelve-Mile Circle and down Delaware Bay the edge reuses
+    # Delaware's NJ-shore/mid-bay vertices verbatim (Delaware owns the
+    # river to the NJ low-water mark, so Pennsville/Penns Grove/Salem
+    # sit between the two rings' shared vertices and resolve NJ); the
+    # north edge is the 1774 straight line from the tri-state to the
+    # Hudson (ends mid-river at the shared _NY_NJ_WATER top vertex —
+    # the real line wobbles <~1 km about straight); the east edge is
+    # the shared _NY_NJ_WATER channel list reversed; the Atlantic is
+    # generous offshore (Sandy Hook to Cape May in).
+    ("US", "New Jersey"): [
+        (41.357, -74.695),                    # tri-state (PA/NY shared)
+        *[(la, lo) for la, lo in reversed(_NY_NJ_WATER)],
+        (40.40, -73.90),                      # Atlantic offshore
+        (40.10, -73.90),                      # offshore (Asbury Park)
+        (39.60, -74.10),                      # offshore (Barnegat)
+        (39.20, -74.40),                      # offshore (Atlantic City)
+        (38.85, -74.80),                      # offshore (Wildwood)
+        (38.85, -74.95),                      # bay mouth (DE shared)
+        (39.05, -75.12),                      # mid-bay (DE shared)
+        (39.20, -75.28),                      # mid-bay (DE shared)
+        (39.40, -75.40),                      # mid-bay narrows (DE shared)
+        (39.55, -75.54),                      # Salem reach (DE shared)
+        (39.65, -75.52),                      # Pennsville (DE shared)
+        (39.73, -75.475),                     # Penns Grove (DE shared)
+        *[(la, lo) for la, lo in reversed(_DELAWARE_PA_NJ)]],
+    # --- New York: the PA border is exact (-79.762 meridian, the 42N
+    # parallel) plus the shared _DELAWARE_NY_PA channel; the NJ border
+    # is the 1774 line + shared _NY_NJ_WATER verbatim; the Niagara
+    # follows the west (Chippawa) channel around Grand Island and the
+    # gorge midline (Fort Erie/Chippawa/Niagara Falls ON/Queenston/
+    # Niagara-on-the-Lake out, Buffalo/Grand Island/Niagara Falls NY/
+    # Lewiston/Youngstown in); Lakes Erie/Ontario ride the
+    # international midline (Toronto side out, Main Duck out, Galloo
+    # in); the St. Lawrence channel passes south of Wolfe Island and
+    # splits Clayton/Gananoque, Alexandria Bay/Rockport, Morristown/
+    # Brockville, Ogdensburg/Prescott, Massena/Cornwall; the Canada
+    # line east of St. Regis is the surveyed ~45.005 (Rouses Point and
+    # Fort Covington in, Dundee/Hemmingford/Lacolle QC out); Lake
+    # Champlain rides the midline (Plattsburgh/Essex/Ticonderoga in,
+    # Grand Isle/Burlington/Chimney Point VT out) to the Poultney
+    # corner; the VT/MA lines are near-straight surveyed chains; the
+    # CT border is the Oblong line, the panhandle north edge and the
+    # Byram corner (Greenwich/Stamford/Ridgefield/Danbury out, Rye/
+    # White Plains/Armonk/Bedford/Brewster in); Long Island Sound
+    # rides the NY/CT marine midline east (Orient, Plum and Fishers
+    # Islands in; New London/Mystic/Stonington/Watch Hill out; Block
+    # Island RI out) and the Atlantic side is generous offshore.
+    ("US", "New York"): [
+        (42.0, -79.762),                      # PA west line (shared)
+        (42.28, -79.762),                     # lake edge (PA shared)
+        (42.55, -79.25),                      # Lake Erie midline
+        (42.80, -78.95),                      # Lake Erie midline NE
+        (42.90, -78.908),                     # river head (Fort Erie W)
+        (42.94, -78.94),                      # Black Rock reach
+        (42.99, -79.00),                      # Chippawa channel (S of GI)
+        (43.03, -79.03),                      # Chippawa channel
+        (43.06, -79.045),                     # Welland mouth reach
+        (43.078, -79.07),                     # Horseshoe Falls midline
+        (43.12, -79.063),                     # Whirlpool gorge
+        (43.16, -79.047),                     # Queenston / Lewiston
+        (43.27, -79.063),                     # river mouth (NOTL out)
+        (43.32, -79.00),                      # Lake Ontario (US waters)
+        (43.40, -78.40),                      # lake midline
+        (43.50, -77.40),                      # lake midline
+        (43.55, -76.95),                      # lake midline east
+        (43.90, -76.60),                      # Main Duck out, Galloo in
+        (44.10, -76.42),                      # south of Wolfe Island
+        (44.145, -76.33),                     # Cape Vincent reach
+        (44.20, -76.20),                      # St. Lawrence midline
+        (44.27, -76.05),                      # Clayton reach
+        (44.36, -75.90),                      # Alexandria Bay reach
+        (44.50, -75.75),                      # midline
+        (44.595, -75.665),                    # Morristown / Brockville
+        (44.703, -75.505),                    # Ogdensburg / Prescott
+        (44.82, -75.25),                      # midline
+        (44.98, -74.85),                      # Massena reach (Cornwall N)
+        (45.005, -74.66),                     # St. Regis (45N line)
+        (45.005, -73.345),                    # 45N at Lake Champlain
+        (44.72, -73.365),                     # Champlain midline
+        (44.50, -73.30),                      # midline (Burlington out)
+        (44.20, -73.33),                      # midline (Vergennes out)
+        (43.95, -73.40),                      # midline (Port Henry in)
+        (43.62, -73.42),                      # narrow lake south
+        (43.56, -73.37),                      # East Bay (Whitehall in)
+        (43.525, -73.25),                     # Poultney corner
+        (42.7449, -73.2764),                  # MA/VT/NY tripoint
+        (42.0497, -73.4875),                  # MA/CT/NY tripoint
+        (41.155, -73.52),                     # Oblong south corner
+        (41.100, -73.715),                    # panhandle NW corner
+        (41.067, -73.700),                    # Westchester airport reach
+        (41.005, -73.662),                    # Byram River (Port Chester)
+        (40.985, -73.655),                    # Sound at the Byram mouth
+        (40.94, -73.62),                      # western Sound midline
+        (40.99, -73.45),                      # Sound midline (Eatons Neck)
+        (41.03, -73.10),                      # midline (Bridgeport out)
+        (41.09, -72.70),                      # midline (New Haven out)
+        (41.21, -72.30),                      # Orient / Plum Island in
+        (41.32, -71.95),                      # Fishers Island in
+        (41.25, -71.80),                      # east of Fishers (Watch Hill)
+        (41.05, -71.70),                      # Block Island out, Montauk in
+        (40.90, -71.75),                      # Atlantic offshore
+        (40.55, -73.40),                      # offshore (Fire Island in)
+        (40.44, -73.80),                      # offshore (Long Beach in)
+        *_NY_NJ_WATER,                        # shared NJ water edge
+        (41.357, -74.695),                    # tri-state (1774 line end)
+        *[(la, lo) for la, lo in reversed(_DELAWARE_NY_PA)],
+        (42.0, -75.36)],                      # 42N meets the Delaware
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

@@ -1490,3 +1490,169 @@ def test_polygon_round4f_maryland_delaware():
         assert v in md and v in va
     for v in ((39.437, -77.810), (39.535, -78.452), (39.1960, -79.4872)):
         assert v in md and v in wv
+
+
+def test_polygon_round4f_new_jersey_new_york():
+    """New Jersey + New York close the Northeast seaboard.  The
+    Delaware River is two shared channel lists spliced verbatim into
+    the PA/NJ/NY rings; the NJ/NY boundary is the 1774 straight line
+    plus the shared _NY_NJ_WATER harbor/Hudson channel — the densest
+    twin-city corridor in the country (Staten Island/Perth Amboy,
+    Manhattan/Hoboken, Yonkers/Alpine split across 300 m - 2 km of
+    water, where anchors are hopeless); New York's Canada frontage
+    rides the Niagara west channel, the Great Lakes midlines, the
+    St. Lawrence channel south of Wolfe Island and the surveyed
+    ~45.005 parallel; Lake Champlain, the MA/VT lines and the CT
+    Oblong/panhandle carry the east; Long Island Sound rides the
+    NY/CT marine midline (Orient/Plum/Fishers Islands NY in, the CT
+    shore and Block Island RI out)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # --- the harbor / Hudson twin-city corridor
+        (40.7580, -73.9855, "New York"),     # Manhattan (Times Sq)
+        (40.6782, -73.9442, "New York"),     # Brooklyn
+        (40.5795, -74.1502, "New York"),     # Staten Island
+        (40.5126, -74.2518, "New York"),     # Tottenville (Arthur Kill)
+        (40.6437, -74.0733, "New York"),     # St. George (Kill Van Kull)
+        (40.6395, -74.1830, "New York"),     # Howland Hook
+        (40.9312, -73.8988, "New York"),     # Yonkers (Hudson east bank)
+        (40.5755, -73.9880, "New York"),     # Coney Island
+        (40.7357, -74.1724, "New Jersey"),   # Newark
+        (40.7178, -74.0431, "New Jersey"),   # Jersey City (vs Manhattan)
+        (40.7440, -74.0324, "New Jersey"),   # Hoboken (vs Manhattan)
+        (40.6687, -74.1143, "New Jersey"),   # Bayonne (vs Shooters Is.)
+        (40.6540, -74.1905, "New Jersey"),   # Elizabethport (vs H. Hook)
+        (40.5774, -74.2282, "New Jersey"),   # Carteret (Arthur Kill)
+        (40.5068, -74.2654, "New Jersey"),   # Perth Amboy (vs Tottenville)
+        (40.8509, -73.9701, "New Jersey"),   # Fort Lee (vs Manhattan)
+        (40.8271, -73.9757, "New Jersey"),   # Edgewater (under the cliffs)
+        (40.9562, -73.9313, "New Jersey"),   # Alpine (vs Yonkers)
+        (40.4780, -74.0190, "New Jersey"),   # Sandy Hook (harbor line)
+        # --- the 1774 line
+        (41.0205, -73.9470, "New York"),     # Tappan (the line's reason)
+        (41.0590, -74.0218, "New York"),     # Pearl River
+        (41.1145, -74.1496, "New York"),     # Suffern
+        (41.3742, -74.6881, "New York"),     # Port Jervis (elbow)
+        (41.0065, -73.9490, "New Jersey"),   # Northvale
+        (41.0887, -74.1438, "New Jersey"),   # Mahwah
+        (41.3208, -74.6615, "New Jersey"),   # High Point monument
+        (41.2957, -74.7432, "New Jersey"),   # Montague (river side)
+        # --- shared Delaware chains (PA tests cover the west bank)
+        (40.2206, -74.7597, "New Jersey"),   # Trenton (vs Morrisville)
+        (39.9259, -75.1196, "New Jersey"),   # Camden (vs Philadelphia)
+        (40.3659, -74.9430, "New Jersey"),   # Lambertville (vs New Hope)
+        (40.6939, -75.1902, "New Jersey"),   # Phillipsburg (vs Easton)
+        # --- DE-shared bay edge (Delaware owns the river to NJ shore)
+        (39.5718, -75.4671, "New Jersey"),   # Salem
+        (39.7274, -75.4682, "New Jersey"),   # Penns Grove (in the circle)
+        (39.2370, -75.1730, "New Jersey"),   # Fortescue (mid-bay line)
+        (38.9351, -74.9060, "New Jersey"),   # Cape May
+        (38.9330, -74.9660, "New Jersey"),   # Cape May Point (bay mouth)
+        (39.3643, -74.4229, "New Jersey"),   # Atlantic City
+        # --- Niagara frontier
+        (42.8864, -78.8784, "New York"),     # Buffalo (vs Fort Erie)
+        (43.0200, -78.9600, "New York"),     # Grand Island (west channel)
+        (43.0945, -79.0567, "New York"),     # Niagara Falls NY (vs ON)
+        (43.1726, -79.0356, "New York"),     # Lewiston (vs Queenston)
+        (43.2484, -79.0520, "New York"),     # Youngstown (vs NOTL)
+        (42.4795, -79.3339, "New York"),     # Dunkirk (Erie midline)
+        # --- St. Lawrence channel
+        (44.1267, -76.3322, "New York"),     # Cape Vincent (vs Wolfe Is.)
+        (44.2394, -76.0858, "New York"),     # Clayton (vs Gananoque)
+        (44.3358, -75.9177, "New York"),     # Alexandria Bay
+        (44.5858, -75.6462, "New York"),     # Morristown (vs Brockville)
+        (44.6942, -75.4863, "New York"),     # Ogdensburg (vs Prescott)
+        (44.9280, -74.8920, "New York"),     # Massena (vs Cornwall)
+        # --- the 45.005 line and Champlain midline
+        (44.9820, -74.5040, "New York"),     # Fort Covington (vs Dundee)
+        (44.9936, -73.3651, "New York"),     # Rouses Point
+        (44.6995, -73.4529, "New York"),     # Plattsburgh (vs Grand Isle)
+        (44.3090, -73.3510, "New York"),     # Essex (vs Charlotte VT)
+        (43.8490, -73.4240, "New York"),     # Ticonderoga
+        (43.5553, -73.4037, "New York"),     # Whitehall (East Bay)
+        # --- MA/VT lines
+        (42.9010, -73.3520, "New York"),     # Hoosick Falls (vs Bennington)
+        (42.2009, -73.5362, "New York"),     # Hillsdale (vs Great Barr.)
+        # --- CT Oblong / panhandle
+        (41.3970, -73.6170, "New York"),     # Brewster (vs Danbury)
+        (41.3350, -73.5960, "New York"),     # North Salem (vs Ridgefield)
+        (41.2080, -73.5760, "New York"),     # Pound Ridge (vs New Canaan)
+        (41.1360, -73.7140, "New York"),     # Armonk (panhandle N edge)
+        (40.9810, -73.6840, "New York"),     # Rye (vs Greenwich)
+        # --- Long Island Sound marine line
+        (41.0360, -71.9540, "New York"),     # Montauk
+        (41.1620, -72.2370, "New York"),     # Orient Point
+        (41.2640, -71.9930, "New York"),     # Fishers Island (vs Mystic)
+        (40.6300, -73.1600, "New York"),     # Fire Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "New York"), ("US", "New Jersey"))
+    outsiders = [
+        # Connecticut (no ring: must fall through to anchors)
+        (41.0262, -73.6282, "Greenwich CT"),
+        (41.0400, -73.6580, "Glenville CT"),
+        (41.0534, -73.5387, "Stamford CT"),
+        (41.1468, -73.4948, "New Canaan CT"),
+        (41.2815, -73.4982, "Ridgefield CT"),
+        (41.3948, -73.4540, "Danbury CT"),
+        (41.1792, -73.1894, "Bridgeport CT"),
+        (41.3083, -72.9279, "New Haven CT"),
+        (41.3557, -72.0995, "New London CT"),
+        (41.3543, -71.9665, "Mystic CT"),
+        (41.3360, -71.9060, "Stonington CT"),
+        # Rhode Island
+        (41.3040, -71.8580, "Watch Hill RI"),
+        (41.1720, -71.5770, "Block Island RI"),
+        # Massachusetts / Vermont
+        (42.7120, -73.2037, "Williamstown MA"),
+        (42.1959, -73.3621, "Great Barrington MA"),
+        (42.8781, -73.1968, "Bennington VT"),
+        (44.4759, -73.2121, "Burlington VT"),
+        (44.7170, -73.2900, "Grand Isle VT"),
+        (43.5940, -73.2650, "Fair Haven VT"),
+        # Ontario / Quebec
+        (43.6510, -79.3830, "Toronto ON"),
+        (42.9049, -78.9339, "Fort Erie ON"),
+        (42.8620, -79.0570, "Crystal Beach ON"),
+        (43.0896, -79.0849, "Niagara Falls ON"),
+        (43.2550, -79.0720, "Niagara-on-the-Lake ON"),
+        (44.2312, -76.4860, "Kingston ON"),
+        (44.1800, -76.3700, "Wolfe Island ON"),
+        (44.3297, -76.1637, "Gananoque ON"),
+        (44.5895, -75.6840, "Brockville ON"),
+        (44.7103, -75.5125, "Prescott ON"),
+        (45.0275, -74.7400, "Cornwall ON"),
+        (45.0170, -74.4870, "Dundee QC"),
+        (45.0770, -73.3680, "Lacolle QC"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+    # anchors still resolve the un-ringed neighbours by name (border
+    # suburbs like Stamford anchor to NYC — the documented anchor
+    # envelope — but anchor-resolvable CT/VT cities stay theirs)
+    assert geonames.subdivision_name(41.3948, -73.4540) == "Connecticut"
+    assert geonames.subdivision_name(44.4759, -73.2121) == "Vermont"
+
+    # shared-edge contracts: the Delaware chains and the harbor chain
+    # appear verbatim in every ring that borders them
+    ny = geopoly.POLYGONS[("US", "New York")]
+    nj = geopoly.POLYGONS[("US", "New Jersey")]
+    pa = geopoly.POLYGONS[("US", "Pennsylvania")]
+    de = geopoly.POLYGONS[("US", "Delaware")]
+    for v in geopoly._DELAWARE_NY_PA:
+        assert v in ny and v in pa, v
+    for v in geopoly._DELAWARE_PA_NJ:
+        assert v in nj and v in pa, v
+    for v in geopoly._NY_NJ_WATER:
+        assert v in ny and v in nj, v
+    assert (41.357, -74.695) in ny and (41.357, -74.695) in nj \
+        and (41.357, -74.695) in pa              # tri-state corner
+    for v in ((38.85, -74.95), (39.40, -75.40), (39.73, -75.475)):
+        assert v in nj and v in de               # bay line (DE shared)
+    for v in ((42.0, -79.762), (42.28, -79.762), (42.0, -75.36)):
+        assert v in ny and v in pa               # 42N / -79.762 corners
