@@ -122,7 +122,15 @@ EXACT along the contested border:
     ~45.005 parallel, Lake Champlain and the CT Oblong/panhandle
     carry the east side, and Long Island Sound rides the NY/CT marine
     midline (Orient/Plum/Fishers Islands NY, the CT shore and Block
-    Island RI out).
+    Island RI out).  Southern New England then lands as pure shared
+    lists: _NY_CT reversed is Connecticut's whole west+south frontier,
+    _CT_MA carries the surveyed straight line with the Southwick Jog,
+    _CT_RI the Pawcatuck and the -71.7972 line, _RI_MA_EAST the
+    Attleboro line / East Bay / Mount Hope Bay / Westport meridian,
+    and _MA_NH the Province line + three-miles-north-of-the-Merrimack
+    arc awaiting a New Hampshire ring; Rhode Island's Atlantic
+    envelope encloses Block Island by reusing the New York edge
+    vertices that deliberately excluded it.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -612,6 +620,30 @@ _DELAWARE_PA_NJ: list[tuple[float, float]] = [
     (39.80, -75.43),                      # Marcus Hook / arc start
 ]
 
+# NY/CT frontier, north (the MA/CT/NY tripoint) through the land
+# border (the Oblong line, the panhandle north edge, the Byram corner)
+# then east along the Long Island Sound marine midline to the Fishers
+# Island Sound corner.  Shared VERBATIM by New York (this order) and
+# Connecticut (reversed): Greenwich/Stamford/Ridgefield/Danbury CT
+# east/south of the land line, Rye/White Plains/Armonk/Bedford/
+# Brewster NY west/north; the Sound midline keeps the CT shore and
+# islands north while Eatons Neck, Orient, Plum and Fishers Islands
+# stay New York.
+_NY_CT: list[tuple[float, float]] = [
+    (42.0497, -73.4875),                  # MA/CT/NY tripoint
+    (41.155, -73.52),                     # Oblong south corner
+    (41.100, -73.715),                    # panhandle NW corner
+    (41.067, -73.700),                    # Westchester airport reach
+    (41.005, -73.662),                    # Byram River (Port Chester)
+    (40.985, -73.655),                    # Sound at the Byram mouth
+    (40.94, -73.62),                      # western Sound midline
+    (40.99, -73.45),                      # Sound midline (Eatons Neck)
+    (41.03, -73.10),                      # midline (Bridgeport out)
+    (41.09, -72.70),                      # midline (New Haven out)
+    (41.21, -72.30),                      # Orient / Plum Island in
+    (41.32, -71.95),                      # Fishers Island Sound corner
+]
+
 # NY/NJ water boundary, south (the harbor entrance off Sandy Hook) to
 # north (where the 1774 straight line meets the Hudson midline).
 # Shared VERBATIM by the New Jersey and New York rings: Raritan Bay
@@ -641,6 +673,81 @@ _NY_NJ_WATER: list[tuple[float, float]] = [
     (40.85, -73.952),                     # Hudson midline (GW Bridge)
     (40.92, -73.915),                     # Hudson midline (Alpine/Riverdale)
     (40.996, -73.907),                    # 1774 line at the Hudson
+]
+
+# CT/RI border: the Pawcatuck River from the Sound up to the Ashaway
+# corner (Pawcatuck CT west bank, Westerly RI east bank), then the
+# straight ~-71.7972 north line to the CT/RI/MA tripoint.  Shared
+# VERBATIM by the Connecticut and Rhode Island rings (this order:
+# south/mouth to north/tripoint).
+_CT_RI: list[tuple[float, float]] = [
+    (41.328, -71.860),                    # Pawcatuck mouth (Little
+                                          #   Narragansett Bay)
+    (41.350, -71.845),                    # lower river
+    (41.3776, -71.8310),                  # Westerly / Pawcatuck reach
+    (41.405, -71.810),                    # Potter Hill reach
+    (41.4417, -71.7972),                  # Ashaway corner (line starts)
+    (42.0157, -71.7972),                  # CT/RI/MA tripoint
+]
+
+# RI/MA east border, north (the RI northeast corner on the 42.0157
+# line) to south (the Atlantic end of the ~-71.128 Westport meridian).
+# Shared VERBATIM by Rhode Island (east edge, this order) and
+# Massachusetts (west edge, reversed): the Attleboro line trends SSW
+# (Pawtucket/Central Falls RI west, Attleboro/South Attleboro MA
+# east), the Seekonk/Palmer reach keeps East Providence/Riverside/
+# Barrington/Warren/Bristol RI and Seekonk/Rehoboth/Swansea/Somerset
+# MA apart, Mount Hope Bay splits Bristol RI from Fall River MA, the
+# Fall River/Tiverton coastal corner runs east overland, and the
+# Westport meridian keeps Little Compton/Adamsville RI west of
+# Westport MA.
+_RI_MA_EAST: list[tuple[float, float]] = [
+    (42.0157, -71.3817),                  # RI northeast corner
+    (41.83, -71.345),                     # Attleboro line south end
+    (41.775, -71.330),                    # Seekonk reach
+    (41.73, -71.255),                     # Palmer River reach
+    (41.68, -71.245),                     # Mount Hope Bay (Bristol E)
+    (41.6604, -71.185),                   # Fall River / Tiverton corner
+    (41.6550, -71.128),                   # overland jog east
+    (41.50, -71.128),                     # Westport meridian at the sea
+]
+
+# CT/MA border: a straight surveyed line from the NY tripoint to the
+# RI tripoint (the real line wobbles <~1 km about it) with the
+# Southwick Jog — the MA notch dipping south to ~41.9983 between
+# -72.7737 and -72.7554 (Congamond Lakes stay Massachusetts).  Shared
+# VERBATIM by Connecticut (north edge, this order: west to east) and
+# Massachusetts (south edge, reversed).
+_CT_MA: list[tuple[float, float]] = [
+    (42.0497, -73.4875),                  # NY/MA/CT tripoint
+    (42.0301, -72.7737),                  # jog northwest corner
+    (41.9983, -72.7737),                  # jog southwest corner
+    (41.9983, -72.7554),                  # jog southeast corner
+    (42.0299, -72.7554),                  # jog northeast corner
+    (42.0157, -71.7972),                  # CT/RI/MA tripoint
+]
+
+# MA north border, west (the Connecticut River corner where the
+# MA/VT line ends and New Hampshire's bank begins) to east (the
+# Atlantic off Salisbury Beach).  Shared VERBATIM by Massachusetts
+# (this order) and, later, New Hampshire (reversed): the Province
+# line runs ~42.70-42.71 west of the Merrimack bend, then climbs the
+# surveyed three-miles-north-of-the-Merrimack arc (Pelham/Windham/
+# Salem/Atkinson/Plaistow/Newton/South Hampton/Seabrook NH north,
+# Dracut/Methuen/Haverhill/Merrimac/Amesbury/Salisbury MA south).
+_MA_NH: list[tuple[float, float]] = [
+    (42.7269, -72.4583),                  # Connecticut River corner
+    (42.713, -72.28),                     # Province line (Winchester S)
+    (42.710, -71.90),                     # Province line (Rindge S)
+    (42.700, -71.46),                     # Nashua / Tyngsborough
+    (42.705, -71.36),                     # Pelham SW corner reach
+    (42.712, -71.295),                    # Dracut / Pelham corner
+    (42.7525, -71.22),                    # Methuen / Salem line
+    (42.805, -71.13),                     # Haverhill / Atkinson arc
+    (42.852, -71.02),                     # Merrimac / Newton arc
+    (42.8724, -70.9150),                  # Amesbury / South Hampton
+    (42.8718, -70.8170),                  # coast (Salisbury/Seabrook)
+    (42.865, -70.70),                     # seaward extension
 ]
 
 _KY_TN: list[tuple[float, float]] = [
@@ -1872,18 +1979,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (43.56, -73.37),                      # East Bay (Whitehall in)
         (43.525, -73.25),                     # Poultney corner
         (42.7449, -73.2764),                  # MA/VT/NY tripoint
-        (42.0497, -73.4875),                  # MA/CT/NY tripoint
-        (41.155, -73.52),                     # Oblong south corner
-        (41.100, -73.715),                    # panhandle NW corner
-        (41.067, -73.700),                    # Westchester airport reach
-        (41.005, -73.662),                    # Byram River (Port Chester)
-        (40.985, -73.655),                    # Sound at the Byram mouth
-        (40.94, -73.62),                      # western Sound midline
-        (40.99, -73.45),                      # Sound midline (Eatons Neck)
-        (41.03, -73.10),                      # midline (Bridgeport out)
-        (41.09, -72.70),                      # midline (New Haven out)
-        (41.21, -72.30),                      # Orient / Plum Island in
-        (41.32, -71.95),                      # Fishers Island in
+        *_NY_CT,                              # shared CT land+Sound edge
         (41.25, -71.80),                      # east of Fishers (Watch Hill)
         (41.05, -71.70),                      # Block Island out, Montauk in
         (40.90, -71.75),                      # Atlantic offshore
@@ -1893,6 +1989,52 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.357, -74.695),                    # tri-state (1774 line end)
         *[(la, lo) for la, lo in reversed(_DELAWARE_NY_PA)],
         (42.0, -75.36)],                      # 42N meets the Delaware
+    # --- Connecticut: the west/south frontier is the shared _NY_CT
+    # land+Sound chain reversed (coincident with New York); the north
+    # edge is the shared _CT_MA surveyed line with the Southwick Jog;
+    # the east edge is the shared _CT_RI Pawcatuck + -71.7972 line;
+    # the southeast corner threads the Stonington peninsula in while
+    # Watch Hill RI stays out.
+    ("US", "Connecticut"): [
+        *[(la, lo) for la, lo in reversed(_CT_RI)],
+        *[(la, lo) for la, lo in reversed(_NY_CT)],
+        *_CT_MA[1:-1]],                       # endpoints already present
+    # --- Rhode Island: the shared _CT_RI west edge, the 42.0157 north
+    # line and _RI_MA_EAST (both shared verbatim with Massachusetts),
+    # and a generous Atlantic that encloses Block Island — which the
+    # New York ring's (41.25,-71.80)/(41.05,-71.70) edge (reused here
+    # verbatim, coincident) deliberately left outside.
+    ("US", "Rhode Island"): [
+        *_CT_RI,                              # Pawcatuck + north line
+        (42.0157, -71.3817),                  # 42.0157 line (MA shared)
+        *_RI_MA_EAST[1:],                     # east edge (MA shared)
+        (41.25, -71.25),                      # Atlantic (Sakonnet out E)
+        (41.05, -71.55),                      # south of Block Island
+        (41.05, -71.70),                      # NY-ring vertex (shared)
+        (41.25, -71.80),                      # NY-ring vertex (shared)
+        (41.29, -71.87)],                     # Watch Hill offshore (stays
+                                              #   east of the NY edge)
+    # --- Massachusetts: every land border is a shared list — the
+    # NY/MA line (vertices shared with New York), _MA_NH, _CT_MA and
+    # _RI_MA_EAST — plus the MA/VT near-straight surveyed line from
+    # the NY corner to the Connecticut River; the Atlantic envelope
+    # wraps Cape Ann, Cape Cod, Nantucket and Martha's Vineyard.
+    ("US", "Massachusetts"): [
+        (42.0497, -73.4875),                  # NY/MA/CT tripoint (shared)
+        (42.7449, -73.2764),                  # MA/VT/NY tripoint (shared)
+        *_MA_NH,                              # shared NH line + seaward
+        (42.70, -70.50),                      # Cape Ann offshore
+        (42.55, -70.45),                      # offshore
+        (42.30, -70.55),                      # Stellwagen reach
+        (42.25, -70.05),                      # outer Cape offshore
+        (42.10, -69.90),                      # offshore (Provincetown in)
+        (41.85, -69.75),                      # offshore (Chatham E)
+        (41.40, -69.80),                      # offshore
+        (41.10, -69.95),                      # south of Nantucket
+        (41.15, -70.70),                      # south of the Vineyard
+        (41.20, -70.95),                      # offshore (Cuttyhunk in)
+        *[(la, lo) for la, lo in reversed(_RI_MA_EAST)],
+        *list(reversed(_CT_MA))[:-1]],        # first vertex closes ring
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

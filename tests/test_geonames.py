@@ -1656,3 +1656,128 @@ def test_polygon_round4f_new_jersey_new_york():
         assert v in nj and v in de               # bay line (DE shared)
     for v in ((42.0, -79.762), (42.28, -79.762), (42.0, -75.36)):
         assert v in ny and v in pa               # 42N / -79.762 corners
+
+
+def test_polygon_round4f_southern_new_england():
+    """Connecticut, Rhode Island and Massachusetts: every land border
+    is a shared list — _NY_CT (the Oblong/panhandle + the Long Island
+    Sound marine midline, coincident with New York), _CT_MA (the
+    surveyed straight line with the Southwick Jog), _CT_RI (the
+    Pawcatuck + the -71.7972 line), _RI_MA_EAST (the Attleboro line,
+    the East Bay reaches, Mount Hope Bay and the Westport meridian)
+    and _MA_NH (the Province line + the three-miles-north-of-the-
+    Merrimack arc, ready for a New Hampshire ring to share) — so the
+    tri-state corners are exact and coincident.  Block Island is
+    inside Rhode Island's Atlantic envelope yet outside the New York
+    edge it shares vertices with."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # Connecticut
+        (41.7637, -72.6851, "Connecticut"),  # Hartford
+        (41.3083, -72.9279, "Connecticut"),  # New Haven
+        (41.0534, -73.5387, "Connecticut"),  # Stamford (vs NYC anchor!)
+        (41.0262, -73.6282, "Connecticut"),  # Greenwich (vs Port Chester)
+        (41.0400, -73.6580, "Connecticut"),  # Glenville (panhandle W)
+        (41.3948, -73.4540, "Connecticut"),  # Danbury (vs Brewster)
+        (41.2815, -73.4982, "Connecticut"),  # Ridgefield (Oblong)
+        (41.1468, -73.4948, "Connecticut"),  # New Canaan (Oblong corner)
+        (41.9837, -73.4223, "Connecticut"),  # Salisbury (NW corner)
+        (41.9762, -72.5918, "Connecticut"),  # Enfield (vs Longmeadow)
+        (42.0130, -72.6509, "Connecticut"),  # West Suffield
+        (41.9582, -71.8625, "Connecticut"),  # Thompson (vs Webster)
+        (41.4430, -71.8810, "Connecticut"),  # N. Stonington (vs Ashaway)
+        (41.3360, -71.9060, "Connecticut"),  # Stonington borough
+        (41.3543, -71.9665, "Connecticut"),  # Mystic
+        (41.3557, -72.0995, "Connecticut"),  # New London
+        # Rhode Island
+        (41.8240, -71.4128, "Rhode Island"), # Providence
+        (41.8787, -71.3826, "Rhode Island"), # Pawtucket (Attleboro line)
+        (42.0029, -71.5145, "Rhode Island"), # Woonsocket (42.0157 line)
+        (41.4234, -71.7828, "Rhode Island"), # Ashaway (vs N. Stonington)
+        (41.3776, -71.8273, "Rhode Island"), # Westerly (Pawcatuck bank)
+        (41.3040, -71.8580, "Rhode Island"), # Watch Hill
+        (41.1720, -71.5770, "Rhode Island"), # Block Island (not NY/MA!)
+        (41.8137, -71.3701, "Rhode Island"), # E. Providence (vs Seekonk)
+        (41.7262, -71.2825, "Rhode Island"), # Warren (vs Swansea)
+        (41.6771, -71.2662, "Rhode Island"), # Bristol (vs Fall River)
+        (41.6550, -71.1840, "Rhode Island"), # North Tiverton
+        (41.5342, -71.1645, "Rhode Island"), # Little Compton (vs Westport)
+        (41.4901, -71.3128, "Rhode Island"), # Newport
+        # Massachusetts
+        (42.3601, -71.0589, "Massachusetts"),  # Boston
+        (42.0501, -72.5828, "Massachusetts"),  # Longmeadow (vs Enfield)
+        (42.0546, -72.7703, "Massachusetts"),  # Southwick (the Jog)
+        (42.0500, -71.8800, "Massachusetts"),  # Webster (vs Thompson)
+        (42.1959, -73.3621, "Massachusetts"),  # Great Barrington
+        (42.7120, -73.2037, "Massachusetts"),  # Williamstown (vs Pownal)
+        (42.7337, -73.0800, "Massachusetts"),  # Clarksburg (vs Stamford)
+        (42.6704, -71.3028, "Massachusetts"),  # Dracut (vs Pelham)
+        (42.7262, -71.1909, "Massachusetts"),  # Methuen (vs Salem NH)
+        (42.7762, -71.0773, "Massachusetts"),  # Haverhill (vs Atkinson)
+        (42.8584, -70.9300, "Massachusetts"),  # Amesbury (vs S. Hampton)
+        (42.8417, -70.8604, "Massachusetts"),  # Salisbury (vs Seabrook)
+        (42.6576, -70.6203, "Massachusetts"),  # Rockport (Cape Ann)
+        (42.0580, -70.1783, "Massachusetts"),  # Provincetown
+        (41.2835, -70.0995, "Massachusetts"),  # Nantucket
+        (41.3888, -70.5134, "Massachusetts"),  # Edgartown (the Vineyard)
+        (41.4147, -70.9283, "Massachusetts"),  # Cuttyhunk
+        (41.7015, -71.1550, "Massachusetts"),  # Fall River (vs Bristol)
+        (41.6006, -71.0836, "Massachusetts"),  # Westport (vs L. Compton)
+        (41.9445, -71.2856, "Massachusetts"),  # Attleboro (vs Pawtucket)
+        (42.0279, -71.5412, "Massachusetts"),  # Blackstone (vs Woonsocket)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Connecticut"), ("US", "Rhode Island"),
+                 ("US", "Massachusetts"))
+    outsiders = [
+        # New Hampshire / Vermont (no rings yet: _MA_NH awaits reuse)
+        (42.7654, -71.4676, "Nashua NH"),
+        (42.7345, -71.3245, "Pelham NH"),
+        (42.7886, -71.2009, "Salem NH"),
+        (42.8365, -71.0950, "Plaistow NH"),
+        (42.8948, -70.8717, "Seabrook NH"),
+        (42.7730, -72.3830, "Winchester NH"),
+        (42.7660, -73.2360, "Pownal VT"),
+        (42.7540, -73.0640, "Stamford VT"),
+        (42.7660, -72.5190, "Vernon VT"),
+        # the NY side of every shared chain stays New York
+        (40.9810, -73.6840, "Rye NY"),
+        (41.2640, -71.9930, "Fishers Island NY"),
+        (41.0360, -71.9540, "Montauk NY"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+    assert geopoly.lookup(40.9810, -73.6840) == ("US", "New York")
+    assert geopoly.lookup(41.2640, -71.9930) == ("US", "New York")
+    # anchor fallback still names the un-ringed neighbours (border
+    # towns like Nashua anchor to Lowell — the documented anchor
+    # envelope a future NH ring will fix — but anchor-resolvable
+    # cities stay theirs)
+    assert geonames.subdivision_name(43.2081, -71.5376) == "New Hampshire"
+
+    # shared-edge contracts
+    ct = geopoly.POLYGONS[("US", "Connecticut")]
+    ri = geopoly.POLYGONS[("US", "Rhode Island")]
+    ma = geopoly.POLYGONS[("US", "Massachusetts")]
+    ny = geopoly.POLYGONS[("US", "New York")]
+    for v in geopoly._NY_CT:
+        assert v in ct and v in ny, v
+    for v in geopoly._CT_RI:
+        assert v in ct and v in ri, v
+    for v in geopoly._CT_MA:
+        assert v in ct and v in ma, v
+    for v in geopoly._RI_MA_EAST:
+        assert v in ri and v in ma, v
+    for v in geopoly._MA_NH:
+        assert v in ma, v
+    for v in ((41.25, -71.80), (41.05, -71.70)):
+        assert v in ri and v in ny               # Block Island corridor
+    assert (42.0497, -73.4875) in ct and (42.0497, -73.4875) in ma \
+        and (42.0497, -73.4875) in ny            # NY/MA/CT tripoint
+    assert (42.0157, -71.7972) in ct and (42.0157, -71.7972) in ri \
+        and (42.0157, -71.7972) in ma            # CT/RI/MA tripoint
