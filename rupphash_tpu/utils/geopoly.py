@@ -130,7 +130,14 @@ EXACT along the contested border:
     and _MA_NH the Province line + three-miles-north-of-the-Merrimack
     arc awaiting a New Hampshire ring; Rhode Island's Atlantic
     envelope encloses Block Island by reusing the New York edge
-    vertices that deliberately excluded it.
+    vertices that deliberately excluded it.  Northern New England
+    finishes the seaboard: Vermont reuses the _NY_VT Champlain/land
+    chain, the VT/NH border is the _CT_RIVER_VT_NH west-bank chain
+    (the river itself is New Hampshire), NH/ME is the _NH_ME
+    line/Salmon Falls/Piscataqua chain, and Maine's Canada frontage
+    runs the highlands divide, the St. Francis/St. John channels, the
+    exact -67.7837 due-south line, the St. Croix and Passamaquoddy
+    Bay (Eastport/Lubec in, Deer Island/Campobello/Grand Manan out).
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -620,6 +627,26 @@ _DELAWARE_PA_NJ: list[tuple[float, float]] = [
     (39.80, -75.43),                      # Marcus Hook / arc start
 ]
 
+# NY/VT frontier, north (where the surveyed ~45.005 Canada line meets
+# Lake Champlain) down the lake midline (Plattsburgh/Port Kent/Essex/
+# Port Henry/Ticonderoga NY west, Grand Isle/Burlington/Vergennes/
+# Chimney Point VT east), through the narrow south lake and East Bay
+# (Whitehall NY in) to the Poultney corner, then the near-straight
+# surveyed land line to the MA tripoint (Hoosick Falls/Cambridge/
+# Salem NY west, Pownal/Bennington/Rupert VT east).  Shared VERBATIM
+# by New York (this order) and Vermont (reversed).
+_NY_VT: list[tuple[float, float]] = [
+    (45.005, -73.345),                    # 45N at Lake Champlain
+    (44.72, -73.365),                     # Champlain midline
+    (44.50, -73.30),                      # midline (Burlington out)
+    (44.20, -73.33),                      # midline (Vergennes out)
+    (43.95, -73.40),                      # midline (Port Henry in)
+    (43.62, -73.42),                      # narrow lake south
+    (43.56, -73.37),                      # East Bay (Whitehall in)
+    (43.525, -73.25),                     # Poultney corner
+    (42.7449, -73.2764),                  # MA/VT/NY tripoint
+]
+
 # NY/CT frontier, north (the MA/CT/NY tripoint) through the land
 # border (the Oblong line, the panhandle north edge, the Byram corner)
 # then east along the Long Island Sound marine midline to the Fishers
@@ -748,6 +775,65 @@ _MA_NH: list[tuple[float, float]] = [
     (42.8724, -70.9150),                  # Amesbury / South Hampton
     (42.8718, -70.8170),                  # coast (Salisbury/Seabrook)
     (42.865, -70.70),                     # seaward extension
+]
+
+# VT/NH border: the west bank of the Connecticut River (New Hampshire
+# owns the river to Vermont's low-water mark), north (where the river
+# crosses the surveyed ~45.005 Canada line) to south (the VT/NH/MA
+# tripoint on the bank at the Massachusetts line, = _MA_NH[0]).
+# Shared VERBATIM by Vermont (east edge, this order) and New
+# Hampshire (west edge, reversed).  Norwich/White River Junction/
+# Brattleboro VT split from Hanover/West Lebanon/Hinsdale NH; the
+# Bellows Falls hairpin is carried within a ~300 m envelope (the
+# villages there sit closer to the bank than hand-authoring resolves,
+# so neither side is asserted).
+_CT_RIVER_VT_NH: list[tuple[float, float]] = [
+    (45.005, -71.52),                     # 45N crossing (Beecher Falls)
+    (44.90, -71.505),                     # Canaan / West Stewartstown
+    (44.78, -71.62),                      # North Stratford reach
+    (44.65, -71.565),                     # Stratford reach
+    (44.565, -71.553),                    # Guildhall / Northumberland
+    (44.49, -71.61),                      # Lancaster bend (NH east)
+    (44.41, -71.705),                     # Gilman reach
+    (44.33, -71.92),                      # Fifteen-Mile Falls pools
+    (44.30, -72.048),                     # Barnet
+    (44.152, -72.040),                    # Wells River / Woodsville
+    (43.99, -72.125),                     # Bradford / Piermont
+    (43.91, -72.15),                      # Fairlee / Orford
+    (43.81, -72.188),                     # East Thetford / Lyme
+    (43.715, -72.300),                    # Norwich / Hanover
+    (43.649, -72.313),                    # White River Jct / W Lebanon
+    (43.55, -72.39),                      # North Hartland reach
+    (43.478, -72.39),                     # Windsor / Cornish
+    (43.37, -72.41),                      # Ascutney (Claremont NH east)
+    (43.298, -72.437),                    # Springfield / Charlestown
+    (43.14, -72.4455),                    # Bellows Falls hairpin (~300 m
+    (43.11, -72.4455),                    #   envelope, unasserted)
+    (42.99, -72.46),                      # Westminster / Walpole
+    (42.8509, -72.552),                   # Brattleboro / Chesterfield
+    (42.77, -72.505),                     # Vernon pool (Hinsdale east)
+]
+
+# NH/ME border, north (the QC tripoint on the highlands) to the sea:
+# the straight surveyed line east of the Androscoggin towns, the
+# Salmon Falls River (Berwick ME / Somersworth NH within a ~300 m
+# envelope) and the Piscataqua channel (Kittery ME / Portsmouth NH).
+# Shared VERBATIM by New Hampshire (this order) and Maine (reversed).
+_NH_ME: list[tuple[float, float]] = [
+    (45.3055, -71.0840),                  # NH/ME/QC corner
+    (44.80, -71.035),                     # straight line (Errol NH west)
+    (44.40, -71.045),                     # Shelburne NH / Gilead ME
+    (44.00, -71.025),                     # Conway NH / Fryeburg ME
+    (43.79, -70.990),                     # line end (East Conway)
+    (43.55, -70.970),                     # Salmon Falls headwaters
+    (43.40, -70.955),                     # Milton pond reach
+    (43.30, -70.885),                     # Rochester NH / Lebanon ME
+    (43.22, -70.855),                     # Berwick / Somersworth reach
+    (43.19, -70.830),                     # Salmon Falls joins Cochecho
+    (43.12, -70.790),                     # Piscataqua (Dover / Eliot)
+    (43.08, -70.755),                     # Portsmouth / Kittery
+    (43.055, -70.705),                    # river mouth (New Castle NH)
+    (43.03, -70.60),                      # seaward extension
 ]
 
 _KY_TN: list[tuple[float, float]] = [
@@ -1970,15 +2056,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (44.82, -75.25),                      # midline
         (44.98, -74.85),                      # Massena reach (Cornwall N)
         (45.005, -74.66),                     # St. Regis (45N line)
-        (45.005, -73.345),                    # 45N at Lake Champlain
-        (44.72, -73.365),                     # Champlain midline
-        (44.50, -73.30),                      # midline (Burlington out)
-        (44.20, -73.33),                      # midline (Vergennes out)
-        (43.95, -73.40),                      # midline (Port Henry in)
-        (43.62, -73.42),                      # narrow lake south
-        (43.56, -73.37),                      # East Bay (Whitehall in)
-        (43.525, -73.25),                     # Poultney corner
-        (42.7449, -73.2764),                  # MA/VT/NY tripoint
+        *_NY_VT,                              # shared VT lake+land edge
         *_NY_CT,                              # shared CT land+Sound edge
         (41.25, -71.80),                      # east of Fishers (Watch Hill)
         (41.05, -71.70),                      # Block Island out, Montauk in
@@ -2035,6 +2113,82 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.20, -70.95),                      # offshore (Cuttyhunk in)
         *[(la, lo) for la, lo in reversed(_RI_MA_EAST)],
         *list(reversed(_CT_MA))[:-1]],        # first vertex closes ring
+    # --- Vermont: the west edge is the shared _NY_VT lake+land chain
+    # reversed (coincident with New York — the Champlain midline keeps
+    # Alburgh and Isle La Motte in); the north edge continues the same
+    # surveyed ~45.005 Canada line as New York (Derby Line sits ON the
+    # line and is unasserted); the east edge is the shared
+    # _CT_RIVER_VT_NH west-bank chain (New Hampshire owns the river);
+    # the south edge closes on the MA/VT surveyed line, coincident
+    # with Massachusetts.
+    ("US", "Vermont"): [
+        *[(la, lo) for la, lo in reversed(_NY_VT)],
+        *_CT_RIVER_VT_NH,                     # shared NH river edge
+        (42.7269, -72.4583)],                 # VT/NH/MA corner (shared)
+    # --- New Hampshire: the west edge is _CT_RIVER_VT_NH reversed (the
+    # river itself is New Hampshire, matching the 1933 decree); the
+    # Canada edge is Halls Stream and the highlands divide; the east
+    # edge is the shared _NH_ME line/river chain; the south edge is
+    # the shared _MA_NH chain reversed.
+    ("US", "New Hampshire"): [
+        *[(la, lo) for la, lo in reversed(_CT_RIVER_VT_NH)],
+        (45.10, -71.49),                      # Halls Stream (E Hereford W)
+        (45.20, -71.43),                      # Halls Stream upper
+        (45.26, -71.36),                      # highlands divide corner
+        *_NH_ME,                              # shared ME line + seaward
+        *[(la, lo) for la, lo in reversed(_MA_NH)]],
+    # --- Maine: the QC border follows the highlands divide northeast
+    # (Coburn Gore/Jackman crossings), the straight northeast line to
+    # Estcourt, the St. Francis and St. John channels (Fort Kent/
+    # Van Buren ME south bank, Clair/Edmundston/Saint-Leonard NB
+    # north), the exact -67.7837 due-south line (Houlton in, Grand
+    # Falls/Woodstock NB out), the Chiputneticook Lakes and St. Croix
+    # (Calais in, St. Stephen NB out), and Passamaquoddy Bay threading
+    # Eastport and Lubec in while Deer Island and Campobello NB stay
+    # Canadian; the Atlantic envelope wraps Mount Desert, Matinicus
+    # and Monhegan but stays west of Grand Manan.
+    ("US", "Maine"): [
+        (45.3055, -71.0840),                  # NH/ME/QC corner (shared)
+        (45.33, -70.92),                      # divide (Woburn QC out)
+        (45.347, -70.80),                     # Coburn Gore crossing
+        (45.40, -70.73),                      # divide
+        (45.47, -70.66),                      # divide
+        (45.57, -70.47),                      # divide (Megantic out)
+        (45.667, -70.40),                     # divide
+        (45.72, -70.28),                      # Boundary Bald reach
+        (45.77, -70.39),                      # Armstrong crossing
+        (45.95, -70.31),                      # divide
+        (46.09, -70.29),                      # St-Georges reach (QC out)
+        (46.27, -70.20),                      # divide
+        (46.42, -70.06),                      # Ste-Aurelie reach
+        (46.58, -69.99),                      # divide
+        (46.70, -69.87),                      # Lac Frontiere corner
+        (47.46, -69.22),                      # Estcourt (NE straight)
+        (47.32, -69.05),                      # St. Francis River
+        (47.28, -68.95),                      # St. Francis mouth
+        (47.26, -68.60),                      # St. John (Fort Kent in)
+        (47.36, -68.33),                      # Madawaska / Edmundston
+        (47.30, -68.10),                      # Grand Isle reach
+        (47.16, -67.93),                      # Van Buren / St-Leonard
+        (47.066, -67.7837),                   # Grand Falls bend (exact)
+        (45.94, -67.7837),                    # the Monument (line exact)
+        (45.79, -67.76),                      # North Lakes
+        (45.60, -67.52),                      # Chiputneticook Lakes
+        (45.568, -67.425),                    # Vanceboro reach
+        (45.35, -67.44),                      # St. Croix River
+        (45.19, -67.277),                     # Calais / St. Stephen
+        (45.13, -67.17),                      # St. Croix estuary
+        (45.07, -67.10),                      # estuary (St. Andrews out)
+        (44.97, -67.02),                      # Passamaquoddy (Deer Is out)
+        (44.90, -66.968),                     # Western Passage (Eastport)
+        (44.87, -66.966),                     # Friar Roads (Welshpool out)
+        (44.82, -66.95),                      # Lubec Narrows reach
+        (44.65, -67.05),                      # Grand Manan Channel
+        (44.20, -67.60),                      # Atlantic offshore
+        (43.90, -68.40),                      # offshore (Matinicus in)
+        (43.60, -69.50),                      # offshore (Monhegan in)
+        (43.30, -70.30),                      # offshore (Portland in)
+        *list(reversed(_NH_ME))[:-1]],        # shared NH edge (dedup)
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

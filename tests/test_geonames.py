@@ -1781,3 +1781,116 @@ def test_polygon_round4f_southern_new_england():
         and (42.0497, -73.4875) in ny            # NY/MA/CT tripoint
     assert (42.0157, -71.7972) in ct and (42.0157, -71.7972) in ri \
         and (42.0157, -71.7972) in ma            # CT/RI/MA tripoint
+
+
+def test_polygon_round4f_northern_new_england():
+    """Vermont, New Hampshire and Maine complete New England (and the
+    lower-48 east of the prairies).  Vermont's west edge is the shared
+    _NY_VT chain (the Champlain midline keeps Alburgh in); the VT/NH
+    border is the shared _CT_RIVER_VT_NH west-bank chain — the river
+    itself is New Hampshire, so Norwich/White River Junction/
+    Brattleboro VT split from Hanover/West Lebanon/Hinsdale NH across
+    a few hundred metres of water; NH/ME is the shared _NH_ME line
+    (Conway/Fryeburg, Kittery/Portsmouth); Maine's Canada frontage
+    runs the highlands divide, the St. John channel (Fort Kent/
+    Van Buren in, Edmundston/Saint-Leonard NB out), the exact
+    -67.7837 due-south line (Houlton in, Grand Falls/Woodstock NB
+    out), the St. Croix (Calais in, St. Stephen NB out) and
+    Passamaquoddy Bay (Eastport and Lubec in, Deer Island and
+    Campobello NB out)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        # Vermont
+        (44.4759, -73.2121, "Vermont"),      # Burlington
+        (44.2601, -72.5754, "Vermont"),      # Montpelier
+        (42.8781, -73.1968, "Vermont"),      # Bennington (vs Hoosick F.)
+        (42.8509, -72.5579, "Vermont"),      # Brattleboro (vs Hinsdale)
+        (43.7147, -72.3065, "Vermont"),      # Norwich (vs Hanover)
+        (43.6490, -72.3194, "Vermont"),      # White River Jct (vs W Leb)
+        (44.9970, -73.3017, "Vermont"),      # Alburgh (the Tongue)
+        (44.9364, -72.2051, "Vermont"),      # Newport (vs Stanstead)
+        (44.5645, -71.5597, "Vermont"),      # Guildhall (river bank)
+        (43.5940, -73.2650, "Vermont"),      # Fair Haven (vs Whitehall)
+        # New Hampshire
+        (43.2081, -71.5376, "New Hampshire"),  # Concord
+        (42.9956, -71.4548, "New Hampshire"),  # Manchester (anchor=MA!)
+        (42.7654, -71.4676, "New Hampshire"),  # Nashua (vs Tyngsborough)
+        (42.7345, -71.3245, "New Hampshire"),  # Pelham (vs Dracut)
+        (42.7886, -71.2009, "New Hampshire"),  # Salem (vs Methuen)
+        (42.8948, -70.8717, "New Hampshire"),  # Seabrook (vs Salisbury)
+        (43.0718, -70.7626, "New Hampshire"),  # Portsmouth (vs Kittery)
+        (43.1979, -70.8737, "New Hampshire"),  # Dover (vs S. Berwick)
+        (43.7022, -72.2896, "New Hampshire"),  # Hanover (vs Norwich)
+        (42.9337, -72.2781, "New Hampshire"),  # Keene
+        (42.7862, -72.4862, "New Hampshire"),  # Hinsdale (vs Brattleboro)
+        (43.9790, -71.1204, "New Hampshire"),  # Conway (vs Fryeburg)
+        (44.4889, -71.5687, "New Hampshire"),  # Lancaster (river bend E)
+        (45.0530, -71.3929, "New Hampshire"),  # Pittsburg (Halls Stream)
+        # Maine
+        (43.6591, -70.2568, "Maine"),        # Portland
+        (43.0881, -70.7364, "Maine"),        # Kittery (vs Portsmouth)
+        (44.0161, -70.9808, "Maine"),        # Fryeburg (vs Conway)
+        (44.8012, -68.7778, "Maine"),        # Bangor
+        (44.3876, -68.2039, "Maine"),        # Bar Harbor
+        (44.9063, -66.9900, "Maine"),        # Eastport (vs Deer Island)
+        (44.8420, -66.9850, "Maine"),        # Lubec (vs Campobello)
+        (45.1880, -67.2786, "Maine"),        # Calais (vs St. Stephen)
+        (46.1262, -67.8402, "Maine"),        # Houlton (the -67.7837 line)
+        (47.2581, -68.5895, "Maine"),        # Fort Kent (St. John bank)
+        (47.1570, -67.9351, "Maine"),        # Van Buren (vs St-Leonard)
+        (45.6250, -70.2550, "Maine"),        # Jackman (highlands)
+        (43.8700, -68.8900, "Maine"),        # Matinicus (offshore)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    new_rings = (("US", "Vermont"), ("US", "New Hampshire"),
+                 ("US", "Maine"))
+    outsiders = [
+        (45.0080, -72.0980, "Stanstead QC"),
+        (45.0800, -71.5100, "East Hereford QC"),
+        (45.2900, -71.2200, "Chartierville QC"),
+        (45.3790, -70.8830, "Woburn QC"),
+        (45.5800, -70.8800, "Lac-Megantic QC"),
+        (46.1200, -70.6700, "Saint-Georges QC"),
+        (47.4300, -69.0300, "Riviere-Bleue QC"),
+        (47.3737, -68.3251, "Edmundston NB"),
+        (47.1626, -67.9266, "Saint-Leonard NB"),
+        (47.0470, -67.7390, "Grand Falls NB"),
+        (46.1520, -67.6000, "Woodstock NB"),
+        (45.1940, -67.2752, "St. Stephen NB"),
+        (45.0730, -67.0530, "St. Andrews NB"),
+        (44.9600, -66.9800, "Deer Island NB"),
+        (44.8850, -66.9550, "Welshpool, Campobello NB"),
+        (44.6900, -66.8200, "Grand Manan NB"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in new_rings, (name, got)
+    # the MA side of the shared chains stays Massachusetts, and the
+    # NY side of Champlain stays New York
+    assert geopoly.lookup(42.6704, -71.3028) == ("US", "Massachusetts")
+    assert geopoly.lookup(42.8417, -70.8604) == ("US", "Massachusetts")
+    assert geopoly.lookup(44.6995, -73.4529) == ("US", "New York")
+    assert geopoly.lookup(44.9936, -73.3651) == ("US", "New York")
+
+    # shared-edge contracts
+    vt = geopoly.POLYGONS[("US", "Vermont")]
+    nh = geopoly.POLYGONS[("US", "New Hampshire")]
+    me = geopoly.POLYGONS[("US", "Maine")]
+    ny = geopoly.POLYGONS[("US", "New York")]
+    ma = geopoly.POLYGONS[("US", "Massachusetts")]
+    for v in geopoly._NY_VT:
+        assert v in vt and v in ny, v
+    for v in geopoly._CT_RIVER_VT_NH:
+        assert v in vt and v in nh, v
+    for v in geopoly._NH_ME:
+        assert v in nh and v in me, v
+    for v in geopoly._MA_NH:
+        assert v in nh and v in ma, v
+    assert (42.7449, -73.2764) in vt and (42.7449, -73.2764) in ny \
+        and (42.7449, -73.2764) in ma            # NY/VT/MA tripoint
+    assert (42.7269, -72.4583) in vt and (42.7269, -72.4583) in nh \
+        and (42.7269, -72.4583) in ma            # VT/NH/MA tripoint
