@@ -138,6 +138,13 @@ EXACT along the contested border:
     runs the highlands divide, the St. Francis/St. John channels, the
     exact -67.7837 due-south line, the St. Croix and Passamaquoddy
     Bay (Eastport/Lubec in, Deer Island/Campobello/Grand Manan out).
+    Alaska and Hawaii complete all 50 states: Alaska's 141W meridian
+    shares Yukon's vertices, its panhandle edge reuses British
+    Columbia's Portland Canal / interior chain verbatim (Hyder/
+    Stewart split), the 1867 treaty meridian -168.98 splits the
+    Diomedes, and the ring clips at -179.9 (far western Aleutians
+    fall outside — the one documented antimeridian concession);
+    Hawaii is a generous envelope around the eight main islands.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -2189,6 +2196,65 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (43.60, -69.50),                      # offshore (Monhegan in)
         (43.30, -70.30),                      # offshore (Portland in)
         *list(reversed(_NH_ME))[:-1]],        # shared NH edge (dedup)
+    # --- Alaska: the 141W meridian is exact and shared with Yukon's
+    # ring; the 60N closing edge is coincident with Yukon's south
+    # border; the panhandle edge reuses British Columbia's Portland
+    # Canal / conservative-interior chain VERBATIM (Hyder AK west of
+    # the canal, Stewart BC east; the dead strip of the conservative
+    # interior run is claimed seaward, where there are no BC towns);
+    # the Dixon Entrance edge meets BC's marine line at its own
+    # vertices; the Bering edge threads the 1867 treaty line between
+    # the Diomedes (-168.98 exact: Little Diomede US, Big Diomede RU)
+    # and between St. Lawrence Island and Chukotka; the ring clips at
+    # -179.9 (no shipped ring crosses the antimeridian), so the far
+    # western Aleutians (Attu/Shemya/Kiska) fall to anchors.
+    ("US", "Alaska"): [
+        (60.0, -141.0),                       # YT corner (141W exact)
+        (69.7, -141.0),                       # Beaufort end (YT shared)
+        (70.5, -141.3),                       # Arctic generous
+        (71.6, -156.5),                       # Utqiagvik offshore
+        (72.2, -165.0),                       # Chukchi generous
+        (68.5, -168.98),                      # treaty meridian north
+        (65.4, -168.98),                      # Diomedes split (exact)
+        (64.2, -170.5),                       # strait southwest
+        (64.05, -173.0),                      # St. Lawrence / Chukotka
+        (62.5, -176.0),                       # treaty line southwest
+        (58.5, -179.9),                       # antimeridian clip
+        (51.2, -179.9),                       # antimeridian clip south
+        (51.0, -170.0),                       # Aleutians south (Adak in)
+        (52.0, -163.0),                       # south of Unalaska
+        (54.0, -156.0),                       # Alaska Peninsula south
+        (56.0, -150.0),                       # Kodiak offshore
+        (58.5, -143.0),                       # Gulf of Alaska
+        (57.8, -137.5),                       # Sitka offshore
+        (56.0, -136.0),                       # Baranof offshore
+        (54.8, -134.8),                       # ocean corner
+        (54.6, -134.5),                       # Dixon Entrance approach
+        (54.49, -132.5),                      # A-B line (BC shared)
+        (54.5, -131.0),                       # Dixon Entrance (BC shared)
+        (54.55, -130.7),                      # Portland Inlet (BC shared)
+        (55.3, -129.95),                      # Portland Canal (BC shared)
+        (55.90, -130.0),                      # canal head (BC shared)
+        (55.936, -129.99),                    # Hyder / Stewart (BC shared)
+        (56.2, -130.0),                       # Salmon River (BC shared)
+        (56.6, -131.0),                       # panhandle (BC shared)
+        (57.3, -131.8),                       # panhandle (BC shared)
+        (58.1, -132.9),                       # panhandle (BC shared)
+        (58.7, -133.7),                       # panhandle (BC shared)
+        (59.1, -134.2),                       # panhandle (BC shared)
+        (59.45, -134.6),                      # panhandle (BC shared)
+        (59.7, -135.2),                       # White Pass (BC shared)
+        (59.75, -136.2),                      # panhandle (BC shared)
+        (59.3, -137.3),                       # Fairweather (BC shared)
+        (59.7, -138.3),                       # panhandle (BC shared)
+        (60.0, -139.0)],                      # YT corner (BC shared)
+    # --- Hawaii: a generous ocean envelope around the eight main
+    # islands (Niihau to the Big Island); the uninhabited Northwestern
+    # Hawaiian Islands beyond Kauai (and Midway, which is a US Minor
+    # Outlying Island, not Hawaii) stay outside and fall to anchors.
+    ("US", "Hawaii"): [
+        (22.8, -160.8), (22.8, -154.6),
+        (18.6, -154.6), (18.6, -160.8)],
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.

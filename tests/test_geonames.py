@@ -494,13 +494,16 @@ def test_polygon_british_columbia():
         (48.9900, -122.7500, ("US", "Washington")),  # Blaine (49N)
         (48.9850, -123.0780, ("US", "Washington")),  # Point Roberts
         (48.5344, -123.0170, ("US", "Washington")),  # Friday Harbor
-        (55.9160, -130.0260, None),                  # Hyder AK
-        (55.3420, -131.6460, None),                  # Ketchikan AK
-        (56.4700, -132.3800, None),                  # Wrangell AK
-        (58.3005, -134.4201, None),                  # Juneau AK
-        (59.4550, -135.3150, None),                  # Skagway AK
-        (59.2360, -135.4450, None),                  # Haines AK
-        (55.4760, -133.1480, None),                  # Craig AK (PoW)
+        # (these asserted None until the round-4f Alaska ring landed:
+        # the BC chain is shared verbatim, so the same vertices that
+        # keep them out of BC now claim them for Alaska)
+        (55.9160, -130.0260, ("US", "Alaska")),      # Hyder AK
+        (55.3420, -131.6460, ("US", "Alaska")),      # Ketchikan AK
+        (56.4700, -132.3800, ("US", "Alaska")),      # Wrangell AK
+        (58.3005, -134.4201, ("US", "Alaska")),      # Juneau AK
+        (59.4550, -135.3150, ("US", "Alaska")),      # Skagway AK
+        (59.2360, -135.4450, ("US", "Alaska")),      # Haines AK
+        (55.4760, -133.1480, ("US", "Alaska")),      # Craig AK (PoW)
         # Yukon stays Yukon across the 60N edge
         (60.7212, -135.0568, ("CA", "Yukon")),       # Whitehorse
     ]
@@ -1894,3 +1897,76 @@ def test_polygon_round4f_northern_new_england():
         and (42.7449, -73.2764) in ma            # NY/VT/MA tripoint
     assert (42.7269, -72.4583) in vt and (42.7269, -72.4583) in nh \
         and (42.7269, -72.4583) in ma            # VT/NH/MA tripoint
+
+
+def test_polygon_round4f_alaska_hawaii():
+    """Alaska and Hawaii complete all 50 states.  Alaska's 141W
+    meridian is exact and shares Yukon's vertices (the 60N closing
+    edge is coincident with Yukon's south border); the panhandle edge
+    reuses British Columbia's Portland Canal / interior chain VERBATIM
+    so Hyder AK and Stewart BC split across the canal head; the 1867
+    treaty meridian -168.98 splits the Diomede Islands; the ring clips
+    at -179.9, so the far western Aleutians fall to anchors (which
+    resolve them to Alaska anyway)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (61.2181, -149.9003, "Alaska"),      # Anchorage
+        (64.8378, -147.7164, "Alaska"),      # Fairbanks
+        (58.3019, -134.4197, "Alaska"),      # Juneau (panhandle)
+        (57.0531, -135.3300, "Alaska"),      # Sitka
+        (55.3422, -131.6461, "Alaska"),      # Ketchikan
+        (59.4583, -135.3139, "Alaska"),      # Skagway (vs Fraser BC)
+        (55.9200, -130.0250, "Alaska"),      # Hyder (vs Stewart BC)
+        (64.7881, -141.2000, "Alaska"),      # Eagle (141W line)
+        (64.5011, -165.4064, "Alaska"),      # Nome
+        (71.2906, -156.7886, "Alaska"),      # Utqiagvik
+        (65.7581, -168.9508, "Alaska"),      # Little Diomede (treaty)
+        (63.7797, -171.7381, "Alaska"),      # Gambell, St. Lawrence Is.
+        (51.8800, -176.6581, "Alaska"),      # Adak (Aleutians)
+        (57.1222, -170.2764, "Alaska"),      # St. Paul (Pribilofs)
+        (21.3069, -157.8583, "Hawaii"),      # Honolulu
+        (19.7071, -155.0885, "Hawaii"),      # Hilo
+        (21.9811, -159.3711, "Hawaii"),      # Lihue, Kauai
+        (21.9000, -160.1700, "Hawaii"),      # Niihau
+        (18.9110, -155.6810, "Hawaii"),      # South Point
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == ("US", want), (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want, (lat, lon)
+
+    akhi = (("US", "Alaska"), ("US", "Hawaii"))
+    outsiders = [
+        (60.7212, -135.0568, "Whitehorse YT"),
+        (62.3800, -140.8750, "Beaver Creek YT (141W east)"),
+        (69.5700, -139.0800, "Herschel Island YT"),
+        (55.9360, -129.9850, "Stewart BC (vs Hyder)"),
+        (54.3150, -130.3200, "Prince Rupert BC"),
+        (59.5780, -133.7030, "Atlin BC"),
+        (59.7200, -135.0500, "Fraser BC (White Pass)"),
+        (65.7500, -169.0600, "Big Diomede RU"),
+        (66.0800, -169.7100, "Cape Dezhnev RU"),
+        (64.4000, -172.2000, "Chaplino RU"),
+        (28.2072, -177.3735, "Midway (not Hawaii)"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in akhi, (name, got)
+    # the Canadian side of the shared chains keeps its rings
+    assert geopoly.lookup(60.7212, -135.0568) == ("CA", "Yukon")
+    assert geopoly.lookup(55.9360, -129.9850) == \
+        ("CA", "British Columbia")
+    # far western Aleutians: outside the ring (antimeridian clip) and
+    # beyond anchor range — the documented envelope
+    assert geopoly.lookup(52.8500, 173.1700) is None        # Attu
+    assert geonames.subdivision_name(52.8500, 173.1700) is None
+
+    # shared-edge contracts
+    ak = geopoly.POLYGONS[("US", "Alaska")]
+    yt = geopoly.POLYGONS[("CA", "Yukon")]
+    bc = geopoly.POLYGONS[("CA", "British Columbia")]
+    for v in ((60.0, -141.0), (69.7, -141.0)):
+        assert v in ak and v in yt               # 141W exact, shared
+    for v in ((54.49, -132.5), (54.55, -130.7), (55.936, -129.99),
+              (59.7, -135.2), (59.3, -137.3), (60.0, -139.0)):
+        assert v in ak and v in bc               # panhandle chain shared
