@@ -2306,6 +2306,42 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-7.3, 141.0), (-9.5, 141.0)],
     ("PG", None): [
         (-9.8, 141.0), (0.5, 141.0), (0.5, 149.0), (-9.8, 149.0)],
+    # --- Island nations (round 4f): countries whose territory is
+    # wholly surrounded by water get exact country assignment from a
+    # generous ocean envelope — over-extension cannot misassign
+    # because no foreign soil competes, while the envelope edges
+    # thread the handful of narrow straits where it does (Palk
+    # Strait, the Florida/Yucatan/Windward passages, the Comoros
+    # gap).  Admin-1 inside each ring resolves through the
+    # country-constrained anchor path (_ring_subdivision).
+    ("IS", None): [                           # Iceland
+        (67.0, -25.0), (67.0, -13.2), (63.0, -13.2), (63.0, -25.0)],
+    ("NZ", None): [                           # New Zealand (Chathams
+        (-34.0, 165.5), (-34.0, 179.2),       #   beyond 180 fall to
+        (-48.3, 179.2), (-48.3, 165.5)],      #   anchors)
+    ("TW", None): [                           # Taiwan incl. Penghu;
+        (21.7, 119.3), (24.2, 119.3),         #   Kinmen/Matsu by the
+        (25.4, 121.0), (25.5, 122.1),         #   mainland coast fall
+        (21.8, 122.1)],                       #   to anchors
+    ("LK", None): [                           # Sri Lanka (Delft in,
+        (9.4, 79.55), (10.0, 79.8),           #   Dhanushkodi/
+        (10.0, 81.0), (8.0, 82.2),            #   Rameswaram IN out)
+        (5.6, 81.9), (5.6, 79.8)],
+    ("MG", None): [                           # Madagascar (Mayotte and
+        (-11.8, 48.6), (-11.8, 50.5),         #   the Comoros stay out
+        (-15.0, 51.0), (-25.0, 48.5),         #   of the northwest gap)
+        (-26.2, 45.5), (-23.5, 42.8),
+        (-19.5, 43.5), (-16.0, 44.0),
+        (-13.5, 47.0)],
+    ("CU", None): [                           # Cuba (Key West, the
+        (23.5, -85.3), (23.5, -80.5),         #   Bahamas, Inagua,
+        (22.3, -77.5), (21.2, -75.5),         #   Haiti, the Caymans
+        (20.7, -73.95), (19.6, -74.7),        #   and Cancun all
+        (19.6, -78.2), (20.8, -84.2),         #   threaded out)
+        (21.3, -85.3)],
+    ("JM", None): [                           # Jamaica
+        (18.75, -78.6), (18.75, -75.95),
+        (17.5, -75.95), (17.5, -78.6)],
 }
 
 _GRID_DEG = 2.0

@@ -1970,3 +1970,63 @@ def test_polygon_round4f_alaska_hawaii():
     for v in ((54.49, -132.5), (54.55, -130.7), (55.936, -129.99),
               (59.7, -135.2), (59.3, -137.3), (60.0, -139.0)):
         assert v in ak and v in bc               # panhandle chain shared
+
+
+def test_polygon_round4f_island_nations():
+    """Island-nation country rings: a generous ocean envelope gives
+    exact country assignment (over-extension cannot misassign — no
+    foreign soil competes) while the envelope threads the narrow
+    straits where it does: the Palk Strait (Delft Island LK vs
+    Dhanushkodi IN), the Florida/Windward/Cayman passages around
+    Cuba, the Comoros gap off Madagascar, and the Taiwan Strait
+    (Penghu in, the Fujian coast and its islands out).  Admin-1
+    inside each ring resolves through the country-constrained anchor
+    path."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (64.1466, -21.9426, "IS"),           # Reykjavik
+        (-36.8485, 174.7633, "NZ"),          # Auckland
+        (-46.4132, 168.3538, "NZ"),          # Invercargill
+        (25.0330, 121.5654, "TW"),           # Taipei
+        (23.5712, 119.5793, "TW"),           # Penghu (strait side)
+        (6.9271, 79.8612, "LK"),             # Colombo
+        (9.5100, 79.6900, "LK"),             # Delft Island (Palk Strait)
+        (-18.8792, 47.5079, "MG"),           # Antananarivo
+        (-12.2795, 49.2913, "MG"),           # Antsiranana (north tip)
+        (23.1136, -82.3666, "CU"),           # Havana
+        (20.3460, -74.5100, "CU"),           # Baracoa (Windward side)
+        (17.9712, -76.7936, "JM"),           # Kingston
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    new_codes = {"IS", "NZ", "TW", "LK", "MG", "CU", "JM"}
+    outsiders = [
+        (62.0079, -6.7719, "Torshavn FO"),
+        (24.4798, 118.0894, "Xiamen CN"),
+        (25.5000, 119.7900, "Pingtan CN"),
+        (24.4490, 118.3770, "Kinmen (mainland coast)"),
+        (9.1550, 79.4400, "Dhanushkodi IN"),
+        (9.2880, 79.3130, "Rameswaram IN"),
+        (-12.8275, 45.1662, "Mayotte YT"),
+        (-11.7172, 43.2473, "Moroni KM"),
+        (24.5551, -81.7800, "Key West US"),
+        (19.3133, -81.2546, "Grand Cayman KY"),
+        (19.8100, -73.3800, "Mole St-Nicolas HT"),
+        (21.0500, -73.6700, "Great Inagua BS"),
+        (21.1619, -86.8515, "Cancun MX"),
+        (18.4000, -75.0100, "Navassa US"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new_codes, (name, got)
+    # Key West keeps its state through the anchor path
+    assert geonames.subdivision_name(24.5551, -81.7800) == "Florida"
+    # country formatting + admin-1 through the constrained anchors
+    assert geonames.derive_location(23.1136, -82.3666)["country"] \
+        == "Havana, Cuba"
+    assert geonames.derive_location(-36.8485, 174.7633)["subdivision"] \
+        == "Auckland"
+    assert geonames.derive_location(25.0330, 121.5654)["timezone"] \
+        == "Asia/Taipei"
