@@ -2342,6 +2342,77 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("JM", None): [                           # Jamaica
         (18.75, -78.6), (18.75, -75.95),
         (17.5, -75.95), (17.5, -78.6)],
+    # --- Japan: the envelope threads every contested strait — La
+    # Perouse (Wakkanai in, Sakhalin out), the Nemuro Strait (the
+    # Shiretoko and Nemuro peninsulas in; Kunashir and the Habomais,
+    # Russian-administered, out), the Korea Strait midline (Tsushima
+    # in, Busan/Geoje out) and the Yonaguni gap to the Taiwan ring
+    # (a dead strip over water between 122.1 and ~122.55).  The
+    # Ogasawara dip reaches Iwo To; Ulleungdo/Dokdo and the Senkakus
+    # are deliberately left to the anchor fallback.
+    ("JP", None): [
+        (45.65, 141.0),                       # La Perouse midline W
+        (45.65, 142.2),                       # La Perouse midline E
+        (44.6, 145.2),                        # Shiretoko offshore
+        (44.5, 145.4),                        # Nemuro Strait midline
+        (44.0, 145.5),                        # strait (Kunashir east)
+        (43.7, 145.55),                       # strait south
+        (43.42, 145.85),                      # Goyomai channel
+        (43.25, 146.0),                       # Habomais out
+        (42.5, 147.5),                        # Pacific offshore
+        (38.0, 144.0),                        # Pacific offshore
+        (33.0, 141.5),                        # Pacific offshore
+        (28.5, 143.5),                        # Ogasawara east
+        (24.5, 141.8),                        # Iwo To southeast
+        (24.5, 140.8),                        # Iwo To southwest
+        (27.5, 139.8),                        # Ogasawara west
+        (28.0, 133.0),                        # Philippine Sea
+        (25.6, 131.5),                        # Daito southeast
+        (25.5, 128.5),                        # Okinawa southeast
+        (23.8, 124.5),                        # Yaeyama south
+        (23.9, 122.7),                        # Yonaguni south
+        (24.2, 122.55),                       # Yonaguni west (TW gap)
+        (24.8, 122.8),                        # East China Sea
+        (26.0, 125.3),                        # ECS (Okinawa west)
+        (28.5, 127.0),                        # ECS (Amami west)
+        (31.0, 127.8),                        # ECS
+        (33.0, 128.25),                       # Goto west
+        (34.55, 128.7),                       # Korea Strait midline
+        (34.9, 129.25),                       # Tsushima / Busan split
+        (36.5, 131.8),                        # Sea of Japan (Oki in)
+        (40.5, 135.5),                        # Sea of Japan midline
+        (43.0, 138.5),                        # Sea of Japan NE
+    ],
+    # --- South Korea: the DMZ chain is CONSERVATIVE (the ring stays
+    # ~3-8 km south of the military demarcation line, leaving a dead
+    # strip to the anchor fallback — whose nearest anchor is Seoul,
+    # so DMZ-adjacent towns still resolve KR); the east-sea bump
+    # encloses Ulleungdo; the Korea Strait side stays west/north of
+    # Japan's midline (Busan/Geoje in, Tsushima out); Jeju is
+    # enclosed by the southwest lobe.  Baengnyeongdo and the other
+    # far-northwest islands fall to anchors.
+    ("KR", None): [
+        (37.6, 124.9),                        # Yellow Sea northwest
+        (37.75, 126.15),                      # Han estuary (conserv.)
+        (37.8, 126.90),                       # DMZ chain (Kaesong out)
+        (38.0, 127.5),                        # DMZ chain
+        (38.25, 128.1),                       # DMZ chain
+        (38.45, 128.37),                      # DMZ at the east coast
+        (38.45, 129.0),                       # East Sea
+        (37.9, 131.1),                        # Ulleungdo bump north
+        (37.2, 131.2),                        # Ulleungdo bump east
+        (36.8, 130.0),                        # East Sea midline
+        (35.3, 129.6),                        # Ulsan offshore
+        (35.0, 129.35),                       # Busan (Tsushima out)
+        (34.6, 128.65),                       # Geoje south
+        (34.15, 127.5),                       # south coast offshore
+        (33.0, 126.95),                       # Jeju southeast
+        (33.0, 126.0),                        # Jeju southwest
+        (33.9, 125.7),                        # Yellow Sea south
+        (34.6, 125.3),                        # Heuksando west
+        (36.5, 125.7),                        # Yellow Sea midline
+        (37.2, 125.9),                        # Yellow Sea (Deokjeok in)
+    ],
 }
 
 _GRID_DEG = 2.0

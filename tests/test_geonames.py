@@ -2030,3 +2030,64 @@ def test_polygon_round4f_island_nations():
         == "Auckland"
     assert geonames.derive_location(25.0330, 121.5654)["timezone"] \
         == "Asia/Taipei"
+
+
+def test_polygon_round4f_japan_korea():
+    """Japan and South Korea: the Japan envelope threads La Perouse
+    (Wakkanai in, Sakhalin out), the Nemuro Strait (Shiretoko/Nemuro
+    in; Kunashir and the Habomais out), the Korea Strait midline
+    (Tsushima in, Busan out) and the Yonaguni gap to the Taiwan ring;
+    the Ogasawara dip reaches Iwo To and the Daito lobe holds
+    Minami/Kita Daito.  South Korea's DMZ chain is conservative
+    (~3-8 km south of the line; the dead strip anchors to Seoul, so
+    DMZ towns still resolve KR), the east-sea bump encloses
+    Ulleungdo, and the strait side stays north of Japan's midline —
+    the two envelopes never overlap (60k-point sweep)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (35.6762, 139.6503, "JP"),           # Tokyo
+        (43.0618, 141.3545, "JP"),           # Sapporo
+        (45.4170, 141.6730, "JP"),           # Wakkanai (La Perouse)
+        (43.3300, 145.5800, "JP"),           # Nemuro (strait side)
+        (34.2000, 129.2900, "JP"),           # Tsushima (vs Busan)
+        (32.7503, 129.8779, "JP"),           # Nagasaki
+        (36.2000, 133.3200, "JP"),           # Oki Islands
+        (26.2124, 127.6809, "JP"),           # Naha, Okinawa
+        (24.4500, 122.9400, "JP"),           # Yonaguni (TW gap)
+        (24.7800, 141.3200, "JP"),           # Iwo To (Ogasawara dip)
+        (25.8500, 131.2300, "JP"),           # Minami Daito
+        (37.5665, 126.9780, "KR"),           # Seoul
+        (35.1028, 129.0403, "KR"),           # Busan (vs Tsushima)
+        (38.3800, 128.4700, "KR"),           # Goseong (DMZ east coast)
+        (37.7600, 126.7800, "KR"),           # Paju (DMZ west)
+        (33.4996, 126.5312, "KR"),           # Jeju City
+        (37.4840, 130.9050, "KR"),           # Ulleungdo
+        (34.8806, 128.6211, "KR"),           # Geoje
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    outsiders = [
+        (46.9590, 142.7380, "Yuzhno-Sakhalinsk RU"),
+        (45.8900, 142.0800, "Cape Crillon RU"),
+        (44.0300, 145.8600, "Yuzhno-Kurilsk, Kunashir RU"),
+        (43.1155, 131.8855, "Vladivostok RU"),
+        (37.9700, 126.5500, "Kaesong KP"),
+        (39.1500, 127.4400, "Wonsan KP"),
+        (38.7400, 128.1800, "Changjon KP"),
+        (31.2304, 121.4737, "Shanghai CN"),
+        (36.0671, 120.3826, "Qingdao CN"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("JP", "KR"), (name, got)
+    # Taiwan keeps its ring across the Yonaguni gap
+    assert geopoly.lookup(25.0330, 121.5654) == ("TW", None)
+    # admin-1 through the country-constrained anchors
+    assert geonames.derive_location(35.6762, 139.6503)["country"] \
+        == "Tokyo, Japan"
+    assert geonames.derive_location(35.1028, 129.0403)["subdivision"] \
+        == "Busan"
+    assert geonames.derive_location(26.2124, 127.6809)["subdivision"] \
+        == "Okinawa"
