@@ -2276,8 +2276,14 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (22.0, 25.0), (32.2, 25.0), (32.2, 29.0), (31.9, 32.0),
         (31.5, 34.22), (31.32, 34.27), (29.49, 34.9), (27.5, 34.7),
         (25.0, 35.5), (22.0, 36.89)],
+    # Libya: the 25E east edge (Egypt/Sudan) and 15E conservative west
+    # edge; the south edge is the 1955-treaty diagonal (Toummo to the
+    # Sudan tripoint) so the Tibesti towns resolve to Chad — the
+    # round-3 flat-21N box misassigned Bardai/Aouzou (awarded to Chad
+    # by the 1994 ICJ ruling) to Libya.  Shared verbatim with Chad.
     ("LY", None): [
-        (21.0, 15.0), (33.5, 15.0), (33.5, 25.0), (21.0, 25.0)],
+        (22.62, 15.0), (33.5, 15.0), (33.5, 25.0),
+        (20.0, 25.0), (20.0, 24.0)],
     ("SD", None): [
         (22.0, 25.0), (22.0, 36.89), (19.0, 38.2), (17.5, 37.5),
         (14.5, 36.0), (13.0, 34.0), (13.0, 24.5), (20.0, 24.5),
@@ -2285,6 +2291,57 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # Namibia/Botswana: 20E south of 22S, 21E north of it, the 22S jog
     # between, and the ~17.39S Angola straight segment — all exact;
     # Orange/Molopo/Limpopo river borders conservative.
+    # Chad: the north edge is the shared 1955 line (Libya); the east
+    # edge approximates the Sudan border (Adre TD in, El Geneina SD
+    # out) with a dead strip to Sudan's conservative 24.5 edge; the
+    # CAR edge is conservative; the Cameroon edge carries the
+    # Mayo-Kebbi bulge (Fianga/Lere in, Kaele CM out) and the
+    # Logone/Chari channels (N'Djamena east bank in, Kousseri CM
+    # west); the Niger edge is a shared desert chain (verbatim).
+    ("TD", None): [
+        (22.62, 15.0), (20.0, 24.0),          # 1955 line (LY shared)
+        (16.0, 23.4), (14.2, 22.35),
+        (13.47, 22.26),                       # Adre / El Geneina
+        (12.5, 22.0), (11.5, 22.55), (10.95, 22.7),
+        (10.9, 22.2), (9.9, 21.0), (9.0, 19.5),
+        (8.6, 18.5),                          # Sarh stays in
+        (8.3, 17.0), (7.9, 16.6), (7.7, 15.5),
+        (8.6, 15.1), (9.2, 14.5), (9.55, 13.95),
+        (9.8, 14.0), (10.0, 14.6),            # Mayo-Kebbi bulge
+        (10.28, 15.34),                       # Bongor (Yagoua CM out)
+        (11.3, 15.1), (11.8, 15.05),
+        (12.10, 15.034),                      # N'Djamena / Kousseri
+        (12.5, 14.9), (12.95, 14.55),         # Chari to Lake Chad
+        (13.0, 14.2), (13.8, 13.85),          # lake (NE shared)
+        (14.5, 14.0), (15.3, 14.8),           # desert chain (NE shared)
+        (18.0, 15.5)],                        # desert chain (NE shared)
+    # Niger: the Chad desert chain and the Toummo/1955 corner are
+    # shared verbatim; the Algeria edge is the two straight treaty
+    # segments (Assamaka in, In Guezzam DZ out); the Mali/Burkina/
+    # Benin edges are conservative (the Gaya river elbow concedes the
+    # bank towns to anchors); the Nigeria edge rises from the river
+    # to the Komadougou Yobe channel (Birnin Konni/Maradi/Diffa in;
+    # Illela/Katsina/Nguru/Damasak NG out).
+    ("NE", None): [
+        (23.4, 12.0),                         # Algeria/Libya corner
+        (22.62, 15.0),                        # Toummo line (TD/LY shared)
+        (18.0, 15.5), (15.3, 14.8),           # desert chain (TD shared)
+        (14.5, 14.0), (13.8, 13.85),          # desert chain (TD shared)
+        (13.5, 13.35),                        # Lake Chad (Baga NG out)
+        (13.30, 12.61),                       # Komadougou (Diffa in)
+        (13.25, 12.0), (13.15, 10.7),
+        (13.0, 9.6), (12.97, 8.95),           # Magaria reach
+        (13.1, 8.3),                          # Daura NG out
+        (13.33, 7.10),                        # Maradi in, Katsina out
+        (13.75, 5.28),                        # B. Konni in, Illela out
+        (12.6, 4.0), (12.0, 3.35),            # river (conservative)
+        (12.25, 2.95), (12.85, 1.95),         # Benin/Burkina conserv.
+        (13.6, 0.95),                         # Torodi in, Sebba BF out
+        (14.2, 0.35),                         # Tera in, Dori BF out
+        (14.93, 0.70),                        # Labbezanga reach
+        (15.1, 1.3), (15.6, 4.0),             # Mali conservative
+        (19.15, 4.25),                        # Algeria tripoint
+        (19.85, 7.0)],                        # Assamaka line corner
     ("NA", None): [
         (-17.25, 11.5), (-17.39, 13.9), (-17.39, 20.6),
         (-18.32, 21.0), (-22.0, 21.0), (-22.0, 20.0),

@@ -2091,3 +2091,72 @@ def test_polygon_round4f_japan_korea():
         == "Busan"
     assert geonames.derive_location(26.2124, 127.6809)["subdivision"] \
         == "Okinawa"
+
+
+def test_polygon_round4f_sahara():
+    """Chad and Niger rings, plus the Libya south-edge defect fix:
+    the round-3 flat-21N Libya box misassigned the Tibesti towns
+    (Bardai, Zouar, and Aouzou itself — awarded to Chad by the 1994
+    ICJ ruling) to Libya.  Libya's south edge is now the 1955-treaty
+    diagonal from Toummo to the (20.0, 24.0) Sudan tripoint, shared
+    verbatim with Chad's north edge; Chad's east chain splits
+    Adre TD from El Geneina SD, the Mayo-Kebbi bulge keeps Fianga and
+    Lere while Kaele CM stays out, and the Logone/Chari channels
+    split N'Djamena from Kousseri CM; Niger shares Chad's desert
+    chain and the Toummo corner, threads the Algeria treaty segments
+    (Assamaka in, In Guezzam DZ out) and rises along the Nigeria
+    frontier (Birnin Konni/Maradi/Diffa in; Illela/Katsina/Nguru/
+    Damasak NG out)."""
+    from rupphash_tpu.utils import geopoly
+
+    cases = [
+        (21.3500, 17.0000, "TD"),            # Bardai (was Libya!)
+        (21.8300, 17.4200, "TD"),            # Aouzou (the strip)
+        (17.9206, 19.1108, "TD"),            # Faya-Largeau
+        (13.4667, 22.2000, "TD"),            # Adre (vs El Geneina)
+        (9.1429, 18.3923, "TD"),             # Sarh
+        (9.6586, 14.2097, "TD"),             # Lere (Mayo-Kebbi bulge)
+        (12.1067, 15.0444, "TD"),            # N'Djamena (vs Kousseri)
+        (14.2700, 14.2800, "TD"),            # Rig-Rig (vs Niger chain)
+        (24.1787, 23.3100, "LY"),            # Kufra stays Libya
+        (32.1167, 20.0667, "LY"),            # Benghazi
+        (13.5137, 2.1098, "NE"),             # Niamey
+        (13.5000, 7.1017, "NE"),             # Maradi (vs Katsina)
+        (13.7960, 5.2547, "NE"),             # Birnin Konni (vs Illela)
+        (13.3159, 12.6089, "NE"),            # Diffa (Komadougou bank)
+        (14.2495, 13.1108, "NE"),            # Nguigmi (vs Chad chain)
+        (19.3500, 5.7600, "NE"),             # Assamaka (treaty line)
+        (14.0078, 0.7543, "NE"),             # Tera (vs Dori BF)
+        (21.9500, 13.6500, "NE"),            # Madama (Toummo line)
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    outsiders = [
+        (13.4527, 22.4500, "El Geneina SD"),
+        (10.2837, 22.7880, "Birao CF"),
+        (10.1089, 14.4482, "Kaele CM"),
+        (12.0769, 15.0306, "Kousseri CM"),
+        (13.1040, 12.5090, "Damasak NG"),
+        (12.9890, 7.6010, "Katsina NG"),
+        (13.7300, 5.3000, "Illela NG"),
+        (12.8790, 10.4520, "Nguru NG"),
+        (11.8617, 3.3833, "Malanville BJ"),
+        (14.0350, -0.0340, "Dori BF"),
+        (19.5700, 5.7700, "In Guezzam DZ"),
+        (22.7850, 5.5228, "Tamanrasset DZ"),
+        (16.2666, -0.0400, "Gao ML"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("TD", "NE", "LY"), (name, got)
+
+    # shared-edge contracts: the 1955 line and the desert chain
+    ly = geopoly.POLYGONS[("LY", None)]
+    td = geopoly.POLYGONS[("TD", None)]
+    ne = geopoly.POLYGONS[("NE", None)]
+    for v in ((22.62, 15.0), (20.0, 24.0)):
+        assert v in ly and v in td               # 1955 line endpoints
+    for v in ((22.62, 15.0), (18.0, 15.5), (15.3, 14.8),
+              (14.5, 14.0), (13.8, 13.85)):
+        assert v in td and v in ne               # desert chain shared
