@@ -16,9 +16,16 @@ against the numpy golden before timing.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+
+class _SkipExtra(Exception):
+    # raised inside an extra's try-block when the wall-clock budget
+    # is exhausted; over_budget already logged the skip
+    pass
 
 import numpy as np
 
@@ -404,49 +411,73 @@ def main():
     import jax
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
+    # wall-clock budget for the EXTRAS: the driver runs this script
+    # under a timeout, and tunnel weather can stretch first compiles
+    # by minutes — once the headline number is measured, every extra
+    # is optional and the JSON line must always land.  Each skip is
+    # logged (no silent caps).
+    import time as _time
+    _t0 = _time.perf_counter()
+    _budget = float(os.environ.get("RUPPHASH_BENCH_BUDGET_S", "420"))
+
+    def over_budget(name: str) -> bool:
+        el = _time.perf_counter() - _t0
+        if el > _budget:
+            log(f"SKIPPED {name}: wall-clock budget exhausted "
+                f"({el:.0f}s > {_budget:.0f}s) — rerun with "
+                f"RUPPHASH_BENCH_BUDGET_S to widen")
+            return True
+        return False
+
     ips = bench_pdq()
     log(f"pdq_hash: {ips:,.0f} images/s/chip")
 
     extra = {}
     try:
-        pps, gdt = bench_grouping()
-        log(f"grouping count-sweep: {pps/1e9:.1f} Gpairs/s "
-            f"(100k x 100k x 8 variants in {gdt:.2f}s)")
-        extra["grouping_100k_gpairs_per_s"] = round(pps / 1e9, 1)
+        if not over_budget("grouping count-sweep"):
+            pps, gdt = bench_grouping()
+            log(f"grouping count-sweep: {pps/1e9:.1f} Gpairs/s "
+                f"(100k x 100k x 8 variants in {gdt:.2f}s)")
+            extra["grouping_100k_gpairs_per_s"] = round(pps / 1e9, 1)
     except Exception as e:  # secondary metric must not break the headline
         log(f"grouping bench failed: {e}")
 
     try:
-        g1m = bench_grouping_1m()
-        proj = g1m / 8.0
-        log(f"grouping 1M x 1M x 8 variants, single chip: {g1m:.2f}s; "
-            f"projected v5e-8 (disjoint tiles / 8 chips): {proj:.2f}s "
-            f"vs BASELINE target <2s")
-        extra["grouping_1m_single_chip_s"] = round(g1m, 2)
-        extra["grouping_1m_v5e8_projected_s"] = round(proj, 2)
+        if not over_budget("grouping 1M"):
+            g1m = bench_grouping_1m()
+            proj = g1m / 8.0
+            log(f"grouping 1M x 1M x 8 variants, single chip: "
+                f"{g1m:.2f}s; projected v5e-8 (disjoint tiles / 8 "
+                f"chips): {proj:.2f}s vs BASELINE target <2s")
+            extra["grouping_1m_single_chip_s"] = round(g1m, 2)
+            extra["grouping_1m_v5e8_projected_s"] = round(proj, 2)
     except Exception as e:
         log(f"1M grouping bench failed: {e}")
 
     try:
-        cold, warm = bench_scan_e2e()
-        log(f"scan end-to-end (walk->decode->hash->cache, 1 host "
-            f"core): {cold['median']:,.0f} images/s {cold}; cached "
-            f"rescan: {warm['median']:,.0f} files/s {warm}")
-        extra["scan_e2e_images_per_s"] = cold["median"]
-        extra["scan_e2e_stats"] = cold
-        extra["cached_rescan_files_per_s"] = warm["median"]
-        extra["cached_rescan_stats"] = warm
+        if not over_budget("scan e2e"):
+            cold, warm = bench_scan_e2e()
+            log(f"scan end-to-end (walk->decode->hash->cache, 1 host "
+                f"core): {cold['median']:,.0f} images/s {cold}; cached "
+                f"rescan: {warm['median']:,.0f} files/s {warm}")
+            extra["scan_e2e_images_per_s"] = cold["median"]
+            extra["scan_e2e_stats"] = cold
+            extra["cached_rescan_files_per_s"] = warm["median"]
+            extra["cached_rescan_stats"] = warm
     except Exception as e:
         log(f"scan e2e bench failed: {e}")
 
     try:
-        profile = bench_decode_profile(chip_ips=ips)
-        log(f"decode profile (1 host core): {json.dumps(profile)}")
-        extra["decode_profile"] = profile
+        if not over_budget("decode profile"):
+            profile = bench_decode_profile(chip_ips=ips)
+            log(f"decode profile (1 host core): {json.dumps(profile)}")
+            extra["decode_profile"] = profile
     except Exception as e:
         log(f"decode profile failed: {e}")
 
     try:
+        if over_budget("grouping 1M e2e"):
+            raise _SkipExtra()
         host_stats, res_stats, n_edges, n_groups = bench_grouping_1m_e2e()
         log(f"grouping 1M end-to-end (counts -> hot-row extraction -> "
             f"union-find): host-in {host_stats['median']:.2f}s / "
@@ -458,6 +489,8 @@ def main():
         extra["grouping_1m_e2e_resident_s"] = res_stats["median"]
         extra["grouping_1m_e2e_resident_stats"] = res_stats
         extra["grouping_1m_e2e_edges"] = n_edges
+    except _SkipExtra:
+        pass                       # over_budget already logged it
     except Exception as e:
         log(f"1M e2e grouping bench failed: {e}")
 
