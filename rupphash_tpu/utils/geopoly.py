@@ -2272,10 +2272,14 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # exist.  Egypt/Sudan uses the de-jure 22N line (the Hala'ib
     # triangle follows the treaty line here, as a boundary dataset
     # would).
+    # Egypt: the Gulf of Aqaba edge follows the gulf MIDLINE (round 4f
+    # tightened it from a generous line so the Saudi ring can hold the
+    # NEOM coast opposite without overlap; Dahab/Sharm stay in).
     ("EG", None): [
         (22.0, 25.0), (32.2, 25.0), (32.2, 29.0), (31.9, 32.0),
-        (31.5, 34.22), (31.32, 34.27), (29.49, 34.9), (27.5, 34.7),
-        (25.0, 35.5), (22.0, 36.89)],
+        (31.5, 34.22), (31.32, 34.27), (29.49, 34.905),
+        (29.0, 34.77), (28.0, 34.62), (27.65, 34.42),
+        (27.5, 34.7), (25.0, 35.5), (22.0, 36.89)],
     # Libya: the 25E east edge (Egypt/Sudan) and 15E conservative west
     # edge; the south edge is the 1955-treaty diagonal (Toummo to the
     # Sudan tripoint) so the Tibesti towns resolve to Chad — the
@@ -2363,6 +2367,112 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-7.3, 141.0), (-9.5, 141.0)],
     ("PG", None): [
         (-9.8, 141.0), (0.5, 141.0), (0.5, 149.0), (-9.8, 149.0)],
+    # --- Middle East desert treaty lines (round 4f).  The JO/SA
+    # zigzag (Winston's hiccup — the 1925/1965 straight lines, with
+    # the Saudi salient at (31.33, 36.98) keeping Qurayyat SA out of
+    # Jordan), the JO/IQ and IQ/SA straight lines and the Kuwait
+    # lines are each ONE shared vertex run spliced into both rings;
+    # the Syria/Iran/Turkey/Yemen/Oman/UAE/Qatar edges are
+    # conservative or midline chains (no rings on those sides).
+    ("JO", None): [
+        (29.36, 34.96),                       # Gulf of Aqaba (SA shared)
+        (29.53, 34.975),                      # Aqaba in, Eilat IL out
+        (30.5, 35.15),                        # Arava valley
+        (31.3, 35.47),                        # Dead Sea midline
+        (31.75, 35.52),                       # Dead Sea north
+        (32.0, 35.53),                        # Jordan River (Jericho W)
+        (32.35, 35.55),                       # river midline
+        (32.62, 35.565),                      # Yarmouk confluence
+        (32.68, 35.75),                       # Yarmouk (Golan edge out)
+        (32.72, 35.90),                       # Yarmouk upper
+        (32.59, 36.02),                       # Ramtha in, Deraa SY out
+        (32.52, 36.84),                       # Syria line (conserv.)
+        (32.75, 38.0),                        # Syria line
+        (33.38, 38.79),                       # SY/IQ tripoint (IQ shared)
+        (32.15, 39.19),                       # JO/IQ/SA tripoint (shared)
+        (31.33, 36.98),                       # hiccup apex (SA shared)
+        (30.5, 37.67),                        # SA line (shared)
+        (29.3, 36.07)],                       # SA line (shared)
+    ("IQ", None): [
+        (33.38, 38.79),                       # JO/SY tripoint (JO shared)
+        (34.42, 41.0),                        # Al-Qaim in, Albu Kamal out
+        (35.2, 41.25),                        # Syria line (conserv.)
+        (36.62, 41.6),                        # Sinjar in, Hasakah SY out
+        (37.1, 42.35),                        # TR/SY tripoint region
+        (37.33, 42.7),                        # Zakho in, Silopi TR out
+        (37.32, 43.5),                        # Turkey line (conserv.)
+        (37.14, 44.79),                       # TR/IR tripoint
+        (36.8, 45.05),                        # Piranshahr IR out
+        (36.2, 45.3),                         # Iran chain (conserv.)
+        (35.7, 46.15),                        # Penjwin reach
+        (35.2, 46.1),                         # Halabja in, Marivan out
+        (34.4, 45.45),                        # Khanaqin in, Qasr-e-S. out
+        (33.3, 45.95),                        # Badra reach
+        (32.9, 46.3),                         # Iran chain
+        (32.0, 47.38),                        # Iran chain
+        (31.0, 47.68),                        # Iran chain
+        (30.45, 48.02),                       # Shatt al-Arab head
+        (30.42, 48.14),                       # Khorramshahr IR out
+        (30.3, 48.23),                        # Abadan IR out, Basra in
+        (29.85, 48.6),                        # Shatt mouth
+        (29.97, 48.33),                       # Faw peninsula south
+        (30.02, 48.06),                       # Khawr Abd Allah (UQ in)
+        (30.12, 47.7),                        # north of Safwan line
+        (30.1, 46.55),                        # Kuwait west meridian
+        (29.1, 46.55),                        # IQ/KW/SA tripoint (shared)
+        (29.9, 44.7),                         # SA line (shared)
+        (30.8, 42.1),                         # SA line (shared)
+        (31.5, 41.0),                         # Arar SA out (shared)
+        (32.15, 39.19)],                      # JO tripoint (shared)
+    ("SA", None): [
+        (29.36, 34.96),                       # JO corner (shared)
+        (29.3, 36.07),                        # JO line (shared)
+        (30.5, 37.67),                        # JO line (shared)
+        (31.33, 36.98),                       # hiccup apex (shared)
+        (32.15, 39.19),                       # JO/IQ tripoint (shared)
+        (31.5, 41.0),                         # IQ line (shared)
+        (30.8, 42.1),                         # IQ line (shared)
+        (29.9, 44.7),                         # IQ line (shared)
+        (29.1, 46.55),                        # IQ/KW tripoint (shared)
+        (28.54, 47.45),                       # KW south (shared)
+        (28.54, 48.42),                       # KW coast corner (shared)
+        (28.8, 48.9),                         # Gulf (Khafji in)
+        (27.5, 49.95),                        # Gulf (Jubail in)
+        (26.9, 50.25),                        # Gulf
+        (26.45, 50.33),                       # Dammam/Khobar in
+        (25.8, 50.45),                        # Bahrain out
+        (24.62, 50.72),                       # Gulf of Salwa (Qatar out)
+        (24.55, 51.35),                       # Khawr al Udayd
+        (24.2, 51.58),                        # UAE line north
+        (22.63, 51.58),                       # UAE line (exact-class)
+        (22.63, 55.2),                        # UAE/Oman corner
+        (19.0, 52.0),                         # Oman 1990 line corner
+        (17.4, 47.5),                         # Yemen line (conserv.)
+        (17.05, 46.3),                        # Yemen line
+        (17.25, 45.3),                        # Yemen line
+        (17.35, 44.3),                        # Najran in, Saada YE out
+        (16.95, 43.15),                       # Yemen west
+        (16.37, 42.77),                       # Red Sea terminus
+        (16.5, 42.0),                         # Red Sea generous
+        (18.0, 40.5),                         # Red Sea
+        (20.5, 38.3),                         # Red Sea
+        (23.5, 37.3),                         # Red Sea
+        (25.5, 36.3),                         # Red Sea
+        (26.8, 35.4),                         # Red Sea north
+        (27.7, 34.62),                        # Gulf of Aqaba mouth
+        (27.9, 34.70),                        # gulf midline (EG east)
+        (29.2, 34.88),                        # gulf midline (Haql in)
+        (29.38, 34.95)],                      # gulf head
+    ("KW", None): [
+        (29.1, 46.55),                        # IQ/SA tripoint (shared)
+        (30.1, 46.55),                        # west meridian (IQ shared)
+        (29.95, 47.72),                       # north line (Safwan out)
+        (29.90, 48.10),                       # Bubiyan west
+        (29.70, 48.42),                       # Bubiyan in (dead strip N)
+        (29.4, 48.6),                         # Gulf (Failaka in)
+        (28.75, 48.7),                        # Gulf generous
+        (28.54, 48.42),                       # SA corner (shared)
+        (28.54, 47.45)],                      # SA line (shared)
     # --- Island nations (round 4f): countries whose territory is
     # wholly surrounded by water get exact country assignment from a
     # generous ocean envelope — over-extension cannot misassign

@@ -2160,3 +2160,86 @@ def test_polygon_round4f_sahara():
     for v in ((22.62, 15.0), (18.0, 15.5), (15.3, 14.8),
               (14.5, 14.0), (13.8, 13.85)):
         assert v in td and v in ne               # desert chain shared
+
+
+def test_polygon_round4f_middle_east():
+    """Jordan / Iraq / Saudi Arabia / Kuwait desert treaty lines.
+    The JO/SA zigzag (Winston's hiccup — the Saudi salient at
+    (31.33, 36.98) keeps Qurayyat SA out of Jordan), the JO/IQ and
+    IQ/SA straight lines and the Kuwait lines are each one shared
+    vertex run spliced into both rings; the Gulf of Aqaba's four-way
+    head splits Taba EG / Eilat IL / Aqaba JO / Haql SA correctly
+    after Egypt's edge was tightened to the gulf midline; the Jordan
+    River / Dead Sea / Arava chain keeps Jericho and Jerusalem out;
+    the Shatt al-Arab splits Basra from Abadan/Khorramshahr IR; the
+    IQ/KW Safwan / Umm Qasr / Warbah strip is a documented dead strip
+    (anchors resolve it — Basra is the nearest anchor)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (31.9539, 35.9106, "JO"),            # Amman
+        (32.5600, 36.0060, "JO"),            # Ramtha (vs Deraa SY)
+        (29.5267, 35.0078, "JO"),            # Aqaba (vs Eilat IL)
+        (31.8335, 36.8265, "JO"),            # Azraq (desert east)
+        (33.3152, 44.3661, "IQ"),            # Baghdad
+        (30.5085, 47.7804, "IQ"),            # Basra (vs Khorramshahr)
+        (37.1440, 42.6820, "IQ"),            # Zakho (vs Silopi TR)
+        (35.1780, 45.9860, "IQ"),            # Halabja (vs Marivan IR)
+        (34.3690, 41.0940, "IQ"),            # Al-Qaim (vs Albu Kamal)
+        (29.9758, 48.4722, "IQ"),            # Faw peninsula
+        (33.0380, 40.2840, "IQ"),            # Rutba (JO/SA lines)
+        (24.7136, 46.6753, "SA"),            # Riyadh
+        (30.9753, 41.0381, "SA"),            # Arar (vs the IQ line)
+        (31.3318, 37.3428, "SA"),            # Qurayyat (the hiccup!)
+        (29.2950, 34.9350, "SA"),            # Haql (gulf midline)
+        (26.2794, 50.2083, "SA"),            # Khobar (vs Manama BH)
+        (17.4917, 44.1322, "SA"),            # Najran (vs Saada YE)
+        (28.4211, 48.4906, "SA"),            # Khafji (vs Kuwait line)
+        (29.3759, 47.9774, "KW"),            # Kuwait City
+        (29.4400, 48.3300, "KW"),            # Failaka Island
+        (28.6392, 47.9303, "KW"),            # Wafra (vs SA line)
+        (29.4920, 34.8850, "EG"),            # Taba (four-way head)
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    me = ("JO", "IQ", "SA", "KW")
+    outsiders = [
+        (29.5577, 34.9519, "Eilat IL"),
+        (31.7683, 35.2137, "Jerusalem"),
+        (31.8611, 35.4444, "Jericho PS"),
+        (32.6189, 36.1055, "Deraa SY"),
+        (33.5138, 36.2765, "Damascus SY"),
+        (34.4500, 40.9190, "Albu Kamal SY"),
+        (37.2496, 42.4700, "Silopi TR"),
+        (36.6940, 45.1410, "Piranshahr IR"),
+        (35.5219, 46.1760, "Marivan IR"),
+        (30.3392, 48.3043, "Abadan IR"),
+        (30.4397, 48.1664, "Khorramshahr IR"),
+        (25.2854, 51.5310, "Doha QA"),
+        (26.2285, 50.5860, "Manama BH"),
+        (24.4539, 54.3773, "Abu Dhabi AE"),
+        (23.5880, 58.3829, "Muscat OM"),
+        (15.3694, 44.1910, "Sanaa YE"),
+        (16.9400, 43.7600, "Saada YE"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in me, (name, got)
+    # the IQ/KW dead strip resolves through anchors
+    assert geopoly.lookup(30.0340, 47.9300) is None      # Umm Qasr
+    # shared-line contracts
+    jo = geopoly.POLYGONS[("JO", None)]
+    iq = geopoly.POLYGONS[("IQ", None)]
+    sa = geopoly.POLYGONS[("SA", None)]
+    kw = geopoly.POLYGONS[("KW", None)]
+    for v in ((29.36, 34.96), (29.3, 36.07), (30.5, 37.67),
+              (31.33, 36.98), (32.15, 39.19)):
+        assert v in jo and v in sa               # the hiccup zigzag
+    for v in ((32.15, 39.19), (33.38, 38.79)):
+        assert v in jo and v in iq               # JO/IQ line
+    for v in ((31.5, 41.0), (30.8, 42.1), (29.9, 44.7), (29.1, 46.55)):
+        assert v in iq and v in sa               # IQ/SA lines
+    for v in ((29.1, 46.55), (28.54, 47.45), (28.54, 48.42)):
+        assert v in kw and v in sa               # KW/SA lines
+    assert (30.1, 46.55) in kw and (30.1, 46.55) in iq
