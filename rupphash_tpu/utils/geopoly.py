@@ -145,6 +145,17 @@ EXACT along the contested border:
     Diomedes, and the ring clips at -179.9 (far western Aleutians
     fall outside — the one documented antimeridian concession);
     Hawaii is a generous envelope around the eight main islands.
+    Round 4g widens the worldwide layer: island-nation envelopes
+    (IS/NZ/TW/LK/MG/CU/JM and JP/KR, threading the Palk, Taiwan,
+    La Perouse, Nemuro and Korea straits and a conservative Korean
+    DMZ chain), the Sahara (Chad and Niger; Libya's south edge fixed
+    to the 1955 Toummo line so the ICJ-awarded Aouzou strip resolves
+    to Chad) and the Middle East desert treaty lines (JO/IQ/SA/KW
+    shared zigzags incl. Winston's hiccup; Egypt's Gulf-of-Aqaba
+    edge tightened to the midline so the four-way gulf head splits
+    Taba/Eilat/Aqaba/Haql).  Every ring is validated SIMPLE (no
+    self-intersection) by tests, and a worldwide sweep asserts no
+    two rings claim the same point.
 
 Coastal rings are deliberately GENEROUS (they extend offshore): no
 sibling subdivision competes over water, so over-extension cannot
@@ -331,7 +342,8 @@ _MISSOURI_RIVER_IA_NE: list[tuple[float, float]] = [
     (41.15, -95.905),                     # Bellevue
     (41.01, -95.865),                     # Plattsmouth
     (40.68, -95.84),                      # Nebraska City
-    (40.58, -95.765),                     # IA/MO corner
+    (40.5757, -95.765),                   # IA/MO corner (= Sullivan
+                                          #   line west end, one point)
     (40.40, -95.645),                     # Brownville
     (40.05, -95.42),                      # Rulo
     (40.0, -95.31),                       # 40N Kansas corner
@@ -1337,8 +1349,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         *[(la, lo) for la, lo in reversed(_MISSOURI_RIVER_KS)],
         (40.05, -95.42),                      # Rulo (shared river)
         (40.40, -95.645),                     # Brownville (shared river)
-        (40.58, -95.765),                     # IA corner (shared river)
-        (40.5757, -95.765),                   # Sullivan line west end
+        (40.5757, -95.765),                   # IA corner = Sullivan west
         (40.577, -93.52),                     # Sullivan line (shared)
         (40.588, -91.719),                    # Sullivan line east end
         (40.54, -91.60),                      # Des Moines River (shared)

@@ -184,15 +184,51 @@ def test_polygon_rings_do_not_overlap_on_grid():
     from rupphash_tpu.utils import geopoly
 
     rng = np.random.default_rng(5)
-    # range covers every shipped ring incl. the round-4 additions
-    # (Canadian territories to 69.8N/-141, Argentina to -52S)
-    pts = np.stack([rng.uniform(-55, 71, 8000),
-                    rng.uniform(-145, 156, 8000)], axis=1)
+    # range covers every shipped ring: Alaska to -179.9/72, New
+    # Zealand to 179.2, the territories to 69.8N, Argentina to -52S
+    pts = np.stack([rng.uniform(-55, 72.5, 16000),
+                    rng.uniform(-180, 180, 16000)], axis=1)
     for lat, lon in pts:
         cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
         hits = [k for k in cands
                 if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
         assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_rings_are_simple():
+    """Every ring must be a SIMPLE polygon: no two non-adjacent edges
+    may intersect.  A self-intersecting ring flips even-odd parity
+    across the crossing, silently inverting containment for a sliver —
+    exactly the class of authoring mistake (the round-4f Watch Hill
+    vertex crossed the shared New York edge) that town sweeps only
+    catch when a sample happens to land inside."""
+    from rupphash_tpu.utils import geopoly
+
+    def segs_intersect(p, q, r, s):
+        def orient(a, b, c):
+            v = ((b[1] - a[1]) * (c[0] - a[0])
+                 - (b[0] - a[0]) * (c[1] - a[1]))
+            return 0 if v == 0 else (1 if v > 0 else -1)
+        o1, o2 = orient(p, q, r), orient(p, q, s)
+        o3, o4 = orient(r, s, p), orient(r, s, q)
+        if o1 != o2 and o3 != o4:
+            return True
+        return False          # collinear touching handled as adjacency
+
+    for key, ring in geopoly.POLYGONS.items():
+        n = len(ring)
+        edges = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue          # adjacent through the closure
+                p, q = edges[i]
+                r, s = edges[j]
+                # shared vertices (coincident chain splices) are legal
+                if p in (r, s) or q in (r, s):
+                    continue
+                assert not segs_intersect(p, q, r, s), (
+                    key, i, j, edges[i], edges[j])
 
 
 def test_polygon_round4_borders_beat_anchors():
