@@ -2484,6 +2484,88 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (28.75, 48.7),                        # Gulf generous
         (28.54, 48.42),                       # SA corner (shared)
         (28.54, 47.45)],                      # SA line (shared)
+    # Qatar / Bahrain: small-Gulf envelopes with water gaps to the
+    # Saudi ring's coast edge (no shared vertices needed over open
+    # water); Bahrain's Hawar islets concede to anchors.
+    ("QA", None): [
+        (26.20, 50.72), (26.20, 51.70),
+        (24.65, 51.70), (24.65, 51.33),
+        (24.72, 50.78)],
+    ("BH", None): [
+        (26.32, 50.42), (26.32, 50.70),
+        (25.75, 50.70), (25.75, 50.50)],
+    # --- United Kingdom (Great Britain island + Hebrides/Orkney/
+    # Shetland/Scilly/Wight): the envelope threads the Dover Strait
+    # and Channel midlines (Calais/Boulogne/Cherbourg FR out), stays
+    # north of the Channel Islands (crown dependencies, not GB),
+    # excludes the Isle of Man (also a crown dependency) through the
+    # gap between Anglesey and the Galloway coast, and runs the Irish
+    # Sea / North Channel midline (Dublin and the NI coast concede to
+    # anchors — Northern Ireland is GB-by-anchor, outside this ring).
+    ("GB", None): [
+        (49.7, -6.6),                         # Scilly southwest
+        (50.3, -6.6),                         # Celtic Sea
+        (50.9, -6.3),                         # Celtic Sea north
+        (51.9, -5.83),                        # Irish Sea midline (St
+                                              #   David's in, Rosslare out)
+        (53.1, -5.15),                        # midline (Holyhead in,
+                                              #   Dublin out)
+        (53.8, -4.55),                        # Anglesey / Man gap
+        (54.1, -4.15),                        # east of the Isle of Man
+        (54.45, -4.1),                        # Man excluded north
+        (54.52, -4.45),                       # Galloway channel
+        (54.55, -4.9),                        # Mull of Galloway south
+        (54.75, -5.33),                       # North Channel midline
+        (55.2, -6.1),                         # midline (Rathlin NI out)
+        (55.5, -6.35),                        # Islay in
+        (56.5, -7.8),                         # Hebrides offshore
+        (57.9, -8.9),                         # St Kilda in
+        (59.0, -7.0),                         # north Atlantic
+        (60.0, -2.5),                         # Orkney/Fair Isle
+        (61.0, -1.5),                         # Shetland north
+        (61.0, -0.5),                         # Shetland east
+        (58.0, -0.3),                         # North Sea (generous)
+        (56.0, 1.5),                          # North Sea
+        (52.5, 2.2),                          # East Anglia offshore
+        (51.3, 1.9),                          # strait approach
+        (51.04, 1.58),                        # Dover Strait midline
+        (50.7, 1.3),                          # strait (Boulogne out)
+        (50.3, 0.0),                          # Channel midline
+        (49.9, -1.5),                         # midline (Cherbourg out)
+        (49.7, -2.5),                         # Channel Is. stay out
+        (49.8, -4.0),                         # Channel west
+        (49.7, -5.7)],                        # Lizard offshore
+    # --- Ireland (the Republic): the Atlantic/Celtic sides are
+    # generous; the Northern Ireland land border is CONSERVATIVE
+    # (the meander around Fermanagh/Monaghan is cut inside, so a few
+    # border villages concede to anchors) but wraps Donegal and
+    # Inishowen around NI's west with the Foyle/Lough Foyle midline
+    # (Buncrana/Greencastle IE in, Derry/Magilligan NI out); the
+    # Irish Sea edge leaves a water gap to the GB ring.
+    ("IE", None): [
+        (54.05, -6.2),                        # Carlingford (Dundalk in,
+                                              #   Newry NI out)
+        (54.1, -7.0),                         # Monaghan line (conserv.)
+        (54.28, -7.85),                       # Fermanagh cut
+        (54.33, -8.0),                        # Belleek reach
+        (54.52, -8.18),                       # Bundoran in
+        (54.65, -7.9),                        # Pettigo reach
+        (55.02, -7.40),                       # Bridgend (Derry NI out)
+        (55.12, -7.14),                       # Lough Foyle midline
+        (55.28, -6.90),                       # Greencastle in
+        (55.50, -7.3),                        # Malin Head offshore
+        (55.45, -8.5),                        # Tory Island in
+        (55.0, -9.2),                         # Atlantic
+        (54.2, -10.6),                        # Achill offshore
+        (53.0, -10.8),                        # Aran offshore
+        (51.4, -10.6),                        # Skelligs offshore
+        (51.2, -9.0),                         # Celtic Sea
+        (51.5, -7.5),                         # Celtic Sea
+        (51.9, -6.1),                         # Carnsore offshore
+        (52.3, -5.95),                        # Irish Sea (GB gap)
+        (53.2, -5.7),                         # Irish Sea (Dublin in)
+        (53.8, -5.5),                         # Irish Sea north
+        (54.03, -5.9)],                       # Carlingford approach
     # --- Island nations (round 4f): countries whose territory is
     # wholly surrounded by water get exact country assignment from a
     # generous ocean envelope — over-extension cannot misassign

@@ -2279,3 +2279,69 @@ def test_polygon_round4f_middle_east():
     for v in ((29.1, 46.55), (28.54, 47.45), (28.54, 48.42)):
         assert v in kw and v in sa               # KW/SA lines
     assert (30.1, 46.55) in kw and (30.1, 46.55) in iq
+
+
+def test_polygon_round4g_british_isles_gulf():
+    """United Kingdom + Ireland envelopes, Qatar + Bahrain.  The GB
+    ring threads the Dover/Channel midlines (the French coast out),
+    stays north of the Channel Islands and excludes the Isle of Man
+    (both crown dependencies, not GB) through the Anglesey/Galloway
+    gap; Ireland's NI land border is conservative but wraps Donegal
+    and Inishowen around NI's west with the Foyle midline.  Northern
+    Ireland itself is deliberately outside both rings (anchors name
+    it).  Qatar/Bahrain sit in water gaps off the Saudi ring."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (51.5074, -0.1278, "GB"),            # London
+        (55.9533, -3.1883, "GB"),            # Edinburgh
+        (51.4816, -3.1791, "GB"),            # Cardiff
+        (51.1279, 1.3134, "GB"),             # Dover (strait midline)
+        (49.9360, -6.3228, "GB"),            # Scilly
+        (53.3098, -4.6332, "GB"),            # Holyhead (vs Dublin)
+        (54.9020, -5.0270, "GB"),            # Stranraer (vs Larne NI)
+        (54.6800, -4.3500, "GB"),            # Burrow Head (Man gap N)
+        (60.1550, -1.1450, "GB"),            # Lerwick, Shetland
+        (57.8100, -8.5800, "GB"),            # St Kilda
+        (50.7010, -1.2883, "GB"),            # Isle of Wight
+        (53.3498, -6.2603, "IE"),            # Dublin (vs Holyhead)
+        (51.8985, -8.4756, "IE"),            # Cork
+        (54.0000, -6.4000, "IE"),            # Dundalk (vs Newry NI)
+        (54.4780, -8.2800, "IE"),            # Bundoran (Fermanagh cut)
+        (55.1360, -7.4530, "IE"),            # Buncrana (vs Derry NI)
+        (55.2030, -7.0330, "IE"),            # Greencastle (Foyle line)
+        (55.3790, -7.3740, "IE"),            # Malin Head (north of NI!)
+        (25.2854, 51.5310, "QA"),            # Doha
+        (25.4260, 50.7840, "QA"),            # Dukhan (west coast)
+        (26.2285, 50.5860, "BH"),            # Manama
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    new_codes = ("GB", "IE", "QA", "BH")
+    outsiders = [
+        (54.1509, -4.4815, "Douglas, Isle of Man"),
+        (54.3220, -4.3810, "Ramsey, Isle of Man"),
+        (49.1860, -2.1070, "St Helier, Jersey"),
+        (49.4550, -2.5360, "St Peter Port, Guernsey"),
+        (54.5973, -5.9301, "Belfast NI"),
+        (54.9970, -7.3090, "Derry NI"),
+        (54.1750, -6.3400, "Newry NI"),
+        (55.1880, -6.9550, "Magilligan NI"),
+        (55.2930, -6.1950, "Rathlin NI"),
+        (50.9513, 1.8587, "Calais FR"),
+        (50.7264, 1.6147, "Boulogne FR"),
+        (49.6337, -1.6222, "Cherbourg FR"),
+        (26.2794, 50.2083, "Khobar SA (not BH/QA)"),
+        (24.4539, 54.3773, "Abu Dhabi AE"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new_codes, (name, got)
+    # NI and the dependencies still resolve by anchor
+    assert geonames.subdivision_name(54.5973, -5.9301) is not None
+    # country formatting
+    loc = geonames.derive_location(51.5074, -0.1278)
+    assert "United Kingdom" in loc["country"]
+    assert geonames.derive_location(53.3498, -6.2603)["country"] \
+        .endswith("Ireland")
