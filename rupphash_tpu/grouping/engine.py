@@ -173,9 +173,38 @@ def sort_files(files: list[FileRecord], sort_order: str):
     elif order == "random":
         random.shuffle(files)
     elif order == "location":
-        pass  # GUI-layer sort in the reference
+        # the location order is GLOBAL (the GPS map's optimized path
+        # over every marker, gui/app.rs:242-271) and cannot be derived
+        # from one group's files; callers apply apply_location_sort
+        # over the full group list after assembly
+        pass
     else:
         files.sort(key=lambda f: natural_key(f.path.name))
+
+
+def apply_location_sort(groups: list[list[FileRecord]]):
+    """Reorder every group's files by their position along the GPS
+    map's optimized marker path, files without GPS last — the
+    reference's apply_location_sort (gui/app.rs:242-271): it rebuilds
+    the spatially-optimized path (gps_map.optimize_path) and sorts
+    each group by path_to_marker index with usize::MAX for unmapped
+    paths.  Python's sort is stable, so GPS-less files keep their
+    previous relative order, matching sort_by_key."""
+    from ..utils import geo
+
+    seen: dict = {}
+    for g in groups:
+        for f in g:
+            if f.gps_pos is not None and f.path not in seen:
+                seen[f.path] = f.gps_pos
+    if not seen:
+        return
+    paths = list(seen.keys())
+    order = geo.order_markers([seen[p] for p in paths])
+    rank = {paths[i]: pos for pos, i in enumerate(order)}
+    big = len(paths)
+    for g in groups:
+        g.sort(key=lambda f: rank.get(f.path, big))
 
 
 def _sort_by_stem_then_ext(files: list[FileRecord]):
@@ -426,6 +455,9 @@ def finalize_edges(files, gi: np.ndarray, gj: np.ndarray,
         members = [files[i] for i in g]
         infos.append(analyze_group(members, sort_order))
         groups.append(members)
+
+    if sort_order.lower() == "location":
+        apply_location_sort(groups)
 
     order = sorted(range(len(groups)),
                    key=lambda k: (0 if infos[k].status == "all-identical" else 1,

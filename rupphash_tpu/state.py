@@ -248,6 +248,9 @@ class AppState:
         self.sort_order = order
         for i, g in enumerate(self.groups):
             self.infos[i] = engine.analyze_group(g, order)
+        if order.lower() == "location":
+            # global GPS-path order across all markers (gui/app.rs:242)
+            engine.apply_location_sort(self.groups)
         self._rebuild()
         if cur is not None:
             self._select_path(cur.path)

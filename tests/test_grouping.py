@@ -210,3 +210,64 @@ def test_union_find_adversarial_chain_is_shallow():
         assert depth <= 64, "parent chain degenerated to O(n)"
     comps = uf.components(min_size=2)
     assert len(comps) == 1 and len(comps[0]) == n
+
+
+def test_apply_location_sort_orders_by_gps_path():
+    """--sort location mirrors the reference's apply_location_sort
+    (gui/app.rs:242-271): every group's files are reordered by their
+    position along the GPS map's optimized marker path, files without
+    GPS pushed to the end, previous relative order kept among them
+    (stable sort = sort_by_key semantics)."""
+
+    def gps_rec(name, gps):
+        r = _rec(name)
+        r.gps_pos = gps
+        return r
+
+    # markers along a west-to-east road trip, listed out of order
+    sf = gps_rec("/p/sf.jpg", (37.7749, -122.4194))
+    slc = gps_rec("/p/slc.jpg", (40.7608, -111.8910))
+    den = gps_rec("/p/den.jpg", (39.7392, -104.9903))
+    chi = gps_rec("/p/chi.jpg", (41.8781, -87.6298))
+    nyc = gps_rec("/p/nyc.jpg", (40.7128, -74.0060))
+    nogps_a = _rec("/p/zz_scan1.png")
+    nogps_b = _rec("/p/zz_scan2.png")
+
+    groups = [[chi, nogps_a, sf, nyc], [den, nogps_b, slc]]
+    engine.apply_location_sort(groups)
+
+    # both groups must follow ONE global ranking: the optimizer's own
+    # path over the full marker set (the heuristic NN+2-opt path, so
+    # the test pins the wiring, not a particular geographic order)
+    from rupphash_tpu.utils import geo
+    recs = [chi, sf, nyc, den, slc]         # seen-dict insertion order
+    order = geo.order_markers([r.gps_pos for r in recs])
+    rank = {recs[i].path.name: pos for pos, i in enumerate(order)}
+    names = [f.path.name for f in groups[0] if f.gps_pos]
+    assert names == sorted(names, key=rank.__getitem__), (names, rank)
+    names2 = [f.path.name for f in groups[1] if f.gps_pos]
+    assert names2 == sorted(names2, key=rank.__getitem__), (names2, rank)
+    # GPS-less files sit at the end, original relative order kept
+    assert [f.path.name for f in groups[0][-1:]] == ["zz_scan1.png"]
+    assert groups[1][-1].path.name == "zz_scan2.png"
+
+    # no GPS anywhere: a no-op, order untouched
+    plain = [[_rec("/p/b.jpg"), _rec("/p/a.jpg")]]
+    engine.apply_location_sort(plain)
+    assert [f.path.name for f in plain[0]] == ["b.jpg", "a.jpg"]
+
+
+def test_finalize_edges_location_sort():
+    """finalize_edges applies the global GPS-path order when asked."""
+    import numpy as np
+
+    a = _rec("/p/one_a.jpg"); a.gps_pos = (40.0, -100.0)
+    b = _rec("/p/one_b.jpg"); b.gps_pos = (40.0, -80.0)
+    c = _rec("/p/one_c.jpg"); c.gps_pos = (40.0, -90.0)
+    files = [a, b, c]
+    gi, gj = np.array([0, 1]), np.array([1, 2])
+    groups, infos, n = engine.finalize_edges(files, gi, gj,
+                                             sort_order="location")
+    assert n == 2 and len(groups) == 1
+    lons = [f.gps_pos[1] for f in groups[0]]
+    assert lons in ([-100.0, -90.0, -80.0], [-80.0, -90.0, -100.0]), lons
