@@ -537,6 +537,26 @@ function drawMap() {
       ctx.stroke();
     }
   });
+  // config [locations] markers (the reference's location selector,
+  // gui/app.rs:3885-3912) — green diamonds, selected one highlighted
+  (md.locations || []).forEach(L => {
+    const [x, y] = px(L);
+    if (x < -20 || y < -20 || x > cv.width+20 || y > cv.height+20)
+      return;
+    const sel = L.name === md.selected_location;
+    ctx.fillStyle = sel ? '#98c379' : '#98c37977';
+    ctx.beginPath();
+    ctx.moveTo(x, y-6); ctx.lineTo(x+5, y); ctx.lineTo(x, y+6);
+    ctx.lineTo(x-5, y); ctx.closePath(); ctx.fill();
+    ctx.fillStyle = '#98c379';
+    ctx.fillText(L.name, x + 7, y + 3);
+  });
+  // distance/bearing readout (gui/app.rs:918-960; b cycles the
+  // location, B toggles the direction)
+  if (md.distance) {
+    ctx.fillStyle = '#e5c07b'; ctx.font = '11px system-ui';
+    ctx.fillText(md.distance, 8, 14);
+  }
   ctx.fillStyle = '#7a8494';
   ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
 }
@@ -718,6 +738,7 @@ z            zoom levels absolute (1:1 px) vs relative to fit
 I            histogram off/luma/Oklab   E  EXIF overlay
 N            map off/markers/paths      G  sun via GPS-UTC/camera clock
 A            map: fit all markers vs zoom on selected
+b / B        cycle map location / toggle distance direction
 P            sidebar path depth   < / >  sidebar width
 .            go up one directory (view mode)
 L            cycle 3D LUT

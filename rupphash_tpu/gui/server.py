@@ -77,6 +77,12 @@ class GuiServer:
         # EXIF index, whose rebuild scans the whole session.
         self.data_rev = 0
         self.progress: tuple[int, int] | None = None  # scanning x/y
+        # GPS-map selector state (gui/gps_map.rs:288,316): the chosen
+        # config [locations] entry for the distance/bearing readout
+        # and the direction toggle; server-side like the other view
+        # state so the socket suite covers the transitions
+        self.map_location: str | None = None
+        self.map_dir_to_image = False
         self._httpd: ThreadingHTTPServer | None = None
         # Per-session CSRF token: intents mutate (and can delete) files,
         # and any webpage can fire "simple" cross-origin POSTs at a
@@ -293,7 +299,50 @@ class GuiServer:
             except Exception:
                 order = list(range(len(markers)))
         return {"markers": markers, "order": order,
+                "locations": [
+                    {"name": n, "lat": self._loc_point(n)[0],
+                     "lon": self._loc_point(n)[1]}
+                    for n in sorted(self.locations)],
+                "selected_location": self.map_location,
+                "direction_to_image": self.map_dir_to_image,
+                "distance": self._map_distance(),
                 "tile_url": getattr(self, "tile_url", None)}
+
+    def _loc_point(self, name: str) -> tuple[float, float]:
+        """(lat, lon) for a config [locations] entry, accepting the
+        same tuple/dict spellings GeoDistanceFilter.parse does."""
+        loc = self.locations[name]
+        if isinstance(loc, (list, tuple)):
+            return float(loc[0]), float(loc[1])
+        return float(loc["lat"]), float(loc["lon"])
+
+    def _map_distance(self) -> str | None:
+        """'image to NAME: 1919.99 km @ 88.00° E' for the cursor file
+        vs the selected config location, direction-toggleable — the
+        reference's get_distance_to_location (gui/app.rs:918-960) with
+        gps_map.rs:1070-1080 formatting; None without GPS/selection."""
+        name = self.map_location
+        if not name or name not in self.locations:
+            return None
+        cur = self.state.current()
+        if cur is None or cur.gps_pos is None:
+            return None
+        from ..utils import sunpos
+        loc = self._loc_point(name)
+        if self.map_dir_to_image:
+            frm, to = loc, cur.gps_pos
+            label = f"{name} to image"
+        else:
+            frm, to = cur.gps_pos, loc
+            label = f"image to {name}"
+        dist_m, bearing = sunpos.geodesic_distance_bearing(
+            frm[0], frm[1], to[0], to[1])
+        dist = (f"{dist_m:.0f} m" if dist_m < 1000.0
+                else f"{dist_m / 1000.0:.2f} km")
+        dirs = ["N", "NE", "E", "SE", "S", "SW", "W", "NW"]
+        norm = bearing % 360.0
+        compass = dirs[int((norm + 22.5) // 45.0) % 8]
+        return f"{label}: {dist} @ {bearing:.2f}° {compass}"
 
     # ------------------------------------------------------------ intents
     INTENTS = {i.value: i for i in Intent}
@@ -353,6 +402,29 @@ class GuiServer:
                 self.state.status = ("sun position: GPS-UTC time"
                                      if self.use_gps_time
                                      else "sun position: camera clock")
+            elif name == "map_location":
+                # the map's location selector (gui/app.rs:3885-3912):
+                # a config [locations] name, "" / None to clear, or
+                # "next" to cycle None -> each name -> None
+                names = sorted(self.locations)
+                if arg == "next":
+                    if not names:
+                        sel = None
+                    elif self.map_location not in names:
+                        sel = names[0]
+                    else:
+                        i = names.index(self.map_location) + 1
+                        sel = names[i] if i < len(names) else None
+                elif arg and arg in self.locations:
+                    sel = str(arg)
+                else:
+                    sel = None
+                self.map_location = sel
+                self.state.status = f"map location: {sel or 'none'}"
+            elif name == "map_direction":
+                # click-to-toggle on the distance string
+                # (gui/app.rs:963-965 toggle_distance_direction)
+                self.map_dir_to_image = not self.map_dir_to_image
             elif name == "noop":
                 pass
             elif name in self.INTENTS:
@@ -396,7 +468,8 @@ class GuiServer:
     ZOOM_W = {"fit": "fitw", "fitw": "fith", "fith": "fit"}
     ZOOM_Z = {"x1": "x2", "x2": "x4", "x4": "x8", "x8": "fit"}
     SORTS = ("name", "name-desc", "name-natural", "name-natural-desc",
-             "date", "date-desc", "size", "size-desc", "random")
+             "date", "date-desc", "size", "size-desc", "random",
+             "exif-date", "exif-date-desc", "location")
 
     def resolve_key(self, key: str) -> dict:
         """One keypress -> {"snapshot": ..., "ui": op|None}.
@@ -432,6 +505,16 @@ class GuiServer:
                     if st.sort_order in order else -1
                 intent_name = "change_sort"
                 arg = order[(i + 1) % len(order)]
+            elif key == "b":
+                # cycle the map's selected config location
+                # (the reference's location selector combobox,
+                # gui/app.rs:3885-3912)
+                intent_name = "map_location"
+                arg = "next"
+            elif key == "B":
+                # toggle the distance/bearing direction
+                # (gui/app.rs:963-965)
+                intent_name = "map_direction"
             elif key == ".":
                 # up one directory, reselecting sensibly
                 # (gui/dialogs.rs:555-572)

@@ -778,3 +778,66 @@ def test_key_endpoint_csrf_gated(gui):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _key(port, "j", token="deadbeef")
     assert ei.value.code == 403
+
+
+def test_map_location_distance_and_direction(tmp_path):
+    """The GPS map's location selector and distance/bearing readout
+    live server-side (gui/app.rs:918-965, 3885-3912): b cycles the
+    config [locations] entry (None -> each name -> None), B toggles
+    the direction, and the map payload carries the location markers
+    plus the formatted 'image to NAME: D @ B° C' string computed with
+    the Vincenty geodesic."""
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(
+        rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)).resize(
+            (96, 64), Image.BILINEAR)
+    p = tmp_path / "geo.png"
+    img.save(p)
+    rec = FileRecord(path=p, size=p.stat().st_size, resolution=(96, 64),
+                     unique_file_id=7, gps_pos=(60.1699, 24.9384))
+    st = AppState([[rec]], [GroupInfo()])
+    srv = server.GuiServer(st, locations={
+        "home": (61.4978, 23.7610),          # Tampere
+        "office": {"lat": 60.4518, "lon": 22.2666}})  # Turku (dict form)
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        md = json.loads(_get(port, "/api/state")[2])["map"]
+        assert [x["name"] for x in md["locations"]] == ["home", "office"]
+        assert md["selected_location"] is None and md["distance"] is None
+
+        md = _key(port, "b")["snapshot"]["map"]     # None -> home
+        assert md["selected_location"] == "home"
+        d = md["distance"]
+        assert d is not None and d.startswith("image to home:")
+        # Helsinki -> Tampere: ~160 km bearing ~NW (about 335 deg)
+        km = float(d.split(": ")[1].split(" km")[0])
+        assert 150 < km < 175, d
+        assert d.endswith("NW") or d.endswith("N"), d
+
+        md = _key(port, "B")["snapshot"]["map"]     # toggle direction
+        assert md["distance"].startswith("home to image:")
+        km2 = float(md["distance"].split(": ")[1].split(" km")[0])
+        assert abs(km2 - km) < 1.0                  # symmetric distance
+        assert md["direction_to_image"] is True
+
+        md = _key(port, "b")["snapshot"]["map"]     # home -> office
+        assert md["selected_location"] == "office"
+        md = _key(port, "b")["snapshot"]["map"]     # office -> None
+        assert md["selected_location"] is None and md["distance"] is None
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_key_sort_cycle_reaches_location(gui):
+    """The GUI sort cycle covers the full CLI order list including
+    exif-date and location (the reference's sort menu)."""
+    srv, port, _ = gui
+    seen = []
+    for _ in range(12):
+        seen.append(_key(port, "s")["snapshot"]["sort_order"])
+    assert "location" in seen and "exif-date" in seen
+    # full cycle returns to the start
+    assert seen[-1] == "name"
