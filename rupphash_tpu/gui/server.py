@@ -293,9 +293,15 @@ class GuiServer:
         order = []
         if len(markers) >= 2:
             pts = [(m["lat"], m["lon"]) for m in markers]
+            # the path ordering follows the sort order (app.rs:631,
+            # dialogs.rs:1401): exif-date sorts walk the markers
+            # chronologically, everything else spatially
+            mode = ("chronological"
+                    if st.sort_order in ("exif-date", "exif-date-desc")
+                    else "auto")
             try:
                 order = [int(i) for i in geo.order_markers(
-                    pts, timestamps=ts)]
+                    pts, timestamps=ts, mode=mode)]
             except Exception:
                 order = list(range(len(markers)))
         return {"markers": markers, "order": order,

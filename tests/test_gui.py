@@ -841,3 +841,42 @@ def test_key_sort_cycle_reaches_location(gui):
     assert "location" in seen and "exif-date" in seen
     # full cycle returns to the start
     assert seen[-1] == "name"
+
+
+def test_map_path_mode_follows_sort_order(tmp_path):
+    """exif-date sorts switch the map path to chronological marker
+    order; other sorts keep the spatial NN+2-opt path (app.rs:631,
+    dialogs.rs:1395-1403)."""
+    rng = np.random.default_rng(11)
+    img = Image.fromarray(
+        rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)).resize(
+            (96, 64), Image.BILINEAR)
+    recs = []
+    # spatially monotone west->east, but timestamps reversed
+    for i, (lon, ts) in enumerate([(-100.0, 300), (-90.0, 200),
+                                   (-80.0, 100)]):
+        p = tmp_path / f"m{i}.png"
+        img.save(p)
+        recs.append(FileRecord(path=p, size=1, resolution=(96, 64),
+                               unique_file_id=50 + i,
+                               gps_pos=(40.0, lon), exif_timestamp=ts))
+    st = AppState([recs], [GroupInfo()])
+    srv = server.GuiServer(st)
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        md = json.loads(_get(port, "/api/state")[2])["map"]
+        spatial = md["order"]
+        assert spatial in ([0, 1, 2], [2, 1, 0])      # monotone path
+        srv.apply_intent("change_sort", "exif-date")
+        md = json.loads(_get(port, "/api/state")[2])["map"]
+        # markers re-keyed after the sort: order must be by timestamp
+        files = [m["file"] for m in md["markers"]]
+        ts_by_file = {i: r.exif_timestamp
+                      for i, r in enumerate(st.groups[0])}
+        chron = [ts_by_file[files[i]] for i in md["order"]]
+        assert chron == sorted(chron), (md["order"], chron)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
