@@ -2378,6 +2378,152 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-7.3, 141.0), (-9.5, 141.0)],
     ("PG", None): [
         (-9.8, 141.0), (0.5, 141.0), (0.5, 149.0), (-9.8, 149.0)],
+    # --- Maghreb / western Sahara (round 4g).  The classic treaty
+    # staircase is exact: the 27.666N line (Morocco / Western Sahara),
+    # the -8.667 meridian, the 26N and Tropic-of-Cancer (23.45) steps
+    # and the -12/-13 meridians (Western Sahara / Mauritania), the
+    # Cap Blanc peninsula midline (La Guera EH west, Nouadhibou MR
+    # east), the DZ/MR diagonal to (25.0, -4.806) and Mali's
+    # near-vertical northwest line — every shared border one vertex
+    # run in both rings.  The Morocco/Algeria chain threads the
+    # Oujda/Maghnia and Figuig/Beni Ounif twins; the Senegal-river
+    # chain splits Rosso MR / Richard Toll SN; the Algeria/Tunisia
+    # and Algeria/Libya edges are conservative (Ghadames/Ghat/Tozeur
+    # stay out); the Spanish enclaves (Ceuta, Melilla) and the Canary
+    # Islands stay outside Morocco's envelope.
+    ("MA", None): [
+        (35.09, -2.21),                       # Med corner (DZ shared)
+        (34.85, -1.79),                       # Oujda in, Maghnia DZ out
+        (34.5, -1.70),                        # DZ chain (shared)
+        (33.7, -1.60),                        # DZ chain (shared)
+        (32.8, -1.30),                        # DZ chain (shared)
+        (32.1, -1.18),                        # Figuig in, Beni Ounif out
+        (32.0, -2.1),                         # DZ chain (Bechar out)
+        (31.7, -3.0),                         # DZ chain (shared)
+        (30.9, -4.3),                         # DZ chain (shared)
+        (30.2, -5.5),                         # Draa (conservative)
+        (29.5, -6.5),                         # Draa (conservative)
+        (28.7, -7.8),                         # DZ chain (shared)
+        (27.666, -8.667),                     # WS/DZ corner (exact)
+        (27.666, -13.17),                     # 27.666N line (EH shared)
+        (27.95, -13.35),                      # Atlantic (Tarfaya in,
+        (29.4, -10.9),                        #   Canaries out)
+        (30.5, -10.3),                        # Atlantic (Agadir in)
+        (31.6, -10.3),                        # Atlantic
+        (32.4, -9.8),                         # Atlantic (Safi in)
+        (33.6, -8.2),                         # Atlantic (Casablanca in)
+        (34.3, -7.2),                         # Atlantic (Rabat in)
+        (35.3, -6.3),                         # Atlantic (Tangier in)
+        (35.95, -5.95),                       # Cape Spartel
+        (35.83, -5.45),                       # Ceuta ES stays out
+        (35.82, -5.25),                       # Med (Fnideq concedes)
+        (35.5, -4.5),                         # Med (Al Hoceima in)
+        (35.25, -3.1),                        # Melilla ES cut west
+        (35.22, -2.85),                       # Melilla ES cut east
+        (35.45, -2.4)],                       # Med (Nador in)
+    ("EH", None): [                           # Western Sahara
+        (27.666, -8.667),                     # NE corner (MA/DZ shared)
+        (26.0, -8.667),                       # -8.667 line (MR shared)
+        (26.0, -12.0),                        # 26N step (MR shared)
+        (23.45, -12.0),                       # -12 meridian (MR shared)
+        (23.45, -13.0),                       # Tropic of Cancer (shared)
+        (21.3394, -13.0),                     # -13 meridian (MR shared)
+        (21.3394, -17.005),                   # 21.34 line (MR shared)
+        (20.77, -17.055),                     # Cap Blanc tip (MR shared)
+        (21.5, -17.6),                        # Atlantic generous
+        (24.5, -16.2),                        # Atlantic (Dakhla in)
+        (27.0, -14.5),                        # Atlantic
+        (27.78, -13.6),                       # Atlantic (Laayoune in,
+        (27.666, -13.17)],                    #   Canaries out; MA shared
+    ("MR", None): [                           # Mauritania
+        (26.0, -8.667),                       # EH staircase (shared)
+        (27.666, -8.667),                     # meridian up (EH corner)
+        (25.0, -4.806),                       # DZ diagonal (shared)
+        (15.6, -5.5),                         # Mali vertical (shared)
+        (15.5, -6.5),                         # Hodh arc (ML shared)
+        (15.6, -7.3),                         # Nema in, Nara ML out
+        (15.5, -8.4),                         # Hodh arc (ML shared)
+        (15.31, -9.35),                       # Ayoun in, Nioro ML out
+        (14.78, -12.1),                       # ML/SN tripoint (shared)
+        (14.77, -12.25),                      # Senegal River (Bakel out)
+        (15.67, -13.26),                      # river (Matam SN out)
+        (16.135, -13.51),                     # river (Kaedi in)
+        (16.60, -14.30),                      # river (Boghe in)
+        (16.68, -14.96),                      # river (Podor SN out)
+        (16.49, -15.75),                      # Rosso in, R. Toll out
+        (16.03, -16.52),                      # river mouth (St-Louis out)
+        (18.0, -16.5),                        # Atlantic (Nouakchott in)
+        (20.2, -17.1),                        # Atlantic
+        (20.77, -17.055),                     # Cap Blanc tip (EH shared)
+        (21.3394, -17.005),                   # peninsula midline
+        (21.3394, -13.0),                     # staircase (EH shared)
+        (23.45, -13.0),                       # Tropic (EH shared)
+        (23.45, -12.0),                       # staircase (EH shared)
+        (26.0, -12.0)],                       # 26N step (EH shared)
+    ("ML", None): [                           # Mali
+        (25.0, -4.806),                       # DZ/MR tripoint (shared)
+        (21.35, 0.90),                        # DZ line (Tessalit in,
+        (20.1, 3.2),                          #   B.B. Mokhtar DZ out)
+        (19.15, 4.25),                        # NE tripoint (shared)
+        (15.6, 4.0),                          # Niger chain (NE shared)
+        (15.1, 1.3),                          # Niger chain (NE shared)
+        (14.93, 0.70),                        # Labbezanga (NE shared)
+        (14.2, 0.35),                         # Burkina chain (NE shared)
+        (13.9, -0.4),                         # Burkina (conservative)
+        (14.4, -2.5),                         # Dogon line (Koro reach)
+        (13.9, -3.4),                         # BF line (Ouahigouya out)
+        (13.1, -4.35),                        # BF line (San in)
+        (12.0, -4.45),                        # BF line (Bobo out)
+        (11.1, -5.5),                         # Sikasso in
+        (10.75, -6.0),                        # CI line (Tengrela out)
+        (10.65, -6.6),                        # CI line (conservative)
+        (10.2, -7.6),                         # CI/GN corner
+        (10.9, -8.2),                         # Guinea (Yanfolila in)
+        (11.3, -8.7),                         # Guinea (Kangaba in)
+        (12.1, -9.4),                         # Guinea (Siguiri GN out)
+        (12.4, -10.6),                        # Guinea (conservative)
+        (12.7, -11.3),                        # Guinea/Senegal
+        (13.5, -11.75),                       # Faleme (Kidira SN out)
+        (14.78, -12.1),                       # MR/SN tripoint (shared)
+        (15.31, -9.35),                       # Hodh arc (MR shared)
+        (15.5, -8.4),                         # Hodh arc (MR shared)
+        (15.6, -7.3),                         # Hodh arc (MR shared)
+        (15.5, -6.5),                         # Hodh arc (MR shared)
+        (15.6, -5.5)],                        # vertical line (MR shared)
+    ("DZ", None): [                           # Algeria
+        (35.09, -2.21),                       # Med corner (MA shared)
+        (36.3, -1.5),                         # Med (Oran in)
+        (36.9, 1.0),                          # Med generous
+        (37.3, 4.0),                          # Med generous
+        (37.5, 7.0),                          # Med (Annaba in)
+        (36.95, 8.55),                        # TN corner (Tabarka out)
+        (36.5, 8.2),                          # TN line (El Kala in)
+        (35.2, 8.1),                          # TN line (conservative)
+        (33.9, 7.75),                         # Nefta/Tozeur TN out
+        (32.2, 8.9),                          # TN south (conservative)
+        (30.1, 9.45),                         # LY line (Ghadames out)
+        (28.0, 9.75),                         # LY line (In Amenas in)
+        (26.5, 9.8),                          # LY line (conservative)
+        (25.0, 9.95),                         # LY line (Ghat LY out)
+        (24.2, 10.8),                         # LY line
+        (23.4, 12.0),                         # NE tripoint (shared)
+        (19.85, 7.0),                         # Niger line (NE shared)
+        (19.15, 4.25),                        # Niger line (NE shared)
+        (20.1, 3.2),                          # Mali line (ML shared)
+        (21.35, 0.90),                        # Mali line (ML shared)
+        (25.0, -4.806),                       # MR tripoint (shared)
+        (27.666, -8.667),                     # WS corner (exact, shared)
+        (28.7, -7.8),                         # Morocco chain (shared)
+        (29.5, -6.5),                         # Morocco chain (shared)
+        (30.2, -5.5),                         # Morocco chain (shared)
+        (30.9, -4.3),                         # Morocco chain (shared)
+        (31.7, -3.0),                         # Morocco chain (shared)
+        (32.0, -2.1),                         # Bechar in (MA shared)
+        (32.1, -1.18),                        # Beni Ounif in (shared)
+        (32.8, -1.30),                        # Morocco chain (shared)
+        (33.7, -1.60),                        # Morocco chain (shared)
+        (34.5, -1.70),                        # Morocco chain (shared)
+        (34.85, -1.79)],                      # Maghnia in (MA shared)
     # --- Middle East desert treaty lines (round 4f).  The JO/SA
     # zigzag (Winston's hiccup — the 1925/1965 straight lines, with
     # the Saudi salient at (31.33, 36.98) keeping Qurayyat SA out of

@@ -2345,3 +2345,93 @@ def test_polygon_round4g_british_isles_gulf():
     assert "United Kingdom" in loc["country"]
     assert geonames.derive_location(53.3498, -6.2603)["country"] \
         .endswith("Ireland")
+
+
+def test_polygon_round4g_maghreb():
+    """Morocco / Western Sahara / Mauritania / Mali / Algeria: the
+    classic treaty staircase exact (27.666N, the -8.667 meridian, the
+    26N and Tropic-of-Cancer steps, the -12/-13 meridians, the Cap
+    Blanc midline, the DZ/MR diagonal to (25.0, -4.806) and Mali's
+    near-vertical northwest line) with every shared border one vertex
+    run in both rings.  The MA/DZ chain splits Oujda/Maghnia and
+    Figuig/Beni Ounif; the Senegal-river chain splits Rosso MR from
+    Richard Toll SN; Ceuta, Melilla and the Canaries stay Spanish;
+    Ghadames/Ghat LY and the Tunisian oases stay out of Algeria's
+    conservative east edge."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (33.5731, -7.5898, "MA"),            # Casablanca
+        (34.6814, -1.9086, "MA"),            # Oujda (vs Maghnia DZ)
+        (32.1090, -1.2290, "MA"),            # Figuig (vs Beni Ounif)
+        (27.9390, -12.9260, "MA"),           # Tarfaya (27.666N side)
+        (35.1740, -2.9287, "MA"),            # Nador (vs Melilla ES)
+        (27.1536, -13.2033, "EH"),           # Laayoune
+        (23.6848, -15.9580, "EH"),           # Dakhla
+        (20.8560, -17.0630, "EH"),           # La Guera (Cap Blanc W)
+        (20.9310, -17.0347, "MR"),           # Nouadhibou (Cap Blanc E)
+        (22.7350, -12.4720, "MR"),           # Zouerat (staircase)
+        (16.5130, -15.8050, "MR"),           # Rosso (vs Richard Toll)
+        (16.1500, -13.5040, "MR"),           # Kaedi (river bank)
+        (16.6170, -7.2560, "MR"),            # Nema (vs Nara ML)
+        (12.6392, -8.0029, "ML"),            # Bamako
+        (16.7735, -3.0074, "ML"),            # Timbuktu
+        (20.1998, 0.9783, "ML"),             # Tessalit (vs BBM DZ)
+        (22.6730, -3.9780, "ML"),            # Taoudenni (the vertical)
+        (15.2300, -9.5900, "ML"),            # Nioro (vs Ayoun MR)
+        (36.7538, 3.0588, "DZ"),             # Algiers
+        (34.8580, -1.7320, "DZ"),            # Maghnia (vs Oujda MA)
+        (31.6167, -2.2167, "DZ"),            # Bechar
+        (27.6710, -8.1470, "DZ"),            # Tindouf (by the corner)
+        (28.0500, 9.5500, "DZ"),             # In Amenas (vs Ghadames)
+        (22.7850, 5.5228, "DZ"),             # Tamanrasset
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    new_codes = ("MA", "EH", "MR", "ML", "DZ")
+    outsiders = [
+        (35.8894, -5.3075, "Ceuta ES"),
+        (35.2923, -2.9381, "Melilla ES"),
+        (28.3587, -14.0537, "Fuerteventura ES"),
+        (27.9545, -15.5920, "Gran Canaria ES"),
+        (36.1408, -5.3536, "Gibraltar"),
+        (33.9197, 8.1335, "Tozeur TN"),
+        (36.9544, 8.7580, "Tabarka TN"),
+        (30.1333, 9.5000, "Ghadames LY"),
+        (24.9644, 10.1800, "Ghat LY"),
+        (16.0326, -16.4818, "Saint-Louis SN"),
+        (16.4650, -15.7000, "Richard Toll SN"),
+        (15.6552, -13.2550, "Matam SN"),
+        (11.4230, -9.1700, "Siguiri GN"),
+        (10.4800, -6.4100, "Tengrela CI"),
+        (11.1771, -4.2979, "Bobo-Dioulasso BF"),
+        (13.5830, -2.4210, "Ouahigouya BF"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new_codes, (name, got)
+
+    # shared staircase / diagonal / chain contracts
+    ma = geopoly.POLYGONS[("MA", None)]
+    eh = geopoly.POLYGONS[("EH", None)]
+    mr = geopoly.POLYGONS[("MR", None)]
+    ml = geopoly.POLYGONS[("ML", None)]
+    dz = geopoly.POLYGONS[("DZ", None)]
+    assert (27.666, -8.667) in ma and (27.666, -8.667) in eh \
+        and (27.666, -8.667) in dz and (27.666, -8.667) in mr
+    for v in ((26.0, -8.667), (26.0, -12.0), (23.45, -12.0),
+              (23.45, -13.0), (21.3394, -13.0), (21.3394, -17.005),
+              (20.77, -17.055)):
+        assert v in eh and v in mr               # the staircase
+    assert (25.0, -4.806) in dz and (25.0, -4.806) in mr \
+        and (25.0, -4.806) in ml                 # the diagonal corner
+    for v in ((15.6, -5.5), (15.31, -9.35), (14.78, -12.1)):
+        assert v in ml and v in mr               # Hodh arc / vertical
+    for v in ((34.85, -1.79), (32.1, -1.18), (28.7, -7.8)):
+        assert v in ma and v in dz               # MA/DZ chain
+    for v in ((21.35, 0.90), (20.1, 3.2), (19.15, 4.25)):
+        assert v in ml and v in dz               # DZ/ML line
+    ne = geopoly.POLYGONS[("NE", None)]
+    for v in ((19.15, 4.25), (15.6, 4.0), (14.93, 0.70)):
+        assert v in ml and v in ne               # ML/NE chain shared
