@@ -181,6 +181,10 @@ _SUBDIVISIONS = {"US": _US_STATES, "CA": _CA_PROVINCES, "AU": _AU_STATES}
 _lock = threading.Lock()
 _anchors = None     # list of (lat, lon, tzname, code, subdivision|None)
 _countries = None   # code -> name
+_country_zones = None  # code -> [(lat, lon, tzname)] from the FULL
+                       # zone1970 country list (an anchor tuple keeps
+                       # only the first code, so e.g. Mali's canonical
+                       # Africa/Abidjan zone is reachable only here)
 _anchor_xyz = None  # (N, 3) unit vectors for vectorized nearest lookup
 _sub_idx = None     # indices of subdivision-bearing anchors
 
@@ -200,13 +204,14 @@ def _parse_iso6709(s: str):
 
 
 def _load():
-    global _anchors, _countries
+    global _anchors, _countries, _country_zones
     if _anchors is not None:
         return _anchors, _countries
     with _lock:
         if _anchors is not None:
             return _anchors, _countries
         anchors, countries = [], {}
+        czones: dict = {}
         try:
             for line in (ZONEINFO / "iso3166.tab").read_text(
                     encoding="utf-8").splitlines():
@@ -227,6 +232,9 @@ def _load():
                     continue
                 anchors.append((lat, lon, parts[2],
                                 parts[0].split(",")[0], None))
+                for c in parts[0].split(","):
+                    czones.setdefault(c.strip(), []).append(
+                        (lat, lon, parts[2]))
         except OSError:
             pass
         if anchors:  # only add admin-1 anchors when tzdata is present
@@ -234,6 +242,8 @@ def _load():
                 for name, (tz, points) in table.items():
                     for lat, lon in points:
                         anchors.append((lat, lon, tz, code, name))
+                        czones.setdefault(code, []).append(
+                            (lat, lon, tz))
             # worldwide admin-1 anchor tables (admin1_data.py): the
             # offline substitution for the reference's polygon DB
             # (exif_extract.rs:435-474)
@@ -243,6 +253,8 @@ def _load():
                     name, lat, lon = entry[0], entry[1], entry[2]
                     tz = entry[3] if len(entry) > 3 else default_tz
                     anchors.append((lat, lon, tz, code, name))
+                    czones.setdefault(code, []).append((lat, lon, tz))
+        _country_zones = czones
         _anchors, _countries = anchors, countries
         return _anchors, _countries
 
@@ -318,10 +330,35 @@ def nearest_subdivision(lat: float, lon: float):
 
 def timezone_name(lat: float, lon: float) -> str | None:
     """IANA zone name; nautical Etc/GMT± fallback offshore
-    (reference fallback: position.rs:21-29)."""
+    (reference fallback: position.rs:21-29).
+
+    A point beyond anchor range that sits INSIDE an exact country ring
+    is land, not ocean: it takes the nearest of its own country's
+    zone1970 zones (tzdb's canonical covering zone — e.g. interior
+    Mali is Africa/Abidjan, which zone1970 lists for
+    CI,BF,...,ML,MR,...) instead of the nautical fallback."""
     hit = nearest_anchor(lat, lon)
     if hit is not None and hit[3] <= OCEAN_KM:
+        # the nearest in-range anchor wins even across a border: a
+        # neighbour's city is usually the best tz proxy (El Paso sits
+        # 4 km from the Ciudad Juarez zone point and shares its
+        # Mountain offset; the ring-country zone list would send it
+        # to Chicago time)
         return hit[0]
+    from . import geopoly
+    poly = geopoly.lookup(lat, lon)
+    if poly is not None:
+        _load()
+        zones = (_country_zones or {}).get(poly[0])
+        if zones:
+            import math
+            la, lo = math.radians(lat), math.radians(lon)
+
+            def d2(z):
+                zla, zlo = math.radians(z[0]), math.radians(z[1])
+                return ((zla - la) ** 2
+                        + (math.cos(la) * (zlo - lo)) ** 2)
+            return min(zones, key=d2)[2]
     # nautical convention: Etc/GMT signs are inverted (POSIX)
     offset = int(round(-lon / 15.0))
     if offset == 0:

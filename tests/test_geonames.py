@@ -2435,3 +2435,31 @@ def test_polygon_round4g_maghreb():
     ne = geopoly.POLYGONS[("NE", None)]
     for v in ((19.15, 4.25), (15.6, 4.0), (14.93, 0.70)):
         assert v in ml and v in ne               # ML/NE chain shared
+
+
+def test_timezone_ring_country_fallback():
+    """A point beyond anchor range that sits inside an exact country
+    ring is land, not ocean: it takes the nearest of its own
+    country's zone1970 zones (the tzdb canonical covering zone)
+    instead of the nautical Etc/GMT fallback.  Interior West Africa
+    is the motivating case — zone1970 lists Africa/Abidjan for
+    CI,BF,...,ML,MR so Bamako has no same-country anchor tuple, and
+    the nautical fallback put it an hour off (Etc/GMT+1 = UTC-1)."""
+    from rupphash_tpu.utils import geonames
+
+    assert geonames.timezone_name(12.6392, -8.0029) \
+        == "Africa/Abidjan"                      # Bamako (was Etc/GMT+1)
+    assert geonames.timezone_name(16.7735, -3.0074) \
+        == "Africa/Abidjan"                      # Timbuktu
+    assert geonames.timezone_name(17.92, 19.11) \
+        == "Africa/Ndjamena"                     # Faya-Largeau, Chad
+    # in-range anchors keep winning, even across a border: El Paso
+    # sits 4 km from the Ciudad Juarez zone point and shares its
+    # Mountain offset — the ring-country list must NOT override it
+    assert geonames.timezone_name(31.7619, -106.485) \
+        == "America/Ciudad_Juarez"
+    # true open ocean keeps the nautical convention
+    assert geonames.timezone_name(0.0, -150.0) == "Etc/GMT+10"
+    # derive_location carries the fixed zone through
+    assert geonames.derive_location(12.6392, -8.0029)["timezone"] \
+        == "Africa/Abidjan"
