@@ -1022,11 +1022,21 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-28.16, 155.0), (-28.16, 153.55), (-28.25, 152.0),
         (-28.7, 150.0), (-29.0, 148.95), (-29.0, 141.0),
         (-26.0, 141.0)],
+    # New South Wales carries a keyhole cut for the Australian Capital
+    # Territory enclave (attached at the Murray vertex; even-odd
+    # parity makes the pentagon interior fall OUT of NSW, so Canberra
+    # resolves ACT through the anchors — round-4g anchor
+    # cross-validation caught it resolving New South Wales); the
+    # pentagon's east edge stays west of Queanbeyan NSW.
     ("AU", "New South Wales"): [
         (-29.0, 141.0), (-29.0, 148.95), (-28.7, 150.0),
         (-28.25, 152.0), (-28.16, 153.55), (-28.16, 155.0),
         (-37.6, 151.0),                                      # ocean
         (-37.51, 149.98), (-36.8, 148.2),                    # Murray
+        (-35.93, 148.76),                                    # ACT cut
+        (-35.12, 148.76), (-35.12, 149.15),                  # ACT cut
+        (-35.33, 149.23), (-35.93, 149.10),                  # ACT cut
+        (-35.93, 148.76),                                    # cut closes
         (-36.1, 147.0), (-36.0, 146.0), (-36.12, 144.75),
         (-35.33, 143.55), (-34.58, 142.77), (-34.19, 142.16),
         (-34.0, 141.0)],

@@ -2437,6 +2437,47 @@ def test_polygon_round4g_maghreb():
         assert v in ml and v in ne               # ML/NE chain shared
 
 
+def test_polygon_rings_agree_with_anchor_tables():
+    """Cross-validation against independent data: every admin-1 anchor
+    point (zone1970 + the embedded subdivision tables) that falls
+    inside a shipped ring must land in its OWN country, and — when
+    the ring names a subdivision — its own subdivision.  This swept
+    ~270 anchors and caught Canberra resolving New South Wales before
+    the ACT keyhole cut landed."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    geonames._load()
+    checked = 0
+    for (lat, lon, tz, code, sub) in geonames._anchors:
+        got = geopoly.lookup(lat, lon)
+        if got is None:
+            continue
+        checked += 1
+        assert got[0] == code, (code, sub, lat, lon, got)
+        if got[1] is not None and sub is not None:
+            assert got[1] == sub, (code, sub, lat, lon, got)
+    assert checked >= 250      # the sweep must keep real coverage
+
+
+def test_polygon_act_keyhole():
+    """The NSW ring's keyhole cut: Canberra and the ACT towns fall
+    OUT of New South Wales (even-odd parity inside the pentagon) and
+    resolve Australian Capital Territory through the anchors, while
+    Queanbeyan — 5 km across the border — stays NSW."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    for lat, lon in ((-35.308, 149.124),      # Canberra
+                     (-35.42, 149.09),        # Tuggeranong
+                     (-35.17, 149.07)):       # Hall
+        assert geopoly.lookup(lat, lon) is None
+        assert geonames.subdivision_name(lat, lon) \
+            == "Australian Capital Territory"
+    assert geopoly.lookup(-35.3549, 149.2323) \
+        == ("AU", "New South Wales")          # Queanbeyan
+    assert geopoly.lookup(-36.235, 149.13) \
+        == ("AU", "New South Wales")          # Cooma (south of the cut)
+
+
 def test_timezone_ring_country_fallback():
     """A point beyond anchor range that sits inside an exact country
     ring is land, not ocean: it takes the nearest of its own
