@@ -552,14 +552,29 @@ function drawMap() {
     ctx.fillText(L.name, x + 7, y + 3);
   });
   // distance/bearing readout (gui/app.rs:918-960; b cycles the
-  // location, B toggles the direction)
+  // location, B or a click on the text toggles the direction —
+  // the click target box is remembered for the canvas handler)
+  mapDistBox = null;
   if (md.distance) {
     ctx.fillStyle = '#e5c07b'; ctx.font = '11px system-ui';
     ctx.fillText(md.distance, 8, 14);
+    mapDistBox = [0, 0, 16 + ctx.measureText(md.distance).width, 20];
   }
   ctx.fillStyle = '#7a8494';
   ctx.fillText(`${md.markers.length} marker(s)`, 8, cv.height-8);
 }
+
+let mapDistBox = null;  // [x, y, w, h] of the distance readout
+$('map').addEventListener('click', ev => {
+  // click-to-toggle direction (gui/app.rs:2660-2671) — pure event
+  // forwarding, the server owns the state
+  if (!mapDistBox) return;
+  const r = $('map').getBoundingClientRect();
+  const x = ev.clientX - r.left, y = ev.clientY - r.top;
+  if (x >= mapDistBox[0] && x <= mapDistBox[0] + mapDistBox[2] &&
+      y >= mapDistBox[1] && y <= mapDistBox[1] + mapDistBox[3])
+    intent('map_direction');
+});
 
 let histSeq = 0, exifSeq = 0;   // per-panel so one panel's fetch never supersedes the other's
 async function loadAnalysis() {
