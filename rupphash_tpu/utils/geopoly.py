@@ -2279,6 +2279,22 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # --- Argentina: Patagonian provinces whose major borders are the
     # 42S / 46S / 52S parallels (exact); the Andes border with Chile
     # is conservative (east of the true line), the Atlantic generous.
+    # La Pampa: the -35 parallel (San Luis/Cordoba) and the -63.3833
+    # meridian (Buenos Aires) are exact-class; the Colorado River
+    # chain tracks the channel within ~3 km (25 de Mayo LP in,
+    # Catriel RN out); the Mendoza side is conservative (the 36S
+    # step approximated inside).
+    ("AR", "La Pampa"): [
+        (-35.0, -63.3833),                    # the -35 line (exact)
+        (-39.09, -63.3833),                   # -63.3833 meridian (exact)
+        (-38.985, -64.085),                   # Colorado (La Adela reach)
+        (-38.9, -65.3),                       # Colorado
+        (-38.77, -66.44),                     # Colorado (Gob. Duval in)
+        (-38.25, -67.2),                      # Colorado (Casa de Piedra)
+        (-37.81, -67.72),                     # 25 de Mayo / Catriel
+        (-37.3, -68.0),                       # Colorado upper reach
+        (-36.88, -68.2),                      # river corner (conserv.)
+        (-35.0, -68.2)],                      # Mendoza line (conserv.)
     ("AR", "Chubut"): [
         (-42.0, -71.0), (-42.0, -60.0), (-46.0, -60.0),
         (-46.0, -71.0)],

@@ -2437,6 +2437,30 @@ def test_polygon_round4g_maghreb():
         assert v in ml and v in ne               # ML/NE chain shared
 
 
+def test_polygon_la_pampa():
+    """Argentina's rectilinear pampa province: the -35 parallel and the
+    -63.3833 meridian exact, the Colorado River chain within ~3 km
+    (25 de Mayo LP north bank in, Catriel RN south bank out), the
+    Mendoza side conservative."""
+    from rupphash_tpu.utils import geopoly
+
+    for lat, lon in ((-36.6203, -64.2906),    # Santa Rosa
+                     (-35.6566, -63.7568),    # General Pico
+                     (-35.0366, -64.2459),    # Realico (4 km off -35)
+                     (-37.7740, -67.7170),    # 25 de Mayo (river bank)
+                     (-38.7398, -66.4499),    # Gobernador Duval
+                     (-36.3500, -68.0200)):   # La Humada (west lobe)
+        assert geopoly.lookup(lat, lon) == ("AR", "La Pampa"), (lat, lon)
+    for lat, lon, name in ((-37.88, -67.83, "Catriel RN"),
+                           (-38.994, -64.093, "Rio Colorado RN"),
+                           (-35.971, -62.734, "Trenque Lauquen BA"),
+                           (-34.84, -64.37, "Huinca Renanco CBA"),
+                           (-34.617, -68.33, "San Rafael MZ"),
+                           (-38.9516, -68.0591, "Neuquen")):
+        got = geopoly.lookup(lat, lon)
+        assert got != ("AR", "La Pampa"), (name, got)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
