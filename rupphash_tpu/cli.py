@@ -264,6 +264,14 @@ def _open_store(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Prove the accelerator backend can initialize before anything in
+    # THIS process touches it: a dead TPU transport hangs device init
+    # inside jax's backend lock forever (observed as a multi-hour
+    # tunnel outage), so the probe runs in a subprocess under a
+    # timeout and pins this process to CPU on failure.
+    from .utils import backendprobe
+    backendprobe.ensure_backend_alive()
+
     from .utils import jaxcache
     jaxcache.enable()  # hot-start compiled TPU programs across runs
 

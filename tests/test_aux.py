@@ -130,3 +130,54 @@ def test_animated_gif_first_frame_hashable(tmp_path):
     assert img is not None and res == (32, 32)
     # first frame decoded: mean near 10, not near the 2-frame average
     assert float(np.asarray(img, dtype=np.float64).mean()) < 60
+
+
+def test_backend_probe_states(tmp_path, monkeypatch):
+    """The accelerator liveness probe (utils/backendprobe.py): skipped
+    when CPU is forced or a recent marker exists, "ok" when the probe
+    subprocess initializes a backend, CPU fallback (with a loud log
+    line) when it times out or dies — the production answer to a dead
+    TPU transport hanging device init forever."""
+    import tempfile
+
+    from rupphash_tpu.utils import backendprobe
+
+    logs = []
+    log = lambda *a: logs.append(" ".join(map(str, a)))
+
+    # forced-CPU env short-circuits
+    monkeypatch.setenv("RUPPHASH_PLATFORM", "cpu")
+    assert backendprobe.ensure_backend_alive(log=log) == "skipped"
+    monkeypatch.delenv("RUPPHASH_PLATFORM")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    # zero timeout disables
+    monkeypatch.setenv("RUPPHASH_BACKEND_PROBE_S", "0")
+    assert backendprobe.ensure_backend_alive(log=log) == "skipped"
+    monkeypatch.delenv("RUPPHASH_BACKEND_PROBE_S")
+
+    # isolate the marker file
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    # healthy probe: use a trivial subprocess (a real jax init costs
+    # seconds and is exercised by every CLI run anyway)
+    monkeypatch.setattr(backendprobe, "_PROBE_SNIPPET", "pass")
+    assert backendprobe.ensure_backend_alive(timeout_s=30,
+                                             log=log) == "ok"
+    # the success marker makes the next call free
+    assert backendprobe.ensure_backend_alive(timeout_s=30,
+                                             log=log) == "skipped"
+    assert not logs                     # no warnings so far
+
+    # dead transport: the probe hangs -> timeout -> CPU fallback
+    monkeypatch.setenv("RUPPHASH_BACKEND_PROBE_TTL_S", "0")
+    monkeypatch.setattr(backendprobe, "_PROBE_SNIPPET",
+                        "import time; time.sleep(60)")
+    assert backendprobe.ensure_backend_alive(timeout_s=1,
+                                             log=log) == "cpu-fallback"
+    assert logs and "falling" in logs[-1] and "CPU" in logs[-1]
+
+    # hard failure (plugin crash) -> CPU fallback too
+    monkeypatch.setattr(backendprobe, "_PROBE_SNIPPET",
+                        "raise SystemExit(3)")
+    assert backendprobe.ensure_backend_alive(timeout_s=30,
+                                             log=log) == "cpu-fallback"
