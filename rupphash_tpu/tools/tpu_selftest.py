@@ -25,6 +25,18 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    # fail FAST on a dead TPU transport instead of hanging in device
+    # init forever (no CPU fallback here: this tool exists to validate
+    # the hardware, so a dead backend is a loud failure, exit 3)
+    from ..utils import backendprobe
+    state = backendprobe.ensure_backend_alive()
+    if state == "cpu-fallback":
+        print("FAIL: accelerator backend unreachable — the selftest "
+              "validates hardware and cannot run on the CPU fallback "
+              "(set RUPPHASH_BACKEND_PROBE_S to widen the probe "
+              "window)", file=sys.stderr)
+        return 3
+
     import jax
 
     from ..ops import (hamming, hamming_pallas, pdq_jax, pdq_pallas,
