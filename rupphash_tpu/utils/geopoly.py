@@ -2302,6 +2302,79 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-46.0, -71.7), (-46.0, -60.0), (-52.0, -60.0),
         (-52.0, -68.4), (-52.0, -71.8), (-51.0, -72.0),
         (-48.0, -72.2)],
+    # --- Chile: the Concordia line (Arica in, Tacna PE out), the -52
+    # parallel and Punta Dungeness drop shared with Argentina's Santa
+    # Cruz ring values, and the exact -68.604 Tierra del Fuego
+    # meridian (Porvenir CL west, Ushuaia AR east of the Beagle turn);
+    # the Andes edge is conservative (inside the divide) with dead
+    # strips to the AR rings — lake-district and Patagonia border
+    # towns like Futaleufu, Cochrane and Puerto Natales stay in while
+    # Bariloche, El Calafate and Trevelin never fall to Chile.
+    ("CL", None): [
+        (-18.35, -70.42),                     # Concordia at the sea
+        (-17.9, -69.8),                       # Concordia line (conserv.)
+        (-17.65, -69.47),                     # PE/BO corner (Visviri)
+        (-19.0, -68.6),                       # BO divide (conserv.)
+        (-20.5, -68.45),                      # BO divide
+        (-21.3, -68.15),                      # Ollague reach
+        (-22.9, -67.85),                      # San Pedro de Atacama in
+        (-24.0, -67.3),                       # AR tripoint region
+        (-26.0, -68.6),                       # Andes (conserv.)
+        (-28.0, -69.4),                       # Andes
+        (-30.0, -70.0),                       # Andes
+        (-33.0, -70.0),                       # Andes (Santiago in)
+        (-35.0, -70.5),                       # Andes
+        (-38.0, -71.0),                       # Andes
+        (-40.0, -71.8),                       # lake district (conserv.)
+        (-43.2, -71.75),                      # Futaleufu in, Trevelin out
+        (-47.0, -72.3),                       # Cochrane in
+        (-48.5, -72.5),                       # Villa O'Higgins in
+        (-49.4, -73.0),                       # El Chalten AR stays out
+        (-50.2, -73.1),                       # ice field west
+        (-50.7, -72.75),                      # Torres del Paine in,
+        (-51.35, -72.55),                     #   El Calafate AR out
+        (-51.7, -72.35),                      # Puerto Natales in
+        (-52.0, -71.8),                       # -52 line (AR shared)
+        (-52.0, -68.4),                       # -52 line east (AR shared)
+        (-52.39, -68.44),                     # Punta Dungeness
+        (-52.9, -68.604),                     # TDF meridian (exact)
+        (-54.87, -68.604),                    # meridian at the Beagle
+        (-54.88, -68.1),                      # Beagle midline (Ushuaia N)
+        (-54.91, -67.3),                      # Puerto Williams in
+        (-55.1, -66.3),                       # Beagle islands (CL)
+        (-56.2, -67.3),                       # Cape Horn
+        (-55.8, -70.5),                       # Pacific
+        (-52.0, -76.0),                       # Pacific generous
+        (-46.0, -76.5),                       # Pacific
+        (-33.0, -73.0),                       # Pacific (Valparaiso in)
+        (-25.0, -71.5),                       # Pacific
+        (-18.6, -71.0)],                      # Pacific north
+    # --- Uruguay: the Uruguay River midline splits the twin pairs
+    # (Salto/Concordia AR, Paysandu/Colon AR), the Rio de la Plata
+    # midline keeps Buenos Aires out, and the Brazil side is
+    # conservative (the street-split twins Rivera/Livramento and
+    # Chuy/Chui concede to anchors rather than risk claiming Brazil).
+    ("UY", None): [
+        (-30.2, -57.6),                       # Cuareim / Uruguay corner
+        (-31.39, -57.99),                     # Salto in, Concordia out
+        (-32.3, -58.12),                      # Paysandu in, Colon out
+        (-33.1, -58.40),                      # Fray Bentos reach
+        (-33.9, -58.42),                      # river mouth
+        (-34.55, -57.8),                      # Plata midline (BA out)
+        (-35.1, -56.5),                       # Plata midline
+        (-35.3, -55.0),                       # Atlantic
+        (-35.0, -53.3),                       # Atlantic
+        (-33.70, -53.48),                     # Chuy corner (both street
+                                              #   twins concede, conserv.)
+        (-33.3, -53.65),                      # west of Laguna Merin
+        (-32.65, -53.55),                     # Jaguarao south (conserv.)
+        (-32.4, -53.76),                      # BR line (conserv.)
+        (-31.9, -54.4),                       # BR line (conserv.)
+        (-31.4, -55.0),                       # BR line (conserv.)
+        (-31.1, -55.6),                       # Rivera concedes
+        (-30.8, -56.0),                       # BR line (conserv.)
+        (-30.6, -56.3),                       # Artigas concedes
+        (-30.4, -57.0)],                      # Cuareim (conserv.)
     # --- Africa / Oceania COUNTRY-level rings (subdivision None):
     # exact on the famous meridian/parallel treaty lines, conservative
     # or generous-offshore elsewhere; nearest_subdivision (constrained

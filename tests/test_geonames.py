@@ -2437,6 +2437,70 @@ def test_polygon_round4g_maghreb():
         assert v in ml and v in ne               # ML/NE chain shared
 
 
+def test_polygon_round4h_chile_uruguay():
+    """Chile and Uruguay: the Concordia line (Arica in, Tacna PE out),
+    the -52 parallel and Punta Dungeness drop shared with Argentina's
+    Santa Cruz values, the exact -68.604 Tierra del Fuego meridian
+    with the Beagle midline (Porvenir/Puerto Williams CL in, Ushuaia
+    and Rio Grande AR out); the conservative Andes edge keeps
+    Futaleufu / Cochrane / Villa O'Higgins / Torres del Paine /
+    Puerto Natales while Bariloche / Trevelin / El Chalten /
+    El Calafate never fall to Chile.  Uruguay's river midline splits
+    Salto/Concordia and Paysandu/Colon; the Plata midline keeps
+    Buenos Aires out; the Brazil side is conservative (the
+    street-split twins Chuy/Chui and Rivera/Livramento concede to
+    anchors rather than risk claiming Brazil)."""
+    from rupphash_tpu.utils import geopoly
+
+    cases = [
+        (-33.4489, -70.6693, "CL"),          # Santiago
+        (-18.4746, -70.3127, "CL"),          # Arica (Concordia)
+        (-22.9110, -68.2003, "CL"),          # San Pedro de Atacama
+        (-41.4693, -72.9424, "CL"),          # Puerto Montt
+        (-43.1860, -71.8690, "CL"),          # Futaleufu (border town)
+        (-47.2539, -72.5732, "CL"),          # Cochrane
+        (-48.4680, -72.5600, "CL"),          # Villa O'Higgins
+        (-50.9423, -72.9900, "CL"),          # Torres del Paine
+        (-51.7236, -72.4875, "CL"),          # Puerto Natales
+        (-53.1638, -70.9171, "CL"),          # Punta Arenas (-52 south)
+        (-53.2955, -70.3687, "CL"),          # Porvenir (TDF west)
+        (-54.9333, -67.6167, "CL"),          # Puerto Williams (Beagle S)
+        (-34.9011, -56.1645, "UY"),          # Montevideo
+        (-31.3959, -57.9606, "UY"),          # Salto (vs Concordia AR)
+        (-32.3214, -58.0756, "UY"),          # Paysandu (vs Colon AR)
+        (-34.4714, -57.8442, "UY"),          # Colonia (Plata midline)
+        (-33.2333, -54.3833, "UY"),          # Treinta y Tres
+    ]
+    for lat, lon, code in cases:
+        assert geopoly.lookup(lat, lon) == (code, None), (lat, lon, code)
+
+    outsiders = [
+        (-18.0146, -70.2536, "Tacna PE"),
+        (-20.4637, -66.8260, "Uyuni BO"),
+        (-32.8895, -68.8458, "Mendoza AR"),
+        (-41.1335, -71.3103, "Bariloche AR"),
+        (-43.0860, -71.4640, "Trevelin AR"),
+        (-49.3314, -72.8864, "El Chalten AR"),
+        (-50.3379, -72.2648, "El Calafate AR"),
+        (-54.8019, -68.3030, "Ushuaia AR"),
+        (-53.7877, -67.7095, "Rio Grande AR"),
+        (-34.6037, -58.3816, "Buenos Aires AR"),
+        (-31.3930, -58.0209, "Concordia AR"),
+        (-33.6866, -53.4594, "Chui BR"),
+        (-33.5230, -53.3680, "Santa Vitoria BR"),
+        (-30.8880, -55.5328, "Livramento BR"),
+        (-31.7649, -52.3371, "Pelotas BR"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("CL", "UY"), (name, got)
+    # the -52 / Dungeness values are Santa Cruz's own vertices
+    cl = geopoly.POLYGONS[("CL", None)]
+    sc = geopoly.POLYGONS[("AR", "Santa Cruz")]
+    for v in ((-52.0, -71.8), (-52.0, -68.4)):
+        assert v in cl and v in sc
+
+
 def test_polygon_la_pampa():
     """Argentina's rectilinear pampa province: the -35 parallel and the
     -63.3833 meridian exact, the Colorado River chain within ~3 km
