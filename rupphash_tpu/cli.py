@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bind address for --serve / --use-gui "
                         "(default loopback; 0.0.0.0 exposes the "
                         "delete/move API to the network — be sure)")
+    p.add_argument("--allow-host", metavar="NAME", action="append",
+                   default=None,
+                   help="accept this Host header name on the --serve "
+                        "API (repeatable; IP literals and localhost "
+                        "are always accepted — other names are "
+                        "rejected as DNS-rebinding)")
     p.add_argument("--index-file", metavar="FILE", default=None,
                    help="load/save the --serve hash index (.npz)")
     return p

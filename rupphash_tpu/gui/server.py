@@ -111,22 +111,11 @@ class GuiServer:
     def host_allowed(host: str) -> bool:
         """Reject DNS-rebinding: a hostile page can point its own DNS
         name at 127.0.0.1 and become same-origin with this server
-        (reading the session token straight out of the page).  Browsers
-        always send the name they connected by in Host, so requiring an
-        IP literal or localhost closes the vector for every endpoint."""
-        import ipaddress
+        (reading the session token straight out of the page).  Shared
+        with the serve API via utils/netguard."""
+        from ..utils import netguard
 
-        name = host.rsplit(":", 1)[0] if host.count(":") <= 1 \
-            else host  # [v6]:port handled below
-        if name.startswith("[") and "]" in name:
-            name = name[1:name.index("]")]
-        if name.lower() in ("localhost", ""):
-            return True
-        try:
-            ipaddress.ip_address(name)
-            return True
-        except ValueError:
-            return False
+        return netguard.host_allowed(host)
 
     def _tf_tag(self, f) -> str:
         t = self.state.transforms.get(f.unique_file_id)

@@ -447,7 +447,7 @@ class NearDupService:
     MAX_BODY = 64_000_000
 
     def __init__(self, index: HashIndex, similarity: int | None = 40,
-                 roots=None, mesh=None):
+                 roots=None, mesh=None, allow_hosts=()):
         self.index = index
         # mesh-sharded corpus residency (multi-chip serving); None =
         # single default device
@@ -461,6 +461,9 @@ class NearDupService:
         # unauthenticated callers must not be able to probe or index
         # arbitrary server-readable paths (--host 0.0.0.0 is supported)
         self.roots = [Path(r).resolve() for r in (roots or [])]
+        # deployment names accepted in Host beyond IP literals /
+        # localhost (utils/netguard DNS-rebinding gate; --allow-host)
+        self.allow_hosts = tuple(allow_hosts or ())
 
     def path_allowed(self, path: str) -> bool:
         if not self.roots:
@@ -544,8 +547,31 @@ class NearDupService:
                 self._send(code, json.dumps(obj).encode(),
                            "application/json")
 
+            def _gate(self, mutating: bool) -> bool:
+                """Browser-borne attack gates (utils/netguard):
+                reject DNS-rebound Hosts everywhere, and reject
+                Origin-bearing mutation requests — browsers attach
+                Origin to cross-origin POSTs, curl/SDK clients do
+                not, so CSRF is blocked without an API break."""
+                from .utils import netguard
+
+                if not netguard.host_allowed(
+                        self.headers.get("Host", ""),
+                        service.allow_hosts):
+                    self._json({"error": "forbidden host (use an IP "
+                                "literal, localhost, or start with "
+                                "--allow-host NAME)"}, 403)
+                    return False
+                if mutating and self.headers.get("Origin"):
+                    self._json({"error": "browser cross-origin "
+                                "mutation blocked"}, 403)
+                    return False
+                return True
+
             def do_GET(self):
                 u = urlparse(self.path)
+                if not self._gate(mutating=False):
+                    return
                 if u.path == "/":
                     body = (
                         "<!DOCTYPE html><title>rupphash near-duplicate "
@@ -573,6 +599,9 @@ class NearDupService:
             def do_POST(self):
                 u = urlparse(self.path)
                 q = parse_qs(u.query)
+                if not self._gate(
+                        mutating=u.path in ("/v1/add", "/v1/remove")):
+                    return
                 if u.path == "/v1/query":
                     try:
                         n = int(self.headers.get("Content-Length", "0"))
@@ -658,7 +687,9 @@ def run_serve(args) -> int:
         mesh = None
     svc = NearDupService(index, similarity=args.similarity,
                          roots=list(getattr(args, "paths", []) or []),
-                         mesh=mesh)
+                         mesh=mesh,
+                         allow_hosts=tuple(
+                             getattr(args, "allow_host", None) or ()))
     host = getattr(args, "host", "127.0.0.1")
     httpd, port = svc.serve(host=host,
                             port=getattr(args, "port", 0) or 0)

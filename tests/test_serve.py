@@ -524,3 +524,61 @@ def test_mesh_incremental_mutation_is_o_delta():
         a = q(hs[probe], True)
         b = q(hs[probe], False)
         assert a == b, (probe, a, b)
+
+
+def test_http_browser_attack_gates(corpus):
+    """serve's HTTP surface carries the same browser-borne-attack
+    gates the GUI got (utils/netguard): DNS-rebound Host names are
+    rejected on every endpoint unless allowlisted with --allow-host,
+    and Origin-bearing mutation requests (browsers always attach
+    Origin to cross-origin POSTs; curl/SDK clients do not) are
+    refused so a hostile webpage cannot CSRF /v1/add or /v1/remove
+    against a loopback service."""
+    d, paths, records = corpus
+    ix = serve.HashIndex.from_records(records)
+    svc = serve.NearDupService(ix, roots=[d],
+                               allow_hosts=("photos.internal",))
+    httpd, port = svc.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # rebound DNS name -> 403 everywhere
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/stats",
+            headers={"Host": f"evil.example:{port}"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 403
+        # the allowlisted deployment name passes
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/stats",
+            headers={"Host": f"photos.internal:{port}"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["indexed"] == 4
+        # browser CSRF: Origin-bearing mutation -> 403, index unchanged
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/remove?path={paths[0]}",
+            data=b"", method="POST",
+            headers={"Origin": "http://evil.example"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 403
+        assert len(ix) == 4
+        # headless clients (no Origin) still mutate normally
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/remove?path={paths[0]}",
+            data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["removed"] == 1
+        # Origin on the read-only query endpoint is fine (responses
+        # are unreadable cross-origin; no mutation at stake)
+        buf = io.BytesIO()
+        Image.fromarray(_photo(1)).save(buf, format="JPEG", quality=95)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/query", data=buf.getvalue(),
+            method="POST", headers={"Origin": "http://evil.example"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert "matches" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
