@@ -1,0 +1,85 @@
+"""The driver contract: bench.py must print exactly ONE JSON line with
+{metric, value, unit, vs_baseline} on stdout no matter what happens to
+the extras, and the wall-clock budget must skip extras LOUDLY once
+exhausted (stage functions monkeypatched — real numbers come from the
+TPU run, this pins the plumbing)."""
+import importlib
+import json
+
+import pytest
+
+
+@pytest.fixture
+def benchmod(monkeypatch):
+    b = importlib.import_module("bench")
+    monkeypatch.setattr(b, "bench_pdq", lambda: 123456.0)
+    monkeypatch.setattr(b, "bench_grouping", lambda: (2.5e9, 1.0))
+    monkeypatch.setattr(b, "bench_grouping_1m", lambda: 6.0)
+    monkeypatch.setattr(
+        b, "bench_scan_e2e",
+        lambda: ({"median": 500.0, "spread": 10.0, "k": 2,
+                  "runs": [495.0, 505.0]},
+                 {"median": 5000.0, "spread": 100.0, "k": 2,
+                  "runs": [4950.0, 5050.0]}))
+    monkeypatch.setattr(b, "bench_decode_profile",
+                        lambda chip_ips=None: {"jpeg_4mp": {}})
+    monkeypatch.setattr(
+        b, "bench_grouping_1m_e2e",
+        lambda: ({"median": 20.0, "spread": 1.0, "k": 3,
+                  "runs": [19.5, 20.0, 20.5]},
+                 {"median": 11.0, "spread": 0.5, "k": 3,
+                  "runs": [10.8, 11.0, 11.3]}, 6000, 2000))
+    return b
+
+
+def _run(benchmod, capsys):
+    benchmod.main()
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines      # exactly ONE stdout JSON line
+    return json.loads(lines[0]), out.err
+
+
+def test_bench_json_contract_full(benchmod, capsys, monkeypatch):
+    monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "3600")
+    payload, err = _run(benchmod, capsys)
+    assert payload["metric"] == "pdq_images_per_sec_per_chip"
+    assert payload["value"] == 123456.0
+    assert payload["unit"] == "images/s/chip"
+    assert payload["vs_baseline"] == pytest.approx(1.235, abs=1e-3)
+    extra = payload["extra"]
+    assert extra["grouping_100k_gpairs_per_s"] == 2.5
+    assert extra["grouping_1m_single_chip_s"] == 6.0
+    assert extra["grouping_1m_v5e8_projected_s"] == 0.75
+    assert extra["scan_e2e_images_per_s"] == 500.0
+    assert extra["cached_rescan_files_per_s"] == 5000.0
+    assert extra["grouping_1m_e2e_s"] == 20.0
+    assert extra["grouping_1m_e2e_resident_s"] == 11.0
+    assert extra["grouping_1m_e2e_edges"] == 6000
+    assert extra["decode_profile"] == {"jpeg_4mp": {}}
+    # honesty stats travel with the medians
+    assert extra["scan_e2e_stats"]["k"] == 2
+    assert extra["grouping_1m_e2e_stats"]["spread"] == 1.0
+    assert "SKIPPED" not in err
+
+
+def test_bench_budget_skips_loudly(benchmod, capsys, monkeypatch):
+    monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "0.000001")
+    payload, err = _run(benchmod, capsys)
+    assert payload["value"] == 123456.0    # headline always lands
+    assert payload["extra"] == {}          # every extra skipped...
+    assert err.count("SKIPPED") == 5       # ...and each one says so
+    assert "RUPPHASH_BENCH_BUDGET_S" in err
+
+
+def test_bench_extra_failure_does_not_break_headline(
+        benchmod, capsys, monkeypatch):
+    monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "3600")
+    def boom():
+        raise RuntimeError("synthetic stage failure")
+    monkeypatch.setattr(benchmod, "bench_grouping_1m_e2e", boom)
+    payload, err = _run(benchmod, capsys)
+    assert payload["value"] == 123456.0
+    assert "grouping_1m_e2e_s" not in payload["extra"]
+    assert payload["extra"]["scan_e2e_images_per_s"] == 500.0
+    assert "synthetic stage failure" in err
