@@ -35,6 +35,15 @@ SEARCHABLE_TAGS = {
     "SunAltitude": True, "Timestamp": True,
     "ImageWidth": True, "ImageHeight": True, "Flash": False,
     "DateTimeOriginal": False, "PdqQuality": True,
+    # the remainder of the reference's searchable namespace
+    # (exif_types.rs:204-252 name_to_tag_id): camera-setting shorts
+    # and rationals range-search numerically, strings exact-match
+    "WhiteBalance": True, "MeteringMode": True,
+    "ExposureProgram": True, "ColorSpace": True,
+    "Contrast": True, "Saturation": True, "Sharpness": True,
+    "SubjectDistance": True, "DigitalZoomRatio": True,
+    "SceneType": False, "DateTime": False, "DateTimeDigitized": False,
+    "GPSLatitude": True, "GPSLongitude": True,
 }
 
 # alias -> canonical (search_index.rs:859-910)
@@ -61,7 +70,10 @@ ALIASES = {
     "make": "Make", "manufacturer": "Make", "brand": "Make",
     "model": "Model", "camera": "Model",
     "lens": "LensModel", "lensmodel": "LensModel", "lensmake": "LensMake",
-    "date": "DateTimeOriginal", "datetime": "DateTimeOriginal",
+    # reference precedence: name_to_tag_id resolves "datetime" to the
+    # plain DateTime tag BEFORE the alias table maps it, so only
+    # "date" reaches DateTimeOriginal (search_index.rs:859-866)
+    "date": "DateTimeOriginal",
     "datetimeoriginal": "DateTimeOriginal",
     "software": "Software", "app": "Software",
     "artist": "Artist", "photographer": "Artist",
@@ -70,7 +82,21 @@ ALIASES = {
     "height": "ImageHeight", "imageheight": "ImageHeight",
     "flash": "Flash", "timestamp": "Timestamp",
     "quality": "PdqQuality", "pdqquality": "PdqQuality",
-    "gpsaltitude": "GPSAltitude",
+    "gpsaltitude": "GPSAltitude", "gpsalt": "GPSAltitude",
+    "whitebalance": "WhiteBalance", "wb": "WhiteBalance",
+    "metering": "MeteringMode", "meteringmode": "MeteringMode",
+    "exposureprogram": "ExposureProgram", "program": "ExposureProgram",
+    "colorspace": "ColorSpace", "contrast": "Contrast",
+    "saturation": "Saturation", "sharpness": "Sharpness",
+    "subjectdistance": "SubjectDistance",
+    "digitalzoomratio": "DigitalZoomRatio", "scenetype": "SceneType",
+    "datetimedigitized": "DateTimeDigitized",
+    "datetime": "DateTime",
+    "gps": "GPSLatitude", "gpslat": "GPSLatitude",
+    "gpslatitude": "GPSLatitude", "lat": "GPSLatitude",
+    "latitude": "GPSLatitude",
+    "gpslon": "GPSLongitude", "gpslongitude": "GPSLongitude",
+    "lon": "GPSLongitude", "longitude": "GPSLongitude",
 }
 
 
@@ -84,6 +110,13 @@ def extract_number_from_string(s) -> float | None:
     """Unit-aware extraction (search_index.rs:19-69)."""
     if isinstance(s, (int, float)):
         return float(s)
+    if isinstance(s, (list, tuple)):
+        # single-rational EXIF tags (SubjectDistance, DigitalZoomRatio)
+        # arrive as one-element float lists from the pipeline sweep
+        for x in s:
+            if isinstance(x, (int, float)):
+                return float(x)
+        return None
     if not isinstance(s, str):
         return None
     s = s.strip()
@@ -418,6 +451,9 @@ def features_to_tags(features: dict, quality: int | None = None) -> dict:
         out["Timestamp"] = features["exif_timestamp"]
     if features.get("altitude") is not None:
         out["GPSAltitude"] = features["altitude"]
+    if features.get("gps"):
+        out["GPSLatitude"] = round(float(features["gps"][0]), 6)
+        out["GPSLongitude"] = round(float(features["gps"][1]), 6)
     if quality is not None:
         out["PdqQuality"] = quality
     sun = None

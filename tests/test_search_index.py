@@ -186,3 +186,42 @@ def test_extract_number_exponent_and_interior_hyphen():
     truncating to the leading digits."""
     assert si.extract_number_from_string("1e-5") == pytest.approx(1e-5)
     assert si.extract_number_from_string("3-4") is None
+
+
+def test_round4_extended_searchable_namespace():
+    """The remainder of the reference's searchable tags
+    (exif_types.rs:204-252 + search_index.rs:859-910 aliases):
+    camera settings (WhiteBalance/MeteringMode/ExposureProgram/
+    Contrast/Saturation/Sharpness/SubjectDistance/DigitalZoomRatio),
+    the plain DateTime tag (which the reference resolves BEFORE the
+    DateTimeOriginal alias), and raw GPS latitude/longitude with the
+    lat/lon aliases."""
+    assert si.resolve_tag_name("wb") == "WhiteBalance"
+    assert si.resolve_tag_name("metering") == "MeteringMode"
+    assert si.resolve_tag_name("program") == "ExposureProgram"
+    assert si.resolve_tag_name("lat") == "GPSLatitude"
+    assert si.resolve_tag_name("longitude") == "GPSLongitude"
+    assert si.resolve_tag_name("datetime") == "DateTime"
+    assert si.resolve_tag_name("date") == "DateTimeOriginal"
+    assert si.resolve_tag_name("subjectdistance") == "SubjectDistance"
+
+    ix = si.SearchIndex()
+    ix.insert(0, {"WhiteBalance": 1, "MeteringMode": 5,
+                  "GPSLatitude": 60.1699, "GPSLongitude": 24.9384,
+                  "SubjectDistance": [4.0]})
+    ix.insert(1, {"WhiteBalance": 0, "MeteringMode": 2,
+                  "GPSLatitude": -33.8688, "GPSLongitude": 151.2093})
+    ix.finalize()
+    assert ix.search("wb:1") == {0}
+    assert ix.search("metering:2") == {1}
+    # numeric range on latitude: the northern hemisphere
+    assert ix.search("lat:0-90") == {0}
+    assert ix.search("lon:100-180") == {1}
+    assert ix.search("subjectdistance:3-5") == {0}
+
+
+def test_features_to_tags_gps_lat_lon():
+    tags = si.features_to_tags({"gps": [40.7580, -73.9855],
+                                "width": 10, "height": 8})
+    assert tags["GPSLatitude"] == 40.758
+    assert tags["GPSLongitude"] == -73.9855
