@@ -2592,3 +2592,59 @@ def test_timezone_ring_country_fallback():
     # derive_location carries the fixed zone through
     assert geonames.derive_location(12.6392, -8.0029)["timezone"] \
         == "Africa/Abidjan"
+
+
+def test_in_ring_differential_vs_winding_number():
+    """The production even-odd ray cast (geopoly._in_ring) is
+    differential-tested against an independent winding-number
+    implementation over random points near every shipped ring's
+    bounding box.  For SIMPLE rings (enforced by
+    test_polygon_rings_are_simple) the two algorithms must agree
+    everywhere except exactly ON an edge; keyhole rings (Maryland's DC
+    square, NSW's ACT pentagon) are excluded because winding number
+    deliberately disagrees inside a cut that even-odd parity drops."""
+    import numpy as np
+
+    from rupphash_tpu.utils import geopoly
+
+    def winding(lat, lon, ring):
+        wn = 0
+        n = len(ring)
+        for i in range(n):
+            la1, lo1 = ring[i]
+            la2, lo2 = ring[(i + 1) % n]
+            if la1 <= lat:
+                if la2 > lat:
+                    cross = ((lo2 - lo1) * (lat - la1)
+                             - (lon - lo1) * (la2 - la1))
+                    if cross > 0:
+                        wn += 1
+            else:
+                if la2 <= lat:
+                    cross = ((lo2 - lo1) * (lat - la1)
+                             - (lon - lo1) * (la2 - la1))
+                    if cross < 0:
+                        wn -= 1
+        return wn != 0
+
+    keyholed = {("US", "Maryland"), ("AU", "New South Wales")}
+    rng = np.random.default_rng(17)
+    total = mismatches = 0
+    for key, ring in geopoly.POLYGONS.items():
+        if key in keyholed:
+            continue
+        lats = [p[0] for p in ring]
+        lons = [p[1] for p in ring]
+        pad_la = (max(lats) - min(lats)) * 0.1 + 0.01
+        pad_lo = (max(lons) - min(lons)) * 0.1 + 0.01
+        pts = np.stack([
+            rng.uniform(min(lats) - pad_la, max(lats) + pad_la, 400),
+            rng.uniform(min(lons) - pad_lo, max(lons) + pad_lo, 400),
+        ], axis=1)
+        for lat, lon in pts:
+            total += 1
+            if geopoly._in_ring(lat, lon, ring) != winding(lat, lon,
+                                                           ring):
+                mismatches += 1
+                assert False, (key, lat, lon)
+    assert total > 30_000           # the sweep really ran
