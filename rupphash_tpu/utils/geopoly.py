@@ -1081,6 +1081,222 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # on BOTH sides (each ring stays ~1-2 deg inside the believed
     # boundary, leaving a dead strip to the anchor fallback rather
     # than risking a wrong exact claim).
+    # --- Ontario (round 4h): almost every border already exists as a
+    # US-side chain — the Minnesota Rainy/boundary-waters run, the
+    # Manitoba east chain, the New York St. Lawrence/Ontario/Niagara/
+    # Erie run, the Pennsylvania/Ohio lake edges and the whole
+    # Michigan Detroit/St. Clair/Huron/St. Marys/Superior chain are
+    # reused VERBATIM (coincident edges; the US-conservative lake
+    # vertices mean Ontario claims the open-water strip up to them,
+    # which misassigns nothing).  New geometry: the Hudson/James Bay
+    # offshore edge (Fort Severn/Peawanuck/Attawapiskat/Moosonee in),
+    # the exact -79.518 Quebec meridian, the Timiskaming/Ottawa River
+    # midline (Ottawa in, Gatineau out; Pembroke in; Temiscaming QC
+    # out), the Hawkesbury/Grenville split and the Pointe-Fortune
+    # land line, leaving the Dundee/Akwesasne strip south of the
+    # St. Lawrence to Quebec.
+    ("CA", "Ontario"): [
+        (49.389, -95.153),                    # NW Angle tripoint — the
+                                              #   meridian below 49.389
+                                              #   is MB/MN (the Angle),
+                                              #   not Ontario; the ring
+                                              #   closes along MN's
+                                              #   Angle water chain
+        (52.0, -95.0),                        # MB chain (shared)
+        (54.5, -92.5),                        # MB chain (shared)
+        (56.9, -88.9),                        # MB coast corner (shared)
+        (57.0, -88.0),                        # Hudson Bay offshore
+        (55.6, -85.2),                        # bay coast (Peawanuck in)
+        (55.35, -82.6),                       # Cape Henrietta Maria
+        (53.0, -81.9),                        # James Bay (Attawapiskat)
+        (51.5, -80.2),                        # Moosonee in
+        (51.4, -79.518),                      # QC corner (meridian exact)
+        (47.5, -79.518),                      # Timiskaming head (exact)
+        (47.2, -79.43),                       # lake midline
+        (46.7, -79.12),                       # Temiscaming QC out
+        (46.32, -78.70),                      # Mattawa reach
+        (46.2, -77.7),                        # Ottawa River midline
+        (45.86, -77.11),                      # Pembroke in
+        (45.58, -76.25),                      # river midline
+        (45.45, -75.95),                      # river midline
+        (45.43, -75.70),                      # Ottawa / Gatineau split
+        (45.53, -75.25),                      # river midline east
+        (45.62, -74.60),                      # Hawkesbury / Grenville
+        (45.57, -74.38),                      # Pointe-Fortune (land line)
+        (45.18, -74.33),                      # land line at the river
+        (45.005, -74.66),                     # St. Regis (NY/QC shared)
+        (44.98, -74.85),                      # NY river chain (shared,
+        (44.82, -75.25),                      #   reversed from here on)
+        (44.703, -75.505),
+        (44.595, -75.665),
+        (44.50, -75.75),
+        (44.36, -75.90),
+        (44.27, -76.05),
+        (44.20, -76.20),
+        (44.145, -76.33),
+        (44.10, -76.42),
+        (43.90, -76.60),
+        (43.55, -76.95),
+        (43.50, -77.40),
+        (43.40, -78.40),
+        (43.32, -79.00),
+        (43.27, -79.063),
+        (43.16, -79.047),
+        (43.12, -79.063),
+        (43.078, -79.07),
+        (43.06, -79.045),
+        (43.03, -79.03),
+        (42.99, -79.00),
+        (42.94, -78.94),
+        (42.90, -78.908),
+        (42.80, -78.95),
+        (42.55, -79.25),
+        (42.28, -79.762),                     # PA lake vertex (shared)
+        (42.03, -80.5194),                    # PA/OH corner (shared)
+        (42.0, -80.70),                       # OH lake edge (shared,
+        (41.85, -81.0),                       #   reversed from here on)
+        (41.70, -81.55),
+        (41.60, -82.0),
+        (41.63, -82.45),
+        (41.65, -82.69),
+        (41.735, -82.83),
+        (41.74, -82.95),
+        (41.73, -83.45),                      # OH/MI corner (shared)
+        (41.90, -83.25),                      # MI chain (shared, same
+        (42.05, -83.13),                      #   order northbound)
+        (42.25, -83.10),
+        (42.32, -83.07),                      # Detroit / Windsor
+        (42.46, -82.755),
+        (42.62, -82.51),
+        (42.99, -82.415),                     # Port Huron / Sarnia
+        (43.80, -82.45),
+        (44.10, -82.85),
+        (44.33, -83.10),
+        (44.90, -83.20),
+        (45.20, -83.25),
+        (45.60, -83.70),
+        (45.70, -84.40),
+        (45.95, -84.30),
+        (45.99, -83.90),
+        (45.93, -83.70),
+        (45.95, -83.45),
+        (46.08, -83.42),
+        (46.09, -83.50),
+        (46.07, -83.87),
+        (46.18, -84.07),
+        (46.30, -84.12),
+        (46.45, -84.22),
+        (46.505, -84.335),                    # the twin Soos
+        (46.77, -84.96),
+        (46.70, -85.50),
+        (46.68, -86.00),
+        (46.55, -86.65),
+        (46.65, -87.40),
+        (47.30, -87.60),
+        (47.55, -87.75),
+        (47.85, -88.65),
+        (48.20, -88.45),                      # north of Isle Royale
+        (48.20, -89.00),                      # MI corridor (shared)
+        (47.96, -89.57),                      # MN tip (shared, reversed
+        (47.985, -89.70),                     #   from here on)
+        (47.99, -90.1),
+        (47.90, -90.8),
+        (47.95, -91.5),
+        (48.2, -92.3),
+        (48.38, -92.85),
+        (48.61, -93.40),                      # Fort Frances / Intl Falls
+        (48.715, -94.60),                     # Rainy River ON / Baudette
+        (48.86, -94.687),
+        (48.95, -94.70),
+        (49.32, -94.84),
+        (49.355, -95.05)],                    # Angle Inlet (MN shared)
+    # --- Quebec (round 4h): the US side is entirely shared chains
+    # (the NY 45.005 line, the VT corner, the NH Halls Stream run,
+    # Maine's highlands/Estcourt/St. Francis chain); the Ontario side
+    # shares the -79.518 meridian, the Timiskaming/Ottawa midline and
+    # the Pointe-Fortune diagonal (the Dundee/Akwesasne strip south
+    # of the St. Lawrence stays Quebec); the Labrador border is the
+    # shared NL chain (the 52N line exact, Fermont QC west of it,
+    # Labrador City NL east); the Gulf edge wraps Anticosti and the
+    # Magdalen Islands; Chaleur Bay splits Campbellton NB from
+    # Pointe-a-la-Croix QC.
+    ("CA", "Quebec"): [
+        (51.4, -79.518),                      # ON corner (shared)
+        (52.2, -79.2),                        # James Bay east
+        (53.8, -79.2),                        # Chisasibi in
+        (55.4, -77.9),                        # Kuujjuarapik in
+        (58.2, -78.6),                        # Hudson coast
+        (61.0, -78.3),                        # Puvirnituq in
+        (62.7, -78.3),                        # Ivujivik (north tip)
+        (62.8, -74.0),                        # Hudson Strait (Salluit)
+        (61.8, -71.5),                        # strait (Kangiqsujuaq)
+        (61.0, -69.3),                        # Quaqtaq in
+        (60.0, -69.8),                        # Ungava Bay west
+        (58.4, -68.0),                        # Kuujjuaq in
+        (59.0, -65.6),                        # Ungava east (George R.)
+        (60.35, -64.85),                      # Killiniq (NL shared)
+        (58.9, -64.2),                        # NL divide (shared)
+        (57.5, -64.3),                        # NL divide (shared)
+        (56.2, -64.8),                        # NL divide (shared)
+        (55.3, -66.2),                        # NL divide (shared)
+        (54.7, -66.78),                       # Schefferville QC in
+        (53.5, -66.9),                        # NL divide (shared)
+        (52.8, -67.0),                        # Fermont in, Lab City out
+        (52.0, -63.8),                        # 52N corner (NL shared)
+        (52.0, -57.105),                      # 52N line exact (shared)
+        (51.42, -57.105),                     # Blanc-Sablon coast corner
+        (51.35, -57.3),                       # Gulf (Strait of Belle
+        (51.0, -58.5),                        #   Isle midline side)
+        (50.2, -61.0),                        # North Shore offshore
+        (49.6, -61.3),                        # east of Anticosti
+        (48.9, -61.3),                        # Magdalen lobe north
+        (47.95, -61.0),                       # Magdalen lobe east
+        (47.15, -61.7),                       # Magdalen lobe south
+        (47.3, -62.4),                        # Magdalen lobe west
+        (48.0, -63.6),                        # Gaspe approach
+        (47.95, -64.1),                       # Chaleur mouth (Miscou S)
+        (48.08, -64.7),                       # Chaleur midline (NB
+        (47.95, -65.6),                       #   shared from here)
+        (48.01, -66.68),                      # Campbellton / P-a-l-Croix
+        (47.9, -67.5),                        # NB line (shared)
+        (47.45, -68.4),                       # Degelis in, Edmundston out
+        (47.28, -68.95),                      # ME/NB corner (shared)
+        (47.32, -69.05),                      # ME chain (shared)
+        (47.46, -69.22),                      # Estcourt (ME shared)
+        (46.70, -69.87),                      # ME highlands (shared,
+        (46.58, -69.99),                      #   reversed)
+        (46.42, -70.06),
+        (46.27, -70.20),
+        (46.09, -70.29),
+        (45.95, -70.31),
+        (45.77, -70.39),
+        (45.72, -70.28),
+        (45.667, -70.40),
+        (45.57, -70.47),
+        (45.47, -70.66),
+        (45.40, -70.73),
+        (45.347, -70.80),
+        (45.33, -70.92),
+        (45.3055, -71.0840),                  # NH corner (shared)
+        (45.26, -71.36),                      # Halls Stream (NH shared)
+        (45.20, -71.43),
+        (45.10, -71.49),
+        (45.005, -71.52),                     # VT corner (shared)
+        (45.005, -73.345),                    # 45.005 line (NY/VT shared)
+        (45.005, -74.66),                     # St. Regis (NY/ON shared)
+        (45.18, -74.33),                      # ON diagonal (shared) —
+        (45.57, -74.38),                      #   Dundee strip stays QC
+        (45.62, -74.60),                      # Ottawa chain (ON shared,
+        (45.53, -75.25),                      #   reversed)
+        (45.43, -75.70),
+        (45.45, -75.95),
+        (45.58, -76.25),
+        (45.86, -77.11),
+        (46.2, -77.7),
+        (46.32, -78.70),
+        (46.7, -79.12),
+        (47.2, -79.43),
+        (47.5, -79.518)],                     # meridian (ON shared)
     ("CA", "Yukon"): [
         (60.0, -141.0), (69.7, -141.0), (69.3, -138.0),
         (67.0, -136.0), (65.0, -133.0), (63.0, -130.0),

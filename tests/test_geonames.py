@@ -2437,6 +2437,103 @@ def test_polygon_round4g_maghreb():
         assert v in ml and v in ne               # ML/NE chain shared
 
 
+def test_polygon_round4h_ontario_quebec():
+    """Ontario and Quebec: nearly every border already existed as a
+    US-side chain — the Minnesota Rainy/boundary-waters run, the
+    Manitoba east chain, New York's St. Lawrence/Ontario/Niagara/Erie
+    midlines, the Ohio/PA lake edges, Michigan's Detroit/St. Clair/
+    Huron/St. Marys/Superior chain, the NY/VT 45.005 line, NH's Halls
+    Stream and Maine's highlands chain are all reused verbatim, so
+    the cross-border twins proven from the US side now resolve their
+    Canadian half: Windsor/Detroit, Sarnia/Port Huron, the twin Soos,
+    Fort Frances/International Falls, Niagara Falls ON/NY, Cornwall/
+    Massena, Gatineau/Ottawa (across the provincial midline),
+    Stanstead/Derby Line.  New geometry: Hudson/James Bay, the exact
+    -79.518 meridian, the Timiskaming/Ottawa midline, the 52N
+    Labrador line (Fermont QC / Labrador City NL split) and the
+    Anticosti/Magdalen gulf lobes.  The Northwest Angle resolves
+    four ways (MN exclave / Kenora ON / Buffalo Point MB /
+    Warroad MN)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    on = ("CA", "Ontario")
+    qc = ("CA", "Quebec")
+    cases = [
+        (43.6510, -79.3830, on),             # Toronto
+        (45.4215, -75.6972, on),             # Ottawa (vs Gatineau)
+        (42.3149, -83.0364, on),             # Windsor (vs Detroit)
+        (42.9745, -82.4066, on),             # Sarnia (vs Port Huron)
+        (43.0896, -79.0849, on),             # Niagara Falls ON (vs NY)
+        (42.9049, -78.9339, on),             # Fort Erie (vs Buffalo)
+        (44.2312, -76.4860, on),             # Kingston
+        (45.0275, -74.7400, on),             # Cornwall (vs Massena)
+        (46.5219, -84.3461, on),             # Sault Ste. Marie ON
+        (48.3809, -89.2477, on),             # Thunder Bay
+        (48.6110, -93.4010, on),             # Fort Frances (vs Intl F.)
+        (49.7670, -94.4894, on),             # Kenora (by the NW Angle)
+        (55.9858, -87.6381, on),             # Fort Severn (Hudson Bay)
+        (41.7550, -82.6660, on),             # Pelee Island (lake thread)
+        (45.8266, -77.1103, on),             # Pembroke (Ottawa River)
+        (45.5019, -73.5674, qc),             # Montreal
+        (46.8139, -71.2080, qc),             # Quebec City
+        (45.4765, -75.7013, qc),             # Gatineau (vs Ottawa)
+        (45.0080, -72.0980, qc),             # Stanstead (vs Derby Line)
+        (46.7150, -79.0970, qc),             # Temiscaming (river split)
+        (48.2359, -79.0239, qc),             # Rouyn-Noranda (-79.518 E)
+        (47.3800, -61.8600, qc),             # Magdalen Islands lobe
+        (51.4430, -57.1310, qc),             # Blanc-Sablon (NL corner)
+        (54.8050, -66.8200, qc),             # Schefferville
+        (52.7850, -67.0850, qc),             # Fermont (vs Labrador City)
+        (62.4175, -77.9050, qc),             # Ivujivik (north tip)
+        (45.0170, -74.4870, qc),             # Dundee strip (S of river)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        assert geonames.subdivision_name(lat, lon) == want[1], (lat, lon)
+
+    outsiders = [
+        (42.3314, -83.0458, "Detroit US"),
+        (46.4953, -84.3453, "Sault Ste. Marie US"),
+        (48.6010, -93.4110, "International Falls US"),
+        (44.9280, -74.8920, "Massena US"),
+        (49.3500, -95.1000, "NW Angle MN (the exclave)"),
+        (52.9410, -66.9110, "Labrador City NL"),
+        (56.5420, -61.6930, "Nain NL"),
+        (48.0040, -66.6730, "Campbellton NB"),
+        (47.3737, -68.3251, "Edmundston NB"),
+        (51.3700, -55.6000, "St. Anthony NL"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in (on, qc), (name, got)
+    # the US halves of the twins keep their states
+    assert geopoly.lookup(42.3314, -83.0458) == ("US", "Michigan")
+    assert geopoly.lookup(44.9280, -74.8920) == ("US", "New York")
+    assert geopoly.lookup(49.3500, -95.1000) == ("US", "Minnesota")
+    # shared-chain contracts: ON/QC reuse the neighbours' vertices
+    onr = geopoly.POLYGONS[on]
+    qcr = geopoly.POLYGONS[qc]
+    mi = geopoly.POLYGONS[("US", "Michigan")]
+    ny = geopoly.POLYGONS[("US", "New York")]
+    mb = geopoly.POLYGONS[("CA", "Manitoba")]
+    me = geopoly.POLYGONS[("US", "Maine")]
+    for v in ((42.32, -83.07), (42.99, -82.415), (46.505, -84.335),
+              (48.20, -89.00)):
+        assert v in onr and v in mi
+    for v in ((44.703, -75.505), (43.078, -79.07), (42.90, -78.908),
+              (45.005, -74.66)):
+        assert v in onr and v in ny
+    for v in ((52.0, -95.0), (56.9, -88.9), (49.389, -95.153)):
+        assert v in onr and v in mb
+    for v in ((45.005, -73.345), (45.005, -74.66)):
+        assert v in qcr and v in ny
+    for v in ((47.46, -69.22), (45.95, -70.31), (47.28, -68.95)):
+        assert v in qcr and v in me
+    for v in ((51.4, -79.518), (47.5, -79.518), (45.43, -75.70),
+              (45.18, -74.33)):
+        assert v in qcr and v in onr            # the ON/QC frontier
+
+
 def test_polygon_round4h_chile_uruguay():
     """Chile and Uruguay: the Concordia line (Arica in, Tacna PE out),
     the -52 parallel and Punta Dungeness drop shared with Argentina's
