@@ -1297,6 +1297,116 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (46.7, -79.12),
         (47.2, -79.43),
         (47.5, -79.518)],                     # meridian (ON shared)
+    # --- Atlantic provinces (round 4h).  New Brunswick reuses Maine's
+    # whole east chain (the -67.7837 line, the St. Croix and
+    # Passamaquoddy — Campobello and Grand Manan now resolve NB) and
+    # Quebec's Chaleur/ridge chain; the Bay of Fundy midline and the
+    # Chignecto isthmus line (Sackville NB / Amherst NS split) are
+    # shared with Nova Scotia; PEI sits behind Northumberland Strait
+    # midlines (Borden PE in, Cape Tormentine NB out); Newfoundland
+    # and Labrador is ONE ring (the Strait of Belle Isle is interior
+    # NL water) sharing Quebec's 52N/divide chain, threading
+    # Saint-Pierre-et-Miquelon (FR) out past the Burin towns and
+    # keeping a Cabot Strait gap to Nova Scotia.
+    ("CA", "New Brunswick"): [
+        (47.28, -68.95),                      # QC/ME corner (shared)
+        (47.26, -68.60),                      # ME St. John chain
+        (47.36, -68.33),                      #   (shared verbatim)
+        (47.30, -68.10),
+        (47.16, -67.93),
+        (47.066, -67.7837),                   # the exact line (shared)
+        (45.94, -67.7837),                    # the Monument (shared)
+        (45.79, -67.76),
+        (45.60, -67.52),
+        (45.568, -67.425),
+        (45.35, -67.44),
+        (45.19, -67.277),                     # St. Stephen in (vs Calais)
+        (45.13, -67.17),
+        (45.07, -67.10),                      # St. Andrews in
+        (44.97, -67.02),                      # Deer Island in
+        (44.90, -66.968),
+        (44.87, -66.966),                     # Campobello in
+        (44.82, -66.95),                      # ME chain end (shared)
+        (44.55, -66.95),                      # Grand Manan west
+        (44.45, -66.75),                      # Grand Manan south
+        (44.60, -66.45),                      # Fundy midline (NS shared)
+        (45.05, -65.5),                       # Fundy midline (shared)
+        (45.55, -64.7),                       # Fundy midline (shared)
+        (45.72, -64.45),                      # Chignecto approach
+        (45.85, -64.37),                      # isthmus line (NS shared)
+        (45.98, -64.05),                      # Baie Verte (NS shared)
+        (46.10, -63.70),                      # Cape Tormentine in
+        (46.45, -64.35),                      # strait (PE gap east)
+        (46.80, -64.75),                      # Kouchibouguac offshore
+        (47.05, -65.00),                      # Miramichi Bay offshore
+        (47.75, -64.45),                      # Shippagan offshore
+        (47.95, -64.1),                       # Chaleur mouth (QC shared)
+        (48.08, -64.7),                       # Chaleur midline (shared)
+        (47.95, -65.6),                       # Chaleur midline (shared)
+        (48.01, -66.68),                      # Campbellton / P-a-l-Croix
+        (47.9, -67.5),                        # QC ridge (shared)
+        (47.45, -68.4)],                      # QC ridge (shared)
+    ("CA", "Nova Scotia"): [
+        (45.85, -64.37),                      # isthmus (NB shared)
+        (45.72, -64.45),                      # Fundy midline (shared)
+        (45.55, -64.7),
+        (45.05, -65.5),
+        (44.60, -66.45),                      # Fundy mouth (shared)
+        (43.70, -66.60),                      # Yarmouth offshore
+        (43.20, -65.90),                      # Cape Sable offshore
+        (43.30, -64.00),                      # Atlantic offshore
+        (44.30, -62.30),                      # Halifax offshore
+        (45.30, -60.50),                      # Canso offshore
+        (46.60, -59.20),                      # Cabot Strait (NL gap)
+        (47.25, -60.30),                      # Cape Breton north
+        (46.75, -61.15),                      # Cheticamp offshore
+        (46.00, -61.85),                      # Margaree / Judique coast
+        (45.90, -61.70),                      # St. Georges Bay
+        (45.75, -62.20),                      # Northumberland (PE gap)
+        (45.85, -63.30),                      # strait midline (PE gap)
+        (45.98, -64.05)],                     # Baie Verte (NB shared)
+    ("CA", "Prince Edward Island"): [
+        (46.75, -64.45),                      # West Point offshore
+        (47.10, -64.25),                      # North Cape offshore
+        (47.10, -61.95),                      # East Point offshore
+        (45.95, -61.95),                      # Georgetown offshore
+        (45.88, -62.40),                      # Wood Islands reach
+        (46.00, -63.30),                      # strait midline (NS gap)
+        (46.19, -63.74),                      # Borden in, Tormentine out
+        (46.35, -64.20)],                     # Summerside reach
+    ("CA", "Newfoundland and Labrador"): [
+        (60.35, -64.85),                      # Killiniq (QC shared)
+        (60.50, -64.00),                      # Labrador Sea
+        (58.50, -62.00),                      # Nain offshore
+        (56.50, -60.50),                      # Hopedale offshore
+        (54.50, -56.50),                      # Cartwright offshore
+        (53.60, -55.50),                      # Labrador SE offshore
+        (52.20, -55.20),                      # Belle Isle mouth (sea side)
+        (51.65, -54.80),                      # island NE offshore
+        (50.00, -54.60),                      # Notre Dame Bay offshore
+        (49.50, -52.50),                      # Bonavista offshore
+        (47.40, -52.40),                      # Cape Spear offshore
+        (46.50, -52.90),                      # Avalon south offshore
+        (46.55, -55.00),                      # Placentia Bay mouth
+        (46.72, -55.75),                      # Burin tip reach
+        (46.85, -56.00),                      # Fortune Bay approach —
+        (47.05, -56.08),                      #   Saint-Pierre-et-
+        (47.10, -56.45),                      #   Miquelon (FR) out
+        (47.30, -57.60),                      # south coast offshore
+        (47.42, -59.35),                      # Port aux Basques reach
+        (48.00, -59.70),                      # west coast (NS gap)
+        (49.50, -59.20),                      # Gulf offshore (QC gap)
+        (50.60, -57.90),                      # strait SW crossing
+        (51.42, -57.105),                     # Blanc-Sablon (QC shared)
+        (52.0, -57.105),                      # QC meridian (shared)
+        (52.0, -63.8),                        # 52N line exact (shared)
+        (52.8, -67.0),                        # Labrador City in (shared)
+        (53.5, -66.9),                        # QC divide (shared)
+        (54.7, -66.78),                       # Schefferville QC out
+        (55.3, -66.2),                        # QC divide (shared)
+        (56.2, -64.8),                        # QC divide (shared)
+        (57.5, -64.3),                        # QC divide (shared)
+        (58.9, -64.2)],                       # QC divide (shared)
     ("CA", "Yukon"): [
         (60.0, -141.0), (69.7, -141.0), (69.3, -138.0),
         (67.0, -136.0), (65.0, -133.0), (63.0, -130.0),

@@ -2534,6 +2534,92 @@ def test_polygon_round4h_ontario_quebec():
         assert v in qcr and v in onr            # the ON/QC frontier
 
 
+def test_polygon_round4h_atlantic_canada():
+    """New Brunswick / Nova Scotia / PEI / Newfoundland and Labrador
+    complete Canada (every province and territory now has a ring).
+    NB reuses Maine's whole east chain — Campobello, Deer Island and
+    Grand Manan, which Maine's tests prove excluded from the US,
+    now resolve NB — plus Quebec's Chaleur/ridge chain; the Fundy
+    midline and Chignecto isthmus line are shared with NS
+    (Sackville/Amherst split); PEI sits behind Northumberland Strait
+    midlines (Borden in, Cape Tormentine NB out); NL is one ring
+    (the Strait of Belle Isle is interior NL water) sharing Quebec's
+    52N/divide chain, with Saint-Pierre-et-Miquelon (France)
+    threaded out past the Burin towns."""
+    from rupphash_tpu.utils import geopoly
+
+    nb = ("CA", "New Brunswick")
+    ns = ("CA", "Nova Scotia")
+    pe = ("CA", "Prince Edward Island")
+    nl = ("CA", "Newfoundland and Labrador")
+    cases = [
+        (45.9636, -66.6431, nb),             # Fredericton
+        (45.2733, -66.0633, nb),             # Saint John
+        (47.3737, -68.3251, nb),             # Edmundston (vs Madawaska)
+        (45.1940, -67.2752, nb),             # St. Stephen (vs Calais)
+        (44.8850, -66.9550, nb),             # Campobello (vs Lubec)
+        (44.6900, -66.8200, nb),             # Grand Manan
+        (44.9600, -66.9800, nb),             # Deer Island (vs Eastport)
+        (45.8984, -64.3682, nb),             # Sackville (vs Amherst)
+        (46.1250, -63.7850, nb),             # Cape Tormentine (vs PE)
+        (47.9900, -64.5200, nb),             # Miscou Island
+        (48.0040, -66.6730, nb),             # Campbellton (vs QC twin)
+        (44.6488, -63.5752, ns),             # Halifax
+        (43.8375, -66.1174, ns),             # Yarmouth
+        (45.8167, -64.2061, ns),             # Amherst (vs Sackville)
+        (46.1368, -60.1942, ns),             # Sydney, Cape Breton
+        (46.6260, -61.0160, ns),             # Cheticamp (west coast)
+        (46.2382, -63.1311, pe),             # Charlottetown
+        (46.2500, -63.7000, pe),             # Borden (vs Tormentine)
+        (46.9500, -64.0300, pe),             # Tignish
+        (47.5615, -52.7126, nl),             # St. John's
+        (48.9500, -57.9500, nl),             # Corner Brook
+        (47.5675, -59.1372, nl),             # Port aux Basques
+        (51.4700, -56.9500, nl),             # Forteau (Labrador south)
+        (51.2000, -56.7700, nl),             # St. Barbe (strait's other
+                                             #   shore — both NL)
+        (53.3000, -60.3300, nl),             # Happy Valley-Goose Bay
+        (56.5420, -61.6930, nl),             # Nain
+        (52.9410, -66.9110, nl),             # Labrador City (vs Fermont)
+        (47.0730, -55.8380, nl),             # Fortune (Burin, vs SPM)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+
+    atl = (nb, ns, pe, nl)
+    outsiders = [
+        (46.7778, -56.1778, "Saint-Pierre FR"),
+        (47.0300, -56.3300, "Miquelon FR"),
+        (45.1880, -67.2786, "Calais US"),
+        (44.9063, -66.9900, "Eastport US"),
+        (44.8420, -66.9850, "Lubec US"),
+        (47.2581, -68.5895, "Fort Kent US"),
+        (48.8306, -64.4870, "Gaspe QC"),
+        (47.3800, -61.8600, "Magdalen Islands QC"),
+        (52.7850, -67.0850, "Fermont QC"),
+        (51.4430, -57.1310, "Blanc-Sablon QC"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in atl, (name, got)
+    # shared-chain contracts
+    nbr = geopoly.POLYGONS[nb]
+    nsr = geopoly.POLYGONS[ns]
+    nlr = geopoly.POLYGONS[nl]
+    me = geopoly.POLYGONS[("US", "Maine")]
+    qcr = geopoly.POLYGONS[("CA", "Quebec")]
+    for v in ((47.066, -67.7837), (45.94, -67.7837), (45.19, -67.277),
+              (44.82, -66.95)):
+        assert v in nbr and v in me              # Maine chain shared
+    for v in ((48.01, -66.68), (47.95, -64.1), (47.28, -68.95)):
+        assert v in nbr and v in qcr             # Chaleur/ridge shared
+    for v in ((45.85, -64.37), (45.98, -64.05), (44.60, -66.45)):
+        assert v in nbr and v in nsr             # isthmus + Fundy line
+    for v in ((52.0, -57.105), (52.0, -63.8), (52.8, -67.0),
+              (60.35, -64.85)):
+        assert v in nlr and v in qcr             # Labrador border shared
+
+
 def test_polygon_round4h_chile_uruguay():
     """Chile and Uruguay: the Concordia line (Arica in, Tacna PE out),
     the -52 parallel and Punta Dungeness drop shared with Argentina's
