@@ -2628,6 +2628,92 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-46.0, -71.7), (-46.0, -60.0), (-52.0, -60.0),
         (-52.0, -68.4), (-52.0, -71.8), (-51.0, -72.0),
         (-48.0, -72.2)],
+    # --- Mexico (round 4h): the ENTIRE US border is shared vertices —
+    # California's straight line and Colorado-corner, Arizona's two
+    # treaty lines, New Mexico's bootheel and the whole Texas Rio
+    # Grande channel (every twin pair proven from the US side —
+    # Tijuana/San Diego, Mexicali/Calexico, Juarez/El Paso, Nuevo
+    # Laredo/Laredo, Matamoros/Brownsville — now resolves its Mexican
+    # half); the Guatemala side carries the exact 17.8167 Peten
+    # parallel and an Usumacinta/Chiapas chain (conservative where
+    # surveyed detail exceeds authoring precision); the Belize side
+    # follows the Rio Hondo (Chetumal in, Corozal BZ out) and Boca
+    # Bacalar Chico (Ambergris Caye BZ out); both ocean sides are
+    # generous, with the Gulf of California interior.
+    ("MX", None): [
+        (32.534, -117.124),                   # CA corner (shared)
+        (32.718, -114.719),                   # Colorado corner (shared)
+        (32.49, -114.81),                     # AZ line west (shared)
+        (31.33, -111.07),                     # AZ treaty line (shared)
+        (31.33, -108.21),                     # 31.33 parallel (NM shared)
+        (31.78, -108.21),                     # NM bootheel (shared)
+        (31.78, -106.53),                     # bootheel east (TX shared)
+        (31.75, -106.47),                     # Juarez / El Paso (shared)
+        (31.5, -106.2),                       # Rio Grande (TX shared,
+        (31.1, -105.6),                       #   reversed downstream)
+        (30.68, -105.0),
+        (30.1, -104.72),
+        (29.555, -104.40),                    # Ojinaga / Presidio
+        (29.17, -103.6),
+        (29.0, -103.15),
+        (29.2, -102.7),
+        (29.8, -102.1),
+        (29.75, -101.4),
+        (29.45, -101.05),
+        (29.33, -100.92),                     # Acuna / Del Rio
+        (29.0, -100.65),
+        (28.7, -100.51),                      # Piedras Negras / Eagle P.
+        (28.05, -100.05),
+        (27.5, -99.515),                      # Nuevo Laredo / Laredo
+        (26.9, -99.32),
+        (26.55, -99.17),
+        (26.398, -99.06),
+        (26.401, -99.021),
+        (26.36, -98.82),
+        (26.09, -98.26),                      # Reynosa / McAllen
+        (26.063, -97.953),
+        (25.888, -97.50),                     # Matamoros / Brownsville
+        (25.955, -97.15),                     # river mouth (TX shared)
+        (25.6, -96.9),                        # Gulf offshore
+        (22.3, -97.1),                        # Tampico offshore
+        (19.5, -95.3),                        # Veracruz offshore
+        (18.4, -93.9),                        # Coatzacoalcos offshore
+        (18.9, -92.0),                        # Campeche bight
+        (20.2, -90.8),                        # Campeche offshore
+        (21.7, -90.4),                        # Yucatan north offshore
+        (21.9, -87.2),                        # Cabo Catoche offshore
+        (21.5, -86.5),                        # Cancun offshore
+        (20.3, -86.6),                        # Cozumel offshore
+        (19.0, -87.2),                        # Tulum/Sian Kaan offshore
+        (18.6, -87.4),                        # Xcalak approach
+        (18.19, -87.83),                      # Boca Bacalar Chico
+        (18.4, -88.05),                       # Chetumal Bay midline
+        (18.49, -88.30),                      # Hondo mouth (Corozal out)
+        (18.2, -88.6),                        # Rio Hondo (BZ line)
+        (17.95, -88.9),                       # Rio Hondo upper
+        (17.8167, -89.15),                    # MX/BZ/GT tripoint (exact)
+        (17.8167, -90.99),                    # Peten parallel (exact)
+        (17.25, -91.43),                      # Usumacinta (Palenque in)
+        (16.4, -90.4),                        # Usumacinta upper
+        (16.07, -90.43),                      # Chiapas corner
+        (16.08, -91.74),                      # the straight line
+        (15.5, -92.12),                       # Motozintla in
+        (15.0, -92.17),                       # Tacana GT out
+        (14.68, -92.147),                     # Suchiate midline (Cd.
+                                              #   Hidalgo / Tecun Uman)
+        (14.54, -92.23),                      # Suchiate mouth
+        (14.3, -92.9),                        # Pacific offshore
+        (15.5, -97.5),                        # Oaxaca offshore
+        (16.3, -100.5),                       # Acapulco offshore
+        (17.8, -103.0),                       # Michoacan offshore
+        (18.6, -104.8),                       # Manzanillo offshore
+        (20.0, -106.3),                       # Vallarta offshore
+        (22.5, -107.3),                       # Islas Marias in
+        (22.2, -110.5),                       # Cabo San Lucas offshore
+        (24.0, -113.0),                       # Baja Pacific offshore
+        (27.5, -115.8),                       # Baja Pacific offshore
+        (29.5, -116.6),                       # Baja north offshore
+        (31.5, -117.6)],                      # Tijuana offshore
     # --- Chile: the Concordia line (Arica in, Tacna PE out), the -52
     # parallel and Punta Dungeness drop shared with Argentina's Santa
     # Cruz ring values, and the exact -68.604 Tierra del Fuego

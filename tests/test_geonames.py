@@ -438,7 +438,9 @@ def test_polygon_river_twin_towns():
         (32.7392, -114.6341, ("US", "California")),  # Winterhaven
         (32.6927, -114.6277, ("US", "Arizona")),     # Yuma
         (32.5500, -114.7700, ("US", "Arizona")),     # Gadsden
-        (32.7160, -114.7270, None),                  # Los Algodones MX
+        # (asserted None until the round-4h Mexico ring landed:
+        # the shared corner vertices now claim it for Mexico)
+        (32.7160, -114.7270, ("MX", None)),          # Los Algodones MX
         # --- Strait of Juan de Fuca, west end ---
         (48.3680, -124.6240, ("US", "Washington")),  # Neah Bay
         (48.2546, -124.2630, ("US", "Washington")),  # Clallam Bay
@@ -448,12 +450,12 @@ def test_polygon_river_twin_towns():
         (48.2980, -123.5310, ("CA", "British Columbia")),  # Race Rocks
         # --- Rio Grande crossings the round-4b ring missed ---
         (26.0923, -97.9558, ("US", "Texas")),        # Progreso
-        (26.0560, -97.9511, None),                   # Nuevo Progreso MX
+        (26.0560, -97.9511, ("MX", None)),          # Nuevo Progreso MX
         (26.4046, -99.0158, ("US", "Texas")),        # Roma
-        (26.3990, -99.0270, None),                   # Cd Miguel Alemán
+        (26.3990, -99.0270, ("MX", None)),          # Cd Miguel Alemán
         (26.4055, -99.0503, ("US", "Texas")),        # Fronton
         (26.3798, -98.8203, ("US", "Texas")),        # Rio Grande City
-        (26.3160, -98.8300, None),                   # Camargo MX
+        (26.3160, -98.8300, ("MX", None)),          # Camargo MX
         # --- lower Columbia ---
         (45.8640, -122.8060, ("US", "Oregon")),      # St Helens
         (46.0890, -122.9360, ("US", "Oregon")),      # Rainier
@@ -2532,6 +2534,73 @@ def test_polygon_round4h_ontario_quebec():
     for v in ((51.4, -79.518), (47.5, -79.518), (45.43, -75.70),
               (45.18, -74.33)):
         assert v in qcr and v in onr            # the ON/QC frontier
+
+
+def test_polygon_round4h_mexico():
+    """Mexico: the entire US border is shared vertices (California's
+    straight line, Arizona's treaty lines, the New Mexico bootheel,
+    the whole Texas Rio Grande channel), so every border twin proven
+    from the US side now resolves its Mexican half with exact-border
+    confidence — the adversarial cases where the anchor fallback
+    crossed the river in BOTH directions are closed from both sides.
+    The Guatemala frontier carries the exact 17.8167 Peten parallel
+    and the Usumacinta/Chiapas chain; the Belize frontier follows the
+    Rio Hondo (Chetumal in, Corozal out) and Boca Bacalar Chico
+    (Ambergris Caye out)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    mx = ("MX", None)
+    cases = [
+        (19.4326, -99.1332),                 # Mexico City
+        (32.5149, -117.0382),                # Tijuana (vs San Diego)
+        (32.6245, -115.4523),                # Mexicali (vs Calexico)
+        (31.6904, -106.4245),                # Cd. Juarez (vs El Paso)
+        (27.4770, -99.5490),                 # Nuevo Laredo (vs Laredo)
+        (25.8690, -97.5027),                 # Matamoros (vs Brownsville)
+        (28.7000, -100.5231),                # Piedras Negras (vs Eagle P)
+        (21.1619, -86.8515),                 # Cancun
+        (18.5036, -88.3055),                 # Chetumal (vs Corozal BZ)
+        (17.5099, -91.9817),                 # Palenque (vs Peten GT)
+        (15.3667, -92.2481),                 # Motozintla (Chiapas fold)
+        (14.9000, -92.2600),                 # Tapachula
+        (24.1426, -110.3128),                # La Paz (Gulf of California
+        (23.2494, -106.4111),                #   interior) / Mazatlan
+    ]
+    for lat, lon in cases:
+        assert geopoly.lookup(lat, lon) == mx, (lat, lon)
+    # admin-1 through the constrained anchors
+    assert geonames.derive_location(32.5149, -117.0382)["country"] \
+        == "Baja California, Mexico"
+    assert geonames.derive_location(21.1619, -86.8515)["subdivision"] \
+        == "Quintana Roo"
+
+    outsiders = [
+        (32.7157, -117.1611, "San Diego US"),
+        (31.7619, -106.4850, "El Paso US"),
+        (25.9017, -97.4975, "Brownsville US"),
+        (18.3940, -88.3870, "Corozal BZ"),
+        (18.0300, -87.9600, "Ambergris Caye BZ"),
+        (16.9260, -89.8920, "Flores GT (Peten)"),
+        (14.6670, -92.1410, "Tecun Uman GT"),
+        (14.6349, -90.5069, "Guatemala City"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got != mx, (name, got)
+    # the US halves keep their states (shared-edge contract)
+    mxr = geopoly.POLYGONS[mx]
+    tx = geopoly.POLYGONS[("US", "Texas")]
+    az = geopoly.POLYGONS[("US", "Arizona")]
+    ca = geopoly.POLYGONS[("US", "California")]
+    nm = geopoly.POLYGONS[("US", "New Mexico")]
+    for v in ((31.75, -106.47), (27.5, -99.515), (25.888, -97.50),
+              (29.33, -100.92)):
+        assert v in mxr and v in tx              # Rio Grande shared
+    for v in ((32.49, -114.81), (31.33, -111.07)):
+        assert v in mxr and v in az              # AZ treaty lines
+    assert (32.534, -117.124) in mxr and (32.534, -117.124) in ca
+    for v in ((31.78, -108.21), (31.33, -108.21), (31.78, -106.53)):
+        assert v in mxr and v in nm              # the bootheel
 
 
 def test_polygon_round4h_atlantic_canada():
