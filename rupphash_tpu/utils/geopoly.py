@@ -2714,6 +2714,189 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (27.5, -115.8),                       # Baja Pacific offshore
         (29.5, -116.6),                       # Baja north offshore
         (31.5, -117.6)],                      # Tijuana offshore
+    # --- Peru / Bolivia / Paraguay / Brazil (round 4h): the Andes and
+    # Amazon frontiers are conservative chains (jungle, few towns);
+    # the classic exact pieces — the Concordia vertices (Chile
+    # shared), the Titicaca crossing, the 22S-region Villazon/La
+    # Quiaca step, the Chaco lines, the Apaporis-Tabatinga line and
+    # the Pedro Juan Caballero border street — are carried; every
+    # border two of these rings share is one vertex run in both.
+    ("PE", None): [
+        (-18.35, -70.42),                     # Concordia (CL shared)
+        (-17.9, -69.8),                       # Concordia line (shared)
+        (-17.65, -69.47),                     # CL/BO corner (shared)
+        (-16.9, -69.2),                       # BO line (shared)
+        (-16.3, -69.15),                      # Titicaca crossing (Puno
+        (-15.5, -69.4),                       #   PE west, Copacabana BO)
+        (-14.0, -68.9),                       # BO cordillera (shared)
+        (-12.5, -68.7),                       # BO jungle (shared)
+        (-11.2, -69.4),                       # BO line (shared)
+        (-10.95, -69.57),                     # PE/BO/BR tripoint
+        (-9.8, -70.6),                        # BR line (shared)
+        (-7.1, -73.8),                        # Breu bulge (shared)
+        (-5.5, -72.5),                        # Yavari (BR shared)
+        (-4.4, -70.1),                        # Yavari mouth (BR shared)
+        (-4.23, -69.94),                      # Tabatinga corner (shared)
+        (-3.7, -70.35),                       # CO trapezoid (Leticia out)
+        (-2.5, -71.7),                        # Putumayo (conserv.)
+        (-2.2, -73.0),                        # Putumayo (conserv.)
+        (-1.6, -74.2),                        # CO/EC region (conserv.)
+        (-2.3, -76.3),                        # EC line (conserv.)
+        (-4.4, -78.6),                        # Condor (conserv.)
+        (-4.55, -79.5),                       # EC south bulge (Loja out)
+        (-4.55, -79.9),                       # Macara region
+        (-3.42, -80.30),                      # Boca de Capones (coast)
+        (-3.3, -81.3),                        # Pacific offshore
+        (-6.0, -82.0),                        # Pacific offshore
+        (-14.0, -77.5),                       # Pacific (Lima offshore)
+        (-18.4, -71.2)],                      # Pacific south
+    ("BO", None): [
+        (-17.65, -69.47),                     # PE/CL corner (shared)
+        (-16.9, -69.2),                       # PE line (shared)
+        (-16.3, -69.15),                      # Titicaca (PE shared)
+        (-15.5, -69.4),                       # PE line (shared)
+        (-14.0, -68.9),                       # PE line (shared)
+        (-12.5, -68.7),                       # PE line (shared)
+        (-11.2, -69.4),                       # PE line (shared)
+        (-10.95, -69.57),                     # PE/BR tripoint (shared)
+        (-11.018, -68.76),                    # Acre twins (Cobija/
+        (-10.62, -68.15),                     #   Brasileia, BR shared)
+        (-10.0, -66.7),                       # Abuna (BR shared)
+        (-9.9, -65.4),                        # Madeira (BR shared)
+        (-10.81, -65.345),                    # Guayaramerin / Guajara-M.
+        (-12.5, -63.1),                       # Mamore/Itenez (BR shared)
+        (-13.5, -61.0),                       # Itenez (BR shared)
+        (-15.0, -60.2),                       # the straight (BR shared)
+        (-16.3, -58.4),                       # San Matias (BR shared)
+        (-17.2, -58.3),                       # Pantanal (BR shared)
+        (-18.2, -57.7),                       # Paraguay River (shared)
+        (-19.0, -57.72),                      # Pto Suarez / Corumba
+        (-19.5, -58.1),                       # Bahia Negra approach
+        (-20.1, -58.2),                       # BO/PY/BR corner (shared)
+        (-19.5, -59.1),                       # Chaco line (PY shared)
+        (-19.8, -60.6),                       # Chaco line (PY shared)
+        (-21.0, -62.27),                      # Chaco line (PY shared)
+        (-22.25, -62.64),                     # BO/PY/AR corner (shared)
+        (-22.1, -63.68),                      # Yacuiba dip (AR line)
+        (-22.0, -64.3),                       # AR line (conserv.)
+        (-22.1, -65.6),                       # Villazon / La Quiaca
+        (-22.6, -66.3),                       # AR puna (conserv.)
+        (-22.8, -67.2),                       # Zapaleri corner
+        (-22.9, -67.85),                      # CL chain (shared)
+        (-21.3, -68.15),                      # CL chain (shared)
+        (-20.5, -68.45),                      # CL chain (shared)
+        (-19.0, -68.6)],                      # CL chain (shared)
+    ("PY", None): [
+        (-20.1, -58.2),                       # BO/BR corner (shared)
+        (-21.2, -57.85),                      # Paraguay R. (BR shared)
+        (-22.1, -57.9),                       # Apa corner (BR shared)
+        (-22.05, -56.4),                      # Apa line (BR shared)
+        (-22.3, -55.80),                      # ridge (BR shared)
+        (-22.45, -55.7275),                   # the border street (Pedro
+        (-22.65, -55.7275),                   #   Juan C. / Ponta Pora)
+        (-23.1, -55.3),                       # ridge (BR shared)
+        (-23.9, -54.9),                       # ridge (BR shared)
+        (-24.0, -54.3),                       # Salto del Guaira (shared)
+        (-24.7, -54.45),                      # Parana (BR shared)
+        (-25.52, -54.60),                     # Cd. del Este / Foz do I.
+        (-25.59, -54.59),                     # PY/BR/AR triple (shared)
+        (-26.0, -54.75),                      # Parana (AR side)
+        (-26.9, -55.4),                       # Parana midline
+        (-27.35, -55.885),                    # Encarnacion / Posadas
+        (-27.4, -56.5),                       # Parana midline west
+        (-27.27, -57.5),                      # Parana bend
+        (-26.9, -58.2),                       # Paraguay River (AR side)
+        (-26.3, -58.15),                      # river midline
+        (-25.6, -57.85),                      # river midline
+        (-25.37, -57.655),                    # Pilcomayo mouth
+        (-25.27, -57.70),                     # Asuncion in, Clorinda out
+        (-25.30, -58.0),                      # Pilcomayo (AR line)
+        (-24.7, -59.3),                       # Pilcomayo (conserv.)
+        (-23.8, -60.6),                       # Chaco (conserv.)
+        (-23.0, -61.8),                       # Chaco (conserv.)
+        (-22.25, -62.64)],                    # BO/AR corner (shared)
+    ("BR", None): [
+        (-33.72, -53.39),                     # Chuy coast (UY strip gap)
+        (-32.45, -53.37),                     # Merin east (SVP in)
+        (-31.95, -54.16),                     # Acegua in
+        (-31.0, -55.40),                      # approach
+        (-30.897, -55.50),                    # the border street:
+        (-30.897, -55.62),                    #   Livramento BR north,
+        (-30.55, -56.10),                     #   Rivera UY south
+        (-30.45, -56.46),                     # Quarai in
+        (-30.2, -57.6),                       # BR/UY/AR corner (shared)
+        (-29.73, -57.08),                     # Uruguaiana / P. Libres
+        (-28.6, -56.02),                      # Sao Borja / Santo Tome
+        (-27.8, -55.12),                      # Uruguay R. (AR side)
+        (-27.12, -53.85),                     # Pepiri corner
+        (-26.3, -53.68),                      # San Antonio line
+        (-25.55, -53.96),                     # Iguazu corner
+        (-25.6, -54.45),                      # Iguazu midline (falls AR)
+        (-25.59, -54.59),                     # PY/AR triple (shared)
+        (-25.52, -54.60),                     # Foz in, CdE PY out
+        (-24.7, -54.45),                      # Parana (PY shared)
+        (-24.0, -54.3),                       # Salto del Guaira (shared)
+        (-23.9, -54.9),                       # PY ridge (shared)
+        (-23.1, -55.3),                       # PY ridge (shared)
+        (-22.65, -55.7275),                   # the border street
+        (-22.45, -55.7275),                   #   (Ponta Pora in)
+        (-22.3, -55.80),                      # PY ridge (shared)
+        (-22.05, -56.4),                      # Apa line (PY shared)
+        (-22.1, -57.9),                       # Apa corner (PY shared)
+        (-21.2, -57.85),                      # Paraguay R. (PY shared)
+        (-20.1, -58.2),                       # BO/PY corner (shared)
+        (-19.5, -58.1),                       # BO chain (shared)
+        (-19.0, -57.72),                      # Corumba in (BO shared)
+        (-18.2, -57.7),                       # BO chain (shared)
+        (-17.2, -58.3),                       # BO chain (shared)
+        (-16.3, -58.4),                       # BO chain (shared)
+        (-15.0, -60.2),                       # the straight (BO shared)
+        (-13.5, -61.0),                       # BO chain (shared)
+        (-12.5, -63.1),                       # BO chain (shared)
+        (-10.81, -65.345),                    # Guajara-Mirim in (shared)
+        (-9.9, -65.4),                        # BO chain (shared)
+        (-10.0, -66.7),                       # BO chain (shared)
+        (-10.62, -68.15),                     # BO chain (shared)
+        (-11.018, -68.76),                    # Brasileia in (BO shared)
+        (-10.95, -69.57),                     # PE/BO tripoint (shared)
+        (-9.8, -70.6),                        # PE chain (shared)
+        (-7.1, -73.8),                        # PE chain (shared)
+        (-5.5, -72.5),                        # Yavari (PE shared)
+        (-4.4, -70.1),                        # Yavari mouth (PE shared)
+        (-4.23, -69.94),                      # Tabatinga in, Leticia out
+        (-1.4, -69.42),                       # Apaporis line (exact-ish)
+        (1.2, -69.85),                        # CO rivers (conserv.)
+        (1.9, -67.3),                         # CO line (conserv.)
+        (1.22, -66.86),                       # Piedra del Cocuy (VE)
+        (2.5, -63.8),                         # VE divide (conserv.)
+        (4.0, -62.5),                         # VE divide (conserv.)
+        (4.55, -61.13),                       # Pacaraima / Santa Elena
+        (5.1, -60.73),                        # Roraima corner (GY)
+        (4.0, -59.7),                         # GY line (conserv.)
+        (3.37, -59.815),                      # Bonfim / Lethem (Takutu)
+        (1.5, -58.5),                         # GY divide (conserv.)
+        (1.2, -57.0),                         # GY/SR divide (conserv.)
+        (2.0, -56.2),                         # SR divide (conserv.)
+        (2.2, -55.0),                         # SR divide (conserv.)
+        (2.3, -54.2),                         # GF divide (conserv.)
+        (3.0, -52.6),                         # Oyapock (conserv.)
+        (3.87, -51.81),                       # Oiapoque / St-Georges
+        (4.6, -51.1),                         # Cape Orange offshore
+        (2.0, -48.0),                         # Atlantic offshore
+        (0.0, -44.0),                         # Atlantic offshore
+        (-2.0, -41.0),                        # Atlantic offshore
+        (-4.0, -36.0),                        # Atlantic offshore
+        (-6.0, -34.3),                        # Recife offshore
+        (-9.5, -34.5),                        # Atlantic offshore
+        (-13.0, -38.0),                       # Salvador offshore
+        (-16.5, -38.3),                       # Abrolhos offshore
+        (-21.0, -39.8),                       # Vitoria offshore
+        (-23.5, -43.0),                       # Rio offshore
+        (-24.6, -45.8),                       # Santos offshore
+        (-26.5, -48.0),                       # Florianopolis offshore
+        (-29.0, -49.0),                       # Torres offshore
+        (-32.0, -51.3),                       # Rio Grande offshore
+        (-34.0, -52.8)],                      # Chuy offshore
     # --- Chile: the Concordia line (Arica in, Tacna PE out), the -52
     # parallel and Punta Dungeness drop shared with Argentina's Santa
     # Cruz ring values, and the exact -68.604 Tierra del Fuego

@@ -2536,7 +2536,90 @@ def test_polygon_round4h_ontario_quebec():
         assert v in qcr and v in onr            # the ON/QC frontier
 
 
-def test_polygon_round4h_mexico():
+def test_polygon_round4h_south_america():
+    """Peru / Bolivia / Paraguay / Brazil close South America's
+    frontiers against the existing Chile/Uruguay/Argentina rings.
+    Every shared border is one vertex run in both rings: the
+    Titicaca crossing (Puno PE / Copacabana BO), the Chaco lines,
+    the Parana/Paraguay/Pilcomayo midlines (Ciudad del Este PY /
+    Foz do Iguacu BR, Encarnacion PY / Posadas AR, Asuncion PY /
+    Clorinda AR), the Acre and Takutu river twins, the
+    Apaporis-Tabatinga line (Tabatinga BR in, Leticia CO out) and
+    the Livramento/Rivera and Pedro Juan Caballero/Ponta Pora
+    border streets threaded at sub-km scale."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    pe, bo = ("PE", None), ("BO", None)
+    py, br = ("PY", None), ("BR", None)
+    cases = [
+        (-12.0464, -77.0428, pe),            # Lima
+        (-13.1631, -72.5450, pe),            # Machu Picchu
+        (-15.8402, -70.0219, pe),            # Puno (Titicaca west)
+        (-18.0146, -70.2536, pe),            # Tacna (vs Arica CL)
+        (-3.7437, -73.2516, pe),             # Iquitos
+        (-16.4897, -68.1193, bo),            # La Paz
+        (-16.1660, -69.0860, bo),            # Copacabana (Titicaca east)
+        (-20.4637, -66.8260, bo),            # Uyuni
+        (-22.0860, -65.5940, bo),            # Villazon (vs La Quiaca)
+        (-25.2637, -57.5759, py),            # Asuncion (vs Clorinda)
+        (-25.5097, -54.6111, py),            # Cd. del Este (vs Foz)
+        (-27.3306, -55.8656, py),            # Encarnacion (vs Posadas)
+        (-22.5465, -55.7311, py),            # Pedro Juan Caballero
+        (-23.5505, -46.6333, br),            # Sao Paulo
+        (-22.9068, -43.1729, br),            # Rio de Janeiro
+        (-3.1190, -60.0217, br),             # Manaus
+        (-25.5469, -54.5882, br),            # Foz do Iguacu (vs CdE)
+        (-22.5360, -55.7259, br),            # Ponta Pora (street twin)
+        (-30.8880, -55.5328, br),            # Livramento (street twin)
+        (-29.7614, -57.0853, br),            # Uruguaiana (vs P. Libres)
+        (-4.2420, -69.9380, br),             # Tabatinga (vs Leticia)
+        (-33.5230, -53.3680, br),            # Santa Vitoria (Merin strip)
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+    assert geonames.derive_location(-12.0464, -77.0428)["country"] \
+        .endswith("Peru")
+    assert geonames.derive_location(-22.9068, -43.1729)["subdivision"] \
+        == "Rio de Janeiro"
+
+    sa = (pe, bo, py, br)
+    outsiders = [
+        (-4.2150, -69.9410, "Leticia CO"),
+        (-3.9937, -79.2042, "Loja EC"),
+        (-2.1700, -79.9220, "Guayaquil EC"),
+        (4.6000, -61.1100, "Santa Elena VE"),
+        (3.3800, -59.8000, "Lethem GY"),
+        (4.9220, -52.3135, "Cayenne GF"),
+        (3.8900, -51.8000, "Saint-Georges GF"),
+        (-22.1050, -65.5970, "La Quiaca AR"),
+        (-25.5990, -54.5736, "Puerto Iguazu AR"),
+        (-27.3671, -55.8961, "Posadas AR"),
+        (-25.2898, -57.7211, "Clorinda AR"),
+        (-29.7126, -57.0877, "Paso de los Libres AR"),
+        (-30.9053, -55.5508, "Rivera UY (street twin)"),
+        (-18.4746, -70.3127, "Arica CL"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got not in sa, (name, got)
+    # shared-run contracts
+    per = geopoly.POLYGONS[pe]
+    bor = geopoly.POLYGONS[bo]
+    pyr = geopoly.POLYGONS[py]
+    brr = geopoly.POLYGONS[br]
+    cl = geopoly.POLYGONS[("CL", None)]
+    uy = geopoly.POLYGONS[("UY", None)]
+    for v in ((-18.35, -70.42), (-17.65, -69.47)):
+        assert v in per and v in cl              # Concordia shared
+    for v in ((-16.3, -69.15), (-10.95, -69.57)):
+        assert v in per and v in bor             # Titicaca / tripoint
+    for v in ((-22.9, -67.85), (-19.0, -68.6)):
+        assert v in bor and v in cl              # BO/CL chain
+    for v in ((-20.1, -58.2), (-22.25, -62.64)):
+        assert v in bor and v in pyr             # Chaco corners
+    for v in ((-25.59, -54.59), (-24.0, -54.3), (-22.45, -55.7275)):
+        assert v in pyr and v in brr             # Parana / the street
+    assert (-30.2, -57.6) in brr and (-30.2, -57.6) in uy  # UY/AR corner
     """Mexico: the entire US border is shared vertices (California's
     straight line, Arizona's treaty lines, the New Mexico bootheel,
     the whole Texas Rio Grande channel), so every border twin proven
