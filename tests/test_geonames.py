@@ -2620,6 +2620,9 @@ def test_polygon_round4h_south_america():
     for v in ((-25.59, -54.59), (-24.0, -54.3), (-22.45, -55.7275)):
         assert v in pyr and v in brr             # Parana / the street
     assert (-30.2, -57.6) in brr and (-30.2, -57.6) in uy  # UY/AR corner
+
+
+def test_polygon_round4h_mexico():
     """Mexico: the entire US border is shared vertices (California's
     straight line, Arizona's treaty lines, the New Mexico bootheel,
     the whole Texas Rio Grande channel), so every border twin proven
