@@ -403,13 +403,26 @@ def bench_decode_profile(n=64, chip_ips=None):
 
 
 def main():
+    # Liveness gate BEFORE anything touches device init: a dead axon
+    # tunnel hangs jax.devices() forever inside the global backend lock
+    # (observed as a multi-hour outage), which would mean no JSON line
+    # at all — worse than an honestly-labelled CPU number.  The probe
+    # runs in a subprocess (utils/backendprobe.py); on failure the
+    # process pins itself to the CPU backend and shrinks the workload.
+    probe_s = float(os.environ.get("RUPPHASH_BENCH_PROBE_S", "150"))
+    from rupphash_tpu.utils import backendprobe
+    backend_status = backendprobe.ensure_backend_alive(
+        timeout_s=probe_s, log=log)
+    cpu_fallback = backend_status == "cpu-fallback"
+
     # persistent XLA compile cache: cold compiles over the axon tunnel
     # cost minutes; after the first bench run every kernel starts hot
     from rupphash_tpu.utils import jaxcache
     jaxcache.enable()
 
     import jax
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"probe={backend_status}")
 
     # wall-clock budget for the EXTRAS: the driver runs this script
     # under a timeout, and tunnel weather can stretch first compiles
@@ -429,10 +442,18 @@ def main():
             return True
         return False
 
-    ips = bench_pdq()
+    if cpu_fallback:
+        # tiny workload: the point is a labelled JSON line, not a
+        # meaningful CPU throughput; TPU-scale extras are skipped
+        ips = bench_pdq(batch=32, iters=2)
+        _budget = 0.0
+    else:
+        ips = bench_pdq()
     log(f"pdq_hash: {ips:,.0f} images/s/chip")
 
     extra = {}
+    if cpu_fallback:
+        extra["backend"] = "cpu-fallback (accelerator transport dead)"
     try:
         if not over_budget("grouping count-sweep"):
             pps, gdt = bench_grouping()

@@ -72,6 +72,22 @@ def test_bench_budget_skips_loudly(benchmod, capsys, monkeypatch):
     assert "RUPPHASH_BENCH_BUDGET_S" in err
 
 
+def test_bench_dead_accelerator_still_prints(benchmod, capsys,
+                                             monkeypatch):
+    # a dead TPU transport must yield a labelled CPU line, not a hang
+    monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "3600")
+    from rupphash_tpu.utils import backendprobe
+    monkeypatch.setattr(backendprobe, "ensure_backend_alive",
+                        lambda timeout_s=None, log=None: "cpu-fallback")
+    monkeypatch.setattr(benchmod, "bench_pdq", lambda **kw: 2000.0)
+    payload, err = _run(benchmod, capsys)
+    assert payload["value"] == 2000.0      # headline still lands
+    assert "cpu-fallback" in payload["extra"]["backend"]
+    # TPU-scale extras are all skipped loudly, none silently run
+    assert "grouping_1m_single_chip_s" not in payload["extra"]
+    assert err.count("SKIPPED") == 5
+
+
 def test_bench_extra_failure_does_not_break_headline(
         benchmod, capsys, monkeypatch):
     monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "3600")
