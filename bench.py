@@ -412,7 +412,7 @@ def main():
     probe_s = float(os.environ.get("RUPPHASH_BENCH_PROBE_S", "150"))
     from rupphash_tpu.utils import backendprobe
     backend_status = backendprobe.ensure_backend_alive(
-        timeout_s=probe_s, log=log)
+        timeout_s=probe_s, log=log, use_ttl=False)
     cpu_fallback = backend_status == "cpu-fallback"
 
     # persistent XLA compile cache: cold compiles over the axon tunnel

@@ -430,6 +430,8 @@ function drawMap() {
   cv.width = cv.clientWidth; cv.height = cv.clientHeight;
   const ctx = cv.getContext('2d');
   ctx.fillStyle = '#0c1016'; ctx.fillRect(0, 0, cv.width, cv.height);
+  mapDistBox = null;  // reset on EVERY draw: the early returns below
+                      // must not leave a stale invisible click target
   if (!V().map_mode) return;  // N: off -> markers -> markers+paths
   const md = S.map || {markers: [], order: []};
   if (!md.markers.length) {
@@ -554,7 +556,6 @@ function drawMap() {
   // distance/bearing readout (gui/app.rs:918-960; b cycles the
   // location, B or a click on the text toggles the direction —
   // the click target box is remembered for the canvas handler)
-  mapDistBox = null;
   if (md.distance) {
     ctx.fillStyle = '#e5c07b'; ctx.font = '11px system-ui';
     ctx.fillText(md.distance, 8, 14);

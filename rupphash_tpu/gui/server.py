@@ -35,6 +35,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..state import AppState, Intent
+from ..utils import trace
 from . import imaging
 
 
@@ -295,21 +296,28 @@ class GuiServer:
                 order = list(range(len(markers)))
         return {"markers": markers, "order": order,
                 "locations": [
-                    {"name": n, "lat": self._loc_point(n)[0],
-                     "lon": self._loc_point(n)[1]}
-                    for n in sorted(self.locations)],
+                    {"name": n, "lat": pt[0], "lon": pt[1]}
+                    for n in sorted(self.locations)
+                    if (pt := self._loc_point(n)) is not None],
                 "selected_location": self.map_location,
                 "direction_to_image": self.map_dir_to_image,
                 "distance": self._map_distance(),
                 "tile_url": getattr(self, "tile_url", None)}
 
-    def _loc_point(self, name: str) -> tuple[float, float]:
+    def _loc_point(self, name: str) -> tuple[float, float] | None:
         """(lat, lon) for a config [locations] entry, accepting the
-        same tuple/dict spellings GeoDistanceFilter.parse does."""
-        loc = self.locations[name]
-        if isinstance(loc, (list, tuple)):
-            return float(loc[0]), float(loc[1])
-        return float(loc["lat"]), float(loc["lon"])
+        same tuple/dict spellings GeoDistanceFilter.parse does.  A
+        malformed entry returns None (and is dropped from the map)
+        instead of raising: this runs inside snapshot(), so one config
+        typo would otherwise 500 every /api/state poll."""
+        try:
+            loc = self.locations[name]
+            if isinstance(loc, (list, tuple)):
+                return float(loc[0]), float(loc[1])
+            return float(loc["lat"]), float(loc["lon"])
+        except (KeyError, IndexError, TypeError, ValueError):
+            trace.count("GUI-BAD-LOCATION")
+            return None
 
     def _map_distance(self) -> str | None:
         """'image to NAME: 1919.99 km @ 88.00° E' for the cursor file
@@ -324,6 +332,8 @@ class GuiServer:
             return None
         from ..utils import sunpos
         loc = self._loc_point(name)
+        if loc is None:
+            return None
         if self.map_dir_to_image:
             frm, to = loc, cur.gps_pos
             label = f"{name} to image"

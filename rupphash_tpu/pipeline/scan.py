@@ -75,15 +75,31 @@ def _probe_batch(files, cfg: ScanConfig, store, identities,
 
     Batching structure (each a single chunked IN(...) query instead of
     a per-file execute — per-file point lookups were ~20% of the warm
-    rescan): stat every file -> get_meta_many over all meta keys ->
-    get_{pdqhash,features,coefficients,pixel_hash}_many over the hit
-    content hashes -> per-file assembly.  `identities` carries the
+    rescan): stat a chunk of files -> get_meta_many over its meta keys
+    -> get_{pdqhash,features,coefficients,pixel_hash}_many over the hit
+    content hashes -> per-file assembly.  The probe runs in bounded
+    chunks (not the whole corpus at once) so peak RAM is O(chunk), not
+    O(corpus) — at 1M files the parsed feature dicts alone would be
+    ~1 GB against the README's ~2.5 GiB budget; 8192-file chunks keep
+    >99% of the IN(...) batching win.  `identities` carries the
     (fid, size, mtime_ns) triples the hardlink prepass already stat()ed
     (re-statting 1M files doubles syscall load and opens a TOCTOU
     window).  Cache-hit timestamp refreshes collect into `meta_refresh`
-    for one put_meta_many writer submission (one writer wake per scan
-    instead of one per hit; each wake is a GIL bounce on a 1-core host,
-    measured ~24% of warm rescan time)."""
+    for chunked put_meta_many writer submissions (a handful of writer
+    wakes per scan instead of one per hit; each wake is a GIL bounce on
+    a 1-core host, measured ~24% of warm rescan time)."""
+    files = list(files)
+    for lo in range(0, len(files), _PROBE_CHUNK):
+        yield from _probe_chunk(files[lo:lo + _PROBE_CHUNK], cfg, store,
+                                identities, meta_refresh)
+
+
+_PROBE_CHUNK = 8192
+_DIHEDRAL_CHUNK = 8192
+
+
+def _probe_chunk(files, cfg: ScanConfig, store, identities,
+                 meta_refresh: list):
     staged = []  # (rec | None, mkey)
     for p in files:
         try:
@@ -298,24 +314,14 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     misses: list[tuple] = []
     dihedral_pending: list[tuple] = []  # (record, cached coeffs)
     meta_refresh: list[tuple] = []      # (mkey, content) hit refreshes
-    for p, probe in zip(files, _probe_batch(files, cfg, store, identities,
-                                            meta_refresh)):
-        if probe is None:
-            consume(None)
-        elif probe.get("cached"):
-            coeffs = probe.pop("coeffs_cached", None)
-            if coeffs is not None:
-                dihedral_pending.append((probe["record"], coeffs))
-            consume(probe)
-        else:
-            misses.append((p, probe))
-    if meta_refresh and store:
-        store.put_meta_many(meta_refresh)
-        meta_refresh.clear()
 
-    if dihedral_pending:
-        # one vectorized pass regenerates every cache hit's dihedral
-        # set (coefficients stay cache-resident, not RAM-resident)
+    def flush_dihedral():
+        # one vectorized pass regenerates this chunk of cache hits'
+        # dihedral sets (coefficients stay cache-resident; bounding the
+        # chunk keeps peak RAM O(chunk) — 1M pending coeffs would be
+        # ~1 GB plus the stacked copy)
+        if not dihedral_pending:
+            return
         packed = pdq_ref.dihedral_hashes_batch(
             np.stack([c for _, c in dihedral_pending]))
         for k, (rec, _) in enumerate(dihedral_pending):
@@ -328,6 +334,28 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             device_sink.append(([rec for rec, _ in dihedral_pending],
                                 jax.device_put(packed)))
         dihedral_pending.clear()
+
+    for p, probe in zip(files, _probe_batch(files, cfg, store, identities,
+                                            meta_refresh)):
+        if probe is None:
+            consume(None)
+        elif probe.get("cached"):
+            coeffs = probe.pop("coeffs_cached", None)
+            if coeffs is not None:
+                dihedral_pending.append((probe["record"], coeffs))
+                if len(dihedral_pending) >= _DIHEDRAL_CHUNK:
+                    flush_dihedral()
+            consume(probe)
+        else:
+            misses.append((p, probe))
+        if len(meta_refresh) >= 65536 and store:
+            store.put_meta_many(meta_refresh)
+            meta_refresh.clear()
+    if meta_refresh and store:
+        store.put_meta_many(meta_refresh)
+        meta_refresh.clear()
+
+    flush_dihedral()
 
     if misses:
         from concurrent.futures import as_completed

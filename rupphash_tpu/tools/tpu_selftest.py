@@ -29,7 +29,10 @@ def main(argv=None) -> int:
     # init forever (no CPU fallback here: this tool exists to validate
     # the hardware, so a dead backend is a loud failure, exit 3)
     from ..utils import backendprobe
-    state = backendprobe.ensure_backend_alive()
+    # use_ttl=False: a marker from a CLI probe minutes ago must not
+    # stand in — the tunnel can die in between, and this gate is the
+    # only thing between us and an infinite hang
+    state = backendprobe.ensure_backend_alive(use_ttl=False)
     if state == "cpu-fallback":
         print("FAIL: accelerator backend unreachable — the selftest "
               "validates hardware and cannot run on the CPU fallback "

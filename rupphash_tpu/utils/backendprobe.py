@@ -20,9 +20,12 @@ Knobs:
                              0 disables the probe entirely.
 
 The probe is skipped when a CPU backend is already forced
-(RUPPHASH_PLATFORM/JAX_PLATFORMS containing "cpu") and when the
-platform env names no accelerator remotely (plain local CPU jax
-initializes in-process instantly).
+(RUPPHASH_PLATFORM/JAX_PLATFORMS containing "cpu"), and a recent
+successful probe is remembered in a per-user TTL marker so repeated
+CLI runs don't pay a second device init.  Callers whose entire purpose
+is the dead-transport gate (bench.py, tpu_selftest) pass use_ttl=False
+— trusting a stale marker would reintroduce the exact hang they exist
+to prevent.
 """
 
 from __future__ import annotations
@@ -45,8 +48,30 @@ def _forced_cpu() -> bool:
     return False
 
 
+def _marker_path() -> str | None:
+    """Per-user marker under a 0o700 directory we own.  A predictable
+    shared-/tmp filename would let another local user pin the marker
+    fresh forever (probe permanently skipped -> the guard's hang
+    returns) or plant a symlink for the open() to follow."""
+    import tempfile
+    base = os.path.join(tempfile.gettempdir(),
+                        f"rupphash-probe-{os.getuid()}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        import stat as statmod
+        if (not statmod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid()
+                or (st.st_mode & 0o077)):
+            return None
+    except OSError:
+        return None
+    name = (f"ok-{os.environ.get('JAX_PLATFORMS', '')}"
+            .replace(os.sep, "_"))
+    return os.path.join(base, name)
+
+
 def ensure_backend_alive(timeout_s: float | None = None,
-                         log=None) -> str:
+                         log=None, use_ttl: bool = True) -> str:
     """Probe the default JAX backend; fall back to CPU if it cannot
     initialize within the timeout.
 
@@ -54,6 +79,12 @@ def ensure_backend_alive(timeout_s: float | None = None,
     needed), or "cpu-fallback" (probe failed; the parent process is
     now pinned to the CPU backend).  Must be called BEFORE anything
     initializes a jax backend in this process.
+
+    use_ttl=False forces a live probe even when a recent success
+    marker exists — required by callers whose whole job is the
+    dead-transport gate (bench.py headline, tpu_selftest exit 3): a
+    tunnel can die minutes after a successful CLI probe, and trusting
+    the marker would hang them exactly where they must not hang.
     """
     log = log or (lambda *a: print(*a, file=sys.stderr))
     if timeout_s is None:
@@ -64,34 +95,36 @@ def ensure_backend_alive(timeout_s: float | None = None,
             timeout_s = 60.0
     if timeout_s <= 0 or _forced_cpu():
         return "skipped"
-    # a recent successful probe (any process) stands in: repeated CLI
-    # runs must not pay a second device init per scan
-    import tempfile
+    # a recent successful probe (any process of THIS user) stands in:
+    # repeated CLI runs must not pay a second device init per scan
     import time
     try:
         ttl = float(os.environ.get("RUPPHASH_BACKEND_PROBE_TTL_S",
                                    "600"))
     except ValueError:
         ttl = 600.0
-    marker = os.path.join(
-        tempfile.gettempdir(),
-        f"rupphash-backend-ok-{os.environ.get('JAX_PLATFORMS', '')}"
-        .replace(os.sep, "_"))
-    try:
-        if ttl > 0 and time.time() - os.path.getmtime(marker) < ttl:
-            return "skipped"
-    except OSError:
-        pass
+    marker = _marker_path()
+    if use_ttl and marker is not None:
+        try:
+            if ttl > 0 and time.time() - os.path.getmtime(marker) < ttl:
+                return "skipped"
+        except OSError:
+            pass
     try:
         res = subprocess.run(
             [sys.executable, "-c", _PROBE_SNIPPET],
             capture_output=True, timeout=timeout_s)
         if res.returncode == 0:
-            try:
-                with open(marker, "w") as f:
-                    f.write(str(time.time()))
-            except OSError:
-                pass
+            if marker is not None:
+                try:
+                    fd = os.open(marker,
+                                 os.O_WRONLY | os.O_CREAT | os.O_NOFOLLOW,
+                                 0o600)
+                    with os.fdopen(fd, "w") as f:
+                        f.write(str(time.time()))
+                    os.utime(marker)
+                except OSError:
+                    pass
             return "ok"
         reason = (res.stderr or b"").decode(errors="replace").strip()
         reason = reason.splitlines()[-1] if reason else "exit != 0"

@@ -181,3 +181,27 @@ def test_backend_probe_states(tmp_path, monkeypatch):
                         "raise SystemExit(3)")
     assert backendprobe.ensure_backend_alive(timeout_s=30,
                                              log=log) == "cpu-fallback"
+
+    # use_ttl=False (bench.py / tpu_selftest): a FRESH success marker
+    # must NOT stand in for a live probe — the tunnel can die right
+    # after the marker was written, and these callers exist to catch
+    # exactly that
+    monkeypatch.delenv("RUPPHASH_BACKEND_PROBE_TTL_S")
+    monkeypatch.setattr(backendprobe, "_PROBE_SNIPPET",
+                        "raise SystemExit(3)")
+    # the marker from the earlier healthy probe is still fresh...
+    assert backendprobe.ensure_backend_alive(
+        timeout_s=30, log=log) == "skipped"          # TTL path trusts it
+    assert backendprobe.ensure_backend_alive(
+        timeout_s=30, log=log, use_ttl=False) == "cpu-fallback"
+
+    # marker hygiene: the marker lives in a 0o700 per-uid dir; if the
+    # dir is tampered group-writable the marker is ignored (probe still
+    # works, nothing crashes)
+    import os
+    mdir = tmp_path / f"rupphash-probe-{os.getuid()}"
+    os.chmod(mdir, 0o755)
+    assert backendprobe._marker_path() is None
+    monkeypatch.setattr(backendprobe, "_PROBE_SNIPPET", "pass")
+    assert backendprobe.ensure_backend_alive(timeout_s=30,
+                                             log=log) == "ok"

@@ -77,8 +77,9 @@ def test_bench_dead_accelerator_still_prints(benchmod, capsys,
     # a dead TPU transport must yield a labelled CPU line, not a hang
     monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "3600")
     from rupphash_tpu.utils import backendprobe
-    monkeypatch.setattr(backendprobe, "ensure_backend_alive",
-                        lambda timeout_s=None, log=None: "cpu-fallback")
+    monkeypatch.setattr(
+        backendprobe, "ensure_backend_alive",
+        lambda timeout_s=None, log=None, use_ttl=True: "cpu-fallback")
     monkeypatch.setattr(benchmod, "bench_pdq", lambda **kw: 2000.0)
     payload, err = _run(benchmod, capsys)
     assert payload["value"] == 2000.0      # headline still lands

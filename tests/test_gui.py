@@ -831,6 +831,40 @@ def test_map_location_distance_and_direction(tmp_path):
         httpd.server_close()
 
 
+def test_map_malformed_location_does_not_500(tmp_path):
+    """A config [locations] typo (string value, wrong dict keys) must
+    degrade to 'entry dropped from the map', never a 500 on every
+    /api/state poll — _loc_point runs inside snapshot()."""
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(
+        rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)).resize(
+            (96, 64), Image.BILINEAR)
+    p = tmp_path / "geo.png"
+    img.save(p)
+    rec = FileRecord(path=p, size=p.stat().st_size, resolution=(96, 64),
+                     unique_file_id=7, gps_pos=(60.1699, 24.9384))
+    st = AppState([[rec]], [GroupInfo()])
+    srv = server.GuiServer(st, locations={
+        "good": (61.4978, 23.7610),
+        "typo_str": "60.17,24.94",               # string, not pair
+        "typo_keys": {"latitude": 1, "longitude": 2}})  # wrong keys
+    httpd, port = srv.serve()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, _, body = _get(port, "/api/state")
+        assert status == 200
+        md = json.loads(body)["map"]
+        assert [x["name"] for x in md["locations"]] == ["good"]
+        # cycling onto a malformed entry yields no distance, no error
+        for _ in range(4):
+            snap = _key(port, "b")
+            assert "snapshot" in snap
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_key_sort_cycle_reaches_location(gui):
     """The GUI sort cycle covers the full CLI order list including
     exif-date and location (the reference's sort menu)."""

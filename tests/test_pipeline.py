@@ -272,6 +272,53 @@ def test_scan_device_sink_aligns_with_records(tmp_path):
     store.close()
 
 
+def test_probe_and_dihedral_chunking(tmp_path, monkeypatch):
+    """The warm-rescan probe and the cached-dihedral regen run in
+    bounded chunks (peak RAM is O(chunk), not O(corpus)).  With chunk
+    size forced below the corpus size the results must be identical:
+    full cache hits, per-record hashes/dihedrals, and a device sink
+    whose per-batch rows still satisfy the device_slot contract."""
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.cache.store import CacheStore
+    from rupphash_tpu.grouping import engine
+    from rupphash_tpu.ops import hamming
+    from rupphash_tpu.pipeline import scan
+
+    d = tmp_path / "s"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    for k in range(5):
+        arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).resize((320, 240), Image.BILINEAR).save(
+            d / f"f{k}.png")
+
+    store = CacheStore(tmp_path / "c.db", master_key=b"\x07" * 32)
+    cold, _ = scan.scan([d], scan.ScanConfig(batch_size=4), store)
+    store.flush()
+
+    monkeypatch.setattr(scan, "_PROBE_CHUNK", 2)
+    monkeypatch.setattr(scan, "_DIHEDRAL_CHUNK", 2)
+    sink = []
+    warm, stats = scan.scan([d], scan.ScanConfig(batch_size=4), store,
+                            device_sink=sink)
+    assert stats.cache_full == 5 and stats.decoded == 0
+    assert len(sink) == 3          # 5 cache hits in chunks of 2
+    cmap = {r.path: r for r in cold}
+    for r in warm:
+        assert r.pdqhash == cmap[r.path].pdqhash
+        assert np.array_equal(r.dihedral, cmap[r.path].dihedral)
+    # device rows stay aligned with records across the chunked batches
+    files = sorted(warm, key=lambda r: r.path.name)
+    idx = list(range(len(files)))
+    var_sel = engine._resident_rows(files, idx, sink)
+    assert var_sel is not None
+    host = np.stack([f.dihedral for f in files])
+    assert np.array_equal(np.asarray(var_sel), host)
+    store.close()
+
+
 def test_device_slot_contract(tmp_path, capsys):
     """The device-resident grouping contract: records carry an explicit
     (batch, row) device_slot stamp.  dataclasses.replace copies keep the
