@@ -866,6 +866,210 @@ _KY_TN: list[tuple[float, float]] = [
     (36.4977, -88.20),                    # true parallel resumes
 ]
 
+# --- Iberia (round 4i) ----------------------------------------------
+# The Spain/Portugal border ("La Raya", ~1,200 km) is ONE shared chain:
+# riverine stretches (Minho, Douro canyon, Tagus/Sever, Chanza, lower
+# Guadiana) within ~1-3 km; the mountain stretches (Peneda-Geres,
+# Tras-os-Montes, the Sierra de Gata) carry a documented ~3-8 km
+# envelope and the tests assert nothing inside that band.  Twin
+# borders threaded: Tui ES / Valenca PT (Minho), Rihonor ES / Rio de
+# Onor PT (the split village's banks are too tight to assert),
+# Fuentes de Onoro ES / Vilar Formoso PT, Badajoz ES / Elvas PT (the
+# Caia line), Olivenza (Spanish-administered, east of the Guadiana
+# stretch), Ayamonte ES / the VRSA bank (mouth midline; VRSA itself is
+# inside the ~1 km envelope and stays unasserted).
+_ES_PT: list[tuple[float, float]] = [
+    (41.868, -8.878),                     # Minho mouth midline
+    (41.90, -8.79),                       # (A Guarda ES / Caminha PT)
+    (41.95, -8.70),
+    (42.02, -8.665),
+    (42.045, -8.645),                     # Tui ES / Valenca PT
+    (42.065, -8.555),
+    (42.08, -8.45),                       # Salvaterra ES / Moncao PT
+    (42.09, -8.36),
+    (42.105, -8.27),                      # Melgaco reach
+    (42.115, -8.19),                      # border leaves the Minho
+    (42.05, -8.11),                       # Laboreiro plateau
+    (41.95, -8.16),                       # Peneda rim (envelope)
+    (41.87, -8.08),                       # Portela do Homem area
+    (41.88, -7.92),                       # Geres east (envelope)
+    (41.90, -7.80),                       # Montalegre north (envelope)
+    (41.92, -7.65),
+    (41.86, -7.45),                       # Feces / Vila Verde da Raia
+                                          # (Verin ES N, Chaves PT S)
+    (41.875, -7.30),
+    (41.87, -7.10),
+    (41.92, -6.95),                       # Tras-os-Montes rim
+    (41.99, -6.78),                       # north bulge (Braganca PT S,
+                                          #   Puebla de Sanabria ES N)
+    (41.945, -6.62),                      # Rio de Onor / Rihonor
+    (41.97, -6.55),                       # NE corner (envelope)
+    (41.94, -6.52),
+    (41.80, -6.52),                       # east edge turns south
+    (41.68, -6.45),
+    (41.60, -6.32),
+    (41.57, -6.20),                       # Douro canyon north end
+    (41.52, -6.21),
+    (41.49, -6.258),                      # Miranda do Douro PT rim
+    (41.45, -6.32),
+    (41.38, -6.38),                       # Douro canyon (shared midline)
+    (41.30, -6.48),                       # Bemposta reach
+    (41.22, -6.62),
+    (41.13, -6.78),
+    (41.06, -6.90),
+    (41.02, -6.93),                       # Barca d'Alva (Douro exit)
+    (40.95, -6.92),                       # Agueda river south
+    (40.85, -6.87),
+    (40.75, -6.82),
+    (40.605, -6.821),                     # Vilar Formoso PT / Fuentes
+                                          #   de Onoro ES (border post)
+    (40.45, -6.80),                       # Sierra de Gata (envelope)
+    (40.33, -6.84),
+    (40.25, -6.92),
+    (40.12, -6.95),
+    (40.00, -6.92),
+    (39.88, -6.95),                       # Zarza la Mayor ES east
+    (39.78, -7.00),
+    (39.70, -7.02),                       # Erges river
+    (39.66, -7.05),                       # Tagus confluence
+    (39.655, -7.18),                      # Tagus border stretch
+    (39.66, -7.30),
+    (39.64, -7.52),                       # Cedillo / Sever confluence
+    (39.55, -7.45),                       # Sever river south
+    (39.45, -7.37),
+    (39.40, -7.31),                       # Marvao PT W, Valencia de
+                                          #   Alcantara ES E
+    (39.30, -7.25),
+    (39.20, -7.22),                       # La Codosera ES east
+    (39.05, -7.10),
+    (38.95, -7.05),
+    (38.89, -7.04),                       # Caia river (Badajoz ES E,
+                                          #   Elvas PT W)
+    (38.855, -7.01),                      # Guadiana at Badajoz
+    (38.80, -7.13),                       # Olivenza stretch: the
+    (38.74, -7.245),                      #   de-facto border follows
+    (38.65, -7.28),                       #   the Guadiana (Juromenha
+    (38.56, -7.29),                       #   PT west bank; Olivenza
+    (38.45, -7.26),                       #   and Cheles ES east)
+    (38.40, -7.24),                       # leaves the river (V. del
+    (38.33, -7.12),                       #   Fresno ES S)
+    (38.25, -7.05),
+    (38.18, -6.93),                       # Barrancos PT salient wrap
+    (38.10, -6.90),                       # (Encinasola ES east)
+    (38.05, -6.95),
+    (37.99, -7.05),
+    (37.97, -7.26),                       # Rosal de la Frontera ES E
+    (37.85, -7.25),                       # Chanza river
+    (37.75, -7.32),
+    (37.67, -7.42),
+    (37.60, -7.48),
+    (37.55, -7.52),                       # Pomarao (Guadiana again)
+    (37.45, -7.49),
+    (37.38, -7.44),
+    (37.30, -7.445),
+    (37.24, -7.42),
+    (37.168, -7.412),                     # Guadiana mouth midline
+]                                         # (Ayamonte ES / VRSA PT)
+
+# France/Spain: the Pyrenees treaty crest in two chains split at
+# Andorra, which neither ring claims (the pocket between the chains
+# falls to the anchors — Europe/Andorra resolves it).  Exact-class
+# points: the Bidasoa midline (Hondarribia ES / Hendaye FR), La Rhune,
+# Dantxarinea, Somport, Pourtalet, the Pont de Rei Garonne crossing
+# (Les ES / Fos FR), the Puigcerda wrap (Bourg-Madame FR 1.6 km east),
+# Le Perthus FR / La Jonquera ES and the Cerbere/Portbou coast.  The
+# knotty Navarre section (the Aldudes FR valley wedge, the Valcarlos
+# ES salient) is wrapped within ~2-4 km and left unasserted.
+_PYRENEES_W: list[tuple[float, float]] = [
+    (43.385, -1.779),                     # Bidasoa mouth midline
+    (43.355, -1.779),                     # estuary (Irun ES west bank)
+    (43.338, -1.760),                     # Behobie bend
+    (43.315, -1.705),                     # Endarlatsa (leaves the river)
+    (43.310, -1.628),                     # La Rhune summit
+    (43.292, -1.560),                     # Sare reach (Sare FR north)
+    (43.268, -1.482),                     # Dantxarinea (Urdax ES south)
+    (43.293, -1.420),                     # Baztan north rim
+    (43.262, -1.385),                     # Izpegi pass
+    (43.10, -1.445),                      # Aldudes west flank (FR wedge)
+    (43.035, -1.405),                     # Aldudes south tip
+    (43.09, -1.34),                       # Aldudes east flank
+    (43.102, -1.296),                     # Valcarlos corridor (Arneguy
+    (43.065, -1.27),                      #   FR / Valcarlos ES, tight)
+    (43.035, -1.255),                     # Ibaneta rim (Roncesvalles S)
+    (43.03, -1.17),
+    (42.98, -1.08),
+    (42.96, -0.88),                       # Belagua rim
+    (42.97, -0.77),                       # Pierre St Martin
+    (42.88, -0.62),                       # Anie ridge
+    (42.795, -0.527),                     # Somport (Candanchu ES south)
+    (42.80, -0.42),                       # Pourtalet
+    (42.82, -0.31),                       # Balaitous ridge
+    (42.74, -0.13),                       # Vignemale
+    (42.69, -0.03),                       # Gavarnie / Monte Perdido
+    (42.70, 0.05),
+    (42.685, 0.145),                      # Bielsa tunnel
+    (42.70, 0.26),
+    (42.715, 0.40),
+    (42.69, 0.52),
+    (42.685, 0.60),                       # Port de Venasque (Luchon N)
+    (42.755, 0.645),                      # Aran west rim (Garonne)
+    (42.82, 0.665),
+    (42.860, 0.695),                      # Pont de Rei (Les ES /
+    (42.855, 0.78),                       #   Fos FR)
+    (42.835, 0.86),
+    (42.79, 0.93),                        # Aran northeast corner
+    (42.70, 0.98),
+    (42.66, 1.08),
+    (42.64, 1.17),
+    (42.63, 1.30),
+    (42.61, 1.44),                        # Pic de Medecourbe (west
+]                                         #   FR/ES/AD tripoint)
+
+_AD_SOUTH: list[tuple[float, float]] = [  # ES-side Andorra skirt
+    (42.555, 1.448),
+    (42.47, 1.47),
+    (42.428, 1.495),                      # Runer bridge (Sant Julia AD
+    (42.425, 1.56),                       #   north of the skirt)
+    (42.45, 1.66),
+    (42.478, 1.71),
+    (42.503, 1.727),                      # east FR/ES/AD tripoint
+]
+
+_AD_NORTH: list[tuple[float, float]] = [  # FR-side Andorra skirt (4i:
+    (42.61, 1.44),                        #   used by the FR ring)
+    (42.635, 1.47),
+    (42.655, 1.55),
+    (42.645, 1.64),
+    (42.60, 1.72),
+    (42.565, 1.745),                      # Pas de la Casa AD west of
+    (42.54, 1.745),                       #   the skirt (in the pocket)
+    (42.503, 1.727),
+]
+
+_PYRENEES_E: list[tuple[float, float]] = [
+    (42.503, 1.727),                      # east AD tripoint
+    (42.455, 1.86),
+    (42.445, 1.925),                      # Cerdanya wrap: Puigcerda ES
+    (42.434, 1.944),                      #   in, Bourg-Madame FR out
+    (42.415, 1.947),
+    (42.40, 1.98),                        # (Llivia ES enclave is north,
+    (42.39, 2.02),                        #   inside FR — see the
+    (42.375, 2.09),                       #   ("ES","Catalonia") square)
+    (42.385, 2.16),
+    (42.40, 2.26),
+    (42.415, 2.38),
+    (42.385, 2.46),                       # Col d'Ares
+    (42.35, 2.55),                        # Vallespir dip (FR south
+    (42.335, 2.65),                       #   bulge; Coustouges FR N)
+    (42.37, 2.74),
+    (42.42, 2.81),
+    (42.458, 2.867),                      # Le Perthus FR / La Jonquera
+    (42.468, 2.95),                       #   ES
+    (42.47, 3.04),                        # Alberes crest
+    (42.44, 3.12),
+    (42.433, 3.172),                      # coast (Cerbere FR /
+]                                         #   Portbou ES)
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -3513,6 +3717,95 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (36.5, 125.7),                        # Yellow Sea midline
         (37.2, 125.9),                        # Yellow Sea (Deokjeok in)
     ],
+    # --- Iberia (round 4i).  Spain: the Pyrenees chains (Andorra left
+    # as a dead pocket between _AD_SOUTH and the FR ring's _AD_NORTH),
+    # the Mediterranean envelope with a Balearic lobe, the Gibraltar
+    # isthmus cut at 36.158 (the Rock and Europa Point fall to the
+    # Europe/Gibraltar anchor; La Linea and the whole Algeciras bay
+    # west shore stay inside), the Strait kept north of the Morocco
+    # ring, the shared La Raya chain, and the Atlantic/Biscay
+    # envelope.  Ceuta and Melilla resolve by their zone1970 anchors
+    # (outside every ring, same as before).
+    ("ES", None): [
+        *_PYRENEES_W,
+        *_AD_SOUTH,
+        *_PYRENEES_E[1:],                     # [0] repeats the tripoint
+        (42.38, 3.38),                        # Cap de Creus offshore
+        (42.20, 3.55),
+        (41.70, 3.40),                        # Costa Brava offshore
+        (41.25, 2.60),                        # Barcelona offshore
+        (40.30, 3.50),                        # Balearic lobe north
+        (40.25, 4.45),                        # Menorca east cap
+        (39.60, 4.55),
+        (39.30, 4.10),                        # lobe south (Mallorca in)
+        (38.40, 2.60),
+        (38.30, 1.10),                        # Ibiza/Formentera south
+        (38.60, 0.45),                        # Cabo de la Nao offshore
+        (37.90, -0.45),                       # Torrevieja offshore
+        (37.30, -1.10),
+        (36.55, -2.10),                       # Cabo de Gata offshore
+        (36.45, -3.50),                       # Alboran edge (DZ/MA far
+        (36.35, -4.60),                       #   south of this line)
+        (36.25, -5.15),
+        (36.18, -5.29),                       # Gibraltar cut: Med side
+        (36.158, -5.333),                     # isthmus east (the Rock
+        (36.158, -5.357),                     #   excluded south of
+        (36.175, -5.39),                      #   36.158; La Linea in)
+        (36.13, -5.435),                      # Algeciras bay west shore
+        (36.04, -5.46),                       # Punta Carnero
+        (35.97, -5.63),                       # Tarifa offshore (strait
+        (36.00, -6.05),                       #   midline; MA ring S)
+        (36.30, -6.55),                       # Cadiz offshore
+        (36.70, -6.95),
+        (37.00, -7.30),                       # Gulf of Cadiz
+        *_ES_PT[::-1],                        # La Raya, mouth -> Minho
+        (41.92, -8.94),                       # Rias Baixas offshore
+        (42.10, -9.02),
+        (42.40, -9.35),
+        (42.80, -9.60),                       # Finisterre offshore
+        (43.50, -9.60),
+        (44.00, -7.90),                       # Bay of Biscay envelope
+        (43.95, -6.00),
+        (43.85, -4.50),
+        (43.75, -3.20),
+        (43.55, -2.20),
+        (43.43, -1.90),                       # closes at the Bidasoa
+    ],
+    # Canary Islands: an exact admin-1 ring (the polygon threads
+    # between the archipelago and the MA/EH coast edges, which pass
+    # ~100 km east).  The Selvagens (PT, 30.1N) stay in the gap.
+    ("ES", "Canary Islands"): [
+        (29.60, -18.40), (29.60, -13.30), (28.60, -13.30),
+        (27.90, -13.75), (27.55, -14.80), (27.55, -18.40)],
+    # Llivia: the Spanish enclave inside France (Cerdanya).  Without
+    # this square the nearest anchor is Europe/Andorra (37 km) — the
+    # one case where the anchor fallback names a third country.  The
+    # FR ring cuts a matching keyhole so no point is claimed twice.
+    ("ES", "Catalonia"): [
+        (42.486, 1.958), (42.486, 2.012),
+        (42.444, 2.012), (42.444, 1.958)],
+    # Portugal: the shared La Raya chain plus a generous Atlantic
+    # envelope (Berlengas in; the Algarve edge stops at the Guadiana
+    # mouth midline so the Huelva coast stays Spanish).
+    ("PT", None): [
+        *_ES_PT,                              # Minho -> Guadiana mouth
+        (37.10, -7.46),                       # Algarve offshore
+        (36.85, -7.90),
+        (36.90, -8.60),
+        (36.95, -9.05),                       # Cape St. Vincent
+        (37.50, -9.30),                       # Atlantic offshore
+        (38.40, -9.80),                       # Cabo da Roca offshore
+        (39.50, -9.80),                       # Berlengas in
+        (40.50, -9.40),
+        (41.30, -9.20),
+        (41.75, -9.00),                       # closes at the Minho
+    ],
+    ("PT", "Madeira"): [
+        (33.25, -17.60), (33.25, -16.10),     # Porto Santo in; the
+        (32.30, -16.10), (32.30, -17.60)],    #   Selvagens concede
+    ("PT", "Azores"): [
+        (39.90, -31.50), (39.90, -24.80),
+        (36.70, -24.80), (36.70, -31.50)],
 }
 
 _GRID_DEG = 2.0

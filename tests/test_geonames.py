@@ -2863,6 +2863,130 @@ def test_polygon_la_pampa():
         assert got != ("AR", "La Pampa"), (name, got)
 
 
+def test_polygon_round4i_iberia():
+    """Spain + Portugal open the continental-Europe layer: the shared
+    La Raya chain (Minho, Douro canyon, Tagus/Sever, Chanza, lower
+    Guadiana riverine within ~1-3 km; mountain stretches carry a
+    documented envelope and stay unasserted), the Pyrenees chains
+    split at an Andorra dead pocket (Europe/Andorra anchors it), the
+    Gibraltar isthmus cut at 36.158 (the Rock falls to the
+    Europe/Gibraltar anchor; La Linea and Algeciras stay Spanish),
+    the Llivia enclave square (whose nearest anchor is otherwise
+    ANDORRA — a third country), a Balearic lobe, and exact admin-1
+    rings for the Canaries / Madeira / the Azores."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (40.4168, -3.7038, ("ES", None)),    # Madrid
+        (41.3874, 2.1686, ("ES", None)),     # Barcelona
+        (42.047, -8.644, ("ES", None)),      # Tui (vs Valenca PT)
+        (41.941, -7.436, ("ES", None)),      # Verin (vs Chaves PT)
+        (42.054, -6.631, ("ES", None)),      # Puebla de Sanabria
+        (41.32, -6.40, ("ES", None)),        # Fermoselle (Douro east)
+        (40.593, -6.801, ("ES", None)),      # Fuentes de Onoro
+        (38.8794, -6.9707, ("ES", None)),    # Badajoz (Caia line)
+        (38.685, -7.10, ("ES", None)),       # Olivenza (ES-administered)
+        (38.51, -7.27, ("ES", None)),        # Cheles (Guadiana east)
+        (38.135, -6.87, ("ES", None)),       # Encinasola (Barrancos E)
+        (37.97, -7.22, ("ES", None)),        # Rosal de la Frontera
+        (37.214, -7.400, ("ES", None)),      # Ayamonte (mouth east)
+        (36.013, -5.603, ("ES", None)),      # Tarifa (strait midline)
+        (36.127, -5.454, ("ES", None)),      # Algeciras (bay west)
+        (36.168, -5.348, ("ES", None)),      # La Linea (isthmus cut)
+        (43.339, -1.789, ("ES", None)),      # Irun (vs Hendaye FR)
+        (43.363, -1.792, ("ES", None)),      # Hondarribia (Bidasoa W)
+        (43.15, -1.52, ("ES", None)),        # Elizondo (Baztan bulge)
+        (42.815, 0.711, ("ES", None)),       # Les (Aran, vs Fos FR)
+        (42.432, 1.928, ("ES", None)),       # Puigcerda (vs B-Madame)
+        (42.419, 2.874, ("ES", None)),       # La Jonquera (vs Perthus)
+        (42.425, 3.159, ("ES", None)),       # Portbou (vs Cerbere FR)
+        (39.57, 2.65, ("ES", None)),         # Palma (Balearic lobe)
+        (39.888, 4.262, ("ES", None)),       # Mahon (Menorca)
+        (28.12, -15.43, ("ES", "Canary Islands")),   # Las Palmas
+        (28.468, -16.254, ("ES", "Canary Islands")), # S.C. de Tenerife
+        (29.05, -13.55, ("ES", "Canary Islands")),   # Arrecife
+        (27.74, -15.60, ("ES", "Canary Islands")),   # Maspalomas
+        (42.465, 1.981, ("ES", "Catalonia")),        # Llivia enclave
+        (38.7223, -9.1393, ("PT", None)),    # Lisbon
+        (41.1579, -8.6291, ("PT", None)),    # Porto
+        (37.0194, -7.9304, ("PT", None)),    # Faro
+        (41.74, -7.469, ("PT", None)),       # Chaves (vs Verin ES)
+        (41.806, -6.757, ("PT", None)),      # Braganca
+        (41.49, -6.274, ("PT", None)),       # Miranda do Douro (rim)
+        (40.607, -6.835, ("PT", None)),      # Vilar Formoso (vs FdO)
+        (38.881, -7.163, ("PT", None)),      # Elvas (vs Badajoz ES)
+        (38.74, -7.26, ("PT", None)),        # Juromenha (west bank)
+        (38.135, -6.98, ("PT", None)),       # Barrancos (salient)
+        (37.218, -7.444, ("PT", None)),      # Castro Marim (mouth W)
+        (32.65, -16.91, ("PT", "Madeira")),  # Funchal
+        (33.06, -16.34, ("PT", "Madeira")),  # Porto Santo
+        (37.74, -25.67, ("PT", "Azores")),   # Ponta Delgada
+        (38.53, -28.63, ("PT", "Azores")),   # Horta (Faial)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (43.357, -1.766, "Hendaye FR"),
+        (43.388, -1.661, "St-Jean-de-Luz FR"),
+        (43.48, -1.56, "Biarritz FR"),
+        (43.16, -1.24, "St-Jean-Pied-de-Port FR"),
+        (43.01, -0.95, "Larrau FR"),
+        (42.79, 0.594, "Bagneres-de-Luchon FR"),
+        (42.873, 0.735, "Fos FR (vs Les ES)"),
+        (42.507, 1.521, "Andorra la Vella (pocket)"),
+        (42.543, 1.733, "Pas de la Casa AD (pocket)"),
+        (42.465, 1.49, "Sant Julia de Loria AD (pocket)"),
+        (42.435, 1.948, "Bourg-Madame FR (vs Puigcerda)"),
+        (42.50, 2.03, "Font-Romeu FR"),
+        (42.405, 2.478, "Prats-de-Mollo FR (Vallespir dip)"),
+        (42.365, 2.65, "Coustouges FR"),
+        (42.464, 2.865, "Le Perthus FR (vs La Jonquera)"),
+        (42.48, 3.13, "Banyuls-sur-Mer FR"),
+        (42.441, 3.165, "Cerbere FR (vs Portbou)"),
+        (36.140, -5.353, "Gibraltar (isthmus cut)"),
+        (36.110, -5.346, "Europa Point GI"),
+        (35.888, -5.32, "Ceuta (anchor-resolved ES)"),
+        (35.29, -2.94, "Melilla (anchor-resolved ES)"),
+        (30.10, -15.87, "Selvagens (box gap)"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("ES", "PT"), (name, got)
+    assert adversarial >= 8, f"only {adversarial} anchor-adversarial"
+
+    # the anchor fallback still owns the excluded enclaves correctly
+    assert geonames.derive_location(36.14, -5.353)["country"] \
+        .startswith("Gibraltar")
+    assert "Spain" in geonames.derive_location(35.888, -5.32)["country"]
+    assert geonames.derive_location(42.507, 1.521)["country"] == "Andorra"
+    # Llivia square: country AND subdivision exact
+    loc = geonames.derive_location(42.465, 1.981)
+    assert loc["country"] == "Catalonia, Spain"
+    # island admin-1 rings carry their sub-country timezones through
+    assert geonames.derive_location(28.12, -15.43)["timezone"] \
+        == "Atlantic/Canary"
+    assert geonames.derive_location(32.65, -16.91)["timezone"] \
+        == "Atlantic/Madeira"
+    assert geonames.derive_location(37.74, -25.67)["timezone"] \
+        == "Atlantic/Azores"
+
+    # dense regional overlap sweep: Iberia + Pyrenees + the strait
+    import numpy as np
+    rng = np.random.default_rng(41)
+    pts = np.stack([rng.uniform(35.0, 44.5, 30000),
+                    rng.uniform(-10.5, 4.5, 30000)], axis=1)
+    for lat, lon in pts:
+        cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
+        hits = [k for k in cands
+                if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
