@@ -1070,6 +1070,248 @@ _PYRENEES_E: list[tuple[float, float]] = [
     (42.433, 3.172),                      # coast (Cerbere FR /
 ]                                         #   Portbou ES)
 
+# --- France / Italy / Switzerland (round 4i, the Alpine arc) --------
+# Shared chains, W->E / N->S in their natural direction.  Crest
+# stretches carry a ~3-8 km documented envelope (assertions avoid
+# them); river and lake midlines are within ~1-2 km; famous twin
+# crossings are threaded exactly.  Micro-states each host a zone1970
+# anchor, so the anchor cross-validation test enforces their
+# exclusion: Monaco (FR coast notch), San Marino + the Vatican
+# (IT keyhole loops), Busingen (CH keyhole), Liechtenstein (dead
+# strip between the CH and AT chains), Andorra (pocket, round 4i).
+
+_FR_BE: list[tuple[float, float]] = [
+    (51.09, 2.546),                       # coast (Bray-Dunes FR /
+    (51.01, 2.60),                        #   De Panne BE)
+    (50.80, 2.63),                        # Poperinge BE north
+    (50.72, 2.87),                        # the Lys reach (Armentieres
+    (50.76, 3.01),                        #   FR; Comines split town
+    (50.79, 3.12),                        #   unasserted) / Halluin-
+    (50.735, 3.19),                       #   Menen; Tourcoing FR /
+    (50.64, 3.26),                        #   Mouscron BE
+    (50.57, 3.30),                        # Tournai BE west rim
+    (50.50, 3.38),
+    (50.47, 3.55),                        # Valenciennes FR south
+    (50.46, 3.61),                        # Conde reach (unasserted)
+    (50.40, 3.675),                       # Quievrain BE / Quievrechain
+    (50.34, 3.97),                        # Mons BE N, Maubeuge FR S
+    (50.30, 4.10),                        # Jeumont FR / Erquelinnes BE
+    (50.18, 4.16),
+    (50.07, 4.16),                        # Chimay boot west
+    (49.985, 4.31),                       # boot south (Hirson FR S)
+    (49.97, 4.45),                        # boot east
+    (50.01, 4.56),
+    (50.06, 4.50),                        # Givet salient west
+    (50.10, 4.58),
+    (50.17, 4.72),
+    (50.188, 4.825),                      # Givet FR north tip
+    (50.13, 4.90),                        # salient east
+    (50.06, 4.86),
+    (49.99, 4.90),                        # Meuse rim
+    (49.88, 5.00),                        # Semois (conservative)
+    (49.77, 5.06),                        # Bouillon BE north
+    (49.73, 5.18),
+    (49.70, 5.30),                        # Florenville BE north
+    (49.63, 5.40),
+    (49.54, 5.50),                        # Virton BE north
+    (49.50, 5.66),                        # Longuyon FR south
+    (49.51, 5.76),
+    (49.546, 5.818),                      # FR/BE/LU tripoint
+]
+
+_FR_LU: list[tuple[float, float]] = [
+    (49.546, 5.818),
+    (49.50, 5.89),
+    (49.47, 5.98),                        # Esch LU N / Villerupt FR S
+    (49.46, 6.08),                        # Dudelange LU north
+    (49.47, 6.17),                        # Thionville FR south
+    (49.470, 6.367),                      # Schengen (FR/LU/DE, Moselle)
+]
+
+_FR_DE: list[tuple[float, float]] = [     # Schengen -> Basel
+    (49.470, 6.367),
+    (49.44, 6.54),
+    (49.36, 6.55),
+    (49.30, 6.72),                        # Saarlouis DE north
+    (49.27, 6.70),
+    (49.21, 6.84),
+    (49.205, 6.96),                       # Saarbruecken DE / Forbach FR
+    (49.13, 7.05),                        # Sarreguemines FR north bank
+    (49.12, 7.37),
+    (49.12, 7.55),                        # Bitche FR S, Pirmasens DE N
+    (49.05, 7.80),
+    (49.046, 7.95),                       # Wissembourg FR (the Lauter)
+    (48.995, 8.09),
+    (48.975, 8.14),
+    (48.966, 8.225),                      # Lauterbourg (Rhine bend)
+    (48.90, 8.12),                        # the Rhine midline south
+    (48.81, 8.05),
+    (48.72, 7.99),
+    (48.64, 7.85),
+    (48.57, 7.80),                        # Strasbourg FR / Kehl DE
+    (48.45, 7.76),
+    (48.32, 7.70),
+    (48.16, 7.62),
+    (48.03, 7.565),                       # Neuf-Brisach FR / Breisach DE
+    (47.92, 7.55),
+    (47.82, 7.555),                       # Chalampe FR / Neuenburg DE
+    (47.70, 7.52),
+    (47.5896, 7.589),                     # Basel Dreilaendereck
+]
+
+_FR_CH: list[tuple[float, float]] = [     # Basel -> Mont Dolent
+    (47.5896, 7.589),
+    (47.58, 7.555),                       # Saint-Louis FR west
+    (47.55, 7.50),
+    (47.50, 7.44),
+    (47.45, 7.20),                        # Ajoie wrap (Porrentruy CH
+    (47.49, 7.04),                        #   inside the salient)
+    (47.50, 7.00),                        # Delle FR / Boncourt CH
+    (47.45, 6.94),
+    (47.37, 6.88),                        # Montbeliard FR northwest
+    (47.30, 6.84),
+    (47.24, 6.75),                        # the Doubs (envelope)
+    (47.17, 6.70),
+    (47.10, 6.68),                        # La Chaux-de-Fonds CH east
+    (47.03, 6.67),                        # Morteau FR west
+    (46.97, 6.52),
+    (46.90, 6.46),                        # Pontarlier FR west
+    (46.82, 6.43),
+    (46.76, 6.36),
+    (46.72, 6.30),                        # Vallorbe CH east
+    (46.64, 6.18),
+    (46.55, 6.12),                        # Joux rim
+    (46.47, 6.10),                        # Les Rousses FR west
+    (46.41, 6.07),                        # La Cure
+    (46.35, 6.09),                        # Gex FR west
+    (46.29, 6.105),
+    (46.248, 6.108),                      # Ferney FR / Geneva airport
+    (46.22, 6.04),                        # Geneva canton west wrap
+    (46.18, 5.96),                        # Chancy reach
+    (46.13, 5.97),
+    (46.145, 6.14),                       # St-Julien FR south rim
+    (46.19, 6.21),                        # Annemasse FR east rim
+    (46.25, 6.245),
+    (46.30, 6.245),                       # Hermance (lake entry)
+    (46.33, 6.33),                        # Lake Geneva midline
+    (46.39, 6.47),                        # (Lausanne CH north shore,
+    (46.46, 6.60),                        #   Evian FR south shore)
+    (46.44, 6.73),
+    (46.40, 6.79),
+    (46.392, 6.803),                      # St-Gingolph (border ashore)
+    (46.34, 6.80),                        # Chablais crest
+    (46.26, 6.86),
+    (46.20, 6.80),                        # Morzine FR west
+    (46.13, 6.82),
+    (46.06, 6.95),                        # Vallorcine FR west
+    (45.99, 7.02),
+    (45.922, 7.044),                      # Mont Dolent (FR/CH/IT)
+]
+
+_FR_IT: list[tuple[float, float]] = [     # Mont Dolent -> the Med
+    (45.922, 7.044),
+    (45.833, 6.865),                      # Mont Blanc summit ridge
+    (45.75, 6.81),                        # Col de la Seigne
+    (45.65, 6.90),
+    (45.48, 7.05),                        # Val d'Isere FR west
+    (45.35, 7.02),
+    (45.22, 6.93),                        # Mont Cenis (1947 line)
+    (45.10, 6.63),                        # Bardonecchia IT east
+    (45.02, 6.66),
+    (44.935, 6.735),                      # Montgenevre FR / Claviere IT
+    (44.85, 6.85),
+    (44.70, 6.98),
+    (44.55, 6.95),
+    (44.42, 6.89),                        # Col de Larche
+    (44.23, 6.92),
+    (44.15, 7.05),
+    (44.05, 7.28),
+    (44.155, 7.565),                      # Col de Tende (Tende FR
+    (44.10, 7.72),                        #   south since 1947)
+    (44.02, 7.66),
+    (43.95, 7.57),
+    (43.88, 7.53),
+    (43.782, 7.532),                      # Menton FR / Ventimiglia IT
+]
+
+_CH_IT: list[tuple[float, float]] = [     # Mont Dolent -> Piz Lad
+    (45.922, 7.044),
+    (45.87, 7.17),                        # Grand St Bernard (Aosta S)
+    (45.93, 7.40),
+    (45.976, 7.658),                      # Matterhorn (Zermatt CH N)
+    (45.94, 7.87),                        # Monte Rosa
+    (46.05, 7.98),
+    (46.14, 8.05),
+    (46.21, 8.15),                        # Simplon south salient
+    (46.25, 8.32),                        # (Domodossola IT south)
+    (46.20, 8.42),
+    (46.10, 8.48),
+    (46.09, 8.64),                        # Maggiore west shore
+    (46.00, 8.78),                        # crosses Lake Maggiore
+    (45.95, 8.80),                        # (Cannobio IT north of the
+    (45.84, 8.91),                        #   crossing stays unasserted)
+    (45.825, 9.00),
+    (45.832, 9.06),                       # Chiasso CH / Como IT
+    (45.90, 9.05),                        # Ticino wedge east rim
+    (45.97, 9.10),
+    (46.05, 9.15),
+    (46.12, 9.24),
+    (46.20, 9.33),
+    (46.30, 9.33),                        # Valchiavenna wrap west
+    (46.40, 9.38),
+    (46.47, 9.46),                        # Valchiavenna north tip
+    (46.40, 9.55),
+    (46.34, 9.62),                        # Bregaglia (envelope)
+    (46.34, 9.97),                        # Poschiavo wrap west
+    (46.22, 10.04),                       # (Poschiavo CH inside,
+    (46.225, 10.14),                      #   Tirano IT south)
+    (46.34, 10.17),                       # Poschiavo wrap east
+    (46.40, 10.30),
+    (46.45, 10.04),                       # Livigno wrap west (Livigno
+    (46.57, 10.07),                       #   IT inside the salient)
+    (46.62, 10.20),
+    (46.55, 10.30),                       # Val Muestair south rim
+    (46.62, 10.48),                       # (Muestair CH north)
+    (46.845, 10.47),                      # Piz Lad (CH/AT/IT area)
+]
+
+_AT_IT: list[tuple[float, float]] = [     # Piz Lad -> AT/IT/SI corner
+    (46.845, 10.47),
+    (46.80, 10.75),                       # Oetztal crest
+    (46.77, 10.99),
+    (46.97, 11.10),
+    (47.005, 11.505),                     # Brenner pass
+    (46.95, 11.95),
+    (46.80, 12.25),                       # San Candido IT south
+    (46.72, 12.35),
+    (46.67, 12.48),
+    (46.62, 12.70),                       # Carnic crest
+    (46.60, 12.95),
+    (46.58, 13.30),
+    (46.55, 13.60),
+    (46.52, 13.70),                       # AT/IT/SI tripoint
+]
+
+_IT_SI: list[tuple[float, float]] = [     # tripoint -> the Adriatic
+    (46.52, 13.70),
+    (46.50, 13.67),                       # Tarvisio IT west
+    (46.44, 13.60),
+    (46.34, 13.48),                       # Bovec SI east
+    (46.25, 13.50),
+    (46.18, 13.50),
+    (46.08, 13.52),                       # Cividale IT west
+    (45.99, 13.57),
+    (45.963, 13.640),                     # Gorizia IT / Nova Gorica SI
+    (45.945, 13.640),                     #   (the Transalpina border
+    (45.92, 13.61),                       #   square splits the town)
+    (45.88, 13.58),
+    (45.82, 13.58),                       # Monfalcone IT west
+    (45.75, 13.64),
+    (45.68, 13.86),                       # Karst rim (Trieste IT west)
+    (45.62, 13.90),
+    (45.59, 13.715),                      # coast (Muggia IT /
+]                                         #   Koper SI)
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -3717,6 +3959,212 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (36.5, 125.7),                        # Yellow Sea midline
         (37.2, 125.9),                        # Yellow Sea (Deokjeok in)
     ],
+    # --- France (round 4i): Atlantic/Channel envelope threading the
+    # crown-dependency Channel Islands out (Jersey/Guernsey/Alderney
+    # west of the Cotentin edge) and staying southeast of the GB
+    # ring's Dover midline; the FR/BE, FR/LU, FR/DE (Rhine), FR/CH
+    # (Jura + Lake Geneva midline + the Geneva canton wrap) and FR/IT
+    # (Alpine crest, 1947 line) shared chains; the Med coast with a
+    # Monaco notch (Europe/Monaco anchors it); the Pyrenees chains
+    # with the Andorra pocket closed on the north by _AD_NORTH.
+    # Llivia is a HOLE (the matching ("ES","Catalonia") square claims
+    # it).  Corsica is its own admin-1 ring (Bonifacio midline).
+    ("FR", None): [
+        (43.60, -2.00),                       # Biscay offshore
+        (44.50, -1.65),
+        (45.50, -1.60),
+        (46.20, -1.80),                       # Oleron/Re in
+        (46.70, -2.55),                       # Yeu in
+        (47.00, -3.40),                       # Belle-Ile in
+        (47.60, -4.60),
+        (47.90, -5.20),
+        (48.50, -5.45),                       # Ouessant in
+        (48.85, -4.80),
+        (49.10, -3.60),
+        (48.90, -2.70),                       # St-Malo gulf (Channel
+        (48.85, -2.20),                       #   Islands stay out)
+        (48.95, -1.95),
+        (49.35, -1.95),                       # Cotentin west (Jersey W)
+        (49.78, -2.02),                       # La Hague (Alderney W)
+        (49.85, -1.40),
+        (49.80, -0.70),
+        (49.90, 0.00),                        # Le Havre offshore
+        (50.30, 1.20),
+        (50.55, 1.30),                        # GB midline stays NW
+        (50.90, 1.52),                        # Boulogne in
+        (51.05, 1.88),                        # Calais in
+        (51.15, 2.45),                        # Dunkirk in
+        *_FR_BE,
+        *_FR_LU[1:],
+        *_FR_DE[1:],
+        *_FR_CH[1:],
+        *_FR_IT[1:],
+        (43.74, 7.49),                        # Cap Martin offshore
+        (43.715, 7.41),                       # (Monaco is a HOLE,
+        (43.70, 7.36),                        #   claimed back by the
+        (43.63, 7.33),                        #   ("MC",None) ring)
+        (43.52, 7.17),                        # Antibes offshore
+        (43.40, 7.05),
+        (43.10, 6.70),                        # St-Tropez offshore
+        (42.90, 6.00),                        # Toulon offshore
+        (42.90, 5.00),
+        (43.20, 4.30),                        # Camargue offshore
+        (43.10, 3.50),
+        (42.70, 3.30),
+        (42.47, 3.25),
+        *_PYRENEES_E[::-1][1:],               # coast -> east tripoint
+        *_AD_NORTH[::-1][1:],                 # north Andorra skirt
+        *_PYRENEES_W[::-1][1:],               # west tripoint -> Bidasoa
+    ],
+    ("FR", "Corsica"): [
+        (43.10, 8.45), (43.10, 9.65),         # Bonifacio midline south
+        (41.30, 9.35), (41.30, 8.55)],        #   (Sardinia 41.26 out)
+    # --- Italy (round 4i): the Adriatic midline (Istria/Dalmatia HR
+    # and SI east), the Otranto/Sicily-channel/Malta midlines, a west
+    # bulge wrapping Sardinia (Bonifacio midline shared value with the
+    # Corsica box edge), the Ligurian approach to the Menton coast
+    # point, and the _FR_IT/_CH_IT/_AT_IT/_IT_SI chains.  San Marino
+    # and the Vatican are HOLES (their zone1970 anchors resolve them);
+    # Campione d'Italia gets a matching ("IT","Lombardy") square
+    # inside a CH hole.  Lampedusa/Linosa ride their own Sicily box.
+    ("IT", None): [
+        *_FR_IT[::-1],                        # Menton -> Mont Dolent
+        *_CH_IT[1:],                          # -> Piz Lad
+        *_AT_IT[1:],                          # -> AT/IT/SI tripoint
+        *_IT_SI[1:],                          # -> the Adriatic coast
+        (45.555, 13.58),                      # Gulf of Trieste midline
+        (45.50, 13.45),                       #   (Piran SI east)
+        (44.95, 13.15),
+        (44.80, 13.10),                       # Adriatic midline
+        (43.94, 14.03),
+        (43.60, 14.40),
+        (42.50, 16.00),
+        (41.90, 17.20),
+        (40.50, 18.90),                       # Otranto strait midline
+        (39.80, 18.60),
+        (39.50, 17.60),                       # Gulf of Taranto
+        (38.80, 17.40),
+        (37.70, 16.20),
+        (36.55, 15.35),                       # Sicily southeast
+        (36.30, 14.90),
+        (36.30, 14.30),                       # Malta midline (MT south)
+        (36.55, 11.75),                       # Pantelleria in
+        (37.35, 11.55),                       # Sicily channel (Cap Bon
+        (37.90, 11.70),                       #   TN southwest)
+        (38.90, 13.10),                       # Ustica in
+        (38.70, 11.00),                       # toward Sardinia
+        (38.55, 9.70),                        # Cagliari offshore
+        (38.55, 8.25),                        # Sant'Antioco in
+        (39.50, 7.95),
+        (40.80, 7.95),
+        (41.10, 8.15),                        # Asinara in
+        (41.295, 8.55),                       # Bonifacio midline (the
+        (41.295, 9.35),                       #   Corsica box is 41.30)
+        (41.10, 9.70),                        # La Maddalena in
+        (40.90, 9.90),
+        (40.40, 10.30),
+        (40.50, 12.20),                       # Tyrrhenian (Ponza in)
+        (41.35, 12.00),
+        (42.20, 11.40),
+        (42.45, 10.70),                       # Giglio in
+        (42.60, 9.98),                        # Elba in (Corsica box E)
+        (43.08, 9.75),                        # Capraia in
+        (43.60, 9.60),                        # Gorgona in
+        (43.70, 8.60),                        # Ligurian offshore
+        (43.75, 7.90),
+        (43.76, 7.65),                        # Menton approach
+    ],
+    ("IT", "Sicily"): [                       # Pelagie box (Lampedusa/
+        (36.00, 12.20), (36.00, 13.20),       #   Linosa; TN coast far
+        (35.30, 13.20), (35.30, 12.20)],      #   west, Malta northeast)
+    ("IT", "Lombardy"): [                     # Campione d'Italia (the
+        (45.975, 8.955), (45.975, 8.99),      #   enclave in Ticino; CH
+        (45.952, 8.99), (45.952, 8.955)],     #   cuts a matching hole)
+    ("MT", None): [                           # Malta
+        (36.10, 14.10), (36.10, 14.60),
+        (35.78, 14.60), (35.78, 14.10)],
+    # Micro-states: tzdata merged their zones into the neighbours'
+    # rows (FR,MC Europe/Paris; IT,SM,VA Europe/Rome; CH,DE,LI
+    # Europe/Zurich), so no anchor resolves them — each needs its own
+    # ring inside the host's HOLE (the Llivia pattern).  The timezone
+    # stays the neighbour's zone, which IS their canonical tzdb zone.
+    ("MC", None): [                           # Monaco (= the FR hole)
+        (43.7555, 7.4395), (43.7415, 7.4252),
+        (43.7325, 7.4128), (43.7258, 7.4082),
+        (43.7165, 7.4060), (43.7215, 7.4230),
+        (43.7345, 7.4395), (43.7475, 7.4485)],
+    ("SM", None): [                           # San Marino (= IT hole)
+        (43.995, 12.39), (43.995, 12.525),
+        (43.885, 12.525), (43.885, 12.39)],
+    ("VA", None): [                           # Vatican City (= IT hole)
+        (41.909, 12.444), (41.909, 12.461),
+        (41.898, 12.461), (41.898, 12.444)],
+    ("LI", None): [                           # Liechtenstein: the west
+        (47.049, 9.62),                       #   + south run is the CH
+        (47.049, 9.51),                       #   skirt verbatim
+        (47.055, 9.475),                      #   (coincident, no dead
+        (47.12, 9.495),                       #   strip on the Rhine);
+        (47.17, 9.505),                       #   the AT side is
+        (47.22, 9.505),                       #   conservative
+        (47.270, 9.530),                      #   (Feldkirch AT east)
+        (47.263, 9.560),
+        (47.22, 9.595),
+        (47.16, 9.625),
+        (47.063, 9.62)],
+    ("DE", "Baden-Württemberg"): [            # Buesingen am Hochrhein
+        (47.712, 8.672), (47.712, 8.728),     #   (the DE enclave on
+        (47.692, 8.728), (47.692, 8.672)],    #   the CH north bank)
+    # --- Switzerland (round 4i): the FR chain, the Rhine/Lake
+    # Constance midline with a tight Schaffhausen north-bank lobe
+    # (the Jestetten DE salient stays west; Buesingen DE rides its
+    # ("DE","Baden-Württemberg") square across the midline and the
+    # Gailingen strip concedes), the Alpenrhein sharing the FL west
+    # skirt with the ("LI",None) ring verbatim, the Graubuenden
+    # crest, and the CH/IT chain.  Campione d'Italia is a HOLE.
+    ("CH", None): [
+        *_FR_CH,                              # Basel -> Mont Dolent
+        *_CH_IT[1:],                          # -> Piz Lad
+        (46.93, 10.44),                       # CH/AT: Samnaun reach
+        (46.95, 10.31),
+        (46.96, 10.14),
+        (46.91, 10.02),                       # Silvretta crest
+        (46.93, 9.88),
+        (46.98, 9.75),                        # Raetikon
+        (47.049, 9.62),                       # FL southeast corner
+        (47.049, 9.51),                       # FL south edge (shared
+        (47.055, 9.475),                      #   with the LI ring)
+        (47.12, 9.495),                       # FL west skirt: the
+        (47.17, 9.505),                       #   Rhine midline
+        (47.22, 9.505),                       #   (Balzers/Vaduz east,
+        (47.270, 9.530),                      #   Sevelen/Buchs west)
+        (47.33, 9.60),                        # Alpenrhein midline
+        (47.40, 9.65),
+        (47.46, 9.655),                       # St. Margrethen CH /
+        (47.505, 9.62),                       #   Lustenau AT; the mouth
+        (47.54, 9.58),                        # Lake Constance midline
+        (47.59, 9.45),
+        (47.61, 9.33),
+        (47.6535, 9.165),                     # Konstanz DE /
+        (47.66, 9.05),                        #   Kreuzlingen CH
+        (47.67, 8.95),                        # Untersee midline
+        (47.664, 8.87),                       # Stein am Rhein in
+        (47.668, 8.82),
+        (47.678, 8.76),
+        (47.6875, 8.71),                      # Rhine midline (Buesingen
+        (47.6895, 8.675),                     #   + Gailingen DE north;
+        (47.70, 8.655),                       #   see the DE square)
+        (47.725, 8.64),                       # Schaffhausen lobe top
+        (47.705, 8.600),                      # city west wall
+        (47.66, 8.598),                       # (Jestetten DE west out,
+        (47.585, 8.555),                      #   Neuhausen/Rheinau in)
+        (47.575, 8.52),                       # Eglisau reach
+        (47.58, 8.41),
+        (47.605, 8.30),
+        (47.615, 8.22),                       # Waldshut DE / Koblenz CH
+        (47.56, 8.06),                        # Laufenburg twins
+        (47.55, 7.95),                        # Bad Saeckingen DE /
+        (47.558, 7.79),                       #   Stein CH; Rheinfelden
+    ],
     # --- Iberia (round 4i).  Spain: the Pyrenees chains (Andorra left
     # as a dead pocket between _AD_SOUTH and the FR ring's _AD_NORTH),
     # the Mediterranean envelope with a Balearic lobe, the Gibraltar
@@ -3808,6 +4256,38 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (36.70, -24.80), (36.70, -31.50)],
 }
 
+# Enclave holes: ring -> regions it does NOT claim even though the
+# polygon contains them.  Cleaner than keyhole slits for enclaves far
+# from the ring path (the ACT keyhole predates this and stays as-is).
+# Every hole is claimed back by a matching ring or anchor: San Marino,
+# the Vatican and Monaco by their own country mini-rings (tzdata
+# merged their zones, so no anchor exists), Campione d'Italia by the
+# ("IT","Lombardy") square, Llivia by the ("ES","Catalonia") square.
+HOLES: dict[tuple[str, str | None], list[list[tuple[float, float]]]] = {
+    ("IT", None): [
+        [(43.995, 12.39), (43.995, 12.525),   # San Marino
+         (43.885, 12.525), (43.885, 12.39)],
+        [(41.909, 12.444), (41.909, 12.461),  # Vatican City
+         (41.898, 12.461), (41.898, 12.444)],
+    ],
+    ("CH", None): [
+        [(45.975, 8.955), (45.975, 8.99),     # Campione d'Italia
+         (45.952, 8.99), (45.952, 8.955)],
+    ],
+    ("FR", None): [
+        [(42.486, 1.958), (42.486, 2.012),    # Llivia (ES enclave)
+         (42.444, 2.012), (42.444, 1.958)],
+        [(43.7555, 7.4395),                   # Monaco: the inland edge
+         (43.7415, 7.4252),                   #   threads Beausoleil /
+         (43.7325, 7.4128),                   #   Monte Carlo (a true
+         (43.7258, 7.4082),                   #   border-street pair),
+         (43.7165, 7.4060),                   #   La Turbie and Cap
+         (43.7215, 7.4230),                   #   d'Ail stay French;
+         (43.7345, 7.4395),                   #   the seaward edge
+         (43.7475, 7.4485)],                  #   covers its waters
+    ],
+}
+
 _GRID_DEG = 2.0
 _grid: dict[tuple[int, int], list[tuple[str, str]]] | None = None
 
@@ -3850,13 +4330,29 @@ def _in_ring(lat: float, lon: float,
     return inside
 
 
+def claims(lat: float, lon: float) -> list[tuple[str, str | None]]:
+    """Every ring that claims the point, hole-aware (the structural
+    no-overlap tests assert len <= 1; lookup returns the first)."""
+    out = []
+    for key in _build_grid().get(_cell(lat, lon), ()):
+        if _in_ring(lat, lon, POLYGONS[key]):
+            if any(_in_ring(lat, lon, h) for h in HOLES.get(key, ())):
+                continue
+            out.append(key)
+    return out
+
+
 def lookup(lat: float, lon: float) -> tuple[str, str] | None:
     """(country_code, subdivision) for a point inside a shipped ring,
-    else None (caller falls back to nearest-anchor)."""
+    else None (caller falls back to nearest-anchor).  A point inside a
+    ring's HOLES entry is NOT claimed by that ring (enclaves: San
+    Marino, the Vatican, Campione, Llivia)."""
     cands = _build_grid().get(_cell(lat, lon))
     if not cands:
         return None
     for key in cands:
         if _in_ring(lat, lon, POLYGONS[key]):
+            if any(_in_ring(lat, lon, h) for h in HOLES.get(key, ())):
+                continue
             return key
     return None

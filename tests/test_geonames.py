@@ -185,14 +185,18 @@ def test_polygon_rings_do_not_overlap_on_grid():
 
     rng = np.random.default_rng(5)
     # range covers every shipped ring: Alaska to -179.9/72, New
-    # Zealand to 179.2, the territories to 69.8N, Argentina to -52S
+    # Zealand to 179.2, the territories to 69.8N, Argentina to -52S.
+    # claims() is hole-aware: an enclave hole plus its claiming square
+    # (Llivia, Campione) is one claim, not two.
     pts = np.stack([rng.uniform(-55, 72.5, 16000),
                     rng.uniform(-180, 180, 16000)], axis=1)
     for lat, lon in pts:
-        cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
-        hits = [k for k in cands
-                if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
+        hits = geopoly.claims(lat, lon)
         assert len(hits) <= 1, (lat, lon, hits)
+    # the hole+square pairs really do hand off exactly once
+    for lat, lon, want in ((42.465, 1.981, ("ES", "Catalonia")),
+                           (45.970, 8.973, ("IT", "Lombardy"))):
+        assert geopoly.claims(lat, lon) == [want]
 
 
 def test_polygon_rings_are_simple():
@@ -215,7 +219,11 @@ def test_polygon_rings_are_simple():
             return True
         return False          # collinear touching handled as adjacency
 
-    for key, ring in geopoly.POLYGONS.items():
+    rings = [(key, ring) for key, ring in geopoly.POLYGONS.items()]
+    rings += [((key, "hole", k), hole)
+              for key, holes in geopoly.HOLES.items()
+              for k, hole in enumerate(holes)]
+    for key, ring in rings:
         n = len(ring)
         edges = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
         for i in range(n):
@@ -2981,9 +2989,149 @@ def test_polygon_round4i_iberia():
     pts = np.stack([rng.uniform(35.0, 44.5, 30000),
                     rng.uniform(-10.5, 4.5, 30000)], axis=1)
     for lat, lon in pts:
-        cands = geopoly._build_grid().get(geopoly._cell(lat, lon), [])
-        hits = [k for k in cands
-                if geopoly._in_ring(lat, lon, geopoly.POLYGONS[k])]
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_round4i_france_italy_switzerland():
+    """The Alpine arc: France (Atlantic/Channel envelope threading the
+    crown-dependency Channel Islands and GB's Dover midline, the
+    FR/BE-LU-DE-CH-IT chains, the Pyrenees + Andorra pocket), Italy
+    (Adriatic/Otranto/Sicily-channel midlines, the Sardinia bulge
+    against the Corsica box, the _CH_IT/_AT_IT/_IT_SI chains), and
+    Switzerland (the Rhine + Lake Constance midline with the
+    Schaffhausen north-bank lobe, the Liechtenstein dead strip, the
+    Graubuenden wraps), plus Malta.  Every micro-state hosts a
+    zone1970 anchor, so exclusion is enforced by the anchor
+    cross-validation: Monaco (FR hole), San Marino + Vatican (IT
+    holes), Campione d'Italia (CH hole + ("IT","Lombardy") square),
+    Buesingen/Gailingen (across the Rhine midline), Liechtenstein
+    (dead strip), Llivia (FR hole + ES square, round 4i)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (48.8566, 2.3522, ("FR", None)),     # Paris
+        (43.2965, 5.3698, ("FR", None)),     # Marseille
+        (48.3904, -4.4861, ("FR", None)),    # Brest
+        (50.6292, 3.0573, ("FR", None)),     # Lille
+        (50.724, 3.161, ("FR", None)),       # Tourcoing (vs Mouscron)
+        (50.95, 1.85, ("FR", None)),         # Calais (GB midline)
+        (48.5734, 7.7521, ("FR", None)),     # Strasbourg (vs Kehl)
+        (49.11, 7.07, ("FR", None)),         # Sarreguemines
+        (49.037, 7.947, ("FR", None)),       # Wissembourg (the Lauter)
+        (46.19, 6.236, ("FR", None)),        # Annemasse (vs Geneva)
+        (46.40, 6.58, ("FR", None)),         # Evian (lake midline)
+        (45.924, 6.869, ("FR", None)),       # Chamonix (vs Courmayeur)
+        (44.09, 7.59, ("FR", None)),         # Tende (FR since 1947)
+        (43.7755, 7.5045, ("FR", None)),     # Menton (vs Ventimiglia)
+        (43.745, 7.423, ("FR", None)),       # Beausoleil (above Monaco)
+        (43.7210, 7.3955, ("FR", None)),     # Cap d'Ail
+        (50.14, 4.82, ("FR", None)),         # Givet (the salient)
+        (41.9192, 8.7386, ("FR", "Corsica")),  # Ajaccio
+        (42.70, 9.45, ("FR", "Corsica")),    # Bastia
+        (41.9028, 12.4964, ("IT", None)),    # Rome (Vatican hole out)
+        (45.4642, 9.19, ("IT", None)),       # Milan
+        (38.1157, 13.3615, ("IT", None)),    # Palermo
+        (39.2238, 9.1217, ("IT", None)),     # Cagliari (Sardinia)
+        (41.21, 9.40, ("IT", None)),         # La Maddalena (Bonifacio)
+        (45.74, 7.32, ("IT", None)),         # Aosta
+        (45.79, 6.97, ("IT", None)),         # Courmayeur (vs Chamonix)
+        (44.94, 6.75, ("IT", None)),         # Claviere (vs Montgenevre)
+        (43.79, 7.61, ("IT", None)),         # Ventimiglia (vs Menton)
+        (45.81, 9.085, ("IT", None)),        # Como (vs Chiasso)
+        (46.12, 8.29, ("IT", None)),         # Domodossola (Simplon S)
+        (46.22, 10.17, ("IT", None)),        # Tirano (vs Poschiavo)
+        (46.538, 10.137, ("IT", None)),      # Livigno (the salient)
+        (46.32, 9.40, ("IT", None)),         # Chiavenna (the salient)
+        (46.498, 11.354, ("IT", None)),      # Bolzano
+        (45.941, 13.622, ("IT", None)),      # Gorizia (border square)
+        (45.6495, 13.7768, ("IT", None)),    # Trieste
+        (44.06, 12.57, ("IT", None)),        # Rimini (SM hole out)
+        (36.83, 11.95, ("IT", None)),        # Pantelleria
+        (40.90, 12.96, ("IT", None)),        # Ponza
+        (35.50, 12.60, ("IT", "Sicily")),    # Lampedusa (Pelagie box)
+        (45.970, 8.973, ("IT", "Lombardy")), # Campione d'Italia
+        (35.8989, 14.5146, ("MT", None)),    # Valletta
+        (47.3769, 8.5417, ("CH", None)),     # Zurich
+        (46.2044, 6.1432, ("CH", None)),     # Geneva (the wrap)
+        (47.5596, 7.5886, ("CH", None)),     # Basel
+        (45.835, 9.03, ("CH", None)),        # Chiasso (vs Como)
+        (46.3317, 10.0625, ("CH", None)),    # Poschiavo (vs Tirano)
+        (46.94, 10.36, ("CH", None)),        # Samnaun
+        (47.415, 7.075, ("CH", None)),       # Porrentruy (Ajoie wrap)
+        (46.712, 6.379, ("CH", None)),       # Vallorbe
+        (47.6456, 9.1784, ("CH", None)),     # Kreuzlingen (vs Konstanz)
+        (47.696, 8.635, ("CH", None)),       # Schaffhausen (the lobe)
+        (47.678, 8.6158, ("CH", None)),      # Neuhausen
+        (47.66, 8.859, ("CH", None)),        # Stein am Rhein
+        (47.166, 9.475, ("CH", None)),       # Buchs (FL strip west)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (49.1829, -2.1065, "St Helier, Jersey"),
+        (49.4550, -2.5360, "Guernsey"),
+        (49.716, -2.207, "Alderney"),
+        (43.7396, 7.4277, "Monte Carlo MC (hole)"),
+        (43.7310, 7.4236, "Monaco-Ville MC"),
+        (43.9236, 12.4581, "San Marino (hole)"),
+        (41.9022, 12.4531, "Vatican City (hole)"),
+        (47.141, 9.521, "Vaduz FL (dead strip)"),
+        (47.697, 8.687, "Buesingen DE (north bank)"),
+        (47.697, 8.755, "Gailingen DE"),
+        (47.656, 8.5715, "Jestetten DE (salient)"),
+        (47.6603, 9.1758, "Konstanz DE (vs Kreuzlingen)"),
+        (48.571, 7.816, "Kehl DE (vs Strasbourg)"),
+        (49.2354, 6.9969, "Saarbruecken DE"),
+        (49.6116, 6.1319, "Luxembourg City LU"),
+        (50.8503, 4.3517, "Brussels BE"),
+        (50.745, 3.21, "Mouscron BE (vs Tourcoing)"),
+        (49.793, 5.067, "Bouillon BE"),
+        (45.958, 13.655, "Nova Gorica SI (vs Gorizia)"),
+        (45.548, 13.73, "Koper SI"),
+        (45.528, 13.568, "Piran SI (gulf midline)"),
+        (47.2692, 11.4041, "Innsbruck AT"),
+        (47.50, 9.74, "Bregenz AT"),
+        (44.87, 13.85, "Pula HR"),
+        (42.65, 18.09, "Dubrovnik HR"),
+        (36.80, 10.18, "Tunis TN"),
+        (39.62, 19.92, "Corfu GR"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("FR", "IT", "CH", "MT"), \
+            (name, got)
+    assert adversarial >= 10, f"only {adversarial} anchor-adversarial"
+
+    # micro-states resolve through their own mini-rings (tzdata merged
+    # their zone rows into the neighbours', so no anchor names them)
+    assert geonames.derive_location(43.7396, 7.4277)["country"] == "Monaco"
+    assert geonames.derive_location(43.9236, 12.4581)["country"] \
+        == "San Marino"
+    assert geonames.derive_location(41.9022, 12.4531)["country"] \
+        == "Vatican City"
+    assert geonames.derive_location(47.141, 9.521)["country"] \
+        == "Liechtenstein"
+    assert "Italy" in geonames.derive_location(45.970, 8.973)["country"]
+    # Buesingen: the DE enclave on the CH north bank rides its own
+    # admin-1 square; its canonical tz zone (Europe/Zurich, the merged
+    # CH,DE,LI row) carries through
+    loc = geonames.derive_location(47.6965, 8.690)
+    assert loc["country"] == "Baden-Württemberg, Germany"
+    assert loc["timezone"] == "Europe/Zurich"
+
+    # dense regional overlap sweep: the Alpine arc + both sea basins
+    import numpy as np
+    rng = np.random.default_rng(43)
+    pts = np.stack([rng.uniform(35.0, 52.0, 40000),
+                    rng.uniform(-5.5, 19.0, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
         assert len(hits) <= 1, (lat, lon, hits)
 
 
