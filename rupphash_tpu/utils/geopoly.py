@@ -1292,6 +1292,238 @@ _AT_IT: list[tuple[float, float]] = [     # Piz Lad -> AT/IT/SI corner
     (46.52, 13.70),                       # AT/IT/SI tripoint
 ]
 
+# CH/AT south of Liechtenstein (Piz Lad side -> the FL SE corner)
+_CH_AT: list[tuple[float, float]] = [
+    (46.93, 10.44),                       # Samnaun reach
+    (46.95, 10.31),
+    (46.96, 10.14),
+    (46.91, 10.02),                       # Silvretta crest
+    (46.93, 9.88),
+    (46.98, 9.75),                        # Raetikon
+    (47.049, 9.62),                       # FL southeast corner
+]
+
+_LI_WEST: list[tuple[float, float]] = [   # the FL south + west skirt
+    (47.049, 9.62),                       #   (shared VERBATIM by the
+    (47.049, 9.51),                       #   CH and LI rings: the
+    (47.055, 9.475),                      #   Rhine midline, Balzers/
+    (47.12, 9.495),                       #   Vaduz east, Sevelen/
+    (47.17, 9.505),                       #   Buchs west)
+    (47.22, 9.505),
+    (47.270, 9.530),
+]
+
+_CH_AT_RHINE: list[tuple[float, float]] = [  # FL north corner -> the
+    (47.270, 9.530),                      #   Lake Constance mouth
+    (47.33, 9.60),                        # Alpenrhein midline
+    (47.40, 9.65),
+    (47.46, 9.655),                       # St. Margrethen CH /
+    (47.505, 9.62),                       #   Lustenau AT; the mouth
+]
+
+# CH/DE: the Lake Constance + High Rhine midline, E -> W (the mouth
+# corner to the Rheinfelden reach; Basel closes via _FR_CH[0])
+_CH_DE: list[tuple[float, float]] = [
+    (47.505, 9.62),
+    (47.54, 9.58),                        # Lake Constance midline
+    (47.59, 9.45),
+    (47.61, 9.33),
+    (47.6535, 9.165),                     # Konstanz DE / Kreuzlingen CH
+    (47.66, 9.05),
+    (47.67, 8.95),                        # Untersee midline
+    (47.664, 8.87),                       # Stein am Rhein in
+    (47.668, 8.82),
+    (47.678, 8.76),
+    (47.6875, 8.71),                      # Rhine midline (Buesingen
+    (47.6895, 8.675),                     #   + Gailingen DE north;
+    (47.70, 8.655),                       #   see the DE square)
+    (47.725, 8.64),                       # Schaffhausen lobe top
+    (47.705, 8.600),                      # city west wall
+    (47.66, 8.598),                       # (Jestetten DE west out,
+    (47.585, 8.555),                      #   Neuhausen/Rheinau in)
+    (47.575, 8.52),                       # Eglisau reach
+    (47.58, 8.41),
+    (47.605, 8.30),
+    (47.615, 8.22),                       # Waldshut DE / Koblenz CH
+    (47.56, 8.06),                        # Laufenburg twins
+    (47.55, 7.95),                        # Bad Saeckingen DE /
+    (47.558, 7.79),                       #   Stein CH; Rheinfelden
+]
+
+# --- Central Europe (round 4j): Germany / Austria / Czechia /
+# Poland / Denmark.  Shared chains W->E / S->N in natural direction.
+_DE_AT: list[tuple[float, float]] = [     # Lake Constance -> the
+    (47.505, 9.62),                       #   DE/AT/CZ tripoint
+    (47.53, 9.68),                        # lake midline
+    (47.553, 9.727),                      # Lindau DE / Hoerbranz AT
+    (47.58, 9.85),
+    (47.56, 10.05),
+    (47.45, 10.17),                       # Oberstdorf wrap west
+    (47.27, 10.17),                       # Einoedsbach south tip
+    (47.33, 10.33),                       # wrap east
+    (47.40, 10.45),
+    (47.53, 10.70),                       # Fuessen DE / Reutte AT
+    (47.58, 10.95),
+    (47.421, 10.985),                     # Zugspitze (on the border)
+    (47.43, 11.08),                       # Garmisch south
+    (47.39, 11.30),                       # Mittenwald south
+    (47.48, 11.45),
+    (47.52, 11.63),
+    (47.58, 11.85),
+    (47.63, 12.05),
+    (47.595, 12.18),                      # Kiefersfelden DE / Kufstein
+    (47.65, 12.35),                       #   AT (the Inn valley)
+    (47.64, 12.48),                       # Reit im Winkl south
+    (47.62, 12.70),
+    (47.65, 12.78),                       # the Saalach (Lofer AT S)
+    (47.63, 12.83),                       # Berchtesgaden wrap west
+    (47.55, 12.90),
+    (47.465, 12.98),                      # Koenigssee south tip
+    (47.55, 13.09),                       # wrap east
+    (47.62, 13.05),
+    (47.72, 12.93),                       # Bad Reichenhall east
+    (47.83, 13.00),                       # Freilassing DE / Salzburg AT
+    (47.92, 12.93),                       # the Salzach midline
+    (48.00, 12.85),
+    (48.16, 12.83),                       # Burghausen DE east bank
+    (48.22, 12.87),                       # Salzach/Inn confluence
+    (48.265, 13.03),                      # Simbach DE / Braunau AT
+    (48.35, 13.20),                       # the Inn midline
+    (48.44, 13.43),                       # Neuhaus DE / Schaerding AT
+    (48.52, 13.44),
+    (48.575, 13.51),                      # Passau (the Inn mouth)
+    (48.60, 13.62),
+    (48.70, 13.77),
+    (48.77, 13.83),                       # DE/AT/CZ tripoint
+]
+
+_DE_CZ: list[tuple[float, float]] = [     # tripoint -> DE/CZ/PL
+    (48.77, 13.83),
+    (48.88, 13.62),                       # Sumava crest
+    (48.97, 13.50),
+    (49.05, 13.40),
+    (49.14, 13.225),                      # Zelezna Ruda CZ / Bayerisch
+    (49.20, 13.05),                       #   Eisenstein DE
+    (49.33, 12.88),                       # Furth im Wald DE west
+    (49.50, 12.63),
+    (49.62, 12.52),
+    (49.75, 12.45),                       # Rozvadov reach
+    (49.84, 12.47),
+    (49.93, 12.55),
+    (49.97, 12.42),                       # Cheb bulge south rim
+    (50.00, 12.26),
+    (50.05, 12.10),                       # Cheb bulge west
+    (50.10, 12.08),                       # As hook west
+    (50.22, 12.06),
+    (50.26, 12.13),                       # As hook north
+    (50.23, 12.26),
+    (50.30, 12.35),                       # Ore Mountains crest
+    (50.40, 12.50),
+    (50.42, 12.80),
+    (50.50, 13.05),
+    (50.60, 13.25),
+    (50.71, 13.53),
+    (50.80, 13.90),
+    (50.81, 14.05),
+    (50.86, 14.30),                       # Elbe sandstone
+    (50.93, 14.275),                      # Sluknov hook west wall
+    (50.9755, 14.2805),                   # (Sebnitz DE south of the
+    (51.02, 14.30),                       #   jog, Dolni Poustevna CZ
+    (51.055, 14.40),                      #   north — contiguous twins)
+    (51.055, 14.42),                      # hook north
+    (51.03, 14.52),
+    (50.97, 14.58),
+    (50.89, 14.66),                       # hook east
+    (50.90, 14.77),
+    (50.87, 14.82),                       # DE/CZ/PL tripoint (Zittau)
+]
+
+_DE_PL: list[tuple[float, float]] = [     # tripoint -> the Baltic
+    (50.87, 14.82),                       #   (the Neisse/Oder midline)
+    (50.95, 14.93),
+    (51.05, 14.96),
+    (51.15, 14.997),                      # Goerlitz DE / Zgorzelec PL
+    (51.35, 15.02),
+    (51.55, 14.90),
+    (51.74, 14.65),                       # Forst DE
+    (51.95, 14.725),                      # Guben DE / Gubin PL
+    (52.03, 14.72),                       # Neisse -> Oder confluence
+    (52.10, 14.70),
+    (52.345, 14.555),                     # Frankfurt DE / Slubice PL
+    (52.50, 14.63),
+    (52.585, 14.64),                      # Kostrzyn PL east bank
+    (52.72, 14.43),
+    (52.82, 14.22),
+    (52.90, 14.14),
+    (53.05, 14.16),
+    (53.20, 14.38),                       # leaves the Oder (Gartz)
+    (53.32, 14.33),                       # west of Szczecin PL
+    (53.45, 14.29),
+    (53.60, 14.30),
+    (53.75, 14.27),
+    (53.925, 14.22),                      # Usedom coast (Ahlbeck DE /
+    (54.10, 14.21),                       #   Swinoujscie PL)
+    (54.35, 14.22),                       # Pomeranian Bight sea end
+]
+
+_DE_DK: list[tuple[float, float]] = [     # North Sea -> the Baltic
+    (55.09, 8.20),                        #   (the 1920 line)
+    (55.072, 8.35),                       # Lister Dyb midline (Sylt DE
+    (55.066, 8.45),                       #   south, Roemoe DK north —
+    (55.03, 8.55),                        #   a ~2 km gap, threaded)
+    (54.96, 8.60),
+    (54.894, 8.656),                      # coast (the Wiedau)
+    (54.90, 8.80),
+    (54.89, 9.00),                        # Tonder DK north
+    (54.84, 9.22),
+    (54.85, 9.40),
+    (54.83, 9.42),                        # Flensburg DE south
+    (54.81, 9.55),                        # Flensburg Fjord midline
+    (54.80, 9.75),
+    (54.79, 9.95),                        # fjord mouth (Sonderborg N)
+    (54.70, 10.35),                       # western Baltic midline
+    (54.58, 11.10),                       # (Aeroe/Langeland/Lolland N)
+    (54.42, 11.75),                       # Fehmarn Belt (Fehmarn DE in)
+    (54.40, 12.10),                       # (Gedser DK north)
+    (54.48, 12.90),
+    (54.78, 13.85),                       # east end (Ruegen offshore)
+]
+
+_CZ_PL: list[tuple[float, float]] = [     # DE/CZ/PL -> CZ/SK/PL
+    (50.87, 14.82),
+    (50.83, 14.99),
+    (50.86, 15.17),                       # Jizera crest
+    (50.80, 15.43),                       # Harrachov CZ south
+    (50.736, 15.74),                      # Sniezka (on the border)
+    (50.68, 15.95),
+    (50.655, 16.05),
+    (50.68, 16.20),                       # Broumov CZ salient north
+    (50.64, 16.33),
+    (50.57, 16.40),
+    (50.50, 16.30),                       # Klodzko PL salient: west
+    (50.40, 16.22),                       #   wall (Nachod CZ west)
+    (50.31, 16.28),
+    (50.21, 16.42),
+    (50.14, 16.58),                       # salient south tip
+    (50.21, 16.70),                       # east wall (Kraliky CZ S)
+    (50.32, 16.88),
+    (50.32, 17.00),
+    (50.32, 17.18),                       # Jesenik CZ south
+    (50.27, 17.45),
+    (50.32, 17.60),                       # Glubczyce PL north
+    (50.26, 17.72),
+    (50.12, 17.75),                       # Krnov CZ southwest
+    (50.00, 17.92),                       # Opava CZ south
+    (49.99, 18.00),
+    (49.94, 18.20),
+    (49.92, 18.32),                       # Bohumin CZ / Chalupki PL
+    (49.87, 18.47),                       #   (the Oder)
+    (49.80, 18.55),                       # the Olza
+    (49.746, 18.626),                     # Cesky Tesin CZ / Cieszyn PL
+    (49.63, 18.70),                       #   (the split town threaded)
+    (49.518, 18.846),                     # CZ/SK/PL tripoint (Hrcava)
+]
+
 _IT_SI: list[tuple[float, float]] = [     # tripoint -> the Adriatic
     (46.52, 13.70),
     (46.50, 13.67),                       # Tarvisio IT west
@@ -4100,20 +4332,253 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (41.909, 12.444), (41.909, 12.461),
         (41.898, 12.461), (41.898, 12.444)],
     ("LI", None): [                           # Liechtenstein: the west
-        (47.049, 9.62),                       #   + south run is the CH
-        (47.049, 9.51),                       #   skirt verbatim
-        (47.055, 9.475),                      #   (coincident, no dead
-        (47.12, 9.495),                       #   strip on the Rhine);
-        (47.17, 9.505),                       #   the AT side is
-        (47.22, 9.505),                       #   conservative
-        (47.270, 9.530),                      #   (Feldkirch AT east)
-        (47.263, 9.560),
-        (47.22, 9.595),
-        (47.16, 9.625),
-        (47.063, 9.62)],
+        *_LI_WEST,                            #   + south run is the CH
+        (47.263, 9.560),                      #   skirt VERBATIM (no
+        (47.22, 9.595),                       #   dead strip on the
+        (47.16, 9.625),                       #   Rhine); the AT side is
+        (47.063, 9.62)],                      #   conservative
     ("DE", "Baden-Württemberg"): [            # Buesingen am Hochrhein
         (47.712, 8.672), (47.712, 8.728),     #   (the DE enclave on
         (47.692, 8.728), (47.692, 8.672)],    #   the CH north bank)
+    # --- Germany (round 4j): the FR/CH/AT/CZ/PL shared chains, the
+    # 1920 Danish line with the Lister Dyb threaded (Sylt in, Roemoe
+    # out), the North Sea envelope (Borkum/Helgoland in; the Ems
+    # estuary midline), the DE/NL land chain (the Winterswijk and
+    # Venlo NL salients, the Selfkant DE salient), and the DE/BE/LU
+    # chains down to Schengen.
+    ("DE", None): [
+        *_FR_DE,                              # Schengen -> Basel
+        *_CH_DE[::-1],                        # Basel -> the lake mouth
+        *_DE_AT[1:],                          # -> DE/AT/CZ tripoint
+        *_DE_CZ[1:],                          # -> DE/CZ/PL tripoint
+        *_DE_PL[1:],                          # -> the Pomeranian Bight
+        *_DE_DK[::-1],                        # -> the North Sea
+        (55.10, 7.60),                        # North Sea envelope
+        (54.50, 7.20),                        # (Helgoland in)
+        (53.90, 6.55),
+        (53.58, 6.62),                        # Borkum in / Rottumeroog
+        (53.40, 6.98),                        #   NL out; Ems estuary
+        (53.30, 7.10),                        #   midline (Delfzijl NL
+        (53.24, 7.19),                        #   west, Emden DE east)
+        (53.00, 7.21),                        # DE/NL land chain
+        (52.85, 7.09),
+        (52.65, 7.05),
+        (52.40, 7.03),
+        (52.22, 7.065),                       # Gronau DE / Enschede NL
+        (52.08, 7.02),
+        (52.03, 6.83),                        # Winterswijk NL salient
+        (51.98, 6.85),                        #   wrap
+        (51.90, 6.77),
+        (51.87, 6.70),
+        (51.865, 6.62),                       # Bocholt DE south... north
+        (51.88, 6.40),
+        (51.87, 6.16),                        # the Rhine crossing
+        (51.84, 6.09),                        #   (Emmerich DE east)
+        (51.77, 6.04),
+        (51.71, 6.03),
+        (51.60, 6.09),
+        (51.50, 6.20),
+        (51.40, 6.225),                       # Venlo NL east wrap
+        (51.30, 6.16),
+        (51.22, 6.08),                        # Roermond NL east
+        (51.16, 6.08),
+        (51.10, 5.99),
+        (51.05, 5.875),                       # Selfkant DE west tip
+        (50.98, 5.89),                        #   (Sittard NL west)
+        (50.95, 5.99),
+        (50.91, 6.02),                        # Heerlen NL west
+        (50.83, 6.01),
+        (50.754, 6.021),                      # Vaals (DE/NL/BE)
+        (50.71, 6.09),                        # DE/BE (Aachen DE north,
+        (50.63, 6.17),                        #   Eupen BE west)
+        (50.55, 6.19),                        # Monschau DE east
+        (50.50, 6.32),
+        (50.42, 6.37),                        # Hohes Venn
+        (50.32, 6.405),
+        (50.23, 6.40),                        # St. Vith BE west
+        (50.17, 6.25),
+        (50.154, 6.137),                      # DE/BE/LU tripoint (Ouren)
+        (50.05, 6.13),                        # the Our midline
+        (49.935, 6.21),                       # Vianden LU west
+        (49.84, 6.33),
+        (49.81, 6.44),                        # Echternach LU west
+        (49.75, 6.505),                       #   (the Sauer midline)
+        (49.715, 6.498),                      # Wasserbillig (Moselle)
+        (49.66, 6.44),                        # the Moselle midline
+        (49.56, 6.37),                        #   (Trier DE east; closes
+    ],                                        #   at Schengen)
+    # --- Austria (round 4j): the DE/CH/LI/IT shared chains; the AT/SI
+    # Karawanks and Mura edges conservative; the AT/HU line with the
+    # Sopron salient wrapped (Sopron HU anchors to Budapest); the
+    # March/Morava midline with Bratislava east; the AT/CZ line with
+    # the Gmuend / Ceske Velenice split threaded.
+    ("AT", None): [
+        *_DE_AT[::-1],                        # tripoint -> the lake
+        *_CH_AT_RHINE[::-1][1:],              # the Alpenrhein (CH side)
+        (47.266, 9.572),                      # AT/LI east skirt
+        (47.225, 9.605),                      #   (conservative ~1 km
+        (47.16, 9.638),                       #   strip to the LI ring;
+        (47.065, 9.632),                      #   Feldkirch AT stays in)
+        (47.049, 9.62),
+        *_CH_AT[::-1][1:],                    # -> Piz Lad
+        *_AT_IT[1:],                          # -> AT/IT/SI tripoint
+        (46.48, 13.90),                       # AT/SI: the Karawanks
+        (46.44, 14.15),                       #   (conservative)
+        (46.43, 14.55),
+        (46.41, 14.82),
+        (46.47, 15.05),
+        (46.60, 15.40),                       # Maribor SI south
+        (46.68, 15.65),
+        (46.68, 15.99),                       # Bad Radkersburg reach
+        (46.72, 16.05),
+        (46.87, 16.11),                       # AT/SI/HU tripoint
+        (46.94, 16.28),                       # AT/HU line
+        (47.01, 16.44),
+        (47.10, 16.47),
+        (47.26, 16.45),
+        (47.40, 16.50),                       # Koszeg HU west
+        (47.47, 16.58),
+        (47.51, 16.46),                       # Sopron HU salient wrap
+        (47.62, 16.43),                       #   (the salient pokes
+        (47.71, 16.47),                       #   west into Austria)
+        (47.75, 16.57),
+        (47.73, 16.72),
+        (47.68, 16.78),
+        (47.77, 16.85),                       # Neusiedl southeast
+        (47.87, 17.05),
+        (47.95, 17.05),
+        (48.01, 17.16),                       # AT/HU/SK tripoint
+        (48.10, 17.08),                       # Bratislava SK east
+        (48.14, 16.98),                       # the March mouth
+        (48.20, 16.97),                       # the March/Morava midline
+        (48.35, 16.90),
+        (48.50, 16.90),
+        (48.62, 16.94),                       # AT/CZ/SK tripoint
+        (48.78, 16.72),                       # AT/CZ line (Mikulov CZ
+        (48.80, 16.45),                       #   north)
+        (48.77, 16.10),
+        (48.85, 15.85),
+        (48.84, 15.55),
+        (48.95, 15.25),
+        (48.90, 15.00),
+        (48.87, 14.99),
+        (48.77, 14.965),                      # Gmuend AT / Ceske
+        (48.70, 14.95),                       #   Velenice CZ (split)
+        (48.62, 14.70),
+        (48.60, 14.40),
+        (48.58, 14.05),
+        (48.63, 13.95),                       # closes at the tripoint
+    ],
+    # --- Czechia (round 4j): entirely shared chains + the CZ/SK
+    # conservative crest (the White Carpathians).
+    ("CZ", None): [
+        *_DE_CZ,                              # DE/AT -> DE/PL tripoint
+        *_CZ_PL[1:],                          # -> CZ/SK/PL (Hrcava)
+        (49.50, 18.57),                       # CZ/SK crest
+        (49.42, 18.40),                       #   (conservative)
+        (49.30, 18.15),
+        (49.07, 17.95),
+        (48.90, 17.70),
+        (48.85, 17.55),
+        (48.80, 17.45),
+        (48.72, 17.20),
+        (48.70, 17.05),
+        (48.62, 16.94),                       # AT/CZ/SK tripoint
+        (48.78, 16.72),                       # the AT/CZ chain shared
+        (48.80, 16.45),                       #   with the AT ring
+        (48.77, 16.10),                       #   (reversed verbatim)
+        (48.85, 15.85),
+        (48.84, 15.55),
+        (48.95, 15.25),
+        (48.90, 15.00),
+        (48.87, 14.99),
+        (48.77, 14.965),                      # Ceske Velenice CZ /
+        (48.70, 14.95),                       #   Gmuend AT
+        (48.62, 14.70),
+        (48.60, 14.40),
+        (48.58, 14.05),
+        (48.63, 13.95),                       # closes at the tripoint
+    ],
+    # --- Poland (round 4j): the Oder/Neisse chain, the Baltic
+    # envelope south of the Bornholm lobe, the 1945 Kaliningrad line,
+    # conservative LT/BY/UA edges with the Bug midline (Terespol PL /
+    # Brest BY split), the PL/SK Carpathian crest, and the CZ chain.
+    ("PL", None): [
+        *_DE_PL,                              # tripoint -> the Baltic
+        (54.50, 15.40),                       # Baltic envelope
+        (54.60, 16.20),                       #   (Bornholm DK north)
+        (54.85, 17.00),
+        (54.90, 18.00),
+        (54.75, 18.90),                       # Gdansk bay (Hel in)
+        (54.60, 19.40),
+        (54.457, 19.645),                     # Vistula Spit crossing
+        (54.36, 19.80),                       # the 1945 line (RU north)
+        (54.33, 20.00),
+        (54.34, 21.00),
+        (54.37, 22.00),
+        (54.36, 22.79),                       # PL/LT/RU tripoint
+        (54.25, 23.05),                       # PL/LT (conservative)
+        (54.15, 23.35),
+        (53.96, 23.51),                       # PL/BY/LT tripoint
+        (53.60, 23.60),                       # PL/BY (conservative)
+        (53.20, 23.85),
+        (52.70, 23.93),                       # Bialowieza east
+        (52.28, 23.50),
+        (52.09, 23.66),                       # Terespol PL / Brest BY
+        (51.90, 23.60),                       #   (the Bug midline)
+        (51.55, 23.62),                       # Wlodawa east
+        (51.20, 23.85),
+        (50.85, 24.15),                       # PL/UA (conservative)
+        (50.70, 24.10),
+        (50.40, 23.95),
+        (50.30, 23.60),
+        (49.95, 22.95),
+        (49.80, 22.85),                       # Przemysl PL west
+        (49.50, 22.70),
+        (49.089, 22.558),                     # PL/SK/UA tripoint
+        (49.30, 22.00),                       # PL/SK crest
+        (49.42, 21.60),                       #   (conservative)
+        (49.30, 21.00),
+        (49.40, 20.70),
+        (49.30, 20.60),
+        (49.40, 20.32),
+        (49.23, 19.93),                       # Zakopane PL north
+        (49.40, 19.78),
+        (49.52, 19.50),
+        (49.40, 19.20),
+        *_CZ_PL[::-1],                        # Hrcava -> the tripoint
+    ],
+    # --- Denmark (round 4j): the 1920 line + strait midlines shared
+    # with Germany; the Oeresund midline threading Ven SE out and
+    # Saltholm DK in (Copenhagen/Malmoe split); the Kattegat and
+    # Skagerrak midlines; a Bornholm lobe clear of the PL envelope.
+    ("DK", None): [
+        *_DE_DK,                              # North Sea -> the Baltic
+        (54.90, 14.60),                       # Bornholm lobe south
+        (54.92, 15.40),
+        (55.37, 15.33),                       # Bornholm lobe north
+        (55.35, 14.20),
+        (55.30, 13.50),                       # (Trelleborg SE north)
+        (55.24, 12.95),
+        (55.35, 12.62),                       # Oeresund south mouth
+        (55.50, 12.70),                       #   (Falsterbo SE east)
+        (55.60, 12.85),                       # east of Saltholm DK
+        (55.75, 12.75),                       #   (Malmoe SE east)
+        (55.86, 12.64),                       # west of Ven SE
+        (55.96, 12.66),
+        (56.035, 12.655),                     # Helsingoer DK /
+        (56.25, 12.20),                       #   Helsingborg SE
+        (56.60, 12.00),                       # Kattegat midline
+        (56.75, 12.05),                       # (Anholt DK west)
+        (57.10, 11.90),
+        (57.40, 11.50),                       # (Laesoe DK west)
+        (57.75, 11.20),
+        (58.15, 10.45),                       # Skagerrak midline
+        (58.00, 9.00),                        #   (Norway north)
+        (57.50, 8.00),
+        (56.50, 7.80),                        # North Sea envelope
+        (55.50, 7.90),
+    ],
     # --- Switzerland (round 4i): the FR chain, the Rhine/Lake
     # Constance midline with a tight Schaffhausen north-bank lobe
     # (the Jestetten DE salient stays west; Buesingen DE rides its
@@ -4124,47 +4589,11 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("CH", None): [
         *_FR_CH,                              # Basel -> Mont Dolent
         *_CH_IT[1:],                          # -> Piz Lad
-        (46.93, 10.44),                       # CH/AT: Samnaun reach
-        (46.95, 10.31),
-        (46.96, 10.14),
-        (46.91, 10.02),                       # Silvretta crest
-        (46.93, 9.88),
-        (46.98, 9.75),                        # Raetikon
-        (47.049, 9.62),                       # FL southeast corner
-        (47.049, 9.51),                       # FL south edge (shared
-        (47.055, 9.475),                      #   with the LI ring)
-        (47.12, 9.495),                       # FL west skirt: the
-        (47.17, 9.505),                       #   Rhine midline
-        (47.22, 9.505),                       #   (Balzers/Vaduz east,
-        (47.270, 9.530),                      #   Sevelen/Buchs west)
-        (47.33, 9.60),                        # Alpenrhein midline
-        (47.40, 9.65),
-        (47.46, 9.655),                       # St. Margrethen CH /
-        (47.505, 9.62),                       #   Lustenau AT; the mouth
-        (47.54, 9.58),                        # Lake Constance midline
-        (47.59, 9.45),
-        (47.61, 9.33),
-        (47.6535, 9.165),                     # Konstanz DE /
-        (47.66, 9.05),                        #   Kreuzlingen CH
-        (47.67, 8.95),                        # Untersee midline
-        (47.664, 8.87),                       # Stein am Rhein in
-        (47.668, 8.82),
-        (47.678, 8.76),
-        (47.6875, 8.71),                      # Rhine midline (Buesingen
-        (47.6895, 8.675),                     #   + Gailingen DE north;
-        (47.70, 8.655),                       #   see the DE square)
-        (47.725, 8.64),                       # Schaffhausen lobe top
-        (47.705, 8.600),                      # city west wall
-        (47.66, 8.598),                       # (Jestetten DE west out,
-        (47.585, 8.555),                      #   Neuhausen/Rheinau in)
-        (47.575, 8.52),                       # Eglisau reach
-        (47.58, 8.41),
-        (47.605, 8.30),
-        (47.615, 8.22),                       # Waldshut DE / Koblenz CH
-        (47.56, 8.06),                        # Laufenburg twins
-        (47.55, 7.95),                        # Bad Saeckingen DE /
-        (47.558, 7.79),                       #   Stein CH; Rheinfelden
-    ],
+        *_CH_AT,                              # -> FL southeast corner
+        *_LI_WEST[1:],                        # the FL skirt (LI shared)
+        *_CH_AT_RHINE[1:],                    # -> the lake mouth
+        *_CH_DE[1:],                          # -> Rheinfelden (Basel
+    ],                                        #   closes via _FR_CH[0])
     # --- Iberia (round 4i).  Spain: the Pyrenees chains (Andorra left
     # as a dead pocket between _AD_SOUTH and the FR ring's _AD_NORTH),
     # the Mediterranean envelope with a Balearic lobe, the Gibraltar

@@ -3135,6 +3135,144 @@ def test_polygon_round4i_france_italy_switzerland():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4j_central_europe():
+    """Germany / Austria / Czechia / Poland / Denmark: the Rhine,
+    Salzach/Inn, Neisse/Oder and Olza midlines, the 1920 Danish line
+    with the Lister Dyb threaded (Sylt DE in, Roemoe DK out), the
+    Oeresund midline (Copenhagen/Malmoe, Helsingoer/Helsingborg, Ven
+    SE out, Saltholm DK in), a Bornholm lobe, the 1945 Kaliningrad
+    line, the Alpine DE/AT chain (Oberstdorf/Berchtesgaden wraps,
+    Kufstein/Kiefersfelden), the As/Cheb and Sluknov wraps, the
+    Klodzko salient, the split towns Goerlitz/Zgorzelec,
+    Frankfurt/Slubice, Guben/Gubin, Cesky Tesin/Cieszyn, Gmuend/
+    Ceske Velenice, Sebnitz/Dolni Poustevna, and the DE/NL-BE-LU
+    chains (Winterswijk/Venlo NL salients, the Selfkant).  NL, BE,
+    LU, SK, HU, SI, the Baltics and the east stay anchor-resolved."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (52.5200, 13.4050, ("DE", None)),    # Berlin
+        (48.1351, 11.5820, ("DE", None)),    # Munich
+        (50.9375, 6.9603, ("DE", None)),     # Cologne
+        (51.1530, 14.9880, ("DE", None)),    # Goerlitz (vs Zgorzelec)
+        (52.3470, 14.5500, ("DE", None)),    # Frankfurt (Oder)
+        (53.9395, 14.19, ("DE", None)),      # Ahlbeck (Usedom split)
+        (54.18, 7.89, ("DE", None)),         # Helgoland
+        (54.91, 8.30, ("DE", None)),         # Westerland (Sylt)
+        (55.019, 8.438, ("DE", None)),       # List (vs Roemoe DK)
+        (54.78, 9.436, ("DE", None)),        # Flensburg (1920 line)
+        (47.546, 9.684, ("DE", None)),       # Lindau (vs Bregenz)
+        (47.41, 10.28, ("DE", None)),        # Oberstdorf (the wrap)
+        (47.61, 12.19, ("DE", None)),        # Kiefersfelden (vs
+        (47.63, 13.00, ("DE", None)),        #   Kufstein); B'gaden
+        (47.84, 12.98, ("DE", None)),        # Freilassing (vs Salzburg)
+        (48.27, 13.02, ("DE", None)),        # Simbach (vs Braunau)
+        (48.57, 13.46, ("DE", None)),        # Passau
+        (50.968, 14.27, ("DE", None)),       # Sebnitz (vs D. Poustevna)
+        (51.835, 6.245, ("DE", None)),       # Emmerich (the Rhine)
+        (52.21, 7.07, ("DE", None)),         # Gronau (vs Enschede)
+        (50.776, 6.084, ("DE", None)),       # Aachen
+        (49.7499, 6.6371, ("DE", None)),     # Trier (Moselle east)
+        (48.2082, 16.3738, ("AT", None)),    # Vienna
+        (47.2692, 11.4041, ("AT", None)),    # Innsbruck
+        (47.8095, 13.0550, ("AT", None)),    # Salzburg (vs Freilassing)
+        (46.6228, 14.3051, ("AT", None)),    # Klagenfurt
+        (47.5031, 9.7471, ("AT", None)),     # Bregenz (vs Lindau)
+        (47.2392, 9.5981, ("AT", None)),     # Feldkirch (LI strip)
+        (47.583, 12.1695, ("AT", None)),     # Kufstein (the Inn)
+        (48.2585, 13.0395, ("AT", None)),    # Braunau (vs Simbach)
+        (47.845, 16.52, ("AT", None)),       # Eisenstadt (Sopron wrap)
+        (47.49, 10.72, ("AT", None)),        # Reutte (vs Fuessen)
+        (50.0755, 14.4378, ("CZ", None)),    # Prague
+        (49.8346, 18.2820, ("CZ", None)),    # Ostrava
+        (50.224, 12.195, ("CZ", None)),      # As (the hook)
+        (50.08, 12.37, ("CZ", None)),        # Cheb (the bulge)
+        (50.585, 16.33, ("CZ", None)),       # Broumov (the salient)
+        (50.42, 16.16, ("CZ", None)),        # Nachod (Klodzko west)
+        (49.7461, 18.6208, ("CZ", None)),    # Cesky Tesin (the Olza)
+        (50.977, 14.288, ("CZ", None)),      # Dolni Poustevna
+        (52.2297, 21.0122, ("PL", None)),    # Warsaw
+        (50.0647, 19.9450, ("PL", None)),    # Krakow
+        (53.4285, 14.5528, ("PL", None)),    # Szczecin (west of Oder!)
+        (53.910, 14.247, ("PL", None)),      # Swinoujscie (vs Ahlbeck)
+        (51.15, 15.01, ("PL", None)),        # Zgorzelec (vs Goerlitz)
+        (52.35, 14.56, ("PL", None)),        # Slubice (vs Frankfurt)
+        (54.60, 18.80, ("PL", None)),        # Hel (the spit)
+        (54.10, 22.93, ("PL", None)),        # Suwalki (RU/LT corner)
+        (52.08, 23.61, ("PL", None)),        # Terespol (vs Brest BY)
+        (49.299, 19.949, ("PL", None)),      # Zakopane (Tatra crest)
+        (49.7484, 18.6326, ("PL", None)),    # Cieszyn (vs Cesky Tesin)
+        (50.44, 16.65, ("PL", None)),        # Klodzko (the salient)
+        (55.6761, 12.5683, ("DK", None)),    # Copenhagen (vs Malmoe)
+        (54.935, 8.865, ("DK", None)),       # Toender (1920 line)
+        (55.10, 8.54, ("DK", None)),         # Roemoe (vs Sylt)
+        (55.10, 14.70, ("DK", None)),        # Roenne (Bornholm lobe)
+        (57.74, 10.59, ("DK", None)),        # Skagen
+        (56.72, 11.51, ("DK", None)),        # Anholt (Kattegat)
+        (54.57, 11.93, ("DK", None)),        # Gedser (vs Rostock)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (52.3676, 4.9041, "Amsterdam NL"),
+        (52.2215, 6.8937, "Enschede NL (vs Gronau)"),
+        (51.9725, 6.72, "Winterswijk NL (the salient)"),
+        (51.37, 6.17, "Venlo NL (east of the Maas)"),
+        (50.998, 5.869, "Sittard NL (vs the Selfkant)"),
+        (50.85, 5.69, "Maastricht NL"),
+        (53.33, 6.92, "Delfzijl NL (Ems midline)"),
+        (50.628, 6.036, "Eupen BE"),
+        (49.6116, 6.1319, "Luxembourg City LU"),
+        (49.935, 6.208, "Vianden LU (the Our)"),
+        (55.6050, 13.0038, "Malmoe SE (vs Copenhagen)"),
+        (56.05, 12.70, "Helsingborg SE (vs Helsingoer)"),
+        (55.905, 12.695, "Ven SE (the Oeresund jog)"),
+        (57.7089, 11.9746, "Gothenburg SE"),
+        (54.71, 20.51, "Kaliningrad RU (1945 line)"),
+        (54.68, 25.28, "Vilnius LT"),
+        (52.10, 23.70, "Brest BY (vs Terespol)"),
+        (49.84, 24.03, "Lviv UA"),
+        (48.146, 17.107, "Bratislava SK (the March)"),
+        (49.06, 20.30, "Poprad SK (vs Zakopane)"),
+        (47.4979, 19.0402, "Budapest HU"),
+        (47.685, 16.59, "Sopron HU (the wrap)"),
+        (46.55, 15.65, "Maribor SI"),
+        (46.056, 14.506, "Ljubljana SI"),
+    ]
+    new = ("DE", "AT", "CZ", "PL", "DK")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    assert adversarial >= 12, f"only {adversarial} anchor-adversarial"
+
+    # display contract through the full deriver
+    assert geonames.derive_location(52.52, 13.405)["country"] \
+        == "Berlin, Germany"
+    assert geonames.derive_location(47.2692, 11.4041)["country"] \
+        == "Tyrol, Austria"
+    out = geonames.derive_location(55.10, 14.70)       # Bornholm
+    assert out["country"].endswith("Denmark")
+    # the split towns disagree with their nearest anchors by design
+    assert geonames.derive_location(49.7484, 18.6326)["country"] \
+        .endswith("Poland")                            # Cieszyn
+    assert geonames.derive_location(49.7461, 18.6208)["country"] \
+        .endswith("Czech Republic")                    # Cesky Tesin
+
+    # dense regional overlap sweep: central Europe + both seas
+    import numpy as np
+    rng = np.random.default_rng(47)
+    pts = np.stack([rng.uniform(45.5, 58.5, 40000),
+                    rng.uniform(5.0, 24.5, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
