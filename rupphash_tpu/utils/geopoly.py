@@ -1524,6 +1524,239 @@ _CZ_PL: list[tuple[float, float]] = [     # DE/CZ/PL -> CZ/SK/PL
     (49.518, 18.846),                     # CZ/SK/PL tripoint (Hrcava)
 ]
 
+# DE/NL, DE/BE and DE/LU (round 4k: extracted so the Benelux rings
+# splice them verbatim), each N->S in the DE ring's direction.
+_DE_NL: list[tuple[float, float]] = [
+    (53.40, 6.98),                        # Ems estuary midline
+    (53.30, 7.10),                        #   (Delfzijl NL west,
+    (53.24, 7.19),                        #   Emden DE east)
+    (53.00, 7.21),
+    (52.85, 7.09),
+    (52.65, 7.05),
+    (52.40, 7.03),
+    (52.22, 7.065),                       # Gronau DE / Enschede NL
+    (52.08, 7.02),
+    (52.03, 6.83),                        # Winterswijk NL salient
+    (51.98, 6.85),                        #   wrap
+    (51.90, 6.77),
+    (51.87, 6.70),
+    (51.865, 6.62),                       # Bocholt DE north
+    (51.88, 6.40),
+    (51.87, 6.16),                        # the Rhine crossing
+    (51.84, 6.09),                        #   (Emmerich DE east)
+    (51.77, 6.04),
+    (51.71, 6.03),
+    (51.60, 6.09),
+    (51.50, 6.20),
+    (51.40, 6.225),                       # Venlo NL east wrap
+    (51.30, 6.16),
+    (51.22, 6.08),                        # Roermond NL east
+    (51.16, 6.08),
+    (51.10, 5.99),
+    (51.05, 5.875),                       # Selfkant DE west tip
+    (50.98, 5.89),                        #   (Sittard NL west)
+    (50.95, 5.99),
+    (50.91, 6.02),                        # Heerlen NL west
+    (50.83, 6.01),
+    (50.754, 6.021),                      # Vaals (DE/NL/BE tripoint)
+]
+
+_DE_BE: list[tuple[float, float]] = [
+    (50.754, 6.021),
+    (50.71, 6.09),                        # Aachen DE north,
+    (50.63, 6.17),                        #   Eupen BE west
+    (50.55, 6.19),                        # Monschau DE east
+    (50.50, 6.32),
+    (50.42, 6.37),                        # Hohes Venn
+    (50.32, 6.405),
+    (50.23, 6.40),                        # St. Vith BE west
+    (50.17, 6.25),
+    (50.154, 6.137),                      # DE/BE/LU tripoint (Ouren)
+]
+
+_DE_LU: list[tuple[float, float]] = [
+    (50.154, 6.137),
+    (50.05, 6.13),                        # the Our midline
+    (49.935, 6.21),                       # Vianden LU west
+    (49.84, 6.33),
+    (49.81, 6.44),                        # Echternach LU west
+    (49.75, 6.505),                       #   (the Sauer midline)
+    (49.715, 6.498),                      # Wasserbillig (Moselle)
+    (49.66, 6.44),                        # the Moselle midline
+    (49.56, 6.37),                        #   (Trier DE east)
+    (49.470, 6.367),                      # Schengen
+]
+
+# NL/BE (the coast -> Vaals) and BE/LU (Ouren -> the FR tripoint).
+# Baarle-Hertog's BE enclaves inside NL are a documented concession
+# (they resolve NL); Martelange is split by the road and unasserted.
+_NL_BE: list[tuple[float, float]] = [
+    (51.375, 3.38),                       # coast (Cadzand NL /
+    (51.275, 3.45),                       #   Knokke BE)
+    (51.24, 3.52),                        # Zeeuws-Vlaanderen south
+    (51.27, 3.75),
+    (51.21, 3.805),                       # Sas van Gent NL /
+    (51.245, 3.89),                       #   Zelzate BE
+    (51.27, 4.08),                        # Hulst NL north
+    (51.35, 4.26),                        # the Scheldt crossing
+    (51.405, 4.39),                       #   (Antwerp BE south)
+    (51.445, 4.40),                       # Essen BE salient wrap
+    (51.475, 4.45),
+    (51.46, 4.55),
+    (51.42, 4.78),
+    (51.42, 4.93),                        # Baarle (enclaves concede)
+    (51.41, 5.08),
+    (51.28, 5.24),
+    (51.26, 5.33),                        # Lommel BE north
+    (51.30, 5.55),
+    (51.22, 5.70),                        # Weert NL north
+    (51.16, 5.83),                        # the Maas reach
+    (51.10, 5.80),                        #   (Maaseik BE west bank)
+    (51.05, 5.77),
+    (50.95, 5.73),
+    (50.87, 5.64),                        # Maastricht NL east... west
+    (50.80, 5.68),
+    (50.755, 5.79),                       # Eijsden NL south
+    (50.75, 5.89),
+    (50.754, 6.021),                      # Vaals (DE/NL/BE tripoint)
+]
+
+_BE_LU: list[tuple[float, float]] = [
+    (50.154, 6.137),                      # Ouren (DE/BE/LU)
+    (50.10, 6.02),
+    (50.03, 5.94),
+    (49.95, 5.89),
+    (49.85, 5.74),                        # Martelange (split,
+    (49.73, 5.74),                        #   unasserted)
+    (49.68, 5.86),                        # Arlon BE west
+    (49.64, 5.89),
+    (49.546, 5.818),                      # FR/BE/LU tripoint
+]
+
+# --- The Nordics (round 4k).  The Scandinavian crest (NO/SE), the
+# Koenkaemae/Muonio/Torne rivers (SE/FI, Haparanda/Tornio threaded),
+# the Teno (FI/NO), the 1944 FI/RU line (conservative), and the
+# shared Bothnia/Aland sea midline.  Crest stretches cross wilderness
+# and carry a wide documented envelope; assertions stay at the towns.
+_NO_SE: list[tuple[float, float]] = [     # Svinesund -> Treriksroset
+    (58.92, 10.85),                       # Oslofjord mouth midline
+    (59.05, 11.15),                       # (Stroemstad SE southeast)
+    (59.093, 11.255),                     # Svinesund bridge
+    (59.01, 11.39),                       # the Iddefjord (Halden NO
+    (58.93, 11.52),                       #   northwest)
+    (58.92, 11.66),                       # Kornsjoe reach
+    (59.10, 11.72),
+    (59.33, 11.64),
+    (59.50, 11.80),
+    (59.85, 11.93),
+    (60.20, 12.20),
+    (60.60, 12.50),
+    (61.00, 12.60),
+    (61.30, 12.30),                       # Trysil NO west... east
+    (61.60, 12.40),
+    (61.99, 12.15),
+    (62.20, 12.10),
+    (62.60, 12.10),
+    (63.00, 12.00),
+    (63.30, 11.98),
+    (63.47, 12.15),
+    (63.60, 12.60),                       # Are SE east of the crest
+    (63.85, 12.80),
+    (64.10, 13.30),
+    (64.45, 13.90),
+    (64.50, 14.10),
+    (65.10, 14.30),
+    (65.60, 14.50),
+    (66.15, 15.40),
+    (66.60, 15.50),
+    (67.00, 16.10),
+    (67.45, 16.10),
+    (67.93, 16.50),
+    (68.15, 17.90),                       # Narvik NO northwest
+    (68.40, 18.10),
+    (68.55, 18.80),                       # Abisko SE southeast
+    (68.91, 20.25),
+    (69.06, 20.55),                       # Treriksroset (NO/SE/FI)
+]
+
+_SE_FI: list[tuple[float, float]] = [     # Treriksroset -> the Torne
+    (69.06, 20.55),                       #   mouth (the river chain)
+    (68.90, 20.90),
+    (68.70, 21.40),
+    (68.55, 22.05),
+    (68.45, 22.50),
+    (68.30, 22.80),
+    (68.15, 23.30),
+    (67.95, 23.65),                       # Muonio FI east
+    (67.70, 23.60),
+    (67.45, 23.45),
+    (67.25, 23.60),                       # Kolari FI / Pajala SE
+    (67.00, 23.70),
+    (66.80, 23.90),
+    (66.60, 23.70),
+    (66.40, 23.65),
+    (66.20, 23.70),
+    (66.00, 23.90),
+    (65.88, 24.125),                      # the Torne at the twin towns
+    (65.842, 24.133),                     # Haparanda SE / Tornio FI
+    (65.78, 24.16),                       #   (threaded ~700 m each)
+]
+
+_SE_FI_SEA: list[tuple[float, float]] = [ # the Torne mouth -> the
+    (65.78, 24.16),                       #   Baltic (Bothnia midline;
+    (65.25, 23.85),                       #   Aland stays Finnish,
+    (64.70, 23.00),                       #   Maerket unasserted)
+    (64.20, 22.00),
+    (63.70, 21.05),                       # the Kvarken midline
+    (63.00, 20.30),
+    (62.00, 19.80),
+    (61.00, 19.80),
+    (60.45, 19.35),
+    (60.30, 19.25),                       # west of Eckeroe (Aland)
+    (59.95, 19.45),
+    (59.55, 19.95),                       # south corner (open Baltic)
+]
+
+_FI_NO: list[tuple[float, float]] = [     # the RU tripoint area ->
+    (69.00, 28.80),                       #   Treriksroset (the Teno)
+    (69.30, 28.80),
+    (69.65, 28.60),
+    (69.90, 27.95),
+    (70.07, 27.90),
+    (70.09, 27.31),                       # Nuorgam (FI north tip)
+    (69.91, 27.03),                       # Utsjoki reach
+    (69.75, 26.50),
+    (69.90, 26.00),
+    (69.85, 25.80),
+    (69.70, 25.75),
+    (69.30, 25.45),                       # Karigasniemi reach
+    (69.10, 25.10),
+    (68.90, 24.20),
+    (68.75, 23.80),
+    (68.83, 22.90),
+    (68.75, 22.20),
+    (68.90, 21.70),
+    (69.03, 21.30),
+    (69.10, 20.80),
+    (69.06, 20.55),                       # Treriksroset
+]
+
+_DK_SE: list[tuple[float, float]] = [     # the Oeresund + Kattegat
+    (55.35, 12.62),                       #   midline, S -> N (shared
+    (55.50, 12.70),                       #   VERBATIM by DK and SE):
+    (55.60, 12.85),                       #   Falsterbo SE east, east
+    (55.75, 12.75),                       #   of Saltholm DK, west of
+    (55.86, 12.64),                       #   Ven SE, Helsingoer DK /
+    (55.96, 12.66),                       #   Helsingborg SE split
+    (56.035, 12.655),
+    (56.25, 12.20),
+    (56.60, 12.00),
+    (56.75, 12.05),                       # Anholt DK west
+    (57.10, 11.90),
+    (57.40, 11.50),                       # Laesoe DK west
+    (57.75, 11.20),
+]
+
 _IT_SI: list[tuple[float, float]] = [     # tripoint -> the Adriatic
     (46.52, 13.70),
     (46.50, 13.67),                       # Tarvisio IT west
@@ -4357,56 +4590,11 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (54.50, 7.20),                        # (Helgoland in)
         (53.90, 6.55),
         (53.58, 6.62),                        # Borkum in / Rottumeroog
-        (53.40, 6.98),                        #   NL out; Ems estuary
-        (53.30, 7.10),                        #   midline (Delfzijl NL
-        (53.24, 7.19),                        #   west, Emden DE east)
-        (53.00, 7.21),                        # DE/NL land chain
-        (52.85, 7.09),
-        (52.65, 7.05),
-        (52.40, 7.03),
-        (52.22, 7.065),                       # Gronau DE / Enschede NL
-        (52.08, 7.02),
-        (52.03, 6.83),                        # Winterswijk NL salient
-        (51.98, 6.85),                        #   wrap
-        (51.90, 6.77),
-        (51.87, 6.70),
-        (51.865, 6.62),                       # Bocholt DE south... north
-        (51.88, 6.40),
-        (51.87, 6.16),                        # the Rhine crossing
-        (51.84, 6.09),                        #   (Emmerich DE east)
-        (51.77, 6.04),
-        (51.71, 6.03),
-        (51.60, 6.09),
-        (51.50, 6.20),
-        (51.40, 6.225),                       # Venlo NL east wrap
-        (51.30, 6.16),
-        (51.22, 6.08),                        # Roermond NL east
-        (51.16, 6.08),
-        (51.10, 5.99),
-        (51.05, 5.875),                       # Selfkant DE west tip
-        (50.98, 5.89),                        #   (Sittard NL west)
-        (50.95, 5.99),
-        (50.91, 6.02),                        # Heerlen NL west
-        (50.83, 6.01),
-        (50.754, 6.021),                      # Vaals (DE/NL/BE)
-        (50.71, 6.09),                        # DE/BE (Aachen DE north,
-        (50.63, 6.17),                        #   Eupen BE west)
-        (50.55, 6.19),                        # Monschau DE east
-        (50.50, 6.32),
-        (50.42, 6.37),                        # Hohes Venn
-        (50.32, 6.405),
-        (50.23, 6.40),                        # St. Vith BE west
-        (50.17, 6.25),
-        (50.154, 6.137),                      # DE/BE/LU tripoint (Ouren)
-        (50.05, 6.13),                        # the Our midline
-        (49.935, 6.21),                       # Vianden LU west
-        (49.84, 6.33),
-        (49.81, 6.44),                        # Echternach LU west
-        (49.75, 6.505),                       #   (the Sauer midline)
-        (49.715, 6.498),                      # Wasserbillig (Moselle)
-        (49.66, 6.44),                        # the Moselle midline
-        (49.56, 6.37),                        #   (Trier DE east; closes
-    ],                                        #   at Schengen)
+                                              #   NL out
+        *_DE_NL,                              # the Ems -> Vaals
+        *_DE_BE[1:],                          # -> the Ouren tripoint
+        *_DE_LU[1:-1],                        # -> the Moselle (closes
+    ],                                        #   at Schengen, _FR_DE[0])
     # --- Austria (round 4j): the DE/CH/LI/IT shared chains; the AT/SI
     # Karawanks and Mura edges conservative; the AT/HU line with the
     # Sopron salient wrapped (Sopron HU anchors to Budapest); the
@@ -4560,24 +4748,121 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (55.35, 14.20),
         (55.30, 13.50),                       # (Trelleborg SE north)
         (55.24, 12.95),
-        (55.35, 12.62),                       # Oeresund south mouth
-        (55.50, 12.70),                       #   (Falsterbo SE east)
-        (55.60, 12.85),                       # east of Saltholm DK
-        (55.75, 12.75),                       #   (Malmoe SE east)
-        (55.86, 12.64),                       # west of Ven SE
-        (55.96, 12.66),
-        (56.035, 12.655),                     # Helsingoer DK /
-        (56.25, 12.20),                       #   Helsingborg SE
-        (56.60, 12.00),                       # Kattegat midline
-        (56.75, 12.05),                       # (Anholt DK west)
-        (57.10, 11.90),
-        (57.40, 11.50),                       # (Laesoe DK west)
-        (57.75, 11.20),
+        *_DK_SE,                              # the Oeresund + Kattegat
         (58.15, 10.45),                       # Skagerrak midline
         (58.00, 9.00),                        #   (Norway north)
         (57.50, 8.00),
         (56.50, 7.80),                        # North Sea envelope
         (55.50, 7.90),
+    ],
+    # --- Benelux (round 4k): every land border is an existing shared
+    # chain (_DE_NL/_DE_BE/_DE_LU, _FR_BE/_FR_LU, _NL_BE, _BE_LU).
+    ("NL", None): [
+        (53.58, 6.62),                        # Ems mouth (DE shared)
+        *_DE_NL,                              # -> Vaals
+        *_NL_BE[::-1][1:],                    # -> the coast at Cadzand
+        (51.55, 3.30),                        # North Sea envelope
+        (51.70, 3.40),                        #   (the delta)
+        (52.00, 3.90),
+        (52.50, 4.40),
+        (53.15, 4.60),                        # Texel in
+        (53.35, 4.80),
+        (53.52, 5.10),                        # Frisian islands in
+        (53.55, 5.60),
+        (53.60, 6.20),                        # Schiermonnikoog in
+    ],
+    ("BE", None): [
+        (51.09, 2.546),                       # coast (FR shared)
+        (51.30, 2.85),                        # North Sea (Ostend in)
+        (51.40, 3.25),
+        (51.375, 3.38),                       # coast (NL shared)
+        *_NL_BE[1:],                          # -> Vaals
+        *_DE_BE[1:],                          # -> Ouren
+        *_BE_LU[1:],                          # -> the FR tripoint
+        *_FR_BE[::-1][1:],                    # -> the coast
+    ],
+    ("LU", None): [
+        *_BE_LU,                              # Ouren -> the FR tripoint
+        *_FR_LU[1:],                          # -> Schengen
+        *_DE_LU[::-1][1:],                    # -> Ouren (closes)
+    ],
+    # --- The Nordics (round 4k).
+    ("SE", None): [
+        *_NO_SE[::-1],                        # Treriksroset -> the
+        (58.45, 11.00),                       #   Oslofjord; Bohuslaen
+        *_DK_SE[::-1],                        # Kattegat + Oeresund
+        (55.24, 12.95),                       # the DK ring's Baltic
+        (55.30, 13.50),                       #   edge SHARED verbatim
+        (55.35, 14.20),                       #   (coincident, no gap)
+        (55.45, 14.60),                       # north of the Bornholm
+        (55.48, 15.40),                       #   lobe
+        (55.60, 16.50),
+        (56.00, 17.00),
+        (56.80, 17.50),                       # Oeland in
+        (56.90, 18.80),                       # Gotland south in
+        (57.30, 19.70),                       # Gotland east in
+        (58.00, 19.90),
+        (58.60, 19.80),
+        (59.30, 19.60),
+        *_SE_FI_SEA[::-1][1:],                # the Aland + Bothnia
+        *_SE_FI[::-1][1:],                    #   midline; the Torne
+    ],                                        #   valley -> Treriksroset
+    ("NO", None): [
+        *_NO_SE,                              # Svinesund -> Treriksroset
+        *_FI_NO[::-1][1:],                    # -> the RU tripoint area
+        (69.25, 29.30),                       # NO/RU (conservative;
+        (69.45, 30.05),                       #   Kirkenes NO north)
+        (69.55, 30.20),
+        (69.65, 30.45),
+        (69.79, 30.80),                       # Grense Jakobselv
+        (70.00, 31.20),                       # the Varangerfjord
+        (71.30, 31.00),                       # Barents envelope
+        (71.40, 26.00),                       # North Cape in
+        (71.20, 22.00),
+        (70.50, 17.50),
+        (69.50, 13.50),                       # Lofoten in
+        (68.00, 11.50),
+        (66.00, 10.00),
+        (64.00, 8.00),
+        (62.50, 3.50),
+        (60.50, 3.30),                        # Bergen offshore
+        (58.50, 4.50),
+        (57.80, 7.20),                        # Skagerrak midline
+        (57.90, 8.50),                        #   (north of the DK
+        (58.25, 10.00),                       #   ring's edge)
+        (58.40, 10.60),
+    ],
+    ("FI", None): [
+        *_SE_FI,                              # Treriksroset -> the
+        *_SE_FI_SEA[1:],                      #   Torne mouth; Bothnia
+        (59.70, 20.50),                       # south of Aland
+        (59.60, 22.00),                       # Gulf of Finland midline
+        (59.70, 23.50),                       #   (Tallinn EE south)
+        (59.85, 25.00),
+        (60.02, 26.20),
+        (60.15, 27.20),
+        (60.30, 27.70),                       # the 1944 sea point
+        (60.55, 27.80),                       # FI/RU (conservative:
+        (60.85, 28.55),                       #   Vyborg RU east)
+        (61.25, 29.90),
+        (61.85, 31.10),
+        (62.50, 31.40),
+        (62.90, 31.25),                       # Ilomantsi FI west
+        (63.35, 30.55),
+        (63.90, 30.55),
+        (64.30, 30.10),
+        (64.70, 29.75),
+        (65.10, 29.65),
+        (65.50, 29.85),
+        (66.15, 30.00),
+        (66.45, 29.35),
+        (66.90, 29.10),
+        (67.40, 29.40),
+        (67.80, 29.90),
+        (68.15, 30.00),
+        (68.30, 28.70),                       # Raja-Jooseppi reach
+        (68.65, 28.50),
+        *_FI_NO,                              # -> Treriksroset (closes)
     ],
     # --- Switzerland (round 4i): the FR chain, the Rhine/Lake
     # Constance midline with a tight Schaffhausen north-bank lobe

@@ -3273,6 +3273,113 @@ def test_polygon_round4j_central_europe():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4k_benelux_nordics():
+    """Benelux (every land border an existing shared chain: _DE_NL
+    with the Winterswijk/Venlo/Selfkant wraps, _NL_BE with the
+    Zeeuws-Vlaanderen strip, the Essen wrap and the Maas, _BE_LU and
+    the Our/Sauer/Moselle) and the Nordics (the Scandinavian crest
+    with the Svinesund/Iddefjord/Kornsjoe trace, the Torne valley
+    threading the conjoined Haparanda/Tornio pair at ~700 m, the
+    shared Bothnia/Aland midline keeping Aland Finnish, the Teno, the
+    conservative 1944 FI/RU line, and the Oeresund/Kattegat midline
+    shared verbatim with Denmark).  Baarle's enclaves and the split
+    Maerket islet are documented concessions."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (52.3676, 4.9041, ("NL", None)),     # Amsterdam
+        (51.9244, 4.4777, ("NL", None)),     # Rotterdam
+        (52.2215, 6.8937, ("NL", None)),     # Enschede (vs Gronau)
+        (51.9725, 6.72, ("NL", None)),       # Winterswijk (salient)
+        (51.37, 6.17, ("NL", None)),         # Venlo (east of the Maas)
+        (50.998, 5.869, ("NL", None)),       # Sittard (vs Selfkant)
+        (50.85, 5.69, ("NL", None)),         # Maastricht
+        (51.33, 3.83, ("NL", None)),         # Terneuzen (Z-Vlaanderen)
+        (51.445, 4.93, ("NL", None)),        # Baarle-Nassau
+        (53.05, 4.80, ("NL", None)),         # Texel
+        (53.33, 6.92, ("NL", None)),         # Delfzijl (Ems midline)
+        (50.8503, 4.3517, ("BE", None)),     # Brussels
+        (51.2194, 4.4025, ("BE", None)),     # Antwerp
+        (51.2093, 3.2247, ("BE", None)),     # Bruges
+        (50.6326, 5.5797, ("BE", None)),     # Liege
+        (50.745, 3.21, ("BE", None)),        # Mouscron (vs Tourcoing)
+        (49.683, 5.816, ("BE", None)),       # Arlon (vs Steinfort LU)
+        (50.628, 6.036, ("BE", None)),       # Eupen (vs Aachen)
+        (51.10, 5.79, ("BE", None)),         # Maaseik (the Maas)
+        (51.47, 4.46, ("BE", None)),         # Essen (the wrap)
+        (49.6116, 6.1319, ("LU", None)),     # Luxembourg City
+        (49.50, 5.98, ("LU", None)),         # Esch (vs Villerupt FR)
+        (49.935, 6.208, ("LU", None)),       # Vianden (the Our)
+        (49.66, 5.92, ("LU", None)),         # Steinfort (vs Arlon)
+        (59.3293, 18.0686, ("SE", None)),    # Stockholm
+        (55.6050, 13.0038, ("SE", None)),    # Malmoe (vs Copenhagen)
+        (56.05, 12.70, ("SE", None)),        # Helsingborg
+        (55.905, 12.695, ("SE", None)),      # Ven (the Oeresund jog)
+        (57.64, 18.30, ("SE", None)),        # Visby (Gotland)
+        (67.8558, 20.2253, ("SE", None)),    # Kiruna
+        (65.835, 24.118, ("SE", None)),      # Haparanda (vs Tornio!)
+        (63.40, 13.08, ("SE", None)),        # Are (crest east)
+        (58.94, 11.17, ("SE", None)),        # Stroemstad (vs Halden)
+        (59.9139, 10.7522, ("NO", None)),    # Oslo
+        (60.3913, 5.3221, ("NO", None)),     # Bergen
+        (69.6492, 18.9553, ("NO", None)),    # Tromsoe
+        (68.4385, 17.4273, ("NO", None)),    # Narvik
+        (69.727, 30.045, ("NO", None)),      # Kirkenes (vs Russia)
+        (59.125, 11.387, ("NO", None)),      # Halden (vs Stroemstad)
+        (71.17, 25.78, ("NO", None)),        # North Cape
+        (69.47, 25.50, ("NO", None)),        # Karasjok (the Teno side)
+        (60.1699, 24.9384, ("FI", None)),    # Helsinki
+        (66.5039, 25.7294, ("FI", None)),    # Rovaniemi
+        (65.845, 24.145, ("FI", None)),      # Tornio (vs Haparanda!)
+        (70.08, 27.31, ("FI", None)),        # Nuorgam (the north tip)
+        (60.10, 19.94, ("FI", None)),        # Mariehamn (Aland)
+        (62.67, 30.93, ("FI", None)),        # Ilomantsi (1944 line)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (50.776, 6.084, "Aachen DE (vs Eupen)"),
+        (53.37, 7.21, "Emden DE (Ems midline)"),
+        (49.7499, 6.6371, "Trier DE (Moselle)"),
+        (50.14, 4.82, "Givet FR (the salient)"),
+        (55.6761, 12.5683, "Copenhagen DK (vs Malmoe)"),
+        (55.64, 12.77, "Saltholm DK (the jog)"),
+        (55.10, 14.70, "Roenne DK (Bornholm)"),
+        (68.97, 33.09, "Murmansk RU"),
+        (60.71, 28.75, "Vyborg RU (1944 line)"),
+        (59.4370, 24.7536, "Tallinn EE (gulf midline)"),
+        (54.68, 25.28, "Vilnius LT"),
+        (78.22, 15.65, "Longyearbyen (Svalbard, anchors)"),
+    ]
+    new = ("NL", "BE", "LU", "SE", "NO", "FI")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    assert adversarial >= 10, f"only {adversarial} anchor-adversarial"
+
+    # the conjoined Torne twins through the full deriver
+    assert geonames.derive_location(65.835, 24.118)["country"] \
+        .endswith("Sweden")
+    assert geonames.derive_location(65.845, 24.145)["country"] \
+        .endswith("Finland")
+    assert geonames.derive_location(60.10, 19.94)["country"] \
+        .endswith("Finland")                  # Aland
+
+    # dense regional overlap sweep: Benelux through the Barents
+    import numpy as np
+    rng = np.random.default_rng(53)
+    pts = np.stack([rng.uniform(49.0, 71.8, 40000),
+                    rng.uniform(2.0, 32.0, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
