@@ -1741,6 +1741,138 @@ _FI_NO: list[tuple[float, float]] = [     # the RU tripoint area ->
     (69.06, 20.55),                       # Treriksroset
 ]
 
+_AT_HU: list[tuple[float, float]] = [     # AT/SI/HU tripoint ->
+    (46.87, 16.11),                       #   AT/HU/SK tripoint
+    (46.94, 16.28),                       # AT/HU line
+    (47.01, 16.44),
+    (47.10, 16.47),
+    (47.26, 16.45),
+    (47.40, 16.50),                       # Koszeg HU west
+    (47.47, 16.58),
+    (47.51, 16.46),                       # Sopron HU salient wrap
+    (47.62, 16.43),                       #   (the salient pokes
+    (47.71, 16.47),                       #   west into Austria)
+    (47.75, 16.57),
+    (47.73, 16.72),
+    (47.68, 16.78),
+    (47.77, 16.85),                       # Neusiedl southeast
+    (47.87, 17.05),
+    (47.95, 17.05),
+    (48.01, 17.16),                       # AT/HU/SK tripoint
+]
+
+_AT_SK: list[tuple[float, float]] = [     # AT/HU/SK -> AT/CZ/SK
+    (48.01, 17.16),
+    (48.10, 17.08),                       # Bratislava SK east
+    (48.14, 16.98),                       # the March mouth
+    (48.20, 16.97),                       # the March/Morava midline
+    (48.35, 16.90),
+    (48.50, 16.90),
+    (48.62, 16.94),                       # AT/CZ/SK tripoint
+]
+
+_CZ_SK: list[tuple[float, float]] = [     # AT/CZ/SK -> CZ/SK/PL
+    (48.62, 16.94),                       #   (the White Carpathians,
+    (48.70, 17.05),                       #   conservative crest)
+    (48.72, 17.20),
+    (48.80, 17.45),
+    (48.85, 17.55),
+    (48.90, 17.70),
+    (49.07, 17.95),
+    (49.30, 18.15),
+    (49.42, 18.40),
+    (49.50, 18.57),
+    (49.518, 18.846),                     # Hrcava (CZ/SK/PL)
+]
+
+_PL_SK: list[tuple[float, float]] = [     # CZ/SK/PL -> PL/SK/UA
+    (49.518, 18.846),                     #   (the Tatra/Carpathian
+    (49.40, 19.20),                       #   crest, conservative)
+    (49.52, 19.50),
+    (49.40, 19.78),
+    (49.23, 19.93),                       # Zakopane PL north
+    (49.40, 20.32),
+    (49.30, 20.60),
+    (49.40, 20.70),
+    (49.30, 21.00),
+    (49.42, 21.60),
+    (49.30, 22.00),
+    (49.089, 22.558),                     # PL/SK/UA tripoint
+]
+
+# --- Southeastern Europe (round 4l) ---------------------------------
+_SI_HU: list[tuple[float, float]] = [     # AT/SI/HU -> SI/HU/HR
+    (46.87, 16.11),
+    (46.83, 16.30),
+    (46.75, 16.38),
+    (46.60, 16.48),                       # Lendava SI west
+    (46.47, 16.60),                       # SI/HU/HR tripoint
+]
+
+_HR_HU: list[tuple[float, float]] = [     # SI/HU/HR -> HU/HR/RS
+    (46.47, 16.60),                       #   (the Mura/Drava midline)
+    (46.40, 16.62),
+    (46.30, 16.70),
+    (46.23, 16.75),
+    (46.12, 16.85),
+    (46.05, 16.95),
+    (45.95, 17.20),
+    (45.85, 17.35),
+    (45.80, 17.60),
+    (45.85, 17.90),
+    (45.90, 18.10),
+    (45.93, 18.40),
+    (45.95, 18.65),                       # Mohacs HU north
+    (45.91, 18.82),                       # HU/HR/RS tripoint
+]
+
+_HU_SK: list[tuple[float, float]] = [     # AT/HU/SK -> HU/SK/UA
+    (48.01, 17.16),                       #   (the Danube + Ipoly,
+    (47.95, 17.30),                       #   then the crest)
+    (47.87, 17.70),
+    (47.75, 18.125),                      # Komarom HU / Komarno SK
+    (47.795, 18.73),                      # Esztergom HU / Sturovo SK
+    (47.90, 18.80),                       # the Ipoly north
+    (48.06, 19.00),
+    (48.09, 19.30),                       # Balassagyarmat HU south
+    (48.15, 19.52),
+    (48.28, 19.90),
+    (48.30, 20.30),
+    (48.42, 20.80),
+    (48.50, 21.20),                       # Kosice SK north
+    (48.45, 21.60),
+    (48.40, 22.00),
+    (48.41, 22.155),                      # HU/SK/UA tripoint
+]
+
+_SI_HR: list[tuple[float, float]] = [     # the Dragonja mouth ->
+    (45.475, 13.589),                     #   SI/HU/HR (Piran SI north,
+    (45.48, 13.63),                       #   Umag HR south)
+    (45.475, 13.75),
+    (45.46, 13.90),
+    (45.48, 13.95),
+    (45.47, 14.10),
+    (45.48, 14.30),                       # Ilirska Bistrica SI north,
+    (45.45, 14.55),                       #   Rijeka HR south
+    (45.48, 14.70),
+    (45.42, 14.90),
+    (45.45, 15.05),                       # the Kolpa reach
+    (45.48, 15.15),
+    (45.55, 15.25),
+    (45.65, 15.35),                       # Metlika SI west
+    (45.70, 15.50),
+    (45.80, 15.68),                       # (Zagreb HR southeast)
+    (45.85, 15.70),                       # the Sotla midline
+    (45.95, 15.68),
+    (46.08, 15.70),
+    (46.17, 15.80),
+    (46.24, 16.05),
+    (46.30, 16.20),                       # the Mura (Cakovec HR east)
+    (46.36, 16.30),
+    (46.42, 16.42),
+    (46.47, 16.60),                       # SI/HU/HR tripoint
+]
+
 _DK_SE: list[tuple[float, float]] = [     # the Oeresund + Kattegat
     (55.35, 12.62),                       #   midline, S -> N (shared
     (55.50, 12.70),                       #   VERBATIM by DK and SE):
@@ -4619,29 +4751,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (46.68, 15.65),
         (46.68, 15.99),                       # Bad Radkersburg reach
         (46.72, 16.05),
-        (46.87, 16.11),                       # AT/SI/HU tripoint
-        (46.94, 16.28),                       # AT/HU line
-        (47.01, 16.44),
-        (47.10, 16.47),
-        (47.26, 16.45),
-        (47.40, 16.50),                       # Koszeg HU west
-        (47.47, 16.58),
-        (47.51, 16.46),                       # Sopron HU salient wrap
-        (47.62, 16.43),                       #   (the salient pokes
-        (47.71, 16.47),                       #   west into Austria)
-        (47.75, 16.57),
-        (47.73, 16.72),
-        (47.68, 16.78),
-        (47.77, 16.85),                       # Neusiedl southeast
-        (47.87, 17.05),
-        (47.95, 17.05),
-        (48.01, 17.16),                       # AT/HU/SK tripoint
-        (48.10, 17.08),                       # Bratislava SK east
-        (48.14, 16.98),                       # the March mouth
-        (48.20, 16.97),                       # the March/Morava midline
-        (48.35, 16.90),
-        (48.50, 16.90),
-        (48.62, 16.94),                       # AT/CZ/SK tripoint
+        *_AT_HU,                              # the Sopron wrap etc.
+        *_AT_SK[1:],                          # the March midline
         (48.78, 16.72),                       # AT/CZ line (Mikulov CZ
         (48.80, 16.45),                       #   north)
         (48.77, 16.10),
@@ -4662,16 +4773,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("CZ", None): [
         *_DE_CZ,                              # DE/AT -> DE/PL tripoint
         *_CZ_PL[1:],                          # -> CZ/SK/PL (Hrcava)
-        (49.50, 18.57),                       # CZ/SK crest
-        (49.42, 18.40),                       #   (conservative)
-        (49.30, 18.15),
-        (49.07, 17.95),
-        (48.90, 17.70),
-        (48.85, 17.55),
-        (48.80, 17.45),
-        (48.72, 17.20),
-        (48.70, 17.05),
-        (48.62, 16.94),                       # AT/CZ/SK tripoint
+        *_CZ_SK[::-1][1:],                    # the CZ/SK crest
         (48.78, 16.72),                       # the AT/CZ chain shared
         (48.80, 16.45),                       #   with the AT ring
         (48.77, 16.10),                       #   (reversed verbatim)
@@ -4723,17 +4825,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (49.95, 22.95),
         (49.80, 22.85),                       # Przemysl PL west
         (49.50, 22.70),
-        (49.089, 22.558),                     # PL/SK/UA tripoint
-        (49.30, 22.00),                       # PL/SK crest
-        (49.42, 21.60),                       #   (conservative)
-        (49.30, 21.00),
-        (49.40, 20.70),
-        (49.30, 20.60),
-        (49.40, 20.32),
-        (49.23, 19.93),                       # Zakopane PL north
-        (49.40, 19.78),
-        (49.52, 19.50),
-        (49.40, 19.20),
+        *_PL_SK[::-1],                        # the Carpathian crest
         *_CZ_PL[::-1],                        # Hrcava -> the tripoint
     ],
     # --- Denmark (round 4j): the 1920 line + strait midlines shared
@@ -4832,6 +4924,200 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (58.25, 10.00),                       #   ring's edge)
         (58.40, 10.60),
     ],
+    # --- Southeastern Europe (round 4l): Slovenia (the IT chain, its
+    # own conservative AT-side edge — a dead strip to the AT ring —
+    # the shared SI/HU and SI/HR chains, and a Gulf-of-Trieste sliver
+    # east of the IT midline), Croatia (the shared Adriatic-midline
+    # values of the IT ring, the Neum corridor cut — BA's coast splits
+    # the ring's LAND but the sea keeps it one polygon — and
+    # conservative BA/RS/ME edges), Hungary (the AT/SI/HR/SK shared
+    # chains and conservative UA/RO/RS lines), Slovakia (entirely
+    # shared chains + a short conservative UA edge), and Greece (a
+    # conservative north land border and an Aegean envelope threading
+    # every strait: the Corfu channel, Gökçeada/Bozcaada TR out,
+    # Lesbos/Chios/Samos/Kos/Rhodes midlines; Kastellorizo concedes
+    # to its anchor).
+    ("SI", None): [
+        *_IT_SI[::-1],                        # the coast -> AT tripoint
+        (46.47, 13.95),                       # SI's AT edge
+        (46.42, 14.16),                       #   (conservative; dead
+        (46.40, 14.55),                       #   strip to the AT ring)
+        (46.38, 14.83),
+        (46.44, 15.06),
+        (46.56, 15.42),
+        (46.62, 15.63),                       # Maribor SI in
+        (46.645, 15.98),
+        (46.72, 16.18),
+        (46.80, 16.18),
+        (46.87, 16.11),                       # AT/SI/HU tripoint
+        *_SI_HU[1:],                          # -> SI/HU/HR
+        *_SI_HR[::-1][1:],                    # -> the Dragonja mouth
+        (45.50, 13.47),                       # Gulf of Trieste sliver
+        (45.555, 13.60),                      #   (east of the IT
+    ],                                        #   midline; Piran in)
+    ("HR", None): [
+        *_SI_HR,                              # the Dragonja -> SI/HU/HR
+        *_HR_HU[1:],                          # the Drava -> HU/HR/RS
+        (45.65, 18.90),                       # HR/RS (the Danube,
+        (45.52, 18.95),                       #   conservative west)
+        (45.40, 19.05),
+        (45.32, 19.20),
+        (45.22, 19.40),                       # Ilok HR east
+        (45.15, 19.25),
+        (45.05, 19.10),
+        (44.90, 19.05),                       # the Sava corner
+        (44.95, 18.75),                       # HR/BA: the Sava midline
+        (45.05, 18.55),                       #   west
+        (45.10, 18.30),
+        (45.16, 18.00),                       # Slavonski Brod HR north
+        (45.12, 17.75),
+        (45.08, 17.45),
+        (45.10, 17.25),
+        (45.08, 17.00),
+        (45.12, 16.80),
+        (45.05, 16.40),                       # the Una reach
+        (45.10, 16.30),
+        (45.22, 16.00),
+        (45.10, 15.78),                       # (Slunj HR west)
+        (45.05, 15.77),
+        (44.95, 15.75),
+        (44.75, 15.78),                       # (Bihac BA east)
+        (44.60, 15.85),
+        (44.40, 16.00),
+        (44.20, 16.10),
+        (44.00, 16.30),                       # (Knin HR southwest)
+        (43.85, 16.40),
+        (43.70, 16.60),
+        (43.55, 16.85),
+        (43.45, 17.28),                       # (Imotski HR south)
+        (43.30, 17.25),
+        (43.15, 17.25),
+        (43.05, 17.40),
+        (43.02, 17.55),
+        (42.95, 17.50),                       # the Neum corridor cut:
+        (42.91, 17.63),                       #   BA's coast at Neum
+        (42.88, 17.76),                       #   (the bay midline;
+        (42.80, 17.95),                       #   Pelješac stays HR)
+        (42.75, 18.10),
+        (42.65, 18.25),                       # (Dubrovnik HR west)
+        (42.55, 18.45),
+        (42.47, 18.50),                       # Prevlaka (ME concedes)
+        (42.28, 18.35),                       # the Adriatic south
+        (42.10, 17.80),
+        (41.90, 17.20),                       # the IT-ring midline
+        (42.50, 16.00),                       #   values SHARED verbatim
+        (43.60, 14.40),                       #   (coincident, no gap)
+        (43.94, 14.03),
+        (44.80, 13.10),
+        (44.95, 13.15),
+        (45.50, 13.45),                       # Gulf of Trieste (the
+    ],                                        #   SI sliver northeast)
+    ("HU", None): [
+        *_AT_HU[::-1],                        # AT/HU/SK -> the SI
+        *_SI_HU,                              #   tripoint; -> SI/HU/HR
+        *_HR_HU,                              # the Drava -> HU/HR/RS
+        (45.95, 19.10),                       # HU/RS (conservative;
+        (46.10, 19.30),                       #   Subotica RS south)
+        (46.17, 19.66),
+        (46.13, 19.98),
+        (46.18, 20.28),                       # HU/RS/RO tripoint
+        (46.15, 20.80),                       # HU/RO (conservative)
+        (46.25, 21.18),
+        (46.40, 21.28),
+        (46.70, 21.45),
+        (47.05, 21.65),                       # (Oradea RO east)
+        (47.30, 22.05),
+        (47.60, 22.45),
+        (47.95, 22.90),                       # HU/UA/RO tripoint
+        (48.00, 22.80),                       # HU/UA (conservative)
+        (48.20, 22.40),
+        (48.41, 22.155),                      # HU/SK/UA tripoint
+        *_HU_SK[::-1][1:],                    # -> AT/HU/SK (closes)
+    ],
+    ("SK", None): [
+        *_AT_SK,                              # AT/HU/SK -> AT/CZ/SK
+        *_CZ_SK[1:],                          # -> Hrcava
+        *_PL_SK[1:],                          # -> PL/SK/UA
+        (48.80, 22.33),                       # SK/UA (conservative;
+        (48.62, 22.24),                       #   Uzhhorod UA east)
+        (48.41, 22.155),
+        *_HU_SK[::-1][1:],                    # -> AT/HU/SK (closes)
+    ],
+    ("GR", None): [
+        (39.755, 19.975),                     # the Corfu channel
+        (39.68, 20.10),                       # GR/AL (conservative)
+        (39.92, 20.30),
+        (40.05, 20.60),
+        (40.30, 20.80),
+        (40.48, 20.95),
+        (40.55, 21.05),                       # GR/AL/MK tripoint
+        (40.85, 21.15),                       # GR/MK (conservative;
+        (41.05, 21.60),                       #   Bitola MK north)
+        (41.10, 22.00),
+        (41.12, 22.50),                       # (Gevgelija MK north)
+        (41.15, 22.75),
+        (41.20, 23.00),                       # GR/BG (conservative)
+        (41.38, 23.35),                       # Promachonas/Kulata
+        (41.40, 24.00),                       # the Rhodopes
+        (41.35, 24.60),
+        (41.45, 25.20),
+        (41.30, 25.90),
+        (41.32, 26.20),
+        (41.50, 26.30),
+        (41.70, 26.34),                       # GR/BG/TR tripoint
+        (41.66, 26.53),                       # the Evros midline
+        (41.55, 26.60),                       #   (Edirne TR east,
+        (41.40, 26.61),                       #   Didymoteicho GR west)
+        (41.35, 26.55),
+        (41.20, 26.40),
+        (41.00, 26.33),
+        (40.85, 26.10),
+        (40.73, 26.05),                       # the Evros delta
+        (40.45, 25.95),                       # Aegean: Gökçeada TR out
+        (40.28, 25.58),
+        (39.95, 25.68),                       # (Limnos GR west)
+        (39.60, 26.25),                       # (Bozcaada TR northeast)
+        (39.35, 26.72),                       # Lesbos strait midline
+        (39.05, 26.73),
+        (38.85, 26.52),
+        (38.60, 26.42),                       # Chios strait (Cesme TR)
+        (38.35, 26.23),
+        (38.10, 25.98),
+        (37.90, 26.30),
+        (37.86, 26.70),                       # Samos north midline
+        (37.82, 27.00),                       #   (Kusadasi TR north)
+        (37.70, 27.065),                      # the Mycale strait
+        (37.55, 27.12),                       #   (~1.6 km, threaded)
+        (37.30, 27.18),
+        (37.05, 27.28),                       # (Bodrum TR east)
+        (36.92, 27.38),                       # Kos east
+        (36.78, 27.52),
+        (36.68, 27.85),
+        (36.55, 28.15),                       # Rhodes strait
+        (36.28, 28.42),
+        (35.95, 28.32),                       # (Kastellorizo concedes
+        (35.55, 27.75),                       #   to its anchor)
+        (35.18, 27.15),                       # Karpathos in
+        (34.70, 26.20),
+        (34.60, 24.50),                       # Crete south (Gavdos in)
+        (34.70, 23.30),
+        (35.70, 23.20),                       # Crete west
+        (36.00, 22.75),                       # Kythira in
+        (35.95, 22.30),
+        (36.15, 21.85),
+        (36.55, 21.35),                       # the Peloponnese west
+        (37.20, 20.85),
+        (37.55, 20.35),                       # Zakynthos in
+        (38.25, 20.15),                       # Kefalonia in
+        (38.85, 20.25),
+        (39.35, 19.65),                       # Corfu west
+        (39.62, 19.52),
+        (39.82, 19.78),                       # Corfu north (the channel
+    ],                                        #   closes at the midline)
+    ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
+        (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
+        (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is
+                                              #   Antalya — ring it
     ("FI", None): [
         *_SE_FI,                              # Treriksroset -> the
         *_SE_FI_SEA[1:],                      #   Torne mouth; Bothnia

@@ -3380,6 +3380,116 @@ def test_polygon_round4k_benelux_nordics():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4l_southeastern_europe():
+    """Slovenia / Croatia / Hungary / Slovakia / Greece.  SI gets a
+    Gulf-of-Trieste sliver east of the IT midline (Piran/Portoroz in)
+    and shared SI/HU + SI/HR chains; HR shares the IT ring's Adriatic
+    midline values verbatim, cuts the Neum corridor (BA's coast) and
+    keeps conservative BA/RS/ME edges; HU is closed entirely by shared
+    chains plus conservative UA/RO/RS lines (the Komarom/Komarno and
+    Esztergom/Sturovo Danube twins threaded); SK is all shared chains;
+    Greece threads the Corfu channel and every Aegean strait (Lesbos,
+    Chios, the 1.6 km Mycale strait at Samos, Kos, Rhodes; Goekceada/
+    Bozcaada Turkish; Kastellorizo concedes to its anchor) plus the
+    Evros midline (Edirne TR east, Didymoteicho GR west)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (46.0569, 14.5058, ("SI", None)),    # Ljubljana
+        (46.55, 15.65, ("SI", None)),        # Maribor (vs AT edge)
+        (45.528, 13.568, ("SI", None)),      # Piran (the sliver)
+        (45.956, 13.649, ("SI", None)),      # Nova Gorica (vs Gorizia)
+        (46.56, 16.45, ("SI", None)),        # Lendava (vs HU)
+        (45.65, 15.31, ("SI", None)),        # Metlika (vs HR)
+        (45.8150, 15.9819, ("HR", None)),    # Zagreb
+        (43.5081, 16.4402, ("HR", None)),    # Split
+        (42.6507, 18.0944, ("HR", None)),    # Dubrovnik (past Neum!)
+        (44.8666, 13.8496, ("HR", None)),    # Pula (Istria)
+        (45.43, 13.52, ("HR", None)),        # Umag (vs Piran)
+        (46.38, 16.43, ("HR", None)),        # Cakovec (Medjimurje)
+        (45.22, 19.37, ("HR", None)),        # Ilok (the Danube)
+        (43.17, 16.44, ("HR", None)),        # Hvar (the midline)
+        (47.4979, 19.0402, ("HU", None)),    # Budapest
+        (46.2530, 20.1482, ("HU", None)),    # Szeged (RS/RO corner)
+        (47.685, 16.59, ("HU", None)),       # Sopron (the wrap)
+        (47.74, 18.12, ("HU", None)),        # Komarom (vs Komarno)
+        (47.79, 18.74, ("HU", None)),        # Esztergom (vs Sturovo)
+        (45.99, 18.68, ("HU", None)),        # Mohacs (the Drava)
+        (48.1486, 17.1077, ("SK", None)),    # Bratislava (the March)
+        (48.7164, 21.2611, ("SK", None)),    # Kosice
+        (47.76, 18.13, ("SK", None)),        # Komarno (vs Komarom)
+        (47.80, 18.72, ("SK", None)),        # Sturovo (vs Esztergom)
+        (49.30, 19.60, ("SK", None)),        # Orava (vs Zakopane)
+        (37.9838, 23.7275, ("GR", None)),    # Athens
+        (40.6401, 22.9444, ("GR", None)),    # Thessaloniki
+        (35.3387, 25.1442, ("GR", None)),    # Heraklion (Crete)
+        (36.4341, 28.2176, ("GR", None)),    # Rhodes
+        (39.6243, 19.9217, ("GR", None)),    # Corfu (the channel)
+        (39.10, 26.55, ("GR", None)),        # Mytilene (Lesbos)
+        (37.757, 26.977, ("GR", None)),      # Vathy (Samos/Mycale)
+        (36.89, 27.29, ("GR", None)),        # Kos (vs Bodrum)
+        (41.349, 26.496, ("GR", None)),      # Didymoteicho (Evros)
+        (34.84, 24.08, ("GR", None)),        # Gavdos
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (46.62, 14.31, "Klagenfurt AT"),
+        (43.8563, 18.4131, "Sarajevo BA"),
+        (42.925, 17.615, "Neum BA (the corridor)"),
+        (44.82, 15.87, "Bihac BA"),
+        (43.34, 17.81, "Mostar BA"),
+        (44.8125, 20.4612, "Belgrade RS"),
+        (46.10, 19.665, "Subotica RS (vs Szeged)"),
+        (42.4304, 19.2594, "Podgorica ME"),
+        (42.45, 18.54, "Herceg Novi ME (Prevlaka)"),
+        (41.3275, 19.8187, "Tirana AL"),
+        (39.87, 20.01, "Saranda AL (the channel)"),
+        (41.9981, 21.4254, "Skopje MK"),
+        (41.03, 21.33, "Bitola MK (vs Florina)"),
+        (42.6977, 23.3219, "Sofia BG"),
+        (41.0082, 28.9784, "Istanbul TR"),
+        (41.68, 26.56, "Edirne TR (the Evros)"),
+        (37.03, 27.43, "Bodrum TR (vs Kos)"),
+        (40.15, 25.90, "Goekceada TR"),
+        (37.86, 27.26, "Kusadasi TR (vs Samos)"),
+        (36.200, 29.64, "Kas TR (vs Kastellorizo)"),
+        (48.6208, 22.2879, "Uzhhorod UA"),
+        (47.05, 21.92, "Oradea RO"),
+        (45.76, 21.23, "Timisoara RO"),
+    ]
+    new = ("SI", "HR", "HU", "SK", "GR")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    assert adversarial >= 10, f"only {adversarial} anchor-adversarial"
+
+    # Kastellorizo: 2 km off the Turkish coast, its nearest anchor is
+    # Antalya — the ("GR","South Aegean") square rings it explicitly
+    assert geopoly.lookup(36.149, 29.593) == ("GR", "South Aegean")
+    assert geonames.derive_location(36.149, 29.593)["country"] \
+        == "South Aegean, Greece"
+    # the Danube twins through the full deriver
+    assert geonames.derive_location(47.74, 18.12)["country"] \
+        .endswith("Hungary")
+    assert geonames.derive_location(47.76, 18.13)["country"] \
+        .endswith("Slovakia")
+
+    # dense regional overlap sweep: the Adriatic through the Aegean
+    import numpy as np
+    rng = np.random.default_rng(59)
+    pts = np.stack([rng.uniform(34.0, 50.0, 40000),
+                    rng.uniform(12.5, 29.5, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
