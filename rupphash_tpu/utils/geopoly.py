@@ -1873,6 +1873,114 @@ _SI_HR: list[tuple[float, float]] = [     # the Dragonja mouth ->
     (46.47, 16.60),                       # SI/HU/HR tripoint
 ]
 
+_HU_RS: list[tuple[float, float]] = [     # HU/HR/RS -> HU/RS/RO
+    (45.91, 18.82),                       #   (conservative; Subotica
+    (45.95, 19.10),                       #   RS south; Serbia stays
+    (46.10, 19.30),                       #   anchor-resolved)
+    (46.17, 19.66),
+    (46.13, 19.98),
+    (46.18, 20.28),                       # HU/RS/RO tripoint
+]
+
+_HU_RO: list[tuple[float, float]] = [     # HU/RS/RO -> HU/UA/RO
+    (46.18, 20.28),
+    (46.15, 20.80),
+    (46.25, 21.18),
+    (46.40, 21.28),
+    (46.70, 21.45),
+    (47.05, 21.65),                       # (Oradea RO east)
+    (47.30, 22.05),
+    (47.60, 22.45),
+    (47.95, 22.90),                       # HU/UA/RO tripoint
+]
+
+_HR_BA: list[tuple[float, float]] = [     # the Sava corner -> the
+    (44.95, 18.75),                       #   Dubrovnik reach (the
+    (45.05, 18.55),                       #   Sava midline west,
+    (45.10, 18.30),                       #   Slavonski Brod HR north)
+    (45.16, 18.00),
+    (45.12, 17.75),
+    (45.08, 17.45),
+    (45.10, 17.25),
+    (45.08, 17.00),
+    (45.12, 16.80),
+    (45.05, 16.40),                       # the Una reach
+    (45.10, 16.30),
+    (45.22, 16.00),
+    (45.10, 15.78),                       # (Slunj HR west)
+    (45.05, 15.77),
+    (44.95, 15.75),
+    (44.75, 15.78),                       # (Bihac BA east)
+    (44.60, 15.85),
+    (44.40, 16.00),
+    (44.20, 16.10),
+    (44.00, 16.30),                       # (Knin HR southwest)
+    (43.85, 16.40),
+    (43.70, 16.60),
+    (43.55, 16.85),
+    (43.45, 17.28),                       # (Imotski HR south)
+    (43.30, 17.25),
+    (43.15, 17.25),
+    (43.05, 17.40),
+    (43.02, 17.55),
+    (42.95, 17.50),                       # the Neum corridor cut:
+    (42.91, 17.63),                       #   BA's coast at Neum
+    (42.88, 17.76),                       #   (the bay midline;
+    (42.80, 17.95),                       #   Pelješac stays HR)
+    (42.75, 18.10),
+    (42.65, 18.25),                       # (Dubrovnik HR west)
+]
+
+_AL_MK: list[tuple[float, float]] = [     # GR tripoint -> AL/MK/XK
+    (40.55, 21.05),                       #   (the Prespa/Ohrid lakes)
+    (40.85, 20.98),
+    (40.90, 20.88),                       # Pogradec AL southwest
+    (41.05, 20.72),                       # Ohrid lake midline
+    (41.20, 20.60),                       #   (Struga/Ohrid MK east)
+    (41.32, 20.52),
+    (41.52, 20.49),                       # Debar MK east
+    (41.70, 20.55),
+    (41.85, 20.60),
+    (41.94, 20.62),                       # AL/MK/XK tripoint
+]
+
+_AL_ME: list[tuple[float, float]] = [     # AL/ME/XK -> the Adriatic
+    (42.55, 20.07),                       #   (Lake Shkodra midline,
+    (42.52, 19.80),                       #   the Bojana mouth)
+    (42.47, 19.58),
+    (42.37, 19.40),                       # (Podgorica ME northwest)
+    (42.25, 19.28),
+    (42.08, 19.18),                       # (Shkoder AL east)
+    (41.95, 19.31),
+    (41.865, 19.375),                     # the Bojana mouth (Ulcinj
+]                                         #   ME northwest)
+
+_ME_BA: list[tuple[float, float]] = [     # the HR reach -> RS/BA/ME
+    (42.65, 18.55),                       #   (conservative on both
+    (42.80, 18.70),                       #   rings' behalf — the
+    (42.95, 18.85),                       #   shared believed line)
+    (43.10, 19.00),
+    (43.25, 19.10),
+    (43.40, 19.20),
+    (43.50, 19.22),                       # RS/BA/ME area corner
+]
+
+_RO_BG: list[tuple[float, float]] = [     # the Timok mouth -> the
+    (44.21, 22.68),                       #   Black Sea (the Danube
+    (44.10, 22.75),                       #   midline + the Dobruja
+    (44.00, 22.90),                       #   land line)
+    (43.85, 23.20),
+    (43.78, 23.90),
+    (43.72, 24.40),
+    (43.75, 24.90),
+    (43.70, 25.40),
+    (43.875, 25.97),                      # Giurgiu RO / Ruse BG
+    (44.10, 26.60),
+    (44.00, 27.40),                       # the Dobruja line
+    (43.85, 28.00),
+    (43.74, 28.58),                       # Vama Veche (the coast)
+]
+
 _DK_SE: list[tuple[float, float]] = [     # the Oeresund + Kattegat
     (55.35, 12.62),                       #   midline, S -> N (shared
     (55.50, 12.70),                       #   VERBATIM by DK and SE):
@@ -4966,40 +5074,11 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (45.15, 19.25),
         (45.05, 19.10),
         (44.90, 19.05),                       # the Sava corner
-        (44.95, 18.75),                       # HR/BA: the Sava midline
-        (45.05, 18.55),                       #   west
-        (45.10, 18.30),
-        (45.16, 18.00),                       # Slavonski Brod HR north
-        (45.12, 17.75),
-        (45.08, 17.45),
-        (45.10, 17.25),
-        (45.08, 17.00),
-        (45.12, 16.80),
-        (45.05, 16.40),                       # the Una reach
-        (45.10, 16.30),
-        (45.22, 16.00),
-        (45.10, 15.78),                       # (Slunj HR west)
-        (45.05, 15.77),
-        (44.95, 15.75),
-        (44.75, 15.78),                       # (Bihac BA east)
-        (44.60, 15.85),
-        (44.40, 16.00),
-        (44.20, 16.10),
-        (44.00, 16.30),                       # (Knin HR southwest)
-        (43.85, 16.40),
-        (43.70, 16.60),
-        (43.55, 16.85),
-        (43.45, 17.28),                       # (Imotski HR south)
-        (43.30, 17.25),
-        (43.15, 17.25),
-        (43.05, 17.40),
-        (43.02, 17.55),
-        (42.95, 17.50),                       # the Neum corridor cut:
-        (42.91, 17.63),                       #   BA's coast at Neum
-        (42.88, 17.76),                       #   (the bay midline;
-        (42.80, 17.95),                       #   Pelješac stays HR)
-        (42.75, 18.10),
-        (42.65, 18.25),                       # (Dubrovnik HR west)
+        *_HR_BA,                              # the Sava/Una/Dinara
+                                              #   crescent + the Neum
+                                              #   corridor cut (shared
+                                              #   VERBATIM with the BA
+                                              #   ring; Dubrovnik in)
         (42.55, 18.45),
         (42.47, 18.50),                       # Prevlaka (ME concedes)
         (42.28, 18.35),                       # the Adriatic south
@@ -5016,19 +5095,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         *_AT_HU[::-1],                        # AT/HU/SK -> the SI
         *_SI_HU,                              #   tripoint; -> SI/HU/HR
         *_HR_HU,                              # the Drava -> HU/HR/RS
-        (45.95, 19.10),                       # HU/RS (conservative;
-        (46.10, 19.30),                       #   Subotica RS south)
-        (46.17, 19.66),
-        (46.13, 19.98),
-        (46.18, 20.28),                       # HU/RS/RO tripoint
-        (46.15, 20.80),                       # HU/RO (conservative)
-        (46.25, 21.18),
-        (46.40, 21.28),
-        (46.70, 21.45),
-        (47.05, 21.65),                       # (Oradea RO east)
-        (47.30, 22.05),
-        (47.60, 22.45),
-        (47.95, 22.90),                       # HU/UA/RO tripoint
+        *_HU_RS[1:],                          # conservative RS line
+        *_HU_RO[1:],                          # -> the HU/UA/RO tripoint
         (48.00, 22.80),                       # HU/UA (conservative)
         (48.20, 22.40),
         (48.41, 22.155),                      # HU/SK/UA tripoint
@@ -5114,6 +5182,169 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (39.62, 19.52),
         (39.82, 19.78),                       # Corfu north (the channel
     ],                                        #   closes at the midline)
+    # --- The Balkans + Romania/Bulgaria (round 4l).  Serbia and
+    # Kosovo stay deliberately anchor-resolved (their shared borders
+    # would pin the Kosovo question into geometry; Belgrade/Novi Sad
+    # anchors already resolve RS) — every neighbour ring keeps a
+    # conservative edge against them.
+    ("RO", None): [
+        *_HU_RO[::-1],                        # HU/UA/RO -> the RS
+        (45.95, 20.45),                       #   tripoint; RO/RS
+        (45.80, 20.60),                       #   (conservative; the
+        (45.55, 20.80),                       #   Banat line)
+        (45.35, 21.05),
+        (45.15, 21.36),
+        (44.95, 21.40),
+        (44.82, 21.40),                       # the Danube at Bazias
+        (44.66, 21.65),                       # the Iron Gates midline
+        (44.65, 22.00),
+        (44.68, 22.30),
+        (44.70, 22.45),                       # Orsova RO north
+        (44.62, 22.63),                       # Drobeta RO / Kladovo RS
+        (44.45, 22.72),
+        (44.35, 22.70),
+        (44.21, 22.68),                       # the Timok mouth (BG)
+        *_RO_BG,                              # the Danube + Dobruja
+        (43.75, 28.90),                       # Black Sea envelope
+        (44.00, 29.10),
+        (44.50, 29.30),
+        (45.10, 29.80),                       # the delta offshore
+        (45.35, 29.62),
+        (45.25, 29.20),                       # the Chilia arm (Izmail
+        (45.30, 28.75),                       #   UA north)
+        (45.40, 28.45),
+        (45.47, 28.21),                       # the Prut/Danube corner
+        (45.60, 28.15),                       # the Prut north (Moldova
+        (45.90, 28.20),                       #   east, anchor-resolved)
+        (46.30, 28.25),
+        (46.80, 28.10),
+        (47.00, 27.90),
+        (47.20, 27.75),                       # (Iasi RO west)
+        (47.50, 27.30),
+        (47.80, 26.90),
+        (48.10, 26.70),
+        (48.22, 26.63),                       # RO/UA/MD tripoint area
+        (48.00, 26.30),                       # RO/UA (conservative;
+        (47.95, 26.00),                       #   Chernivtsi UA north)
+        (47.90, 25.90),
+        (47.73, 25.20),
+        (47.73, 24.90),
+        (47.90, 24.20),
+        (47.94, 23.90),                       # the Tisza (Sighetu RO S)
+        (47.90, 23.20),
+    ],
+    ("BG", None): [
+        *_RO_BG[::-1],                        # the Dobruja + Danube
+        (44.05, 22.60),                       # BG/RS (conservative)
+        (43.85, 22.45),
+        (43.65, 22.50),
+        (43.40, 22.55),
+        (43.15, 22.80),
+        (43.00, 22.92),                       # (Dimitrovgrad RS west)
+        (42.85, 22.55),
+        (42.70, 22.45),
+        (42.50, 22.45),
+        (42.32, 22.37),                       # RS/MK/BG area corner
+        (42.20, 22.45),                       # BG/MK (conservative;
+        (42.10, 22.60),                       #   MK keeps a dead strip)
+        (41.90, 22.70),
+        (41.75, 22.90),
+        (41.60, 22.95),
+        (41.40, 22.95),
+        (41.34, 22.94),                       # MK/GR/BG tripoint area
+        (41.20, 23.00),                       # the GR chain SHARED
+        (41.38, 23.35),                       #   verbatim (the
+        (41.40, 24.00),                       #   Rhodopes)
+        (41.35, 24.60),
+        (41.45, 25.20),
+        (41.30, 25.90),
+        (41.32, 26.20),
+        (41.50, 26.30),
+        (41.70, 26.34),                       # GR/BG/TR tripoint
+        (41.97, 26.60),                       # BG/TR (conservative;
+        (41.94, 27.00),                       #   Edirne/Kirklareli TR
+        (41.92, 27.30),                       #   south, Malko Tarnovo
+        (41.96, 27.55),                       #   BG north)
+        (41.98, 28.02),                       # Rezovo (the coast)
+        (42.20, 28.20),                       # Black Sea envelope
+        (42.80, 28.10),
+        (43.40, 28.80),
+    ],
+    ("AL", None): [
+        (39.755, 19.975),                     # the Corfu channel (GR
+        (39.68, 20.10),                       #   chain shared verbatim)
+        (39.92, 20.30),
+        (40.05, 20.60),
+        (40.30, 20.80),
+        (40.48, 20.95),
+        *_AL_MK,                              # the lakes -> AL/MK/XK
+        (42.10, 20.55),                       # AL/XK (conservative)
+        (42.30, 20.45),
+        (42.40, 20.22),
+        *_AL_ME,                              # -> the Bojana mouth
+        (41.70, 19.30),                       # Adriatic envelope
+        (41.30, 19.15),                       # (Durres in)
+        (40.60, 19.15),
+        (40.30, 19.20),                       # (Vlore in)
+        (40.05, 19.48),
+        (39.90, 19.80),
+        (39.80, 19.99),                       # Saranda in (Corfu GR
+    ],                                        #   west of the midline)
+    ("MK", None): [
+        *_AL_MK[::-1],                        # AL/MK/XK -> the GR
+        (40.55, 21.05),                       #   tripoint; then the GR
+        (40.85, 21.15),                       #   chain shared verbatim
+        (41.05, 21.60),                       #   (Bitola MK north of
+        (41.10, 22.00),                       #   it, Florina GR south)
+        (41.12, 22.50),
+        (41.15, 22.75),
+        (41.30, 22.86),                       # MK/BG (conservative;
+        (41.55, 22.90),                       #   dead strip to the BG
+        (41.75, 22.85),                       #   ring)
+        (41.90, 22.68),
+        (42.10, 22.58),
+        (42.22, 22.40),
+        (42.32, 22.37),                       # RS/MK/BG area corner
+        (42.37, 21.90),                       # MK/RS + MK/XK north
+        (42.32, 21.70),                       #   (conservative;
+        (42.25, 21.50),                       #   Kumanovo/Skopje in)
+        (42.25, 21.15),
+        (42.20, 21.00),
+        (42.10, 20.75),
+        (41.98, 20.65),
+    ],
+    ("ME", None): [
+        (42.47, 18.50),                       # the HR reach (shared)
+        (42.55, 18.45),
+        *_ME_BA,                              # -> the RS/BA/ME corner
+        (43.40, 19.50),                       # ME/RS (conservative)
+        (43.25, 19.70),
+        (43.15, 19.95),
+        (43.05, 20.10),
+        (42.95, 20.25),
+        (42.85, 20.25),                       # the XK corner area
+        (42.70, 20.20),                       # ME/XK (conservative)
+        *_AL_ME,                              # -> the Bojana mouth
+        (41.88, 19.18),                       # the Adriatic coast
+        (42.05, 18.95),                       # (Ulcinj/Bar/Budva in)
+        (42.20, 18.70),
+        (42.35, 18.55),                       # the Bay of Kotor
+        (42.40, 18.48),
+    ],
+    ("BA", None): [
+        *_HR_BA[::-1],                        # the Dubrovnik reach ->
+        (44.90, 19.05),                       #   the Sava corner (HR
+        (44.70, 19.25),                       #   shared); BA/RS: the
+        (44.50, 19.13),                       #   Drina (conservative)
+        (44.30, 19.35),
+        (44.10, 19.28),
+        (43.95, 19.40),
+        (43.75, 19.35),
+        (43.60, 19.25),
+        (43.50, 19.22),                       # RS/BA/ME corner
+        *_ME_BA[::-1][1:],                    # -> the HR reach
+        (42.55, 18.45),                       # (shared with HR/ME)
+    ],
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
         (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is

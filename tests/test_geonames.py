@@ -3490,6 +3490,103 @@ def test_polygon_round4l_southeastern_europe():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4m_balkans_romania_bulgaria():
+    """Romania / Bulgaria / Albania / North Macedonia / Montenegro /
+    Bosnia.  Serbia and Kosovo stay deliberately anchor-resolved (the
+    neighbour rings keep conservative edges against them).  Shared
+    chains: the HU/RO and HU/RS lines, the RO/BG Danube (the
+    Giurgiu/Ruse twins), the HR/BA crescent verbatim (Neum inside BA,
+    Dubrovnik inside HR), the AL/MK lake midlines (Pogradec AL vs
+    Ohrid/Struga MK), the AL/ME Lake-Shkodra/Bojana chain, and the
+    ME/BA line.  The RO ring threads the Iron Gates Danube midline
+    (Drobeta RO / Kladovo RS), the Chilia arm (Izmail UA north), and
+    the Prut (Moldova anchor-resolved)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (44.4268, 26.1025, ("RO", None)),    # Bucharest
+        (46.7712, 23.6236, ("RO", None)),    # Cluj-Napoca
+        (45.76, 21.23, ("RO", None)),        # Timisoara (the Banat)
+        (47.16, 27.59, ("RO", None)),        # Iasi (the Prut west)
+        (44.17, 28.65, ("RO", None)),        # Constanta
+        (43.90, 25.975, ("RO", None)),       # Giurgiu (vs Ruse)
+        (44.631, 22.656, ("RO", None)),      # Drobeta (vs Kladovo)
+        (47.93, 23.89, ("RO", None)),        # Sighetu (the Tisza)
+        (45.17, 28.80, ("RO", None)),        # Tulcea (the delta)
+        (42.6977, 23.3219, ("BG", None)),    # Sofia
+        (43.2141, 27.9147, ("BG", None)),    # Varna
+        (43.85, 25.97, ("BG", None)),        # Ruse (vs Giurgiu)
+        (43.99, 22.87, ("BG", None)),        # Vidin (the Timok corner)
+        (41.98, 27.52, ("BG", None)),        # Malko Tarnovo (vs TR)
+        (41.57, 23.73, ("BG", None)),        # Sandanski (vs GR)
+        (41.3275, 19.8187, ("AL", None)),    # Tirana
+        (42.068, 19.513, ("AL", None)),      # Shkoder (vs Ulcinj)
+        (40.90, 20.655, ("AL", None)),       # Pogradec (lake midline)
+        (39.87, 20.01, ("AL", None)),        # Saranda (Corfu channel)
+        (41.9981, 21.4254, ("MK", None)),    # Skopje
+        (41.117, 20.802, ("MK", None)),      # Ohrid (vs Pogradec)
+        (41.525, 20.527, ("MK", None)),      # Debar (on the border)
+        (41.14, 22.50, ("MK", None)),        # Gevgelija (vs GR)
+        (42.4304, 19.2594, ("ME", None)),    # Podgorica
+        (42.42, 18.77, ("ME", None)),        # Kotor
+        (42.452, 18.537, ("ME", None)),      # Herceg Novi (vs HR)
+        (41.93, 19.21, ("ME", None)),        # Ulcinj (vs Shkoder)
+        (43.8563, 18.4131, ("BA", None)),    # Sarajevo
+        (43.34, 17.81, ("BA", None)),        # Mostar
+        (44.77, 17.19, ("BA", None)),        # Banja Luka
+        (42.925, 17.615, ("BA", None)),      # Neum (the corridor!)
+        (44.87, 18.81, ("BA", None)),        # Brcko (the Sava)
+        (43.78, 19.29, ("BA", None)),        # Visegrad (the Drina)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (44.8125, 20.4612, "Belgrade RS (anchor-resolved)"),
+        (45.2551, 19.8452, "Novi Sad RS"),
+        (43.32, 21.90, "Nis RS"),
+        (44.604, 22.607, "Kladovo RS (vs Drobeta)"),
+        (42.6629, 21.1655, "Pristina XK"),
+        (42.38, 20.43, "Prizren XK"),
+        (47.0105, 28.8638, "Chisinau MD"),
+        (46.48, 30.73, "Odesa UA"),
+        (45.35, 28.84, "Izmail UA (the Chilia arm)"),
+        (48.29, 25.93, "Chernivtsi UA"),
+        (41.0082, 28.9784, "Istanbul TR"),
+        (41.74, 27.22, "Kirklareli TR (vs Malko Tarnovo)"),
+        (40.64, 22.94, "Thessaloniki (GR, not BG/MK)"),
+    ]
+    new = ("RO", "BG", "AL", "MK", "ME", "BA")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    assert adversarial >= 10, f"only {adversarial} anchor-adversarial"
+
+    # Serbia still resolves through its anchors (deliberate)
+    assert "Serbia" in geonames.derive_location(44.8125, 20.4612)["country"]
+    # the Danube twins
+    assert geonames.derive_location(43.90, 25.975)["country"] \
+        .endswith("Romania")
+    assert geonames.derive_location(43.85, 25.97)["country"] \
+        .endswith("Bulgaria")
+    # Neum: Bosnia's 20 km of coast inside the Croatian crescent
+    assert geonames.derive_location(42.925, 17.615)["country"] \
+        .endswith("Bosnia & Herzegovina")
+
+    # dense regional overlap sweep: the eastern Balkans
+    import numpy as np
+    rng = np.random.default_rng(61)
+    pts = np.stack([rng.uniform(38.5, 49.0, 40000),
+                    rng.uniform(15.5, 30.5, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
