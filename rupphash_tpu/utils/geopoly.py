@@ -1965,6 +1965,44 @@ _ME_BA: list[tuple[float, float]] = [     # the HR reach -> RS/BA/ME
     (43.50, 19.22),                       # RS/BA/ME area corner
 ]
 
+# --- The Baltics (round 4m).  Shared EE/LV land + Gulf-of-Riga
+# chains (Ruhnu EE inside the gulf, Kolka LV below the split; the
+# conjoined Valga/Valka pair is documented unasserted), the Narva
+# river (Narva EE / Ivangorod RU twins threaded), Lake Peipus
+# midline, and conservative RU/BY edges.
+_EE_LV: list[tuple[float, float]] = [     # the Ainazi coast -> the
+    (57.875, 24.37),                      #   EE/LV/RU tripoint
+    (57.90, 24.40),
+    (57.85, 24.80),
+    (57.85, 25.40),
+    (57.77, 26.04),                       # Valga EE / Valka LV (the
+    (57.60, 26.00),                       #   conjoined pair concedes)
+    (57.55, 26.50),
+    (57.60, 27.00),
+    (57.55, 27.35),                       # EE/LV/RU tripoint area
+]
+
+_EE_LV_GULF: list[tuple[float, float]] = [  # the Gulf of Riga split
+    (57.875, 24.37),                      #   (EE north: Ruhnu in;
+    (57.78, 23.85),                       #   LV south: Kolka out)
+    (57.73, 23.25),
+    (57.76, 22.70),
+    (57.79, 22.30),
+    (57.72, 21.80),                       # the Irbe strait midline
+]
+
+_LV_LT: list[tuple[float, float]] = [     # the Butinge coast -> the
+    (56.06, 21.04),                       #   LV/LT/BY tripoint
+    (56.35, 21.50),                       #   (conservative-as-shared)
+    (56.20, 22.20),
+    (56.30, 22.90),
+    (56.35, 23.70),
+    (56.20, 24.50),
+    (56.00, 25.00),
+    (55.70, 26.00),
+    (55.67, 26.60),                       # LV/LT/BY tripoint area
+]
+
 _RO_BG: list[tuple[float, float]] = [     # the Timok mouth -> the
     (44.21, 22.68),                       #   Black Sea (the Danube
     (44.10, 22.75),                       #   midline + the Dobruja
@@ -5344,6 +5382,76 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (43.50, 19.22),                       # RS/BA/ME corner
         *_ME_BA[::-1][1:],                    # -> the HR reach
         (42.55, 18.45),                       # (shared with HR/ME)
+    ],
+    # --- The Baltics (round 4m).
+    ("EE", None): [
+        *_EE_LV_GULF[::-1],                   # the Irbe -> Ainazi
+        *_EE_LV,                              # -> the RU tripoint
+        (57.65, 27.35),                       # EE/RU (conservative;
+        (57.80, 27.52),                       #   Pechory RU east)
+        (57.85, 27.55),
+        (57.95, 27.70),
+        (58.05, 27.60),                       # Lake Peipus midline
+        (58.30, 27.50),
+        (58.70, 27.50),
+        (59.00, 27.90),                       # the Narva river
+        (59.20, 28.15),
+        (59.376, 28.200),                     # Narva EE / Ivangorod RU
+        (59.47, 28.045),                      # the Narva mouth
+        (59.52, 27.85),                       # Gulf of Finland shore
+        (59.55, 26.50),                       #   (south of the FI
+        (59.55, 25.00),                       #   ring's midline)
+        (59.55, 24.00),
+        (59.40, 23.00),                       # the NW envelope
+        (59.30, 22.60),
+        (59.15, 22.10),                       # Hiiumaa in
+        (58.90, 21.60),
+        (58.20, 21.45),                       # Saaremaa west in
+        (57.70, 21.75),                       # (Soerve in; joins the
+    ],                                        #   Irbe midline)
+    ("LV", None): [
+        *_EE_LV[::-1],                        # the RU tripoint -> the
+        (57.875, 24.37),                      #   Ainazi coast...
+        *_EE_LV_GULF[1:],                     # the gulf split (Kolka
+        (57.60, 21.40),                       #   in); the open Baltic
+        (57.20, 21.00),
+        (56.30, 20.80),
+        *_LV_LT,                              # Butinge -> the tripoint
+        (55.85, 27.00),                       # LV/BY (conservative;
+        (55.95, 27.40),                       #   Daugavpils in)
+        (56.15, 27.65),
+        (56.30, 28.00),
+        (56.45, 28.20),
+        (56.65, 28.10),                       # LV/RU (conservative)
+        (56.85, 28.00),
+        (57.05, 27.80),
+        (57.30, 27.55),
+    ],
+    ("LT", None): [
+        *_LV_LT[::-1],                        # the tripoint -> Butinge
+        (55.80, 20.80),                       # the Baltic (Klaipeda,
+        (55.30, 20.70),                       #   Palanga in)
+        (55.275, 20.965),                     # the Curonian spit
+        (55.28, 21.10),                       #   crossing (Nida LT in)
+        (55.30, 21.25),                       # the lagoon / Neman delta
+        (55.085, 21.88),                      # Sovetsk RU / Panemune LT
+        (55.04, 22.40),                       # the Neman midline
+        (54.95, 22.75),
+        (54.70, 22.80),
+        (54.36, 22.79),                       # PL/LT/RU tripoint
+        (54.25, 23.05),                       # the PL chain shared
+        (54.15, 23.35),                       #   verbatim
+        (53.96, 23.51),                       # PL/BY/LT tripoint
+        (54.00, 24.20),                       # LT/BY (conservative;
+        (53.95, 24.70),                       #   Grodno BY south)
+        (54.15, 25.00),
+        (54.15, 25.50),
+        (54.30, 25.60),
+        (54.60, 25.75),                       # (Vilnius LT west)
+        (54.85, 25.75),
+        (54.95, 26.00),
+        (55.25, 26.50),
+        (55.40, 26.75),
     ],
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so

@@ -3587,6 +3587,63 @@ def test_polygon_round4m_balkans_romania_bulgaria():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4m_baltics():
+    """Estonia / Latvia / Lithuania close Europe: the shared EE/LV
+    land + Gulf-of-Riga chains (Ruhnu EE inside the gulf, Kolka LV
+    below the split; conjoined Valga/Valka documented unasserted),
+    the Narva river threading the Narva/Ivangorod twins, the Lake
+    Peipus midline, the Neman (Panemune LT / Sovetsk RU), the
+    Curonian spit crossing (Nida LT in, the RU spit half out), and
+    conservative RU/BY edges."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (59.4370, 24.7536, ("EE", None)),    # Tallinn
+        (58.3776, 26.7290, ("EE", None)),    # Tartu (Peipus west)
+        (59.377, 28.19, ("EE", None)),       # Narva (vs Ivangorod RU)
+        (58.25, 22.48, ("EE", None)),        # Kuressaare (Saaremaa)
+        (57.80, 23.26, ("EE", None)),        # Ruhnu (the gulf split)
+        (56.9496, 24.1052, ("LV", None)),    # Riga
+        (56.51, 21.01, ("LV", None)),        # Liepaja
+        (55.8714, 26.5161, ("LV", None)),    # Daugavpils (vs BY)
+        (57.7533, 22.5973, ("LV", None)),    # Kolka (below the split)
+        (54.6872, 25.2797, ("LT", None)),    # Vilnius (vs BY)
+        (54.8985, 23.9036, ("LT", None)),    # Kaunas
+        (55.7033, 21.1443, ("LT", None)),    # Klaipeda
+        (55.303, 21.005, ("LT", None)),      # Nida (the spit)
+        (54.02, 23.97, ("LT", None)),        # Druskininkai (vs Grodno)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+    outsiders = [
+        (59.375, 28.21, "Ivangorod RU (vs Narva)"),
+        (57.81, 27.61, "Pechory RU (Setomaa edge)"),
+        (59.9343, 30.3351, "St Petersburg RU"),
+        (55.08, 21.885, "Sovetsk RU (the Neman)"),
+        (55.19, 20.82, "the RU half of the spit"),
+        (53.68, 23.83, "Grodno BY"),
+        (53.90, 27.57, "Minsk BY"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("EE", "LV", "LT"), (name, got)
+    assert adversarial >= 4, f"only {adversarial} anchor-adversarial"
+    assert geonames.derive_location(59.377, 28.19)["country"] \
+        .endswith("Estonia")
+
+    import numpy as np
+    rng = np.random.default_rng(67)
+    pts = np.stack([rng.uniform(53.0, 60.5, 25000),
+                    rng.uniform(19.5, 29.0, 25000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
