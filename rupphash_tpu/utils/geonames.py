@@ -34,6 +34,9 @@ from pathlib import Path
 ZONEINFO = Path("/usr/share/zoneinfo")
 OCEAN_KM = 500.0      # farther than this from any anchor -> Etc/GMT±
 COUNTRY_KM = 500.0    # farther than this -> no country tag
+TZ_LOCAL_KM = 100.0   # a FOREIGN anchor is a valid tz proxy only this
+                      # close (the El Paso / Cd. Juarez class); farther
+                      # foreign anchors lose to the ring country's zones
 
 # ISO-3166 *official* English names where they differ from the tzdata
 # short names; the reference's iso3166 crate prints these forms
@@ -336,17 +339,25 @@ def timezone_name(lat: float, lon: float) -> str | None:
     is land, not ocean: it takes the nearest of its own country's
     zone1970 zones (tzdb's canonical covering zone — e.g. interior
     Mali is Africa/Abidjan, which zone1970 lists for
-    CI,BF,...,ML,MR,...) instead of the nautical fallback."""
+    CI,BF,...,ML,MR,...) instead of the nautical fallback.
+
+    A nearby foreign anchor beats the ring country's own zone list
+    only within TZ_LOCAL_KM: El Paso sits 4 km from the Ciudad Juarez
+    zone point and shares its Mountain offset (the US list would send
+    it to Chicago time), but Yerevan 370 km from Silopi must NOT drag
+    southeastern Turkey to UTC+4 when the TR ring already proves the
+    point is Turkish land."""
     hit = nearest_anchor(lat, lon)
-    if hit is not None and hit[3] <= OCEAN_KM:
-        # the nearest in-range anchor wins even across a border: a
-        # neighbour's city is usually the best tz proxy (El Paso sits
-        # 4 km from the Ciudad Juarez zone point and shares its
-        # Mountain offset; the ring-country zone list would send it
-        # to Chicago time)
-        return hit[0]
     from . import geopoly
-    poly = geopoly.lookup(lat, lon)
+    poly = None
+    if hit is not None and hit[3] <= OCEAN_KM:
+        poly = geopoly.lookup(lat, lon)
+        if poly is None or hit[1] == poly[0] or hit[3] <= TZ_LOCAL_KM:
+            return hit[0]
+        # inside a ring whose country disagrees with a FAR anchor:
+        # prefer the ring country's own zones (fall through)
+    elif hit is None or hit[3] > OCEAN_KM:
+        poly = geopoly.lookup(lat, lon)
     if poly is not None:
         _load()
         zones = (_country_zones or {}).get(poly[0])
@@ -359,6 +370,10 @@ def timezone_name(lat: float, lon: float) -> str | None:
                 return ((zla - la) ** 2
                         + (math.cos(la) * (zlo - lo)) ** 2)
             return min(zones, key=d2)[2]
+        if hit is not None and hit[3] <= OCEAN_KM:
+            # ringed country with no zone list: the far foreign
+            # anchor is still better than the nautical guess
+            return hit[0]
     # nautical convention: Etc/GMT signs are inverted (POSIX)
     offset = int(round(-lon / 15.0))
     if offset == 0:

@@ -2055,6 +2055,17 @@ _IT_SI: list[tuple[float, float]] = [     # tripoint -> the Adriatic
     (45.59, 13.715),                      # coast (Muggia IT /
 ]                                         #   Koper SI)
 
+_TR_IQ: list[tuple[float, float]] = [     # the TR/IQ border, W -> E
+    (37.08, 42.36),                       # TR/SY/IQ Tigris tripoint
+    (37.20, 42.60),                       # Silopi TR N / Zakho IQ S
+    (37.15, 42.95),                       # the Habur crossing dip
+    (37.25, 43.30),
+    (37.20, 43.62),                       # Cukurca TR / Amadiya IQ
+    (37.30, 44.00),
+    (37.25, 44.40),                       # Semdinli TR north
+    (37.15, 44.78),                       # TR/IQ/IR tripoint
+]
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -4438,11 +4449,8 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (34.42, 41.0),                        # Al-Qaim in, Albu Kamal out
         (35.2, 41.25),                        # Syria line (conserv.)
         (36.62, 41.6),                        # Sinjar in, Hasakah SY out
-        (37.1, 42.35),                        # TR/SY tripoint region
-        (37.33, 42.7),                        # Zakho in, Silopi TR out
-        (37.32, 43.5),                        # Turkey line (conserv.)
-        (37.14, 44.79),                       # TR/IR tripoint
-        (36.8, 45.05),                        # Piranshahr IR out
+        *_TR_IQ,                              # Turkey chain (shared
+        (36.8, 45.05),                        #   VERBATIM); Piranshahr out
         (36.2, 45.3),                         # Iran chain (conserv.)
         (35.7, 46.15),                        # Penjwin reach
         (35.2, 46.1),                         # Halabja in, Marivan out
@@ -5453,6 +5461,101 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (55.25, 26.50),
         (55.40, 26.75),
     ],
+    # --- Turkey + Cyprus (round 4m).  Turkey's west edge shares the
+    # GR ring's Evros + Aegean strait midlines and the BG ring's
+    # Thrace line VERBATIM; the Black Sea/Med envelopes are generous;
+    # the eastern land borders (GE/AM/IR/IQ/SY) are conservative with
+    # no rings on the far side; the envelope threads the 1-2 km gaps
+    # around the Kastellorizo square and stays north of Cyprus.
+    # Cyprus is one ISO ring (the whole island resolves CY, as the
+    # reference's country-boundaries DB does).
+    ("TR", None): [
+        (41.70, 26.34),                       # GR/BG/TR tripoint
+        (41.66, 26.53),                       # the Evros midline
+        (41.55, 26.60),                       #   (GR shared verbatim)
+        (41.40, 26.61),
+        (41.35, 26.55),
+        (41.20, 26.40),
+        (41.00, 26.33),
+        (40.85, 26.10),
+        (40.73, 26.05),                       # the Evros delta
+        (40.45, 25.95),                       # the Aegean midlines
+        (40.28, 25.58),                       #   (GR shared verbatim;
+        (39.95, 25.68),                       #   Goekceada/Bozcaada in)
+        (39.60, 26.25),
+        (39.35, 26.72),
+        (39.05, 26.73),
+        (38.85, 26.52),
+        (38.60, 26.42),
+        (38.35, 26.23),
+        (38.10, 25.98),
+        (37.90, 26.30),
+        (37.86, 26.70),
+        (37.82, 27.00),
+        (37.70, 27.065),                      # the Mycale strait
+        (37.55, 27.12),
+        (37.30, 27.18),
+        (37.05, 27.28),
+        (36.92, 27.38),
+        (36.78, 27.52),
+        (36.68, 27.85),
+        (36.55, 28.15),
+        (36.28, 28.42),                       # the Rhodes midline end
+        (36.18, 28.90),
+        (36.18, 29.54),                       # the Kastellorizo thread
+        (36.185, 29.63),                      #   (Kas TR north, the GR
+        (36.15, 30.00),                       #   square south)
+        (36.00, 31.00),
+        (35.95, 32.30),                       # north of Cyprus
+        (35.95, 34.60),
+        (36.10, 35.40),
+        (35.85, 35.88),                       # the Med coast at the
+        (35.90, 36.00),                       #   SY border (Latakia S)
+        (36.30, 36.65),                       # the Hatay east rim
+        (36.55, 36.60),                       #   (conservative)
+        (36.70, 37.00),
+        (36.80, 37.40),
+        (36.90, 38.00),
+        (36.70, 38.40),                       # TR/SY line (Aleppo S)
+        (36.80, 39.20),
+        (36.90, 40.00),
+        (37.08, 40.50),
+        (37.08, 41.22),                       # (Qamishli SY south)
+        *_TR_IQ,                              # the Iraq chain (shared
+        (37.45, 44.60),                       #   VERBATIM); then TR/IR
+        (37.95, 44.50),
+        (38.40, 44.30),
+        (38.80, 44.30),
+        (39.00, 44.40),
+        (39.40, 44.40),
+        (39.65, 44.80),                       # the Aras corner
+        (39.72, 44.60),                       # TR/AM + Nakhchivan
+        (40.02, 43.58),                       #   (conservative;
+        (40.20, 43.65),                       #   Gyumri AM east)
+        (40.60, 43.65),
+        (41.10, 43.45),
+        (41.18, 43.38),                       # TR/GE (conservative)
+        (41.40, 43.00),
+        (41.45, 42.50),
+        (41.48, 42.00),
+        (41.51, 41.54),                       # Sarpi (Batumi GE north)
+        (41.80, 40.80),                       # Black Sea envelope
+        (41.60, 39.50),
+        (41.50, 38.00),
+        (42.40, 35.00),                       # (Sinop in)
+        (42.10, 33.00),
+        (42.30, 31.50),
+        (42.00, 29.30),
+        (41.98, 28.40),
+        (41.98, 28.02),                       # Rezovo (the BG chain
+        (41.96, 27.55),                       #   shared verbatim)
+        (41.92, 27.30),
+        (41.94, 27.00),
+        (41.97, 26.60),
+    ],
+    ("CY", None): [                           # Cyprus (whole-island
+        (35.90, 32.10), (35.90, 34.70),       #   ISO assignment; the
+        (34.40, 34.70), (34.40, 32.10)],      #   TR envelope stays N)
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
         (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is

@@ -3644,6 +3644,105 @@ def test_polygon_round4m_baltics():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4m_turkey_cyprus():
+    """Turkey + Cyprus bridge Europe to the Middle East rings.  The TR
+    west edge reuses the GR Evros/Aegean-strait midlines and the BG
+    Thrace chain VERBATIM (every strait down to the Kastellorizo
+    thread 2 km off Kas); the TR/IQ border is the shared _TR_IQ chain
+    (Silopi/Cukurca/Semdinli TR vs Zakho/Amadiya IQ); the GE/AM/IR/SY
+    land edges are conservative with no rings on the far side.
+    Cyprus is one whole-island country ring under the TR envelope's
+    southern edge."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (41.0082, 28.9784, ("TR", None)),    # Istanbul
+        (39.9334, 32.8597, ("TR", None)),    # Ankara
+        (38.4237, 27.1428, ("TR", None)),    # Izmir
+        (36.8969, 30.7133, ("TR", None)),    # Antalya
+        (37.0000, 35.3213, ("TR", None)),    # Adana
+        (41.0027, 39.7168, ("TR", None)),    # Trabzon
+        (36.2021, 36.1606, ("TR", None)),    # Antakya (Hatay)
+        (37.0662, 37.3833, ("TR", None)),    # Gaziantep (vs Aleppo)
+        (37.9144, 40.2306, ("TR", None)),    # Diyarbakir
+        (38.4891, 43.4089, ("TR", None)),    # Van (vs AM anchors)
+        (41.6771, 26.5557, ("TR", None)),    # Edirne (the Evros)
+        (36.1990, 29.6385, ("TR", None)),    # Kas (vs Kastellorizo)
+        (40.1553, 26.4142, ("TR", None)),    # Canakkale
+        (36.85, 28.27, ("TR", None)),        # Marmaris (vs Rhodes)
+        (37.034, 27.43, ("TR", None)),       # Bodrum (vs Kos)
+        (41.74, 27.22, ("TR", None)),        # Kirklareli (vs BG)
+        (37.249, 42.471, ("TR", None)),      # Silopi (vs Zakho)
+        (37.245, 43.61, ("TR", None)),       # Cukurca (the Zab dip)
+        (37.305, 44.57, ("TR", None)),       # Semdinli
+        (40.60, 43.10, ("TR", None)),        # Kars (vs Gyumri)
+        (35.1856, 33.3823, ("CY", None)),    # Nicosia
+        (34.7071, 33.0226, ("CY", None)),    # Limassol
+        (35.3369, 33.3173, ("CY", None)),    # Kyrenia (north coast)
+        (34.9229, 33.6233, ("CY", None)),    # Larnaca
+        (35.125, 33.94, ("CY", None)),       # Famagusta
+        (34.77, 32.42, ("CY", None)),        # Paphos
+        (35.66, 34.55, ("CY", None)),        # Cape Apostolos Andreas
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (36.1741, 29.5908, "Kastellorizo GR (2 km off Kas)"),
+        (36.4341, 28.2176, "Rhodes GR"),
+        (37.757, 26.977, "Vathy, Samos GR (the Mycale gap)"),
+        (39.10, 26.55, "Mytilene GR"),
+        (38.37, 26.135, "Chios GR"),
+        (36.89, 27.29, "Kos GR"),
+        (40.85, 25.87, "Alexandroupoli GR"),
+        (41.98, 27.52, "Malko Tarnovo BG"),
+        (36.20, 37.16, "Aleppo SY"),
+        (35.53, 35.79, "Latakia SY"),
+        (37.05, 41.22, "Qamishli SY (vs Nusaybin)"),
+        (37.144, 42.688, "Zakho IQ (vs Silopi)"),
+        (37.09, 43.49, "Amadiya IQ (vs Cukurca)"),
+        (38.08, 46.29, "Tabriz IR"),
+        (37.55, 45.07, "Urmia IR"),
+        (40.18, 44.51, "Yerevan AM"),
+        (40.7895, 43.8465, "Gyumri AM (vs Kars)"),
+        (41.6168, 41.6367, "Batumi GE (vs Sarpi)"),
+        (41.72, 44.78, "Tbilisi GE"),
+        (39.20, 45.41, "Nakhchivan AZ"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("TR", "CY"), (name, got)
+    assert adversarial >= 8, f"only {adversarial} anchor-adversarial"
+
+    # the Kastellorizo thread: 2 km of water separate the assignments
+    assert geonames.derive_location(36.1990, 29.6385)["country"] \
+        .endswith("Turkey")
+    assert geonames.derive_location(36.1741, 29.5908)["country"] \
+        .endswith("Greece")
+    # the TR/IQ chain splits the Silopi/Zakho pair
+    assert geonames.derive_location(37.249, 42.471)["country"] \
+        .endswith("Turkey")
+    assert geonames.derive_location(37.144, 42.688)["country"] \
+        .endswith("Iraq")
+    # Cyprus: whole-island ISO assignment, its own zone
+    nicosia = geonames.derive_location(35.1856, 33.3823)
+    assert nicosia["country"] == "Cyprus"
+    assert nicosia["timezone"] == "Asia/Nicosia"
+
+    # dense regional overlap sweep: Anatolia / Levant / Caucasus
+    import numpy as np
+    rng = np.random.default_rng(73)
+    pts = np.stack([rng.uniform(33.5, 43.5, 40000),
+                    rng.uniform(25.0, 46.0, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
@@ -3701,11 +3800,19 @@ def test_timezone_ring_country_fallback():
         == "Africa/Abidjan"                      # Timbuktu
     assert geonames.timezone_name(17.92, 19.11) \
         == "Africa/Ndjamena"                     # Faya-Largeau, Chad
-    # in-range anchors keep winning, even across a border: El Paso
-    # sits 4 km from the Ciudad Juarez zone point and shares its
-    # Mountain offset — the ring-country list must NOT override it
+    # in-range anchors keep winning across a border only when LOCAL
+    # (TZ_LOCAL_KM): El Paso sits 4 km from the Ciudad Juarez zone
+    # point and shares its Mountain offset — the ring-country list
+    # must NOT override it
     assert geonames.timezone_name(31.7619, -106.485) \
         == "America/Ciudad_Juarez"
+    # ...but a FAR foreign anchor inside a country ring loses to the
+    # ring country's own zone: Yerevan (370 km, UTC+4) must not drag
+    # Silopi/Van off Turkey's UTC+3
+    assert geonames.timezone_name(37.249, 42.471) \
+        == "Europe/Istanbul"                     # Silopi (was Yerevan)
+    assert geonames.timezone_name(38.4891, 43.4089) \
+        == "Europe/Istanbul"                     # Van
     # true open ocean keeps the nautical convention
     assert geonames.timezone_name(0.0, -150.0) == "Etc/GMT+10"
     # derive_location carries the fixed zone through
