@@ -190,6 +190,7 @@ _country_zones = None  # code -> [(lat, lon, tzname)] from the FULL
                        # Africa/Abidjan zone is reachable only here)
 _anchor_xyz = None  # (N, 3) unit vectors for vectorized nearest lookup
 _sub_idx = None     # indices of subdivision-bearing anchors
+_sub_idx_cc: dict = {}  # ... filtered per country code
 
 
 def _parse_iso6709(s: str):
@@ -312,22 +313,35 @@ def nearest_anchor(lat: float, lon: float):
                                                     best[0], best[1])
 
 
-def nearest_subdivision(lat: float, lon: float):
+def nearest_subdivision(lat: float, lon: float, country: str | None = None):
     """(subdivision, country_code, distance_km) of the nearest anchor
     that *carries* an admin-1 name — a plain zone1970 city anchor can
-    sit closer without shadowing the subdivision table."""
+    sit closer without shadowing the subdivision table.  With
+    `country`, only that country's subdivision anchors compete: a
+    point PROVEN inside a country ring must not lose its admin-1 to a
+    closer foreign anchor (Woodlands SG sits nearer the Johor anchor
+    than any Singapore one)."""
     import numpy as np
     global _sub_idx
     anchors, _ = _load()
     if not anchors:
         return None
-    if _sub_idx is None:
-        _sub_idx = np.array([i for i, a in enumerate(anchors)
-                             if a[4] is not None], dtype=np.int64)
-    if _sub_idx.size == 0:
+    if country is None:
+        if _sub_idx is None:
+            _sub_idx = np.array([i for i, a in enumerate(anchors)
+                                 if a[4] is not None], dtype=np.int64)
+        idx = _sub_idx
+    else:
+        idx = _sub_idx_cc.get(country)
+        if idx is None:
+            idx = np.array([i for i, a in enumerate(anchors)
+                            if a[4] is not None and a[3] == country],
+                           dtype=np.int64)
+            _sub_idx_cc[country] = idx
+    if idx.size == 0:
         return None
-    dots = _xyz_table()[_sub_idx] @ _point_xyz(lat, lon)
-    best = anchors[int(_sub_idx[int(np.argmax(dots))])]
+    dots = _xyz_table()[idx] @ _point_xyz(lat, lon)
+    best = anchors[int(idx[int(np.argmax(dots))])]
     return best[4], best[3], _haversine_km(lat, lon, best[0], best[1])
 
 
@@ -407,8 +421,8 @@ def _ring_subdivision(code: str, lat: float, lon: float) -> str | None:
     exact border must never be crossed by a nearest-subdivision grab)
     and in range.  Shared by subdivision_name and derive_location so
     the two can never disagree about the same coordinates."""
-    sub = nearest_subdivision(lat, lon)
-    if sub is not None and sub[1] == code and sub[2] <= COUNTRY_KM:
+    sub = nearest_subdivision(lat, lon, country=code)
+    if sub is not None and sub[2] <= COUNTRY_KM:
         return sub[0]
     return None
 

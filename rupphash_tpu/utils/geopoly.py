@@ -2055,6 +2055,129 @@ _IT_SI: list[tuple[float, float]] = [     # tripoint -> the Adriatic
     (45.59, 13.715),                      # coast (Muggia IT /
 ]                                         #   Koper SI)
 
+# --- Southeast Asia (round 4n).  tzdata 2024 merged Asia/Phnom_Penh
+# and Asia/Vientiane into Asia/Bangkok, so Cambodia and Laos have NO
+# anchors at all: Phnom Penh resolved to Vietnam and Siem Reap /
+# Vientiane / Luang Prabang to Thailand before these rings.  The
+# TH/LA border is the Mekong where the river IS the border (twin
+# cities split at the midline: Vientiane/Si Chiang Mai, Nong Khai,
+# Bueng Kan/Pakxan, Nakhon Phanom/Thakhek, Mukdahan/Savannakhet) and
+# a conservative range chain where Laos' Xaignabouli province lies
+# WEST of the river; the TH/KH border follows the Dangrek escarpment
+# (Preah Vihear on the Cambodian side per ICJ 1962/2013); the TH/MY
+# chain threads the Betong and Sadao salients and the
+# Tarutao(TH)/Langkawi(MY) 10 km strait; Myanmar keeps no ring
+# (it has its own tz anchor) so the TH/MM edge dips conservatively
+# at the uncertain range segments.
+
+_MEKONG_GT: list[tuple[float, float]] = [  # Golden Triangle -> the
+    (20.355, 100.092),                     #   river's exit into Laos
+    (20.31, 100.26),                       #   (TH/LA, NW -> SE)
+    (20.27, 100.41),                       # Chiang Khong / Huay Xai
+    (20.18, 100.50),                       # departure (Xaignabouli
+]                                          #   is west of the river)
+
+_TH_LA_RANGE: list[tuple[float, float]] = [  # the overland chain
+    (19.95, 100.52),                       #   west of Xaignabouli,
+    (19.60, 100.58),                       #   N -> S (Phu Chi Fa TH
+    (19.35, 100.80),                       #   on the cliff edge)
+    (19.20, 101.15),                       # the Nan bulge east
+    (18.80, 101.25),
+    (18.30, 101.15),
+    (17.95, 101.17),                       # the Nam Heuang bend:
+    (17.70, 101.32),                       #   Tha Li TH south,
+    (17.655, 101.42),                      #   Kenethao LA north
+    (17.80, 101.52),
+    (17.907, 101.64),                      # Mekong rejoin (Chiang
+]                                          #   Khan TH on the S bank)
+
+_MEKONG_LOWER: list[tuple[float, float]] = [  # Chiang Khan -> the
+    (17.93, 101.85),                       #   lower departure,
+    (18.055, 102.30),                      #   midline (TH S/W bank,
+    (17.952, 102.60),                      #   LA N/E bank):
+    (17.893, 102.74),                      # Vientiane / Si Chiang Mai
+    (18.10, 103.10),                       #   then Nong Khai TH
+    (18.375, 103.64),                      # Bueng Kan / Pakxan
+    (18.33, 103.95),
+    (18.15, 104.35),
+    (17.80, 104.63),
+    (17.40, 104.79),                       # Nakhon Phanom / Thakhek
+    (17.00, 104.74),                       # That Phanom TH
+    (16.55, 104.737),                      # Mukdahan / Savannakhet
+    (16.04, 105.24),                       # Khemmarat TH
+    (15.75, 105.40),
+    (15.42, 105.615),                      # Pha Taem TH cliffs west
+    (15.23, 105.53),                       # departure below the Mun
+]
+
+_TH_LA_S: list[tuple[float, float]] = [    # overland to the Emerald
+    (15.117, 105.497),                     #   Triangle (Chong Mek /
+    (14.80, 105.51),                       #   Vang Tao crossing),
+    (14.55, 105.42),                       #   N -> S
+    (14.41, 105.22),                       # TH/LA/KH tripoint
+]
+
+_TH_KH: list[tuple[float, float]] = [      # the Dangrek escarpment
+    (14.41, 105.22),                       #   + the SE plain, E -> W
+    (14.38, 104.95),                       #   (TH north, KH south)
+    (14.405, 104.68),                      # Preah Vihear KH (ICJ)
+    (14.36, 104.45),
+    (14.35, 104.05),                       # Anlong Veng KH south
+    (14.36, 103.70),
+    (14.36, 103.25),                       # Ta Muen temples ridge
+    (14.42, 102.80),
+    (14.40, 102.90),                       # the escarpment west end
+    (14.05, 102.92),                       # Ta Phraya TH west
+    (13.75, 102.58),
+    (13.66, 102.55),                       # Aranyaprathet / Poipet
+    (13.55, 102.53),
+    (13.30, 102.50),
+    (13.00, 102.45),
+    (12.84, 102.47),                       # Pong Nam Ron / Pailin
+    (12.45, 102.62),
+    (12.20, 102.75),
+    (12.00, 102.82),
+    (11.78, 102.925),                      # the Khlong Yai strip
+    (11.645, 102.918),                     # coast (Hat Lek TH /
+]                                          #   Cham Yeam KH)
+
+_TH_MY: list[tuple[float, float]] = [      # TH/MY, E -> W: the Golok
+    (6.275, 102.095),                      #   mouth (Tak Bai TH /
+    (6.03, 101.972),                       #   Pengkalan Kubor MY),
+    (5.87, 101.92),                        #   the Golok river
+    (5.79, 101.70),                        #   (Sungai Kolok conjoined
+    (5.76, 101.48),                        #   unasserted), the range
+    (5.80, 101.30),
+    (5.90, 101.25),                        # the Betong salient wrap:
+    (5.72, 101.15),                        #   Betong TH inside,
+    (5.61, 101.08),                        #   Pengkalan Hulu MY west
+    (5.70, 101.02),
+    (5.92, 101.00),
+    (6.25, 100.85),
+    (6.52, 100.60),
+    (6.53, 100.424),                       # Sadao TH / Bukit Kayu
+    (6.61, 100.36),                        #   Hitam MY
+    (6.68, 100.32),                        # Padang Besar MY south
+    (6.66, 100.22),                        #   (conjoined unasserted)
+    (6.52, 100.145),                       # west coast (Satun TH /
+    (6.50, 99.90),                         #   Kuala Perlis MY); the
+    (6.48, 99.70),                         #   Tarutao TH / Langkawi
+    (6.48, 99.45),                         #   MY strait thread
+]
+
+_JOHOR_STRAIT: list[tuple[float, float]] = [  # MY/SG midline, W -> E
+    (1.335, 103.615),                      # Tuas second link west
+    (1.36, 103.64),
+    (1.425, 103.672),
+    (1.448, 103.755),                      # the Causeway (JB north,
+    (1.432, 103.85),                       #   Woodlands south)
+    (1.435, 103.96),
+    (1.441, 104.05),                       # north of Pulau Tekong
+    (1.41, 104.115),                       # Tekong east / Pengerang
+    (1.36, 104.12),                        #   MY west
+    (1.30, 104.18),                        # the east exit
+]
+
 _TR_IQ: list[tuple[float, float]] = [     # the TR/IQ border, W -> E
     (37.08, 42.36),                       # TR/SY/IQ Tigris tripoint
     (37.20, 42.60),                       # Silopi TR N / Zakho IQ S
@@ -5556,6 +5679,101 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("CY", None): [                           # Cyprus (whole-island
         (35.90, 32.10), (35.90, 34.70),       #   ISO assignment; the
         (34.40, 34.70), (34.40, 32.10)],      #   TR envelope stays N)
+    # --- Southeast Asia (round 4n; chain rationale at the constants
+    # above).  Thailand: the Mekong/range Laos border, the Dangrek
+    # Cambodia border, the shared _TH_MY chain, generous gulf and
+    # Andaman envelopes threading Koh Kut (TH) vs the Koh Kong
+    # islands (KH), Ko Lipe/Tarutao (TH) vs Langkawi (MY) and the
+    # Surin islands (TH) vs Myanmar's Mergui archipelago, and a
+    # conservative Myanmar land edge that dips at the uncertain
+    # range segments (no MM ring; MM has its own tz anchor).
+    ("TH", None): [
+        *_MEKONG_GT,
+        *_TH_LA_RANGE,
+        *_MEKONG_LOWER,
+        *_TH_LA_S,
+        *_TH_KH[1:],                          # (tripoint shared)
+        (11.50, 102.76),                      # Koh Kut TH in, the
+        (11.05, 102.55),                      #   Koh Kong islands out
+        (10.20, 102.00),                      # gulf envelope
+        (9.20, 101.70),
+        (8.30, 101.75),
+        (7.10, 102.30),
+        (6.30, 102.115),                      # toward the Golok mouth
+        *_TH_MY,
+        (6.40, 99.28),                        # Ko Lipe/Adang TH in
+        (6.60, 98.90),                        # Andaman envelope
+        (7.50, 97.90),
+        (8.70, 97.45),                        # Similan TH in
+        (9.45, 97.65),                        # Surin TH in
+        (9.87, 98.47),                        # Mergui MM stays north
+        (9.98, 98.585),                       # the Pakchan estuary:
+        (10.35, 98.73),                       #   Ranong TH east,
+        (10.64, 98.78),                       #   Kawthaung MM west
+        (11.00, 99.00),                       # the Tenasserim crest
+        (11.60, 99.38),
+        (11.81, 99.64),                       # Dan Singkhon (Prachuap
+        (12.30, 99.40),                       #   12 km strip)
+        (12.90, 99.20),
+        (13.54, 99.22),                       # Suan Phueng TH east
+        (14.10, 98.93),
+        (14.50, 98.60),
+        (14.68, 98.34),                       # the Pilok salient dip
+        (14.95, 98.48),
+        (15.10, 98.42),
+        (15.303, 98.39),                      # Three Pagodas Pass
+        (15.70, 98.51),                       # the Moei river north:
+        (16.00, 98.57),                       #   Mae Sot TH east /
+        (16.70, 98.535),                      #   Myawaddy MM west
+        (17.20, 98.30),
+        (17.55, 97.95),
+        (17.84, 97.74),                       # Moei-Salween confluence
+        (18.25, 97.72),                       # the Salween reach
+        (18.55, 97.66),
+        (18.75, 97.83),
+        (19.30, 97.80),                       # Mae Hong Son TH east
+        (19.58, 97.93),
+        (19.78, 98.60),                       # Wiang Haeng dip
+        (20.05, 99.00),
+        (20.06, 99.30),                       # Mae Ai dip
+        (20.30, 99.60),
+        (20.437, 99.88),                      # Mae Sai TH / Tachileik
+        (20.44, 99.95),                       #   MM (the Sai river)
+        (20.37, 100.06),                      # the Ruak to the GT
+    ],
+    # Peninsular Malaysia (Borneo's Sarawak/Sabah keep their own
+    # admin-1 anchors and stay anchor-resolved; Langkawi in via the
+    # shared Tarutao thread; the Malacca-strait midline keeps
+    # Sumatra/Rupat/Karimun Indonesian; Tanjung Piai rounds the tip;
+    # the shared _JOHOR_STRAIT midline splits JB/Woodlands).
+    ("MY", None): [
+        *_TH_MY,
+        (6.10, 99.20),                        # west of Langkawi
+        (5.90, 98.80),                        # Malacca strait midline
+        (4.50, 99.30),
+        (3.00, 100.35),
+        (2.20, 101.75),
+        (1.90, 102.10),                       # Rupat ID stays west
+        (1.45, 102.85),
+        (1.30, 103.30),                       # Karimun ID stays south
+        (1.255, 103.515),                     # Tanjung Piai / Kukup
+        (1.30, 103.56),
+        *_JOHOR_STRAIT,
+        (1.45, 104.40),                       # Desaru in
+        (2.00, 104.50),
+        (2.90, 104.45),                       # Tioman in, Anambas ID
+        (4.50, 103.90),                       #   far east out
+        (5.50, 103.60),
+        (6.10, 102.95),                       # Perhentian/Redang in
+        (6.30, 102.60),                       # (dead water wedge vs
+    ],                                        #   the TH gulf edge)
+    ("SG", None): [                           # Singapore: the shared
+        *[(la, lo) for la, lo in reversed(_JOHOR_STRAIT)],
+        (1.24, 103.60),                       #   strait midline N,
+        (1.195, 103.70),                      #   Singapore-strait
+        (1.195, 103.93),                      #   midline S (Sentosa/
+        (1.26, 104.10),                       #   Jurong I. in; Batam/
+    ],                                        #   Sambu ID out)
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
         (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is

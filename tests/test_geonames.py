@@ -3743,6 +3743,144 @@ def test_polygon_round4m_turkey_cyprus():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4n_thailand_malaysia_singapore():
+    """Southeast Asia opens with Thailand, peninsular Malaysia and
+    Singapore.  The TH/LA border is the Mekong midline where the
+    river IS the border (Vientiane/Si Chiang Mai, Nong Khai, Bueng
+    Kan/Pakxan, Nakhon Phanom/Thakhek, Mukdahan/Savannakhet all
+    split) plus a conservative range chain west of Laos'
+    trans-Mekong Xaignabouli province; TH/KH follows the Dangrek
+    escarpment with Preah Vihear on the Cambodian side (ICJ
+    1962/2013); the shared _TH_MY chain wraps the Betong salient and
+    threads Tarutao TH / Langkawi MY across their 10 km strait; the
+    shared _JOHOR_STRAIT midline splits JB/Woodlands; the Malacca
+    strait midline keeps Sumatra/Rupat/Karimun/Batam Indonesian.
+    Myanmar has no ring (its own tz anchor resolves it) and the TH/MM
+    edge dips conservatively at the uncertain range segments."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (13.7563, 100.5018, ("TH", None)),   # Bangkok
+        (18.7883, 98.9853, ("TH", None)),    # Chiang Mai
+        (7.8804, 98.3923, ("TH", None)),     # Phuket
+        (9.51, 100.00, ("TH", None)),        # Ko Samui
+        (8.65, 97.64, ("TH", None)),         # Similan (Andaman edge)
+        (9.42, 97.87, ("TH", None)),         # Ko Surin (vs Mergui MM)
+        (6.488, 99.303, ("TH", None)),       # Ko Lipe (the far SW)
+        (6.60, 99.65, ("TH", None)),         # Tarutao (vs Langkawi)
+        (11.66, 102.55, ("TH", None)),       # Koh Kut (vs Koh Kong)
+        (11.777, 102.884, ("TH", None)),     # Khlong Yai strip
+        (11.676, 102.906, ("TH", None)),     # Hat Lek (vs Cham Yeam)
+        (9.966, 98.635, ("TH", None)),       # Ranong (vs Kawthaung)
+        (16.713, 98.575, ("TH", None)),      # Mae Sot (vs Myawaddy)
+        (20.428, 99.884, ("TH", None)),      # Mae Sai (vs Tachileik)
+        (20.26, 100.405, ("TH", None)),      # Chiang Khong
+        (17.898, 101.657, ("TH", None)),     # Chiang Khan
+        (17.878, 102.742, ("TH", None)),     # Nong Khai (Vientiane S)
+        (17.955, 102.585, ("TH", None)),     # Si Chiang Mai
+        (18.361, 103.646, ("TH", None)),     # Bueng Kan (vs Pakxan)
+        (17.407, 104.778, ("TH", None)),     # Nakhon Phanom
+        (16.542, 104.723, ("TH", None)),     # Mukdahan
+        (15.40, 105.572, ("TH", None)),      # Pha Taem cliffs
+        (14.00, 102.79, ("TH", None)),       # Ta Phraya
+        (13.692, 102.501, ("TH", None)),     # Aranyaprathet (Poipet W)
+        (5.774, 101.072, ("TH", None)),      # Betong (the salient)
+        (6.639, 100.424, ("TH", None)),      # Sadao
+        (6.62, 100.067, ("TH", None)),       # Satun
+        (17.62, 101.42, ("TH", None)),       # Tha Li (Heuang bend)
+        (19.85, 100.44, ("TH", None)),       # Phu Chi Fa cliff
+        (14.69, 98.373, ("TH", None)),       # Pilok (the salient dip)
+        (20.034, 99.284, ("TH", None)),      # Mae Ai (vs MM wedge)
+        (3.1390, 101.6869, ("MY", None)),    # Kuala Lumpur
+        (5.4141, 100.3288, ("MY", None)),    # Penang
+        (6.35, 99.80, ("MY", None)),         # Langkawi (vs Tarutao)
+        (1.4927, 103.7414, ("MY", None)),    # Johor Bahru
+        (2.79, 104.17, ("MY", None)),        # Tioman
+        (5.92, 102.72, ("MY", None)),        # Perhentian
+        (1.326, 103.442, ("MY", None)),      # Kukup / Tanjung Piai
+        (1.372, 104.137, ("MY", None)),      # Pengerang (vs Tekong)
+        (6.662, 100.321, ("MY", None)),      # Padang Besar
+        (6.513, 100.424, ("MY", None)),      # Bukit Kayu Hitam
+        (5.703, 100.994, ("MY", None)),      # Pengkalan Hulu
+        (1.55, 104.27, ("MY", None)),        # Desaru
+        (1.3521, 103.8198, ("SG", None)),    # Singapore
+        (1.249, 103.83, ("SG", None)),       # Sentosa
+        (1.437, 103.79, ("SG", None)),       # Woodlands (vs JB)
+        (1.41, 104.05, ("SG", None)),        # Pulau Tekong
+        (1.26, 103.70, ("SG", None)),        # Jurong Island
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (16.8409, 96.1735, "Yangon MM"),
+        (20.447, 99.880, "Tachileik MM (vs Mae Sai)"),
+        (16.689, 98.507, "Myawaddy MM (vs Mae Sot)"),
+        (9.981, 98.553, "Kawthaung MM (vs Ranong)"),
+        (10.8, 98.2, "Lampi island MM"),
+        (17.9757, 102.6331, "Vientiane LA (north bank)"),
+        (19.8867, 102.1350, "Luang Prabang LA"),
+        (19.245, 101.712, "Sainyabuli LA (west of Mekong)"),
+        (18.39, 103.66, "Pakxan LA (vs Bueng Kan)"),
+        (17.40, 104.806, "Thakhek LA (vs Nakhon Phanom)"),
+        (16.556, 104.753, "Savannakhet LA (vs Mukdahan)"),
+        (15.12, 105.78, "Pakse LA"),
+        (11.5564, 104.9282, "Phnom Penh KH"),
+        (13.3633, 103.8564, "Siem Reap KH"),
+        (13.655, 102.565, "Poipet KH (vs Aranyaprathet)"),
+        (12.849, 102.609, "Pailin KH"),
+        (14.3917, 104.680, "Preah Vihear temple KH (ICJ)"),
+        (11.615, 102.984, "Koh Kong town KH"),
+        (10.63, 103.50, "Sihanoukville KH"),
+        (3.59, 98.67, "Medan ID"),
+        (2.05, 101.70, "Rupat ID"),
+        (1.08, 104.00, "Batam ID (vs Singapore)"),
+        (1.07, 104.45, "Bintan ID"),
+        (1.05, 103.37, "Karimun ID"),
+        (3.22, 106.22, "Anambas ID"),
+        (10.2899, 103.9840, "Phu Quoc VN"),
+    ]
+    new = ("TH", "MY", "SG")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    assert adversarial >= 2, f"only {adversarial} anchor-adversarial"
+
+    # the Mekong twins: opposite banks, 2-3 km apart.  Vientiane's
+    # full derive_location flips to Laos with the LA ring (next
+    # batch); until then the exact ring must simply never claim it.
+    assert geonames.derive_location(17.878, 102.742)["country"] \
+        .endswith("Thailand")                    # Nong Khai
+    assert geopoly.lookup(17.9757, 102.6331) is None
+    # the Johor strait: JB and Woodlands are 6 km apart
+    assert geonames.derive_location(1.4927, 103.7414)["country"] \
+        .endswith("Malaysia")
+    assert geonames.derive_location(1.437, 103.79)["country"] \
+        .endswith("Singapore")
+    # constrained admin-1: Woodlands' nearest subdivision anchor is
+    # Johor (MY) — the SG ring must pull the Singapore one instead
+    assert geonames.derive_location(1.437, 103.79)["subdivision"] \
+        == "Singapore"
+    # Tarutao/Langkawi: 10 km of water, reciprocal assignments
+    assert geonames.derive_location(6.60, 99.65)["country"] \
+        .endswith("Thailand")
+    assert geonames.derive_location(6.35, 99.80)["country"] \
+        .endswith("Malaysia")
+
+    # dense regional overlap sweep: mainland + maritime SEA
+    import numpy as np
+    rng = np.random.default_rng(79)
+    pts = np.stack([rng.uniform(0.5, 21.5, 50000),
+                    rng.uniform(95.0, 107.0, 50000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
