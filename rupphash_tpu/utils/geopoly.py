@@ -2165,6 +2165,17 @@ _TH_MY: list[tuple[float, float]] = [      # TH/MY, E -> W: the Golok
     (6.48, 99.45),                         #   MY strait thread
 ]
 
+_LA_KH: list[tuple[float, float]] = [      # LA/KH border, E -> W
+    (14.69, 107.50),                       # LA/VN/KH tripoint region
+    (14.45, 107.10),                       #   (conservative)
+    (14.35, 106.50),
+    (14.10, 106.20),
+    (13.94, 105.95),                       # the Mekong crossing south
+    (14.05, 105.75),                       #   of Khone Falls (Don Det
+    (14.25, 105.50),                       #   LA north, Stung Treng
+    (14.41, 105.22),                       #   KH south); the Emerald
+]                                          #   Triangle tripoint
+
 _JOHOR_STRAIT: list[tuple[float, float]] = [  # MY/SG midline, W -> E
     (1.335, 103.615),                      # Tuas second link west
     (1.36, 103.64),
@@ -5774,6 +5785,95 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (1.195, 103.93),                      #   midline S (Sentosa/
         (1.26, 104.10),                       #   Jurong I. in; Batam/
     ],                                        #   Sambu ID out)
+    # Laos: tzdata merged Asia/Vientiane into Asia/Bangkok so Laos
+    # has NO anchors — every Lao photo resolved to Thailand before
+    # this ring.  Thailand edges are the four shared chains verbatim
+    # (zero dead strip on the Mekong); the MM edge is the upper
+    # Mekong midline; the CN edge and the whole VN edge (the
+    # Annamite crest) are conservative with a deliberate dead strip —
+    # Vietnam's ring carries its own conservative west edge, the
+    # YT/NT divide convention, because the jungle crest cannot be
+    # hand-authored to shared-verbatim precision.
+    ("LA", None): [
+        (20.55, 100.22),                      # the upper Mekong
+        (20.80, 100.55),                      #   (LA/MM midline,
+        (21.10, 100.80),                      #   Tachileik side west)
+        (21.30, 101.05),
+        (21.44, 101.14),                      # MM/CN tripoint region
+        (21.32, 101.55),                      # CN edge (conservative;
+        (21.28, 101.80),                      #   Boten unasserted)
+        (21.55, 102.00),
+        (22.30, 102.05),                      # the Phongsali salient
+        (22.45, 102.18),                      #   (wrapped N of 22.4)
+        (22.20, 102.45),
+        (21.70, 102.50),                      # VN edge begins:
+        (21.40, 102.75),                      #   Dien Bien Phu VN east
+        (20.90, 102.90),
+        (20.60, 103.30),
+        (20.55, 103.80),                      # the Houaphanh salient
+        (20.70, 104.10),                      #   (Sam Neua inside,
+        (20.55, 104.45),                      #   Son La VN north)
+        (20.20, 104.70),
+        (19.90, 104.50),
+        (19.50, 104.40),
+        (19.00, 104.85),
+        (18.60, 105.10),                      # Vinh VN east
+        (18.30, 105.35),                      # the Keo Nua pass
+        (17.90, 105.65),                      # (Quang Binh narrows)
+        (17.60, 105.95),
+        (17.20, 106.25),
+        (16.80, 106.45),
+        (16.62, 106.53),                      # Lao Bao VN east
+        (16.30, 106.80),
+        (16.05, 107.10),                      # A Luoi VN east
+        (15.70, 107.35),
+        (15.20, 107.45),
+        (14.95, 107.50),
+        *_LA_KH,                              # (ends at the Emerald
+        *[(la, lo) for la, lo in reversed(_TH_LA_S)][1:],   # tripoint)
+        *[(la, lo) for la, lo in reversed(_MEKONG_LOWER)],
+        *[(la, lo) for la, lo in reversed(_TH_LA_RANGE)],
+        *[(la, lo) for la, lo in reversed(_MEKONG_GT)],
+    ],
+    # Cambodia: tzdata merged Asia/Phnom_Penh into Asia/Bangkok so
+    # Cambodia has NO anchors either — Phnom Penh resolved to VIETNAM
+    # and Siem Reap/Angkor to THAILAND before this ring.  The TH edge
+    # is the shared Dangrek chain verbatim; the LA edge the shared
+    # _LA_KH chain; the VN edge is conservative (dead strip, see the
+    # LA comment) threading the Parrot's Beak (Bavet KH inside, Moc
+    # Bai/Tay Ninh VN out) and the Ha Tien coast; the gulf envelope
+    # wraps WEST and NORTH of Vietnamese Phu Quoc and keeps the Koh
+    # Kong islands, Koh Rong, Koh Tang and Poulo Wai Cambodian
+    # against the Thai envelope.
+    ("KH", None): [
+        *_TH_KH,                              # tripoint -> Hat Lek
+        (11.50, 102.76),                      # shared with TH's gulf
+        (11.10, 102.75),                      #   thread (Koh Kut TH /
+        (9.80, 102.80),                       #   Koh Kong KH)
+        (9.90, 103.60),                       # Koh Tang / Poulo Wai in
+        (10.35, 103.70),                      # west of Phu Quoc VN
+        (10.47, 103.95),                      # north of Phu Quoc
+        (10.44, 104.25),
+        (10.53, 104.52),                      # coast (Kep KH in, Ha
+        (10.63, 104.80),                      #   Tien VN out)
+        (10.76, 105.07),                      # Chau Doc VN south
+        (10.95, 105.40),
+        (10.93, 105.80),
+        (10.96, 106.02),                      # the Parrot's Beak:
+        (11.06, 106.19),                      #   Bavet KH at the tip,
+        (11.22, 105.98),                      #   Moc Bai VN east,
+        (11.55, 105.90),                      #   Tay Ninh VN north
+        (11.75, 106.20),
+        (11.95, 106.45),                      # Loc Ninh VN east
+        (12.10, 106.70),
+        (12.50, 107.35),                      # the Mondulkiri bulge
+        (12.80, 107.55),
+        (13.20, 107.62),
+        (13.60, 107.60),
+        (14.10, 107.55),                      # Banlung KH west
+        (14.45, 107.52),
+        *_LA_KH[:-1],                         # tripoint -> Emerald
+    ],                                        #   (end shared with TH)
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
         (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is

@@ -3850,12 +3850,10 @@ def test_polygon_round4n_thailand_malaysia_singapore():
         assert got is None or got[0] not in new, (name, got)
     assert adversarial >= 2, f"only {adversarial} anchor-adversarial"
 
-    # the Mekong twins: opposite banks, 2-3 km apart.  Vientiane's
-    # full derive_location flips to Laos with the LA ring (next
-    # batch); until then the exact ring must simply never claim it.
+    # the Mekong twins: opposite banks, 2-3 km apart
     assert geonames.derive_location(17.878, 102.742)["country"] \
         .endswith("Thailand")                    # Nong Khai
-    assert geopoly.lookup(17.9757, 102.6331) is None
+    assert geopoly.lookup(17.9757, 102.6331) == ("LA", None)
     # the Johor strait: JB and Woodlands are 6 km apart
     assert geonames.derive_location(1.4927, 103.7414)["country"] \
         .endswith("Malaysia")
@@ -3876,6 +3874,112 @@ def test_polygon_round4n_thailand_malaysia_singapore():
     rng = np.random.default_rng(79)
     pts = np.stack([rng.uniform(0.5, 21.5, 50000),
                     rng.uniform(95.0, 107.0, 50000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_round4n_laos_cambodia():
+    """Laos and Cambodia: tzdata 2024 merged Asia/Vientiane and
+    Asia/Phnom_Penh into Asia/Bangkok, leaving BOTH countries with no
+    anchors at all — before these rings Vientiane and Luang Prabang
+    resolved to Thailand, Siem Reap/Angkor to Thailand and Phnom Penh
+    to VIETNAM.  Thailand edges reuse the four shared chains verbatim
+    (zero dead strip on the Mekong); the LA/KH border is the shared
+    _LA_KH chain crossing the Mekong south of the Khone Falls (Don
+    Det LA / Stung Treng KH); the Vietnam edges are conservative with
+    a deliberate dead strip (the Annamite crest cannot be
+    hand-authored to shared precision) threading Dien Bien Phu, Lao
+    Bao, the Parrot's Beak (Bavet KH in, Moc Bai/Tay Ninh VN out) and
+    the Ha Tien coast; Cambodia's gulf envelope wraps west and north
+    of Vietnamese Phu Quoc."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (17.9757, 102.6331, ("LA", None)),   # Vientiane (was TH!)
+        (19.8867, 102.1350, ("LA", None)),   # Luang Prabang (was TH!)
+        (20.278, 100.413, ("LA", None)),     # Huay Xai
+        (19.245, 101.712, ("LA", None)),     # Sainyabuli (W of Mekong)
+        (18.92, 102.45, ("LA", None)),       # Vang Vieng
+        (19.45, 103.20, ("LA", None)),       # Phonsavan / Plain of Jars
+        (20.416, 104.048, ("LA", None)),     # Sam Neua (the salient)
+        (20.95, 101.40, ("LA", None)),       # Luang Namtha
+        (18.39, 103.66, ("LA", None)),       # Pakxan (vs Bueng Kan)
+        (17.40, 104.806, ("LA", None)),      # Thakhek (vs N. Phanom)
+        (16.556, 104.753, ("LA", None)),     # Savannakhet (vs Mukdahan)
+        (15.12, 105.78, ("LA", None)),       # Pakse
+        (14.80, 106.83, ("LA", None)),       # Attapeu
+        (13.98, 105.92, ("LA", None)),       # Don Det (4000 islands)
+        (11.5564, 104.9282, ("KH", None)),   # Phnom Penh (was VN!)
+        (13.3633, 103.8564, ("KH", None)),   # Siem Reap (was TH!)
+        (13.4125, 103.8670, ("KH", None)),   # Angkor Wat
+        (13.10, 103.20, ("KH", None)),       # Battambang
+        (13.655, 102.565, ("KH", None)),     # Poipet
+        (14.3917, 104.680, ("KH", None)),    # Preah Vihear (ICJ)
+        (10.63, 103.50, ("KH", None)),       # Sihanoukville
+        (10.72, 103.23, ("KH", None)),       # Koh Rong
+        (9.93, 102.90, ("KH", None)),        # Poulo Wai
+        (10.483, 104.300, ("KH", None)),     # Kep (vs Ha Tien)
+        (11.615, 102.984, ("KH", None)),     # Koh Kong town
+        (12.49, 106.02, ("KH", None)),       # Kratie
+        (13.74, 107.00, ("KH", None)),       # Banlung
+        (13.526, 105.968, ("KH", None)),     # Stung Treng (vs Don Det)
+        (11.08, 106.13, ("KH", None)),       # Bavet (the Parrot's Beak)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+    # LA and KH have NO anchors: every single case is adversarial
+    assert adversarial == len(cases), f"{adversarial}/{len(cases)}"
+
+    outsiders = [
+        (21.386, 103.017, "Dien Bien Phu VN"),
+        (21.33, 103.90, "Son La VN"),
+        (18.67, 105.69, "Vinh VN"),
+        (17.47, 106.60, "Dong Hoi VN"),
+        (16.616, 106.588, "Lao Bao VN"),
+        (16.46, 107.59, "Hue VN"),
+        (14.35, 108.00, "Kon Tum VN"),
+        (12.67, 108.04, "Buon Ma Thuot VN"),
+        (11.84, 106.60, "Loc Ninh VN"),
+        (11.31, 106.10, "Tay Ninh VN (beak north)"),
+        (11.08, 106.19, "Moc Bai VN (vs Bavet)"),
+        (10.80, 105.34, "Hong Ngu VN"),
+        (10.383, 104.48, "Ha Tien VN (vs Kep)"),
+        (10.2899, 103.9840, "Phu Quoc VN (wrapped)"),
+        (9.28, 103.47, "Tho Chu VN"),
+        (22.58, 101.86, "Jiangcheng CN"),
+        (16.84, 96.17, "Yangon MM"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("LA", "KH"), (name, got)
+
+    # the anchor-less countries now derive correctly
+    assert geonames.derive_location(11.5564, 104.9282)["country"] \
+        == "Cambodia"                            # Phnom Penh
+    assert geonames.derive_location(13.4125, 103.8670)["country"] \
+        == "Cambodia"                            # Angkor Wat
+    assert "Lao" in \
+        geonames.derive_location(17.9757, 102.6331)["country"]
+    # both take Asia/Bangkok (their canonical covering zone) — the
+    # correct UTC+7, not a foreign anchor's zone name
+    assert geonames.derive_location(11.5564, 104.9282)["timezone"] \
+        == "Asia/Bangkok"
+    # the Mekong twin split holds from both sides now
+    assert geonames.derive_location(16.542, 104.723)["country"] \
+        .endswith("Thailand")                    # Mukdahan
+    assert "Lao" in \
+        geonames.derive_location(16.556, 104.753)["country"]  # Savannakhet
+
+    # dense regional overlap sweep: Indochina
+    import numpy as np
+    rng = np.random.default_rng(83)
+    pts = np.stack([rng.uniform(8.5, 23.5, 50000),
+                    rng.uniform(97.0, 110.0, 50000)], axis=1)
     for lat, lon in pts:
         hits = geopoly.claims(lat, lon)
         assert len(hits) <= 1, (lat, lon, hits)
