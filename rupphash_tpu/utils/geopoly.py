@@ -5874,6 +5874,99 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (14.45, 107.52),
         *_LA_KH[:-1],                         # tripoint -> Emerald
     ],                                        #   (end shared with TH)
+    # Vietnam: the CN border threads the Lao Cai/Hekou and Mong Cai/
+    # Dongxing river twins, Lung Cu (the northernmost flag tower) and
+    # the split Ban Gioc falls; the LA/KH edges are VN's own
+    # conservative lines east of the LA/KH rings' conservative lines
+    # (the documented dead-strip convention — Lao Bao and Moc Bai sit
+    # inside the strip and stay anchor-resolved); the sea envelope
+    # runs Tonkin (Bach Long Vi in, Hainan CN out) down the coast
+    # (Ly Son, Phu Quy, Con Dao in) around the Ca Mau cape with
+    # lobes for Tho Chu and Phu Quoc — the latter threaded INSIDE
+    # Cambodia's wrap with a 4-6 km water gap.
+    ("VN", None): [
+        (22.40, 102.60),                      # CN edge (the Muong Nhe
+        (22.50, 103.00),                      #   west wedge stays
+        (22.505, 103.965),                    #   dead); Lao Cai VN /
+        (22.70, 104.40),                      #   Hekou CN split
+        (22.85, 104.80),                      # Ha Giang in (Thanh
+        (23.10, 105.20),                      #   Thuy crossing dead)
+        (23.375, 105.32),                     # Lung Cu flag tower
+        (23.20, 105.55),
+        (22.95, 105.85),
+        (22.95, 106.35),
+        (22.862, 106.735),                    # Ban Gioc falls (the VN
+        (22.45, 106.58),                      #   viewpoint bank)
+        (22.20, 106.70),
+        (21.99, 106.71),                      # Dong Dang VN /
+        (21.85, 107.00),                      #   Pingxiang CN
+        (21.70, 107.35),
+        (21.542, 107.97),                     # Mong Cai VN /
+        (21.47, 108.07),                      #   Dongxing CN (Beilun)
+        (21.10, 108.05),                      # Gulf of Tonkin midline
+        (20.10, 107.95),                      # Bach Long Vi in
+        (19.30, 107.50),
+        (17.80, 107.90),                      # Hainan CN stays east
+        (16.20, 108.90),
+        (15.30, 109.40),                      # Ly Son in
+        (13.50, 109.80),
+        (12.00, 109.80),
+        (10.40, 109.20),                      # Phu Quy in
+        (8.40, 107.00),                       # Con Dao in
+        (8.25, 104.95),
+        (8.30, 104.55),                       # the Ca Mau cape
+        (8.90, 103.70),
+        (9.10, 103.30),                       # the Tho Chu lobe
+        (9.60, 103.50),
+        (10.00, 103.76),                      # the Phu Quoc lobe,
+        (10.36, 103.82),                      #   inside Cambodia's
+        (10.42, 104.02),                      #   wrap (4-6 km gaps)
+        (10.41, 104.20),
+        (10.46, 104.47),                      # Ha Tien VN in
+        (10.52, 104.60),                      # KH edge (conservative,
+        (10.68, 105.00),                      #   dead strip vs the KH
+        (10.745, 105.12),                     #   ring): Chau Doc in
+        (10.87, 105.35),
+        (10.86, 105.80),
+        (10.89, 106.02),
+        (10.99, 106.22),                      # around the Parrot's
+        (11.08, 106.23),                      #   Beak (Moc Bai in the
+        (11.25, 106.08),                      #   strip), Tay Ninh in
+        (11.45, 106.02),
+        (11.60, 106.10),
+        (11.85, 106.50),                      # Loc Ninh in
+        (12.00, 106.60),
+        (12.30, 107.12),                      # the Mondulkiri side
+        (12.65, 107.52),
+        (12.90, 107.65),
+        (13.40, 107.70),
+        (13.90, 107.68),                      # Pleiku in
+        (14.40, 107.65),
+        (14.68, 107.62),                      # LA edge (conservative):
+        (15.05, 107.62),                      #   Kham Duc in
+        (15.60, 107.50),
+        (16.00, 107.25),                      # A Luoi in
+        (16.45, 106.95),
+        (16.68, 106.62),                      # Khe Sanh in (Lao Bao
+        (16.90, 106.45),                      #   in the strip)
+        (17.30, 106.35),                      # Dong Hoi in
+        (17.70, 106.05),
+        (18.00, 105.85),
+        (18.40, 105.45),
+        (18.75, 105.25),                      # Vinh in
+        (19.20, 104.95),
+        (19.60, 104.70),
+        (20.00, 104.75),
+        (20.40, 104.85),                      # Mai Chau in
+        (20.75, 104.55),                      # (the Sam Neua wrap
+        (21.00, 104.00),                      #   stays dead): Son La in
+        (21.20, 103.30),
+        (21.25, 102.90),                      # Dien Bien Phu in
+        (21.50, 102.80),
+        (21.80, 102.65),
+        (22.10, 102.60),
+        (22.30, 102.55),
+    ],
     ("GR", "South Aegean"): [                 # Kastellorizo/Megisti:
         (36.175, 29.545), (36.175, 29.615),   #   2 km off Kas TR, so
         (36.12, 29.615), (36.12, 29.545)],    #   its nearest anchor is

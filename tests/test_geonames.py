@@ -3985,6 +3985,94 @@ def test_polygon_round4n_laos_cambodia():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4n_vietnam():
+    """Vietnam closes mainland Indochina.  The CN border threads the
+    Lao Cai/Hekou and Mong Cai/Dongxing river twins, the Lung Cu flag
+    tower (VN's northernmost photo landmark) and the split Ban Gioc
+    falls; the LA/KH edges are VN's own conservative lines east of
+    the LA/KH rings (the dead-strip convention — Lao Bao and Moc Bai
+    sit inside the strip and anchor-resolve to Vietnam, asserted
+    below); the sea envelope keeps Hainan and Weizhou Chinese while
+    Bach Long Vi, Ly Son, Phu Quy, Con Dao, Tho Chu and Phu Quoc —
+    threaded inside Cambodia's wrap with a 4-6 km water gap — all
+    resolve Vietnamese."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (21.0285, 105.8542, ("VN", None)),   # Hanoi
+        (10.8231, 106.6297, ("VN", None)),   # Ho Chi Minh City
+        (16.0545, 108.2022, ("VN", None)),   # Da Nang
+        (16.4637, 107.5909, ("VN", None)),   # Hue
+        (12.2388, 109.1967, ("VN", None)),   # Nha Trang
+        (20.9101, 107.1839, ("VN", None)),   # Ha Long
+        (20.13, 107.73, ("VN", None)),       # Bach Long Vi (mid-gulf)
+        (15.38, 109.12, ("VN", None)),       # Ly Son
+        (8.68, 106.60, ("VN", None)),        # Con Dao
+        (8.56, 104.72, ("VN", None)),        # the Ca Mau cape
+        (9.28, 103.47, ("VN", None)),        # Tho Chu
+        (10.2899, 103.9840, ("VN", None)),   # Phu Quoc (the lobe)
+        (10.383, 104.48, ("VN", None)),      # Ha Tien (vs Kep)
+        (10.70, 105.12, ("VN", None)),       # Chau Doc (vs KH edge)
+        (11.31, 106.10, ("VN", None)),       # Tay Ninh (beak north)
+        (13.98, 108.00, ("VN", None)),       # Pleiku
+        (16.62, 106.73, ("VN", None)),       # Khe Sanh
+        (18.67, 105.69, ("VN", None)),       # Vinh
+        (21.386, 103.017, ("VN", None)),     # Dien Bien Phu
+        (22.3364, 103.8438, ("VN", None)),   # Sa Pa
+        (22.48, 103.97, ("VN", None)),       # Lao Cai (vs Hekou)
+        (23.365, 105.316, ("VN", None)),     # Lung Cu flag tower
+        (22.853, 106.723, ("VN", None)),     # Ban Gioc falls viewpoint
+        (21.853, 106.761, ("VN", None)),     # Lang Son
+        (21.53, 107.97, ("VN", None)),       # Mong Cai (vs Dongxing)
+    ]
+    adversarial = 0
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        if hit is None or hit[1] != want[0]:
+            adversarial += 1
+
+    outsiders = [
+        (22.52, 103.96, "Hekou CN (vs Lao Cai)"),
+        (22.10, 106.75, "Pingxiang CN"),
+        (21.55, 107.97, "Dongxing CN (vs Mong Cai)"),
+        (18.25, 109.50, "Sanya CN (Hainan)"),
+        (21.03, 109.10, "Weizhou CN"),
+        (22.58, 101.86, "Jiangcheng CN"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] != "VN", (name, got)
+    assert adversarial >= 2, f"only {adversarial} anchor-adversarial"
+
+    # the LA/KH neighbours keep their assignments against the new ring
+    assert geopoly.lookup(11.5564, 104.9282) == ("KH", None)  # Phnom Penh
+    assert geopoly.lookup(11.08, 106.13) == ("KH", None)      # Bavet
+    assert geopoly.lookup(16.556, 104.753) == ("LA", None)    # Savannakhet
+    # dead-strip border towns anchor-resolve to Vietnam (loudly NOT
+    # to a ring): the strip is the documented convention
+    assert geopoly.lookup(16.616, 106.588) is None            # Lao Bao
+    assert geonames.derive_location(16.616, 106.588)["country"] \
+        .endswith("Viet Nam")
+    assert geopoly.lookup(11.077, 106.196) is None            # Moc Bai
+    assert geonames.derive_location(11.077, 106.196)["country"] \
+        .endswith("Viet Nam")
+    # the Phu Quoc thread: Vietnamese island inside Cambodian water
+    assert geonames.derive_location(10.2899, 103.984)["country"] \
+        .endswith("Viet Nam")
+    assert geonames.derive_location(10.483, 104.300)["country"] \
+        == "Cambodia"                                         # Kep
+
+    # dense regional overlap sweep: the full Indochina + Tonkin box
+    import numpy as np
+    rng = np.random.default_rng(89)
+    pts = np.stack([rng.uniform(8.0, 24.0, 50000),
+                    rng.uniform(97.0, 110.5, 50000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
