@@ -67,6 +67,7 @@ _OFFICIAL = {
     "GM": "Gambia (the)",
     "BS": "Bahamas (the)",
     "CF": "Central African Republic (the)",
+    "BN": "Brunei Darussalam",
 }
 
 # Admin-1 anchors: name -> (dominant tz, [(lat, lon), ...]).  Each

@@ -5874,6 +5874,40 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (14.45, 107.52),
         *_LA_KH[:-1],                         # tripoint -> Emerald
     ],                                        #   (end shared with TH)
+    # Brunei: zone1970 folds Asia/Brunei into the Asia/Kuching row,
+    # so Brunei's whole territory anchor-resolved to Malaysia (Sabah,
+    # 173 km) before these rings.  Two rings because Malaysia's
+    # Limbang corridor splits the country and reaches Brunei Bay —
+    # one polygon would claim it: the main block (Brunei-Muara /
+    # Tutong / Belait, conservative Sarawak edges keeping Miri,
+    # Marudi and Limbang Malaysian and the ~4.00 southern tongue
+    # shortened) and Temburong as an admin-1 ring between the
+    # Pandaruan and Trusan sides (Bangar in; Limbang and Lawas MY
+    # out; Labuan MY stays offshore north).
+    ("BN", None): [
+        (4.59, 114.07),                       # coast at Sungai Tujoh
+        (4.95, 114.30),                       # offshore envelope
+        (5.08, 114.75),
+        (5.10, 115.12),                       # off Muara (Labuan NE)
+        (4.95, 115.06),                       # Brunei Bay (the Muara
+        (4.88, 114.995),                      #   peninsula in)
+        (4.84, 114.96),                       # BSB in, Limbang MY east
+        (4.70, 114.83),
+        (4.52, 114.78),
+        (4.30, 114.70),
+        (4.08, 114.58),                       # the southern tongue
+        (4.25, 114.42),                       # Marudi MY south
+        (4.40, 114.26),
+        (4.52, 114.14),                       # Kuala Belait in,
+    ],                                        #   Miri MY southwest
+    ("BN", "Temburong"): [
+        (4.82, 115.06),                       # the Pandaruan mouth
+        (4.80, 115.18),
+        (4.60, 115.22),                       # Trusan/Lawas MY east
+        (4.42, 115.15),                       # (conservative south)
+        (4.45, 115.05),
+        (4.60, 115.03),                       # Limbang MY west
+    ],
     # Vietnam: the CN border threads the Lao Cai/Hekou and Mong Cai/
     # Dongxing river twins, Lung Cu (the northernmost flag tower) and
     # the split Ban Gioc falls; the LA/KH edges are VN's own

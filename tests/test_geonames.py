@@ -4073,6 +4073,60 @@ def test_polygon_round4n_vietnam():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4n_brunei():
+    """Brunei: zone1970 folds Asia/Brunei into the Asia/Kuching row,
+    so the whole country anchor-resolved to Malaysia (the Sabah
+    anchor, 173 km) before these rings.  Two rings because Malaysia's
+    Limbang corridor splits the country and reaches Brunei Bay: the
+    main block and a Temburong admin-1 ring.  Everything Malaysian
+    around it — Miri, Marudi, Limbang, Lawas, Labuan — stays out and
+    keeps anchoring to its own Sarawak/Sabah subdivisions."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (4.9031, 114.9398, ("BN", None)),    # Bandar Seri Begawan
+        (4.583, 114.19, ("BN", None)),       # Kuala Belait
+        (4.606, 114.32, ("BN", None)),       # Seria
+        (4.80, 114.65, ("BN", None)),        # Tutong
+        (5.017, 115.068, ("BN", None)),      # Muara
+        (4.71, 115.07, ("BN", "Temburong")),     # Bangar
+        (4.55, 115.15, ("BN", "Temburong")),     # Ulu Temburong NP
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        # every Brunei point is anchor-adversarial (no BN anchors)
+        assert hit is None or hit[1] != "BN"
+
+    outsiders = [
+        (4.399, 113.991, "Miri MY"),
+        (4.179, 114.321, "Marudi MY"),
+        (4.75, 115.005, "Limbang MY (the corridor)"),
+        (4.86, 115.41, "Lawas MY"),
+        (5.28, 115.24, "Labuan MY"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] != "BN", (name, got)
+
+    bsb = geonames.derive_location(4.9031, 114.9398)
+    assert bsb["country"] == "Brunei Darussalam"
+    assert bsb["timezone"] == "Asia/Kuching"         # UTC+8, correct
+    assert geonames.derive_location(4.71, 115.07)["country"] \
+        == "Temburong, Brunei Darussalam"
+    # the corridor keeps resolving Malaysian through its own anchors
+    assert geonames.derive_location(4.75, 115.005)["country"] \
+        .endswith("Malaysia")
+
+    import numpy as np
+    rng = np.random.default_rng(93)
+    pts = np.stack([rng.uniform(3.8, 5.5, 25000),
+                    rng.uniform(113.8, 115.6, 25000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
