@@ -5874,6 +5874,160 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (14.45, 107.52),
         *_LA_KH[:-1],                         # tripoint -> Emerald
     ],                                        #   (end shared with TH)
+    # --- The Caribbean (round 4o).  zone1970 merged the whole AST
+    # basin into America/Puerto_Rico (AG AI AW BL BQ CW DM GD GP KN
+    # LC MF MS SX TT VC VG VI), America/Toronto (BS) and
+    # America/Panama (KY), so NONE of these countries has an anchor:
+    # every photo taken there resolved to Puerto Rico, Canada or
+    # Panama-adjacent anchors.  Island envelopes with channel
+    # midlines at every contested strait: the 1648 St Martin line
+    # (MF north / SX south), the Anguilla Channel, the Narrows
+    # (St John VI / Tortola VG at ~1.5 km), the VC/GD Grenadines
+    # split (Union VC / Petite Martinique GD), the Bocas (Patos VE /
+    # Chacachacare TT), and the Bahamas envelope threading the
+    # Florida Strait, the Old Bahama Channel and the Turks gap.
+    ("BS", None): [                           # the Bahamas archipelago
+        (27.5, -79.10),
+        (27.5, -77.00),
+        (26.2, -74.70),
+        (23.8, -73.80),                       # San Salvador in
+        (22.60, -72.65),                      # Mayaguana in
+        (22.10, -72.85),                      # Turks & Caicos south
+        (21.30, -73.00),
+        (20.75, -73.35),                      # Great Inagua in
+        (20.78, -74.00),                      # Cuba's Maisi southwest
+        (21.50, -75.50),                      # the Old Bahama Channel
+        (22.46, -77.60),                      #   (Ragged chain in),
+        (23.22, -79.70),                      #   riding just north of
+        (23.48, -80.32),                      #   Cuba's envelope
+        (23.58, -80.55),                      # Cay Sal bank in
+        (23.62, -80.90),
+        (24.10, -80.50),                      # the Keys envelope
+        (24.35, -80.16),                      #   stays US (west of
+        (25.30, -79.72),                      #   the -80.2 line)
+        (25.75, -79.70),                      # Bimini in, Miami out
+        (26.55, -79.50),
+    ],
+    ("KY", None): [                           # all three Caymans
+        (19.85, -81.55), (19.85, -79.65),
+        (19.15, -79.65), (19.15, -81.55)],
+    ("TT", None): [                           # Trinidad & Tobago
+        (11.55, -61.15),
+        (11.50, -60.40),                      # Tobago in
+        (10.80, -60.40),
+        (10.02, -60.85),
+        (9.99, -61.55),                       # the Columbus Channel
+        (10.20, -61.85),                      # Venezuela's delta south
+        (10.55, -61.82),
+        (10.72, -61.78),                      # the Bocas: Chacachacare
+        (11.00, -61.60),                      #   TT in, Patos VE out
+    ],
+    ("GD", None): [                           # Grenada + Carriacou +
+        (12.56, -61.55),                      #   Petite Martinique
+        (12.555, -61.37),                     # (Union VC stays north)
+        (12.30, -61.35),
+        (11.90, -61.50),
+        (11.90, -61.85),
+        (12.30, -61.85),
+    ],
+    ("VC", None): [                           # St Vincent + the north
+        (13.45, -61.35),                      #   Grenadines down to
+        (13.45, -61.05),                      #   Union Island
+        (12.85, -61.05),
+        (12.575, -61.30),
+        (12.575, -61.52),
+        (12.90, -61.45),
+    ],
+    ("LC", None): [                           # St Lucia (Martinique
+        (14.25, -61.15), (14.25, -60.80),     #   midline north, SV
+        (13.55, -60.80), (13.55, -61.15)],    #   midline south)
+    ("GP", None): [                           # Guadeloupe + Marie-
+        (16.68, -61.90),                      #   Galante + Les
+        (16.68, -60.95),                      #   Saintes + Desirade
+        (15.72, -61.10),                      # (Dominica midline S,
+        (15.72, -61.75),                      #   Antigua midline N)
+        (16.10, -61.90),
+    ],
+    ("DM", None): [                           # Dominica
+        (15.695, -61.65), (15.695, -61.10),
+        (15.05, -61.10), (15.05, -61.65)],
+    ("MS", None): [                           # Montserrat
+        (16.90, -62.33), (16.90, -62.05),
+        (16.60, -62.05), (16.60, -62.33)],
+    ("AG", None): [                           # Antigua + Barbuda +
+        (17.85, -62.00),                      #   Redonda (the L wraps
+        (17.85, -61.60),                      #   Redonda southwest,
+        (16.905, -61.60),                     #   north of Montserrat)
+        (16.905, -62.40),
+        (17.05, -62.40),
+        (17.05, -62.00),
+    ],
+    ("KN", None): [                           # St Kitts & Nevis
+        (17.46, -62.90), (17.46, -62.45),     #   (Statia BQ west)
+        (17.05, -62.45), (17.05, -62.90)],
+    ("BQ", "Bonaire"): [
+        (12.40, -68.50), (12.40, -68.10),
+        (11.95, -68.10), (11.95, -68.50)],
+    ("BQ", "Sint Eustatius"): [
+        (17.54, -63.03), (17.54, -62.92),
+        (17.45, -62.92), (17.45, -63.03)],
+    ("BQ", "Saba"): [
+        (17.70, -63.30), (17.70, -63.15),
+        (17.56, -63.15), (17.56, -63.30)],
+    ("CW", None): [                           # Curacao + Klein
+        (12.45, -69.25),                      #   Curacao (Venezuela's
+        (12.45, -68.68),                      #   Paraguana stays SW)
+        (11.93, -68.60),
+        (11.93, -69.00),
+        (12.20, -69.25),
+    ],
+    ("AW", None): [                           # Aruba
+        (12.70, -70.15), (12.70, -69.80),
+        (12.35, -69.80), (12.35, -70.15)],
+    ("MF", None): [                           # St Martin, French N of
+        (18.143, -63.18),                     #   the 1648 line
+        (18.143, -62.95),                     #   (Marigot/Tintamarre;
+        (18.058, -62.95),                     #   Anguilla Channel N)
+        (18.058, -63.18),
+    ],
+    ("SX", None): [                           # Sint Maarten, Dutch
+        (18.058, -63.155),                    #   south (Philipsburg,
+        (18.058, -62.97),                     #   the airport)
+        (17.985, -62.97),
+        (17.985, -63.155),
+    ],
+    ("BL", None): [                           # St Barthelemy
+        (17.975, -62.95), (17.975, -62.73),
+        (17.84, -62.73), (17.84, -62.95)],
+    ("AI", None): [                           # Anguilla (Sombrero
+        (18.33, -63.30), (18.33, -62.92),     #   rock conceded)
+        (18.155, -62.92), (18.155, -63.30)],
+    ("VI", None): [                           # US Virgin Islands:
+        (18.42, -65.12),                      #   St Thomas + St John
+        (18.42, -64.84),                      #   + St Croix; the
+        (18.422, -64.79),                     #   Narrows midline vs
+        (18.380, -64.76),                     #   the UK side (Great
+        (18.370, -64.73),                     #   Thatch in the strip)
+        (18.357, -64.70),
+        (18.322, -64.67),
+        (18.279, -64.625),
+        (17.62, -64.48),                      # St Croix in
+        (17.62, -65.02),
+        (18.10, -65.05),
+    ],
+    ("VG", None): [                           # British Virgin Islands
+        (18.80, -64.50),                      #   (Anegada, Virgin
+        (18.80, -64.18),                      #   Gorda, Tortola,
+        (18.28, -64.18),                      #   Norman, Jost Van
+        (18.295, -64.635),                    #   Dyke; Great Thatch
+        (18.338, -64.68),                     #   conceded to the
+        (18.373, -64.71),                     #   Narrows strip)
+        (18.393, -64.74),
+        (18.408, -64.77),
+        (18.438, -64.80),
+        (18.52, -64.80),
+        (18.52, -64.50),
+    ],
     # Brunei: zone1970 folds Asia/Brunei into the Asia/Kuching row,
     # so Brunei's whole territory anchor-resolved to Malaysia (Sabah,
     # 173 km) before these rings.  Two rings because Malaysia's

@@ -4127,6 +4127,124 @@ def test_polygon_round4n_brunei():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4o_caribbean():
+    """The Caribbean: zone1970 merged the whole AST basin into
+    America/Puerto_Rico (AG AI AW BL BQ CW DM GD GP KN LC MF MS SX
+    TT VC VG VI), America/Toronto (BS) and America/Panama (KY), so
+    none of these 20 countries had a single anchor — every photo
+    taken there resolved to Puerto Rico, a Canadian city or Panama.
+    22 island rings with channel midlines at every contested strait:
+    the 1648 St Martin line (Marigot MF 1.4 km north of it,
+    Philipsburg SX south), the Anguilla Channel, the ~1.5 km Narrows
+    (St John VI / Tortola VG, Great Thatch conceded to the strip),
+    the Grenadines split (Union VC / Petite Martinique GD at 8 km),
+    the Bocas (Chacachacare TT / Patos VE), and a Bahamas envelope
+    riding north of Cuba's ring through the Old Bahama Channel and
+    east of Florida's Keys envelope."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (25.0443, -77.3504, ("BS", None)),   # Nassau
+        (26.53, -78.70, ("BS", None)),       # Freeport
+        (25.72, -79.30, ("BS", None)),       # Bimini (Miami 90 km W)
+        (20.95, -73.67, ("BS", None)),       # Great Inagua
+        (23.69, -80.40, ("BS", None)),       # Cay Sal (Cuba 60 km S)
+        (19.29, -81.37, ("KY", None)),       # George Town
+        (19.72, -79.82, ("KY", None)),       # Cayman Brac
+        (10.65, -61.52, ("TT", None)),       # Port of Spain
+        (11.25, -60.68, ("TT", None)),       # Tobago
+        (10.69, -61.75, ("TT", None)),       # Chacachacare (vs Patos)
+        (12.05, -61.75, ("GD", None)),       # St George's
+        (12.52, -61.385, ("GD", None)),      # Petite Martinique
+        (13.16, -61.22, ("VC", None)),       # Kingstown
+        (12.596, -61.43, ("VC", None)),      # Union I. (vs P. Mart.)
+        (14.01, -61.00, ("LC", None)),       # Castries
+        (13.85, -61.06, ("LC", None)),       # the Pitons
+        (16.24, -61.53, ("GP", None)),       # Pointe-a-Pitre
+        (15.87, -61.58, ("GP", None)),       # Les Saintes
+        (15.94, -61.27, ("GP", None)),       # Marie-Galante
+        (15.30, -61.39, ("DM", None)),       # Roseau
+        (16.71, -62.22, ("MS", None)),       # Montserrat
+        (17.12, -61.85, ("AG", None)),       # St John's
+        (17.63, -61.82, ("AG", None)),       # Barbuda
+        (16.938, -62.345, ("AG", None)),     # Redonda
+        (17.30, -62.73, ("KN", None)),       # Basseterre
+        (17.15, -62.58, ("KN", None)),       # Nevis
+        (12.15, -68.28, ("BQ", "Bonaire")),
+        (17.49, -62.98, ("BQ", "Sint Eustatius")),
+        (17.63, -63.24, ("BQ", "Saba")),
+        (12.11, -68.93, ("CW", None)),       # Willemstad
+        (11.985, -68.645, ("CW", None)),     # Klein Curacao
+        (12.52, -70.04, ("AW", None)),       # Aruba
+        (18.068, -63.085, ("MF", None)),     # Marigot (1.4 km N of
+        (18.026, -63.045, ("SX", None)),     #   the line); Philipsburg
+        (18.041, -63.11, ("SX", None)),      # Juliana airport
+        (17.90, -62.85, ("BL", None)),       # Gustavia
+        (18.22, -63.05, ("AI", None)),       # The Valley
+        (18.34, -64.93, ("VI", None)),       # Charlotte Amalie
+        (18.33, -64.74, ("VI", None)),       # Cruz Bay (St John)
+        (17.75, -64.70, ("VI", None)),       # Christiansted
+        (18.43, -64.62, ("VG", None)),       # Road Town (Tortola)
+        (18.73, -64.32, ("VG", None)),       # Anegada
+        (18.44, -64.745, ("VG", None)),      # Jost Van Dyke
+        (18.318, -64.615, ("VG", None)),     # Norman Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        # all 20 countries are anchor-less: every case is adversarial
+        assert hit is None or hit[1] != want[0], (lat, lon, hit)
+
+    outsiders = [
+        (25.7617, -80.19, "Miami US"),
+        (24.555, -81.78, "Key West US"),
+        (24.72, -81.05, "Marathon Keys US"),
+        (23.13, -82.38, "Havana CU"),
+        (21.80, -72.28, "Providenciales TC"),
+        (18.47, -66.11, "San Juan PR"),
+        (18.31, -65.30, "Culebra PR"),
+        (14.61, -61.08, "Fort-de-France MQ"),
+        (13.10, -59.62, "Bridgetown BB"),
+        (10.63, -61.87, "Patos VE (vs Chacachacare)"),
+        (12.10, -70.00, "Paraguana VE"),
+    ]
+    new = ("BS", "KY", "TT", "GD", "VC", "LC", "GP", "DM", "MS", "AG",
+           "KN", "BQ", "CW", "AW", "MF", "SX", "BL", "AI", "VI", "VG")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+
+    # derived tags: country names + the correct merged-zone offsets
+    nassau = geonames.derive_location(25.0443, -77.3504)
+    assert nassau["country"] == "Bahamas (the)"
+    assert nassau["timezone"] == "America/Toronto"     # EST, correct
+    assert geonames.derive_location(19.29, -81.37)["timezone"] \
+        == "America/Panama"                            # KY: EST no DST
+    assert geonames.derive_location(18.068, -63.085)["country"] \
+        == "St Martin (French)"
+    assert geonames.derive_location(18.026, -63.045)["country"] \
+        == "St Maarten (Dutch)"
+    assert geonames.derive_location(12.15, -68.28)["subdivision"] \
+        == "Bonaire"
+    assert geonames.derive_location(10.65, -61.52)["country"] \
+        == "Trinidad & Tobago"
+
+    # dense regional sweeps: the whole basin + the Florida/Cuba straits
+    import numpy as np
+    rng = np.random.default_rng(97)
+    pts = np.stack([rng.uniform(9.5, 28.0, 50000),
+                    rng.uniform(-82.0, -59.5, 50000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+    rng = np.random.default_rng(101)
+    pts = np.stack([rng.uniform(23.0, 26.5, 25000),
+                    rng.uniform(-81.5, -79.0, 25000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
