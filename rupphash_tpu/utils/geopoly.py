@@ -4703,8 +4703,9 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (50.7, 1.3),                          # strait (Boulogne out)
         (50.3, 0.0),                          # Channel midline
         (49.9, -1.5),                         # midline (Cherbourg out)
-        (49.7, -2.5),                         # Channel Is. stay out
-        (49.8, -4.0),                         # Channel west
+        (49.82, -2.1),                        # Channel Is. stay out
+        (49.80, -2.6),                        #   (open water; room
+        (49.8, -4.0),                         #   for the GG box)
         (49.7, -5.7)],                        # Lizard offshore
     # --- Ireland (the Republic): the Atlantic/Celtic sides are
     # generous; the Northern Ireland land border is CONSERVATIVE
@@ -6028,6 +6029,48 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (18.52, -64.80),
         (18.52, -64.50),
     ],
+    # --- Anchor-less island territories (round 4o).  Same class as
+    # the Caribbean: zone1970 merged Indian/Mahe and Indian/Reunion
+    # into Asia/Dubai, Mayotte/Comoros into Africa/Nairobi, the crown
+    # dependencies into Europe/London, Arctic/Longyearbyen into
+    # Europe/Berlin, and Christmas/Cocos into Asia/Bangkok and
+    # Asia/Yangon — every one resolved to a foreign anchor before
+    # these boxes.  Concessions documented per ring.
+    ("SC", None): [                           # Seychelles inner
+        (-4.0, 55.1), (-4.0, 56.0),           #   islands (Aldabra
+        (-5.0, 56.0), (-5.0, 55.1)],          #   group conceded)
+    ("RE", None): [                           # Reunion
+        (-20.75, 55.10), (-20.75, 55.95),
+        (-21.50, 55.95), (-21.50, 55.10)],
+    ("YT", None): [                           # Mayotte (Anjouan KM
+        (-12.55, 44.95), (-12.55, 45.40),     #   stays northwest)
+        (-13.10, 45.40), (-13.10, 44.95)],
+    ("KM", None): [                           # all three Comoros
+        (-11.20, 43.10), (-11.20, 44.65),     #   (Mayotte east out)
+        (-12.45, 44.65), (-12.45, 43.10)],
+    ("IM", None): [                           # Isle of Man, fitted
+        (54.46, -4.45),                       #   inside the GB ring's
+        (54.44, -4.25),                       #   exclusion notch
+        (54.12, -4.25),                       #   (Point of Ayre and
+        (53.98, -4.55),                       #   the Calf in; 4-20 km
+        (53.99, -4.95),                       #   water to the GB edge)
+        (54.40, -4.95),
+    ],
+    ("GG", None): [                           # Guernsey + Alderney +
+        (49.765, -2.75), (49.765, -2.12),     #   Sark + Herm (Cap de
+        (49.38, -2.12), (49.38, -2.75)],      #   la Hague FR east)
+    ("JE", None): [                           # Jersey (Ecrehous and
+        (49.31, -2.30), (49.31, -1.97),       #   Minquiers reefs
+        (49.13, -1.97), (49.13, -2.30)],      #   conceded; FR coast E)
+    ("SJ", None): [                           # Svalbard + Bear Island
+        (80.9, 9.0), (80.9, 34.0),            #   (Jan Mayen conceded;
+        (74.0, 34.0), (74.0, 9.0)],           #   FJL RU stays east)
+    ("CX", None): [                           # Christmas Island
+        (-10.30, 105.45), (-10.30, 105.80),
+        (-10.65, 105.80), (-10.65, 105.45)],
+    ("CC", None): [                           # Cocos (Keeling)
+        (-11.75, 96.75), (-11.75, 97.00),
+        (-12.25, 97.00), (-12.25, 96.75)],
     # Brunei: zone1970 folds Asia/Brunei into the Asia/Kuching row,
     # so Brunei's whole territory anchor-resolved to Malaysia (Sabah,
     # 173 km) before these rings.  Two rings because Malaysia's

@@ -4245,6 +4245,92 @@ def test_polygon_round4o_caribbean():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4o_island_territories():
+    """Anchor-less island territories, same class as the Caribbean:
+    zone1970 merged Indian/Mahe and Indian/Reunion into Asia/Dubai,
+    Mayotte and the Comoros into Africa/Nairobi, the crown
+    dependencies into Europe/London, Arctic/Longyearbyen into
+    Europe/Berlin and Christmas/Cocos into Asia/Bangkok/Asia/Yangon.
+    The Isle of Man ring is fitted inside the GB ring's deliberate
+    exclusion notch; the GB Channel edge moved ~10 km north over
+    open water so the Guernsey box (with Alderney) fits below it.
+    Documented concessions: the Aldabra group, Jan Mayen, the
+    Ecrehous/Minquiers reefs, Sombrero."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (-4.6191, 55.4513, ("SC", None)),    # Victoria (Mahe)
+        (-4.32, 55.73, ("SC", None)),        # Praslin
+        (-4.36, 55.83, ("SC", None)),        # La Digue
+        (-20.88, 55.45, ("RE", None)),       # Saint-Denis
+        (-12.78, 45.23, ("YT", None)),       # Mamoudzou
+        (-11.70, 43.26, ("KM", None)),       # Moroni
+        (-12.16, 44.40, ("KM", None)),       # Mutsamudu (Anjouan)
+        (54.15, -4.48, ("IM", None)),        # Douglas
+        (54.418, -4.365, ("IM", None)),      # Point of Ayre
+        (54.05, -4.82, ("IM", None)),        # Calf of Man
+        (49.4549, -2.5360, ("GG", None)),    # St Peter Port
+        (49.715, -2.21, ("GG", None)),       # Alderney
+        (49.43, -2.36, ("GG", None)),        # Sark
+        (49.1869, -2.1067, ("JE", None)),    # St Helier
+        (78.2232, 15.6469, ("SJ", None)),    # Longyearbyen
+        (74.45, 19.10, ("SJ", None)),        # Bear Island
+        (-10.42, 105.68, ("CX", None)),      # Flying Fish Cove
+        (-12.19, 96.83, ("CC", None)),       # West Island
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        assert hit is None or hit[1] != want[0], (lat, lon, hit)
+
+    outsiders = [
+        (-20.16, 57.50, "Port Louis MU"),
+        (49.72, -1.94, "Cap de la Hague FR"),
+        (48.87, -1.82, "Chausey FR"),
+        (49.65, -1.62, "Cherbourg FR"),
+        (53.41, -4.33, "Anglesey (stays GB)"),
+        (50.06, -5.71, "Land's End (stays GB)"),
+        (70.66, 23.68, "Hammerfest (stays NO)"),
+        (-8.65, 115.22, "Bali ID"),
+    ]
+    new = ("SC", "RE", "YT", "KM", "IM", "GG", "JE", "SJ", "CX", "CC")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+    # the GB ring keeps its own islands after the Channel-edge move
+    assert geopoly.lookup(53.41, -4.33) == ("GB", None)   # Anglesey
+    assert geopoly.lookup(49.96, -5.20) == ("GB", None)   # the Lizard
+
+    # merged-zone offsets all come out right
+    assert geonames.derive_location(-4.6191, 55.4513)["timezone"] \
+        == "Asia/Dubai"                                   # UTC+4
+    assert geonames.derive_location(78.2232, 15.6469)["timezone"] \
+        == "Europe/Berlin"                                # UTC+1
+    assert geonames.derive_location(54.15, -4.48)["timezone"] \
+        == "Europe/London"
+    assert geonames.derive_location(-12.19, 96.83)["timezone"] \
+        == "Asia/Yangon"                                  # UTC+6:30
+    assert geonames.derive_location(78.2232, 15.6469)["country"] \
+        == "Svalbard & Jan Mayen"
+    assert geonames.derive_location(54.15, -4.48)["country"] \
+        == "Isle of Man"
+
+    # regional sweeps: the Irish Sea / Channel box and Svalbard
+    import numpy as np
+    rng = np.random.default_rng(107)
+    pts = np.stack([rng.uniform(48.5, 55.5, 30000),
+                    rng.uniform(-6.5, -1.0, 30000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+    rng = np.random.default_rng(109)
+    pts = np.stack([rng.uniform(-22.5, -3.5, 20000),
+                    rng.uniform(42.0, 57.0, 20000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
