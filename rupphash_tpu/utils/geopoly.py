@@ -2165,6 +2165,23 @@ _TH_MY: list[tuple[float, float]] = [      # TH/MY, E -> W: the Golok
     (6.48, 99.45),                         #   MY strait thread
 ]
 
+_ZM_ZW: list[tuple[float, float]] = [      # the ZM/ZW border, W -> E
+    (-17.80, 25.30),                       #   (shared VERBATIM): the
+    (-17.921, 25.857),                     #   Kazungula quadripoint,
+    (-17.98, 26.20),                       #   Victoria Falls midline
+    (-17.93, 26.80),                       #   (Livingstone ZM north,
+    (-17.55, 27.30),                       #   Vic Falls town ZW
+    (-17.10, 27.85),                       #   south), the Kariba
+    (-16.80, 28.30),                       #   lake axis (Siavonga ZM
+    (-16.62, 28.60),                       #   / Kariba ZW at the
+    (-16.53, 28.765),                      #   dam), Chirundu, Mana
+    (-16.028, 28.850),                     #   Pools ZW south bank,
+    (-15.88, 29.10),                       #   to the MZ tripoint at
+    (-15.73, 29.42),                       #   the Luangwa confluence
+    (-15.62, 30.10),
+    (-15.615, 30.415),
+]
+
 _LA_KH: list[tuple[float, float]] = [      # LA/KH border, E -> W
     (14.69, 107.50),                       # LA/VN/KH tripoint region
     (14.45, 107.10),                       #   (conservative)
@@ -6029,6 +6046,156 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (18.52, -64.80),
         (18.52, -64.50),
     ],
+    # --- Southern Africa (round 4o).  ZW/ZM/MW/LS/SZ all lost their
+    # zone rows to merges (Africa/Maputo covers ZW ZM MW; Africa/
+    # Johannesburg covers LS SZ), so none has an anchor: Victoria
+    # Falls photos resolved to nothing, Maseru and Mbabane to South
+    # Africa.  The ZM/ZW border is the shared _ZM_ZW Zambezi/Kariba
+    # chain verbatim (Livingstone/Vic Falls, Siavonga/Kariba and
+    # Chirundu all split at the water); the ZW/BW edge stays well
+    # east of Botswana's conservative ring; the ZM/CD edge wraps the
+    # Congo Pedicle and the Luapula; Malawi's lake edge takes the
+    # median (the TZ-claimed northeast quadrant and Mozambican
+    # middle-east water conceded) with Likoma/Chizumulu as their own
+    # enclave ring; Lesotho and Eswatini are conservative enclave
+    # rings inside South Africa's anchor field.
+    ("LS", None): [
+        (-28.67, 28.18),                      # Fouriesburg ZA north
+        (-28.78, 28.78),                      # the Drakensberg crest
+        (-28.95, 29.05),
+        (-29.25, 29.25),
+        (-29.589, 29.289),                    # Sani Pass head
+        (-29.78, 29.08),
+        (-30.16, 28.70),                      # Qacha's Nek in
+        (-30.52, 27.70),                      # Quthing in
+        (-30.28, 27.32),
+        (-29.90, 27.15),                      # Mafeteng in, Wepener
+        (-29.55, 27.40),                      #   ZA out
+        (-29.32, 27.475),                     # Maseru on the Caledon
+        (-29.12, 27.70),                      #   (Ladybrand ZA west)
+        (-28.885, 27.893),                    # Maputsoe / Ficksburg
+        (-28.75, 28.05),                      #   river twins
+    ],
+    ("SZ", None): [
+        (-25.78, 31.10),                      # Barberton ZA northwest
+        (-25.78, 31.85),
+        (-25.99, 31.99),                      # the Lebombo line
+        (-26.85, 32.08),                      #   (Lomahasha/Namaacha
+        (-27.07, 31.97),                      #   conceded to the
+        (-27.25, 31.75),                      #   strip); Big Bend in
+        (-27.25, 31.35),
+        (-27.05, 31.05),                      # Nhlangano in
+        (-26.80, 30.90),
+        (-26.10, 30.95),
+        (-25.90, 31.00),
+    ],
+    ("ZW", None): [
+        *_ZM_ZW,                              # Kazungula -> Luangwa
+        (-16.40, 30.40),                      # MZ edge (Zumbo MZ N)
+        (-16.70, 30.95),
+        (-16.70, 31.80),
+        (-17.00, 32.55),
+        (-17.30, 32.95),
+        (-18.00, 32.90),
+        (-18.60, 32.88),
+        (-18.96, 32.705),                     # Mutare in, Manica MZ out
+        (-19.50, 32.83),
+        (-19.80, 32.95),
+        (-20.10, 32.85),
+        (-20.40, 32.68),                      # Espungabera MZ east
+        (-20.90, 32.48),
+        (-21.30, 32.41),
+        (-22.38, 31.32),                      # Crooks Corner tripoint
+        (-22.33, 30.90),                      # the Limpopo midline:
+        (-22.28, 30.03),                      #   Beitbridge ZW north,
+        (-22.20, 29.60),                      #   Musina ZA south
+        (-22.21, 29.38),                      # the Shashe confluence
+        (-21.40, 28.40),                      # BW edge (east of the
+        (-20.90, 27.90),                      #   conservative BW ring)
+        (-20.50, 27.765),                     # Plumtree ZW in
+        (-19.80, 27.72),
+        (-18.60, 25.80),                      # Pandamatenga BW west
+    ],
+    ("ZM", None): [
+        (-17.70, 25.10),                      # NA edge: the Zambezi
+        (-17.49, 24.285),                     # (Sesheke ZM / Katima
+        (-17.45, 24.10),                      #   Mulilo NA split)
+        (-16.80, 23.10),                      # AO edge (conservative)
+        (-16.00, 22.40),
+        (-13.03, 22.20),                      # the 22E side (Chavuma
+        (-13.03, 23.90),                      #   in); the Cazombo
+        (-11.35, 24.02),                      #   bulge wrapped
+        (-11.20, 24.10),                      # CD edge begins
+        (-10.75, 25.40),
+        (-11.60, 26.60),
+        (-11.95, 27.20),                      # Lubumbashi CD north
+        (-12.33, 27.78),                      # Kasumbalesa corridor
+        (-12.50, 28.30),                      # the Pedicle south edge
+        (-12.58, 28.68),                      #   (Mufulira in); the
+        (-12.05, 28.88),                      #   Luapula north: CD
+        (-11.20, 28.78),                      #   west, Mansa ZM east
+        (-10.50, 28.60),
+        (-9.60, 28.45),                       # Lake Mweru midline
+        (-8.75, 28.55),                       #   (Nchelenge in)
+        (-8.45, 29.80),
+        (-8.25, 30.30),                       # Lake Tanganyika SW
+        (-8.45, 31.00),                       # (Mpulungu in)
+        (-8.60, 31.40),                       # TZ edge (conservative;
+        (-9.00, 32.20),                       #   Nakonde/Tunduma
+        (-9.322, 32.758),                     #   conjoined unasserted)
+        (-9.60, 32.95),                       # MW edge (own line,
+        (-10.00, 33.30),                      #   dead strip vs MW)
+        (-10.55, 33.50),
+        (-11.00, 33.35),
+        (-11.90, 33.30),
+        (-12.60, 33.10),                      # Lundazi in
+        (-12.80, 32.95),
+        (-13.55, 32.72),                      # Chipata in, Mchinji
+        (-14.05, 32.65),                      #   MW east
+        (-14.40, 31.90),                      # MZ edge (conservative)
+        (-14.90, 31.20),
+        (-15.40, 30.65),
+        *[(la, lo) for la, lo in reversed(_ZM_ZW)],
+    ],                                        # Luangwa -> Kazungula
+    ("MW", None): [
+        (-9.78, 33.22),                       # the ZM side (own line,
+        (-9.52, 33.22),                       #   Chitipa in)
+        (-9.63, 33.80),                       # the Songwe (Kyela TZ
+        (-9.62, 33.87),                       #   north of the dip);
+        (-9.51, 33.93),                       #   the lake:
+        (-9.80, 34.30),                       #   median line, the
+        (-10.50, 34.45),                      #   TZ-claimed NE and
+        (-11.50, 34.50),                      #   Mozambican middle-
+        (-12.30, 34.45),                      #   east water conceded
+        (-13.20, 34.55),
+        (-13.60, 34.85),
+        (-14.40, 35.25),                      # Mangochi at the outlet
+        (-14.55, 35.50),
+        (-15.20, 35.75),
+        (-15.60, 35.85),
+        (-15.95, 35.70),                      # the Mulanje wrap
+        (-16.15, 35.60),
+        (-16.55, 35.40),
+        (-16.95, 35.35),                      # Nsanje in
+        (-17.05, 35.20),                      # the Shire tail
+        (-16.60, 35.05),                      #   (conservative)
+        (-16.20, 34.85),
+        (-15.50, 34.45),
+        (-14.60, 34.35),
+        (-14.38, 34.28),                      # Dedza in
+        (-14.05, 33.65),                      # the Tete salient wrap
+        (-14.15, 33.40),
+        (-14.12, 33.00),
+        (-13.80, 32.80),                      # Mchinji in (ZM west)
+        (-13.00, 32.98),
+        (-12.35, 33.33),
+        (-12.00, 33.40),
+        (-11.00, 33.48),
+        (-10.55, 33.65),
+    ],
+    ("MW", "Likoma"): [                       # the Likoma/Chizumulu
+        (-11.96, 34.58), (-11.96, 34.82),     #   enclaves in
+        (-12.13, 34.82), (-12.13, 34.58)],    #   Mozambican water
     # --- Anchor-less island territories (round 4o).  Same class as
     # the Caribbean: zone1970 merged Indian/Mahe and Indian/Reunion
     # into Asia/Dubai, Mayotte/Comoros into Africa/Nairobi, the crown

@@ -4331,6 +4331,126 @@ def test_polygon_round4o_island_territories():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4o_southern_africa():
+    """Zimbabwe / Zambia / Malawi / Lesotho / Eswatini all lost their
+    zone rows to tzdata merges (Africa/Maputo covers ZW+ZM+MW;
+    Africa/Johannesburg covers LS+SZ), so none had an anchor: a
+    Victoria Falls photo resolved to nothing, Maseru and Mbabane to
+    South Africa.  The ZM/ZW border is the shared _ZM_ZW chain
+    verbatim, splitting the Livingstone/Victoria Falls,
+    Siavonga/Kariba and Chirundu pairs at the Zambezi/Kariba water;
+    the ZM/CD edge wraps the Congo Pedicle (the Copperbelt towns hug
+    it) and the Luapula/Mweru line; Malawi's lake edge takes the
+    median, conceding the TZ-claimed northeast quadrant and the
+    Mozambican middle-east water, with Likoma/Chizumulu as their own
+    enclave ring; Lesotho threads the Caledon (Maseru in, Ladybrand
+    ZA out; Maputsoe/Ficksburg split) and the Drakensberg crest."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (-29.31, 27.49, ("LS", None)),       # Maseru (was ZA!)
+        (-28.883, 27.905, ("LS", None)),     # Maputsoe (vs Ficksburg)
+        (-30.115, 28.687, ("LS", None)),     # Qacha's Nek
+        (-29.29, 29.07, ("LS", None)),       # Mokhotlong
+        (-29.598, 29.267, ("LS", None)),     # Sani Top chalet
+        (-26.32, 31.14, ("SZ", None)),       # Mbabane (was ZA!)
+        (-26.49, 31.38, ("SZ", None)),       # Manzini
+        (-26.82, 31.93, ("SZ", None)),       # Big Bend
+        (-17.83, 31.05, ("ZW", None)),       # Harare
+        (-20.15, 28.58, ("ZW", None)),       # Bulawayo
+        (-17.931, 25.83, ("ZW", None)),      # Victoria Falls town
+        (-17.928, 25.855, ("ZW", None)),     # the rainforest viewpoint
+        (-16.5166, 28.80, ("ZW", None)),     # Kariba (vs Siavonga)
+        (-15.875, 29.39, ("ZW", None)),      # Mana Pools
+        (-18.97, 32.67, ("ZW", None)),       # Mutare (vs Manica MZ)
+        (-20.485, 27.810, ("ZW", None)),     # Plumtree (vs BW)
+        (-22.217, 30.00, ("ZW", None)),      # Beitbridge (vs Musina)
+        (-20.27, 30.93, ("ZW", None)),       # Great Zimbabwe
+        (-18.37, 26.50, ("ZW", None)),       # Hwange
+        (-15.39, 28.32, ("ZM", None)),       # Lusaka
+        (-17.85, 25.86, ("ZM", None)),       # Livingstone (vs VF town)
+        (-16.538, 28.708, ("ZM", None)),     # Siavonga (vs Kariba)
+        (-12.97, 28.64, ("ZM", None)),       # Ndola
+        (-12.55, 28.24, ("ZM", None)),       # Mufulira (Pedicle edge)
+        (-11.20, 28.89, ("ZM", None)),       # Mansa (east of Luapula)
+        (-8.76, 31.11, ("ZM", None)),        # Mpulungu (Tanganyika)
+        (-13.64, 32.65, ("ZM", None)),       # Chipata (vs Mchinji)
+        (-13.076, 22.68, ("ZM", None)),      # Chavuma (the 22E side)
+        (-17.477, 24.30, ("ZM", None)),      # Sesheke (vs Katima NA)
+        (-12.29, 33.17, ("ZM", None)),       # Lundazi
+        (-13.98, 33.79, ("MW", None)),       # Lilongwe
+        (-15.79, 35.00, ("MW", None)),       # Blantyre
+        (-9.93, 33.93, ("MW", None)),        # Karonga
+        (-9.70, 33.27, ("MW", None)),        # Chitipa
+        (-14.07, 34.92, ("MW", None)),       # Monkey Bay
+        (-13.80, 34.45, ("MW", None)),       # lake water (median W)
+        (-16.92, 35.26, ("MW", None)),       # Nsanje (the Shire tail)
+        (-13.798, 32.880, ("MW", None)),     # Mchinji (vs Chipata)
+        (-12.06, 34.735, ("MW", "Likoma")),  # Likoma enclave
+        (-12.02, 34.62, ("MW", "Likoma")),   # Chizumulu
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        assert hit is None or hit[1] != want[0], (lat, lon, hit)
+
+    outsiders = [
+        (-25.75, 28.19, "Pretoria ZA"),
+        (-29.19, 27.457, "Ladybrand ZA (vs Maseru)"),
+        (-28.873, 27.877, "Ficksburg ZA (vs Maputsoe)"),
+        (-28.617, 28.208, "Fouriesburg ZA"),
+        (-29.78, 29.49, "Underberg ZA (below Sani)"),
+        (-28.68, 28.93, "Royal Natal amphitheatre ZA"),
+        (-25.79, 31.05, "Barberton ZA"),
+        (-27.38, 31.62, "Pongola ZA"),
+        (-25.97, 32.58, "Maputo MZ"),
+        (-18.94, 32.87, "Manica MZ (vs Mutare)"),
+        (-16.16, 33.59, "Tete MZ"),
+        (-15.62, 30.45, "Zumbo MZ"),
+        (-20.45, 32.77, "Espungabera MZ"),
+        (-22.35, 30.04, "Musina ZA (vs Beitbridge)"),
+        (-21.17, 27.51, "Francistown BW"),
+        (-18.53, 25.63, "Pandamatenga BW"),
+        (-17.503, 24.272, "Katima Mulilo NA (vs Sesheke)"),
+        (-11.67, 27.48, "Lubumbashi CD"),
+        (-12.26, 27.80, "Kasumbalesa CD"),
+        (-11.89, 22.92, "Cazombo AO (the bulge)"),
+        (-9.586, 33.856, "Kyela TZ (north of the Songwe)"),
+        (-11.57, 34.62, "TZ-claimed NE lake (conceded)"),
+        (-13.30, 34.90, "MZ middle-east lake water"),
+    ]
+    new = ("LS", "SZ", "ZW", "ZM", "MW")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+
+    # the headline pair: Victoria Falls splits at the Zambezi
+    assert geonames.derive_location(-17.931, 25.83)["country"] \
+        == "Zimbabwe"
+    assert geonames.derive_location(-17.85, 25.86)["country"] \
+        == "Zambia"
+    # merged-zone offsets are correct on both sides
+    assert geonames.derive_location(-17.83, 31.05)["timezone"] \
+        == "Africa/Maputo"                       # Harare, CAT
+    assert geonames.derive_location(-29.31, 27.49)["timezone"] \
+        == "Africa/Johannesburg"                 # Maseru, SAST
+    assert geonames.derive_location(-29.31, 27.49)["country"] \
+        == "Lesotho"
+    assert geonames.derive_location(-26.32, 31.14)["country"] \
+        == "Eswatini (Swaziland)"
+    assert geonames.derive_location(-12.06, 34.735)["country"] \
+        == "Likoma, Malawi"
+
+    # dense sweep: the whole region incl. every enclave boundary
+    import numpy as np
+    rng = np.random.default_rng(117)
+    pts = np.stack([rng.uniform(-31.5, -8.0, 60000),
+                    rng.uniform(20.0, 36.5, 60000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
