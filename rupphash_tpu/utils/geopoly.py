@@ -2165,6 +2165,15 @@ _TH_MY: list[tuple[float, float]] = [      # TH/MY, E -> W: the Golok
     (6.48, 99.45),                         #   MY strait thread
 ]
 
+_UG_RW: list[tuple[float, float]] = [      # the UG/RW border, W -> E
+    (-1.386, 29.595),                      #   (shared VERBATIM):
+    (-1.38, 29.68),                        #   Mount Sabyinyo's
+    (-1.30, 29.90),                        #   three-country summit,
+    (-1.22, 30.10),                        #   Kisoro/Kabale UG north
+    (-1.05, 30.35),                        #   vs Musanze RW south,
+    (-1.00, 30.47),                        #   to the Kagera tripoint
+]
+
 _ZM_ZW: list[tuple[float, float]] = [      # the ZM/ZW border, W -> E
     (-17.80, 25.30),                       #   (shared VERBATIM): the
     (-17.921, 25.857),                     #   Kazungula quadripoint,
@@ -6196,6 +6205,101 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("MW", "Likoma"): [                       # the Likoma/Chizumulu
         (-11.96, 34.58), (-11.96, 34.82),     #   enclaves in
         (-12.13, 34.82), (-12.13, 34.58)],    #   Mozambican water
+    # --- East Africa (round 4o).  Uganda, Rwanda and Burundi all
+    # lost their zone rows to merges (Africa/Nairobi's row covers UG,
+    # Africa/Maputo's covers RW and BI), so none has an anchor —
+    # Kampala resolved to a Kenyan anchor, Kigali to a Tanzanian.  The
+    # UG/TZ border is the exact 1-degree-south parallel (including
+    # through Lake Victoria); the UG/RW border is the shared _UG_RW
+    # chain from Mount Sabyinyo's three-country summit; Lake Kivu's
+    # border threads EAST of Congolese Idjwi island and splits the
+    # conjoined Goma/Gisenyi and Bukavu/Kamembe pairs; the RW/BI
+    # border leaves a dead strip (both sides conservative) around
+    # Burundi's northern bulge so Kirundo stays Burundian; the
+    # CD-facing edges are conservative lake midlines (Albert, Edward,
+    # Kivu, Tanganyika) and the Ilemi triangle stays out of Uganda.
+    ("UG", None): [
+        (-1.00, 33.92),                       # UG/KE/TZ lake tripoint
+        (0.30, 34.02),                        # the KE lake line
+        (0.463, 34.100),                      # Busia (conjoined twins
+        (0.80, 34.25),                        #   unasserted)
+        (1.20, 34.62),                        # Wagagai summit UG west
+        (1.90, 34.78),
+        (2.50, 34.90),                        # Moroto in
+        (3.00, 34.75),
+        (3.45, 34.42),                        # Ilemi stays out
+        (3.70, 33.60),                        # SS edge (conservative)
+        (3.78, 33.00),
+        (3.70, 32.60),
+        (3.58, 32.05),                        # the Nimule dip (SS)
+        (3.70, 31.72),                        # Moyo in
+        (3.60, 31.30),
+        (3.55, 30.95),                        # Koboko in
+        (3.20, 30.80),                        # CD edge: Arua in,
+        (2.95, 30.87),                        #   Aru CD out
+        (2.60, 30.90),
+        (2.30, 31.10),
+        (2.18, 31.35),                        # Lake Albert midline
+        (1.85, 31.05),                        #   (Butiaba UG east)
+        (1.50, 30.75),
+        (1.15, 30.50),
+        (0.90, 30.35),                        # the Semliki valley
+        (0.60, 30.10),
+        (0.40, 29.93),
+        (0.386, 29.86),                       # Margherita peak (the
+        (0.10, 29.75),                        #   border summit, UG
+        (-0.20, 29.70),                       #   side); Lake Edward
+        (-0.35, 29.68),                       #   midline (Beni CD W)
+        (-0.60, 29.63),
+        (-1.00, 29.58),
+        (-1.20, 29.57),
+        *_UG_RW,                              # Sabyinyo -> the Kagera
+    ],                                        #   then 1S to the lake
+    ("RW", None): [
+        *[(la, lo) for la, lo in reversed(_UG_RW)],
+        (-1.45, 29.45),                       # the Virunga chain SW
+        (-1.58, 29.30),
+        (-1.674, 29.241),                     # Goma CD / Gisenyi RW
+        (-1.90, 29.16),                       # Lake Kivu: the border
+        (-2.10, 29.13),                       #   runs EAST of
+        (-2.30, 29.05),                       #   Congolese Idjwi
+        (-2.475, 28.888),                     # Bukavu CD / Kamembe RW
+        (-2.62, 28.905),                      # the Ruzizi
+        (-2.70, 28.98),                       # BI tripoint region
+        (-2.75, 29.30),                       # BI edge (conservative,
+        (-2.80, 29.60),                       #   dead strip): Butare
+        (-2.72, 29.90),                       #   RW north
+        (-2.60, 30.00),
+        (-2.40, 30.15),                       # Burundi's bulge south
+        (-2.34, 30.30),
+        (-2.40, 30.45),
+        (-2.42, 30.55),                       # BI/TZ tripoint region
+        (-2.10, 30.85),                       # the Kagera (TZ east):
+        (-1.60, 30.83),                       #   Akagera park in
+        (-1.30, 30.70),
+        (-1.06, 30.50),
+    ],
+    ("BI", None): [
+        (-2.74, 29.01),                       # the Ruzizi NW corner
+        (-2.80, 29.32),                       # RW edge (conservative
+        (-2.86, 29.60),                       #   south of RW's line)
+        (-2.78, 29.92),
+        (-2.64, 30.00),
+        (-2.44, 30.15),                       # Kirundo in (the bulge)
+        (-2.46, 30.30),
+        (-2.47, 30.53),
+        (-3.00, 30.62),                       # TZ edge (conservative)
+        (-3.40, 30.72),
+        (-3.78, 30.50),
+        (-4.10, 30.25),
+        (-4.45, 29.93),                       # the southern tip
+        (-4.44, 29.70),                       # Nyanza-Lac shore in
+        (-4.30, 29.42),                       # Lake Tanganyika
+        (-3.90, 29.30),                       #   midline: Bujumbura
+        (-3.60, 29.22),                       #   east in, Uvira CD
+        (-3.20, 29.21),                       #   west out
+        (-2.95, 29.05),
+    ],
     # --- Anchor-less island territories (round 4o).  Same class as
     # the Caribbean: zone1970 merged Indian/Mahe and Indian/Reunion
     # into Asia/Dubai, Mayotte/Comoros into Africa/Nairobi, the crown

@@ -4451,6 +4451,93 @@ def test_polygon_round4o_southern_africa():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4o_east_africa():
+    """Uganda, Rwanda and Burundi lost their zone rows to tzdata
+    merges (Africa/Nairobi's row covers UG; Africa/Maputo's covers RW
+    and BI), so none had an anchor — Kampala resolved to a Kenyan
+    anchor and Kigali to a Tanzanian one.  The UG/TZ border is the
+    exact 1-degree-south parallel through Lake Victoria; the UG/RW
+    border is the shared _UG_RW chain from Mount Sabyinyo's
+    three-country summit; the Lake Kivu border threads east of
+    Congolese Idjwi and splits the conjoined Goma/Gisenyi and
+    Bukavu/Kamembe pairs; the RW/BI border keeps a two-sided dead
+    strip around Burundi's northern bulge (Kirundo in); the Ilemi
+    triangle stays out of Uganda."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (0.3476, 32.5825, ("UG", None)),     # Kampala (was KE!)
+        (0.0514, 32.4633, ("UG", None)),     # Entebbe
+        (0.4244, 33.2041, ("UG", None)),     # Jinja (the Nile source)
+        (2.7746, 32.2980, ("UG", None)),     # Gulu
+        (-1.2496, 29.9899, ("UG", None)),    # Kabale
+        (-1.285, 29.685, ("UG", None)),      # Kisoro
+        (-0.40, 32.25, ("UG", None)),        # Ssese Islands
+        (1.128, 34.527, ("UG", None)),       # Wagagai (Elgon summit)
+        (0.386, 29.872, ("UG", None)),       # Margherita (Rwenzori)
+        (-1.05, 29.62, ("UG", None)),        # Bwindi (gorillas)
+        (3.03, 30.91, ("UG", None)),         # Arua (vs Aru CD)
+        (3.650, 31.727, ("UG", None)),       # Moyo (vs Nimule SS)
+        (-1.9441, 30.0619, ("RW", None)),    # Kigali (was TZ!)
+        (-1.702, 29.257, ("RW", None)),      # Gisenyi (vs Goma)
+        (-1.4998, 29.6344, ("RW", None)),    # Musanze (gorillas)
+        (-2.4846, 28.9075, ("RW", None)),    # Kamembe (vs Bukavu)
+        (-1.95, 30.70, ("RW", None)),        # Akagera NP
+        (-3.3833, 29.3611, ("BI", None)),    # Bujumbura
+        (-3.4264, 29.9246, ("BI", None)),    # Gitega
+        (-2.584, 30.097, ("BI", None)),      # Kirundo (the bulge)
+        (-4.35, 29.60, ("BI", None)),        # Nyanza-Lac
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        assert hit is None or hit[1] != want[0], (lat, lon, hit)
+
+    outsiders = [
+        (-1.2921, 36.8219, "Nairobi KE"),
+        (-0.0917, 34.7680, "Kisumu KE"),
+        (1.02, 35.00, "Kitale KE"),
+        (4.20, 34.35, "Lokichoggio KE (Ilemi)"),
+        (-1.33, 31.81, "Bukoba TZ (south of 1S)"),
+        (-2.52, 32.90, "Mwanza TZ"),
+        (-4.88, 29.63, "Kigoma TZ"),
+        (-1.6792, 29.2228, "Goma CD (vs Gisenyi)"),
+        (-2.508, 28.860, "Bukavu CD (vs Kamembe)"),
+        (-2.10, 29.05, "Idjwi island CD"),
+        (-3.40, 29.14, "Uvira CD"),
+        (0.49, 29.47, "Beni CD"),
+        (2.87, 30.85, "Aru CD (vs Arua)"),
+        (3.596, 32.064, "Nimule SS (vs Moyo)"),
+        (4.85, 31.58, "Juba SS"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("UG", "RW", "BI"), (name, got)
+
+    # the conjoined Kivu pairs split at ~1.5 km of water/street
+    assert geonames.derive_location(-1.702, 29.257)["country"] \
+        == "Rwanda"                              # Gisenyi
+    assert "Rwanda" not in \
+        geonames.derive_location(-1.6792, 29.2228).get("country", "")
+    # merged-zone offsets: EAT for Uganda, CAT for Rwanda/Burundi
+    assert geonames.derive_location(0.3476, 32.5825)["timezone"] \
+        == "Africa/Nairobi"
+    assert geonames.derive_location(-1.9441, 30.0619)["timezone"] \
+        == "Africa/Maputo"
+    assert geonames.derive_location(0.3476, 32.5825)["country"] \
+        == "Uganda"
+    assert geonames.derive_location(-1.9441, 30.0619)["country"] \
+        == "Rwanda"
+
+    import numpy as np
+    rng = np.random.default_rng(127)
+    pts = np.stack([rng.uniform(-5.0, 4.5, 50000),
+                    rng.uniform(28.5, 35.5, 50000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
