@@ -6300,6 +6300,146 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (-3.20, 29.21),                       #   west out
         (-2.95, 29.05),
     ],
+    # --- The Horn and the Arabian south (round 4o).  OM YE DJ ER SO
+    # are all anchor-less (Asia/Dubai's merged row swallowed Muscat;
+    # Africa/Nairobi's swallowed the Horn), so Muscat resolved to the
+    # UAE and Hargeisa/Asmara to Ethiopian anchors.  The OM/SA and
+    # OM/YE edges keep dead strips against the existing SA ring's
+    # conservative diagonals; Musandam and Socotra are their own
+    # rings; the Bab-el-Mandeb midline splits Perim YE from Ras
+    # Siyyan DJ; the 1998-arbitration Hanish islands resolve Yemeni
+    # and EEBC-final Badme Eritrean; the ET/SO provisional straight
+    # lines (the 8N-48E apex to Ferfer to Dolo) and the KE/SO line
+    # are conservative inside Somalia.  Concessions: Madha, Abd al
+    # Kuri, Ras Doumeira (disputed), Beled Hawo (tripoint-tight).
+    ("OM", None): [
+        (24.97, 56.38),                       # Khatmat Malaha coast
+        (24.90, 56.30),
+        (24.75, 56.22),                       # the Hatta AE wrap
+        (24.72, 56.10),
+        (24.50, 55.85),
+        (24.255, 55.775),                     # Buraimi OM / Al Ain AE
+        (24.00, 55.70),
+        (23.00, 55.55),
+        (22.50, 55.35),                       # SA diagonal dead strip
+        (21.00, 54.00),
+        (19.30, 52.45),
+        (19.05, 52.15),                       # the 19N/52E tripoint
+        (17.80, 52.60),                       # YE diagonal (own side)
+        (16.68, 53.13),                       # coast (Hawf YE west)
+        (16.80, 53.80),
+        (16.90, 54.10),                       # Salalah in
+        (17.80, 56.50),                       # Arabian Sea envelope
+        (19.00, 58.00),                       #   (Masirah in)
+        (20.20, 59.00),
+        (22.30, 60.00),                       # Sur in
+        (23.80, 59.00),
+        (25.00, 57.00),                       # Gulf of Oman midline
+        (25.20, 56.40),                       # Fujairah AE stays west
+    ],
+    ("OM", "Musandam"): [                     # the exclave past the
+        (26.50, 56.05), (26.50, 56.55),       #   AE east coast
+        (25.95, 56.45), (25.95, 56.05)],      #   (Khasab in)
+    ("YE", None): [
+        (16.25, 42.45),                       # Red Sea (SA edge N)
+        (15.60, 42.30),                       # Kamaran in
+        (14.50, 42.45),
+        (13.75, 42.60),                       # Hanish islands in
+        (13.00, 42.95),                       # Assab ER stays west
+        (12.55, 43.25),
+        (12.52, 43.42),                       # Bab-el-Mandeb: Perim
+        (12.40, 43.55),                       #   in, Ras Siyyan DJ out
+        (12.30, 44.50),                       # Gulf of Aden envelope
+        (12.50, 45.20),                       # Aden in
+        (13.50, 48.00),
+        (14.80, 50.50),                       # Mukalla in
+        (15.80, 52.40),
+        (16.55, 52.95),                       # OM diagonal (own side)
+        (17.70, 52.45),
+        (18.95, 52.05),                       # the 19N/52E corner
+        (17.20, 47.60),                       # SA edge (dead strip)
+        (16.85, 46.30),
+        (17.05, 45.30),
+        (17.15, 44.30),                       # Saada in
+        (16.75, 43.10),
+        (16.30, 42.78),                       # south of SA's corner
+    ],
+    ("YE", "Socotra"): [
+        (12.80, 53.20), (12.80, 54.60),
+        (12.25, 54.60), (12.25, 53.20)],
+    ("DJ", None): [
+        (12.42, 43.00),
+        (12.50, 43.35),                       # Ras Siyyan (vs Perim)
+        (12.10, 43.47),
+        (11.80, 43.52),                       # Obock in
+        (11.50, 43.42),                       # Zeila SO stays south
+        (11.47, 43.27),                       # Loyada (city in)
+        (11.10, 42.92),
+        (10.93, 42.65),                       # Ali Sabieh in
+        (11.00, 42.30),
+        (11.40, 41.85),                       # ET edge (conservative)
+        (11.75, 41.80),
+        (12.15, 42.00),
+    ],
+    ("ER", None): [
+        (17.90, 38.62),                       # Ras Kasar (SD coast N)
+        (18.10, 39.20),                       # Red Sea envelope
+        (17.50, 40.20),                       #   (Dahlak in)
+        (16.30, 41.20),
+        (15.20, 42.00),
+        (14.20, 42.40),
+        (13.40, 42.58),                       # YE midline west side
+        (13.00, 42.80),                       # Assab in
+        (12.60, 43.10),                       # Doumeira conceded
+        (12.75, 42.60),
+        (13.20, 41.80),                       # ET edge (conservative)
+        (13.80, 41.20),
+        (14.20, 40.90),
+        (14.45, 40.25),                       # Dallol ET stays south
+        (14.55, 39.50),                       # Senafe in, Zalambessa
+        (14.52, 38.35),                       #   ET out (unasserted)
+        (14.60, 37.88),                       # Badme in (EEBC final)
+        (14.27, 37.60),
+        (14.25, 37.10),                       # the Tekeze reach
+        (14.32, 36.60),                       # Humera ET south
+        (15.10, 36.58),                       # Teseney in, Kassala
+        (15.45, 36.55),                       #   SD west
+        (16.00, 36.80),
+        (16.50, 37.20),
+        (17.00, 37.80),
+        (17.50, 38.30),
+    ],
+    ("SO", None): [
+        (11.42, 43.48),                       # Zeila in (DJ northwest)
+        (10.90, 43.05),
+        (10.60, 43.10),
+        (9.40, 43.65),                        # the Somaliland/ET line
+        (9.10, 45.00),                        #   (Jijiga ET west,
+        (8.60, 46.80),                        #   Hargeisa SO east)
+        (7.90, 47.95),                        # the 8N/48E apex
+        (6.50, 46.55),                        # the apex-Ferfer line
+        (5.15, 45.20),                        # Beledweyne SO in
+        (4.52, 43.60),                        # the Ferfer-Dolo line
+        (4.10, 42.25),
+        (3.98, 41.95),                        # the KE tripoint region
+        (1.50, 41.90),                        # the KE straight line
+        (0.00, 41.78),                        #   (own side, strip)
+        (-1.50, 41.70),
+        (-1.58, 41.75),                       # Ras Kamboni region
+        (-1.70, 42.00),
+        (-1.20, 42.80),                       # Indian Ocean envelope
+        (0.50, 43.60),                        #   (Kismayo in)
+        (2.04, 45.60),                        # Mogadishu in
+        (4.50, 48.20),
+        (7.00, 50.20),
+        (9.50, 51.60),
+        (11.50, 51.50),                       # Cape Guardafui
+        (12.10, 51.45),
+        (11.90, 50.00),
+        (11.60, 48.00),
+        (11.30, 45.50),                       # Berbera in (Aden gulf
+        (11.20, 44.00),                       #   midline)
+    ],
     # --- Anchor-less island territories (round 4o).  Same class as
     # the Caribbean: zone1970 merged Indian/Mahe and Indian/Reunion
     # into Asia/Dubai, Mayotte/Comoros into Africa/Nairobi, the crown

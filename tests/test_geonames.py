@@ -4538,6 +4538,104 @@ def test_polygon_round4o_east_africa():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4o_horn_arabia():
+    """Oman, Yemen, Djibouti, Eritrea and Somalia are all anchor-less
+    (Asia/Dubai's merged row swallowed Muscat; Africa/Nairobi's the
+    Horn), so Muscat resolved to the UAE and Hargeisa/Asmara to
+    Ethiopian anchors.  Musandam and Socotra get their own rings; the
+    Buraimi/Al Ain conjoined pair splits at the 1966 line; the
+    Bab-el-Mandeb midline splits Perim YE from Ras Siyyan DJ; the
+    1998-arbitration Hanish islands resolve Yemeni and EEBC-final
+    Badme Eritrean; the ET/SO provisional straight lines (the 8N/48E
+    apex -> Ferfer -> Dolo) and the KE/SO line stay conservative
+    inside Somalia; every edge against the existing SA ring keeps a
+    dead strip south of its conservative diagonals."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (23.5880, 58.3829, ("OM", None)),    # Muscat (was AE!)
+        (17.0151, 54.0924, ("OM", None)),    # Salalah
+        (22.57, 59.53, ("OM", None)),        # Sur
+        (20.42, 58.80, ("OM", None)),        # Masirah
+        (24.25, 55.793, ("OM", None)),       # Buraimi (vs Al Ain AE)
+        (23.24, 57.26, ("OM", None)),        # Jebel Shams
+        (26.18, 56.25, ("OM", "Musandam")),  # Khasab
+        (15.3694, 44.1910, ("YE", None)),    # Sanaa
+        (12.7855, 45.0187, ("YE", None)),    # Aden
+        (14.54, 49.13, ("YE", None)),        # Mukalla
+        (12.655, 43.415, ("YE", None)),      # Perim (the strait)
+        (13.72, 42.75, ("YE", None)),        # Hanish (1998 award)
+        (16.94, 43.76, ("YE", None)),        # Saada (vs Najran SA)
+        (12.64, 54.02, ("YE", "Socotra")),   # Hadibu
+        (11.589, 43.145, ("DJ", None)),      # Djibouti city
+        (11.65, 42.41, ("DJ", None)),        # Lake Assal
+        (11.78, 42.88, ("DJ", None)),        # Tadjoura
+        (12.48, 43.33, ("DJ", None)),        # Ras Siyyan (vs Perim)
+        (15.3389, 38.9327, ("ER", None)),    # Asmara (was ET!)
+        (15.61, 39.45, ("ER", None)),        # Massawa
+        (13.01, 42.74, ("ER", None)),        # Assab
+        (15.70, 40.10, ("ER", None)),        # Dahlak
+        (14.74, 37.84, ("ER", None)),        # Badme (EEBC final)
+        (15.11, 36.657, ("ER", None)),       # Teseney (vs Kassala)
+        (2.0469, 45.3182, ("SO", None)),     # Mogadishu
+        (9.5624, 44.0770, ("SO", None)),     # Hargeisa (was ET!)
+        (10.4396, 45.0143, ("SO", None)),    # Berbera
+        (11.2842, 49.1816, ("SO", None)),    # Bosaso
+        (-0.358, 42.545, ("SO", None)),      # Kismayo
+        (11.355, 43.472, ("SO", None)),      # Zeila (vs DJ)
+        (6.77, 47.43, ("SO", None)),         # Galkayo
+        (4.736, 45.203, ("SO", None)),       # Beledweyne
+        (11.82, 51.28, ("SO", None)),        # Cape Guardafui
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        hit = geonames.nearest_anchor(lat, lon)
+        assert hit is None or hit[1] != want[0], (lat, lon, hit)
+
+    outsiders = [
+        (25.2048, 55.2708, "Dubai AE"),
+        (24.207, 55.745, "Al Ain AE (vs Buraimi)"),
+        (25.12, 56.34, "Fujairah AE"),
+        (24.80, 56.12, "Hatta AE (the wrap)"),
+        (25.80, 55.98, "Ras Al Khaimah AE"),
+        (17.62, 44.23, "Najran SA (vs Saada)"),
+        (9.0300, 38.7400, "Addis Ababa ET"),
+        (9.35, 42.80, "Jijiga ET"),
+        (5.95, 43.55, "Gode ET (the Ogaden)"),
+        (14.24, 40.30, "Dallol ET"),
+        (14.285, 36.607, "Humera ET"),
+        (15.458, 36.404, "Kassala SD (vs Teseney)"),
+        (3.937, 41.857, "Mandera KE"),
+        (-2.27, 40.90, "Lamu KE"),
+    ]
+    new = ("OM", "YE", "DJ", "ER", "SO")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+
+    # the conjoined Buraimi/Al Ain pair splits at the 1966 line
+    assert geonames.derive_location(24.25, 55.793)["country"] == "Oman"
+    assert "United Arab Emirates" in \
+        geonames.derive_location(24.207, 55.745)["country"]
+    # merged-zone offsets: GST for Oman, EAT for the Horn
+    assert geonames.derive_location(23.588, 58.383)["timezone"] \
+        == "Asia/Dubai"
+    assert geonames.derive_location(2.047, 45.318)["timezone"] \
+        == "Africa/Nairobi"
+    assert geonames.derive_location(26.18, 56.25)["country"] \
+        == "Musandam, Oman"
+    assert geonames.derive_location(15.339, 38.933)["country"] \
+        == "Eritrea"
+
+    import numpy as np
+    rng = np.random.default_rng(131)
+    pts = np.stack([rng.uniform(-2.5, 27.0, 60000),
+                    rng.uniform(36.0, 60.5, 60000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
