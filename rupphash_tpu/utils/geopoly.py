@@ -2226,6 +2226,125 @@ _TR_IQ: list[tuple[float, float]] = [     # the TR/IQ border, W -> E
     (37.15, 44.78),                       # TR/IQ/IR tripoint
 ]
 
+# --- Central America + Hispaniola shared chains (round 4p).  The
+# MX-facing runs reuse the MX ring's Guatemala/Belize vertices
+# VERBATIM (coincident edges, no dead strip); everything else is
+# authored once here and spliced into both neighbours.
+_MX_GT: list[tuple[float, float]] = [     # the Peten parallel +
+    (17.8167, -89.15),                    #   Usumacinta/Chiapas chain
+    (17.8167, -90.99),                    #   (MX ring verbatim,
+    (17.25, -91.43),                      #   tripoint -> Suchiate
+    (16.4, -90.4),                        #   mouth)
+    (16.07, -90.43),
+    (16.08, -91.74),
+    (15.5, -92.12),
+    (15.0, -92.17),
+    (14.68, -92.147),                     # Cd. Hidalgo / Tecun Uman
+    (14.54, -92.23),                      # Suchiate mouth
+]
+_MX_BZ: list[tuple[float, float]] = [     # Boca Bacalar Chico -> the
+    (18.19, -87.83),                      #   Rio Hondo -> tripoint
+    (18.4, -88.05),                       #   (MX ring verbatim)
+    (18.49, -88.30),                      # Hondo mouth (Corozal BZ)
+    (18.2, -88.6),
+    (17.95, -88.9),
+    (17.8167, -89.15),                    # MX/BZ/GT tripoint (exact)
+]
+_GT_BZ: list[tuple[float, float]] = [     # the 1859 adjacency line +
+    (15.885, -88.93),                     #   the Sarstoon, S -> N
+    (15.89, -89.15),                      # Sarstoon upriver
+    (15.90, -89.227),                     # Gracias a Dios falls
+    (16.50, -89.20),
+    (17.07, -89.146),                     # Melchor GT / Benque BZ
+    (17.8167, -89.15),                    # Aguas Turbias tripoint
+]
+_GT_HN: list[tuple[float, float]] = [     # Motagua mouth -> the
+    (15.70, -88.22),                      #   Merendon -> tripoint
+    (15.40, -88.68),
+    (15.00, -88.84),
+    (14.837, -89.24),                     # El Florido (Copan HN east)
+    (14.56, -89.24),                      # Esquipulas GT west
+    (14.42, -89.355),                     # GT/HN/SV tripoint
+]
+_GT_SV: list[tuple[float, float]] = [     # tripoint -> Lago Guija ->
+    (14.42, -89.355),                     #   the Paz mouth
+    (14.39, -89.50),
+    (14.22, -89.58),
+    (13.94, -90.05),
+    (13.74, -90.13),                      # Paz River mouth
+]
+_SV_HN: list[tuple[float, float]] = [     # tripoint -> Goascoran, W->E
+    (14.42, -89.355),
+    (14.405, -89.21),                     # Citala SV / N. Ocotepeque
+    (14.32, -89.03),
+    (14.23, -88.72),
+    (14.04, -88.48),
+    (14.02, -88.23),
+    (13.99, -88.07),                      # north of Perquin (the
+    (13.80, -87.85),                      #   Nahuaterique concession)
+    (13.57, -87.77),                      # El Amatillo crossing
+    (13.41, -87.79),                      # Goascoran mouth (Fonseca)
+]
+_SV_HN_FONSECA: list[tuple[float, float]] = [   # the 1992 ICJ award:
+    (13.41, -87.79),                      #   Meanguera SV in,
+    (13.28, -87.74),                      #   El Tigre HN out
+    (13.13, -87.66),
+]
+_HN_NI: list[tuple[float, float]] = [     # Fonseca -> the Coco ->
+    (12.98, -87.34),                      #   Cabo Gracias a Dios
+    (13.02, -87.00),
+    (13.30, -86.92),
+    (13.42, -86.77),
+    (13.48, -86.70),                      # the El Espino dip
+    (13.77, -86.60),                      # Las Manos (Dipilto NI S)
+    (13.85, -86.40),
+    (14.05, -86.20),
+    (14.02, -85.93),                      # Trojes HN N / Jalapa NI S
+    (13.95, -85.75),
+    (14.05, -85.38),
+    (14.30, -84.90),
+    (14.55, -84.40),
+    (14.76, -83.97),                      # Waspam NI (south bank)
+    (14.85, -83.40),
+    (14.99, -83.15),                      # Cabo Gracias a Dios
+]
+_NI_CR: list[tuple[float, float]] = [     # Salinas Bay -> the lake ->
+    (11.07, -85.74),                      #   the San Juan (NI's
+    (11.21, -85.60),                      #   river, CR's right bank)
+    (11.15, -85.05),
+    (11.08, -84.75),                      # San Carlos lake exit
+    (10.98, -84.40),                      # El Castillo reach
+    (10.83, -84.05),
+    (10.92, -83.72),                      # San Juan del Norte mouth
+]
+_CR_PA: list[tuple[float, float]] = [     # Sixaola mouth -> the
+    (9.58, -82.563),                      #   cordillera -> Burica
+    (9.52, -82.615),                      # Sixaola CR / Guabito PA
+    (9.48, -82.80),
+    (9.40, -82.94),
+    (9.05, -82.90),
+    (8.82, -82.92),                       # San Vito CR / Rio Sereno
+    (8.53, -82.845),                      # Paso Canoas (border town)
+    (8.40, -82.91),
+    (8.03, -82.884),                      # Punta Burica tip
+]
+_DO_HT: list[tuple[float, float]] = [     # Massacre mouth -> the
+    (19.715, -71.782),                    #   lakes -> Pedernales
+    (19.63, -71.745),
+    (19.55, -71.716),                     # Dajabon DO / Ouanaminthe
+    (19.30, -71.735),
+    (19.08, -71.715),                     # Banica DO (the Artibonite)
+    (18.90, -71.72),
+    (18.86, -71.74),                      # Comendador DO / Belladere
+    (18.70, -71.76),
+    (18.60, -71.90),                      # between Azuei (HT) and
+    (18.50, -71.90),                      #   Enriquillo (DO); Jimani
+    (18.42, -71.88),                      #   DO / Malpasse HT
+    (18.30, -71.85),
+    (18.10, -71.77),
+    (18.033, -71.748),                    # Pedernales / Anse-a-Pitres
+]
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -6749,6 +6868,147 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ("PT", "Azores"): [
         (39.90, -31.50), (39.90, -24.80),
         (36.70, -24.80), (36.70, -31.50)],
+    # --- Central America (round 4p).  The isthmus anchors are one
+    # per country, so every border region misresolves today: Tikal
+    # and Melchor de Mencos GT -> Belize, Copan Ruinas HN and
+    # Esquipulas GT -> El Salvador, Ocotal NI -> Honduras, La Cruz
+    # CR -> Nicaragua, David/Bocas PA -> Costa Rica.  MX-facing
+    # edges reuse the MX ring verbatim; every other land border is
+    # one shared chain.  Concessions documented: Cocos Island (CR,
+    # 500 km offshore), the Darien edge stays conservative inside
+    # Panama (Colombia unringed).
+    ("GT", None): [
+        *_MX_GT,                              # tripoint -> Suchiate
+        (14.30, -92.35),                      # Pacific offshore
+        (13.70, -91.30),
+        (13.42, -90.40),                      # Monterrico offshore
+        (13.55, -90.16),
+        *[(la, lo) for la, lo in reversed(_GT_SV)],   # Paz -> tripoint
+        *_GT_HN[::-1][1:],                    # tripoint -> Motagua
+        (15.92, -88.50),                      # Amatique Bay (P. Gorda
+        (15.90, -88.80),                      #   BZ north, Livingston
+        *_GT_BZ[:-1],                         #   in); Sarstoon -> N
+    ],
+    ("BZ", None): [
+        *_MX_BZ[::-1],                        # tripoint -> Bacalar
+        (18.20, -87.50),                      # Ambergris offshore
+        (17.20, -87.35),                      # Lighthouse Reef in
+        (16.40, -87.70),
+        (16.20, -88.30),                      # Gulf of Honduras
+        (15.92, -88.50),                      # shared bay verts (GT)
+        (15.90, -88.80),
+        *_GT_BZ[:-1],                         # Sarstoon -> tripoint
+    ],
+    ("SV", None): [
+        *_SV_HN,                              # tripoint -> Goascoran
+        *_SV_HN_FONSECA[1:],                  # Meanguera in
+        (12.95, -87.82),                      # Fonseca mouth
+        (12.95, -88.80),                      # Pacific offshore
+        (13.15, -89.80),
+        (13.45, -90.20),                      # Paz mouth offshore
+        *[(la, lo) for la, lo in reversed(_GT_SV)][:-1],
+    ],
+    ("HN", None): [
+        *_GT_HN,                              # Motagua -> tripoint
+        *_SV_HN[1:],                          # tripoint -> Goascoran
+        *_SV_HN_FONSECA[1:],                  # El Tigre in (ICJ 1992)
+        (13.05, -87.55),                      # Fonseca south vs NI
+        *_HN_NI,                              # -> Cabo Gracias a Dios
+        (15.25, -82.90),                      # Caribbean (Miskito
+        (16.00, -82.50),                      #   Cays NI stay south)
+        (17.60, -83.60),                      # Swan Islands in
+        (17.60, -84.20),
+        (16.80, -85.50),                      # Guanaja in
+        (16.55, -86.60),                      # Roatan in
+        (16.35, -87.50),                      # Utila in
+        (16.00, -87.95),                      # Puerto Cortes offshore
+    ],
+    ("NI", None): [
+        *_HN_NI[::-1],                        # Cabo -> Fonseca
+        (12.93, -87.72),                      # Punta Cosiguina in
+        (12.70, -87.80),
+        (12.30, -87.45),                      # Corinto offshore
+        (11.40, -86.40),
+        (11.05, -85.95),                      # San Juan del Sur off
+        *_NI_CR,                              # Salinas -> the mouth
+        (11.10, -83.35),                      # Caribbean offshore
+        (12.00, -82.90),                      # Corn Islands in,
+        (13.00, -82.60),                      #   San Andres CO out
+        (14.55, -82.55),                      # Miskito Cays in
+        (14.90, -82.90),
+    ],
+    ("CR", None): [
+        *_NI_CR[::-1],                        # mouth -> Salinas Bay
+        (10.80, -86.10),                      # Guanacaste offshore
+        (9.50, -85.40),                       # Nicoya offshore
+        (8.90, -84.20),                       # Quepos offshore
+        (8.20, -83.70),                       # Osa/Corcovado offshore
+        (8.00, -83.20),
+        *_CR_PA[::-1],                        # Burica -> Sixaola
+        (9.68, -82.50),                       # Caribbean (Bocas PA
+        (10.10, -82.85),                      #   stays south-east)
+        (10.60, -83.25),
+        (10.85, -83.55),
+    ],
+    ("PA", None): [
+        *_CR_PA,                              # Sixaola -> Burica
+        (7.90, -82.70),                       # Chiriqui offshore
+        (7.60, -82.30),
+        (7.20, -81.95),                       # Coiba in
+        (7.00, -81.20),
+        (6.95, -80.30),                       # Azuero offshore
+        (7.05, -78.60),                       # Gulf of Panama (the
+        (7.10, -78.20),                       #   Pearl Islands in)
+        (7.30, -77.80),                       # Pacific Darien end
+        (7.60, -77.72),                       # Darien divide
+        (8.05, -77.52),                       #   (conservative inside
+        (8.45, -77.45),                       #   PA; CO unringed)
+        (8.683, -77.365),                     # Cape Tiburon
+        (9.00, -77.80),                       # San Blas offshore
+        (9.65, -78.70),
+        (9.80, -79.30),                       # Colon offshore
+        (9.75, -80.50),
+        (9.62, -82.00),                       # Bocas offshore
+        (9.70, -82.38),                       # east of CR's envelope
+    ],
+    # --- Hispaniola (round 4p).  One anchor per country
+    # (Port-au-Prince / Santo Domingo), so the whole border belt
+    # misresolved: Dajabon, Jimani, Pedernales and Banica DO all ->
+    # Haiti.  The shared chain threads the twin pairs (Dajabon /
+    # Ouanaminthe at ~2 km, Pedernales / Anse-a-Pitres at ~1.5 km,
+    # Jimani / Malpasse between the lakes).  Navassa (US-claimed)
+    # stays outside both envelopes.
+    ("DO", None): [
+        *_DO_HT,                              # mouth -> Pedernales
+        (17.80, -71.70),                      # Cabo Rojo offshore
+        (17.40, -71.55),                      # Beata in
+        (17.75, -70.80),
+        (17.90, -70.00),                      # Barahona offshore
+        (18.00, -68.90),
+        (17.95, -68.58),                      # Saona in
+        (18.35, -68.15),                      # Punta Cana offshore
+        (19.05, -68.20),
+        (19.60, -68.85),                      # Samana offshore
+        (19.95, -69.55),
+        (20.20, -70.50),                      # Puerto Plata offshore
+        (20.05, -71.50),                      # Monte Cristi offshore
+        (19.90, -71.76),
+    ],
+    ("HT", None): [
+        *_DO_HT,                              # mouth -> Anse-a-Pitres
+        (17.95, -72.10),                      # south coast offshore
+        (17.95, -73.00),
+        (17.90, -73.80),                      # Ile-a-Vache in
+        (18.00, -74.60),                      # Tiburon offshore
+        (18.45, -74.78),                      # west cape (Navassa
+        (18.70, -74.60),                      #   stays outside)
+        (19.40, -73.60),                      # Gulf of Gonave inside
+        (19.70, -73.60),                      #   (Gonave island in)
+        (19.95, -73.55),                      # Mole-St-Nicolas in
+        (20.25, -73.00),                      # Tortuga in
+        (20.15, -72.40),
+        (19.95, -71.90),                      # Cap-Haitien offshore
+    ],
 }
 
 # Enclave holes: ring -> regions it does NOT claim even though the

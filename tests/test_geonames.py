@@ -4636,6 +4636,185 @@ def test_polygon_round4o_horn_arabia():
         assert len(hits) <= 1, (lat, lon, hits)
 
 
+def test_polygon_round4p_central_america():
+    """The isthmus has ONE anchor per country, so the whole border
+    belt misresolved before these rings: Tikal and Melchor de Mencos
+    GT -> Belize, Copan Ruinas HN and Esquipulas GT -> El Salvador,
+    Ocotal NI -> Honduras, La Cruz CR -> Nicaragua, David / Bocas /
+    Guabito PA -> Costa Rica.  MX-facing edges reuse the MX ring
+    verbatim; every other land border is one shared chain; the Gulf
+    of Fonseca threads the 1992 ICJ award (Meanguera SV, El Tigre
+    HN); the San Juan river is Nicaragua's (CR holds the right
+    bank).  Concessions: Cocos Island (CR, 500 km offshore), the
+    Darien edge conservative inside Panama (Colombia unringed)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (14.62, -90.52, ("GT", None)),       # Guatemala City
+        (17.224, -89.611, ("GT", None)),     # Tikal (was BZ!)
+        (16.93, -89.89, ("GT", None)),       # Flores (was BZ!)
+        (17.07, -89.152, ("GT", None)),      # Melchor de M. (was BZ!)
+        (14.845, -91.52, ("GT", None)),      # Quetzaltenango
+        (14.56, -90.73, ("GT", None)),       # Antigua
+        (14.567, -89.352, ("GT", None)),     # Esquipulas (was SV!)
+        (15.73, -88.60, ("GT", None)),       # Puerto Barrios
+        (15.83, -88.75, ("GT", None)),       # Livingston
+        (17.50, -88.19, ("BZ", None)),       # Belize City
+        (17.075, -89.139, ("BZ", None)),     # Benque Viejo (vs GT)
+        (17.16, -89.07, ("BZ", None)),       # San Ignacio
+        (16.098, -88.810, ("BZ", None)),     # Punta Gorda
+        (17.92, -87.96, ("BZ", None)),       # San Pedro, Ambergris
+        (18.395, -88.39, ("BZ", None)),      # Corozal (vs Chetumal)
+        (17.34, -87.51, ("BZ", None)),       # Lighthouse Reef
+        (13.69, -89.19, ("SV", None)),       # San Salvador
+        (13.995, -89.56, ("SV", None)),      # Santa Ana
+        (13.337, -87.844, ("SV", None)),     # La Union
+        (14.374, -89.214, ("SV", None)),     # Citala (vs Ocotepeque)
+        (13.958, -88.16, ("SV", None)),      # Perquin
+        (13.19, -87.715, ("SV", None)),      # Meanguera (ICJ 1992)
+        (14.07, -87.19, ("HN", None)),       # Tegucigalpa
+        (15.50, -88.03, ("HN", None)),       # San Pedro Sula
+        (14.837, -89.142, ("HN", None)),     # Copan Ruinas (was SV!)
+        (16.32, -86.53, ("HN", None)),       # Roatan
+        (16.10, -86.93, ("HN", None)),       # Utila
+        (14.437, -89.183, ("HN", None)),     # Nueva Ocotepeque
+        (13.29, -87.63, ("HN", None)),       # Amapala/El Tigre (ICJ)
+        (14.07, -85.99, ("HN", None)),       # Trojes (vs the salient)
+        (17.41, -83.93, ("HN", None)),       # Swan Islands
+        (13.433, -86.794, ("HN", None)),     # San Marcos de Colon
+        (12.13, -86.25, ("NI", None)),       # Managua
+        (11.93, -85.96, ("NI", None)),       # Granada
+        (13.63, -86.48, ("NI", None)),       # Ocotal (was HN!)
+        (13.92, -86.12, ("NI", None)),       # Jalapa (the salient)
+        (14.741, -83.972, ("NI", None)),     # Waspam (south bank)
+        (12.17, -83.06, ("NI", None)),       # Corn Island
+        (14.38, -82.77, ("NI", None)),       # Miskito Cays
+        (11.019, -84.395, ("NI", None)),     # El Castillo (the river
+        (11.54, -85.62, ("NI", None)),       # Ometepe    is NI's)
+        (12.91, -87.66, ("NI", None)),       # Punta Cosiguina
+        (9.93, -84.08, ("CR", None)),        # San Jose
+        (10.63, -85.44, ("CR", None)),       # Liberia
+        (11.072, -85.632, ("CR", None)),     # La Cruz (was NI!)
+        (11.035, -84.715, ("CR", None)),     # Los Chiles (right bank)
+        (9.657, -82.754, ("CR", None)),      # Pto Viejo de Talamanca
+        (9.53, -82.63, ("CR", None)),        # Sixaola (vs Guabito)
+        (8.82, -82.97, ("CR", None)),        # San Vito
+        (8.55, -82.86, ("CR", None)),        # Paso Canoas CR side
+        (10.31, -84.82, ("CR", None)),       # Monteverde
+        (8.98, -79.52, ("PA", None)),        # Panama City
+        (8.43, -82.43, ("PA", None)),        # David (was CR!)
+        (9.49, -82.61, ("PA", None)),        # Guabito (was CR!)
+        (9.34, -82.24, ("PA", None)),        # Bocas del T. (was CR!)
+        (8.82, -82.86, ("PA", None)),        # Rio Sereno (vs S. Vito)
+        (8.276, -82.862, ("PA", None)),      # Puerto Armuelles
+        (8.666, -77.418, ("PA", None)),      # Puerto Obaldia
+        (8.625, -79.036, ("PA", None)),      # Contadora (Pearls)
+        (7.455, -81.76, ("PA", None)),       # Coiba
+        (8.52, -82.83, ("PA", None)),        # Paso Canoas PA side
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+
+    outsiders = [
+        (14.90, -92.26, "Tapachula MX"),
+        (18.50, -88.296, "Chetumal MX"),
+        (12.58, -81.70, "San Andres CO"),
+        (13.35, -81.37, "Providencia CO"),
+        (8.631, -77.348, "Capurgana CO"),
+        (7.10, -77.76, "Jurado CO"),
+    ]
+    new = ("GT", "BZ", "SV", "HN", "NI", "CR", "PA")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+
+    # the twin splits resolve both halves
+    assert geonames.derive_location(17.224, -89.611)["timezone"] \
+        == "America/Guatemala"                # Tikal (was Belize tz)
+    assert geonames.derive_location(8.43, -82.43)["timezone"] \
+        == "America/Panama"                   # David (was Costa Rica)
+    # Ocotal: the country flips to Nicaragua; the tz proxy stays the
+    # 95-km Tegucigalpa anchor (inside TZ_LOCAL_KM, same UTC-6 — the
+    # El Paso convention for genuinely-local foreign anchors)
+    assert geonames.derive_location(13.63, -86.48)["country"] \
+        == "Nicaragua"
+
+    import numpy as np
+    rng = np.random.default_rng(433)
+    pts = np.stack([rng.uniform(6.5, 19.0, 60000),
+                    rng.uniform(-93.0, -76.0, 60000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
+def test_polygon_round4p_hispaniola():
+    """One anchor per country (Port-au-Prince / Santo Domingo), so
+    the whole border belt misresolved: Dajabon, Jimani, Pedernales
+    and Banica DO all -> Haiti.  The shared chain threads the twin
+    pairs (Dajabon / Ouanaminthe at ~2 km, Pedernales /
+    Anse-a-Pitres at ~1.5 km across the river mouth, Jimani /
+    Malpasse between lakes Azuei and Enriquillo).  Navassa
+    (US-claimed) stays outside both envelopes."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (18.47, -69.90, ("DO", None)),       # Santo Domingo
+        (18.58, -68.40, ("DO", None)),       # Punta Cana
+        (19.45, -70.70, ("DO", None)),       # Santiago
+        (19.80, -70.69, ("DO", None)),       # Puerto Plata
+        (19.21, -69.33, ("DO", None)),       # Samana
+        (18.038, -71.741, ("DO", None)),     # Pedernales (was HT!)
+        (18.495, -71.851, ("DO", None)),     # Jimani (was HT!)
+        (19.548, -71.708, ("DO", None)),     # Dajabon (was HT!)
+        (19.078, -71.698, ("DO", None)),     # Banica (was HT!)
+        (18.876, -71.707, ("DO", None)),     # Comendador (was HT!)
+        (19.85, -71.65, ("DO", None)),       # Monte Cristi
+        (18.13, -68.70, ("DO", None)),       # Saona
+        (17.60, -71.42, ("DO", None)),       # Cabo Beata
+        (18.55, -72.34, ("HT", None)),       # Port-au-Prince
+        (19.76, -72.20, ("HT", None)),       # Cap-Haitien
+        (18.234, -72.535, ("HT", None)),     # Jacmel
+        (18.19, -73.75, ("HT", None)),       # Les Cayes
+        (18.65, -74.12, ("HT", None)),       # Jeremie
+        (19.55, -71.725, ("HT", None)),      # Ouanaminthe (the twin)
+        (18.045, -71.755, ("HT", None)),     # Anse-a-Pitres (twin)
+        (18.505, -72.01, ("HT", None)),      # Fond Parisien
+        (18.85, -71.778, ("HT", None)),      # Belladere
+        (19.807, -73.39, ("HT", None)),      # Mole-Saint-Nicolas
+        (20.055, -72.79, ("HT", None)),      # Tortuga
+        (18.85, -73.06, ("HT", None)),       # Gonave
+        (18.07, -73.64, ("HT", None)),       # Ile-a-Vache
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+        # every positive is anchor-adversarial for the wrong-side
+        # cases and at minimum anchor-agreeing for the rest
+    outsiders = [
+        (20.02, -75.82, "Santiago de Cuba"),
+        (17.97, -76.79, "Kingston JM"),
+        (21.47, -71.14, "Grand Turk TC"),
+        (18.40, -75.01, "Navassa (US-claimed, concession)"),
+    ]
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in ("DO", "HT"), (name, got)
+
+    # the border twins get their own country's clock
+    assert geonames.derive_location(19.548, -71.708)["timezone"] \
+        == "America/Santo_Domingo"            # Dajabon (was HT tz)
+    assert geonames.derive_location(19.55, -71.725)["timezone"] \
+        == "America/Port-au-Prince"           # Ouanaminthe
+
+    import numpy as np
+    rng = np.random.default_rng(434)
+    pts = np.stack([rng.uniform(17.0, 21.0, 40000),
+                    rng.uniform(-75.5, -67.5, 40000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
+
+
 def test_polygon_rings_agree_with_anchor_tables():
     """Cross-validation against independent data: every admin-1 anchor
     point (zone1970 + the embedded subdivision tables) that falls
