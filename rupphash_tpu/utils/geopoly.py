@@ -2345,6 +2345,65 @@ _DO_HT: list[tuple[float, float]] = [     # Massacre mouth -> the
     (18.033, -71.748),                    # Pedernales / Anse-a-Pitres
 ]
 
+# --- Levant shared chains (round 4q).
+_IL_LB: list[tuple[float, float]] = [     # the Blue Line, W -> E;
+    (33.09, 35.105),                      #   Rosh HaNikra coast
+    (33.095, 35.35),
+    (33.105, 35.50),
+    (33.245, 35.555),                     # the Metula finger wrap
+    (33.290, 35.565),                     #   (Metula IL inside,
+    (33.290, 35.60),                      #   Kfar Kila / Marjayoun
+    (33.265, 35.625),                     #   LB north; Ghajar on the
+]                                         #   line stays dead)
+_LB_GOLAN: list[tuple[float, float]] = [  # LB vs the Golan dead strip
+    (33.265, 35.625),                     #   up to the Hermon crest
+    (33.32, 35.72),
+    (33.40, 35.87),
+]
+_LB_SY: list[tuple[float, float]] = [     # Hermon -> the coast, S->N
+    (33.40, 35.87),                       # Mount Hermon crest
+    (33.55, 36.02),
+    (33.70, 36.00),                       # Zabadani SY stays east
+    (33.78, 36.10),
+    (33.90, 36.30),                       # Baalbek LB west
+    (34.20, 36.60),
+    (34.42, 36.60),                       # Qaa LB / Qusayr SY
+    (34.52, 36.48),
+    (34.60, 36.32),                       # Talkalakh SY north
+    (34.63, 35.98),                       # Arida coast crossing
+]
+_IL_WB: list[tuple[float, float]] = [     # the 1949 Green Line,
+    (32.40, 35.50),                       #   river NW -> Dead Sea;
+    (32.52, 35.43),                       #   twins threaded: Umm
+    (32.555, 35.28),                      #   al-Fahm / Baqa / Tayibe
+    (32.50, 35.17),                       #   IL vs Jenin / Tulkarm /
+    (32.46, 35.065),                      #   Qalqilya PS
+    (32.33, 35.005),
+    (32.26, 35.025),
+    (32.23, 34.95),
+    (32.14, 34.96),
+    (32.00, 35.01),
+    (31.86, 35.02),
+    (31.82, 34.98),                       # the Latrun approach
+    (31.80, 35.08),                       # the Jerusalem corridor
+    (31.83, 35.16),
+    (31.85, 35.25),                       # Ramallah stays north
+    (31.83, 35.31),
+    (31.75, 35.29),
+    (31.72, 35.21),                       # Bethlehem stays south
+    (31.71, 35.15),
+    (31.66, 35.09),
+    (31.40, 34.98),                       # south Hebron hills
+    (31.36, 35.22),
+    (31.53, 35.46),                       # Dead Sea NW shore
+]
+_GAZA_FENCE: list[tuple[float, float]] = [    # Gaza perimeter, coast
+    (31.59, 34.49),                       #   N corner -> Kerem Shalom
+    (31.56, 34.56),                       # Erez (Sderot IL east)
+    (31.32, 34.40),
+    (31.22, 34.28),                       # Kerem Shalom corner
+]
+
 # (country_code, subdivision|None) -> ring of (lat, lon) vertices.
 # subdivision None marks a COUNTRY-level ring (exact country
 # assignment; admin-1 still resolves through the anchor tables,
@@ -4461,7 +4520,7 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     # NEOM coast opposite without overlap; Dahab/Sharm stay in).
     ("EG", None): [
         (22.0, 25.0), (32.2, 25.0), (32.2, 29.0), (31.9, 32.0),
-        (31.5, 34.22), (31.32, 34.27), (29.49, 34.905),
+        (31.5, 34.22), (31.32, 34.215), (29.49, 34.905),
         (29.0, 34.77), (28.0, 34.62), (27.65, 34.42),
         (27.5, 34.7), (25.0, 35.5), (22.0, 36.89)],
     # Libya: the 25E east edge (Egypt/Sudan) and 15E conservative west
@@ -4709,9 +4768,10 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (29.53, 34.975),                      # Aqaba in, Eilat IL out
         (30.5, 35.15),                        # Arava valley
         (31.3, 35.47),                        # Dead Sea midline
-        (31.75, 35.52),                       # Dead Sea north
-        (32.0, 35.53),                        # Jordan River (Jericho W)
-        (32.35, 35.55),                       # river midline
+        (31.75, 35.54),                       # Dead Sea north
+        (32.0, 35.555),                       # Jordan River east bank
+        (32.35, 35.565),                      #   (the West Bank valley
+                                              #   floor stays west)
         (32.62, 35.565),                      # Yarmouk confluence
         (32.68, 35.75),                       # Yarmouk (Golan edge out)
         (32.72, 35.90),                       # Yarmouk upper
@@ -5789,18 +5849,25 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (35.95, 32.30),                       # north of Cyprus
         (35.95, 34.60),
         (36.10, 35.40),
-        (35.85, 35.88),                       # the Med coast at the
-        (35.90, 36.00),                       #   SY border (Latakia S)
-        (36.30, 36.65),                       # the Hatay east rim
+        (35.95, 35.91),                       # the Med coast at the
+        (35.98, 36.06),                       #   SY border (Kessab SY
+        (36.30, 36.65),                       #   freed); the Hatay rim
         (36.55, 36.60),                       #   (conservative)
-        (36.70, 37.00),
+        (36.86, 36.82),                       # the Afrin salient wrap
+        (36.72, 37.05),                       #   (Meidan Ekbis SY out)
         (36.80, 37.40),
         (36.90, 38.00),
-        (36.70, 38.40),                       # TR/SY line (Aleppo S)
+        (36.95, 38.35),                       # Kobani SY stays south,
+        (36.75, 38.95),                       #   Suruc TR in
         (36.80, 39.20),
         (36.90, 40.00),
-        (37.08, 40.50),
-        (37.08, 41.22),                       # (Qamishli SY south)
+        (37.09, 40.50),
+        (37.12, 40.95),                       # Amuda SY stays south
+        (37.085, 41.22),                      # (Qamishli SY south)
+        (37.14, 41.65),                       # the railway line rises
+        (37.25, 42.00),                       #   to the Tigris (Idil/
+        (37.33, 42.23),                       #   Cizre TR in; the SY
+        (37.29, 42.31),                       #   duck-bill stays out)
         *_TR_IQ,                              # the Iraq chain (shared
         (37.45, 44.60),                       #   VERBATIM); then TR/IR
         (37.95, 44.50),
@@ -6993,6 +7060,115 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
         (20.20, -70.50),                      # Puerto Plata offshore
         (20.05, -71.50),                      # Monte Cristi offshore
         (19.90, -71.76),
+    ],
+    # --- The Levant (round 4q).  Syria and Lebanon fix three anchor
+    # misresolutions (Tyre LB -> Israel, Aleppo SY -> Turkey, Latakia
+    # SY -> Cyprus); Israel and Palestine (West Bank + Gaza rings)
+    # split the seam that the Jerusalem anchor swallowed (Ramallah /
+    # Bethlehem / Hebron -> Israel before).  Contested ground follows
+    # the campaign's conventions: the 1949 lines are the borders
+    # drawn (the Green Line as one shared chain threading the Wadi
+    # Ara / Baqa / Tayibe / Qalqilya twins), the GOLAN IS A DEAD
+    # STRIP (neither ring claims it; anchors resolve), Jerusalem
+    # city rides its tzdb zone (Asia/Jerusalem) inside the corridor
+    # while Ramallah/Bethlehem resolve Palestinian, and Ghajar sits
+    # on the Blue Line unclaimed.  SY keeps dead strips against the
+    # conservative TR/IQ/JO ring edges with sub-km threads at the
+    # Harem, Kobani, Ras al-Ayn, Amuda and Qamishli border pairs.
+    ("SY", None): [
+        (35.88, 35.93),                       # coast at the TR border
+        (35.87, 36.10),                       # (Kessab unasserted)
+        (36.03, 36.40),                       # Darkush in
+        (36.155, 36.46),                      # Salqin in
+        (36.215, 36.52),                      # Harem thread (~1 km)
+        (36.225, 36.62),
+        (36.25, 36.70),                       # Bab al-Hawa east
+        (36.50, 36.71),
+        (36.56, 36.76),                       # Afrin in
+        (36.82, 36.86),                       # Meidan Ekbis in
+        (36.62, 37.05),                       # A'zaz in
+        (36.60, 37.40),
+        (36.66, 37.90),
+        (36.825, 38.01),                      # Jarabulus in
+        (36.905, 38.36),                      # Kobani in
+        (36.705, 38.956),                     # Tel Abyad in
+        (36.78, 39.50),
+        (36.83, 39.95),
+        (36.835, 40.12),                      # Ras al-Ayn/Ceylanpinar
+        (36.95, 40.55),                       #   conjoined pair dead
+        (37.108, 40.93),                      # Amuda thread (~400 m)
+        (37.06, 41.22),                       # Qamishli in
+        (37.05, 41.60),
+        (37.17, 42.00),                       # the NE duck-bill:
+        (37.29, 42.18),                       #   al-Malikiyah and
+        (37.23, 42.30),                       #   Ain Diwar in
+        (36.60, 41.40),                       # SY/IQ (dead strip vs
+        (35.20, 41.10),                       #   the IQ diagonal)
+        (34.45, 40.97),                       # Abu Kamal in
+        (34.20, 40.20),                       # the Euphrates line
+        (33.60, 38.95),
+        (33.45, 38.80),                       # JO/IQ tripoint north
+        (33.00, 37.65),                       # the 1931 JO line
+        (32.70, 36.90),                       #   (dead strip)
+        (32.63, 36.35),
+        (32.605, 36.08),                      # Deraa in (Ramtha JO S)
+        (32.72, 36.00),                       # the Yarmouk rim
+        (33.10, 35.80),                       # Quneitra in; the Golan
+        (33.42, 35.95),                       #   west stays dead
+        *_LB_SY[1:],                          # Hermon -> Arida coast
+        (34.66, 35.80),                       # shared marine ray (LB)
+        (34.80, 35.58),                       # Med envelope (Tartus,
+        (35.30, 35.45),                       #   Latakia in; east of
+        (35.75, 35.70),                       #   the Cyprus ring)
+    ],
+    ("LB", None): [
+        *_LB_SY,                              # Hermon -> Arida (S->N)
+        (34.66, 35.80),                       # shared marine ray (SY)
+        (34.45, 35.70),
+        (34.10, 35.40),                       # Beirut offshore
+        (33.60, 35.10),
+        (33.05, 34.95),                       # Tyre offshore
+        *_IL_LB,                              # the Blue Line W->E
+        *_LB_GOLAN[1:-1],                     # up to the Hermon crest
+    ],
+    ("IL", None): [
+        *_IL_LB,                              # the Blue Line
+        (33.18, 35.60),                       # the 1949 Golan line
+        (32.95, 35.63),                       #   (the Golan itself is
+        (32.85, 35.67),                       #   a dead strip; the
+        (32.675, 35.69),                      #   Kinneret east shore
+        (32.655, 35.60),                      #   and Hamat Gader in)
+        (32.62, 35.553),                      # west of the JO river
+        (32.45, 35.545),                      #   edge; Beit She'an in
+        (32.42, 35.54),
+        *_IL_WB,                              # the Green Line
+        (31.45, 35.42),                       # Dead Sea west (Masada,
+        (31.20, 35.42),                       #   Ein Gedi in)
+        (31.00, 35.33),                       # the Arava (dead strip
+        (30.50, 35.13),                       #   vs the JO edge)
+        (29.80, 35.005),
+        (29.535, 34.965),                     # Eilat in (Aqaba JO E)
+        (29.50, 34.925),                      # gulf head (Taba EG W)
+        (29.80, 34.815),                      # the 1906 line (dead
+        (30.60, 34.535),                      #   strip vs the EG
+        (31.15, 34.345),                      #   edge)
+        *_GAZA_FENCE[::-1],                   # around the Gaza strip
+        (31.65, 34.43),                       # Med envelope
+        (32.00, 34.63),
+        (32.55, 34.82),                       # Tel Aviv offshore
+        (32.90, 34.93),                       # Haifa offshore
+    ],
+    ("PS", "West Bank"): [
+        *_IL_WB,                              # the Green Line (NW ->
+        (31.75, 35.50),                       #   Dead Sea); then the
+        (32.00, 35.51),                       #   Jordan valley west
+        (32.35, 35.53),                       #   of the river (Jericho
+    ],                                        #   in, dead strip vs JO)
+    ("PS", "Gaza Strip"): [
+        *_GAZA_FENCE,                         # coast -> Kerem Shalom
+        (31.33, 34.225),                      # Rafah coast corner
+        (31.46, 34.32),                       #   (the 1906 line east
+        (31.62, 34.44),                       #   side); sea envelope
     ],
     ("HT", None): [
         *_DO_HT,                              # mouth -> Anse-a-Pitres
