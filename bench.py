@@ -85,7 +85,11 @@ def bench_pdq(batch=1024, rows=512, cols=288, iters=20):
         np.asarray(out["hash"][0, 0])        # FIFO fence
         times.append((time.perf_counter() - t0) / iters)
     dt = float(np.median(times))
-    return batch / dt
+    # rate per run, slowest first: the headline JSON publishes
+    # median/spread/k/runs so a regression and tunnel weather are
+    # distinguishable from the JSON alone (round-4 verdict weak #2)
+    rates = sorted(batch / t for t in times)
+    return batch / dt, _median_spread(rates)
 
 
 def bench_grouping(n=100_000, iters=3):
@@ -249,13 +253,22 @@ def _median_spread(runs):
             "runs": [round(float(t), 2) for t in runs]}
 
 
-def bench_scan_e2e(n_images=768, k=2):
+def bench_scan_e2e(n_images=752, k=3):
     """Decode-fed end-to-end scan benchmark (SURVEY §7 hard part #4):
     walk -> decode -> hash -> cache on a generated JPEG corpus (large
     enough that pool spin-up and first-batch compile wait amortize),
     then warm-cache rescans.  Each cold run uses a FRESH cache.
-    Returns (cold_stats, warm_stats) where each is a _median_spread
-    dict of images/s.
+    Returns (cold_stats, warm_stats, profile) where the stats are
+    _median_spread dicts of images/s and profile is the per-stage
+    host-loop breakdown (ScanStats.stage_s) of the LAST cold run in ms
+    per image — the whole-scan analogue of bench_decode_profile
+    (round-4 verdict item 1).
+
+    Methodology (round-4 verdict item 2): the PDQ batch executable is
+    compiled on a dummy batch BEFORE run 1 (n_images+dups is an exact
+    multiple of the 256 batch size so only that one shape runs), so no
+    run pays jit-compile/tunnel-first-contact wait and cold runs
+    measure the scan, not the compiler.
 
     Caveat (CLAUDE.md): this box exposes ONE host core, so the decode
     side of the cold number is a single-core figure — the reference's
@@ -269,13 +282,17 @@ def bench_scan_e2e(n_images=768, k=2):
     from PIL import Image
 
     from rupphash_tpu.cache.store import CacheStore
+    from rupphash_tpu.ops import pdq_jax
     from rupphash_tpu.pipeline import scan as scanmod
 
     tmp = Path(tempfile.mkdtemp(prefix="rupbench_"))
     try:
         rng = np.random.default_rng(7)
         # textured 320x240-class JPEGs (quality>=50 so grouping is
-        # exercised realistically); a handful of duplicate pairs
+        # exercised realistically); a handful of duplicate pairs.
+        # 752 + 16 dups = 768 = 3 full 256-batches: no leftover batch,
+        # so the dummy-batch warm-up below covers every shape the scan
+        # compiles.
         for i in range(n_images):
             px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
             im = Image.fromarray(px).resize((320, 240), Image.BILINEAR)
@@ -284,8 +301,14 @@ def bench_scan_e2e(n_images=768, k=2):
                 im.save(tmp / f"img_{i:04d}_dup.jpg", quality=85)
         total = len(list(tmp.glob("*.jpg")))
 
+        # pre-warm: compile the (256, 240, 320) hashing executable so
+        # run 1 is not a compiler benchmark
+        np.asarray(pdq_jax.pdq_hash_batch(
+            np.zeros((256, 240, 320), dtype=np.uint8))["hash"][0])
+
         cfg = scanmod.ScanConfig(workers=1)
         cold_rates, warm_rates = [], []
+        profile = {}
         for run in range(k):
             store = CacheStore(tmp / f"cache_{run}.db",
                                master_key=b"\x05" * 32)
@@ -293,6 +316,8 @@ def bench_scan_e2e(n_images=768, k=2):
             records, stats = scanmod.scan([tmp], cfg, store)
             cold_rates.append(total / (time.perf_counter() - t0))
             assert stats.failed == 0 and len(records) == total
+            profile = {f"{name}_ms_per_img": round(v / total * 1000, 3)
+                       for name, v in stats.stage_s.items()}
             store.flush()
             t0 = time.perf_counter()
             records2, stats2 = scanmod.scan([tmp], cfg, store)
@@ -300,7 +325,8 @@ def bench_scan_e2e(n_images=768, k=2):
             assert stats2.cache_full == total, \
                 f"rescan missed cache: {stats2}"
             store.close()
-        return _median_spread(cold_rates), _median_spread(warm_rates)
+        return (_median_spread(cold_rates), _median_spread(warm_rates),
+                profile)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -445,13 +471,13 @@ def main():
     if cpu_fallback:
         # tiny workload: the point is a labelled JSON line, not a
         # meaningful CPU throughput; TPU-scale extras are skipped
-        ips = bench_pdq(batch=32, iters=2)
+        ips, ips_stats = bench_pdq(batch=32, iters=2)
         _budget = 0.0
     else:
-        ips = bench_pdq()
-    log(f"pdq_hash: {ips:,.0f} images/s/chip")
+        ips, ips_stats = bench_pdq()
+    log(f"pdq_hash: {ips:,.0f} images/s/chip {ips_stats}")
 
-    extra = {}
+    extra = {"pdq_images_per_sec_stats": ips_stats}
     if cpu_fallback:
         extra["backend"] = "cpu-fallback (accelerator transport dead)"
     try:
@@ -477,14 +503,16 @@ def main():
 
     try:
         if not over_budget("scan e2e"):
-            cold, warm = bench_scan_e2e()
+            cold, warm, sprof = bench_scan_e2e()
             log(f"scan end-to-end (walk->decode->hash->cache, 1 host "
                 f"core): {cold['median']:,.0f} images/s {cold}; cached "
                 f"rescan: {warm['median']:,.0f} files/s {warm}")
+            log(f"scan profile (per-stage host loop, ms/img): {sprof}")
             extra["scan_e2e_images_per_s"] = cold["median"]
             extra["scan_e2e_stats"] = cold
             extra["cached_rescan_files_per_s"] = warm["median"]
             extra["cached_rescan_stats"] = warm
+            extra["scan_profile_ms_per_img"] = sprof
     except Exception as e:
         log(f"scan e2e bench failed: {e}")
 

