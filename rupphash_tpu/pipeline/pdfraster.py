@@ -1,14 +1,18 @@
-"""Minimal first-page PDF vector rasterizer.
+"""Minimal first-page PDF rasterizer (vector graphics + text).
 
 The reference renders PDF page 1 at 2x on a white background via the
-hayro crate (scanner.rs:583-626).  No rasterizer library exists in this
-image, so this module implements the subset that makes vector PDFs
-hashable: path construction (m/l/c/v/y/h/re), nonzero and even-odd
-fills, stroking (as segment quads), the graphics-state stack and CTM,
-RGB/Gray/CMYK fill colors, and image XObject compositing (Do) through
-pdfimg's stream decoders.  Text shows as nothing (a text-free
-rasterizer — the dedup signal of a vector page is its geometry), clips
-are ignored.
+hayro crate (scanner.rs:583-626) — text included.  No rasterizer
+library exists in this image, so this module implements the subset that
+makes real PDFs hashable: path construction (m/l/c/v/y/h/re), nonzero
+and even-odd fills, stroking (as segment quads), the graphics-state
+stack and CTM, RGB/Gray/CMYK fill colors, image and Form XObjects (Do),
+and the full text machine — BT/ET, Td/TD/Tm/T*, Tc/Tw/Tz/TL/Ts/Tr,
+Tj/TJ/'/" — filling glyph outlines extracted from embedded TrueType
+and CFF font programs (pipeline/pdffont.py), executing Type 3 glyph
+content streams, and boxing non-embedded (standard-14) fonts.  Render
+mode 3/7 (invisible, OCR overlays) advances without painting; clips
+are ignored; stroke-text modes fill (at hash scale the difference is
+sub-threshold).
 
 Object model: plain `N G obj` objects located by byte scan (object
 streams are not unpacked — files that put the page tree inside an
@@ -310,10 +314,21 @@ class _GState:
     fill: tuple = (0.0, 0.0, 0.0)
     stroke: tuple = (0.0, 0.0, 0.0)
     line_width: float = 1.0
+    # text state (persists across BT..ET and q/Q like the rest)
+    font: object = None           # pdffont.PdfFont | None
+    size: float = 0.0
+    char_sp: float = 0.0
+    word_sp: float = 0.0
+    hscale: float = 1.0
+    leading: float = 0.0
+    rise: float = 0.0
+    render_mode: int = 0
 
     def copy(self):
         return _GState(self.ctm.copy(), self.fill, self.stroke,
-                       self.line_width)
+                       self.line_width, self.font, self.size,
+                       self.char_sp, self.word_sp, self.hscale,
+                       self.leading, self.rise, self.render_mode)
 
 
 def _mat(a, b, c, d, e, f) -> np.ndarray:
@@ -502,17 +517,110 @@ def _rasterize_first_page(data: bytes, scale: float,
     content = b"\n".join(streams)
 
     resources = doc.resolve(page.get("Resources")) or {}
-    xobjects = doc.resolve(resources.get("XObject")) or {}
 
     # device transform: PDF user space (y up, origin at MediaBox ll)
     base = _mat(scale, 0, 0, -scale, -mb[0] * scale, mb[3] * scale)
     st = _GState(ctm=base)
+    _exec_content(doc, canvas, content, resources, st,
+                  budget=[2_000_000], depth=0)
+    return canvas
+
+
+_IDENT_TM = _mat(1, 0, 0, 1, 0, 0)
+
+
+def _get_font(doc: PdfDoc, resources: dict, name):
+    """Resolve /Font <name> from resources, cached on the doc (fonts
+    repeat across Tf ops and across Type3 recursion)."""
+    from . import pdffont
+
+    fonts = doc.resolve(resources.get("Font")) if isinstance(
+        resources, dict) else None
+    if not isinstance(fonts, dict):
+        return None
+    ref = fonts.get(str(name))
+    cache = getattr(doc, "_font_cache", None)
+    if cache is None:
+        cache = doc._font_cache = {}
+    key = ref.num if isinstance(ref, Ref) else id(ref)
+    if key in cache:
+        return cache[key]
+    fd = doc.resolve(ref)
+    font = pdffont.load_font(doc, fd) if isinstance(fd, dict) else None
+    cache[key] = font
+    return font
+
+
+def _show_text(doc, canvas, st, tm, s: bytes, resources, budget, depth):
+    """Paint string s at text matrix tm; returns the advanced tm.
+    Implements PDF 9.4.4 glyph positioning: for each code the glyph is
+    placed through [size*hscale 0, 0 size, 0 rise] x Tm x CTM, then Tm
+    advances by (w0*size + Tc + Tw[space]) * hscale."""
+    font = st.font
+    if font is None or not isinstance(s, bytes):
+        return tm
+    invisible = st.render_mode in (3, 7)
+    color = st.stroke if st.render_mode in (1, 5) else st.fill
+    polys = []
+    for code in font.codes(s):
+        if not invisible:
+            g = _mat(st.size * st.hscale, 0, 0, st.size, 0, st.rise)
+            trm = _mul(_mul(g, tm), st.ctm)
+            if font.subtype == "Type3":
+                _draw_type3(doc, canvas, st, trm, font, code,
+                            resources, budget, depth)
+            else:
+                contours = font.contours(code)
+                if contours:
+                    for c in contours:
+                        polys.append(_xform(
+                            trm, np.asarray(c, dtype=np.float64)))
+        w0 = font.advance(code)
+        tx = (w0 * st.size + st.char_sp
+              + (st.word_sp if (code == 32 and not font.two_byte)
+                 else 0.0)) * st.hscale
+        tm = _mul(_mat(1, 0, 0, 1, tx, 0), tm)
+    if polys:
+        # one scanline pass per show op: glyph boxes share the text
+        # line's y-range, so batching all outlines beats per-glyph fills
+        _fill_polys(canvas, polys, color, evenodd=False)
+    return tm
+
+
+def _draw_type3(doc, canvas, st, trm, font, code, resources, budget,
+                depth):
+    """Execute a Type 3 glyph CharProc with CTM = FontMatrix x Trm."""
+    name = font.encoding.get(code)
+    proc = font.char_procs.get(str(name)) if name else None
+    stream = doc.stream_of(proc) if proc is not None else None
+    if not stream:
+        return
+    gst = st.copy()
+    gst.ctm = _mul(_mat(*font.font_matrix), trm)
+    gst.font = None                  # glyph procs restate their own
+    res = font.resources if isinstance(font.resources, dict) \
+        else resources
+    _exec_content(doc, canvas, stream, res, gst, budget, depth + 1)
+
+
+def _exec_content(doc: PdfDoc, canvas: np.ndarray, content: bytes,
+                  resources: dict, st: _GState, budget: list,
+                  depth: int):
+    """Interpret one content stream onto canvas.  Recursions: Form
+    XObjects (Do) and Type 3 glyph procs (via _show_text); budget is a
+    shared op counter bounding adversarial inputs across all levels."""
+    if depth > 6:
+        return
+    resources = resources if isinstance(resources, dict) else {}
+    xobjects = doc.resolve(resources.get("XObject")) or {}
     stack: list[_GState] = []
     subpaths: list[list] = []
     cur: list | None = None
     start = None
     lex = _Lexer(content)
     operands: list = []
+    tm = _IDENT_TM
+    tlm = _IDENT_TM
 
     def dev(pts):
         return _xform(st.ctm, np.asarray(pts, dtype=np.float64))
@@ -534,10 +642,15 @@ def _rasterize_first_page(data: bytes, scale: float,
             return None
         return [float(v) for v in vals]
 
-    guard = 0
+    def text_newline(ty=None):
+        nonlocal tm, tlm
+        tlm = _mul(_mat(1, 0, 0, 1, 0,
+                        -st.leading if ty is None else ty), tlm)
+        tm = tlm
+
     while True:
-        guard += 1
-        if guard > 2_000_000:
+        budget[0] -= 1
+        if budget[0] <= 0:
             break
         tok = lex.token()
         if tok is None:
@@ -659,12 +772,92 @@ def _rasterize_first_page(data: bytes, scale: float,
                         st.fill = col
                     else:
                         st.stroke = col
+            # ---------------------------------------------- text machine
             elif op == "BT":
-                # skip text blocks entirely (text-free rasterizer)
-                while True:
-                    t = lex.token()
-                    if t is None or t == "ET":
-                        break
+                tm = tlm = _IDENT_TM
+            elif op == "ET":
+                pass
+            elif op == "Tf":
+                v = nums(1)
+                if v and len(operands) >= 2 and \
+                        isinstance(operands[-2], Name):
+                    st.font = _get_font(doc, resources, operands[-2])
+                    st.size = v[0]
+            elif op == "Td":
+                v = nums(2)
+                if v:
+                    tlm = _mul(_mat(1, 0, 0, 1, v[0], v[1]), tlm)
+                    tm = tlm
+            elif op == "TD":
+                v = nums(2)
+                if v:
+                    st.leading = -v[1]
+                    tlm = _mul(_mat(1, 0, 0, 1, v[0], v[1]), tlm)
+                    tm = tlm
+            elif op == "Tm":
+                v = nums(6)
+                if v:
+                    tm = tlm = _mat(*v)
+            elif op == "T*":
+                text_newline()
+            elif op == "TL":
+                v = nums(1)
+                if v:
+                    st.leading = v[0]
+            elif op == "Tc":
+                v = nums(1)
+                if v:
+                    st.char_sp = v[0]
+            elif op == "Tw":
+                v = nums(1)
+                if v:
+                    st.word_sp = v[0]
+            elif op == "Tz":
+                v = nums(1)
+                if v:
+                    st.hscale = v[0] / 100.0
+            elif op == "Ts":
+                v = nums(1)
+                if v:
+                    st.rise = v[0]
+            elif op == "Tr":
+                v = nums(1)
+                if v:
+                    st.render_mode = int(v[0])
+            elif op == "Tj":
+                if operands and isinstance(operands[-1], bytes):
+                    tm = _show_text(doc, canvas, st, tm, operands[-1],
+                                    resources, budget, depth)
+            elif op == "'":
+                if operands and isinstance(operands[-1], bytes):
+                    text_newline()
+                    tm = _show_text(doc, canvas, st, tm, operands[-1],
+                                    resources, budget, depth)
+            elif op == '"':
+                if len(operands) >= 3 and \
+                        isinstance(operands[-1], bytes):
+                    v = nums(3) and [float(operands[-3]),
+                                     float(operands[-2])] \
+                        if isinstance(operands[-3], (int, float)) and \
+                        isinstance(operands[-2], (int, float)) else None
+                    if v:
+                        st.word_sp, st.char_sp = v[0], v[1]
+                    text_newline()
+                    tm = _show_text(doc, canvas, st, tm, operands[-1],
+                                    resources, budget, depth)
+            elif op == "TJ":
+                arr = operands[-1] if operands and \
+                    isinstance(operands[-1], list) else None
+                if arr is not None:
+                    for item in arr:
+                        if isinstance(item, bytes):
+                            tm = _show_text(doc, canvas, st, tm, item,
+                                            resources, budget, depth)
+                        elif isinstance(item, (int, float)):
+                            tx = -float(item) / 1000.0 * st.size \
+                                * st.hscale
+                            tm = _mul(_mat(1, 0, 0, 1, tx, 0), tm)
+            # ------------------------------------------------- XObjects
             elif op == "BI":
                 # inline image: skip to EI
                 e = content.find(b"EI", lex.p)
@@ -675,18 +868,32 @@ def _rasterize_first_page(data: bytes, scale: float,
                     name, Name) else None
                 if isinstance(xo, Ref):
                     xd = doc.resolve(xo)
-                    raw = doc.objs.get(xo.num, (None, None))[1]
-                    if isinstance(xd, dict) and raw is not None and \
-                            str(doc.resolve(xd.get("Subtype"))) \
-                            == "Image":
-                        img = _decode_xobject(doc, xd, raw)
-                        if img is not None:
-                            _composite_image(canvas, img, st.ctm)
+                    sub = str(doc.resolve(xd.get("Subtype"))) \
+                        if isinstance(xd, dict) else ""
+                    if sub == "Image":
+                        raw = doc.objs.get(xo.num, (None, None))[1]
+                        if raw is not None:
+                            img = _decode_xobject(doc, xd, raw)
+                            if img is not None:
+                                _composite_image(canvas, img, st.ctm)
+                    elif sub == "Form":
+                        stream = doc.stream_of(xo)
+                        if stream:
+                            fst = st.copy()
+                            fm = doc.resolve(xd.get("Matrix"))
+                            if isinstance(fm, list) and len(fm) == 6:
+                                fst.ctm = _mul(
+                                    _mat(*[float(doc.resolve(v))
+                                           for v in fm]), fst.ctm)
+                            fres = doc.resolve(xd.get("Resources"))
+                            _exec_content(
+                                doc, canvas, stream,
+                                fres if isinstance(fres, dict)
+                                else resources,
+                                fst, budget, depth + 1)
         except Exception:
             pass
         operands.clear()
-
-    return canvas
 
 
 def _decode_xobject(doc: PdfDoc, d: dict, raw: bytes):

@@ -119,7 +119,9 @@ def test_even_odd_fill_hole():
     assert tuple(out[300 - 140, 140]) == (255, 255, 255)  # hole stays
 
 
-def test_text_is_skipped_not_fatal():
+def test_text_with_undefined_font_not_fatal():
+    """A Tf naming a font absent from /Resources paints nothing for
+    that text but must not break the rest of the page."""
     content = (b"BT /F1 12 Tf 50 50 Td (Hello) Tj ET\n"
                b"1 0 0 rg 10 10 30 30 re f\n")
     out = pdfraster.rasterize_first_page(make_pdf(content))
@@ -215,3 +217,296 @@ def test_hex_strings_spec_legal_odd_digits():
     pdf = make_pdf(b"<ABC> 0.9 0.2 0.2 rg 20 20 120 80 re f")
     out = pdfraster.rasterize_first_page(pdf)
     assert out is not None
+
+
+# ---------------------------------------------------------------- text
+# Round-5 (VERDICT r4 missing #1): the reference renders page 1 *with
+# text* (hayro, scanner.rs:583-626).  The font parsers are pinned to
+# fontTools' independent decompilers; rendering is pinned by position
+# assertions and by grouping a text-only PDF with its own PNG export.
+
+from rupphash_tpu.pipeline import pdffont  # noqa: E402
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+
+def _build_test_cff() -> tuple[bytes, dict]:
+    """A tiny CFF font (A: notched peak, o: two-contour ring, space)
+    built with fontTools; returns (bare CFF table bytes, name->T2
+    charstring) for the differential test."""
+    import io
+
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.t2CharStringPen import T2CharStringPen
+    from fontTools.ttLib import TTFont
+
+    widths = {".notdef": 500, "space": 300, "A": 500, "o": 520}
+    glyphs = {}
+
+    def make(name, draw):
+        pen = T2CharStringPen(widths[name], None)
+        draw(pen)
+        glyphs[name] = pen.getCharString()
+
+    def g_a(p):
+        p.moveTo((50, 0)); p.lineTo((250, 700)); p.lineTo((450, 0))
+        p.lineTo((360, 0)); p.lineTo((250, 420)); p.lineTo((140, 0))
+        p.closePath()
+
+    def g_o(p):
+        p.moveTo((250, 0))
+        p.curveTo((120, 0), (60, 110), (60, 250))
+        p.curveTo((60, 390), (120, 500), (250, 500))
+        p.curveTo((380, 500), (440, 390), (440, 250))
+        p.curveTo((440, 110), (380, 0), (250, 0))
+        p.closePath()
+        p.moveTo((250, 80))
+        p.curveTo((330, 80), (360, 160), (360, 250))
+        p.curveTo((360, 340), (330, 420), (250, 420))
+        p.curveTo((170, 420), (140, 340), (140, 250))
+        p.curveTo((140, 160), (170, 80), (250, 80))
+        p.closePath()
+
+    make("A", g_a)
+    make("o", g_o)
+    make("space", lambda p: None)
+    make(".notdef", lambda p: None)
+    order = [".notdef", "space", "A", "o"]
+    fb = FontBuilder(1000, isTTF=False)
+    fb.setupGlyphOrder(order)
+    fb.setupCharacterMap({32: "space", 65: "A", 111: "o"})
+    fb.setupCFF("TestCFF", {}, glyphs, {})
+    fb.setupHorizontalMetrics({n: (widths[n], 0) for n in order})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "TestCFF", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+    buf = io.BytesIO()
+    fb.save(buf)
+    ft = TTFont(io.BytesIO(buf.getvalue()))
+    return ft.reader["CFF "], glyphs
+
+
+@pytest.fixture(scope="module")
+def test_cff():
+    return _build_test_cff()
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(DEJAVU),
+                    reason="DejaVuSans not installed")
+def test_truetype_parser_matches_fonttools():
+    """Differential oracle: glyf point arrays, on-curve flags, contour
+    ends, cmap gids and hmtx advances must equal fontTools' own
+    decompiler on a real font (composites included: eacute)."""
+    from fontTools.ttLib import TTFont
+
+    data = open(DEJAVU, "rb").read()
+    mine = pdffont.TrueTypeFont(data)
+    ft = TTFont(DEJAVU)
+    glyf = ft["glyf"]
+    order = ft.getGlyphOrder()
+    cmap = ft.getBestCmap()
+    upm = ft["head"].unitsPerEm
+    for ch in "AgQ&é@Wj8.%":
+        gname = cmap[ord(ch)]
+        gid = order.index(gname)
+        assert mine.gid_for_unicode(ord(ch)) == gid, ch
+        coords, ends, flags = glyf[gname].getCoordinates(glyf)
+        pts, on, mends = mine.glyph_points(gid)
+        assert list(coords) == [tuple(map(int, p)) for p in pts], ch
+        assert list(ends) == list(mends), ch
+        assert [bool(f & 1) for f in flags] == on, ch
+        aw = ft["hmtx"][gname][0] / upm
+        assert abs(mine.advance(gid) - aw) < 1e-9, ch
+    assert glyf[cmap[ord("é")]].isComposite()  # covered composite
+
+
+def test_cff_type2_interpreter_matches_fonttools_pen(test_cff):
+    """Differential oracle: the Type2 charstring interpreter's path
+    commands must replay exactly what fontTools' pen protocol reports
+    (lines, cubics, multiple contours), and charstring-carried widths
+    and the charset name map must agree."""
+    from fontTools.pens.recordingPen import RecordingPen
+
+    cff_raw, glyphs = test_cff
+    mine = pdffont.CFFFont(cff_raw)
+    order = [".notdef", "space", "A", "o"]
+    for gid, name in enumerate(order):
+        rec = RecordingPen()
+        glyphs[name].draw(rec)
+        exp = []
+        for op, args in rec.value:
+            if op == "moveTo":
+                exp.append(("m", args[0]))
+            elif op == "lineTo":
+                exp.append(("l", args[0]))
+            elif op == "curveTo":
+                exp.append(("c",) + args)
+            elif op == "closePath":
+                exp.append(("close",))
+        got = [(s[0],) + tuple(tuple(map(float, pt)) for pt in s[1:])
+               for s in mine.glyph_path(gid)]
+        expf = [(s[0],) + tuple(tuple(map(float, pt)) for pt in s[1:])
+                for s in exp]
+        assert got == expf, name
+        assert mine.glyph_width(gid) == glyphs[name].width, name
+        assert mine.gid_for_name(name) == gid, name
+    assert len(mine.glyph_contours(order.index("o"))) == 2  # ring+hole
+
+
+def _pdf_with_objs(objs: list, root=1) -> bytes:
+    """Assemble a PDF from (num, full object bytes) pairs."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += body + b"\n"
+    xref = len(out)
+    n = max(offsets) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % n
+    for i in range(1, n):
+        out += b"%010d 00000 n \n" % offsets.get(i, 0)
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d"
+            b"\n%%%%EOF" % (n, root, xref))
+    return bytes(out)
+
+
+def _cff_text_pdf(cff: bytes) -> bytes:
+    """612x792 page: 48pt CFF line at y=600, an invisible (Tr 3) line
+    at y=500, and a non-embedded Helvetica (boxed) line at y=300."""
+    content = (b"BT /F1 48 Tf 72 600 Td (AoA oAo) Tj "
+               b"0 -100 Td 3 Tr (ooooooo) Tj 0 Tr ET\n"
+               b"BT /F2 36 Tf 72 300 Td (Boxed Helvetica text) Tj ET")
+    return _pdf_with_objs([
+        (1, b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj"),
+        (2, b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> "
+            b"endobj"),
+        (3, b"3 0 obj << /Type /Page /Parent 2 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R /F2 8 0 R >> >> /Contents 4 0 R >> endobj"),
+        (4, b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj"
+            % (len(content), content)),
+        (5, b"5 0 obj << /Type /Font /Subtype /Type1 "
+            b"/BaseFont /TestCFF /FontDescriptor 6 0 R >> endobj"),
+        (6, b"6 0 obj << /Type /FontDescriptor /FontName /TestCFF "
+            b"/Flags 32 /FontFile3 7 0 R >> endobj"),
+        (7, b"7 0 obj << /Subtype /Type1C /Length %d >> stream\n"
+            % len(cff) + cff + b"\nendstream endobj"),
+        (8, b"8 0 obj << /Type /Font /Subtype /Type1 "
+            b"/BaseFont /Helvetica >> endobj"),
+    ])
+
+
+def test_cff_text_positions_and_invisible_mode(test_cff):
+    """Embedded-CFF glyphs land in the right device bands, render mode
+    3 (OCR overlay) advances without painting, and a non-embedded font
+    draws its metrics-boxed approximation."""
+    cff_raw, _ = test_cff
+    out = pdfraster.rasterize_first_page(_cff_text_pdf(cff_raw))
+    assert out is not None and out.shape == (1584, 1224, 3)
+    ink = (out < 128).any(axis=-1)
+    # 48pt line at baseline y=600: glyphs span y 600..~635 in user
+    # space -> device rows (792-635)*2..(792-600)*2 = 314..384
+    assert ink[314:384, 144:800].any()
+    # invisible line at y=500 -> device rows ~514..584 stay white
+    assert not ink[500:584].any()
+    # boxed Helvetica at y=300 -> device rows ~894..984
+    assert ink[894:984, 144:900].any()
+    # boxes are width-classed: the line's ink spans at least half the
+    # 36pt * len("Boxed Helvetica text") nominal width
+    cols = np.nonzero(ink[894:984].any(axis=0))[0]
+    assert cols.max() - cols.min() > 36 * 2 * len("Boxed") // 2
+
+
+def test_tj_array_kerning_moves_glyphs(test_cff):
+    """TJ numeric adjustments shift subsequent glyphs by
+    -v/1000 * size (PDF 9.4.4)."""
+    cff_raw, _ = test_cff
+
+    def page(adj):
+        content = (b"BT /F1 100 Tf 100 300 Td [(o) %d (o)] TJ ET" % adj)
+        return _pdf_with_objs([
+            (1, b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj"),
+            (2, b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> "
+                b"endobj"),
+            (3, b"3 0 obj << /Type /Page /Parent 2 0 R "
+                b"/MediaBox [0 0 612 792] /Resources << /Font "
+                b"<< /F1 5 0 R >> >> /Contents 4 0 R >> endobj"),
+            (4, b"4 0 obj << /Length %d >> stream\n%s\nendstream "
+                b"endobj" % (len(content), content)),
+            (5, b"5 0 obj << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /TestCFF /FontDescriptor 6 0 R >> endobj"),
+            (6, b"6 0 obj << /Type /FontDescriptor /FontName "
+                b"/TestCFF /Flags 32 /FontFile3 7 0 R >> endobj"),
+            (7, b"7 0 obj << /Subtype /Type1C /Length %d >> stream\n"
+                % len(cff_raw) + cff_raw + b"\nendstream endobj"),
+        ])
+
+    out0 = pdfraster.rasterize_first_page(page(0))
+    out1 = pdfraster.rasterize_first_page(page(-500))
+    ink0 = (out0 < 128).any(axis=-1)
+    ink1 = (out1 < 128).any(axis=-1)
+    # rightmost ink: -500/1000 * 100pt = +50pt = +100 device px
+    right0 = np.nonzero(ink0.any(axis=0))[0].max()
+    right1 = np.nonzero(ink1.any(axis=0))[0].max()
+    assert abs((right1 - right0) - 100) <= 2, (right0, right1)
+
+
+def _mpl_text_pdf(path, fonttype: int):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    matplotlib.rcParams["pdf.fonttype"] = fonttype
+    fig = plt.figure(figsize=(6, 4))
+    fig.text(0.08, 0.8, "The quick brown fox", fontsize=22)
+    fig.text(0.08, 0.6, "jumps over the lazy dog 0123456789",
+             fontsize=14)
+    fig.text(0.08, 0.4, "Perceptual hashing of text pages!",
+             fontsize=18)
+    fig.text(0.08, 0.2, "(parentheses) & ampersand, commas.",
+             fontsize=16)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def test_text_only_pdf_groups_with_png_export(tmp_path):
+    """VERDICT r4 missing #1 'done' condition: a text-only PDF (the
+    most common kind) hashes non-blank with quality > 50 and groups
+    with a PNG export of its own render."""
+    from rupphash_tpu.pipeline import scan
+
+    d = tmp_path / "s"
+    d.mkdir()
+    _mpl_text_pdf(d / "doc.pdf", fonttype=42)  # embedded TrueType
+    img = pdfraster.rasterize_first_page((d / "doc.pdf").read_bytes())
+    assert img is not None
+    assert (img < 128).any(axis=-1).mean() > 0.01   # non-blank: real ink
+    Image.fromarray(img).save(d / "doc.png")
+    groups, infos, records, stats = scan.scan_and_group(
+        [d], scan.ScanConfig(batch_size=2))
+    assert stats.failed == 0
+    by_name = {r.path.name: r for r in records}
+    assert by_name["doc.pdf"].pdq_quality > 50
+    assert len(groups) == 1
+    assert {f.path.name for f in groups[0]} == {"doc.pdf", "doc.png"}
+
+
+def test_type3_and_truetype_renders_agree(tmp_path):
+    """The same matplotlib figure exported with Type 3 glyph procs vs
+    embedded TrueType must hash within grouping distance — two
+    independent glyph sources (content-stream recursion vs glyf
+    outlines) through the full pipeline."""
+    from rupphash_tpu.ops import pdq_ref
+
+    _mpl_text_pdf(tmp_path / "t3.pdf", fonttype=3)
+    _mpl_text_pdf(tmp_path / "tt.pdf", fonttype=42)
+    img3 = pdfraster.rasterize_first_page(
+        (tmp_path / "t3.pdf").read_bytes())
+    img42 = pdfraster.rasterize_first_page(
+        (tmp_path / "tt.pdf").read_bytes())
+    assert img3 is not None and img42 is not None
+    h3, q3 = pdq_ref.generate_pdq(img3)
+    h42, q42 = pdq_ref.generate_pdq(img42)
+    assert q3 > 0.5 and q42 > 0.5
+    assert pdq_ref.hamming_distance(h3, h42) <= 8
