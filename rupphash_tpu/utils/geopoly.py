@@ -2353,8 +2353,10 @@ _IL_LB: list[tuple[float, float]] = [     # the Blue Line, W -> E;
     (33.245, 35.555),                     # the Metula finger wrap
     (33.290, 35.565),                     #   (Metula IL inside,
     (33.290, 35.60),                      #   Kfar Kila / Marjayoun
-    (33.265, 35.625),                     #   LB north; Ghajar on the
-]                                         #   line stays dead)
+    (33.265, 35.625),                     #   LB north; Ghajar village
+]                                         #   resolves IL — the whole
+                                          #   village is Israeli-
+                                          #   administered de facto
 _LB_GOLAN: list[tuple[float, float]] = [  # LB vs the Golan dead strip
     (33.265, 35.625),                     #   up to the Hermon crest
     (33.32, 35.72),
@@ -7166,10 +7168,11 @@ POLYGONS: dict[tuple[str, str | None], list[tuple[float, float]]] = {
     ],                                        #   in, dead strip vs JO)
     ("PS", "Gaza Strip"): [
         *_GAZA_FENCE,                         # coast -> Kerem Shalom
-        (31.33, 34.225),                      # Rafah coast corner
-        (31.46, 34.32),                       #   (the 1906 line east
-        (31.62, 34.44),                       #   side); sea envelope
-    ],
+        (31.24, 34.25),                       # border kink: Rafah
+        (31.325, 34.218),                     #   city (31.29, 34.24)
+        (31.46, 34.32),                       #   stays inside; ~500 m
+        (31.62, 34.44),                       #   dead strip vs the EG
+    ],                                        #   edge the whole way
     ("HT", None): [
         *_DO_HT,                              # mouth -> Anse-a-Pitres
         (17.95, -72.10),                      # south coast offshore

@@ -4946,3 +4946,101 @@ def test_in_ring_differential_vs_winding_number():
                 mismatches += 1
                 assert False, (key, lat, lon)
     assert total > 30_000           # the sweep really ran
+
+
+def test_polygon_round4q_levant():
+    """Round-5 advisor items: the round-4q Levant rings (SY, LB, IL,
+    PS West Bank/Gaza) shipped without a dedicated test.  Positive
+    cases pin the anchor misresolutions the rings fixed (Tyre -> IL,
+    Aleppo -> TR, Latakia -> CY, Ramallah/Bethlehem/Hebron/Gaza ->
+    IL before); outsiders pin the ring edges; a random claims() sweep
+    covers the IL/PS/JO/EG seam (lat 29-35) the Anatolia sweep
+    (lat >= 33.5) never reached.  Timezone proxies at the twins are
+    tzdb zones, not same-offset foreign anchors (Ramallah/Bethlehem
+    Asia/Hebron — Israeli and Palestinian DST dates genuinely differ;
+    Tyre Asia/Beirut; Aleppo Asia/Damascus).  The Gaza ring's Egypt
+    edge threads Rafah city (advisor: the old Kerem Shalom -> coast
+    closing edge passed ~500 m east of the city center)."""
+    from rupphash_tpu.utils import geonames, geopoly
+
+    cases = [
+        (33.51, 36.29, ("SY", None)),         # Damascus
+        (36.20, 37.16, ("SY", None)),         # Aleppo (was TR!)
+        (35.52, 35.79, ("SY", None)),         # Latakia (was CY!)
+        (34.73, 36.71, ("SY", None)),         # Homs
+        (35.93, 36.63, ("SY", None)),         # Idlib
+        (32.62, 36.10, ("SY", None)),         # Deraa (Ramtha JO out)
+        (34.56, 40.91, ("SY", None)),         # Abu Kamal (vs IQ)
+        (37.05, 41.23, ("SY", None)),         # Qamishli (vs TR)
+        (33.89, 35.50, ("LB", None)),         # Beirut
+        (33.27, 35.19, ("LB", None)),         # Tyre (was IL!)
+        (33.85, 35.90, ("LB", None)),         # Zahle
+        (34.005, 36.20, ("LB", None)),        # Baalbek (vs SY)
+        (34.435, 35.83, ("LB", None)),        # Tripoli LB
+        (33.36, 35.59, ("LB", None)),         # Marjayoun (Blue Line N)
+        (33.32, 35.56, ("LB", None)),         # Kfar Kila (vs Metula)
+        (32.07, 34.78, ("IL", None)),         # Tel Aviv
+        (31.78, 35.22, ("IL", None)),         # Jerusalem (corridor)
+        (32.79, 34.99, ("IL", None)),         # Haifa
+        (33.28, 35.578, ("IL", None)),        # Metula (the finger)
+        (32.70, 35.30, ("IL", None)),         # Nazareth
+        (31.25, 34.79, ("IL", None)),         # Beersheba
+        (29.55, 34.95, ("IL", None)),         # Eilat
+        (31.31, 35.35, ("IL", None)),         # Masada
+        (32.49, 35.50, ("IL", None)),         # Beit She'an
+        (33.26, 35.615, ("IL", None)),        # Ghajar (whole village
+                                              #   IL-administered de
+                                              #   facto; ring keeps it)
+        (31.90, 35.20, ("PS", "West Bank")),  # Ramallah (was IL!)
+        (31.70, 35.20, ("PS", "West Bank")),  # Bethlehem (was IL!)
+        (31.53, 35.09, ("PS", "West Bank")),  # Hebron (was IL!)
+        (32.46, 35.30, ("PS", "West Bank")),  # Jenin
+        (32.22, 35.26, ("PS", "West Bank")),  # Nablus
+        (31.86, 35.45, ("PS", "West Bank")),  # Jericho
+        (31.51, 34.47, ("PS", "Gaza Strip")),  # Gaza city (was IL!)
+        (31.29, 34.24, ("PS", "Gaza Strip")),  # Rafah (ring threads it)
+        (31.35, 34.31, ("PS", "Gaza Strip")),  # Khan Yunis
+    ]
+    for lat, lon, want in cases:
+        assert geopoly.lookup(lat, lon) == want, (lat, lon, want)
+
+    outsiders = [
+        (31.95, 35.93, "Amman JO"),
+        (29.53, 35.01, "Aqaba JO"),
+        (32.56, 35.85, "Ramtha JO"),
+        (31.13, 33.80, "El Arish EG"),
+        (29.49, 34.90, "Taba EG"),
+        (35.17, 33.36, "Nicosia CY"),
+        (36.99, 35.32, "Adana TR"),
+        (37.07, 37.38, "Gaziantep TR"),
+        (33.03, 40.28, "Rutba IQ"),
+        (33.00, 35.75, "Golan (dead strip)"),
+    ]
+    new = ("SY", "LB", "IL", "PS")
+    for lat, lon, name in outsiders:
+        got = geopoly.lookup(lat, lon)
+        assert got is None or got[0] not in new, (name, got)
+
+    # tz twins carry tzdb zones, not foreign same-offset proxies
+    # (advisor r4 low: IL/PS DST transition dates genuinely differ)
+    assert geonames.derive_location(31.90, 35.20)["timezone"] \
+        == "Asia/Hebron"                      # Ramallah
+    assert geonames.derive_location(31.70, 35.20)["timezone"] \
+        == "Asia/Hebron"                      # Bethlehem
+    assert geonames.derive_location(31.29, 34.24)["timezone"] \
+        == "Asia/Gaza"                        # Rafah
+    assert geonames.derive_location(33.27, 35.19)["timezone"] \
+        == "Asia/Beirut"                      # Tyre
+    assert geonames.derive_location(36.20, 37.16)["timezone"] \
+        == "Asia/Damascus"                    # Aleppo
+    assert geonames.derive_location(31.78, 35.22)["timezone"] \
+        == "Asia/Jerusalem"                   # Jerusalem unchanged
+
+    # the IL/PS/JO/EG seam (lat 29-35): no point is claimed twice
+    import numpy as np
+    rng = np.random.default_rng(434)
+    pts = np.stack([rng.uniform(29.0, 35.0, 60000),
+                    rng.uniform(33.5, 42.0, 60000)], axis=1)
+    for lat, lon in pts:
+        hits = geopoly.claims(lat, lon)
+        assert len(hits) <= 1, (lat, lon, hits)
