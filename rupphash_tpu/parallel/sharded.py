@@ -75,6 +75,39 @@ def _pad_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
 
 
+def _gemm_dtypes():
+    """(operand, accumulator) dtypes for the +/-1 distance GEMM.
+
+    TPU: int8 operands feed the MXU directly.  The CPU backend (the
+    8-device virtual test mesh) has no fast int8 GEMM (measured 18 vs
+    68 GOPS on this host) — +/-1 dots of <= 256 terms are integers of
+    magnitude <= 256, exactly representable in f32, so Eigen's f32 path
+    computes bit-identical distances 3.7x faster."""
+    if jax.default_backend() == "cpu":
+        return jnp.float32, jnp.float32
+    return jnp.int8, jnp.int32
+
+
+# Device-side tile chunking: a (q, b) device's distance tile is
+# (nloc * V, mloc) — at BASELINE scale (1M hashes, 8 variants, v5e-8)
+# that is a ~500 GB intermediate, far past HBM.  Each kernel therefore
+# streams its tile as (QUERY_CHUNK * V, BASE_CHUNK) GEMM steps under
+# lax.map: peak live memory is one step's dot buffer (~512 MB int32 at
+# the defaults) while the MXU still sees large static-shape matmuls.
+# Chunk-edge padding is masked via the n_total sentinel (global index
+# n_total never matches), so any N works without host-side repadding.
+QUERY_CHUNK = 256      # query rows per step (x V variants in the GEMM)
+BASE_CHUNK = 65536     # base columns per step
+
+
+def _pad_rows(a, n, fill=0):
+    """Pad axis 0 to n rows with a constant."""
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
 def _tile_dist_mask(var_shard, base_shard, qlow, blow, qidx, jidx,
                     n_total, similarity):
     """Shared tile math: min-over-variant distances + threshold mask.
@@ -86,24 +119,81 @@ def _tile_dist_mask(var_shard, base_shard, qlow, blow, qidx, jidx,
     """
     nloc, v, nbits = var_shard.shape
     mloc = base_shard.shape[0]
-    flat_q = var_shard.reshape(nloc * v, nbits)
-    dots = jax.lax.dot_general(flat_q, base_shard.T,
+    op_t, acc_t = _gemm_dtypes()
+    flat_q = var_shard.reshape(nloc * v, nbits).astype(op_t)
+    dots = jax.lax.dot_general(flat_q, base_shard.T.astype(op_t),
                                (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+                               preferred_element_type=acc_t)
+    dots = dots.astype(jnp.int32)
     dist = (nbits - dots.reshape(nloc, v, mloc).max(axis=1)) // 2
     thr = jnp.where(qlow[:, None] | blow[None, :], 0, similarity)
     return ((dist <= thr) & (jidx > qidx)
             & (jidx < n_total) & (qidx < n_total))
 
 
-def sharded_group_counts(mesh: Mesh, similarity: int = 40):
+def _chunked_tile_apply(var_shard, base_shard, qlow, blow, qidx, boff,
+                        n_total, similarity, reduce_fn,
+                        query_chunk, base_chunk):
+    """Stream _tile_dist_mask over a device tile in (qc, bc) chunks.
+
+    qidx (nloc,) carries each query row's GLOBAL index (contiguous
+    shards pass qoff+iota; the hot-row extraction passes arbitrary
+    indices).  reduce_fn(mask (qc, bc)) -> per-chunk result; returns
+    the stacked (n_qchunks, n_bchunks, ...) results plus (qc, bc) for
+    the caller to reassemble.  Local pad rows (chunk-edge) get the
+    global-index sentinel n_total, so _tile_dist_mask's existing
+    masking suppresses them."""
+    nloc, v, nbits = var_shard.shape
+    mloc = base_shard.shape[0]
+    qc = min(query_chunk, nloc)
+    bc = min(base_chunk, mloc)
+    nqc = -(-nloc // qc)
+    nbc = -(-mloc // bc)
+
+    var_p = _pad_rows(var_shard, nqc * qc)
+    qlow_p = _pad_rows(qlow, nqc * qc, fill=True)
+    qidx_p = jnp.where(jnp.arange(nqc * qc) < nloc,
+                       _pad_rows(qidx.astype(jnp.int32), nqc * qc),
+                       n_total)
+    base_p = _pad_rows(base_shard, nbc * bc)
+    blow_p = _pad_rows(blow, nbc * bc, fill=True)
+    jidx_p = jnp.where(jnp.arange(nbc * bc) < mloc,
+                       boff + jnp.arange(nbc * bc, dtype=jnp.int32),
+                       n_total)
+
+    var_c = var_p.reshape(nqc, qc, v, nbits)
+    qlow_c = qlow_p.reshape(nqc, qc)
+    qidx_c = qidx_p.reshape(nqc, qc)
+    base_c = base_p.reshape(nbc, bc, nbits)
+    blow_c = blow_p.reshape(nbc, bc)
+    jidx_c = jidx_p.reshape(nbc, bc)
+
+    def q_step(qargs):
+        var_q, qlow_q, qidx_q = qargs
+
+        def b_step(bargs):
+            base_b, blow_b, jidx_b = bargs
+            mask = _tile_dist_mask(var_q, base_b, qlow_q, blow_b,
+                                   qidx_q[:, None], jidx_b[None, :],
+                                   n_total, similarity)
+            return reduce_fn(mask)
+
+        return jax.lax.map(b_step, (base_c, blow_c, jidx_c))
+
+    return jax.lax.map(q_step, (var_c, qlow_c, qidx_c)), (qc, bc)
+
+
+def sharded_group_counts(mesh: Mesh, similarity: int = 40,
+                         query_chunk: int = QUERY_CHUNK,
+                         base_chunk: int = BASE_CHUNK):
     """2-D sharded all-pairs duplicate counting.
 
     Returns a jitted fn(variants_u8 (N, V, 32), low_conf (N,) bool) ->
     (nq, nb) int32 per-device-tile match counts, where nq/nb are the mesh
-    axis sizes.  Each (q, b) device computes its tile of the N x N
-    distance matrix; ICI traffic is one all-gather of hash shards.
-    N is padded internally to the mesh axes (pad rows are index-masked).
+    axis sizes.  Each (q, b) device streams its tile of the N x N
+    distance matrix in (query_chunk, base_chunk) GEMM steps; ICI traffic
+    is one all-gather of hash shards.  N is padded internally to the
+    mesh axes (pad rows are index-masked).
     """
     nq = mesh.shape["q"]
     nb = mesh.shape["b"]
@@ -111,13 +201,13 @@ def sharded_group_counts(mesh: Mesh, similarity: int = 40):
     def tile_counts(var_shard, base_shard, qlow_shard, blow_shard,
                     qoff, boff, n_total):
         nloc = var_shard.shape[0]
-        mloc = base_shard.shape[0]
-        qidx = qoff[0] + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0)
-        jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, mloc), 1)
-        mask = _tile_dist_mask(var_shard, base_shard, qlow_shard,
-                               blow_shard, qidx, jidx, n_total[0],
-                               similarity)
-        return mask.sum(dtype=jnp.int32).reshape(1, 1)
+        qidx = qoff[0] + jnp.arange(nloc, dtype=jnp.int32)
+        partials, _ = _chunked_tile_apply(
+            var_shard, base_shard, qlow_shard, blow_shard, qidx, boff[0],
+            n_total[0], similarity,
+            lambda mask: mask.sum(dtype=jnp.int32),
+            query_chunk, base_chunk)
+        return partials.sum(dtype=jnp.int32).reshape(1, 1)
 
     smapped = shard_map(
         tile_counts, mesh=mesh,
@@ -143,15 +233,18 @@ def sharded_group_counts(mesh: Mesh, similarity: int = 40):
     return run
 
 
-def sharded_row_counts(mesh: Mesh, similarity: int = 40):
+def sharded_row_counts(mesh: Mesh, similarity: int = 40,
+                       query_chunk: int = QUERY_CHUNK,
+                       base_chunk: int = BASE_CHUNK):
     """Per-query-row match counts over the full upper triangle.
 
     Returns a jitted fn(variants_u8 (N, V, 32), low_conf (N,) bool) ->
     (Npad,) int32 where entry i counts matches (i, j>i).  Each (q, b)
-    device computes its distance tile and psums row counts over 'b' —
-    this is phase 1 of count-then-extract: only rows with a nonzero
-    count are re-materialized as edges (hamminghash.rs find_groups
-    probes per query row the same way, at CPU scale).
+    device streams its distance tile in chunked GEMM steps and psums
+    row counts over 'b' — this is phase 1 of count-then-extract: only
+    rows with a nonzero count are re-materialized as edges
+    (hamminghash.rs find_groups probes per query row the same way, at
+    CPU scale).
     """
     nq = mesh.shape["q"]
     nb = mesh.shape["b"]
@@ -159,13 +252,15 @@ def sharded_row_counts(mesh: Mesh, similarity: int = 40):
     def tile_rows(var_shard, base_shard, qlow_shard, blow_shard,
                   qoff, boff, n_total):
         nloc = var_shard.shape[0]
-        mloc = base_shard.shape[0]
-        qidx = qoff[0] + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0)
-        jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, mloc), 1)
-        mask = _tile_dist_mask(var_shard, base_shard, qlow_shard,
-                               blow_shard, qidx, jidx, n_total[0],
-                               similarity)
-        return jax.lax.psum(mask.sum(axis=1, dtype=jnp.int32), "b")
+        qidx = qoff[0] + jnp.arange(nloc, dtype=jnp.int32)
+        partials, (qc, _) = _chunked_tile_apply(
+            var_shard, base_shard, qlow_shard, blow_shard, qidx, boff[0],
+            n_total[0], similarity,
+            lambda mask: mask.sum(axis=1, dtype=jnp.int32),
+            query_chunk, base_chunk)
+        # (nqc, nbc, qc) partial row counts -> (nloc,)
+        counts = partials.sum(axis=1).reshape(-1)[:nloc]
+        return jax.lax.psum(counts, "b")
 
     smapped = shard_map(
         tile_rows, mesh=mesh,
@@ -191,7 +286,9 @@ def sharded_row_counts(mesh: Mesh, similarity: int = 40):
     return run
 
 
-def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
+def sharded_extract_rows(mesh: Mesh, similarity: int = 40,
+                         query_chunk: int = QUERY_CHUNK,
+                         base_chunk: int = BASE_CHUNK):
     """Phase 2 of count-then-extract: hot query rows vs the full base,
     compacted on device to O(edges) readback.
 
@@ -208,20 +305,28 @@ def sharded_extract_rows(mesh: Mesh, similarity: int = 40):
     compacted pairs are KBs)."""
     nq = mesh.shape["q"]
     nb = mesh.shape["b"]
+    assert base_chunk % 8 == 0, "byte packing needs 8-aligned base chunks"
 
     def extract(q_shard, qlow_shard, qidx_shard, base_shard, blow_shard,
                 boff, n_total):
         mloc_q = q_shard.shape[0]
         mloc_b = base_shard.shape[0]
-        qidx = qidx_shard[:, None]
-        jidx = boff[0] + jax.lax.broadcasted_iota(
-            jnp.int32, (1, mloc_b), 1)
-        mask = _tile_dist_mask(q_shard, base_shard, qlow_shard,
-                               blow_shard, qidx, jidx, n_total[0],
-                               similarity)
         weights = jnp.asarray(1 << np.arange(8), dtype=jnp.int32)
-        grouped = mask.reshape(mloc_q, mloc_b // 8, 8).astype(jnp.int32)
-        return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+
+        def pack(mask):
+            qc, bc = mask.shape
+            grouped = mask.reshape(qc, bc // 8, 8).astype(jnp.int32)
+            return (grouped * weights).sum(axis=-1).astype(jnp.uint8)
+
+        # (nqc, nbc, qc, bc//8) chunked byte blocks -> (mloc_q, mloc_b//8)
+        partials, (qc, bc) = _chunked_tile_apply(
+            q_shard, base_shard, qlow_shard, blow_shard,
+            qidx_shard, boff[0], n_total[0], similarity, pack,
+            query_chunk, base_chunk)
+        nqc, nbc = partials.shape[0], partials.shape[1]
+        packed = partials.transpose(0, 2, 1, 3).reshape(
+            nqc * qc, nbc * (bc // 8))
+        return packed[:mloc_q, :mloc_b // 8]
 
     smapped = shard_map(
         extract, mesh=mesh,
@@ -389,10 +494,12 @@ def sharded_query_topk_status(mesh: Mesh, similarity: int = 40):
     def tile(q_pm1, base_shard, st_shard, boff, n_total):
         nloc = base_shard.shape[0]
         qn, v, nbits = q_pm1.shape
-        flat_q = q_pm1.reshape(qn * v, nbits)
-        dots = jax.lax.dot_general(flat_q, base_shard.T,
+        op_t, acc_t = _gemm_dtypes()
+        flat_q = q_pm1.reshape(qn * v, nbits).astype(op_t)
+        dots = jax.lax.dot_general(flat_q, base_shard.T.astype(op_t),
                                    (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
+                                   preferred_element_type=acc_t)
+        dots = dots.astype(jnp.int32)
         dist = (nbits - dots.reshape(qn, v, nloc).max(axis=1)) // 2
         low = st_shard[None, :] == 1
         dead = st_shard[None, :] >= 2
