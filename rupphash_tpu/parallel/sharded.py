@@ -112,17 +112,21 @@ def _tile_dist_mask(var_shard, base_shard, qlow, blow, qidx, jidx,
                     n_total, similarity):
     """Shared tile math: min-over-variant distances + threshold mask.
 
-    var_shard (nloc, V, nbits) int8 pm1; base_shard (mloc, nbits) int8;
-    qidx (nloc, 1) / jidx (1, mloc) global indices.  Pad rows are masked
-    out via n_total, so callers can pad freely with zeros (two zero pad
-    rows are at distance 0 of each other and would otherwise match).
+    var_shard (nloc, V, nbits) / base_shard (mloc, nbits) pm1, ALREADY
+    converted to _gemm_dtypes()[0] by the caller (hoisted out of the
+    chunk loop — re-converting the 50k-row base per query-chunk step
+    cost 1.57x at 100k on the CPU mesh); qidx (nloc, 1) / jidx
+    (1, mloc) global indices.  Pad rows are masked out via n_total, so
+    callers can pad freely with zeros (two zero pad rows are at
+    distance 0 of each other and would otherwise match).  The GEMM
+    contracts dim 1 of both operands — no base.T materialization.
     """
     nloc, v, nbits = var_shard.shape
     mloc = base_shard.shape[0]
-    op_t, acc_t = _gemm_dtypes()
-    flat_q = var_shard.reshape(nloc * v, nbits).astype(op_t)
-    dots = jax.lax.dot_general(flat_q, base_shard.T.astype(op_t),
-                               (((1,), (0,)), ((), ())),
+    _, acc_t = _gemm_dtypes()
+    flat_q = var_shard.reshape(nloc * v, nbits)
+    dots = jax.lax.dot_general(flat_q, base_shard,
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=acc_t)
     dots = dots.astype(jnp.int32)
     dist = (nbits - dots.reshape(nloc, v, mloc).max(axis=1)) // 2
@@ -150,6 +154,9 @@ def _chunked_tile_apply(var_shard, base_shard, qlow, blow, qidx, boff,
     nqc = -(-nloc // qc)
     nbc = -(-mloc // bc)
 
+    op_t, _ = _gemm_dtypes()
+    var_shard = var_shard.astype(op_t)      # convert ONCE, outside the
+    base_shard = base_shard.astype(op_t)    #   lax.map chunk loops
     var_p = _pad_rows(var_shard, nqc * qc)
     qlow_p = _pad_rows(qlow, nqc * qc, fill=True)
     qidx_p = jnp.where(jnp.arange(nqc * qc) < nloc,
