@@ -24,6 +24,12 @@ def benchmod(monkeypatch):
                  {"median": 5000.0, "spread": 100.0, "k": 2,
                   "runs": [4950.0, 5050.0]},
                  {"heavy_ms_per_img": 1.0}))
+    monkeypatch.setattr(
+        b, "bench_scan_e2e_cpu_backend",
+        lambda: ({"median": 700.0, "spread": 20.0, "k": 3,
+                  "runs": [690.0, 700.0, 710.0]},
+                 {"median": 6000.0, "spread": 100.0, "k": 3,
+                  "runs": [5900.0, 6000.0, 6100.0]}))
     monkeypatch.setattr(b, "bench_decode_profile",
                         lambda chip_ips=None: {"jpeg_4mp": {}})
     monkeypatch.setattr(
@@ -60,6 +66,8 @@ def test_bench_json_contract_full(benchmod, capsys, monkeypatch):
     assert extra["grouping_1m_e2e_resident_s"] == 11.0
     assert extra["grouping_1m_e2e_edges"] == 6000
     assert extra["decode_profile"] == {"jpeg_4mp": {}}
+    assert extra["scan_e2e_cpu_backend_images_per_s"] == 700.0
+    assert extra["scan_e2e_cpu_backend_stats"]["k"] == 3
     # honesty stats travel with the medians — including the headline
     # itself (round-4 verdict weak #2)
     assert extra["pdq_images_per_sec_stats"]["k"] == 3
@@ -75,7 +83,7 @@ def test_bench_budget_skips_loudly(benchmod, capsys, monkeypatch):
     assert payload["value"] == 123456.0    # headline always lands
     # every extra skipped (the headline's own stats always travel)...
     assert set(payload["extra"]) == {"pdq_images_per_sec_stats"}
-    assert err.count("SKIPPED") == 5       # ...and each one says so
+    assert err.count("SKIPPED") == 6       # ...and each one says so
     assert "RUPPHASH_BENCH_BUDGET_S" in err
 
 
@@ -96,7 +104,7 @@ def test_bench_dead_accelerator_still_prints(benchmod, capsys,
     assert "cpu-fallback" in payload["extra"]["backend"]
     # TPU-scale extras are all skipped loudly, none silently run
     assert "grouping_1m_single_chip_s" not in payload["extra"]
-    assert err.count("SKIPPED") == 5
+    assert err.count("SKIPPED") == 6
 
 
 def test_bench_extra_failure_does_not_break_headline(
