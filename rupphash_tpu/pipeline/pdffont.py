@@ -427,9 +427,12 @@ class TrueTypeFont:
 
     def glyph_contours(self, gid: int):
         """Closed polyline contours, normalized to 1.0 == 1 em."""
-        scale = (1.0 / 1000.0) if self.is_cff \
-            else (1.0 / self.units_per_em)
-        return path_to_contours(self.glyph_path(gid), scale)
+        if self.is_cff and self.cff is not None:
+            # OTTO: the embedded CFF's FontMatrix is the authority on
+            # glyph-space scale (usually 1/1000, but not always)
+            return self.cff.glyph_contours(gid)
+        return path_to_contours(self.glyph_path(gid),
+                                1.0 / self.units_per_em)
 
     # ----- metrics
 
@@ -447,8 +450,10 @@ class TrueTypeFont:
         if not self._hmtx:
             return 0.5
         aw = self._hmtx[min(gid, len(self._hmtx) - 1)]
-        upm = 1000.0 if self.is_cff else float(self.units_per_em)
-        return aw / upm
+        # hmtx is always in head.unitsPerEm units — OTTO included
+        # (the 1000 lives in the CFF FontMatrix, which only scales
+        # outlines, not the sfnt metrics tables)
+        return aw / float(self.units_per_em)
 
     # ----- cmap
 
@@ -488,9 +493,18 @@ class TrueTypeFont:
             deltas = struct.unpack_from(f">{seg}h", d, p + 16 + 2 * segx2)
             ro_base = p + 16 + 3 * segx2
             ros = struct.unpack_from(f">{seg}H", d, ro_base)
+            # total-work bound: the BMP code space is 64K, so any
+            # honest format-4 table maps <= 64K codes across all
+            # segments; a crafted one can declare 32K segments each
+            # spanning the full range (2e9 iterations) — cap like
+            # format 12 does
+            work = 1 << 17
             for i in range(seg):
                 if starts[i] == 0xFFFF:
                     continue
+                work -= max(0, min(ends[i], 0xFFFE) + 1 - starts[i])
+                if work < 0:
+                    break
                 for c in range(starts[i], min(ends[i], 0xFFFE) + 1):
                     if ros[i] == 0:
                         g = (c + deltas[i]) & 0xFFFF
@@ -1038,21 +1052,26 @@ class _T2State:
                     self._curveto(st[0], 0, st[1], st[2], st[3], 0)
                     self._curveto(st[4], 0, st[5], -st[2], st[6], 0)
                 elif b1 == 36 and len(st) >= 9:     # hflex1
-                    y0 = self.y
+                    # endpoint returns to the starting y: the final
+                    # delta is -(dy1 + dy2 + dy5) (Type2 spec / the
+                    # dy6 of fontTools' op_hflex1)
                     self._curveto(st[0], st[1], st[2], st[3], st[4], 0)
-                    dy = y0 - self.y
-                    self._curveto(st[5], 0, st[6], st[7], st[8], dy)
+                    self._curveto(st[5], 0, st[6], st[7], st[8],
+                                  -(st[1] + st[3] + st[7]))
                 elif b1 == 37 and len(st) >= 11:    # flex1
-                    x0, y0 = self.x, self.y
+                    # dx/dy sum the FIVE explicit deltas; the sixth
+                    # delta is d6 on the dominant axis and -(sum) on
+                    # the other, so the endpoint returns to the
+                    # start's off-axis coordinate
                     dx = sum(st[i] for i in (0, 2, 4, 6, 8))
                     dy = sum(st[i] for i in (1, 3, 5, 7, 9))
                     self._curveto(*st[0:6])
                     if abs(dx) > abs(dy):
-                        self._curveto(st[6], st[7], st[8], st[9], st[10],
-                                      y0 - self.y)
+                        self._curveto(st[6], st[7], st[8], st[9],
+                                      st[10], -dy)
                     else:
                         self._curveto(st[6], st[7], st[8], st[9],
-                                      x0 + dx - self.x, st[10])
+                                      -dx, st[10])
                 st.clear()
             else:
                 st.clear()

@@ -836,12 +836,12 @@ def _exec_content(doc: PdfDoc, canvas: np.ndarray, content: bytes,
             elif op == '"':
                 if len(operands) >= 3 and \
                         isinstance(operands[-1], bytes):
-                    v = nums(3) and [float(operands[-3]),
-                                     float(operands[-2])] \
-                        if isinstance(operands[-3], (int, float)) and \
-                        isinstance(operands[-2], (int, float)) else None
-                    if v:
-                        st.word_sp, st.char_sp = v[0], v[1]
+                    # aw ac string ": the string operand means nums()
+                    # can't see the two spacings — read them directly
+                    if isinstance(operands[-3], (int, float)) and \
+                            isinstance(operands[-2], (int, float)):
+                        st.word_sp = float(operands[-3])
+                        st.char_sp = float(operands[-2])
                     text_newline()
                     tm = _show_text(doc, canvas, st, tm, operands[-1],
                                     resources, budget, depth)

@@ -510,3 +510,193 @@ def test_type3_and_truetype_renders_agree(tmp_path):
     h42, q42 = pdq_ref.generate_pdq(img42)
     assert q3 > 0.5 and q42 > 0.5
     assert pdq_ref.hamming_distance(h3, h42) <= 8
+
+
+# -- round-5 review regressions: flex ops, " spacing, cmap bomb, OTTO upm
+
+
+def test_t2_flex_ops_match_fonttools():
+    """The Type2 flex family (12 34..37): endpoint arithmetic
+    differential against fontTools' own T2 interpreter.  The outline
+    differential above can't cover these — T2CharStringPen never emits
+    flex ops — and the hflex1/flex1 closing deltas are exactly where a
+    hand-written interpreter goes wrong (they must fold ALL prior
+    deltas back, not just the first curve's)."""
+    import types
+
+    from fontTools.cffLib import PrivateDict
+    from fontTools.misc.psCharStrings import T2CharString
+    from fontTools.pens.recordingPen import RecordingPen
+
+    progs = {
+        "hflex": [0, 0, "rmoveto",
+                  30, 40, 50, 20, 60, 35, 70, "hflex", "endchar"],
+        "hflex1": [0, 0, "rmoveto",
+                   10, 20, 30, -10, 40, 25, 35, -15, 45, "hflex1",
+                   "endchar"],
+        "flex1_horiz": [0, 0, "rmoveto",
+                        10, 20, 30, 15, 40, -5, 25, 10, 35, -20, 55,
+                        "flex1", "endchar"],
+        "flex1_vert": [0, 0, "rmoveto",
+                       5, 40, 10, 35, -5, 60, 10, 45, -15, 30, 80,
+                       "flex1", "endchar"],
+        "flex": [0, 0, "rmoveto",
+                 10, 20, 30, 15, 40, -5, 25, 10, 35, -20, 55, 12, 50,
+                 "flex", "endchar"],
+        # two flexes back to back: a wrong endpoint displaces the
+        # second curve too (the "everything after shifts" failure)
+        "chained": [0, 0, "rmoveto",
+                    10, 20, 30, -10, 40, 25, 35, -15, 45, "hflex1",
+                    100, 10, "rlineto",
+                    10, 20, 30, 15, 40, -5, 25, 10, 35, -20, 55,
+                    "flex1", "endchar"],
+    }
+    for name, prog in progs.items():
+        pd = PrivateDict()
+        cs = T2CharString(program=list(prog), private=pd)
+        pen = RecordingPen()
+        cs.draw(pen)
+        exp = []
+        for op, args in pen.value:
+            if op == "moveTo":
+                exp.append(("m", args[0]))
+            elif op == "lineTo":
+                exp.append(("l", args[0]))
+            elif op == "curveTo":
+                exp.append(("c",) + args)
+            elif op == "closePath":
+                exp.append(("close",))
+        csc = T2CharString(program=list(prog), private=pd)
+        csc.compile()
+        st = pdffont._T2State(types.SimpleNamespace(gsubrs=()), [])
+        st.run(csc.bytecode)
+        if st.open:
+            st.path.append(("close",))
+        norm = lambda p: [(s[0],) + tuple(
+            tuple(round(float(v), 6) for v in pt) for pt in s[1:])
+            for s in p]
+        assert norm(st.path) == norm(exp), name
+
+
+def test_quote_operator_applies_word_spacing(test_cff):
+    """PDF 9.4.3: aw ac (s) " sets word and char spacing before
+    showing — the spacings must actually move the glyphs."""
+    cff_raw, _ = test_cff
+
+    def page(aw):
+        content = (b"BT /F1 100 Tf 0 TL 72 400 Td "
+                   b"%d 0 (o o) \x22 ET" % aw)
+        return _pdf_with_objs([
+            (1, b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj"),
+            (2, b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> "
+                b"endobj"),
+            (3, b"3 0 obj << /Type /Page /Parent 2 0 R "
+                b"/MediaBox [0 0 612 792] /Resources << /Font "
+                b"<< /F1 5 0 R >> >> /Contents 4 0 R >> endobj"),
+            (4, b"4 0 obj << /Length %d >> stream\n%s\nendstream "
+                b"endobj" % (len(content), content)),
+            (5, b"5 0 obj << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /TestCFF /FontDescriptor 6 0 R >> endobj"),
+            (6, b"6 0 obj << /Type /FontDescriptor /FontName "
+                b"/TestCFF /Flags 32 /FontFile3 7 0 R >> endobj"),
+            (7, b"7 0 obj << /Subtype /Type1C /Length %d >> stream\n"
+                % len(cff_raw) + cff_raw + b"\nendstream endobj"),
+        ])
+
+    ink0 = (pdfraster.rasterize_first_page(page(0)) < 128).any(axis=-1)
+    ink50 = (pdfraster.rasterize_first_page(page(50)) < 128).any(axis=-1)
+    right0 = np.nonzero(ink0.any(axis=0))[0].max()
+    right50 = np.nonzero(ink50.any(axis=0))[0].max()
+    # word spacing 50pt applies at the space -> +100 device px at 2x
+    assert abs((right50 - right0) - 100) <= 2, (right0, right50)
+
+
+def _sfnt(tables: dict) -> bytes:
+    import struct as _s
+
+    n = len(tables)
+    out = _s.pack(">IHHHH", 0x00010000, n, 0, 0, 0)
+    off = 12 + 16 * n
+    directory = b""
+    body = b""
+    for tag, data in tables.items():
+        directory += _s.pack(">4sIII", tag, 0, off + len(body),
+                             len(data))
+        body += data + b"\x00" * (-len(data) % 4)
+    return out + directory + body
+
+
+def test_cmap_format4_segment_bomb_bounded():
+    """A crafted format-4 cmap declaring thousands of full-range
+    segments must not hang the parser (each segment legally spans up
+    to 64K codes; the honest total is bounded by the BMP, so the
+    parser caps total work like it already did for format 12)."""
+    import signal
+    import struct as _s
+
+    seg = 8192
+    head = bytearray(54)
+    head[18:20] = _s.pack(">H", 1000)
+    sub = _s.pack(">HHHHHHH", 4, 0, 0, seg * 2, 0, 0, 0)
+    sub += _s.pack(f">{seg}H", *([0xFFFE] * seg))      # endCodes
+    sub += b"\x00\x00"                                 # reservedPad
+    sub += _s.pack(f">{seg}H", *([0] * seg))           # startCodes
+    sub += _s.pack(f">{seg}h", *([1] * seg))           # idDelta
+    sub += _s.pack(f">{seg}H", *([0] * seg))           # idRangeOffset
+    cmap = _s.pack(">HH", 0, 1) + _s.pack(">HHI", 3, 1, 12) + sub
+    data = _sfnt({b"head": bytes(head), b"cmap": cmap})
+
+    class _Bomb(Exception):
+        pass
+
+    def _alarm(_s_, _f):
+        raise _Bomb
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(25)
+    try:
+        f = pdffont.TrueTypeFont(data)
+        assert f.gid_for_unicode(65) == 66   # delta 1 still applies
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_otto_nonstandard_upm_scaling():
+    """An OpenType-CFF font with unitsPerEm=2048: outlines follow the
+    CFF FontMatrix (1/2048 here, not the 1/1000 CFF default) and hmtx
+    advances divide by head.unitsPerEm — both previously hardcoded
+    1000 for OTTO."""
+    import io
+
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.t2CharStringPen import T2CharStringPen
+
+    pen = T2CharStringPen(1000, None)
+    pen.moveTo((100, 0))
+    pen.lineTo((500, 1400))
+    pen.lineTo((900, 0))
+    pen.closePath()
+    glyphs = {"A": pen.getCharString(),
+              ".notdef": T2CharStringPen(1000, None).getCharString()}
+    fb = FontBuilder(2048, isTTF=False)
+    fb.setupGlyphOrder([".notdef", "A"])
+    fb.setupCharacterMap({65: "A"})
+    fb.setupCFF("T", {}, glyphs, {})
+    fb.setupHorizontalMetrics({".notdef": (1000, 0), "A": (1000, 0)})
+    fb.setupHorizontalHeader(ascent=1600, descent=-400)
+    fb.setupNameTable({"familyName": "T", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    buf = io.BytesIO()
+    fb.save(buf)
+
+    f = pdffont.TrueTypeFont(buf.getvalue())
+    assert f.is_cff
+    gid = f.gid_for_unicode(65)
+    assert gid == 1
+    assert f.advance(gid) == pytest.approx(1000 / 2048)
+    pts = [p for c in f.glyph_contours(gid) for p in c]
+    assert max(y for _, y in pts) == pytest.approx(1400 / 2048)
+    assert min(x for x, _ in pts) == pytest.approx(100 / 2048)
+    assert max(x for x, _ in pts) == pytest.approx(900 / 2048)
