@@ -560,6 +560,15 @@ def main():
             log(f"scan profile (per-stage host loop, ms/img): {sprof}")
             extra["scan_e2e_images_per_s"] = cold["median"]
             extra["scan_e2e_stats"] = cold
+            # the TPU-backend scan shares one tunnel wire (19.6 MB
+            # luma uploads + readbacks) and one host core with the
+            # decoder, so its spread is transfer weather, not host
+            # loop variance — scan_e2e_cpu_backend_* isolates the
+            # host loop (the binding figure on a co-located host)
+            extra["scan_e2e_note"] = (
+                "TPU runs ride the remote-device tunnel; spread is "
+                "transfer weather — see scan_e2e_cpu_backend_stats "
+                "for the tunnel-free host loop")
             extra["cached_rescan_files_per_s"] = warm["median"]
             extra["cached_rescan_stats"] = warm
             extra["scan_profile_ms_per_img"] = sprof

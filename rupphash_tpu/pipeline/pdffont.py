@@ -290,10 +290,18 @@ class TrueTypeFont:
         g0 = self.tables[b"glyf"][0]
         return g0 + s, g0 + e
 
-    def glyph_points(self, gid: int, depth: int = 0):
+    def glyph_points(self, gid: int, depth: int = 0, _budget=None):
         """Raw outline: (points [(x, y)], on_curve flags, contour end
         indices) in font units — composites resolved.  Matches
-        fontTools' getCoordinates for the differential test."""
+        fontTools' getCoordinates for the differential test.
+
+        _budget bounds TOTAL components across the recursion: depth
+        alone caps nesting but not width — a crafted 64 KB composite
+        whose ~10K components all reference themselves costs
+        ~(L/6)^depth iterations without it.  Real fonts use 2-6
+        components per composite."""
+        if _budget is None:
+            _budget = [512]
         rng = self._glyf_range(gid)
         if rng is None or depth > 5:
             return [], [], []
@@ -306,6 +314,9 @@ class TrueTypeFont:
         pts, flags, ends = [], [], []
         p = s + 10
         while True:
+            if _budget[0] <= 0:
+                break
+            _budget[0] -= 1
             fl, sub_gid = struct.unpack_from(">HH", d, p)
             p += 4
             if fl & 0x0001:  # ARG_1_AND_2_ARE_WORDS
@@ -328,7 +339,7 @@ class TrueTypeFont:
                                     struct.unpack_from(">hhhh", d, p))
                 p += 8
             dx, dy = (a1, a2) if fl & 0x0002 else (0, 0)
-            sp, sf, se = self.glyph_points(sub_gid, depth + 1)
+            sp, sf, se = self.glyph_points(sub_gid, depth + 1, _budget)
             base = len(pts)
             for (x, y) in sp:
                 pts.append((x * sx + y * s10 + dx, x * s01 + y * sy + dy))

@@ -700,3 +700,42 @@ def test_otto_nonstandard_upm_scaling():
     assert max(y for _, y in pts) == pytest.approx(1400 / 2048)
     assert min(x for x, _ in pts) == pytest.approx(100 / 2048)
     assert max(x for x, _ in pts) == pytest.approx(900 / 2048)
+
+
+def test_composite_glyph_bomb_bounded():
+    """A self-referencing composite with thousands of components costs
+    ~(L/6)^depth iterations if only depth is capped — glyph_points
+    bounds TOTAL components across the recursion instead."""
+    import signal
+    import struct as _s
+
+    n_comp = 2000
+    glyf = _s.pack(">hhhhh", -1, 0, 0, 100, 100)
+    for i in range(n_comp):
+        fl = 0x0020 if i < n_comp - 1 else 0  # MORE_COMPONENTS chain
+        glyf += _s.pack(">HHbb", fl, 0, 1, 1)  # references gid 0
+    if len(glyf) % 2:
+        glyf += b"\x00"
+    head = bytearray(54)
+    head[18:20] = _s.pack(">H", 1000)
+    head[50:52] = _s.pack(">h", 0)             # short loca
+    maxp = _s.pack(">IH", 0x00010000, 1)
+    loca = _s.pack(">HH", 0, len(glyf) // 2)
+    data = _sfnt({b"head": bytes(head), b"maxp": maxp,
+                  b"loca": loca, b"glyf": glyf})
+
+    class _Bomb(Exception):
+        pass
+
+    def _alarm(_s_, _f):
+        raise _Bomb
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(25)
+    try:
+        f = pdffont.TrueTypeFont(data)
+        pts, flags, ends = f.glyph_points(0)
+        assert pts == [] and ends == []        # no simple glyph anywhere
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
