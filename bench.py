@@ -22,11 +22,6 @@ import time
 from pathlib import Path
 
 
-class _SkipExtra(Exception):
-    # raised inside an extra's try-block when the wall-clock budget
-    # is exhausted; over_budget already logged the skip
-    pass
-
 import numpy as np
 
 
@@ -518,6 +513,52 @@ def main():
             return True
         return False
 
+    # Mid-stage watchdog: over_budget only fires BETWEEN stages, but a
+    # degraded device can stall INSIDE one (observed 2026-08-19: a hot
+    # 1M count sweep — compile-cached, 6.25 s twenty minutes earlier —
+    # ran 470 s; the budget check can't help once the stage started,
+    # and a blocked device readback holds the main thread past the
+    # driver's timeout, losing the JSON line).  Each extra runs in a
+    # daemon thread and gets the remaining budget plus a margin; a
+    # stage that blows it is abandoned (its thread keeps the device
+    # busy, so later device stages skip loudly) and the process exits
+    # via os._exit after printing, so the stuck handle can't wedge
+    # interpreter teardown.
+    import threading
+    _state = {"degraded": False}
+
+    def run_stage(name: str, fn, device: bool = True):
+        if _state["degraded"] and device:
+            log(f"SKIPPED {name}: device/tunnel degraded (an earlier "
+                f"stage blew its watchdog)")
+            return None
+        if over_budget(name):
+            return None
+        env_t = os.environ.get("RUPPHASH_BENCH_STAGE_S")
+        timeout = float(env_t) if env_t else max(
+            180.0, _budget - (_time.perf_counter() - _t0) + 120.0)
+        box: dict = {}
+
+        def work():
+            try:
+                box["result"] = fn()
+            except BaseException as e:   # noqa: BLE001 — re-raised below
+                box["error"] = e
+
+        th = threading.Thread(target=work, daemon=True,
+                              name=f"bench-{name}")
+        th.start()
+        th.join(timeout)
+        if th.is_alive():
+            if device:
+                _state["degraded"] = True
+            log(f"SKIPPED {name}: stage watchdog fired after "
+                f"{timeout:.0f}s (device/tunnel degraded mid-run)")
+            return None
+        if "error" in box:
+            raise box["error"]
+        return box.get("result")
+
     if cpu_fallback:
         # tiny workload: the point is a labelled JSON line, not a
         # meaningful CPU throughput; TPU-scale extras are skipped
@@ -531,8 +572,9 @@ def main():
     if cpu_fallback:
         extra["backend"] = "cpu-fallback (accelerator transport dead)"
     try:
-        if not over_budget("grouping count-sweep"):
-            pps, gdt = bench_grouping()
+        r = run_stage("grouping count-sweep", bench_grouping)
+        if r is not None:
+            pps, gdt = r
             log(f"grouping count-sweep: {pps/1e9:.1f} Gpairs/s "
                 f"(100k x 100k x 8 variants in {gdt:.2f}s)")
             extra["grouping_100k_gpairs_per_s"] = round(pps / 1e9, 1)
@@ -540,8 +582,8 @@ def main():
         log(f"grouping bench failed: {e}")
 
     try:
-        if not over_budget("grouping 1M"):
-            g1m = bench_grouping_1m()
+        g1m = run_stage("grouping 1M", bench_grouping_1m)
+        if g1m is not None:
             proj = g1m / 8.0
             log(f"grouping 1M x 1M x 8 variants, single chip: "
                 f"{g1m:.2f}s; projected v5e-8 (disjoint tiles / 8 "
@@ -552,8 +594,9 @@ def main():
         log(f"1M grouping bench failed: {e}")
 
     try:
-        if not over_budget("scan e2e"):
-            cold, warm, sprof = bench_scan_e2e()
+        r = run_stage("scan e2e", bench_scan_e2e)
+        if r is not None:
+            cold, warm, sprof = r
             log(f"scan end-to-end (walk->decode->hash->cache, 1 host "
                 f"core): {cold['median']:,.0f} images/s {cold}; cached "
                 f"rescan: {warm['median']:,.0f} files/s {warm}")
@@ -576,8 +619,12 @@ def main():
         log(f"scan e2e bench failed: {e}")
 
     try:
-        if not over_budget("scan e2e cpu-backend"):
-            ccold, cwarm = bench_scan_e2e_cpu_backend()
+        # subprocess with its own 300 s timeout + host-only: runs even
+        # when the device went degraded (it IS the degraded-day figure)
+        r = run_stage("scan e2e cpu-backend", bench_scan_e2e_cpu_backend,
+                      device=False)
+        if r is not None:
+            ccold, cwarm = r
             log(f"scan end-to-end CPU BACKEND (host loop, tunnel out of "
                 f"the picture): {ccold['median']:,.0f} images/s {ccold}; "
                 f"cached rescan {cwarm['median']:,.0f} files/s")
@@ -587,32 +634,37 @@ def main():
         log(f"cpu-backend scan bench failed: {e}")
 
     try:
-        if not over_budget("decode profile"):
-            profile = bench_decode_profile(chip_ips=ips)
+        profile = run_stage("decode profile",
+                            lambda: bench_decode_profile(chip_ips=ips),
+                            device=False)
+        if profile is not None:
             log(f"decode profile (1 host core): {json.dumps(profile)}")
             extra["decode_profile"] = profile
     except Exception as e:
         log(f"decode profile failed: {e}")
 
     try:
-        if over_budget("grouping 1M e2e"):
-            raise _SkipExtra()
-        host_stats, res_stats, n_edges, n_groups = bench_grouping_1m_e2e()
-        log(f"grouping 1M end-to-end (counts -> hot-row extraction -> "
-            f"union-find): host-in {host_stats['median']:.2f}s / "
-            f"device-resident {res_stats['median']:.2f}s, {n_edges} "
-            f"edges, {n_groups} groups (expected 6000 edges / 2000 "
-            f"groups)")
-        extra["grouping_1m_e2e_s"] = host_stats["median"]
-        extra["grouping_1m_e2e_stats"] = host_stats
-        extra["grouping_1m_e2e_resident_s"] = res_stats["median"]
-        extra["grouping_1m_e2e_resident_stats"] = res_stats
-        extra["grouping_1m_e2e_edges"] = n_edges
-    except _SkipExtra:
-        pass                       # over_budget already logged it
+        r = run_stage("grouping 1M e2e", bench_grouping_1m_e2e)
+        if r is not None:
+            host_stats, res_stats, n_edges, n_groups = r
+            log(f"grouping 1M end-to-end (counts -> hot-row extraction "
+                f"-> union-find): host-in {host_stats['median']:.2f}s / "
+                f"device-resident {res_stats['median']:.2f}s, {n_edges} "
+                f"edges, {n_groups} groups (expected 6000 edges / 2000 "
+                f"groups)")
+            extra["grouping_1m_e2e_s"] = host_stats["median"]
+            extra["grouping_1m_e2e_stats"] = host_stats
+            extra["grouping_1m_e2e_resident_s"] = res_stats["median"]
+            extra["grouping_1m_e2e_resident_stats"] = res_stats
+            extra["grouping_1m_e2e_edges"] = n_edges
     except Exception as e:
         log(f"1M e2e grouping bench failed: {e}")
 
+    if _state["degraded"]:
+        extra["degraded"] = (
+            "device/tunnel degraded mid-run: a stage watchdog fired; "
+            "later device stages skipped (headline was measured before "
+            "degradation)")
     print(json.dumps({
         "metric": "pdq_images_per_sec_per_chip",
         "value": round(ips, 1),
@@ -620,6 +672,13 @@ def main():
         "vs_baseline": round(ips / 100_000.0, 3),
         "extra": extra,
     }))
+    if _state["degraded"]:
+        # an abandoned stage thread still holds a blocked device call;
+        # jax teardown at exit could wedge on it — the JSON is printed,
+        # leave nothing to chance
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -118,3 +118,64 @@ def test_bench_extra_failure_does_not_break_headline(
     assert "grouping_1m_e2e_s" not in payload["extra"]
     assert payload["extra"]["scan_e2e_images_per_s"] == 500.0
     assert "synthetic stage failure" in err
+
+
+def test_bench_stage_watchdog_rescues_json(tmp_path):
+    """A device stage that stalls mid-run (observed: a hot 1M sweep
+    running 75x slow on a degraded tunnel) must not cost the JSON
+    line: the watchdog abandons the stage, later device stages skip
+    loudly, host-only stages still run, and the process exits 0 via
+    os._exit despite the stuck daemon thread."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    driver = tmp_path / "drive.py"
+    driver.write_text(
+        "import time\n"
+        "import bench\n"
+        "PDQ = {'median': 1000.0, 'spread': 1.0, 'k': 3,\n"
+        "       'runs': [999.0, 1000.0, 1001.0]}\n"
+        "bench.bench_pdq = lambda **kw: (1000.0, PDQ)\n"
+        "bench.bench_grouping = lambda: (2.5e9, 1.0)\n"
+        "bench.bench_grouping_1m = lambda: time.sleep(600)  # stalls\n"
+        "bench.bench_scan_e2e = lambda: (_ for _ in ()).throw(\n"
+        "    AssertionError('device stage ran after degradation'))\n"
+        "bench.bench_scan_e2e_cpu_backend = lambda: (\n"
+        "    {'median': 700.0, 'spread': 20.0, 'k': 3,\n"
+        "     'runs': [690.0, 700.0, 710.0]},\n"
+        "    {'median': 6000.0, 'spread': 100.0, 'k': 3,\n"
+        "     'runs': [5900.0, 6000.0, 6100.0]})\n"
+        "bench.bench_decode_profile = lambda chip_ips=None: {'ok': 1}\n"
+        "bench.bench_grouping_1m_e2e = lambda: (_ for _ in ()).throw(\n"
+        "    AssertionError('device stage ran after degradation'))\n"
+        "from rupphash_tpu.utils import backendprobe\n"
+        "backendprobe.ensure_backend_alive = (\n"
+        "    lambda timeout_s=None, log=None, use_ttl=True: 'ok')\n"
+        "bench.main()\n")
+    env = dict(os.environ)
+    env["RUPPHASH_BENCH_BUDGET_S"] = "3600"
+    env["RUPPHASH_BENCH_STAGE_S"] = "2"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    out = subprocess.run([sys.executable, str(driver)], env=env,
+                         capture_output=True, text=True, timeout=120,
+                         cwd=repo)
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["value"] == 1000.0              # headline landed
+    extra = payload["extra"]
+    assert "degraded" in extra                     # labelled honestly
+    assert extra["grouping_100k_gpairs_per_s"] == 2.5   # pre-stall ran
+    assert "grouping_1m_single_chip_s" not in extra     # stalled stage
+    # later device stages skipped, host-only stages still ran
+    assert "scan_e2e_images_per_s" not in extra
+    assert extra["scan_e2e_cpu_backend_images_per_s"] == 700.0
+    assert extra["decode_profile"] == {"ok": 1}
+    assert out.stderr.count("watchdog fired") == 1
+    assert out.stderr.count("SKIPPED") >= 3
