@@ -527,16 +527,24 @@ def main():
     import threading
     _state = {"degraded": False}
 
-    def run_stage(name: str, fn, device: bool = True):
+    def run_stage(name: str, fn, device: bool = True,
+                  floor: float = 180.0):
         if _state["degraded"] and device:
             log(f"SKIPPED {name}: device/tunnel degraded (an earlier "
                 f"stage blew its watchdog)")
             return None
-        if over_budget(name):
-            return None
+        # A device-stage watchdog fires at roughly budget+120, i.e.
+        # with the budget already exhausted — but the host-only stages
+        # ARE the degraded-day figures, so on a degraded run they
+        # bypass over_budget and rely on their own (bounded) watchdog
+        # instead.  Worst case added wall: two host stages x their
+        # floors, still far inside the driver timeout.
+        if not (_state["degraded"] and not device):
+            if over_budget(name):
+                return None
         env_t = os.environ.get("RUPPHASH_BENCH_STAGE_S")
         timeout = float(env_t) if env_t else max(
-            180.0, _budget - (_time.perf_counter() - _t0) + 120.0)
+            floor, _budget - (_time.perf_counter() - _t0) + 120.0)
         box: dict = {}
 
         def work():
@@ -552,8 +560,11 @@ def main():
         if th.is_alive():
             if device:
                 _state["degraded"] = True
+                why = "device/tunnel degraded mid-run"
+            else:
+                why = "host-side stall"
             log(f"SKIPPED {name}: stage watchdog fired after "
-                f"{timeout:.0f}s (device/tunnel degraded mid-run)")
+                f"{timeout:.0f}s ({why})")
             return None
         if "error" in box:
             raise box["error"]
@@ -620,9 +631,13 @@ def main():
 
     try:
         # subprocess with its own 300 s timeout + host-only: runs even
-        # when the device went degraded (it IS the degraded-day figure)
+        # when the device went degraded (it IS the degraded-day
+        # figure).  floor > the subprocess timeout so a slow run fails
+        # INWARD (TimeoutExpired in the thread, caught below) instead
+        # of the watchdog abandoning a child that keeps burning the
+        # single host core under the next stage's measurements.
         r = run_stage("scan e2e cpu-backend", bench_scan_e2e_cpu_backend,
-                      device=False)
+                      device=False, floor=330.0)
         if r is not None:
             ccold, cwarm = r
             log(f"scan end-to-end CPU BACKEND (host loop, tunnel out of "

@@ -886,6 +886,12 @@ class _T2State:
         self.width = None
         self.open = False
         self.trans: list[float] = []  # transient array (put/get)
+        # total-work bound shared across subr recursion: depth alone
+        # caps nesting (10) but not branching — a 16-byte local subr
+        # with 4 self-calls already costs 4^10 invocations, and ~20
+        # self-calls is ~1e13.  Real charstrings run a few hundred
+        # ops; 65536 is far past any honest glyph.
+        self.ops_left = 65536
 
     def _moveto(self, dx, dy):
         if self.open:
@@ -912,6 +918,9 @@ class _T2State:
         p = 0
         st = self.stack
         while p < len(cs):
+            self.ops_left -= 1
+            if self.ops_left <= 0:
+                return
             b0 = cs[p]
             if b0 >= 32 or b0 == 28:
                 if b0 == 28:

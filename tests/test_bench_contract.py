@@ -179,3 +179,65 @@ def test_bench_stage_watchdog_rescues_json(tmp_path):
     assert extra["decode_profile"] == {"ok": 1}
     assert out.stderr.count("watchdog fired") == 1
     assert out.stderr.count("SKIPPED") >= 3
+
+
+def test_bench_degraded_run_still_collects_host_figures(tmp_path):
+    """Finding from the watchdog review: a device-stage watchdog fires
+    at roughly budget+120s, i.e. with the budget already exhausted —
+    but the host-only stages ARE the degraded-day figures, so on a
+    degraded run they must bypass over_budget (bounded by their own
+    watchdog) instead of being silently budget-skipped."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    driver = tmp_path / "drive.py"
+    driver.write_text(
+        "import time\n"
+        "import bench\n"
+        "PDQ = {'median': 1000.0, 'spread': 1.0, 'k': 3,\n"
+        "       'runs': [999.0, 1000.0, 1001.0]}\n"
+        "bench.bench_pdq = lambda **kw: (1000.0, PDQ)\n"
+        "bench.bench_grouping = lambda: (2.5e9, 1.0)\n"
+        "bench.bench_grouping_1m = lambda: time.sleep(600)  # stalls\n"
+        "bench.bench_scan_e2e = lambda: (_ for _ in ()).throw(\n"
+        "    AssertionError('device stage ran after degradation'))\n"
+        "bench.bench_scan_e2e_cpu_backend = lambda: (\n"
+        "    {'median': 700.0, 'spread': 20.0, 'k': 3,\n"
+        "     'runs': [690.0, 700.0, 710.0]},\n"
+        "    {'median': 6000.0, 'spread': 100.0, 'k': 3,\n"
+        "     'runs': [5900.0, 6000.0, 6100.0]})\n"
+        "bench.bench_decode_profile = lambda chip_ips=None: {'ok': 1}\n"
+        "bench.bench_grouping_1m_e2e = lambda: (_ for _ in ()).throw(\n"
+        "    AssertionError('device stage ran after degradation'))\n"
+        "from rupphash_tpu.utils import backendprobe\n"
+        "backendprobe.ensure_backend_alive = (\n"
+        "    lambda timeout_s=None, log=None, use_ttl=True: 'ok')\n"
+        "bench.main()\n")
+    env = dict(os.environ)
+    # the 1M stall starts well under the 1.05s budget (mocked earlier
+    # stages are instant) and its watchdog fires at STAGE_S=2s — past
+    # the budget, which is exactly the production geometry (the real
+    # watchdog fires at budget+120)
+    env["RUPPHASH_BENCH_BUDGET_S"] = "1.05"
+    env["RUPPHASH_BENCH_STAGE_S"] = "2"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    out = subprocess.run([sys.executable, str(driver)], env=env,
+                         capture_output=True, text=True, timeout=120,
+                         cwd=repo)
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    payload = json.loads(lines[0])
+    extra = payload["extra"]
+    assert "degraded" in extra
+    # budget was exhausted when the watchdog fired, yet the host-only
+    # degraded-day figures were still collected...
+    assert extra["scan_e2e_cpu_backend_images_per_s"] == 700.0
+    assert extra["decode_profile"] == {"ok": 1}
+    # ...while device stages after the fire stayed skipped
+    assert "scan_e2e_images_per_s" not in extra
+    assert "grouping_1m_e2e_s" not in extra

@@ -3,6 +3,8 @@
 The oracle is PIL ImageDraw — an independent polygon rasterizer fed the
 same geometry — so agreement is cross-implementation, not self-echo.
 """
+import contextlib
+import signal
 import zlib
 
 import numpy as np
@@ -626,12 +628,31 @@ def _sfnt(tables: dict) -> bytes:
     return out + directory + body
 
 
+class _Bomb(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _alarm_budget(seconds: int):
+    """Raise _Bomb (failing the test) if the block outlives the budget
+    — shared scaffolding for the decompression-bomb regressions."""
+    def _fire(_sig, _frm):
+        raise _Bomb
+
+    old = signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def test_cmap_format4_segment_bomb_bounded():
     """A crafted format-4 cmap declaring thousands of full-range
     segments must not hang the parser (each segment legally spans up
     to 64K codes; the honest total is bounded by the BMP, so the
     parser caps total work like it already did for format 12)."""
-    import signal
     import struct as _s
 
     seg = 8192
@@ -646,20 +667,9 @@ def test_cmap_format4_segment_bomb_bounded():
     cmap = _s.pack(">HH", 0, 1) + _s.pack(">HHI", 3, 1, 12) + sub
     data = _sfnt({b"head": bytes(head), b"cmap": cmap})
 
-    class _Bomb(Exception):
-        pass
-
-    def _alarm(_s_, _f):
-        raise _Bomb
-
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(25)
-    try:
+    with _alarm_budget(25):
         f = pdffont.TrueTypeFont(data)
         assert f.gid_for_unicode(65) == 66   # delta 1 still applies
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def test_otto_nonstandard_upm_scaling():
@@ -706,7 +716,6 @@ def test_composite_glyph_bomb_bounded():
     """A self-referencing composite with thousands of components costs
     ~(L/6)^depth iterations if only depth is capped — glyph_points
     bounds TOTAL components across the recursion instead."""
-    import signal
     import struct as _s
 
     n_comp = 2000
@@ -724,18 +733,30 @@ def test_composite_glyph_bomb_bounded():
     data = _sfnt({b"head": bytes(head), b"maxp": maxp,
                   b"loca": loca, b"glyf": glyf})
 
-    class _Bomb(Exception):
-        pass
-
-    def _alarm(_s_, _f):
-        raise _Bomb
-
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(25)
-    try:
+    with _alarm_budget(25):
         f = pdffont.TrueTypeFont(data)
         pts, flags, ends = f.glyph_points(0)
         assert pts == [] and ends == []        # no simple glyph anywhere
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+
+
+def test_t2_subr_bomb_bounded():
+    """A 10-byte local subr with four self-calls costs 4^10 charstring
+    invocations under a depth-only cap (~20 self-calls is ~1e13, an
+    effective hang); the interpreter bounds TOTAL executed ops across
+    the subr recursion instead."""
+    import types
+
+    # one local subr -> bias 107; push(-107)=byte 32, callsubr=10
+    subr = bytes([32, 10] * 4 + [11])          # 4 self-calls + return
+    with _alarm_budget(25):
+        st = pdffont._T2State(types.SimpleNamespace(gsubrs=()), [subr])
+        st.run(bytes([32, 10, 14]))            # call subr 0, endchar
+        assert st.ops_left <= 0                # the cap is what stopped it
+
+    # honest glyphs are nowhere near the cap: the ring glyph of the
+    # test CFF runs in a few dozen ops
+    cff_raw, _ = _build_test_cff()
+    mine = pdffont.CFFFont(cff_raw)
+    stt = pdffont._T2State(mine, mine._privs[0][2])
+    stt.run(mine.charstrings[3])               # "o": ring + hole
+    assert stt.ops_left > 65536 - 200
