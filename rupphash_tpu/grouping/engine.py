@@ -135,7 +135,10 @@ _NAT_SPLIT = re.compile(r"(\d+)")
 
 
 def natural_key(s: str):
-    return tuple(int(t) if t.isdigit() else t
+    # homogeneous (kind, str, int) tokens: a bare int/str mix makes
+    # sorted() raise TypeError the moment one name leads with digits
+    # and another with letters ('1.jpg' vs 'a.jpg')
+    return tuple((0, "", int(t)) if t.isdigit() else (1, t, 0)
                  for t in _NAT_SPLIT.split(s) if t != "")
 
 
@@ -325,15 +328,22 @@ def group_files(files: list[FileRecord],
     if not idx_with_hash:
         return [], [], 0
 
-    base = np.stack([np.frombuffer(files[i].pdqhash, dtype=np.uint8)
-                     for i in idx_with_hash])
-    variants = np.stack([
-        files[i].dihedral if files[i].dihedral is not None
-        else np.repeat(base[k][None], 8, axis=0)
-        for k, i in enumerate(idx_with_hash)])
     low = np.array([files[i].is_low_quality for i in idx_with_hash])
 
-    n_all = len(files)
+    def host_arrays():
+        # built lazily: the device-resident branch needs neither — at
+        # the 1M headline scale the variants stack alone is ~244 MiB
+        # assembled by a million-iteration Python loop on one core,
+        # paid for nothing when the scan's device batches are consumed
+        # directly
+        base = np.stack([np.frombuffer(files[i].pdqhash, dtype=np.uint8)
+                         for i in idx_with_hash])
+        variants = np.stack([
+            files[i].dihedral if files[i].dihedral is not None
+            else np.repeat(base[k][None], 8, axis=0)
+            for k, i in enumerate(idx_with_hash)])
+        return base, variants
+
     if use_device is None:
         # numpy brute force beats the XLA-CPU sweep below ~2.5k rows
         # (the sweep pads to 1024-wide tiles, a ~6 s fixed cost on one
@@ -350,6 +360,7 @@ def group_files(files: list[FileRecord],
             # (parallel/sharded.py) — same semantics, N x N tiled over
             # every chip with one hash all-gather on ICI
             from ..parallel import sharded
+            base, variants = host_arrays()
             ei, ej = sharded.sharded_find_edges(
                 sharded.make_mesh(), base, variants, low, similarity)
         else:
@@ -364,9 +375,11 @@ def group_files(files: list[FileRecord],
             else:
                 # find_edges_fast reroutes CPU backends to the XLA
                 # tile path
+                base, variants = host_arrays()
                 ei, ej = hamming.find_edges_fast(base, variants, low,
                                                  similarity)
     else:
+        base, variants = host_arrays()
         ei, ej = hamming.brute_force_edges(base, variants, low, similarity)
 
     dense_to_sparse = np.asarray(idx_with_hash, dtype=np.int64)

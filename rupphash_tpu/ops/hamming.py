@@ -191,28 +191,39 @@ def find_edges(base_hashes: np.ndarray,
     counts = np.asarray(_scan_counts_all(var_d, base_d, low_d, similarity,
                                          n, ta, tb, nbits))
 
-    # extract only tiles with matches; dispatch all asynchronously first
+    # extract only tiles with matches, dispatched asynchronously with a
+    # bounded in-flight window: a dense-duplicate corpus (burst shots)
+    # can make most upper-triangle tiles hot, and holding every (ta,
+    # tb/8) packed buffer until the first readback grows resident
+    # memory quadratically with N (same discipline as
+    # _edges_from_device's 8-chunk fence)
     hot = np.argwhere(counts > 0)
-    pending = []
-    for qi, bj in hot:
-        packed = _tile_extract(var_d, base_d, low_d, int(qi), int(bj),
-                               similarity, n, ta, tb, nbits)
-        pending.append((int(qi), int(bj), packed))
-
+    MAX_IN_FLIGHT = 16   # 16 x ta x tb/8 uint8 = ~16 MiB at the defaults
+    pending: list = []
     edges_i: list[np.ndarray] = []
     edges_j: list[np.ndarray] = []
-    for qi, bj, packed in pending:
+
+    def consume(qi, bj, packed):
         gi, gj = unpack_edges_mask(np.asarray(packed), qi * ta, bj * tb,
                                    ta, tb)
         keep = (gi < n) & (gj < n)
         edges_i.append(gi[keep].astype(np.int64))
         edges_j.append(gj[keep].astype(np.int64))
 
+    for qi, bj in hot:
+        packed = _tile_extract(var_d, base_d, low_d, int(qi), int(bj),
+                               similarity, n, ta, tb, nbits)
+        pending.append((int(qi), int(bj), packed))
+        if len(pending) > MAX_IN_FLIGHT:
+            consume(*pending.pop(0))
+    for item in pending:
+        consume(*item)
+
     ei = np.concatenate(edges_i) if edges_i else np.empty(0, dtype=np.int64)
     ej = np.concatenate(edges_j) if edges_j else np.empty(0, dtype=np.int64)
     if return_stats:
         return ei, ej, {"tiles_scanned": counts.size,
-                        "tiles_extracted": len(pending),
+                        "tiles_extracted": len(hot),
                         "pairs_checked": n * (n - 1) // 2 * v}
     return ei, ej
 

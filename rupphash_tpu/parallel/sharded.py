@@ -485,7 +485,7 @@ def sharded_find_edges(mesh: Mesh, base_hashes: np.ndarray,
                 int(len(hot)), readback)
 
 
-def sharded_query_topk_status(mesh: Mesh, similarity: int = 40):
+def sharded_query_topk_status(mesh: Mesh):
     """Status-aware mesh query for the serving index's INCREMENTAL
     sharded residency: the corpus arrives pre-padded to the device
     capacity (a multiple of 8 * ndev) with an int8 per-row status
@@ -494,11 +494,17 @@ def sharded_query_topk_status(mesh: Mesh, similarity: int = 40):
     the nbits+1 sentinel).  Returns the k best (distance, corpus row)
     per query via a device-side top-k, so device->host readback is
     O(Q x k) — the mesh mirror of serve._query_topk, matching the
-    round-4 O(edges)-readback bar (sharded_find_edges)."""
+    round-4 O(edges)-readback bar (sharded_find_edges).
+
+    The match radius is a TRACED operand (run(..., similarity, k)), not
+    a compile-time constant: /v1/query lets unauthenticated clients pick
+    the radius per request, and baking it into the executable would let
+    256 distinct values force 256 shard_map recompiles (minutes each
+    through the tunnel)."""
     axes = ("q", "b")
     ndev = math.prod(mesh.shape.values())
 
-    def tile(q_pm1, base_shard, st_shard, boff, n_total):
+    def tile(q_pm1, base_shard, st_shard, boff, n_total, sim):
         nloc = base_shard.shape[0]
         qn, v, nbits = q_pm1.shape
         op_t, acc_t = _gemm_dtypes()
@@ -512,21 +518,22 @@ def sharded_query_topk_status(mesh: Mesh, similarity: int = 40):
         dead = st_shard[None, :] >= 2
         jidx = boff[0] + jax.lax.broadcasted_iota(jnp.int32, (1, nloc), 1)
         bad = dead | (low & (dist > 0)) | (jidx >= n_total[0]) \
-            | (dist > similarity)
+            | (dist > sim[0])
         return jnp.where(bad, nbits + 1, dist)
 
     smapped = shard_map(
         tile, mesh=mesh,
-        in_specs=(P(), P(axes), P(axes), P(axes), P()),
+        in_specs=(P(), P(axes), P(axes), P(axes), P(), P()),
         out_specs=P(None, axes))
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run(q_var_u8, base_u8, status, n_total, k):
+    def run(q_var_u8, base_u8, status, n_total, similarity, k):
         cap = base_u8.shape[0]
         boff = jnp.arange(ndev, dtype=jnp.int32) * (cap // ndev)
         gated = smapped(unpack_bits_pm1(q_var_u8),
                         unpack_bits_pm1(base_u8), status, boff,
-                        jnp.full((1,), n_total, dtype=jnp.int32))
+                        jnp.full((1,), n_total, dtype=jnp.int32),
+                        jnp.full((1,), similarity, dtype=jnp.int32))
         neg, idx = jax.lax.top_k(-gated, k)
         return -neg, idx
 

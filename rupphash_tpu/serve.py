@@ -383,12 +383,12 @@ class HashIndex:
         similarity = max(0, min(int(similarity), self.nbytes * 8 - 1))
         base_dev, st_dev, paths, n, rank, _hsnap = \
             self._device_arrays(mesh)
-        fn = _mesh_query_fn(mesh, similarity)
+        fn = _mesh_query_fn(mesh)
         k = min(int(base_dev.shape[0]),
                 max(16, 1 << (max(1, max_results) - 1).bit_length()))
         dists, idx = (np.asarray(a) for a in fn(
             _upload(np.ascontiguousarray(variants, dtype=np.uint8)),
-            base_dev, st_dev, n, k))
+            base_dev, st_dev, n, similarity, k))
         out = []
         for drow, irow in zip(dists, idx):
             sel = drow <= similarity    # sentinel rows never selected
@@ -433,9 +433,12 @@ class HashIndex:
 
 
 @functools.lru_cache(maxsize=8)
-def _mesh_query_fn(mesh, similarity: int):
+def _mesh_query_fn(mesh):
+    # keyed on the mesh ONLY: the client-supplied radius is a traced
+    # operand inside the executable, so rotating similarity values
+    # cannot force shard_map recompiles (see sharded_query_topk_status)
     from .parallel import sharded as shardedmod
-    return shardedmod.sharded_query_topk_status(mesh, similarity)
+    return shardedmod.sharded_query_topk_status(mesh)
 
 
 class NearDupService:
@@ -470,7 +473,8 @@ class NearDupService:
             return False
         try:
             p = Path(path).resolve()
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError: embedded NUL byte — must 403, not traceback
             return False
         return any(p == r or r in p.parents for r in self.roots)
 

@@ -120,6 +120,21 @@ def test_sort_orders():
     assert [f.modified for f in files] == [10.0, 20.0, 30.0]
 
 
+def test_natural_sort_mixed_leading_tokens():
+    """Regression: natural_key must emit homogeneous tuples — a group
+    mixing digit-leading and letter-leading names ('1.jpg' vs 'a.jpg')
+    used to raise TypeError('<' not supported between str and int)
+    inside sorted(), aborting the whole grouping run."""
+    files = [_rec("a.jpg"), _rec("1.jpg"), _rec("IMG_2.jpg"),
+             _rec("2023.jpg"), _rec("IMG_10.jpg")]
+    engine.sort_files(files, "name-natural")
+    assert [f.path.name for f in files] == [
+        "1.jpg", "2023.jpg", "IMG_2.jpg", "IMG_10.jpg", "a.jpg"]
+    engine.sort_files(files, "name-natural-desc")
+    assert [f.path.name for f in files] == [
+        "a.jpg", "IMG_10.jpg", "IMG_2.jpg", "2023.jpg", "1.jpg"]
+
+
 def test_exif_date_sort_none_last():
     files = [_rec("a.jpg", exif_ts=None, modified=5.0),
              _rec("b.jpg", exif_ts=100),

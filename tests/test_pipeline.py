@@ -368,6 +368,48 @@ def test_device_slot_contract(tmp_path, capsys):
     assert engine._resident_rows(swapped, idx, sink) is None
 
 
+def test_device_resident_group_skips_host_arrays(tmp_path, monkeypatch):
+    """Regression: group_files on the device-resident branch must not
+    materialize the host base/variants stacks — at the 1M headline
+    scale that is a ~244 MiB allocation built by a million-iteration
+    Python loop on the one-core host, for arrays the branch never
+    reads.  Poisoned dihedral attributes prove the stacks are built
+    lazily only on the branches that need them."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from rupphash_tpu.grouping import engine
+    from rupphash_tpu.pipeline import scan
+
+    d = tmp_path / "s"
+    d.mkdir()
+    rng = np.random.default_rng(23)
+    for k in range(3):
+        Image.fromarray(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                        ).resize((320, 240), Image.BILINEAR).save(
+            d / f"f{k}.png")
+    sink = []
+    records, stats = scan.scan([d], scan.ScanConfig(batch_size=2),
+                               device_sink=sink)
+    assert stats.failed == 0 and sink
+
+    class Poison:
+        def __array__(self, *a, **k):
+            raise AssertionError(
+                "host variants materialized on the device-resident path")
+
+    poisoned = [dataclasses.replace(r, dihedral=Poison())
+                for r in records]
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **kw: one)
+    groups, infos, edges = engine.group_files(
+        poisoned, use_device=True, device_batches=sink)
+    assert groups == [] and edges == 0
+
+
 def test_png_exif_chunk_walk():
     """PNG EXIF extraction must not pay PIL's full-image decode:
     a direct eXIf chunk walk reads the same blob, preserving the tag

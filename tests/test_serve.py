@@ -73,6 +73,43 @@ def test_mesh_query_matches_single_device():
                ix.query(q2, similarity=8, mesh=mesh)[0])
 
 
+def test_mesh_query_radius_does_not_recompile():
+    """Regression: /v1/query lets unauthenticated clients pick the
+    radius per request.  The mesh path must trace similarity as an
+    operand — baking it into the shard_map executable let 256 distinct
+    values force 256 recompiles (minutes each on hardware)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rupphash_tpu.parallel import sharded
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    ix = serve.HashIndex()
+    for i in range(64):
+        ix.add(f"/x/{i}.png", bytes(hashes[i]), quality=90)
+    q = np.zeros((1, 8, 32), dtype=np.uint8)
+    flip = hashes[9].copy()
+    flip[0] ^= 0b11
+    q[0, :] = flip
+
+    mesh = sharded.make_mesh(8)
+    serve._mesh_query_fn.cache_clear()
+    fn = serve._mesh_query_fn(mesh)
+    for sim in (2, 5, 8, 13, 21, 34):
+        res = ix.query(q, similarity=sim, mesh=mesh)[0]
+        assert any(i == 9 and d == 2 for i, _, d in res)
+    # radius 0/1 exclude the 2-bit flip
+    assert all(i != 9 for i, _, d in
+               ix.query(q, similarity=1, mesh=mesh)[0])
+    # one executable serves every radius: the serve-side factory cache
+    # holds a single mesh-keyed entry, and the jit under it compiled a
+    # single (shape, k)-keyed executable across all 7 radii
+    assert serve._mesh_query_fn.cache_info().currsize == 1
+    assert fn._cache_size() == 1
+
+
 def test_index_build_save_load(corpus, tmp_path):
     d, paths, records = corpus
     ix = serve.HashIndex.from_records(records)
@@ -191,6 +228,16 @@ def test_http_surface(corpus):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(req, timeout=10)
             assert ei.value.code == 403
+
+        # a NUL byte in the path must 403 like any other bad path —
+        # Path.resolve() raises ValueError (not OSError) on embedded
+        # NULs, which used to escape as a traceback + connection reset
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/add?path=%00x",
+            data=b"", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 403
 
         # oversized query body is rejected up front
         req = urllib.request.Request(
